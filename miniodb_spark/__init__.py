@@ -1,0 +1,36 @@
+"""miniodb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of richenlin/minIODB.
+
+The reference system (read-only snapshot at /root/reference) composes
+MinIO (parquet at rest) + embedded DuckDB (SQL execution) + Redis
+(metadata / cache / index).  This package re-expresses the same
+capabilities Spark-first:
+
+- Catalyst + the parquet data source replace DuckDB and all the custom
+  pruning layers (column pruning, file min/max skipping, time-partition
+  pruning are built-in once data is laid out as ``dt=`` partitions).
+- Spark's executor model replaces the coordinator / scatter-gather /
+  consistent-hash placement entirely.
+- The layers the reference implements natively — SQL gating, table
+  extraction, result caching, buffered ingest with dynamic schema
+  inference, mutation-by-rewrite, compaction, sketches, CDC — are
+  implemented here as thin app-level components around ``spark.sql``.
+
+Package map:
+  session.py    SparkSession factory tuned for the workload
+  gate.py       SELECT-only SQL sanitizer (reference: internal/security/sql_sanitizer.go)
+  extractor.py  table-name extraction + query classification (internal/query/table_extractor.go)
+  schema.py     dynamic schema inference + column sanitization (internal/buffer/concurrent_buffer.go)
+  buffer.py     WAL-backed in-memory write buffer (internal/buffer, internal/wal)
+  catalog.py    table configs + cumulative schema registry (internal/metadata)
+  cache.py      query result cache with table-keyed invalidation (internal/query/query_cache.go)
+  engine.py     the Engine facade: write/query/update/delete lifecycle (internal/service)
+  mutations.py  id-level delete/update via partition-file rewrite (internal/query/query.go:1252-1413)
+  compaction.py tiered small-file compaction job (internal/compaction/manager.go)
+  sketches.py   HLL / CountMinSketch registry (internal/query/approximation.go)
+  idgen.py      uuid / snowflake / custom id strategies (pkg/idgen)
+  operators/    dedup, similarity, text analysis, multimodal (LLM-pipeline extensions)
+  streaming/    structured-streaming ingest, CDC events, windowing helpers
+"""
+
+__version__ = "0.1.0"

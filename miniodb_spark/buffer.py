@@ -1,0 +1,194 @@
+"""WAL-backed in-memory write buffer.
+
+The reference buffers writes per ``table/id/day`` key and flushes to
+parquet at a row-count threshold or interval, with a binary WAL for
+crash recovery (/root/reference/internal/buffer/concurrent_buffer.go:
+1014-1209, internal/wal/wal.go). Here the WAL is JSON-lines (one
+record per line, crc32 suffix) — durability semantics are equivalent:
+append before acking, replay on boot, truncate after flush. Tombstone
+records suppress resurrection of removed rows on replay
+(concurrent_buffer.go:94-98,299-334).
+
+At scale the buffer is a *driver-side* staging area only for the
+low-latency write API; bulk ingest should go through
+``Engine.ingest_dataframe`` (straight ``df.write`` — no driver
+materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import zlib
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+
+def _day_of_micros(us: int) -> str:
+    return datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).strftime("%Y-%m-%d")
+
+
+@dataclass
+class BufferRow:
+    id: str
+    timestamp: int  # µs since epoch
+    table_name: str
+    fields: dict[str, Any]
+
+    def key(self) -> str:
+        return f"{self.table_name}/{self.id or '_'}/{_day_of_micros(self.timestamp)}"
+
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id,
+            "timestamp": self.timestamp,
+            "table_name": self.table_name,
+            "fields": self.fields,
+        }
+
+
+class WAL:
+    """Append-only JSON-lines log with CRC32 per record and replay."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._fh = open(path, "a", encoding="utf-8")
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    def append(self, rec_type: str, payload: dict) -> int:
+        with self._lock:
+            self._seq += 1
+            body = json.dumps(
+                {"seq": self._seq, "type": rec_type, "payload": payload},
+                separators=(",", ":"),
+                default=str,
+            )
+            crc = zlib.crc32(body.encode("utf-8"))
+            self._fh.write(f"{body}\t{crc}\n")
+            self._fh.flush()
+            return self._seq
+
+    def truncate(self) -> None:
+        with self._lock:
+            self._fh.close()
+            self._fh = open(self.path, "w", encoding="utf-8")
+
+    def close(self) -> None:
+        with self._lock:
+            self._fh.close()
+
+    @staticmethod
+    def replay(path: str) -> list[dict]:
+        """Yield valid records (CRC-checked); corrupt tail lines are
+        dropped, matching the reference's recovery behavior."""
+        records: list[dict] = []
+        if not os.path.exists(path):
+            return records
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                body, _, crc_s = line.rpartition("\t")
+                try:
+                    if zlib.crc32(body.encode("utf-8")) != int(crc_s):
+                        break  # corruption: stop replay at first bad record
+                    records.append(json.loads(body))
+                except (ValueError, json.JSONDecodeError):
+                    break
+        return records
+
+
+class WriteBuffer:
+    """In-memory row buffer with WAL, size/interval flush triggers and
+    (table, id) removal with tombstones."""
+
+    def __init__(
+        self,
+        wal_path: str,
+        buffer_size: int = 5000,
+        flush_interval_s: float = 15.0,
+        on_flush: Callable[[str, list[BufferRow]], None] | None = None,
+    ):
+        self.buffer_size = buffer_size
+        self.flush_interval_s = flush_interval_s
+        self.on_flush = on_flush
+        self._rows: dict[str, list[BufferRow]] = {}  # table -> rows
+        self._count = 0
+        self._lock = threading.RLock()
+        self._last_flush = time.monotonic()
+        self.wal = WAL(wal_path)
+        self._recover(wal_path)
+
+    def _recover(self, wal_path: str) -> None:
+        tombstones: set[tuple[str, str]] = set()
+        rows: list[BufferRow] = []
+        for rec in WAL.replay(wal_path):
+            if rec["type"] == "insert":
+                p = rec["payload"]
+                rows.append(BufferRow(p["id"], p["timestamp"], p["table_name"], p["fields"]))
+            elif rec["type"] == "tombstone":
+                p = rec["payload"]
+                tombstones.add((p["table_name"], p["id"]))
+        for row in rows:
+            if (row.table_name, row.id) in tombstones:
+                continue
+            self._rows.setdefault(row.table_name, []).append(row)
+            self._count += 1
+
+    def add(self, row: BufferRow) -> bool:
+        """Append a row (WAL first). Returns True if a size-triggered
+        flush should run."""
+        with self._lock:
+            self.wal.append("insert", row.to_dict())
+            self._rows.setdefault(row.table_name, []).append(row)
+            self._count += 1
+            return self._count >= self.buffer_size
+
+    def remove(self, table: str, row_id: str) -> int:
+        """Remove matching (table,id) rows + WAL tombstone; returns count
+        removed (reference concurrent_buffer.go:1472-1541)."""
+        with self._lock:
+            self.wal.append("tombstone", {"table_name": table, "id": row_id})
+            rows = self._rows.get(table, [])
+            keep = [r for r in rows if r.id != row_id]
+            removed = len(rows) - len(keep)
+            if removed:
+                self._rows[table] = keep
+                self._count -= removed
+            return removed
+
+    def rows_for(self, table: str) -> list[BufferRow]:
+        with self._lock:
+            return list(self._rows.get(table, []))
+
+    def tables(self) -> list[str]:
+        with self._lock:
+            return [t for t, rows in self._rows.items() if rows]
+
+    @property
+    def count(self) -> int:
+        with self._lock:
+            return self._count
+
+    def should_flush_by_time(self) -> bool:
+        return (time.monotonic() - self._last_flush) >= self.flush_interval_s
+
+    def drain(self) -> dict[str, list[BufferRow]]:
+        """Atomically take all buffered rows (caller flushes them) and
+        truncate the WAL once the flush callback has persisted them."""
+        with self._lock:
+            batch = self._rows
+            self._rows = {}
+            self._count = 0
+            self._last_flush = time.monotonic()
+            return batch
+
+    def mark_flushed(self) -> None:
+        with self._lock:
+            self.wal.truncate()

@@ -1,0 +1,423 @@
+"""Engine: the write / query / mutate lifecycle facade.
+
+This is the Spark-first re-expression of the reference's service layer
+(/root/reference/internal/service/miniodb_service.go). The division of
+labor changes completely:
+
+================  =============================  =========================
+concern           reference                      here
+================  =============================  =========================
+SQL execution     embedded DuckDB over views     ``spark.sql`` over temp
+                                                 views (Catalyst/Tungsten)
+file pruning      Redis min/max metadata +       ``dt=YYYY-MM-DD`` hive
+                  regex predicate parser         partitions → built-in
+                                                 partition pruning; parquet
+                                                 footer stats → row-group
+                                                 pushdown
+column pruning    regex-built per-query views    Catalyst column pruning
+distribution      consistent-hash coordinator    Spark's executor model
+schema merge      union_by_name per query        catalog-maintained
+                                                 cumulative schema (no
+                                                 mergeSchema at scale)
+================  =============================  =========================
+
+Storage layout: ``<root>/<table>/dt=YYYY-MM-DD/part-*.parquet`` with
+``id`` kept as a *data column* (SURVEY §7: per-id directories explode
+at 100 TB; id point-lookups ride on parquet footer min/max pushdown
+instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import gate, schema as dyn_schema
+from .buffer import BufferRow, WriteBuffer
+from .cache import QueryResultCache
+from .catalog import Catalog, TableConfig
+from .extractor import analyze_complexity, extract_tables
+from .idgen import IDGenerator, resolve_id
+from .mutations import delete_rows, rewrite_partitions
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def _type_name(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        node_id: int = 0,
+        cache_ttl_s: float = 1800.0,
+        event_publisher=None,
+    ):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.catalog = Catalog(root)
+        self.cache = QueryResultCache(ttl_s=cache_ttl_s)
+        self.idgen = IDGenerator(node_id)
+        self.events = event_publisher  # streaming.cdc.EventPublisher or None
+        self._buffers: dict[str, WriteBuffer] = {}
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------------
+    # tables
+    # ------------------------------------------------------------------
+
+    def create_table(self, name: str, config: TableConfig | None = None) -> TableConfig:
+        gate.validate_table_name(name)
+        return self.catalog.create_table(name, config)
+
+    def list_tables(self) -> list[str]:
+        return self.catalog.list_tables()
+
+    def get_table(self, name: str) -> TableConfig | None:
+        return self.catalog.get_table(name)
+
+    def delete_table(self, name: str) -> bool:
+        with self._lock:
+            buf = self._buffers.pop(name, None)
+            if buf:
+                buf.wal.close()
+            ok = self.catalog.drop_table(name)
+            self.cache.invalidate_table(name)
+            import shutil
+
+            path = self._table_dir(name)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            return ok
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _buffer_for(self, table: str) -> WriteBuffer:
+        with self._lock:
+            buf = self._buffers.get(table)
+            if buf is None:
+                cfg = self.catalog.ensure_table(table)
+                buf = WriteBuffer(
+                    wal_path=os.path.join(self.root, "_system", "wal", f"{table}.wal"),
+                    buffer_size=cfg.buffer_size,
+                    flush_interval_s=cfg.flush_interval_s,
+                )
+                self._buffers[table] = buf
+            return buf
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+
+    def write(
+        self,
+        table: str,
+        payload: dict[str, Any],
+        record_id: str | None = None,
+        timestamp_us: int | None = None,
+    ) -> str:
+        """WriteData (reference miniodb_service.go:240-353): resolve id,
+        buffer the row (WAL first), flush on size trigger."""
+        gate.validate_table_name(table)
+        cfg = self.catalog.ensure_table(table)
+        rid = resolve_id(
+            record_id, cfg.id_strategy, cfg.auto_generate_id, self.idgen,
+            cfg.id_prefix, cfg.max_id_length,
+        )
+        if timestamp_us is None:
+            import time
+
+            timestamp_us = int(time.time() * 1_000_000)
+        row = BufferRow(id=rid, timestamp=timestamp_us, table_name=table, fields=payload)
+        buf = self._buffer_for(table)
+        if buf.add(row):
+            self.flush(table)
+        self.cache.invalidate_table(table)
+        if self.events:
+            self.events.publish("insert", table, [rid])
+        return rid
+
+    def write_batch(self, table: str, records: list[dict]) -> list[str]:
+        """StreamWrite-style batch of {id?, timestamp_us?, payload} dicts."""
+        ids = []
+        for rec in records:
+            ids.append(
+                self.write(
+                    table,
+                    rec.get("payload", {}),
+                    rec.get("id"),
+                    rec.get("timestamp_us"),
+                )
+            )
+        return ids
+
+    def flush(self, table: str | None = None) -> int:
+        """Flush buffered rows to parquet. Returns rows flushed.
+
+        One ``createDataFrame`` per (table, inferred-schema) batch →
+        append write partitioned by ``dt``; then merge the batch columns
+        into the catalog's cumulative schema."""
+        tables = [table] if table else list(self._buffers)
+        total = 0
+        for t in tables:
+            buf = self._buffers.get(t)
+            if buf is None or buf.count == 0:
+                continue
+            batches = buf.drain()
+            for tname, rows in batches.items():
+                if not rows:
+                    continue
+                total += self._flush_rows(tname, rows)
+            buf.mark_flushed()
+        return total
+
+    def _flush_rows(self, table: str, rows: list[BufferRow]) -> int:
+        row_dicts = [r.to_dict() for r in rows]
+        batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
+        tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map) for d in row_dicts]
+        df = self.spark.createDataFrame(tuples, batch_schema)
+        df = df.withColumn("dt", F.date_format("timestamp", "yyyy-MM-dd"))
+        (
+            df.repartition("dt")
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(self._table_dir(table))
+        )
+        self.catalog.merge_schema(
+            table,
+            {f.name: _type_name(f.dataType) for f in batch_schema.fields},
+        )
+        return len(rows)
+
+    def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp") -> None:
+        """Bulk-ingest path: no driver materialization — the DataFrame is
+        written straight through with the same layout. This is the 100 TB
+        path; the row-level ``write`` API is for the low-latency edge."""
+        gate.validate_table_name(table)
+        self.catalog.ensure_table(table)
+        out = df
+        if "table_name" not in out.columns:
+            out = out.withColumn("table_name", F.lit(table))
+        out = out.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        out.repartition("dt").write.mode("append").partitionBy("dt").parquet(
+            self._table_dir(table)
+        )
+        self.catalog.merge_schema(
+            table, {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"}
+        )
+        self.cache.invalidate_table(table)
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+
+    def _catalog_struct(self, table: str) -> T.StructType | None:
+        cols = self.catalog.schema_of(table)
+        if not cols:
+            return None
+        fields = [
+            T.StructField(name, _TYPE_MAP.get(typ, T.StringType()), True)
+            for name, typ in cols.items()
+        ]
+        return T.StructType(fields)
+
+    def read_persisted(self, table: str) -> DataFrame | None:
+        """Persisted parquet for a table, read with the catalog's
+        cumulative schema (avoids ``mergeSchema`` over every file — the
+        scale-critical choice). Partition column ``dt`` is appended."""
+        path = self._table_dir(table)
+        if not os.path.isdir(path) or not any(
+            e.name.startswith("dt=") for e in os.scandir(path) if e.is_dir()
+        ):
+            return None
+        struct = self._catalog_struct(table)
+        reader = self.spark.read
+        if struct is not None:
+            reader = reader.schema(
+                T.StructType(list(struct.fields) + [T.StructField("dt", T.StringType(), True)])
+            )
+        else:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(path)
+
+    def read_buffer(self, table: str) -> DataFrame | None:
+        """Unflushed rows as a DataFrame — the hybrid-query half that gives
+        1–3 s visibility (reference query/query.go:399-427)."""
+        buf = self._buffers.get(table)
+        if buf is None:
+            return None
+        rows = buf.rows_for(table)
+        if not rows:
+            return None
+        row_dicts = [r.to_dict() for r in rows]
+        batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
+        tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map) for d in row_dicts]
+        df = self.spark.createDataFrame(tuples, batch_schema)
+        return df.withColumn("dt", F.date_format("timestamp", "yyyy-MM-dd"))
+
+    def read_table(self, table: str) -> DataFrame | None:
+        """Hybrid read: persisted ∪ buffer (allowMissingColumns covers
+        ragged dynamic schemas)."""
+        persisted = self.read_persisted(table)
+        buffered = self.read_buffer(table)
+        if persisted is None:
+            return buffered
+        if buffered is None:
+            return persisted
+        return persisted.unionByName(buffered, allowMissingColumns=True)
+
+    # ------------------------------------------------------------------
+    # query path
+    # ------------------------------------------------------------------
+
+    def query_df(
+        self, sql: str, limit: int | None = None, default_table: str | None = None
+    ) -> DataFrame:
+        """QueryData minus the JSON serialization: gate → rewrites →
+        temp-view registration per referenced table → ``spark.sql``."""
+        sql = gate.validate_query(sql)
+        if default_table:
+            sql = gate.rewrite_legacy_from_table(sql, default_table)
+        sql = gate.inject_limit(sql, limit)
+        tables = extract_tables(sql)
+        if not tables:
+            raise gate.SQLGateError("no table referenced in query")
+        for t in tables:
+            gate.validate_table_name(t)
+            df = self.read_table(t)
+            if df is None:
+                if self.catalog.get_table(t) is None:
+                    raise gate.SQLGateError(f"table not found: {t}")
+                df = self.spark.createDataFrame([], self._empty_struct(t))
+            df.createOrReplaceTempView(t)
+        return self.spark.sql(sql)
+
+    def _empty_struct(self, table: str) -> T.StructType:
+        struct = self._catalog_struct(table)
+        if struct is not None:
+            return struct
+        return T.StructType(
+            [
+                T.StructField("id", T.StringType(), False),
+                T.StructField("timestamp", T.TimestampType(), False),
+                T.StructField("table_name", T.StringType(), False),
+            ]
+        )
+
+    def query(
+        self, sql: str, limit: int | None = None, default_table: str | None = None
+    ) -> str:
+        """Full QueryData: returns the JSON array string the reference's
+        API contract specifies (empty result ⇒ ``"[]"``), via the result
+        cache when the query is cache-worthy."""
+        checked = gate.validate_query(sql)
+        tables = extract_tables(checked)
+        use_cache = analyze_complexity(checked).cacheable
+        if use_cache:
+            hit = self.cache.get(checked, tables)
+            if hit is not None:
+                return hit
+        df = self.query_df(checked, limit=limit, default_table=default_table)
+        rows = df.toJSON().collect()
+        result = "[" + ",".join(rows) + "]"
+        if use_cache:
+            self.cache.put(checked, tables, result)
+        return result
+
+    def stream_query(
+        self, sql: str, batch_size: int = 100, cursor: int = 0, default_table: str | None = None
+    ) -> tuple[list[dict], int, bool]:
+        """StreamQuery pagination: execute once, slice into batches with an
+        integer offset cursor (reference miniodb_service.go:1276-1360).
+        batch_size default 100, max 10,000."""
+        batch_size = max(1, min(int(batch_size), 10_000))
+        data = json.loads(self.query(sql, default_table=default_table))
+        batch = data[cursor : cursor + batch_size]
+        next_cursor = cursor + len(batch)
+        has_more = next_cursor < len(data)
+        return batch, next_cursor, has_more
+
+    # ------------------------------------------------------------------
+    # mutation path
+    # ------------------------------------------------------------------
+
+    def delete(self, table: str, record_id: str) -> int:
+        """DeleteData: buffer removal + tombstone, then copy-on-write
+        rewrite of affected ``dt`` partitions (reference
+        miniodb_service.go:867-1007, query/query.go:1252-1413 rewrites
+        per *file*; partition-level rewrite is the Spark-shaped unit)."""
+        gate.validate_table_name(table)
+        removed = 0
+        buf = self._buffers.get(table)
+        if buf is not None:
+            removed += buf.remove(table, record_id)
+        persisted = self.read_persisted(table)
+        if persisted is not None:
+            removed += delete_rows(
+                self.spark,
+                self._table_dir(table),
+                persisted,
+                F.col("id") == record_id,
+            )
+        self.cache.invalidate_table(table)
+        if self.events:
+            self.events.publish("delete", table, [record_id])
+        return removed
+
+    def update(self, table: str, record_id: str, payload: dict[str, Any],
+               timestamp_us: int | None = None) -> int:
+        """UpdateData: remove old version (buffer + persisted), insert the
+        new one. The reference inserts first and tolerates transient
+        duplicates on partial failure (miniodb_service.go:737-741); under
+        a single in-process lock we can do remove→insert atomically, which
+        is strictly cleaner and returns the same final state."""
+        with self._lock:
+            removed = self.delete(table, record_id)
+            self.write(table, payload, record_id=record_id, timestamp_us=timestamp_us)
+        if self.events:
+            self.events.publish("update", table, [record_id])
+        return removed
+
+    def cleanup_empty_id_records(self, table: str) -> int:
+        """DELETE FROM t WHERE id = '' OR id IS NULL (reference
+        miniodb_service.go:1051-1084). '_' placeholder ids count too."""
+        persisted = self.read_persisted(table)
+        n = 0
+        if persisted is not None:
+            n += delete_rows(
+                self.spark,
+                self._table_dir(table),
+                persisted,
+                F.col("id").isNull() | (F.col("id") == "") | (F.col("id") == "_"),
+            )
+        self.cache.invalidate_table(table)
+        return n
+
+    # ------------------------------------------------------------------
+    # health / status
+    # ------------------------------------------------------------------
+
+    def status(self) -> dict[str, Any]:
+        return {
+            "tables": self.list_tables(),
+            "buffered_rows": {t: b.count for t, b in self._buffers.items()},
+            "cache": {"hits": self.cache.hits, "misses": self.cache.misses},
+        }

@@ -1,0 +1,133 @@
+"""Table-name extraction and query classification.
+
+Re-implementation (from observed behavior) of the reference's regex
+extractor (/root/reference/internal/query/table_extractor.go:31-253),
+query-type classifier (:290-329) and complexity / cache-worthiness
+scorer (:332-410). We need table names for result-cache keying and
+per-table temp-view registration before ``spark.sql`` runs; CTE names
+are deliberately excluded (they are not storage tables).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_SQL_KEYWORDS = {
+    "select", "from", "where", "group", "order", "by", "having", "limit",
+    "offset", "join", "inner", "left", "right", "full", "outer", "cross",
+    "on", "as", "and", "or", "not", "in", "exists", "between", "like",
+    "is", "null", "distinct", "case", "when", "then", "else", "end",
+    "with", "union", "all", "asc", "desc", "count", "sum", "avg", "min",
+    "max", "table", "values", "using", "lateral", "unnest",
+}
+
+_FROM_RE = re.compile(
+    r"\bfrom\s+((?:\"[^\"]+\"|[a-zA-Z_][\w$]*)(?:\.(?:\"[^\"]+\"|[a-zA-Z_][\w$]*))?)",
+    re.IGNORECASE,
+)
+_JOIN_RE = re.compile(
+    r"\b(?:inner\s+|left\s+(?:outer\s+)?|right\s+(?:outer\s+)?|full\s+(?:outer\s+)?|cross\s+)?join\s+"
+    r"((?:\"[^\"]+\"|[a-zA-Z_][\w$]*)(?:\.(?:\"[^\"]+\"|[a-zA-Z_][\w$]*))?)",
+    re.IGNORECASE,
+)
+_CTE_NAME_RE = re.compile(r"(?:\bwith\s+|,\s*)([a-zA-Z_][\w$]*)\s+as\s*\(", re.IGNORECASE)
+_COMMENT_LINE_RE = re.compile(r"--[^\n]*")
+_COMMENT_BLOCK_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
+
+
+def _strip_comments(sql: str) -> str:
+    return _COMMENT_BLOCK_RE.sub(" ", _COMMENT_LINE_RE.sub(" ", sql))
+
+
+def _normalize_ident(raw: str) -> str:
+    parts = [p.strip().strip('"') for p in raw.split(".")]
+    return parts[-1].lower()
+
+
+def extract_tables(sql: str) -> list[str]:
+    """All base-table names referenced by FROM/JOIN clauses (subqueries
+    included, since the regexes match their inner FROMs too). CTE names
+    are excluded. Order = first appearance; deduplicated."""
+    sql = _strip_comments(sql)
+    cte_names = {m.group(1).lower() for m in _CTE_NAME_RE.finditer(sql)}
+    seen: list[str] = []
+    for regex in (_FROM_RE, _JOIN_RE):
+        for m in regex.finditer(sql):
+            name = _normalize_ident(m.group(1))
+            if name in cte_names or name in _SQL_KEYWORDS:
+                continue
+            if name not in seen:
+                seen.append(name)
+    return seen
+
+
+_AGG_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(", re.IGNORECASE)
+_GROUP_RE = re.compile(r"\bgroup\s+by\b", re.IGNORECASE)
+_JOIN_KW_RE = re.compile(r"\bjoin\b", re.IGNORECASE)
+_UNION_RE = re.compile(r"\bunion\b", re.IGNORECASE)
+_CTE_RE = re.compile(r"^\s*with\b", re.IGNORECASE)
+_ORDER_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_SUBQUERY_RE = re.compile(r"\(\s*select\b", re.IGNORECASE)
+_COUNT_ONLY_RE = re.compile(r"^\s*select\s+count\s*\(", re.IGNORECASE)
+_WINDOW_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
+
+
+def classify_query(sql: str) -> str:
+    """select / count / aggregation / group_by / join / union / cte / window
+    (reference table_extractor.go:290-329 string heuristics)."""
+    s = _strip_comments(sql)
+    if _CTE_RE.match(s):
+        return "cte"
+    if _UNION_RE.search(s):
+        return "union"
+    if _JOIN_KW_RE.search(s):
+        return "join"
+    if _GROUP_RE.search(s):
+        return "group_by"
+    if _WINDOW_RE.search(s):
+        return "window"
+    if _COUNT_ONLY_RE.match(s):
+        return "count"
+    if _AGG_RE.search(s):
+        return "aggregation"
+    return "select"
+
+
+@dataclass
+class Complexity:
+    score: int
+    level: str  # simple | medium | complex | very_complex
+    cacheable: bool
+
+
+def analyze_complexity(sql: str) -> Complexity:
+    """Score joins/subqueries/grouping/ordering/CTEs/table count/agg
+    functions → complexity level; cache only medium+ SELECT-family
+    queries (reference table_extractor.go:332-410)."""
+    s = _strip_comments(sql)
+    score = 0
+    score += 2 * len(_JOIN_KW_RE.findall(s))
+    score += 2 * len(_SUBQUERY_RE.findall(s))
+    score += 1 if _GROUP_RE.search(s) else 0
+    score += 1 if _ORDER_RE.search(s) else 0
+    score += 3 if _UNION_RE.search(s) else 0
+    score += 2 if _CTE_RE.match(s) else 0
+    score += max(0, len(extract_tables(s)) - 1)
+    score += len(_AGG_RE.findall(s))
+    score += 2 if _WINDOW_RE.search(s) else 0
+
+    if score <= 1:
+        level = "simple"
+    elif score <= 4:
+        level = "medium"
+    elif score <= 8:
+        level = "complex"
+    else:
+        level = "very_complex"
+
+    qtype = classify_query(s)
+    cacheable = level in ("medium", "complex") and qtype in (
+        "select", "count", "aggregation", "group_by", "join", "cte", "window",
+    )
+    return Complexity(score=score, level=level, cacheable=cacheable)

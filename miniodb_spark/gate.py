@@ -1,0 +1,160 @@
+"""SQL gate: the SELECT-only sanitizer in front of ``spark.sql``.
+
+Semantic parity with the reference's sanitizer
+(/root/reference/internal/security/sql_sanitizer.go:11-29,52,58-85,
+261-298) re-implemented from its observed behavior:
+
+- only ``SELECT ...`` or ``WITH x AS (...) SELECT ...`` is admitted;
+- DML/DDL keywords, UNION, EXEC, ``xp_`` are rejected outright
+  (note: the reference bans UNION entirely — set ops are not part of
+  the supported query surface);
+- comments (``--``, ``/* */``, ``#``) and multi-statement input are
+  rejected;
+- max statement length 10,000 chars;
+- helpers to quote identifiers (``"`` doubling) and string literals
+  (``'`` doubling + control-char strip).
+
+Also carries the two request-level rewrites from the service layer
+(/root/reference/internal/service/miniodb_service.go:624-631,663-681):
+legacy ``FROM table`` → the caller's default table, and LIMIT injection.
+"""
+
+from __future__ import annotations
+
+import re
+
+MAX_QUERY_LENGTH = 10_000
+
+# Keywords that must not appear anywhere in a gated query (word-bounded,
+# case-insensitive). UNION is included: the reference rejects set ops.
+_DENY_KEYWORDS = (
+    "drop",
+    "alter",
+    "truncate",
+    "create",
+    "insert",
+    "update",
+    "delete",
+    "union",
+    "exec",
+    "execute",
+    "grant",
+    "revoke",
+    "attach",
+    "detach",
+    "pragma",
+    "call",
+    "merge",
+)
+
+_DENY_RE = re.compile(r"\b(" + "|".join(_DENY_KEYWORDS) + r")\b", re.IGNORECASE)
+_XP_RE = re.compile(r"\bxp_\w*", re.IGNORECASE)
+_COMMENT_RE = re.compile(r"(--|/\*|#)")
+_SELECT_RE = re.compile(r"^\s*select\b", re.IGNORECASE)
+_WITH_RE = re.compile(r"^\s*with\b", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+
+
+class SQLGateError(ValueError):
+    """Raised when a statement is rejected by the gate."""
+
+
+def _strip_string_literals(sql: str) -> str:
+    """Blank out single-quoted literals (with '' escapes) so keyword and
+    comment scans don't fire on literal content."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            out.append("'")
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":  # escaped ''
+                        i += 2
+                        continue
+                    break
+                i += 1
+            out.append("'")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def validate_query(sql: str) -> str:
+    """Validate a user query; returns the trimmed SQL or raises SQLGateError."""
+    if sql is None or not sql.strip():
+        raise SQLGateError("empty query")
+    sql = sql.strip()
+    if len(sql) > MAX_QUERY_LENGTH:
+        raise SQLGateError(f"query exceeds max length {MAX_QUERY_LENGTH}")
+
+    scan = _strip_string_literals(sql)
+
+    if _COMMENT_RE.search(scan):
+        raise SQLGateError("comments are not allowed in queries")
+
+    # multi-statement: any ';' followed by non-whitespace
+    semi = scan.find(";")
+    if semi != -1 and scan[semi + 1 :].strip():
+        raise SQLGateError("multi-statement input is not allowed")
+    if semi != -1:
+        sql = sql[: sql.rfind(";")].rstrip()
+        scan = scan[:semi]
+
+    if not (_SELECT_RE.match(scan) or _WITH_RE.match(scan)):
+        raise SQLGateError("only SELECT (or WITH ... SELECT) statements are allowed")
+
+    m = _DENY_RE.search(scan)
+    if m:
+        raise SQLGateError(f"forbidden keyword: {m.group(1).upper()}")
+    if _XP_RE.search(scan):
+        raise SQLGateError("forbidden identifier prefix: xp_")
+
+    return sql
+
+
+def quote_identifier(ident: str) -> str:
+    """Double-quote an identifier, doubling embedded quotes
+    (reference sql_sanitizer.go:58-68)."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def quote_literal(value: str) -> str:
+    """Single-quote a string literal: '' doubling + control-char strip
+    (reference sql_sanitizer.go:70-85)."""
+    cleaned = "".join(ch for ch in value if ch >= " " or ch in "\t")
+    return "'" + cleaned.replace("'", "''") + "'"
+
+
+_FROM_TABLE_RE = re.compile(r"\bfrom\s+table\b", re.IGNORECASE)
+
+
+def rewrite_legacy_from_table(sql: str, default_table: str) -> str:
+    """``FROM table`` (the literal word) → the caller's default table
+    (reference miniodb_service.go:663-681)."""
+    return _FROM_TABLE_RE.sub(f"FROM {default_table}", sql)
+
+
+def inject_limit(sql: str, limit: int | None) -> str:
+    """Append `` LIMIT n`` when the request carries a limit and the query
+    has none (reference miniodb_service.go:624-626)."""
+    if not limit or limit <= 0:
+        return sql
+    if _LIMIT_RE.search(_strip_string_literals(sql)):
+        return sql
+    return f"{sql.rstrip().rstrip(';')} LIMIT {int(limit)}"
+
+
+_TABLE_NAME_RE = re.compile(r"^[a-zA-Z0-9_-]{1,255}$")
+
+
+def validate_table_name(name: str) -> str:
+    """Table names: ``[a-zA-Z0-9_-]+``, ≤255 chars (reference
+    sql_sanitizer.go:50,110-124)."""
+    if not name or not _TABLE_NAME_RE.match(name):
+        raise SQLGateError(f"invalid table name: {name!r}")
+    return name

@@ -1,0 +1,158 @@
+"""Dynamic schema inference + column-name sanitization.
+
+The reference has no user-declared schemas: each flushed batch gets a
+parquet schema inferred from the union of its rows' field keys, typed
+from the first-seen value, with sanitized + collision-suffixed column
+names (/root/reference/internal/buffer/concurrent_buffer.go:521-655,
+560-592). Semantics re-expressed here for Spark ``StructType``:
+
+- fixed system columns (required): id STRING, timestamp TIMESTAMP,
+  table_name STRING;
+- dynamic columns (nullable): bool → BooleanType, int → LongType,
+  float → DoubleType, everything else (strings, nested maps/lists)
+  → StringType (nested values JSON-stringified);
+- names: lowercased, non-``[a-z0-9_]`` replaced with ``_``, leading
+  digit prefixed with ``_``, empty → ``_col``; collisions with each
+  other or the reserved system names get ``_2``, ``_3``… suffixes
+  assigned in deterministic sorted order of the original keys.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import types as T
+
+SYSTEM_COLUMNS = ("id", "timestamp", "table_name")
+# partition column added by our layout (not in the reference's row shape)
+DT_COLUMN = "dt"
+
+_SANITIZE_RE = re.compile(r"[^a-z0-9_]")
+
+
+def sanitize_column_name(name: str) -> str:
+    s = _SANITIZE_RE.sub("_", name.lower())
+    if not s:
+        return "_col"
+    if s[0].isdigit():
+        s = "_" + s
+    return s
+
+
+def resolve_field_names(keys: list[str]) -> dict[str, str]:
+    """Map original field keys → final sanitized column names with
+    deterministic collision suffixes (reference concurrent_buffer.go:594-655).
+
+    Keys are processed in sorted order; a sanitized name that collides
+    with a system column or an already-assigned name gets ``_2``,
+    ``_3``… appended."""
+    taken: set[str] = set(SYSTEM_COLUMNS) | {DT_COLUMN}
+    mapping: dict[str, str] = {}
+    for key in sorted(keys):
+        base = sanitize_column_name(key)
+        candidate = base
+        n = 2
+        while candidate in taken:
+            candidate = f"{base}_{n}"
+            n += 1
+        taken.add(candidate)
+        mapping[key] = candidate
+    return mapping
+
+
+def infer_spark_type(value: Any) -> T.DataType:
+    """First-seen-value typing (reference concurrent_buffer.go:576-592)."""
+    if isinstance(value, bool):  # bool before int: bool is an int subclass
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def coerce_value(value: Any, dtype: T.DataType) -> Any:
+    """Coerce a payload value to its inferred column type; non-scalar
+    values are JSON-stringified (matching the reference's UTF8
+    stringification of nested maps/lists)."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.BooleanType):
+        return bool(value)
+    if isinstance(dtype, T.LongType):
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, T.DoubleType):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+    # StringType
+    if isinstance(value, str):
+        return value
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, separators=(",", ":"), ensure_ascii=False, default=str)
+    return str(value)
+
+
+def infer_batch_schema(rows: list[dict]) -> tuple[T.StructType, dict[str, str]]:
+    """Schema for one flush batch: system columns + the union of all
+    dynamic field keys, typed from the first-seen non-null value.
+
+    ``rows`` are buffer rows: {"id", "timestamp" (µs int or datetime),
+    "table_name", "fields": {...}}. Returns (schema, key→column map)."""
+    field_types: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for row in rows:
+        for key, value in (row.get("fields") or {}).items():
+            if key not in field_types:
+                order.append(key)
+                field_types[key] = infer_spark_type(value) if value is not None else None
+            elif field_types[key] is None and value is not None:
+                field_types[key] = infer_spark_type(value)
+    for key in order:
+        if field_types[key] is None:  # all-null column
+            field_types[key] = T.StringType()
+
+    name_map = resolve_field_names(order)
+
+    struct = [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("table_name", T.StringType(), False),
+    ]
+    # deterministic column order: sorted original keys (same order the
+    # collision resolver assigns suffixes in)
+    for key in sorted(order):
+        struct.append(T.StructField(name_map[key], field_types[key], True))
+    return T.StructType(struct), name_map
+
+
+def micros_to_datetime(us: int) -> datetime:
+    return datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
+
+
+def to_row_tuple(row: dict, schema: T.StructType, name_map: dict[str, str]) -> tuple:
+    """Buffer row dict → tuple matching ``schema`` field order."""
+    ts = row["timestamp"]
+    if isinstance(ts, int):
+        ts = micros_to_datetime(ts)
+    fields = row.get("fields") or {}
+    # reverse map: column name -> original key
+    rev = {v: k for k, v in name_map.items()}
+    out: list[Any] = []
+    for f in schema.fields:
+        if f.name == "id":
+            out.append(str(row["id"]) if row.get("id") else "_")
+        elif f.name == "timestamp":
+            out.append(ts)
+        elif f.name == "table_name":
+            out.append(row["table_name"])
+        else:
+            out.append(coerce_value(fields.get(rev[f.name]), f.dataType))
+    return tuple(out)

@@ -1,0 +1,46 @@
+from miniodb_spark.extractor import analyze_complexity, classify_query, extract_tables
+
+
+def test_extract_simple():
+    assert extract_tables("SELECT * FROM users") == ["users"]
+    assert extract_tables("select a from Users where x=1") == ["users"]
+
+
+def test_extract_joins():
+    sql = (
+        "SELECT u.name FROM users u INNER JOIN orders o ON u.id=o.user_id "
+        "LEFT JOIN nation n ON 1=1 CROSS JOIN region"
+    )
+    assert extract_tables(sql) == ["users", "orders", "nation", "region"]
+
+
+def test_extract_subquery():
+    sql = "SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)"
+    assert set(extract_tables(sql)) == {"orders", "customer"}
+
+
+def test_cte_names_excluded():
+    sql = "WITH top AS (SELECT * FROM orders) SELECT * FROM top JOIN customer ON 1=1"
+    assert extract_tables(sql) == ["orders", "customer"]
+
+
+def test_quoted_and_qualified():
+    assert extract_tables('SELECT * FROM "MyTable"') == ["mytable"]
+    assert extract_tables("SELECT * FROM db.schema_tbl") == ["schema_tbl"]
+
+
+def test_classify():
+    assert classify_query("SELECT * FROM t") == "select"
+    assert classify_query("SELECT count(*) FROM t") == "count"
+    assert classify_query("SELECT sum(x) FROM t") == "aggregation"
+    assert classify_query("SELECT a, sum(x) FROM t GROUP BY a") == "group_by"
+    assert classify_query("SELECT * FROM a JOIN b ON 1=1") == "join"
+    assert classify_query("WITH x AS (SELECT 1) SELECT * FROM x") == "cte"
+    assert classify_query("SELECT row_number() OVER (ORDER BY x) FROM t") == "window"
+
+
+def test_complexity_and_cacheability():
+    simple = analyze_complexity("SELECT * FROM t")
+    assert simple.level == "simple" and not simple.cacheable
+    medium = analyze_complexity("SELECT a, sum(x) FROM t GROUP BY a ORDER BY a")
+    assert medium.level in ("medium", "complex") and medium.cacheable

@@ -1,0 +1,94 @@
+"""SQL-gate tests, modeled on the reference's injection suite
+(/root/reference/internal/query/query_test.go:14-240)."""
+
+import pytest
+
+from miniodb_spark.gate import (
+    SQLGateError,
+    inject_limit,
+    quote_identifier,
+    quote_literal,
+    rewrite_legacy_from_table,
+    validate_query,
+    validate_table_name,
+)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT * FROM users",
+        "select id, name from users where age > 20",
+        "WITH t AS (SELECT id FROM users) SELECT * FROM t",
+        "SELECT count(*) FROM orders GROUP BY status HAVING count(*) > 1",
+        "SELECT * FROM users ORDER BY id LIMIT 10 OFFSET 5",
+        "SELECT * FROM users;",  # trailing semicolon alone is fine
+        "SELECT 'it''s ok' FROM users",
+    ],
+)
+def test_admits_selects(sql):
+    assert validate_query(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "DROP TABLE users",
+        "DELETE FROM users",
+        "INSERT INTO users VALUES (1)",
+        "UPDATE users SET a=1",
+        "CREATE TABLE t (a int)",
+        "ALTER TABLE users ADD COLUMN x int",
+        "TRUNCATE TABLE users",
+        "SELECT * FROM users UNION SELECT * FROM admins",
+        "SELECT * FROM users; DROP TABLE users",
+        "SELECT * FROM users -- comment",
+        "SELECT * FROM users /* comment */",
+        "SELECT * FROM users # comment",
+        "SELECT xp_cmdshell('dir')",
+        "EXEC sp_something",
+        "",
+        "   ",
+        "S" * 10_001,
+    ],
+)
+def test_rejects(sql):
+    with pytest.raises(SQLGateError):
+        validate_query(sql)
+
+
+def test_keywords_inside_literals_allowed():
+    assert validate_query("SELECT * FROM logs WHERE msg = 'please DROP this'")
+    assert validate_query("SELECT * FROM logs WHERE msg = 'a -- b'")
+
+
+def test_quote_helpers():
+    assert quote_identifier('we"ird') == '"we""ird"'
+    assert quote_literal("it's") == "'it''s'"
+    assert quote_literal("a\x00b") == "'ab'"
+
+
+def test_legacy_from_table_rewrite():
+    assert (
+        rewrite_legacy_from_table("SELECT * FROM table WHERE x=1", "users")
+        == "SELECT * FROM users WHERE x=1"
+    )
+    # only the literal word "table"
+    assert (
+        rewrite_legacy_from_table("SELECT * FROM tables", "users")
+        == "SELECT * FROM tables"
+    )
+
+
+def test_inject_limit():
+    assert inject_limit("SELECT * FROM t", 10) == "SELECT * FROM t LIMIT 10"
+    assert inject_limit("SELECT * FROM t LIMIT 5", 10) == "SELECT * FROM t LIMIT 5"
+    assert inject_limit("SELECT * FROM t", None) == "SELECT * FROM t"
+    assert inject_limit("SELECT * FROM t;", 3) == "SELECT * FROM t LIMIT 3"
+
+
+def test_table_name_validation():
+    assert validate_table_name("users_2-x") == "users_2-x"
+    for bad in ["", "a b", "a;b", "x" * 256, 'a"b']:
+        with pytest.raises(SQLGateError):
+            validate_table_name(bad)
