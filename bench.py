@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed through the same registry the driver's
+correctness gate uses; timing includes plan + execution (collect of
+the already-aggregated result — never a full-table collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the headline set: core SQL surface + scale-path extension operators
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "agg_global",
+    "agg_count_distinct",
+    "filter_in_between_like",
+    "join_inner_agg",
+    "join_multiway_region",
+    "join_left_count",
+    "cte_revenue",
+    "window_row_number_topn",
+    "sessionize_30min",
+    "sort_limit_topk",
+    "date_trunc_month",
+    "json_extract_props",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "text_stats_by_lang",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    from miniodb_spark.queries import get_registry
+    from miniodb_spark.session import get_spark
+
+    spark = get_spark("miniodb_spark_bench")
+    registry = get_registry()
+
+    # warm the JVM/session so the first query doesn't pay startup cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        rows = spec.fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

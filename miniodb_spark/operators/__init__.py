@@ -1,0 +1,17 @@
+"""LLM-data-pipeline operators (SURVEY §7 phase 6 — beyond the reference).
+
+Each module exposes DataFrame→DataFrame operators designed for 100 TB
+partitioning, plus query-registry entries proved against the DuckDB
+oracle where SQL can express the semantics (rows-only otherwise).
+"""
+
+from __future__ import annotations
+
+
+def register_all(register) -> None:
+    from . import dedup, multimodal, similarity, text
+
+    text.register_queries(register)
+    dedup.register_queries(register)
+    similarity.register_queries(register)
+    multimodal.register_queries(register)

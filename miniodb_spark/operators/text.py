@@ -1,0 +1,201 @@
+"""Text analysis operators: stats, token counting, quality scoring,
+language ID, document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Every operator is a narrow
+projection over the ``text`` column, so at 100 TB the parquet scan
+reads one column and the work pipelines inside one stage (no shuffle
+except final aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# stopword markers for the n-gram-free language heuristic; scoring is
+# "how many distinct marker words of language L appear in the doc".
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with", "for"],
+    "es": ["el", "la", "de", "que", "los", "con", "por"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "avec", "une"],
+}
+
+
+def tokens_col(col: str = "text"):
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, avg token
+    length, space ratio — the quality-scoring raw features."""
+    toks = tokens_col(col)
+    n_chars = F.length(F.col(col)).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+            "avg_token_len": (n_chars - n_tokens + 1) / n_tokens,
+            "ttr": F.size(F.array_distinct(toks)) / F.size(toks),  # type-token ratio
+        }
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical diversity.
+    Deterministic arithmetic (SQL-expressible for the oracle)."""
+    toks = tokens_col(col)
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    return df.withColumn("quality", (0.5 * len_score + 0.5 * ttr).cast("double"))
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key that survives formatting noise."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
+
+
+def language_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: score each language by distinct
+    marker hits in the token set; predict the argmax (ties → 'und').
+    Pure array intrinsics — no UDF, no shuffle."""
+    toks = F.array_distinct(tokens_col(col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(
+            f"score_{lang}"
+        )
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select("*", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.withColumn("lang_pred", pred).drop(*[f"score_{l}" for l in langs])
+
+
+# ---------------------------------------------------------------------------
+# registry entries
+# ---------------------------------------------------------------------------
+
+
+def register_queries(register) -> None:
+    @register(
+        "text_stats_by_lang",
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT)                                  AS n_docs,
+               CAST(sum(length(text)) AS BIGINT)                         AS total_chars,
+               avg(CAST(len(string_split(text, ' ')) AS DOUBLE))         AS avg_tokens,
+               CAST(min(n_chars) AS BIGINT)                              AS min_chars,
+               CAST(max(n_chars) AS BIGINT)                              AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        doc="corpus text statistics by language (length/token distributions)",
+        tags=("llm", "capability"),
+    )
+    def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            docs.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+                F.avg(F.size(F.split("text", " ")).cast("double")).alias("avg_tokens"),
+                F.min("n_chars").cast("bigint").alias("min_chars"),
+                F.max("n_chars").cast("bigint").alias("max_chars"),
+            )
+            .orderBy("lang")
+        )
+
+    @register(
+        "token_counts",
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT)                 AS n_tokens,
+               CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+                                                                            AS n_distinct
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        doc="whitespace token counting per document",
+        tags=("llm", "capability"),
+    )
+    def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 100
+        )
+        return docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+            .cast("bigint")
+            .alias("n_distinct"),
+        ).orderBy("doc_id")
+
+    @register(
+        "doc_fingerprint",
+        """
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        doc="normalized-text md5 fingerprint (exact-dedup key)",
+        tags=("llm", "capability"),
+    )
+    def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 50
+        )
+        return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+    @register(
+        "quality_scores",
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct
+          FROM documents)
+        SELECT doc_id,
+               0.5 * least(n_tokens / 50.0, 1.0) + 0.5 * (n_distinct / n_tokens) AS quality
+        FROM t WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        doc="composite document quality score (length band + lexical diversity)",
+        tags=("llm", "capability"),
+    )
+    def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 100
+        )
+        toks = F.split("text", " ")
+        n_tokens = F.size(toks).cast("double")
+        n_distinct = F.size(F.array_distinct(toks)).cast("double")
+        return docs.select(
+            "doc_id",
+            (
+                0.5 * F.least(n_tokens / 50.0, F.lit(1.0)) + 0.5 * (n_distinct / n_tokens)
+            ).alias("quality"),
+        ).orderBy("doc_id")
+
+    @register(
+        "lang_id_heuristic",
+        None,  # marker-list scoring isn't worth contorting into portable SQL
+        doc="marker-word language ID vs the labeled lang column (accuracy matrix)",
+        tags=("llm", "capability"),
+    )
+    def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            language_id(docs)
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n"))
+            .orderBy("lang", "lang_pred")
+        )

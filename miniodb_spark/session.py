@@ -38,6 +38,9 @@ def get_spark(
         # Parquet scan efficiency: pushdown is on by default; make it
         # explicit because the reference's whole pruning layer depends on it.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet TIMESTAMP(NANOS) (e.g. the events fixture) is otherwise an
+        # illegal type for the vectorized reader; read as long + convert.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Don't let tiny test files produce one-row tasks, but keep the
         # default 128m split for scale runs.
