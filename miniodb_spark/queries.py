@@ -704,6 +704,31 @@ def sessionize_30min(spark, sf_dir):
     )
 
 
+@register(
+    "tumbling_window_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT)                  AS n,
+           sum(value)                                AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="tumbling 1h event-time windows (streaming capability upgrade, validated "
+        "in batch: window() is the same Catalyst expression either way)",
+    tags=("streaming", "capability"),
+)
+def tumbling_window_counts(spark, sf_dir):
+    from .streaming.windows import tumbling
+
+    ev = load(spark, sf_dir, "events")
+    win = tumbling(
+        ev, "ts", "1 hour",
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("total_value")],
+    )
+    return win.select(
+        F.col("window.start").alias("window_start"), "n", "total_value"
+    ).orderBy("window_start")
+
+
 # ---------------------------------------------------------------------------
 # sorts / limits / CTE / subqueries (SURVEY §2.7, §3)
 # ---------------------------------------------------------------------------
@@ -809,6 +834,8 @@ def subquery_scalar(spark, sf_dir):
 def get_registry() -> dict[str, QuerySpec]:
     # import extension registries lazily to avoid cycles
     from .operators import register_all as _register_ops
+    from .sketches import register_queries as _register_sketches
 
     _register_ops(register)
+    _register_sketches(register)
     return REGISTRY

@@ -1,0 +1,300 @@
+"""Approximate aggregation: HyperLogLog + CountMinSketch registry.
+
+Parity target: the reference's ApproximateQueryEngine
+(/root/reference/internal/query/approximation.go:13-456) — per
+(table, column) HLL and CMS sketches, mergeable, with the same
+parameter envelope (HLL precision 4-16 default 12 ⇒ m=4096, err ≈
+1.04/√m; CMS width 1000 × depth 5).
+
+For ad-hoc SQL, Spark's built-ins (``approx_count_distinct`` = HLL++,
+``count_min_sketch``) already cover the query path. This module exists
+for the *registry* semantics the reference adds on top: persistent,
+incrementally-mergeable sketches maintained outside any single query.
+
+Distributed build: values are hashed JVM-side (``xxhash64``), then
+``mapInPandas`` reduces each partition to one serialized partial
+sketch (numpy-vectorized); the driver merges the partials. Data moved
+to Python is ~one sketch per partition, never rows.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (standard small/large-range corrected estimator)
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    def __init__(self, precision: int = 12):
+        if not 4 <= precision <= 16:
+            raise ValueError("precision must be in [4,16]")
+        self.p = precision
+        self.m = 1 << precision
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Bulk-add 64-bit hashes (vectorized)."""
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of `rest` + 1, capped at 64-p+1
+        # count leading zeros via bit_length: lz = 64 - bit_length
+        bl = np.zeros(len(rest), dtype=np.int64)
+        r = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r >= (np.uint64(1) << np.uint64(shift))
+            bl[mask] += shift
+            r[mask] >>= np.uint64(shift)
+        bl += 1  # bit_length of remaining 1 bit
+        rank = (64 - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("precision mismatch")
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m) if self.m >= 128 else (
+            0.673 if self.m == 16 else 0.697 if self.m == 32 else 0.709
+        )
+        inv_sum = np.sum(np.exp2(-self.registers.astype(np.float64)))
+        raw = alpha * m * m / inv_sum
+        if raw <= 2.5 * m:  # small-range: linear counting
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * math.log(m / zeros)
+        elif raw > (1 << 32) / 30.0:  # large-range correction
+            return -((1 << 32)) * math.log(1 - raw / (1 << 32))
+        return raw
+
+    @property
+    def error_bound(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        hll = cls(b[0])
+        hll.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
+        return hll
+
+
+# ---------------------------------------------------------------------------
+# CountMinSketch (seeded 2-universal hashes over a 64-bit value hash)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class CountMinSketch:
+    def __init__(self, width: int = 1000, depth: int = 5, seed: int = 1):
+        self.width = width
+        self.depth = depth
+        self.seed = seed
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=depth, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=depth, dtype=np.int64)
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+
+    def _rows_cols(self, hashes: np.ndarray) -> np.ndarray:
+        h = (hashes.astype(np.uint64) & np.uint64((1 << 61) - 1)).astype(np.int64)
+        cols = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            cols[d] = ((self.a[d] * h + self.b[d]) % _MERSENNE) % self.width
+        return cols
+
+    def add_hashes(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if counts is None:
+            counts = np.ones(len(hashes), dtype=np.int64)
+        cols = self._rows_cols(hashes)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], counts)
+        self.total += int(counts.sum())
+
+    def query_hash(self, h: int) -> int:
+        cols = self._rows_cols(np.array([h], dtype=np.uint64))
+        return int(min(self.table[d, cols[d, 0]] for d in range(self.depth)))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.width, self.depth, self.seed) != (other.width, other.depth, other.seed):
+            raise ValueError("sketch shape/seed mismatch")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    @property
+    def epsilon(self) -> float:
+        return math.e / self.width
+
+    def to_bytes(self) -> bytes:
+        header = json.dumps(
+            {"w": self.width, "d": self.depth, "s": self.seed, "t": self.total}
+        ).encode()
+        return len(header).to_bytes(4, "big") + header + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        n = int.from_bytes(b[:4], "big")
+        meta = json.loads(b[4 : 4 + n])
+        cms = cls(meta["w"], meta["d"], meta["s"])
+        cms.total = meta["t"]
+        cms.table = (
+            np.frombuffer(b[4 + n :], dtype=np.int64)
+            .reshape(meta["d"], meta["w"])
+            .copy()
+        )
+        return cms
+
+
+# ---------------------------------------------------------------------------
+# distributed builders
+# ---------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = T.StructType([T.StructField("sketch", T.BinaryType(), False)])
+
+
+def build_hll(df: DataFrame, column: str, precision: int = 12) -> HyperLogLog:
+    """One partial HLL per partition (mapInPandas), merged on the driver."""
+    hashed = df.select(F.xxhash64(F.col(column).cast("string")).alias("h")).filter(
+        F.col(column).isNotNull()
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hll = HyperLogLog(precision)
+        for pdf in batches:
+            hll.add_hashes(pdf["h"].to_numpy(dtype=np.int64).view(np.uint64))
+        yield pd.DataFrame({"sketch": [hll.to_bytes()]})
+
+    merged = HyperLogLog(precision)
+    for row in hashed.mapInPandas(_partial, _PARTIAL_SCHEMA).collect():
+        merged.merge(HyperLogLog.from_bytes(row["sketch"]))
+    return merged
+
+
+def build_cms(
+    df: DataFrame, column: str, width: int = 1000, depth: int = 5, seed: int = 1
+) -> CountMinSketch:
+    """Partial CMS per partition; pre-aggregated map-side by value hash."""
+    hashed = (
+        df.filter(F.col(column).isNotNull())
+        .select(F.xxhash64(F.col(column).cast("string")).alias("h"))
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cms = CountMinSketch(width, depth, seed)
+        for pdf in batches:
+            vals, counts = np.unique(
+                pdf["h"].to_numpy(dtype=np.int64).view(np.uint64), return_counts=True
+            )
+            cms.add_hashes(vals, counts.astype(np.int64))
+        yield pd.DataFrame({"sketch": [cms.to_bytes()]})
+
+    merged = CountMinSketch(width, depth, seed)
+    for row in hashed.mapInPandas(_partial, _PARTIAL_SCHEMA).collect():
+        merged.merge(CountMinSketch.from_bytes(row["sketch"]))
+    return merged
+
+
+def value_hash(value) -> int:
+    """Driver-side hash matching the JVM xxhash64(cast-to-string) used in
+    the builders — so point queries hash identically."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.sql(f"SELECT xxhash64(CAST('{value}' AS STRING)) AS h").first()["h"]
+
+
+def register_queries(register) -> None:
+    @register(
+        "hll_registry_within_bound",
+        "SELECT true AS hll_registry_ok",
+        doc="our mergeable HLL registry (precision 12) estimates events.user_id "
+            "cardinality within 3σ of exact (reference approximation.go:13-199)",
+        tags=("sketch",),
+    )
+    def hll_registry_within_bound(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        exact = ev.select("user_id").distinct().count()
+        hll = build_hll(ev, "user_id")
+        ok = abs(hll.estimate() - exact) / max(1, exact) < 3 * hll.error_bound
+        return spark.createDataFrame([(bool(ok),)], "hll_registry_ok boolean")
+
+    @register(
+        "cms_freq_within_bound",
+        "SELECT true AS cms_ok",
+        doc="CountMinSketch (1000×5) point frequencies for every event_type are "
+            "≥ exact and ≤ exact + ε·N (reference approximation.go:201-307)",
+        tags=("sketch",),
+    )
+    def cms_freq_within_bound(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cms = build_cms(ev, "event_type")
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        ok = all(
+            exact[v] <= cms.query_hash(value_hash(v)) <= exact[v] + cms.epsilon * cms.total + 1
+            for v in exact
+        )
+        return spark.createDataFrame([(bool(ok),)], "cms_ok boolean")
+
+
+class ApproximateQueryEngine:
+    """Per-(table, column) sketch registry with global merge — parity
+    with the reference's registry (approximation.go:309-456)."""
+
+    def __init__(self, precision: int = 12, cms_width: int = 1000, cms_depth: int = 5):
+        self.precision = precision
+        self.cms_width = cms_width
+        self.cms_depth = cms_depth
+        self._hll: dict[tuple[str, str], HyperLogLog] = {}
+        self._cms: dict[tuple[str, str], CountMinSketch] = {}
+        self._lock = threading.Lock()
+
+    def update_from_dataframe(self, table: str, df: DataFrame, columns: list[str]) -> None:
+        for col in columns:
+            hll = build_hll(df, col, self.precision)
+            cms = build_cms(df, col, self.cms_width, self.cms_depth)
+            with self._lock:
+                key = (table, col)
+                if key in self._hll:
+                    self._hll[key].merge(hll)
+                    self._cms[key].merge(cms)
+                else:
+                    self._hll[key] = hll
+                    self._cms[key] = cms
+
+    def cardinality(self, table: str, column: str) -> float:
+        with self._lock:
+            return self._hll[(table, column)].estimate()
+
+    def frequency(self, table: str, column: str, value) -> int:
+        with self._lock:
+            return self._cms[(table, column)].query_hash(value_hash(value))
+
+    def merged_cardinality(self, pairs: list[tuple[str, str]]) -> float:
+        """Cardinality of the union across (table, column) sketches —
+        the registry's global-merge operation."""
+        with self._lock:
+            merged = HyperLogLog(self.precision)
+            for key in pairs:
+                merged.merge(self._hll[key])
+            return merged.estimate()

@@ -1,0 +1,122 @@
+"""CDC event publication.
+
+Parity target: the reference's subscription system
+(/root/reference/internal/subscription/event.go:11-58, 204-217;
+redis_subscriber.go; kafka_subscriber.go) — insert/update/delete/batch
+events published per table, with the DataEvent shape
+``{event_id, event_type, table, timestamp, records[], metadata}``.
+
+The publisher is pluggable: InMemorySink for tests / single process,
+KafkaSink wraps a Structured Streaming ``writeStream.format("kafka")``
+or a direct producer when available. Topic naming matches the
+reference: ``<prefix><table>`` (kafka_subscriber.go:331-470).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+EVENT_TYPES = ("insert", "update", "delete", "batch")
+
+
+@dataclass
+class DataEvent:
+    event_id: str
+    event_type: str
+    table: str
+    timestamp_us: int
+    records: list[str]  # record ids
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), separators=(",", ":"))
+
+
+class InMemorySink:
+    """Per-table event log with consumer offsets — the test double for
+    Redis Streams / Kafka."""
+
+    def __init__(self):
+        self._events: dict[str, list[DataEvent]] = {}
+        self._offsets: dict[tuple[str, str], int] = {}  # (group, table) -> offset
+        self._lock = threading.Lock()
+
+    def publish(self, event: DataEvent) -> None:
+        with self._lock:
+            self._events.setdefault(event.table, []).append(event)
+
+    def read(self, group: str, table: str, max_events: int = 100) -> list[DataEvent]:
+        """Consumer-group read: returns unacked events past the group's
+        offset (XREADGROUP semantics, redis_subscriber.go:160-241)."""
+        with self._lock:
+            offset = self._offsets.get((group, table), 0)
+            return self._events.get(table, [])[offset : offset + max_events]
+
+    def ack(self, group: str, table: str, n: int) -> None:
+        with self._lock:
+            self._offsets[(group, table)] = self._offsets.get((group, table), 0) + n
+
+    def all_events(self, table: str) -> list[DataEvent]:
+        with self._lock:
+            return list(self._events.get(table, []))
+
+
+class KafkaSink:
+    """Kafka publication via Spark's kafka sink. Gated on the package
+    being present; topic = <prefix><table>."""
+
+    def __init__(self, spark, bootstrap_servers: str, topic_prefix: str = "miniodb-cdc-"):
+        self.spark = spark
+        self.servers = bootstrap_servers
+        self.prefix = topic_prefix
+
+    def publish(self, event: DataEvent) -> None:
+        df = self.spark.createDataFrame(
+            [(event.table, event.to_json())], "key string, value string"
+        )
+        (
+            df.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.servers)
+            .option("topic", f"{self.prefix}{event.table}")
+            .save()
+        )
+
+
+class EventPublisher:
+    """The engine-facing facade: builds DataEvents and fans out to sinks."""
+
+    def __init__(self, sinks: list | None = None):
+        self.sinks = sinks if sinks is not None else [InMemorySink()]
+
+    @property
+    def memory_sink(self) -> InMemorySink | None:
+        for s in self.sinks:
+            if isinstance(s, InMemorySink):
+                return s
+        return None
+
+    def publish(
+        self,
+        event_type: str,
+        table: str,
+        record_ids: list[str],
+        metadata: dict | None = None,
+    ) -> DataEvent:
+        if event_type not in EVENT_TYPES:
+            raise ValueError(f"unknown event type: {event_type}")
+        event = DataEvent(
+            event_id=uuid.uuid4().hex,
+            event_type=event_type,
+            table=table,
+            timestamp_us=int(time.time() * 1_000_000),
+            records=list(record_ids),
+            metadata=metadata or {},
+        )
+        for sink in self.sinks:
+            sink.publish(event)
+        return event

@@ -1,0 +1,86 @@
+"""Tiered compaction tests (reference internal/compaction/manager_test.go:
+classify-by-tier, candidate selection, merge correctness)."""
+
+import json
+import os
+
+from miniodb_spark.compaction import (
+    MAX_FILES_PER_RUN,
+    MB,
+    compact_table,
+    file_tier,
+    plan_table,
+)
+
+US = 1_000_000
+DAY = 86_400 * US
+T0 = 1_700_000_000 * US
+
+
+def test_file_tier_classification():
+    assert file_tier(1 * MB) == 0
+    assert file_tier(16 * MB) == 1
+    assert file_tier(63 * MB) == 1
+    assert file_tier(200 * MB) == 2
+    assert file_tier(512 * MB) == 3
+    assert file_tier(2048 * MB) == 4  # beyond L3: untouched
+
+
+def _count_parquet(table_dir):
+    n = 0
+    for root, _, files in os.walk(table_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compaction_merges_small_files(engine):
+    # 8 separate flushes → 8 small L0 files in one dt partition
+    for i in range(8):
+        engine.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+        engine.flush("t")
+    table_dir = os.path.join(engine.root, "t")
+    before = _count_parquet(table_dir)
+    assert before == 8
+
+    plans = plan_table(table_dir)
+    assert len(plans) == 1 and plans[0].tier == 0 and len(plans[0].files) == 8
+
+    stats = compact_table(engine.spark, table_dir)
+    assert stats[0]["inputs"] == 8 and stats[0]["outputs"] == 1
+    assert _count_parquet(table_dir) == 1
+
+    # data survives losslessly (no schema collapse)
+    rows = json.loads(engine.query("SELECT id, v FROM t"))
+    assert sorted(r["v"] for r in rows) == list(range(8))
+
+
+def test_compaction_respects_min_files(engine):
+    for i in range(3):  # below the L0 threshold of 5
+        engine.write("t2", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+        engine.flush("t2")
+    table_dir = os.path.join(engine.root, "t2")
+    assert plan_table(table_dir) == []
+
+
+def test_compaction_partition_isolation(engine):
+    # 5 files in day A, 1 in day B → only day A compacts
+    for i in range(5):
+        engine.write("t3", {"v": i}, record_id=f"a{i}", timestamp_us=T0)
+        engine.flush("t3")
+    engine.write("t3", {"v": 99}, record_id="b0", timestamp_us=T0 + DAY)
+    engine.flush("t3")
+    table_dir = os.path.join(engine.root, "t3")
+    plans = plan_table(table_dir)
+    assert len(plans) == 1
+    assert "dt=" in plans[0].partition_dir
+    compact_table(engine.spark, table_dir)
+    rows = json.loads(engine.query("SELECT count(*) AS n FROM t3"))
+    assert rows[0]["n"] == 6
+
+
+def test_compaction_caps_files_per_run(engine, tmp_path):
+    for i in range(25):
+        engine.write("t4", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+        engine.flush("t4")
+    plans = plan_table(os.path.join(engine.root, "t4"))
+    assert len(plans[0].files) == MAX_FILES_PER_RUN

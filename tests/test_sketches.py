@@ -1,0 +1,138 @@
+"""HLL/CMS parity tests, modeled on the reference's suite
+(/root/reference/internal/query/approximation_test.go): cardinality
+within error bound, mergeability, CMS no-underestimate guarantee."""
+
+import numpy as np
+import pytest
+
+from miniodb_spark.sketches import (
+    ApproximateQueryEngine,
+    CountMinSketch,
+    HyperLogLog,
+    build_cms,
+    build_hll,
+)
+
+
+def _hashes(n, seed=0):
+    """Uniform full-range 64-bit hashes (xxhash64-shaped: all 64 bits live)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(
+        np.iinfo(np.int64).min, np.iinfo(np.int64).max, size=n, dtype=np.int64
+    ).view(np.uint64)
+
+
+def test_hll_accuracy_10k():
+    hll = HyperLogLog(12)
+    hll.add_hashes(_hashes(10_000))
+    est = hll.estimate()
+    assert abs(est - 10_000) / 10_000 < 3 * hll.error_bound
+
+
+def test_hll_small_range_exactish():
+    hll = HyperLogLog(12)
+    hll.add_hashes(_hashes(100))
+    assert abs(hll.estimate() - 100) < 5
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    h1, h2 = _hashes(5000, 1), _hashes(5000, 2)
+    a.add_hashes(h1)
+    b.add_hashes(h2)
+    union = HyperLogLog(12)
+    union.add_hashes(np.concatenate([h1, h2]))
+    a.merge(b)
+    assert a.estimate() == pytest.approx(union.estimate())
+
+
+def test_hll_duplicates_dont_inflate():
+    hll = HyperLogLog(12)
+    h = _hashes(1000)
+    for _ in range(5):
+        hll.add_hashes(h)
+    assert abs(hll.estimate() - 1000) / 1000 < 0.05
+
+
+def test_hll_serde():
+    hll = HyperLogLog(10)
+    hll.add_hashes(_hashes(1000))
+    back = HyperLogLog.from_bytes(hll.to_bytes())
+    assert back.estimate() == pytest.approx(hll.estimate())
+
+
+def test_hll_precision_bounds():
+    with pytest.raises(ValueError):
+        HyperLogLog(3)
+    with pytest.raises(ValueError):
+        HyperLogLog(17)
+
+
+def test_cms_never_underestimates():
+    cms = CountMinSketch(1000, 5)
+    h = _hashes(2000)
+    counts = np.random.RandomState(7).randint(1, 50, size=2000).astype(np.int64)
+    cms.add_hashes(h, counts)
+    for i in range(0, 2000, 97):
+        assert cms.query_hash(int(h[i])) >= int(counts[i])
+
+
+def test_cms_overestimate_bounded():
+    cms = CountMinSketch(1000, 5)
+    h = _hashes(500)
+    cms.add_hashes(h)
+    over = [cms.query_hash(int(x)) - 1 for x in h[:100]]
+    # ε = e/width; error ≤ ε·N with prob 1-e^-depth
+    assert max(over) <= cms.epsilon * cms.total + 1
+
+
+def test_cms_merge():
+    a = CountMinSketch(100, 4, seed=9)
+    b = CountMinSketch(100, 4, seed=9)
+    h = _hashes(50)
+    a.add_hashes(h)
+    b.add_hashes(h)
+    a.merge(b)
+    assert a.query_hash(int(h[0])) >= 2
+    with pytest.raises(ValueError):
+        a.merge(CountMinSketch(101, 4, seed=9))
+
+
+def test_cms_serde():
+    cms = CountMinSketch(64, 3, seed=5)
+    cms.add_hashes(_hashes(100))
+    back = CountMinSketch.from_bytes(cms.to_bytes())
+    assert np.array_equal(back.table, cms.table)
+    assert back.total == cms.total
+
+
+# ---- distributed builders ------------------------------------------------
+
+
+def test_build_hll_distributed(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    hll = build_hll(ev, "user_id")
+    assert abs(hll.estimate() - exact) / exact < 3 * hll.error_bound
+
+
+def test_build_cms_distributed(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cms = build_cms(ev, "event_type")
+    from miniodb_spark.sketches import value_hash
+
+    exact = ev.filter(ev.event_type == "click").count()
+    est = cms.query_hash(value_hash("click"))
+    assert est >= exact
+    assert est <= exact + cms.epsilon * cms.total + 1
+
+
+def test_registry_roundtrip(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eng = ApproximateQueryEngine()
+    eng.update_from_dataframe("events", ev, ["user_id", "event_type"])
+    exact_users = ev.select("user_id").distinct().count()
+    assert abs(eng.cardinality("events", "user_id") - exact_users) / exact_users < 0.05
+    assert eng.frequency("events", "event_type", "view") > 0
+    merged = eng.merged_cardinality([("events", "user_id"), ("events", "event_type")])
+    assert merged >= exact_users
