@@ -1,0 +1,118 @@
+"""Service API facade: 1:1 with the reference's public contract.
+
+gRPC ``MinIODBService`` (/root/reference/api/proto/miniodb/v1/
+miniodb.proto:12-39) and its REST mirror expose: WriteData, QueryData,
+UpdateData, DeleteData, StreamWrite, StreamQuery, CreateTable,
+ListTables, GetTable, DeleteTable, BackupMetadata, RestoreMetadata,
+HealthCheck, GetStatus, GetMetrics. This module maps each RPC onto the
+Engine so a reference client's call shapes translate directly; the
+transport (gRPC/HTTP server) is out of scope — any server can wrap
+this facade.
+
+Responses use the reference's conventions: query results are JSON
+array strings (miniodb.proto:88-92), timestamps are µs since epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from .catalog import TableConfig
+from .engine import Engine
+
+
+class MiniODBService:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self._started = time.time()
+        self._counters = {"writes": 0, "queries": 0, "updates": 0, "deletes": 0}
+
+    # -- data plane ------------------------------------------------------
+
+    def write_data(self, table: str, record: dict) -> dict:
+        """record: {id?, timestamp? (µs), payload: {...}}"""
+        rid = self.engine.write(
+            table,
+            record.get("payload", {}),
+            record_id=record.get("id"),
+            timestamp_us=record.get("timestamp"),
+        )
+        self._counters["writes"] += 1
+        return {"success": True, "id": rid}
+
+    def query_data(self, sql: str, limit: int | None = None,
+                   default_table: str | None = None) -> dict:
+        result_json = self.engine.query(sql, limit=limit, default_table=default_table)
+        self._counters["queries"] += 1
+        return {"result_json": result_json}
+
+    def update_data(self, table: str, record_id: str, payload: dict,
+                    timestamp_us: int | None = None) -> dict:
+        n = self.engine.update(table, record_id, payload, timestamp_us=timestamp_us)
+        self._counters["updates"] += 1
+        return {"success": True, "replaced": n}
+
+    def delete_data(self, table: str, record_id: str) -> dict:
+        n = self.engine.delete(table, record_id)
+        self._counters["deletes"] += 1
+        return {"success": True, "deleted_count": n}
+
+    def stream_write(self, table: str, records: list[dict]) -> dict:
+        ids = self.engine.write_batch(table, records)
+        self._counters["writes"] += len(ids)
+        return {"success": True, "count": len(ids), "ids": ids}
+
+    def stream_query(self, sql: str, batch_size: int = 100, cursor: int = 0) -> dict:
+        batch, next_cursor, has_more = self.engine.stream_query(
+            sql, batch_size=batch_size, cursor=cursor
+        )
+        return {"rows": batch, "cursor": next_cursor, "has_more": has_more}
+
+    # -- table plane -----------------------------------------------------
+
+    def create_table(self, name: str, config: dict | None = None) -> dict:
+        cfg = TableConfig(name=name, **(config or {}))
+        self.engine.create_table(name, cfg)
+        return {"success": True}
+
+    def list_tables(self) -> dict:
+        return {"tables": self.engine.list_tables()}
+
+    def get_table(self, name: str) -> dict:
+        cfg = self.engine.get_table(name)
+        if cfg is None:
+            return {"found": False}
+        from dataclasses import asdict
+
+        return {"found": True, "config": asdict(cfg)}
+
+    def delete_table(self, name: str) -> dict:
+        return {"success": self.engine.delete_table(name)}
+
+    # -- metadata plane ----------------------------------------------------
+
+    def backup_metadata(self) -> dict:
+        return {"metadata": self.engine.catalog.export_metadata()}
+
+    def restore_metadata(self, metadata: dict) -> dict:
+        n = self.engine.catalog.import_metadata(metadata)
+        return {"success": True, "tables_restored": n}
+
+    # -- ops plane ---------------------------------------------------------
+
+    def health_check(self) -> dict:
+        try:
+            self.engine.spark.sql("SELECT 1").collect()
+            return {"status": "healthy"}
+        except Exception as exc:  # pragma: no cover
+            return {"status": "unhealthy", "error": str(exc)}
+
+    def get_status(self) -> dict:
+        return self.engine.status() | {"uptime_s": round(time.time() - self._started, 1)}
+
+    def get_metrics(self) -> dict[str, Any]:
+        return dict(self._counters) | {
+            "cache_hits": self.engine.cache.hits,
+            "cache_misses": self.engine.cache.misses,
+        }

@@ -1,0 +1,57 @@
+"""API facade parity with the reference RPC surface (miniodb.proto:12-39)."""
+
+import json
+
+import pytest
+
+from miniodb_spark.api import MiniODBService
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+@pytest.fixture()
+def svc(engine):
+    return MiniODBService(engine)
+
+
+def test_full_rpc_lifecycle(svc):
+    assert svc.create_table("users", {"buffer_size": 100})["success"]
+    assert "users" in svc.list_tables()["tables"]
+    assert svc.get_table("users")["config"]["buffer_size"] == 100
+
+    r = svc.write_data("users", {"id": "u1", "timestamp": T0,
+                                 "payload": {"name": "ann", "age": 30}})
+    assert r == {"success": True, "id": "u1"}
+    # auto-generated id when missing
+    r2 = svc.write_data("users", {"payload": {"name": "bee", "age": 40}, "timestamp": T0})
+    assert r2["success"] and len(r2["id"]) == 36  # uuid default
+
+    out = svc.query_data("SELECT name FROM users WHERE age = 30")
+    assert json.loads(out["result_json"]) == [{"name": "ann"}]
+
+    svc.update_data("users", "u1", {"name": "ann2", "age": 31}, timestamp_us=T0)
+    out = svc.query_data("SELECT name, age FROM users WHERE id = 'u1'")
+    assert json.loads(out["result_json"]) == [{"name": "ann2", "age": 31}]
+
+    assert svc.delete_data("users", "u1")["deleted_count"] >= 1
+    out = svc.query_data("SELECT count(*) AS n FROM users")
+    assert json.loads(out["result_json"])[0]["n"] == 1
+
+    sw = svc.stream_write("users", [{"payload": {"age": i}, "timestamp_us": T0}
+                                    for i in range(5)])
+    assert sw["count"] == 5
+    sq = svc.stream_query("SELECT age FROM users ORDER BY age", batch_size=3)
+    assert len(sq["rows"]) == 3 and sq["has_more"]
+
+    backup = svc.backup_metadata()["metadata"]
+    assert "users" in backup["tables"]
+    assert svc.restore_metadata(backup)["tables_restored"] >= 1
+
+    assert svc.health_check()["status"] == "healthy"
+    assert svc.get_status()["uptime_s"] >= 0
+    m = svc.get_metrics()
+    assert m["writes"] == 7 and m["queries"] == 3  # stream_query bypasses the counter
+
+    assert svc.delete_table("users")["success"]
+    assert "users" not in svc.list_tables()["tables"]

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: the properties that make queries
+survive a 100× scale-up. These are the Spark equivalents of the
+reference's pruning-effect claims (BASELINE.md: column pruning −50-80%
+read, file pruning −90% reads)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from miniodb_spark import plans
+from miniodb_spark.queries import get_registry
+
+US = 1_000_000
+DAY = 86_400 * US
+T0 = 1_700_000_000 * US
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return get_registry()
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    pushed = plans.pushed_filters(df)
+    assert any("l_orderkey" in p for p in pushed), pushed
+
+
+def test_column_pruning_narrow_scan(spark, sf_dir, registry):
+    # q1 touches 7 of lineitem's 11 columns; the scan must not read more
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    cols = plans.scan_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+def test_partition_pruning_on_dt(engine):
+    # engine-layout table partitioned by dt: a dt predicate must become a
+    # PartitionFilter (zero data files of other days opened)
+    for i in range(6):
+        engine.write("pp", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i * DAY)
+    engine.flush()
+    df = engine.read_persisted("pp").filter(F.col("dt") == "2023-11-14")
+    pf = plans.partition_filters(df)
+    assert any("dt" in p for p in pf), pf
+    assert df.count() == 1
+
+
+def test_id_pointlookup_pushdown(engine):
+    # id stays a data column (no per-id dirs at 100 TB): point lookups must
+    # ride parquet footer min/max via PushedFilters
+    for i in range(5):
+        engine.write("idp", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+    engine.flush()
+    df = engine.read_persisted("idp").filter(F.col("id") == "r3")
+    pushed = plans.pushed_filters(df)
+    assert any("id" in p.lower() for p in pushed), pushed
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir, registry):
+    df = registry["join_multiway_region"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["broadcast_hash"] == 3, kinds
+    assert kinds["sort_merge"] == 0, kinds
+
+
+def test_topk_is_take_ordered(spark, sf_dir, registry):
+    df = registry["sort_limit_topk"].fn(spark, sf_dir)
+    assert plans.has_take_ordered(df)
+
+
+def test_q1_single_shuffle(spark, sf_dir, registry):
+    # partial+final hash agg: exactly one exchange (on the group keys),
+    # plus possibly one for the final orderBy of 6 rows
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
+
+
+def test_codegen_active(spark, sf_dir, registry):
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    assert plans.uses_whole_stage_codegen(df)
+
+
+def test_engine_query_pushes_predicates(engine):
+    # the full SQL path (gate → temp views → spark.sql) must preserve
+    # pushdown through the hybrid persisted∪buffer union
+    for i in range(10):
+        engine.write("gq", {"age": 20 + i}, record_id=f"u{i}", timestamp_us=T0)
+    engine.flush()
+    df = engine.query_df("SELECT id FROM gq WHERE age > 25")
+    pushed = plans.pushed_filters(df)
+    assert any("age" in p.lower() for p in pushed), pushed
