@@ -22,6 +22,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the headline set: core SQL surface + scale-path extension operators
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "agg_global",
     "agg_count_distinct",
     "filter_in_between_like",

@@ -412,6 +412,69 @@ class Engine:
         return n
 
     # ------------------------------------------------------------------
+    # retention + background flush
+    # ------------------------------------------------------------------
+
+    def enforce_retention(self, table: str | None = None, now_us: int | None = None) -> int:
+        """Drop ``dt`` partitions older than each table's retention_days
+        (reference: retention config in table_config.go; enforcement is a
+        partition-directory drop here — O(partitions), never a rewrite).
+        Returns the number of partitions removed."""
+        import shutil
+        import time as _time
+        from datetime import datetime, timedelta, timezone
+
+        now_us = now_us or int(_time.time() * 1_000_000)
+        removed = 0
+        for t in [table] if table else self.list_tables():
+            cfg = self.catalog.get_table(t)
+            if cfg is None or not cfg.retention_days:
+                continue
+            cutoff = (
+                datetime.fromtimestamp(now_us / 1_000_000, tz=timezone.utc)
+                - timedelta(days=cfg.retention_days)
+            ).strftime("%Y-%m-%d")
+            tdir = self._table_dir(t)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.scandir(tdir):
+                if entry.is_dir() and entry.name.startswith("dt="):
+                    if entry.name[len("dt=") :] < cutoff:
+                        shutil.rmtree(entry.path)
+                        removed += 1
+            if removed:
+                self.cache.invalidate_table(t)
+        return removed
+
+    def start_auto_flush(self, poll_interval_s: float = 1.0) -> None:
+        """Background timer flush — the reference's flush_interval trigger
+        (concurrent_buffer.go:1128-1209). Size-triggered flushes remain
+        synchronous on the write path."""
+        import time as _time
+
+        if getattr(self, "_auto_flush_thread", None):
+            return
+        self._auto_flush_stop = threading.Event()
+
+        def _loop():
+            while not self._auto_flush_stop.wait(poll_interval_s):
+                for t, buf in list(self._buffers.items()):
+                    if buf.count and buf.should_flush_by_time():
+                        try:
+                            self.flush(t)
+                        except Exception:  # pragma: no cover - background path
+                            pass
+
+        self._auto_flush_thread = threading.Thread(target=_loop, daemon=True)
+        self._auto_flush_thread.start()
+
+    def stop_auto_flush(self) -> None:
+        if getattr(self, "_auto_flush_thread", None):
+            self._auto_flush_stop.set()
+            self._auto_flush_thread.join(timeout=5)
+            self._auto_flush_thread = None
+
+    # ------------------------------------------------------------------
     # health / status
     # ------------------------------------------------------------------
 

@@ -831,6 +831,259 @@ def subquery_scalar(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# additional coverage: classic TPC-H shapes, nulls, set ops, stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter → fact join → agg → top-k",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan+filter+agg — every predicate must push down",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(CAST(count(o_orderkey) AS BIGINT), 0)       AS n_orders,
+           CASE WHEN count(o_orderkey) = 0 THEN 'inactive'
+                ELSE 'active' END                               AS activity,
+           nullif(CAST(count(o_orderkey) AS BIGINT), 0)         AS n_or_null
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    WHERE c_custkey <= 200
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    doc="NULL semantics: coalesce / nullif / CASE over outer-join nulls",
+)
+def null_handling(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    o = load(spark, sf_dir, "orders")
+    n = F.count("o_orderkey")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(n, F.lit(0)).alias("n_orders"),
+            F.when(n == 0, "inactive").otherwise("active").alias("activity"),
+            F.nullif(n, F.lit(0)).alias("n_or_null"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT k, v FROM (
+      SELECT 'cust' AS k, CAST(count(*) AS BIGINT) AS v FROM customer
+      UNION ALL
+      SELECT 'supp' AS k, CAST(count(*) AS BIGINT) AS v FROM supplier
+      UNION ALL
+      SELECT 'part' AS k, CAST(count(*) AS BIGINT) AS v FROM part) t
+    ORDER BY k
+    """,
+    doc="UNION ALL — capability upgrade: the reference's gate bans set ops "
+        "outright (sql_sanitizer.go:16); Spark has them natively",
+    tags=("capability",),
+)
+def set_union_all(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").agg(F.count("*").alias("v")).select(
+        F.lit("cust").alias("k"), "v"
+    )
+    s = load(spark, sf_dir, "supplier").agg(F.count("*").alias("v")).select(
+        F.lit("supp").alias("k"), "v"
+    )
+    p = load(spark, sf_dir, "part").agg(F.count("*").alias("v")).select(
+        F.lit("part").alias("k"), "v"
+    )
+    return c.unionAll(s).unionAll(p).orderBy("k")
+
+
+@register(
+    "set_intersect_except",
+    """
+    SELECT 'both' AS tag, k FROM (
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9800
+      INTERSECT
+      SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9800) a
+    UNION ALL
+    SELECT 'cust_only' AS tag, k FROM (
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9800
+      EXCEPT
+      SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9800) b
+    ORDER BY tag, k
+    """,
+    doc="INTERSECT / EXCEPT — capability upgrade over the banned set-op surface",
+    tags=("capability",),
+)
+def set_intersect_except(spark, sf_dir):
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9800)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9800)
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "k")
+    cust_only = c.exceptAll(s).distinct().select(F.lit("cust_only").alias("tag"), "k")
+    return both.unionAll(cust_only).orderBy("tag", "k")
+
+
+@register(
+    "string_agg_sorted",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="ordered string aggregation (collect_list → sort_array → array_join)",
+)
+def string_agg_sorted(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "percentiles_stddev",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(stddev_samp(value), 6)         AS sd,
+           round(var_samp(value), 6)            AS var
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="exact interpolated percentiles + sample stddev/variance "
+        "(rounded: both engines interpolate in double)",
+)
+def percentiles_stddev(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.stddev_samp("value"), 6).alias("sd"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "regexp_ops",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1)            AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+           CAST(regexp_matches(p_brand, 'Brand#[0-9]+') AS BOOLEAN) AS brand_ok
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """,
+    doc="regexp extract/replace/match (identical RE syntax subset in both engines)",
+)
+def regexp_ops(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_brand").rlike(r"Brand#[0-9]+").alias("brand_ok"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="pivot (df.groupBy().pivot() — oracle via conditional aggregation)",
+    tags=("capability",),
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("o_totalprice")
+        .orderBy("o_orderpriority")
+    )
+
+
 def get_registry() -> dict[str, QuerySpec]:
     # import extension registries lazily to avoid cycles
     from .operators import register_all as _register_ops

@@ -129,7 +129,12 @@ class CountMinSketch:
         self.total += int(counts.sum())
 
     def query_hash(self, h: int) -> int:
-        cols = self._rows_cols(np.array([h], dtype=np.uint64))
+        # accept signed (xxhash64) or unsigned 64-bit values; numpy is
+        # deprecating out-of-bound uint64 conversion, so normalize first
+        hv = int(h) & ((1 << 64) - 1)
+        if hv >= 1 << 63:
+            hv -= 1 << 64
+        cols = self._rows_cols(np.array([hv], dtype=np.int64).view(np.uint64))
         return int(min(self.table[d, cols[d, 0]] for d in range(self.depth)))
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
