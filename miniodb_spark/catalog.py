@@ -8,12 +8,23 @@ Here the catalog is a directory of JSON files under
 three-level resolution (memory → file → default) without the external
 services.
 
-The catalog additionally tracks a **cumulative schema** per table
-(column name → spark type name), updated on every flush. This is the
-scale-critical design point from SURVEY §7: at 100 TB / millions of
-files, ``mergeSchema`` over full file listings is unaffordable; a
-catalog-maintained union schema lets reads pass an explicit schema to
-the parquet scan instead.
+The catalog additionally tracks the table's **schema generations** and
+the derived **cumulative schema**. This is the scale-critical design
+point from SURVEY §7: at 100 TB / millions of files, ``mergeSchema``
+over full file listings is unaffordable, and Spark's parquet reader
+cannot read an INT64 column through a DOUBLE/STRING schema — so
+per-file type divergence (which the reference tolerates and delegates
+to DuckDB's ``union_by_name`` coercion) must be modeled explicitly:
+
+- every flushed file lives under ``<table>/gen=<N>/dt=<day>/``;
+- within a generation each column has exactly one physical type
+  (additive new columns are fine — missing reads as NULL);
+- an incompatible type change (rare) starts a new generation;
+- reads scan each generation with its exact schema and cast/align to
+  the cumulative schema (long+double → double, anything else → string,
+  matching the reference's everything-else-is-UTF8 fallback), then
+  union. Partition pruning on ``dt`` still applies inside every
+  generation prefix.
 """
 
 from __future__ import annotations
@@ -39,13 +50,24 @@ class TableConfig:
     properties: dict[str, str] = field(default_factory=dict)
 
 
+def merge_type(a: str, b: str) -> str:
+    """Cumulative-schema type merge: numeric widening, else string —
+    the reference's everything-else-is-UTF8 fallback."""
+    if a == b:
+        return a
+    if {a, b} == {"long", "double"}:
+        return "double"
+    return "string"
+
+
 class Catalog:
     def __init__(self, root: str):
         self.root = root
         self._dir = os.path.join(root, "_system", "tables")
         os.makedirs(self._dir, exist_ok=True)
         self._configs: dict[str, TableConfig] = {}
-        self._schemas: dict[str, dict[str, str]] = {}  # table -> {col: type}
+        # table -> list of generation schemas [{col: type}, ...]
+        self._generations: dict[str, list[dict[str, str]]] = {}
         self._lock = threading.RLock()
         self._load_all()
 
@@ -62,12 +84,12 @@ class Catalog:
                 doc = json.load(fh)
             cfg = TableConfig(**doc.get("config", {}))
             self._configs[cfg.name] = cfg
-            self._schemas[cfg.name] = doc.get("schema", {})
+            self._generations[cfg.name] = doc.get("generations", [])
 
     def _persist(self, name: str) -> None:
         doc = {
             "config": asdict(self._configs[name]),
-            "schema": self._schemas.get(name, {}),
+            "generations": self._generations.get(name, []),
         }
         tmp = self._path(name) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -81,7 +103,7 @@ class Catalog:
             cfg = config or TableConfig(name=name)
             cfg.name = name
             self._configs[name] = cfg
-            self._schemas.setdefault(name, {})
+            self._generations.setdefault(name, [])
             self._persist(name)
             return cfg
 
@@ -102,32 +124,52 @@ class Catalog:
             if name not in self._configs:
                 return False
             del self._configs[name]
-            self._schemas.pop(name, None)
+            self._generations.pop(name, None)
             try:
                 os.remove(self._path(name))
             except FileNotFoundError:
                 pass
             return True
 
-    # -- cumulative schema ----------------------------------------------
+    # -- schema generations ---------------------------------------------
 
-    def merge_schema(self, name: str, columns: dict[str, str]) -> None:
-        """Union new flush columns into the table's cumulative schema.
-        First-seen type wins (matching write-time inference); a later
-        conflicting type widens to string, mirroring the reference's
-        everything-else-is-UTF8 fallback."""
+    def register_flush_schema(self, name: str, columns: dict[str, str]) -> int:
+        """Pick (or open) the generation a flush with ``columns`` physical
+        types writes into, and fold new columns into it.
+
+        The latest generation absorbs the flush when no existing column
+        changes type (additive evolution is free). A type conflict on any
+        column opens a new generation. Returns the generation index."""
         with self._lock:
-            cur = self._schemas.setdefault(name, {})
-            for col, typ in columns.items():
-                if col not in cur:
-                    cur[col] = typ
-                elif cur[col] != typ:
-                    cur[col] = "string"
+            gens = self._generations.setdefault(name, [])
+            if gens:
+                latest = gens[-1]
+                if all(latest.get(c, t) == t for c, t in columns.items()):
+                    latest.update(columns)
+                    self._persist(name)
+                    return len(gens) - 1
+            gens.append(dict(columns))
             self._persist(name)
+            return len(gens) - 1
+
+    def generation_for(self, name: str, columns: dict[str, str]) -> int:
+        """Generation whose schema can hold exactly ``columns`` (used by
+        rewrites that re-materialize data in cumulative types)."""
+        return self.register_flush_schema(name, columns)
+
+    def gen_schemas(self, name: str) -> list[dict[str, str]]:
+        with self._lock:
+            return [dict(g) for g in self._generations.get(name, [])]
 
     def schema_of(self, name: str) -> dict[str, str]:
+        """Cumulative schema: column union across generations with
+        widening merge (long+double → double, else → string)."""
         with self._lock:
-            return dict(self._schemas.get(name, {}))
+            cum: dict[str, str] = {}
+            for gen in self._generations.get(name, []):
+                for col, typ in gen.items():
+                    cum[col] = merge_type(cum[col], typ) if col in cum else typ
+            return cum
 
     # -- metadata backup/restore (BackupMetadata / RestoreMetadata) ------
 
@@ -135,7 +177,7 @@ class Catalog:
         with self._lock:
             return {
                 "tables": {n: asdict(c) for n, c in self._configs.items()},
-                "schemas": dict(self._schemas),
+                "generations": {n: g for n, g in self._generations.items()},
             }
 
     def import_metadata(self, doc: dict[str, Any]) -> int:
@@ -143,7 +185,7 @@ class Catalog:
             n = 0
             for name, cfg in doc.get("tables", {}).items():
                 self._configs[name] = TableConfig(**cfg)
-                self._schemas[name] = doc.get("schemas", {}).get(name, {})
+                self._generations[name] = doc.get("generations", {}).get(name, [])
                 self._persist(name)
                 n += 1
             return n

@@ -82,12 +82,17 @@ def plan_partition(partition_dir: str) -> list[CompactionPlan]:
 
 
 def plan_table(table_dir: str) -> list[CompactionPlan]:
+    """Walk ``gen=N/dt=day`` leaf partitions (compaction stays inside one
+    generation, so merged files keep a single physical schema)."""
     plans: list[CompactionPlan] = []
     if not os.path.isdir(table_dir):
         return plans
-    for entry in sorted(os.scandir(table_dir), key=lambda e: e.name):
-        if entry.is_dir() and entry.name.startswith("dt="):
-            plans.extend(plan_partition(entry.path))
+    for gen_entry in sorted(os.scandir(table_dir), key=lambda e: e.name):
+        if not (gen_entry.is_dir() and gen_entry.name.startswith("gen=")):
+            continue
+        for entry in sorted(os.scandir(gen_entry.path), key=lambda e: e.name):
+            if entry.is_dir() and entry.name.startswith("dt="):
+                plans.extend(plan_partition(entry.path))
     return plans
 
 

@@ -44,7 +44,7 @@ from .cache import QueryResultCache
 from .catalog import Catalog, TableConfig
 from .extractor import analyze_complexity, extract_tables
 from .idgen import IDGenerator, resolve_id
-from .mutations import delete_rows, rewrite_partitions
+from .mutations import delete_rows
 
 _TYPE_MAP: dict[str, T.DataType] = {
     "string": T.StringType(),
@@ -56,8 +56,13 @@ _TYPE_MAP: dict[str, T.DataType] = {
 }
 
 
+_CANONICAL = {"bigint": "long", "int": "long", "smallint": "long", "tinyint": "long",
+              "float": "double"}
+
+
 def _type_name(dt: T.DataType) -> str:
-    return dt.simpleString()
+    s = dt.simpleString()
+    return _CANONICAL.get(s, s)
 
 
 class Engine:
@@ -189,21 +194,23 @@ class Engine:
             buf.mark_flushed()
         return total
 
+    def _gen_dir(self, table: str, gen: int) -> str:
+        return os.path.join(self._table_dir(table), f"gen={gen}")
+
     def _flush_rows(self, table: str, rows: list[BufferRow]) -> int:
         row_dicts = [r.to_dict() for r in rows]
         batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
         tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map) for d in row_dicts]
         df = self.spark.createDataFrame(tuples, batch_schema)
         df = df.withColumn("dt", F.date_format("timestamp", "yyyy-MM-dd"))
+        gen = self.catalog.register_flush_schema(
+            table, {f.name: _type_name(f.dataType) for f in batch_schema.fields}
+        )
         (
             df.repartition("dt")
             .write.mode("append")
             .partitionBy("dt")
-            .parquet(self._table_dir(table))
-        )
-        self.catalog.merge_schema(
-            table,
-            {f.name: _type_name(f.dataType) for f in batch_schema.fields},
+            .parquet(self._gen_dir(table, gen))
         )
         return len(rows)
 
@@ -217,11 +224,12 @@ class Engine:
         if "table_name" not in out.columns:
             out = out.withColumn("table_name", F.lit(table))
         out = out.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
-        out.repartition("dt").write.mode("append").partitionBy("dt").parquet(
-            self._table_dir(table)
+        gen = self.catalog.register_flush_schema(
+            table,
+            {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
         )
-        self.catalog.merge_schema(
-            table, {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"}
+        out.repartition("dt").write.mode("append").partitionBy("dt").parquet(
+            self._gen_dir(table, gen)
         )
         self.cache.invalidate_table(table)
 
@@ -240,23 +248,44 @@ class Engine:
         return T.StructType(fields)
 
     def read_persisted(self, table: str) -> DataFrame | None:
-        """Persisted parquet for a table, read with the catalog's
-        cumulative schema (avoids ``mergeSchema`` over every file — the
-        scale-critical choice). Partition column ``dt`` is appended."""
-        path = self._table_dir(table)
-        if not os.path.isdir(path) or not any(
-            e.name.startswith("dt=") for e in os.scandir(path) if e.is_dir()
-        ):
+        """Persisted parquet: one explicit-schema scan per generation
+        (never ``mergeSchema`` over a file listing), each cast/aligned to
+        the cumulative schema, then unioned. Single-generation tables —
+        the overwhelmingly common case — stay a single plain scan with
+        full partition pruning on ``dt``; ``gen`` is synthesized as a
+        literal so mutations can address physical partitions."""
+        gens = self.catalog.gen_schemas(table)
+        cum = self.catalog.schema_of(table)
+        if not gens or not cum:
             return None
-        struct = self._catalog_struct(table)
-        reader = self.spark.read
-        if struct is not None:
-            reader = reader.schema(
-                T.StructType(list(struct.fields) + [T.StructField("dt", T.StringType(), True)])
+        parts: list[DataFrame] = []
+        for i, gcols in enumerate(gens):
+            gdir = self._gen_dir(table, i)
+            if not os.path.isdir(gdir):
+                continue
+            struct = T.StructType(
+                [
+                    T.StructField(c, _TYPE_MAP.get(t, T.StringType()), True)
+                    for c, t in gcols.items()
+                ]
+                + [T.StructField("dt", T.StringType(), True)]
             )
-        else:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(path)
+            df = self.spark.read.schema(struct).parquet(gdir)
+            cols = [
+                (
+                    F.col(c).cast(_TYPE_MAP.get(ct, T.StringType()))
+                    if c in gcols
+                    else F.lit(None).cast(_TYPE_MAP.get(ct, T.StringType()))
+                ).alias(c)
+                for c, ct in cum.items()
+            ]
+            parts.append(df.select(*cols, F.col("dt"), F.lit(i).alias("gen")))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_buffer(self, table: str) -> DataFrame | None:
         """Unflushed rows as a DataFrame — the hybrid-query half that gives
@@ -275,9 +304,38 @@ class Engine:
 
     def read_table(self, table: str) -> DataFrame | None:
         """Hybrid read: persisted ∪ buffer (allowMissingColumns covers
-        ragged dynamic schemas)."""
+        ragged dynamic schemas). Where buffer and cumulative types
+        disagree, *both* sides are cast to the widened merge type
+        (long+double → double, else string) so the union never clashes
+        and never truncates."""
+        from .catalog import merge_type
+
         persisted = self.read_persisted(table)
         buffered = self.read_buffer(table)
+        if buffered is not None and persisted is not None:
+            cum = self.catalog.schema_of(table)
+            buf_types = {f.name: _type_name(f.dataType) for f in buffered.schema.fields}
+            target = {
+                c: merge_type(cum[c], t) if c in cum else t
+                for c, t in buf_types.items()
+                if c not in ("dt",)
+            }
+            buffered = buffered.select(
+                *[
+                    F.col(f.name).cast(_TYPE_MAP.get(target.get(f.name, ""), f.dataType)).alias(f.name)
+                    if f.name in target
+                    else F.col(f.name)
+                    for f in buffered.schema.fields
+                ]
+            )
+            persisted = persisted.select(
+                *[
+                    F.col(f.name).cast(_TYPE_MAP.get(target.get(f.name, ""), f.dataType)).alias(f.name)
+                    if f.name in target and f.name in cum
+                    else F.col(f.name)
+                    for f in persisted.schema.fields
+                ]
+            )
         if persisted is None:
             return buffered
         if buffered is None:
@@ -307,6 +365,8 @@ class Engine:
                 if self.catalog.get_table(t) is None:
                     raise gate.SQLGateError(f"table not found: {t}")
                 df = self.spark.createDataFrame([], self._empty_struct(t))
+            if "gen" in df.columns:  # internal layout detail, not user-visible
+                df = df.drop("gen")
             df.createOrReplaceTempView(t)
         return self.spark.sql(sql)
 
@@ -371,12 +431,7 @@ class Engine:
             removed += buf.remove(table, record_id)
         persisted = self.read_persisted(table)
         if persisted is not None:
-            removed += delete_rows(
-                self.spark,
-                self._table_dir(table),
-                persisted,
-                F.col("id") == record_id,
-            )
+            removed += delete_rows(self, table, persisted, F.col("id") == record_id)
         self.cache.invalidate_table(table)
         if self.events:
             self.events.publish("delete", table, [record_id])
@@ -403,8 +458,8 @@ class Engine:
         n = 0
         if persisted is not None:
             n += delete_rows(
-                self.spark,
-                self._table_dir(table),
+                self,
+                table,
                 persisted,
                 F.col("id").isNull() | (F.col("id") == "") | (F.col("id") == "_"),
             )
@@ -437,11 +492,14 @@ class Engine:
             tdir = self._table_dir(t)
             if not os.path.isdir(tdir):
                 continue
-            for entry in os.scandir(tdir):
-                if entry.is_dir() and entry.name.startswith("dt="):
-                    if entry.name[len("dt=") :] < cutoff:
-                        shutil.rmtree(entry.path)
-                        removed += 1
+            for gen_entry in os.scandir(tdir):
+                if not (gen_entry.is_dir() and gen_entry.name.startswith("gen=")):
+                    continue
+                for entry in os.scandir(gen_entry.path):
+                    if entry.is_dir() and entry.name.startswith("dt="):
+                        if entry.name[len("dt=") :] < cutoff:
+                            shutil.rmtree(entry.path)
+                            removed += 1
             if removed:
                 self.cache.invalidate_table(t)
         return removed

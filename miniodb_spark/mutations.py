@@ -3,12 +3,14 @@
 Reference semantics (/root/reference/internal/query/query.go:1252-1413):
 find the files containing the id via the Redis index; files made
 entirely of the id are dropped, others are rewritten without the
-matching rows. Our Spark-shaped unit of rewrite is the ``dt``
-partition: affected partitions are discovered by a pruned scan (the
-``id`` predicate rides parquet footer min/max), rewritten to a temp
-location, and swapped in. Partitions with no surviving rows are
-removed entirely — same net behavior, no per-file bookkeeping, and the
-rewrite itself is a distributed Spark job rather than a driver loop.
+matching rows. Our Spark-shaped unit of rewrite is the
+``gen=N/dt=day`` partition: affected partitions are discovered by a
+pruned scan (the ``id`` predicate rides parquet footer min/max),
+survivors are re-materialized in *cumulative* types into the matching
+schema generation, and the old partition directories are removed. A
+failure mid-rewrite leaves the old data in place (write-to-temp, swap
+last). The rewrite itself is a distributed Spark job, not a driver
+loop over files.
 """
 
 from __future__ import annotations
@@ -17,60 +19,72 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _partition_dir(table_dir: str, dt: str) -> str:
-    return os.path.join(table_dir, f"dt={dt}")
-
-
-def rewrite_partitions(
-    spark: SparkSession,
-    table_dir: str,
-    df: DataFrame,
-    affected_dts: list[str],
-    keep_predicate: Column,
-) -> None:
-    """Rewrite the given ``dt`` partitions keeping only rows matching
-    ``keep_predicate``. Uses write-to-temp + atomic directory swap so a
-    failure mid-rewrite leaves the old data in place."""
-    if not affected_dts:
-        return
-    tmp = os.path.join(table_dir, f"_rewrite_{uuid.uuid4().hex}")
-    survivors = df.filter(F.col("dt").isin(affected_dts)).filter(keep_predicate)
-    survivors.write.mode("overwrite").partitionBy("dt").parquet(tmp)
-
-    written = {
-        e.name for e in os.scandir(tmp) if e.is_dir() and e.name.startswith("dt=")
-    } if os.path.isdir(tmp) else set()
-    try:
-        for dt in affected_dts:
-            old = _partition_dir(table_dir, dt)
-            part = f"dt={dt}"
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            if part in written:
-                shutil.move(os.path.join(tmp, part), old)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
 def delete_rows(
-    spark: SparkSession,
-    table_dir: str,
+    engine,
+    table: str,
     df: DataFrame,
     delete_predicate: Column,
 ) -> int:
-    """Delete rows matching ``delete_predicate`` from a dt-partitioned
-    table; returns the number of rows deleted. Only partitions that
-    actually contain matches are rewritten (partition + footer pruning
-    keep the discovery scan cheap)."""
-    matches = df.filter(delete_predicate)
-    per_dt = matches.groupBy("dt").count().collect()
-    if not per_dt:
+    """Delete rows matching ``delete_predicate`` from a table's persisted
+    data; returns the number of rows deleted. ``df`` must be the
+    engine's aligned persisted read (columns = cumulative schema +
+    dt + gen). Only (gen, dt) partitions containing matches are
+    rewritten."""
+    per_part = df.filter(delete_predicate).groupBy("gen", "dt").count().collect()
+    if not per_part:
         return 0
-    affected = [r["dt"] for r in per_dt]
-    deleted = sum(r["count"] for r in per_dt)
-    rewrite_partitions(spark, table_dir, df, affected, ~delete_predicate)
+    affected = [(int(r["gen"]), r["dt"]) for r in per_part]
+    deleted = sum(r["count"] for r in per_part)
+
+    cum = engine.catalog.schema_of(table)
+    target_gen = engine.catalog.generation_for(table, cum)
+
+    affected_pred = F.lit(False)
+    for g, d in affected:
+        affected_pred = affected_pred | ((F.col("gen") == g) & (F.col("dt") == d))
+    survivors = df.filter(affected_pred).filter(~delete_predicate).drop("gen")
+
+    table_dir = engine._table_dir(table)
+    tmp = os.path.join(table_dir, f"_rewrite_{uuid.uuid4().hex}")
+    survivors.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+
+    # snapshot the exact pre-existing files of every affected partition —
+    # they (and only they) become redundant once survivors land
+    preexisting: list[str] = []
+    for g, d in affected:
+        pdir = os.path.join(engine._gen_dir(table, g), f"dt={d}")
+        if os.path.isdir(pdir):
+            preexisting.extend(
+                f.path for f in os.scandir(pdir)
+                if f.is_file() and f.name.endswith(".parquet")
+            )
+
+    try:
+        # land survivors in the cumulative-typed generation first…
+        target_dir = engine._gen_dir(table, target_gen)
+        for entry in os.scandir(tmp):
+            if not (entry.is_dir() and entry.name.startswith("dt=")):
+                continue
+            dst_dir = os.path.join(target_dir, entry.name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.scandir(entry.path):
+                if f.is_file() and f.name.endswith(".parquet"):
+                    shutil.move(
+                        f.path, os.path.join(dst_dir, f"rw_{uuid.uuid4().hex}_{f.name}")
+                    )
+        # …then drop exactly the snapshotted old files
+        for path in preexisting:
+            os.remove(path)
+        for g, d in affected:
+            pdir = os.path.join(engine._gen_dir(table, g), f"dt={d}")
+            if os.path.isdir(pdir) and not any(
+                fn.endswith(".parquet") for fn in os.listdir(pdir)
+            ):
+                shutil.rmtree(pdir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return int(deleted)

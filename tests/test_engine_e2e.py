@@ -147,6 +147,6 @@ def test_dt_partition_layout(engine, tmp_path):
     engine.flush()
     import os
 
-    table_dir = os.path.join(engine.root, "users")
-    parts = sorted(d for d in os.listdir(table_dir) if d.startswith("dt="))
-    assert len(parts) == 7  # seeded across 7 distinct days
+    gen_dir = os.path.join(engine.root, "users", "gen=0")
+    parts = sorted(d for d in os.listdir(gen_dir) if d.startswith("dt="))
+    assert len(parts) == 7  # seeded across 7 distinct days, one schema generation
