@@ -73,6 +73,8 @@ class Engine:
         node_id: int = 0,
         cache_ttl_s: float = 1800.0,
         event_publisher=None,
+        encryptor=None,
+        slow_query_ms: float = 1000.0,
     ):
         self.spark = spark
         self.root = root
@@ -81,6 +83,9 @@ class Engine:
         self.cache = QueryResultCache(ttl_s=cache_ttl_s)
         self.idgen = IDGenerator(node_id)
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
+        self.encryptor = encryptor  # encryption.FieldEncryptor or None
+        self.slow_query_ms = slow_query_ms
+        self.query_stats: dict[str, Any] = {"count": 0, "total_ms": 0.0, "slow": []}
         self._buffers: dict[str, WriteBuffer] = {}
         self._lock = threading.RLock()
 
@@ -151,6 +156,8 @@ class Engine:
             import time
 
             timestamp_us = int(time.time() * 1_000_000)
+        if self.encryptor:
+            payload = self.encryptor.encrypt_payload(payload)
         row = BufferRow(id=rid, timestamp=timestamp_us, table_name=table, fields=payload)
         buf = self._buffer_for(table)
         if buf.add(row):
@@ -388,6 +395,8 @@ class Engine:
         """Full QueryData: returns the JSON array string the reference's
         API contract specifies (empty result ⇒ ``"[]"``), via the result
         cache when the query is cache-worthy."""
+        import time as _time
+
         checked = gate.validate_query(sql)
         tables = extract_tables(checked)
         use_cache = analyze_complexity(checked).cacheable
@@ -395,9 +404,27 @@ class Engine:
             hit = self.cache.get(checked, tables)
             if hit is not None:
                 return hit
+        t0 = _time.perf_counter()
         df = self.query_df(checked, limit=limit, default_table=default_table)
         rows = df.toJSON().collect()
-        result = "[" + ",".join(rows) + "]"
+        if self.encryptor:
+            decrypted = [
+                json.dumps(self.encryptor.decrypt_row(json.loads(r)),
+                           separators=(",", ":"))
+                for r in rows
+            ]
+            result = "[" + ",".join(decrypted) + "]"
+        else:
+            result = "[" + ",".join(rows) + "]"
+        elapsed_ms = (_time.perf_counter() - t0) * 1000
+        # query stats + slow-query log (reference query.go:351-373)
+        self.query_stats["count"] += 1
+        self.query_stats["total_ms"] += elapsed_ms
+        if elapsed_ms >= self.slow_query_ms:
+            self.query_stats["slow"].append(
+                {"sql": checked[:200], "ms": round(elapsed_ms, 1)}
+            )
+            self.query_stats["slow"] = self.query_stats["slow"][-100:]
         if use_cache:
             self.cache.put(checked, tables, result)
         return result
@@ -541,4 +568,11 @@ class Engine:
             "tables": self.list_tables(),
             "buffered_rows": {t: b.count for t, b in self._buffers.items()},
             "cache": {"hits": self.cache.hits, "misses": self.cache.misses},
+            "queries": {
+                "count": self.query_stats["count"],
+                "avg_ms": round(
+                    self.query_stats["total_ms"] / max(1, self.query_stats["count"]), 1
+                ),
+                "slow": len(self.query_stats["slow"]),
+            },
         }

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the pure-Python layers —
+invariants rather than examples."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from miniodb_spark.cache import cache_key, normalize_sql
+from miniodb_spark.gate import SQLGateError, quote_identifier, quote_literal, validate_query
+from miniodb_spark.schema import infer_batch_schema, resolve_field_names, sanitize_column_name
+from miniodb_spark.sketches import CountMinSketch, HyperLogLog
+
+VALID_COL = re.compile(r"^[a-z0-9_]+$")
+
+
+@given(st.text(max_size=80))
+def test_sanitize_always_valid(name):
+    out = sanitize_column_name(name)
+    assert VALID_COL.match(out), out
+    assert not out[0].isdigit()
+
+
+@given(st.lists(st.text(max_size=30), max_size=20, unique=True))
+def test_resolve_names_injective(keys):
+    mapping = resolve_field_names(keys)
+    assert len(set(mapping.values())) == len(mapping)  # no collisions
+    reserved = {"id", "timestamp", "table_name", "dt"}
+    assert not (set(mapping.values()) & reserved)
+
+
+@given(st.text(max_size=200))
+def test_normalize_sql_idempotent(sql):
+    once = normalize_sql(sql)
+    assert normalize_sql(once) == once
+
+
+@given(st.text(alphabet=" \t\nSELECTfromwhere*abc,=", max_size=120))
+def test_cache_key_whitespace_stable(sql):
+    import re as _re
+
+    squished = _re.sub(r"[ \t\n]+", " ", sql)
+    assert cache_key(sql, ["t"]) == cache_key(squished, ["t"])
+
+
+@given(st.text(max_size=60))
+def test_quote_literal_strips_control_and_escapes(s):
+    q = quote_literal(s)
+    assert q.startswith("'") and q.endswith("'")
+    inner = q[1:-1]
+    assert "\x00" not in inner
+    # every remaining single quote is doubled
+    assert "'" not in inner.replace("''", "")
+
+
+@given(st.text(max_size=60))
+def test_quote_identifier_balanced(s):
+    q = quote_identifier(s)
+    assert q.startswith('"') and q.endswith('"')
+    assert '"' not in q[1:-1].replace('""', "")
+
+
+_DML = ["DROP TABLE t", "INSERT INTO t VALUES (1)", "UPDATE t SET a=1",
+        "DELETE FROM t", "TRUNCATE TABLE t", "CREATE TABLE t (a int)"]
+
+
+@given(st.sampled_from(_DML), st.text(alphabet=" \t", max_size=5))
+def test_gate_rejects_dml_with_any_whitespace(dml, pad):
+    try:
+        validate_query(pad + dml)
+        raise AssertionError("DML admitted")
+    except SQLGateError:
+        pass
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                      exclude_characters="'\";#-/"), max_size=40))
+def test_gate_admits_keywords_inside_literals(payload):
+    sql = f"SELECT * FROM t WHERE msg = '{payload} DROP TABLE x'"
+    assert validate_query(sql)
+
+
+@given(st.lists(
+    st.dictionaries(
+        st.text(min_size=1, max_size=10),
+        st.one_of(st.booleans(), st.integers(min_value=-2**40, max_value=2**40),
+                  st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=10)),
+        max_size=5,
+    ),
+    min_size=1, max_size=8,
+))
+def test_infer_batch_schema_total(payloads):
+    rows = [
+        {"id": f"r{i}", "timestamp": 1_700_000_000_000_000, "table_name": "t",
+         "fields": p}
+        for i, p in enumerate(payloads)
+    ]
+    schema, mapping = infer_batch_schema(rows)
+    names = [f.name for f in schema.fields]
+    assert names[:3] == ["id", "timestamp", "table_name"]
+    assert len(set(names)) == len(names)  # unique columns always
+
+
+@settings(deadline=2000)
+@given(st.integers(min_value=100, max_value=20_000), st.integers(min_value=0, max_value=2**31))
+def test_hll_within_bound(n, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    h = rng.randint(np.iinfo(np.int64).min, np.iinfo(np.int64).max,
+                    size=n, dtype=np.int64).view(np.uint64)
+    hll = HyperLogLog(12)
+    hll.add_hashes(h)
+    distinct = len(np.unique(h))
+    assert abs(hll.estimate() - distinct) / distinct < 5 * hll.error_bound
+
+
+@settings(deadline=2000)
+@given(st.integers(min_value=1, max_value=500), st.integers(min_value=0, max_value=2**31))
+def test_cms_lower_bound_property(n, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    h = rng.randint(np.iinfo(np.int64).min, np.iinfo(np.int64).max,
+                    size=n, dtype=np.int64).view(np.uint64)
+    counts = rng.randint(1, 10, size=n).astype(np.int64)
+    cms = CountMinSketch(256, 4)
+    cms.add_hashes(h, counts)
+    idx = int(rng.randint(0, n))
+    assert cms.query_hash(int(h[idx])) >= int(counts[idx])
