@@ -53,16 +53,23 @@ def main() -> None:
     # warm the JVM/session so the first query doesn't pay startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = registry.get(name)
-        if spec is None:
-            continue
-        t0 = time.perf_counter()
-        rows = spec.fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+    # two passes, per-query min: the first pass warms codegen/file-listing
+    # caches, the min filters transient host contention out of either pass
+    passes: list[dict[str, float]] = []
+    for _ in range(2):
+        sink: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            rows = spec.fn(spark, SF_DIR).collect()
+            sink[name] = round(time.perf_counter() - t0, 4)
+            assert rows is not None
+        passes.append(sink)
 
+    cold = passes[0]
+    timings = {name: min(p[name] for p in passes) for name in passes[0]}
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -77,6 +84,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "cold_total": round(sum(cold.values()), 4),
+                "passes": 2,
+                "aggregation": "per-query min of 2 passes",
             }
         )
     )

@@ -293,9 +293,12 @@ def register_queries(register) -> None:
     )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        # persist the signatures: the band self-join reads them twice, and
-        # at scale the signature table is written out once and reused
-        sigs = minhash_signatures(docs).persist()
+        # materialize the signatures once: the band self-join reads them
+        # twice, and at scale the signature table is written out and
+        # reused. localCheckpoint truncates lineage without pinning
+        # executor memory across repeated invocations the way persist()
+        # accumulation would.
+        sigs = minhash_signatures(docs).localCheckpoint(eager=True)
         return minhash_lsh_pairs(sigs).filter(F.col("jaccard_est") >= 0.5).orderBy(
             "id_a", "id_b"
         )
