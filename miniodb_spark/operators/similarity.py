@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +100,74 @@ def ann_topk(
         F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qbits))) <= probe_hamming
     )
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+class IVFIndex:
+    """Inverted-file ANN index: k-means centroids (trained on a bounded
+    driver-side sample — at 100 TB you never need more than ~100k sampled
+    vectors to place centroids), cluster assignment as a vectorized
+    Pandas UDF (one numpy matmul per Arrow batch), queries probe the
+    ``nprobe`` nearest centroid cells only.
+
+    The assignment column is deterministic, so the bucketed table can be
+    written out partitioned by ``ivf_cell`` — probes then become
+    partition-pruned scans, the same storage trick as the LSH path."""
+
+    def __init__(self, n_cells: int = 16, seed: int = 42, iters: int = 10):
+        self.n_cells = n_cells
+        self.seed = seed
+        self.iters = iters
+        self.centroids: np.ndarray | None = None  # (k, dim), L2-normalized
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding", sample: int = 10_000) -> "IVFIndex":
+        rows = df.select(vec_col).limit(sample).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+        rng = np.random.RandomState(self.seed)
+        cent = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]
+        for _ in range(self.iters):  # spherical k-means (cosine)
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cent[c] = m / (np.linalg.norm(m) + 1e-12)
+        self.centroids = cent
+        return self
+
+    def assign_cells(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        cent = self.centroids
+
+        @F.pandas_udf("int")
+        def _cell(v: pd.Series) -> pd.Series:
+            x = np.array(v.tolist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+            return pd.Series(np.argmax(x @ cent.T, axis=1).astype("int32"))
+
+        return df.withColumn("ivf_cell", _cell(F.col(vec_col)))
+
+    def query_cells(self, query_vec: list[float], nprobe: int = 4) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        q /= np.linalg.norm(q) + 1e-12
+        sims = self.centroids @ q
+        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    index: IVFIndex,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k through the IVF index: score only the probed cells."""
+    cells = index.query_cells(query_vec, nprobe)
+    bucketed = index.assign_cells(df, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("ivf_cell").isin(cells)), query_vec, k, vec_col, id_col
+    )
 
 
 def embedding_near_dup_pairs(
@@ -187,6 +256,24 @@ def register_queries(register) -> None:
         }
         recall = len(exact & approx) / max(1, len(exact))
         return spark.createDataFrame([(recall >= 0.4,)], "recall_ok boolean")
+
+    @register(
+        "embedding_ivf_recall",
+        "SELECT true AS ivf_recall_ok",
+        doc="IVF ANN recall@10 ≥ 0.4 vs brute force (16 spherical-kmeans cells, "
+            "nprobe=4 ⇒ scans ~25% of vectors; random vectors are LSH/IVF's "
+            "worst case — clustered real corpora do far better)",
+        tags=("llm", "capability"),
+    )
+    def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        rest = emb.filter(F.col("vec_id") != 0)
+        index = IVFIndex(n_cells=16).fit(rest)
+        exact = {r["vec_id"] for r in cosine_topk(rest, qv, 10).collect()}
+        approx = {r["vec_id"] for r in ivf_topk(rest, index, qv, 10, nprobe=4).collect()}
+        recall = len(exact & approx) / max(1, len(exact))
+        return spark.createDataFrame([(recall >= 0.4,)], "ivf_recall_ok boolean")
 
     @register(
         "embedding_near_dup",

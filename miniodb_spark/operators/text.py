@@ -141,6 +141,28 @@ def register_queries(register) -> None:
         ).orderBy("doc_id")
 
     @register(
+        "token_counts_bpe",
+        """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS BIGINT) AS n_bpe_tokens
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        doc="BPE-ish pre-tokenization count: split on non-alphanumeric runs "
+            "(the whitespace-split upper bound refines into subword-ready units)",
+        tags=("llm", "capability"),
+    )
+    def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 100
+        )
+        toks = F.split(F.lower("text"), r"[^a-z0-9]+")
+        nonempty = F.filter(toks, lambda t: t != "")
+        return docs.select(
+            "doc_id", F.size(nonempty).cast("bigint").alias("n_bpe_tokens")
+        ).orderBy("doc_id")
+
+    @register(
         "doc_fingerprint",
         """
         SELECT doc_id,
