@@ -71,6 +71,51 @@ def main() -> None:
     cold = passes[0]
     timings = {name: min(p[name] for p in passes) for name in passes[0]}
     total = round(sum(timings.values()), 4)
+
+    # write-path throughput (reference claim: 10,000+ records/s batch —
+    # BASELINE.md). Bulk path: ingest_dataframe straight to partitioned
+    # parquet; row path: the buffered write API (single flush at the end).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miniodb_spark.engine import Engine
+
+    store = tempfile.mkdtemp(prefix="bench_store_")
+    eng = Engine(spark, store)
+    n_bulk = 200_000
+    bulk = spark.range(n_bulk).select(
+        F.col("id").cast("string").alias("id"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id") * 1000).alias(
+            "timestamp"
+        ),
+        (F.col("id") % 97).alias("k"),
+        F.rand(7).alias("v"),
+    )
+    t0 = time.perf_counter()
+    eng.ingest_dataframe("bulk", bulk)
+    bulk_rps = int(n_bulk / (time.perf_counter() - t0))
+
+    n_rows = 2000
+    t0 = time.perf_counter()
+    for i in range(n_rows):
+        eng.write("rowpath", {"k": i % 7, "v": float(i)}, record_id=f"r{i}",
+                  timestamp_us=1_700_000_000_000_000)
+    eng.flush("rowpath")
+    row_rps = int(n_rows / (time.perf_counter() - t0))
+
+    n_batch = 20_000
+    batch = [
+        {"id": f"b{i}", "timestamp_us": 1_700_000_000_000_000,
+         "payload": {"k": i % 7, "v": float(i)}}
+        for i in range(n_batch)
+    ]
+    t0 = time.perf_counter()
+    eng.write_batch("batchpath", batch)
+    eng.flush("batchpath")
+    batch_rps = int(n_batch / (time.perf_counter() - t0))
+    shutil.rmtree(store, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -87,6 +132,11 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 4),
                 "passes": 2,
                 "aggregation": "per-query min of 2 passes",
+                "write_rows_per_s": {
+                    "bulk_ingest": bulk_rps,
+                    "row_api_synced_wal": row_rps,
+                    "stream_write_batch": batch_rps,
+                },
             }
         )
     )

@@ -62,16 +62,29 @@ class WAL:
 
     def append(self, rec_type: str, payload: dict) -> int:
         with self._lock:
-            self._seq += 1
-            body = json.dumps(
-                {"seq": self._seq, "type": rec_type, "payload": payload},
-                separators=(",", ":"),
-                default=str,
-            )
-            crc = zlib.crc32(body.encode("utf-8"))
-            self._fh.write(f"{body}\t{crc}\n")
+            self._write_record(rec_type, payload)
             self._fh.flush()
             return self._seq
+
+    def append_many(self, rec_type: str, payloads: list[dict]) -> int:
+        """Batch append with ONE flush at the end — the reference's WAL
+        supports sync-on-write or interval sync (wal.go:118-155); this is
+        the batched path StreamWrite-style ingestion uses."""
+        with self._lock:
+            for payload in payloads:
+                self._write_record(rec_type, payload)
+            self._fh.flush()
+            return self._seq
+
+    def _write_record(self, rec_type: str, payload: dict) -> None:
+        self._seq += 1
+        body = json.dumps(
+            {"seq": self._seq, "type": rec_type, "payload": payload},
+            separators=(",", ":"),
+            default=str,
+        )
+        crc = zlib.crc32(body.encode("utf-8"))
+        self._fh.write(f"{body}\t{crc}\n")
 
     def truncate(self) -> None:
         with self._lock:
@@ -148,6 +161,17 @@ class WriteBuffer:
             self.wal.append("insert", row.to_dict())
             self._rows.setdefault(row.table_name, []).append(row)
             self._count += 1
+            return self._count >= self.buffer_size
+
+    def add_many(self, rows: list[BufferRow]) -> bool:
+        """Batch append: one WAL flush for the whole batch (durability
+        granularity = the batch, exactly like the reference's interval
+        sync mode)."""
+        with self._lock:
+            self.wal.append_many("insert", [r.to_dict() for r in rows])
+            for row in rows:
+                self._rows.setdefault(row.table_name, []).append(row)
+            self._count += len(rows)
             return self._count >= self.buffer_size
 
     def remove(self, table: str, row_id: str) -> int:

@@ -47,6 +47,9 @@ class TableConfig:
     auto_generate_id: bool = True
     id_prefix: str = ""
     max_id_length: int = 255
+    # parquet codec: snappy (default) | zstd | gzip | lz4 | uncompressed
+    # (reference storage/parquet_writer.go:112-127, snappy on the flush path)
+    compression: str = "snappy"
     properties: dict[str, str] = field(default_factory=dict)
 
 

@@ -168,17 +168,42 @@ class Engine:
         return rid
 
     def write_batch(self, table: str, records: list[dict]) -> list[str]:
-        """StreamWrite-style batch of {id?, timestamp_us?, payload} dicts."""
-        ids = []
+        """StreamWrite-style batch of {id?, timestamp_us?, payload} dicts.
+        One WAL flush + one cache invalidation + one CDC event for the
+        whole batch (reference miniodb_service.go:1196-1273 funnels the
+        stream through the same buffer; its WAL syncs on an interval)."""
+        import time as _time
+
+        gate.validate_table_name(table)
+        cfg = self.catalog.ensure_table(table)
+        now_us = int(_time.time() * 1_000_000)
+        rows: list[BufferRow] = []
+        ids: list[str] = []
         for rec in records:
-            ids.append(
-                self.write(
-                    table,
-                    rec.get("payload", {}),
-                    rec.get("id"),
-                    rec.get("timestamp_us"),
+            rid = resolve_id(
+                rec.get("id"), cfg.id_strategy, cfg.auto_generate_id, self.idgen,
+                cfg.id_prefix, cfg.max_id_length,
+            )
+            payload = rec.get("payload", {})
+            if self.encryptor:
+                payload = self.encryptor.encrypt_payload(payload)
+            rows.append(
+                BufferRow(
+                    id=rid,
+                    timestamp=rec.get("timestamp_us") or now_us,
+                    table_name=table,
+                    fields=payload,
                 )
             )
+            ids.append(rid)
+        if rows:
+            buf = self._buffer_for(table)
+            if buf.add_many(rows):
+                self.flush(table)
+            self.cache.invalidate_table(table)
+            if self.events:
+                self.events.publish("batch", table, ids[:100],
+                                    metadata={"rows": len(ids)})
         return ids
 
     def flush(self, table: str | None = None) -> int:
@@ -213,9 +238,11 @@ class Engine:
         gen = self.catalog.register_flush_schema(
             table, {f.name: _type_name(f.dataType) for f in batch_schema.fields}
         )
+        cfg = self.catalog.get_table(table)
         (
             df.repartition("dt")
             .write.mode("append")
+            .option("compression", cfg.compression if cfg else "snappy")
             .partitionBy("dt")
             .parquet(self._gen_dir(table, gen))
         )
@@ -235,8 +262,13 @@ class Engine:
             table,
             {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
         )
-        out.repartition("dt").write.mode("append").partitionBy("dt").parquet(
-            self._gen_dir(table, gen)
+        cfg = self.catalog.get_table(table)
+        (
+            out.repartition("dt")
+            .write.mode("append")
+            .option("compression", cfg.compression if cfg else "snappy")
+            .partitionBy("dt")
+            .parquet(self._gen_dir(table, gen))
         )
         self.cache.invalidate_table(table)
 

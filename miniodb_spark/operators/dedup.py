@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 def shingles(col, n: int = 3):
     """Word n-gram shingles of lowercased text, as an array column.
-    Built from sequence+transform — pure Catalyst expressions."""
+
+    Pure Catalyst expression — but note ``slice`` inside ``transform``
+    makes this O(tokens²) per row in codegen. Fine for short strings
+    (titles, ids); for document-scale text use the posexplode +
+    window-``lead`` path in :func:`minhash_signatures`, which is linear."""
     toks = F.split(F.lower(col), " ")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.transform(
