@@ -673,6 +673,91 @@ def window_moving_avg(spark, sf_dir):
 
 
 @register(
+    "window_rank_dist",
+    """
+    SELECT user_id, event_id,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM events WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="ranking window family: rank/dense_rank/ntile/percent_rank/cume_dist",
+)
+def window_rank_dist(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="first/last/nth_value navigation over ordered frames",
+)
+def window_first_last(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "approx_percentile_within_bound",
+    "SELECT true AS p50_ok, true AS p95_ok",
+    doc="approx_percentile within rank-error bound of the exact interpolated "
+        "percentile (accuracy 10000 ⇒ ±0.01 rank error)",
+)
+def approx_percentile_within_bound(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    row = ev.agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("a95"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.90)").alias("lo95"),
+        F.expr("percentile(value, 0.99)").alias("hi95"),
+    ).first()
+    ok50 = row["lo50"] <= row["a50"] <= row["hi50"]
+    ok95 = row["lo95"] <= row["a95"] <= row["hi95"]
+    return spark.createDataFrame([(bool(ok50), bool(ok95))],
+                                 "p50_ok boolean, p95_ok boolean")
+
+
+@register(
     "sessionize_30min",
     """
     WITH flagged AS (
