@@ -381,6 +381,62 @@ def json_extract_props(spark, sf_dir):
 
 
 @register(
+    "json_flatten_typed",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+    doc="typed JSON flattening: from_json with an explicit schema (the "
+        "reference stores nested payloads as JSON strings — this is the read-back)",
+)
+def json_flatten_typed(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    parsed = ev.withColumn("parsed", F.from_json("props", "k BIGINT"))
+    return parsed.select("event_id", F.col("parsed.k").alias("k_typed")).orderBy(
+        "event_id"
+    )
+
+
+@register(
+    "grouped_zscore",
+    """
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events WHERE user_id < 5
+    ORDER BY event_id
+    """,
+    doc="per-key z-score normalization via applyInPandas grouped map — the "
+        "UDF-surface showcase (reference has no UDFs, SURVEY §2.12); oracle is "
+        "the equivalent window SQL",
+)
+def grouped_zscore(spark, sf_dir):
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5).select(
+        "event_id", "user_id", "value"
+    )
+
+    def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - mu) / sd).round(6),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_zscore, "event_id long, user_id long, zscore double")
+        .orderBy("event_id")
+    )
+
+
+@register(
     "distinct_values",
     "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
     doc="SELECT DISTINCT (shuffle dedup)",
@@ -1072,7 +1128,9 @@ def set_intersect_except(spark, sf_dir):
         .select(F.col("s_nationkey").alias("k"))
     )
     both = c.intersect(s).select(F.lit("both").alias("tag"), "k")
-    cust_only = c.exceptAll(s).distinct().select(F.lit("cust_only").alias("tag"), "k")
+    # subtract == EXCEPT (set) semantics; exceptAll().distinct() is NOT the
+    # same — a key on both sides with higher left multiplicity would survive
+    cust_only = c.subtract(s).select(F.lit("cust_only").alias("tag"), "k")
     return both.unionAll(cust_only).orderBy("tag", "k")
 
 
