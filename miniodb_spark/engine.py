@@ -272,6 +272,39 @@ class Engine:
         )
         self.cache.invalidate_table(table)
 
+    def ingest_path(
+        self,
+        table: str,
+        path: str,
+        fmt: str = "parquet",
+        ts_col: str = "timestamp",
+        options: dict | None = None,
+    ) -> None:
+        """Ingest files of any Spark-readable format (parquet/csv/json/orc)
+        through the bulk path — a capability upgrade over the reference's
+        parquet-only surface."""
+        reader = self.spark.read
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.format(fmt).load(path)
+        self.ingest_dataframe(table, df, ts_col=ts_col)
+
+    def export(self, sql: str, path: str, fmt: str = "parquet",
+               options: dict | None = None) -> int:
+        """Run a gated query and write the result to ``path`` in the given
+        format; returns the row count. The write is a distributed job —
+        results never pass through the driver."""
+        df = self.query_df(sql)
+        writer = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(path)
+        return df.count()
+
     # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------

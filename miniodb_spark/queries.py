@@ -196,6 +196,30 @@ def agg_rollup(spark, sf_dir):
 
 
 @register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE grouping sets (all 4 grouping combinations) — capability upgrade",
+    tags=("capability",),
+)
+def agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "approx_distinct_within_bound",
     "SELECT true AS hll_ok, true AS exact_gt_zero",
     doc="HLL approx COUNT DISTINCT within its error bound vs exact "
