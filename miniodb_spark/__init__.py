@@ -22,15 +22,21 @@ Package map:
   extractor.py  table-name extraction + query classification (internal/query/table_extractor.go)
   schema.py     dynamic schema inference + column sanitization (internal/buffer/concurrent_buffer.go)
   buffer.py     WAL-backed in-memory write buffer (internal/buffer, internal/wal)
-  catalog.py    table configs + cumulative schema registry (internal/metadata)
+  catalog.py    table configs + schema-generation registry (internal/metadata)
   cache.py      query result cache with table-keyed invalidation (internal/query/query_cache.go)
   engine.py     the Engine facade: write/query/update/delete lifecycle (internal/service)
-  mutations.py  id-level delete/update via partition-file rewrite (internal/query/query.go:1252-1413)
+  api.py        1:1 facade over the reference's RPC surface (api/proto/miniodb/v1)
+  mutations.py  id-level delete/update via partition rewrite (internal/query/query.go:1252-1413)
   compaction.py tiered small-file compaction job (internal/compaction/manager.go)
   sketches.py   HLL / CountMinSketch registry (internal/query/approximation.go)
+  encryption.py field-level encrypt-at-ingest/decrypt-at-render (internal/security)
   idgen.py      uuid / snowflake / custom id strategies (pkg/idgen)
-  operators/    dedup, similarity, text analysis, multimodal (LLM-pipeline extensions)
-  streaming/    structured-streaming ingest, CDC events, windowing helpers
+  plans.py      physical-plan inspection (pushdown/pruning/broadcast assertions)
+  bucketing.py  bucketed co-located joins (zero-shuffle recurring joins)
+  skew.py       salted joins + two-phase aggregation for hot keys
+  queries.py    the operator-inventory registry (Spark impl + DuckDB oracle pairs)
+  operators/    dedup, similarity, temporal joins, text analysis, multimodal
+  streaming/    structured-streaming ingest, CDC events, windows, stateful ops
 """
 
 __version__ = "0.1.0"
