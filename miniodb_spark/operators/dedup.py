@@ -237,6 +237,49 @@ def token_jaccard_pairs(
     )
 
 
+def deduplicate_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: given candidate pairs (id_a < id_b), keep one
+    representative (the min id) per connected component.
+
+    The component computation runs driver-side union-find over the
+    *pairs*, which is output-sized (near-dup pairs ≪ corpus — at 100 TB
+    you may have billions of docs but the pair list at a 0.8+ threshold
+    is orders smaller; if it isn't, the corpus is mostly duplicates and
+    you have a different problem). The drop-list then applies as a
+    broadcast anti-join — one distributed pass over the corpus."""
+    edges = pairs.select("id_a", "id_b").collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as the root so the representative is min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for e in edges:
+        parent.setdefault(e["id_a"], e["id_a"])
+        parent.setdefault(e["id_b"], e["id_b"])
+        union(e["id_a"], e["id_b"])
+
+    drop = [x for x in parent if find(x) != x]
+    if not drop:
+        return df
+    spark = df.sparkSession
+    drop_df = spark.createDataFrame([(x,) for x in drop], f"{id_col} long")
+    return df.join(F.broadcast(drop_df), on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
