@@ -196,6 +196,72 @@ def agg_rollup(spark, sf_dir):
 
 
 @register(
+    "derived_table",
+    """
+    SELECT status_band, CAST(count(*) AS BIGINT) AS n, sum(total) AS grand
+    FROM (
+      SELECT o_custkey,
+             CASE WHEN sum(o_totalprice) > 500000 THEN 'high' ELSE 'low' END AS status_band,
+             sum(o_totalprice) AS total
+      FROM orders GROUP BY o_custkey) t
+    GROUP BY status_band ORDER BY status_band
+    """,
+    doc="subquery in FROM (derived table) with re-aggregation",
+)
+def derived_table(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    inner = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total")).select(
+        "o_custkey",
+        F.when(F.col("total") > 500000, "high").otherwise("low").alias("status_band"),
+        "total",
+    )
+    return (
+        inner.groupBy("status_band")
+        .agg(F.count("*").alias("n"), F.sum("total").alias("grand"))
+        .orderBy("status_band")
+    )
+
+
+@register(
+    "having_on_avg",
+    """
+    SELECT c_nationkey, round(avg(c_acctbal), 6) AS avg_bal
+    FROM customer GROUP BY c_nationkey
+    HAVING avg(c_acctbal) > 5000 AND count(*) >= 3
+    ORDER BY c_nationkey
+    """,
+    doc="HAVING on multiple aggregate predicates (avg + count)",
+)
+def having_on_avg(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.avg("c_acctbal").alias("_avg"), F.count("*").alias("_n"))
+        .filter((F.col("_avg") > 5000) & (F.col("_n") >= 3))
+        .select("c_nationkey", F.round("_avg", 6).alias("avg_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "ilike_filter",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name ILIKE '%BLUE%' AND p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+    doc="case-insensitive LIKE",
+)
+def ilike_filter(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return (
+        p.filter(F.col("p_name").ilike("%BLUE%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus,
