@@ -56,8 +56,11 @@ class WAL:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # resume the sequence from any surviving records so seq stays
+        # monotonic across restarts (truncate_upto relies on it)
+        existing = WAL.replay(path)
         self._fh = open(path, "a", encoding="utf-8")
-        self._seq = 0
+        self._seq = existing[-1]["seq"] if existing else 0
         self._lock = threading.Lock()
 
     def append(self, rec_type: str, payload: dict) -> int:
@@ -90,6 +93,30 @@ class WAL:
         with self._lock:
             self._fh.close()
             self._fh = open(self.path, "w", encoding="utf-8")
+
+    def truncate_upto(self, seq: int) -> None:
+        """Drop records with seq ≤ ``seq``, keeping later ones. Runs under
+        the append lock, so a record appended concurrently with a flush is
+        never discarded (the flush only clears what it drained)."""
+        with self._lock:
+            self._fh.close()
+            kept: list[str] = []
+            with open(self.path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    body, _, crc_s = line.rpartition("\t")
+                    try:
+                        if zlib.crc32(body.encode("utf-8")) != int(crc_s):
+                            break
+                        if json.loads(body)["seq"] > seq:
+                            kept.append(line)
+                    except (ValueError, json.JSONDecodeError):
+                        break
+            with open(self.path, "w", encoding="utf-8") as fh:
+                fh.write("".join(l + "\n" for l in kept))
+            self._fh = open(self.path, "a", encoding="utf-8")
 
     def close(self) -> None:
         with self._lock:
@@ -203,16 +230,31 @@ class WriteBuffer:
     def should_flush_by_time(self) -> bool:
         return (time.monotonic() - self._last_flush) >= self.flush_interval_s
 
-    def drain(self) -> dict[str, list[BufferRow]]:
-        """Atomically take all buffered rows (caller flushes them) and
-        truncate the WAL once the flush callback has persisted them."""
+    def drain(self) -> tuple[dict[str, list[BufferRow]], int]:
+        """Atomically take all buffered rows (caller flushes them) along
+        with the WAL sequence at drain time. The caller either persists
+        the batch and calls ``mark_flushed(seq)`` — which truncates ONLY
+        records up to that sequence, so concurrent appends keep their WAL
+        records — or, on flush failure, calls ``requeue(batch)`` to
+        restore the rows to the hybrid read path (their WAL records were
+        never truncated, so durability holds either way)."""
         with self._lock:
             batch = self._rows
             self._rows = {}
             self._count = 0
             self._last_flush = time.monotonic()
-            return batch
+            return batch, self.wal._seq
 
-    def mark_flushed(self) -> None:
+    def requeue(self, batch: dict[str, list[BufferRow]]) -> None:
+        """Put drained-but-unflushed rows back (flush failure path).
+        Prepends so original insert order is preserved for readers."""
         with self._lock:
-            self.wal.truncate()
+            for table, rows in batch.items():
+                if not rows:
+                    continue
+                self._rows[table] = rows + self._rows.get(table, [])
+                self._count += len(rows)
+
+    def mark_flushed(self, upto_seq: int) -> None:
+        with self._lock:
+            self.wal.truncate_upto(upto_seq)

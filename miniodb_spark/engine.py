@@ -218,12 +218,21 @@ class Engine:
             buf = self._buffers.get(t)
             if buf is None or buf.count == 0:
                 continue
-            batches = buf.drain()
-            for tname, rows in batches.items():
-                if not rows:
-                    continue
-                total += self._flush_rows(tname, rows)
-            buf.mark_flushed()
+            batches, drained_seq = buf.drain()
+            flushed: list[str] = []
+            try:
+                for tname, rows in batches.items():
+                    if not rows:
+                        continue
+                    total += self._flush_rows(tname, rows)
+                    flushed.append(tname)
+            except Exception:
+                # restore only what didn't make it to parquet: the rows
+                # stay queryable via the hybrid read path, and their WAL
+                # records were never truncated, so durability holds.
+                buf.requeue({k: v for k, v in batches.items() if k not in flushed})
+                raise
+            buf.mark_flushed(drained_seq)
         return total
 
     def _gen_dir(self, table: str, gen: int) -> str:

@@ -227,6 +227,7 @@ def value_hash(value) -> int:
 
 
 def register_queries(register) -> None:
+    from .queries import load as _load
     @register(
         "hll_registry_within_bound",
         "SELECT true AS hll_registry_ok",
@@ -235,7 +236,7 @@ def register_queries(register) -> None:
         tags=("sketch",),
     )
     def hll_registry_within_bound(spark, sf_dir):
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = _load(spark, sf_dir, "events")
         exact = ev.select("user_id").distinct().count()
         hll = build_hll(ev, "user_id")
         ok = abs(hll.estimate() - exact) / max(1, exact) < 3 * hll.error_bound
@@ -249,7 +250,7 @@ def register_queries(register) -> None:
         tags=("sketch",),
     )
     def cms_freq_within_bound(spark, sf_dir):
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = _load(spark, sf_dir, "events")
         cms = build_cms(ev, "event_type")
         exact = {
             r["event_type"]: r["n"]
