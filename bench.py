@@ -43,6 +43,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _lsh_pairs_full_corpus(spark, sf_dir):
+    """Bench-only: the full-corpus MinHash+LSH pair pipeline (what the
+    `dedup_minhash_lsh` headline has timed since round 1 — the registry
+    entry itself is now a bounded recall self-check, so the raw pipeline
+    is timed directly here to keep cross-round comparisons meaningful)."""
+    from pyspark.sql import functions as F
+
+    from miniodb_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    return minhash_lsh_pairs(sigs).filter(F.col("jaccard_est") >= 0.5)
+
+
+# non-registry paths timed under their historical headline names
+BENCH_OVERRIDES = {"dedup_minhash_lsh": _lsh_pairs_full_corpus}
+
+
 def main() -> None:
     from miniodb_spark.queries import get_registry
     from miniodb_spark.session import get_spark
@@ -59,11 +77,13 @@ def main() -> None:
     for _ in range(2):
         sink: dict[str, float] = {}
         for name in BENCH_QUERIES:
-            spec = registry.get(name)
-            if spec is None:
+            fn = BENCH_OVERRIDES.get(name) or getattr(
+                registry.get(name), "fn", None
+            )
+            if fn is None:
                 continue
             t0 = time.perf_counter()
-            rows = spec.fn(spark, SF_DIR).collect()
+            rows = fn(spark, SF_DIR).collect()
             sink[name] = round(time.perf_counter() - t0, 4)
             assert rows is not None
         passes.append(sink)

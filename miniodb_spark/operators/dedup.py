@@ -15,8 +15,9 @@ Scale design notes (the point of each variant):
   size + output pairs; the band join is a shuffle on band keys.
 - **SimHash**: 32-bit signature via per-bit majority vote of token
   hashes; near-dups = signatures within small Hamming distance,
-  bucketed by signature halves (Hamming ≤ d pairs must agree on one
-  half for d ≤ 16).
+  bucketed by 4 disjoint 8-bit blocks — by pigeonhole, any pair with
+  Hamming ≤ 3 agrees exactly on at least one block, so block-bucketing
+  is *complete* (no missed pairs) for the default distance.
 """
 
 from __future__ import annotations
@@ -54,6 +55,34 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0) — one xxhash64 per word-n-gram shingle occurrence.
+
+    Linear in token count: posexplode tokens → window ``lead`` builds
+    each shingle from its n successors → one base hash per shingle.
+    (A ``transform(sequence, slice)`` formulation is O(tokens²) per doc
+    inside codegen — it was 144 s for 5k docs at sf0.1 vs ~4 s for this
+    plan.) Shared by MinHash signatures and the exact shingle-Jaccard
+    ground truth so both operate on identical shingle sets."""
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    successors = [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
+    return ex.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.col("tok"), *successors).alias("h0"),
+        successors[-1].isNotNull().alias("full"),
+    ).filter(F.col("full") | (F.col("pos") == 0))  # short docs keep 1 partial shingle
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -64,25 +93,11 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min over the doc's word-n-gram shingles.
 
-    Linear in token count: posexplode tokens → window ``lead`` builds
-    each shingle from its n successors → one base xxhash64 per shingle
-    → k derived hashes → min-aggregate. (A ``transform(sequence,
-    slice)`` formulation is O(tokens²) per doc inside codegen — it was
-    144 s for 5k docs at sf0.1 vs ~4 s for this plan.) MinHash over a
-    multiset equals MinHash over the set, so no distinct pass is
-    needed. Shuffles: one on id for the window, one for the agg."""
-    from pyspark.sql import Window as W
-
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = W.partitionBy(id_col).orderBy("pos")
-    successors = [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
-    sh = ex.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(F.col("tok"), *successors).alias("h0"),
-        successors[-1].isNotNull().alias("full"),
-    ).filter(F.col("full") | (F.col("pos") == 0))  # short docs keep 1 partial shingle
+    One base xxhash64 per shingle (:func:`shingle_hashes`) → k derived
+    hashes → min-aggregate. MinHash over a multiset equals MinHash over
+    the set, so no distinct pass is needed. Shuffles: one on id for the
+    window, one for the agg."""
+    sh = shingle_hashes(df, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -90,16 +105,66 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over *distinct shingle-hash sets* — the quantity
+    MinHash actually estimates (token-set Jaccard is a different
+    measure: docs sharing vocabulary in a different order score high on
+    token sets but low on shingles). Inverted-index join on the shingle
+    hash, same shape and scale behavior as :func:`token_jaccard_pairs`.
+    Used as ground truth for the LSH recall self-check."""
+    sh = shingle_hashes(df, text_col, id_col, shingle_n).select(id_col, "h0").distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h0") == F.col("b.h0"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) to get
     candidate pairs with their estimated Jaccard (fraction of equal
     signature components). Collision probability for a pair with true
-    Jaccard s: 1-(1-s^r)^b with r = num_hashes // bands."""
+    Jaccard s: 1-(1-s^r)^b with r = num_hashes // bands.
+
+    ``max_bucket_size`` is the scale guard: a duplicate-saturated corpus
+    puts thousands of docs into one (band, band_hash) bucket, and the
+    self-join inside that bucket is quadratic (10k docs ⇒ ~50M pairs).
+    Buckets larger than the cap are dropped from the join (the window
+    count shares the join's (band, bh) shuffle, so the guard costs no
+    extra exchange). Docs in a dropped bucket still pair through their
+    other ``bands - 1`` buckets, and *identical* docs are caught by the
+    cheaper :func:`exact_duplicates` pass that should always run first;
+    the trade-off is recall loss only for near-dup clusters larger than
+    the cap that collide in every band."""
+    from pyspark.sql import Window as W
+
     r = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
@@ -116,6 +181,13 @@ def minhash_lsh_pairs(
                       for b in range(bands)])
         ).alias("bk"),
     ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    if max_bucket_size is not None:
+        bucket_n = F.count("*").over(W.partitionBy("band", "bh"))
+        exploded = (
+            exploded.withColumn("_bn", bucket_n)
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -169,19 +241,38 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3, bits: int = 32) -> DataFrame:
-    """Candidate pairs within Hamming ≤ max_hamming: bucket on each
-    16-bit half (a pair within distance ≤ 16 must collide on one half),
-    verify exact Hamming distance with bit_count."""
-    half_lo = F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))
-    half_hi = F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit((1 << 16) - 1))
+                       max_hamming: int = 3, bits: int = 32,
+                       blocks: int = 4) -> DataFrame:
+    """Pairs within Hamming ≤ max_hamming: bucket on each of ``blocks``
+    disjoint bit-blocks, verify exact Hamming distance with bit_count.
+
+    Completeness: by pigeonhole, a pair with ≤ max_hamming differing
+    bits spread over ``blocks`` blocks has at least one block with zero
+    differing bits whenever max_hamming < blocks — so with the default
+    4 blocks the block-join provably finds *every* pair at distance ≤ 3
+    (the exact filter then removes false candidates). This is asserted
+    against brute force by the `dedup_simhash` self-check."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"blocks={blocks} cannot guarantee completeness for "
+            f"max_hamming={max_hamming}; need blocks > max_hamming"
+        )
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
     keyed = sigs.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("part"), half_lo.alias("key")),
-                F.struct(F.lit(1).alias("part"), half_hi.alias("key")),
+                *[
+                    F.struct(
+                        F.lit(j).alias("part"),
+                        F.shiftright(F.col("simhash"), j * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for j in range(blocks)
+                ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.part").alias("part"), F.col("bk.key").alias("key"))
@@ -211,14 +302,32 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct-token sets via inverted-index join:
     explode tokens → join on token → count common → |A∪B| from per-doc
-    sizes. Only pairs sharing ≥1 token are ever materialized."""
+    sizes. Only pairs sharing ≥1 token are ever materialized.
+
+    ``max_doc_freq`` is the scale guard: a token appearing in k docs
+    contributes k² rows to the self-join, so ubiquitous tokens (stop
+    words) dominate cost while carrying no dedup signal. When set,
+    tokens whose document frequency exceeds the cap are removed from
+    the vocabulary *before* both the join and the per-doc set sizes —
+    the result is exact Jaccard over the filtered vocabulary (a
+    well-defined, documented semantic, not an approximation of the
+    unfiltered one). Recall trade-off: two docs overlapping only in
+    dropped hot tokens score 0; for near-dup detection that is the
+    desired behavior (stopword overlap isn't duplication)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("w"),
     )
+    if max_doc_freq is not None:
+        doc_freq = toks.groupBy("w").agg(F.count("*").alias("_df"))
+        toks = (
+            toks.join(doc_freq.filter(F.col("_df") <= max_doc_freq), "w", "inner")
+            .drop("_df")
+        )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")
     common = (
@@ -237,20 +346,93 @@ def token_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an edge list (``id_a``,
+    ``id_b``) via alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm). Returns (``node``, ``component``) with component = the
+    minimum node id of the component.
+
+    Everything is DataFrame groupBy/join — no driver-side edge
+    materialization, so the edge list can exceed driver memory. Each
+    round is two shuffles; convergence is O(log n) rounds. Lineage is
+    truncated per round with ``localCheckpoint`` (an iterative plan
+    otherwise grows exponentially), and the convergence test piggybacks
+    on a count + checksum aggregate (one small job per round, no
+    collect of edges)."""
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: connect every neighbor larger than u to the minimum
+        # of u's closed neighborhood.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # small-star: point u and all its smaller neighbors at the minimum.
+        dirn = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = dirn.groupBy("u").agg(F.min("v").alias("mn"))
+        e = (
+            dirn.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins.select("u", F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("cks"),
+        ).first()
+        cur = (sig["n"], sig["cks"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # converged: every edge is (node → component root); roots map to themselves
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
+
+
 def deduplicate_corpus(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    distributed_threshold: int = 100_000,
 ) -> DataFrame:
     """Drop near-duplicates: given candidate pairs (id_a < id_b), keep one
     representative (the min id) per connected component.
 
-    The component computation runs driver-side union-find over the
-    *pairs*, which is output-sized (near-dup pairs ≪ corpus — at 100 TB
-    you may have billions of docs but the pair list at a 0.8+ threshold
-    is orders smaller; if it isn't, the corpus is mostly duplicates and
-    you have a different problem). The drop-list then applies as a
-    broadcast anti-join — one distributed pass over the corpus."""
+    Two paths, picked by edge-list size:
+
+    - **small** (≤ ``distributed_threshold`` pairs): driver-side
+      union-find over the collected pairs, drop-list applied as a
+      broadcast anti-join. Cheapest when near-dup pairs ≪ corpus.
+    - **large**: distributed large-star/small-star
+      (:func:`connected_components`) — a duplicate-saturated corpus
+      (common for web crawl at 100 TB) produces an edge list that
+      swamps the driver, so components are computed entirely in
+      DataFrame ops and the drop-list never leaves the cluster (the
+      anti-join shuffles instead of broadcasting).
+    """
+    n_pairs = pairs.count()
+    if n_pairs > distributed_threshold:
+        comp = connected_components(pairs)
+        drop_df = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(drop_df, on=id_col, how="left_anti")
+
     edges = pairs.select("id_a", "id_b").collect()
     parent: dict = {}
 
@@ -334,8 +516,12 @@ def register_queries(register) -> None:
 
     @register(
         "dedup_minhash_lsh",
-        None,  # approximate: no SQL oracle; ground truth = dedup_token_jaccard
-        doc="MinHash+LSH candidate near-dup pairs (16 hashes, 4 bands)",
+        "SELECT true AS lsh_recall_ok",
+        doc="MinHash+LSH near-dup recall self-check: candidate pairs must cover "
+            "≥70% of the exact shingle-set Jaccard ≥0.7 ground-truth pairs — "
+            "the similarity MinHash estimates (theory: P(candidate | s=0.7) = "
+            "1-(1-0.7^4)^4 ≈ 0.67, rising to ≈0.99 at s=0.9, with 16 hashes / "
+            "4 bands; the fixture's qualifying pairs are ≥0.9)",
         tags=("llm", "capability"),
     )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,16 +532,61 @@ def register_queries(register) -> None:
         # executor memory across repeated invocations the way persist()
         # accumulation would.
         sigs = minhash_signatures(docs).localCheckpoint(eager=True)
-        return minhash_lsh_pairs(sigs).filter(F.col("jaccard_est") >= 0.5).orderBy(
-            "id_a", "id_b"
-        )
+        cand = minhash_lsh_pairs(sigs).select("id_a", "id_b")
+        truth = shingle_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
+        n_truth = truth.count()
+        n_hit = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+        recall = n_hit / max(1, n_truth)
+        ok = bool(n_truth > 0 and recall >= 0.7)
+        return spark.createDataFrame([(ok,)], "lsh_recall_ok boolean")
 
     @register(
         "dedup_simhash",
-        None,  # approximate: no SQL oracle
-        doc="SimHash near-dup pairs (32-bit signature, Hamming ≤ 3)",
+        "SELECT true AS simhash_ok",
+        doc="SimHash completeness self-check: 4-block bucketed Hamming≤3 pairs "
+            "must equal brute-force all-pairs Hamming≤3 over the same signatures "
+            "(pigeonhole guarantees the block join misses nothing at d<blocks)",
         tags=("llm", "capability"),
     )
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return simhash_near_pairs(simhash(docs)).orderBy("id_a", "id_b")
+        sigs = simhash(docs).localCheckpoint(eager=True)
+        bucketed = simhash_near_pairs(sigs).select("id_a", "id_b")
+        a, b = sigs.alias("a"), sigs.alias("b")
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 3
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+        )
+        n_brute = brute.count()
+        missing = brute.exceptAll(bucketed).count()
+        extra = bucketed.exceptAll(brute).count()
+        ok = bool(n_brute > 0 and missing == 0 and extra == 0)
+        return spark.createDataFrame([(ok,)], "simhash_ok boolean")
+
+    @register(
+        "dedup_corpus_survivors",
+        "SELECT true AS cc_ok",
+        doc="corpus dedup self-check: distributed large-star/small-star connected "
+            "components must produce exactly the same survivor set as driver-side "
+            "union-find over the same exact-Jaccard ≥0.8 pair list",
+        tags=("llm", "capability"),
+    )
+    def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        pairs = token_jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
+        small = deduplicate_corpus(docs, pairs, distributed_threshold=10**12)
+        large = deduplicate_corpus(docs, pairs, distributed_threshold=0)
+        n_small = small.count()
+        diff = (
+            small.select("doc_id").exceptAll(large.select("doc_id")).count()
+            + large.select("doc_id").exceptAll(small.select("doc_id")).count()
+        )
+        ok = bool(n_small > 0 and diff == 0)
+        return spark.createDataFrame([(ok,)], "cc_ok boolean")

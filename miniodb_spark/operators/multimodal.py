@@ -153,10 +153,34 @@ def register_queries(register) -> None:
 
     @register(
         "multimodal_features",
-        None,  # feature vectors come from the (fake) decoder — not SQL-expressible
-        doc="mapInPandas feature extraction over binary payloads (decode stubbed)",
+        """
+        SELECT true AS features_ok,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 50)
+                   AS n_media
+        """,
+        doc="mapInPandas feature extraction self-check: the Python/Arrow batch "
+            "path's sha1 + byte-length must match JVM-side sha1()/length() "
+            "expressions row-for-row, every feature vector must have the full "
+            "8 dims, and extraction must be 1:1 with the input (decode stubbed; "
+            "scalar output keeps the result hashable for the canonicalizer)",
         tags=("llm", "capability"),
     )
     def multimodal_features(spark, sf_dir):
         media = synthetic_media_df(spark, sf_dir).filter(F.col("media_id") < 50)
-        return extract_features(media).orderBy("media_id")
+        feats = extract_features(media)
+        jvm = media.select(
+            "media_id",
+            F.sha1("payload").alias("sha_jvm"),
+            F.length("payload").cast("long").alias("len_jvm"),
+        )
+        joined = feats.join(jvm, "media_id")
+        n_media = joined.count()
+        n_bad = joined.filter(
+            (F.col("payload_sha1") != F.col("sha_jvm"))
+            | (F.col("payload_bytes") != F.col("len_jvm"))
+            | (F.size("feature") != 8)
+        ).count()
+        ok = bool(n_media > 0 and n_bad == 0)
+        return spark.createDataFrame(
+            [(ok, n_media)], "features_ok boolean, n_media long"
+        )

@@ -277,13 +277,40 @@ def register_queries(register) -> None:
 
     @register(
         "embedding_near_dup",
-        None,  # LSH candidate generation isn't SQL-expressible; exact verify inside
-        doc="embedding near-duplicate pairs (cosine ≥ 0.95 within LSH buckets)",
+        "SELECT true AS near_dup_ok",
+        doc="embedding near-dup structural self-check: the LSH-bucketed pair set "
+            "must equal exactly {brute-force pairs ≥ threshold whose endpoints "
+            "share an LSH bucket} — verifies bucketing, self-join, and exact "
+            "verification against ground truth computed without LSH (threshold "
+            "0.4 so the fixture's random vectors yield a non-empty truth set)",
         tags=("llm", "capability"),
     )
     def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        threshold = 0.4
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        pairs = embedding_near_dup_pairs(emb, threshold=0.95)
-        return pairs.select(
-            "id_a", "id_b", F.round("cosine_sim", 4).alias("sim4")
-        ).orderBy("id_a", "id_b")
+        lsh_pairs = embedding_near_dup_pairs(emb, threshold=threshold).select(
+            "id_a", "id_b"
+        )
+        # ground truth without LSH: brute-force all pairs ≥ threshold, then
+        # restrict to same-bucket pairs (what a correct bucketed join returns)
+        bucketed = lsh_bucketize(emb).select("vec_id", "embedding", "lsh_bucket")
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        sim = cosine(_as_double("a.embedding"), _as_double("b.embedding"))
+        brute = (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                sim.alias("cosine_sim"),
+                (F.col("a.lsh_bucket") == F.col("b.lsh_bucket")).alias("same_bucket"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        ).localCheckpoint(eager=True)
+        n_truth = brute.count()
+        expected = brute.filter("same_bucket").select("id_a", "id_b")
+        diff = (
+            expected.exceptAll(lsh_pairs).count()
+            + lsh_pairs.exceptAll(expected).count()
+        )
+        ok = bool(n_truth > 0 and diff == 0)
+        return spark.createDataFrame([(ok,)], "near_dup_ok boolean")

@@ -207,9 +207,41 @@ def register_queries(register) -> None:
             ).alias("quality"),
         ).orderBy("doc_id")
 
+    # the oracle mirrors language_id() exactly: distinct lowercase tokens,
+    # per-language distinct-marker-hit counts, argmax with ties resolved in
+    # LANG_MARKERS insertion order (en, es, de, fr), zero hits → 'und'.
+    _lang_oracle_scores = ",\n               ".join(
+        "len(list_intersect(toks, [{}])) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_MARKERS.items()
+    )
+    _lang_oracle_best = "greatest({})".format(
+        ", ".join(f"s_{lang}" for lang in LANG_MARKERS)
+    )
+    _lang_oracle_case = "\n                    ".join(
+        f"WHEN s_{lang} = {_lang_oracle_best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+
     @register(
         "lang_id_heuristic",
-        None,  # marker-list scoring isn't worth contorting into portable SQL
+        f"""
+        WITH t AS (
+          SELECT lang, list_distinct(string_split(lower(text), ' ')) AS toks
+          FROM documents),
+        s AS (
+          SELECT lang,
+               {_lang_oracle_scores}
+          FROM t),
+        p AS (
+          SELECT lang,
+                 CASE WHEN {_lang_oracle_best} <= 0 THEN 'und'
+                    {_lang_oracle_case}
+                 END AS lang_pred
+          FROM s)
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
         doc="marker-word language ID vs the labeled lang column (accuracy matrix)",
         tags=("llm", "capability"),
     )

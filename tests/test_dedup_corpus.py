@@ -46,3 +46,75 @@ def test_end_to_end_minhash_dedup(spark, sf_dir):
     # originals (min ids) survive
     kept = {r["doc_id"] for r in deduped.filter(F.col("doc_id") < 5).collect()}
     assert kept == {0, 1, 2, 3, 4}
+
+
+def test_distributed_cc_matches_union_find(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(12)], "doc_id long, text string"
+    )
+    # a 5-chain (worst case for naive propagation), a triangle, a 2-clique
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7), (7, 8), (6, 8), (10, 11)],
+        "id_a long, id_b long",
+    )
+    small = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(docs, pairs, distributed_threshold=10**9).collect()
+    )
+    large = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(docs, pairs, distributed_threshold=0).collect()
+    )
+    assert small == large == [0, 5, 6, 9, 10]
+
+
+def test_connected_components_direct(spark):
+    from miniodb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 1), (9, 3), (20, 21)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 3: 1, 7: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_band_cap_bounds_duplicate_saturated_corpus(spark):
+    # 400 identical docs: uncapped LSH would materialize ~80k pairs from a
+    # single bucket per band; the cap drops the oversized buckets entirely
+    docs = spark.createDataFrame(
+        [(i, "the same exact text repeated verbatim for every row") for i in range(400)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    capped = minhash_lsh_pairs(sigs, max_bucket_size=100)
+    assert capped.count() == 0  # every bucket exceeds the cap → dropped
+    uncapped = minhash_lsh_pairs(sigs, max_bucket_size=None).limit(5)
+    assert uncapped.count() == 5  # without the guard the pairs do explode
+
+
+def test_hot_token_cap_filters_stopwords(spark):
+    # docs share only the stopword "the"; with the cap the join input for
+    # "the" is removed, so no pair survives
+    docs = spark.createDataFrame(
+        [(1, "the apple orchard"), (2, "the quantum vacuum"), (3, "the iron hull")],
+        "doc_id long, text string",
+    )
+    uncapped = token_jaccard_pairs(docs, threshold=0.1)
+    assert uncapped.count() == 3  # all pairs share 'the' at jaccard 1/5
+    capped = token_jaccard_pairs(docs, threshold=0.1, max_doc_freq=2)
+    assert capped.count() == 0
+
+
+def test_simhash_block_bucketing_complete(spark):
+    from miniodb_spark.operators.dedup import simhash_near_pairs
+
+    # signatures crafted so diffs spread across both 16-bit halves —
+    # the old 2-half bucketing missed these; 4-block must find them
+    sigs = spark.createDataFrame(
+        [(1, 0b0), (2, 0b1 | (1 << 17))],  # hamming 2: bits 0 and 17
+        "doc_id long, simhash long",
+    )
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_near_pairs(sigs).collect()]
+    assert got == [(1, 2, 2)]
