@@ -97,7 +97,14 @@ class WAL:
     def truncate_upto(self, seq: int) -> None:
         """Drop records with seq ≤ ``seq``, keeping later ones. Runs under
         the append lock, so a record appended concurrently with a flush is
-        never discarded (the flush only clears what it drained)."""
+        never discarded (the flush only clears what it drained).
+
+        The rewrite is atomic: kept records go to a temp file which is
+        fsynced and ``os.replace``d over the log. A crash at any point
+        leaves either the old log (some already-flushed records will be
+        replayed and re-deduplicated by id-level upsert downstream) or
+        the new one — never a truncated-then-unwritten log that would
+        lose acked-durable records appended after the drained sequence."""
         with self._lock:
             self._fh.close()
             kept: list[str] = []
@@ -114,8 +121,12 @@ class WAL:
                             kept.append(line)
                     except (ValueError, json.JSONDecodeError):
                         break
-            with open(self.path, "w", encoding="utf-8") as fh:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("".join(l + "\n" for l in kept))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self.path)
             self._fh = open(self.path, "a", encoding="utf-8")
 
     def close(self) -> None:
@@ -160,6 +171,9 @@ class WriteBuffer:
         self.on_flush = on_flush
         self._rows: dict[str, list[BufferRow]] = {}  # table -> rows
         self._count = 0
+        # (table, id) tombstones appended since the last drain(): a delete
+        # racing a failed flush must not be undone by requeue()
+        self._tombstones_since_drain: set[tuple[str, str]] = set()
         self._lock = threading.RLock()
         self._last_flush = time.monotonic()
         self.wal = WAL(wal_path)
@@ -206,6 +220,7 @@ class WriteBuffer:
         removed (reference concurrent_buffer.go:1472-1541)."""
         with self._lock:
             self.wal.append("tombstone", {"table_name": table, "id": row_id})
+            self._tombstones_since_drain.add((table, row_id))
             rows = self._rows.get(table, [])
             keep = [r for r in rows if r.id != row_id]
             removed = len(rows) - len(keep)
@@ -243,17 +258,25 @@ class WriteBuffer:
             self._rows = {}
             self._count = 0
             self._last_flush = time.monotonic()
+            self._tombstones_since_drain = set()
             return batch, self.wal._seq
 
     def requeue(self, batch: dict[str, list[BufferRow]]) -> None:
         """Put drained-but-unflushed rows back (flush failure path).
-        Prepends so original insert order is preserved for readers."""
+        Prepends so original insert order is preserved for readers.
+        Rows whose (table, id) was tombstoned after the drain are NOT
+        restored — a delete that found nothing in the buffer (the rows
+        were in the drained batch) wrote a WAL tombstone, and requeue
+        resurrecting the row would undo that delete in the live read
+        path (the WAL tombstone only protects crash recovery)."""
         with self._lock:
+            dead = self._tombstones_since_drain
             for table, rows in batch.items():
-                if not rows:
+                live = [r for r in rows if (table, r.id) not in dead]
+                if not live:
                     continue
-                self._rows[table] = rows + self._rows.get(table, [])
-                self._count += len(rows)
+                self._rows[table] = live + self._rows.get(table, [])
+                self._count += len(live)
 
     def mark_flushed(self, upto_seq: int) -> None:
         with self._lock:

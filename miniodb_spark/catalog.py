@@ -155,6 +155,22 @@ class Catalog:
             self._persist(name)
             return len(gens) - 1
 
+    def rollback_generation(self, name: str, gen_idx: int) -> bool:
+        """Remove a generation that a failed flush created and never wrote
+        into. Only the *last* generation can be rolled back (a later flush
+        may already have opened — and written — a newer one, in which case
+        the empty generation is left behind; readers tolerate empty gen
+        dirs). Returns True if removed."""
+        with self._lock:
+            gens = self._generations.get(name)
+            if gens and len(gens) - 1 == gen_idx:
+                gens.pop()
+                if not gens:
+                    del self._generations[name]
+                self._persist(name)
+                return True
+            return False
+
     def generation_for(self, name: str, columns: dict[str, str]) -> int:
         """Generation whose schema can hold exactly ``columns`` (used by
         rewrites that re-materialize data in cumulative types)."""

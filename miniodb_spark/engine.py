@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 from typing import Any
 
@@ -75,6 +76,7 @@ class Engine:
         event_publisher=None,
         encryptor=None,
         slow_query_ms: float = 1000.0,
+        max_result_rows: int = 10_000,
     ):
         self.spark = spark
         self.root = root
@@ -85,7 +87,15 @@ class Engine:
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
         self.encryptor = encryptor  # encryption.FieldEncryptor or None
         self.slow_query_ms = slow_query_ms
-        self.query_stats: dict[str, Any] = {"count": 0, "total_ms": 0.0, "slow": []}
+        # driver-materialization guard: a query with neither a SQL LIMIT nor
+        # a request limit is still capped here (the reference always injects
+        # a request-level LIMIT, miniodb_service.go:624-626) — an unbounded
+        # SELECT * over a 100 TB table must never collect onto the driver
+        self.max_result_rows = max_result_rows
+        self.last_query_truncated = False
+        self.query_stats: dict[str, Any] = {
+            "count": 0, "total_ms": 0.0, "slow": [], "truncated": 0
+        }
         self._buffers: dict[str, WriteBuffer] = {}
         self._lock = threading.RLock()
 
@@ -244,17 +254,35 @@ class Engine:
         tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map) for d in row_dicts]
         df = self.spark.createDataFrame(tuples, batch_schema)
         df = df.withColumn("dt", F.date_format("timestamp", "yyyy-MM-dd"))
+        n_gens_before = len(self.catalog.gen_schemas(table))
         gen = self.catalog.register_flush_schema(
             table, {f.name: _type_name(f.dataType) for f in batch_schema.fields}
         )
         cfg = self.catalog.get_table(table)
-        (
-            df.repartition("dt")
-            .write.mode("append")
-            .option("compression", cfg.compression if cfg else "snappy")
-            .partitionBy("dt")
-            .parquet(self._gen_dir(table, gen))
-        )
+        try:
+            (
+                df.repartition("dt")
+                .write.mode("append")
+                .option("compression", cfg.compression if cfg else "snappy")
+                .partitionBy("dt")
+                .parquet(self._gen_dir(table, gen))
+            )
+        except Exception:
+            # a failed write must not leave an orphaned catalog generation:
+            # the requeued rows would otherwise flush again under a NEW
+            # generation while the committed-looking old one lingers. Only
+            # a generation this flush opened is rolled back; absorbing into
+            # an existing generation merged column names additively, which
+            # is harmless (all-null column until a later flush). Partial
+            # parquet output is invisible: the v1 output committer only
+            # publishes files at job commit, so a failed job leaves nothing
+            # a reader picks up.
+            if gen == n_gens_before:
+                self.catalog.rollback_generation(table, gen)
+                gen_dir = self._gen_dir(table, gen)
+                if os.path.isdir(gen_dir):
+                    shutil.rmtree(gen_dir, ignore_errors=True)
+            raise
         return len(rows)
 
     def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp") -> None:
@@ -480,7 +508,16 @@ class Engine:
                 return hit
         t0 = _time.perf_counter()
         df = self.query_df(checked, limit=limit, default_table=default_table)
-        rows = df.toJSON().collect()
+        # cap the collect: fetch one row beyond the cap so truncation is
+        # detectable; queries carrying their own LIMIT are unaffected
+        # (inject_limit is a no-op then, and the cap only trims if the
+        # user's limit exceeds it)
+        self.last_query_truncated = False
+        rows = df.limit(self.max_result_rows + 1).toJSON().collect()
+        if len(rows) > self.max_result_rows:
+            rows = rows[: self.max_result_rows]
+            self.last_query_truncated = True
+            self.query_stats["truncated"] += 1
         if self.encryptor:
             decrypted = [
                 json.dumps(self.encryptor.decrypt_row(json.loads(r)),
@@ -506,14 +543,28 @@ class Engine:
     def stream_query(
         self, sql: str, batch_size: int = 100, cursor: int = 0, default_table: str | None = None
     ) -> tuple[list[dict], int, bool]:
-        """StreamQuery pagination: execute once, slice into batches with an
-        integer offset cursor (reference miniodb_service.go:1276-1360).
-        batch_size default 100, max 10,000."""
+        """StreamQuery pagination with an integer offset cursor (reference
+        miniodb_service.go:1276-1360). batch_size default 100, max 10,000.
+
+        The page is pulled through ``toLocalIterator`` — the driver holds
+        at most one partition of results plus the page itself, never the
+        full result set (the previous implementation collected everything
+        and sliced, which dies on an unbounded SELECT * at scale). The
+        iterator runs partition-by-partition, so an early page only
+        computes the leading partitions. Stable pagination requires a
+        deterministic ORDER BY, same as the reference."""
+        import itertools
+
         batch_size = max(1, min(int(batch_size), 10_000))
-        data = json.loads(self.query(sql, default_table=default_table))
-        batch = data[cursor : cursor + batch_size]
+        checked = gate.validate_query(sql)
+        df = self.query_df(checked, default_table=default_table)
+        it = df.toJSON().toLocalIterator(prefetchPartitions=False)
+        window = list(itertools.islice(it, cursor, cursor + batch_size + 1))
+        has_more = len(window) > batch_size
+        batch = [json.loads(r) for r in window[:batch_size]]
+        if self.encryptor:
+            batch = [self.encryptor.decrypt_row(r) for r in batch]
         next_cursor = cursor + len(batch)
-        has_more = next_cursor < len(data)
         return batch, next_cursor, has_more
 
     # ------------------------------------------------------------------

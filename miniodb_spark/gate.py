@@ -149,12 +149,26 @@ def inject_limit(sql: str, limit: int | None) -> str:
     return f"{sql.rstrip().rstrip(';')} LIMIT {int(limit)}"
 
 
-_TABLE_NAME_RE = re.compile(r"^[a-zA-Z0-9_-]{1,255}$")
+_TABLE_NAME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_]{0,254}$")
+
+# reserved words that are syntactically valid identifiers but would make the
+# table unreferenceable (or confusing) in the SQL surface
+_TABLE_NAME_KEYWORDS = frozenset(
+    """select from where join inner outer left right full cross on group by
+    having order limit offset union intersect except with as distinct all
+    table insert update delete drop create alter values set into and or not
+    null true false case when then else end""".split()
+)
 
 
 def validate_table_name(name: str) -> str:
-    """Table names: ``[a-zA-Z0-9_-]+``, ≤255 chars (reference
-    sql_sanitizer.go:50,110-124)."""
+    """Table names: ``^[a-zA-Z][a-zA-Z0-9_]*$``, ≤255 chars, SQL keywords
+    banned (reference sql_sanitizer.go:50,110-124). This is deliberately
+    the same grammar the query-side table extractor can match — a name
+    that passes here is always queryable (previously hyphenated names
+    accepted writes but could never be read back: write-only data)."""
     if not name or not _TABLE_NAME_RE.match(name):
         raise SQLGateError(f"invalid table name: {name!r}")
+    if name.lower() in _TABLE_NAME_KEYWORDS:
+        raise SQLGateError(f"table name is a reserved SQL keyword: {name!r}")
     return name

@@ -76,3 +76,68 @@ def test_buffer_size_trigger(tmp_path):
     buf = WriteBuffer(str(tmp_path / "t.wal"), buffer_size=2)
     assert buf.add(BufferRow("a", 1, "t", {})) is False
     assert buf.add(BufferRow("b", 2, "t", {})) is True
+
+
+def test_truncate_upto_atomic_keeps_later_records(tmp_path):
+    from miniodb_spark.buffer import WAL
+
+    wal = WAL(str(tmp_path / "w.log"))
+    s1 = wal.append("insert", {"id": "a", "timestamp": 1, "table_name": "t", "fields": {}})
+    wal.append("insert", {"id": "b", "timestamp": 2, "table_name": "t", "fields": {}})
+    wal.truncate_upto(s1)
+    recs = WAL.replay(wal.path)
+    assert [r["payload"]["id"] for r in recs] == ["b"]
+    # no stray temp file left behind
+    import os
+    assert not os.path.exists(wal.path + ".tmp")
+
+
+def test_requeue_respects_tombstones_after_drain(tmp_path):
+    from miniodb_spark.buffer import BufferRow, WriteBuffer
+
+    buf = WriteBuffer(str(tmp_path / "w.log"))
+    buf.add(BufferRow("r1", 1_000_000, "t", {"v": 1}))
+    buf.add(BufferRow("r2", 1_000_000, "t", {"v": 2}))
+    batch, seq = buf.drain()
+    # a delete lands between drain and the (failed) flush: finds nothing
+    # in the buffer but writes a tombstone
+    assert buf.remove("t", "r1") == 0
+    buf.requeue(batch)
+    live = {r.id for r in buf.rows_for("t")}
+    assert live == {"r2"}  # r1 must stay deleted
+    # crash-recovery path agrees: replaying the WAL suppresses r1 too
+    buf2 = WriteBuffer(str(tmp_path / "w.log"))
+    assert {r.id for r in buf2.rows_for("t")} == {"r2"}
+
+
+def test_failed_flush_rolls_back_new_generation(spark, tmp_path):
+    from miniodb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.write("t", {"v": 1}, record_id="a", timestamp_us=1_700_000_000_000_000)
+    eng.flush()
+    assert len(eng.catalog.gen_schemas("t")) == 1
+    # incompatible type for v forces a NEW generation; make the write fail
+    eng.write("t", {"v": "now-a-string"}, record_id="b",
+              timestamp_us=1_700_000_000_000_000)
+    # fail AFTER register_flush_schema, inside the parquet write: the
+    # target dir is resolved within the try block
+    orig_gen_dir = eng._gen_dir
+    calls = []
+    def boom(table, gen):
+        if not calls:  # fail the write; let the cleanup path resolve the dir
+            calls.append(1)
+            raise RuntimeError("injected write failure")
+        return orig_gen_dir(table, gen)
+    eng._gen_dir = boom
+    try:
+        import pytest
+        with pytest.raises(RuntimeError):
+            eng.flush("t")
+    finally:
+        eng._gen_dir = orig_gen_dir
+    # the failed flush must not have minted generation 2
+    assert len(eng.catalog.gen_schemas("t")) == 1
+    # rows were requeued; a retry succeeds and opens the generation for real
+    assert eng.flush("t") == 1
+    assert len(eng.catalog.gen_schemas("t")) == 2

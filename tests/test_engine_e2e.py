@@ -150,3 +150,35 @@ def test_dt_partition_layout(engine, tmp_path):
     gen_dir = os.path.join(engine.root, "users", "gen=0")
     parts = sorted(d for d in os.listdir(gen_dir) if d.startswith("dt="))
     assert len(parts) == 7  # seeded across 7 distinct days, one schema generation
+
+
+def test_unbounded_query_is_capped_and_signals_truncation(spark, tmp_path):
+    from miniodb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "capstore"), max_result_rows=10)
+    _seed_users(eng, n=25)
+    eng.flush()
+    rows = json.loads(eng.query("SELECT id FROM users"))
+    assert len(rows) == 10
+    assert eng.last_query_truncated
+    assert eng.query_stats["truncated"] == 1
+    # a query with its own LIMIT under the cap is untouched
+    rows = json.loads(eng.query("SELECT id FROM users LIMIT 3"))
+    assert len(rows) == 3 and not eng.last_query_truncated
+
+
+def test_stream_query_never_collects_full_result(spark, tmp_path):
+    from miniodb_spark.engine import Engine
+
+    # cap far below the table size: stream_query must still page through
+    # everything because it iterates instead of collecting
+    eng = Engine(spark, str(tmp_path / "iterstore"), max_result_rows=5)
+    _seed_users(eng, n=30)
+    eng.flush()
+    seen, cursor, more = [], 0, True
+    while more:
+        batch, cursor, more = eng.stream_query(
+            "SELECT id FROM users ORDER BY id", batch_size=12, cursor=cursor
+        )
+        seen.extend(r["id"] for r in batch)
+    assert len(seen) == 30 and seen == sorted(seen)

@@ -88,7 +88,11 @@ def test_inject_limit():
 
 
 def test_table_name_validation():
-    assert validate_table_name("users_2-x") == "users_2-x"
-    for bad in ["", "a b", "a;b", "x" * 256, 'a"b']:
+    assert validate_table_name("users_2_x") == "users_2_x"
+    assert validate_table_name("A1") == "A1"
+    # every accepted name must be queryable: hyphens, digit-leading, and
+    # reserved words are rejected at write time, not silently unreachable
+    for bad in ["", "a b", "a;b", "x" * 256, 'a"b', "users-2", "2users",
+                "_users", "select", "FROM"]:
         with pytest.raises(SQLGateError):
             validate_table_name(bad)
