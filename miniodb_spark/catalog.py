@@ -72,6 +72,7 @@ class Catalog:
         # table -> list of generation schemas [{col: type}, ...]
         self._generations: dict[str, list[dict[str, str]]] = {}
         self._lock = threading.RLock()
+        self._stream_commits: dict[str, int] | None = None  # lazy-loaded
         self._load_all()
 
     # -- config persistence (memory -> json file -> default) ------------
@@ -154,6 +155,37 @@ class Catalog:
             gens.append(dict(columns))
             self._persist(name)
             return len(gens) - 1
+
+    # -- streaming batch commit registry ---------------------------------
+    # foreachBatch guarantees a stable batch_id per epoch across retries;
+    # recording the high-water mark per stream makes the sink idempotent
+    # against Structured Streaming's replay-after-restart.
+
+    def _stream_commits_path(self) -> str:
+        return os.path.join(self.root, "_system", "stream_commits.json")
+
+    def _load_stream_commits(self) -> dict[str, int]:
+        if self._stream_commits is None:
+            try:
+                with open(self._stream_commits_path(), encoding="utf-8") as fh:
+                    self._stream_commits = {k: int(v) for k, v in json.load(fh).items()}
+            except (FileNotFoundError, json.JSONDecodeError):
+                self._stream_commits = {}
+        return self._stream_commits
+
+    def last_committed_batch(self, stream_id: str) -> int:
+        with self._lock:
+            return self._load_stream_commits().get(stream_id, -1)
+
+    def commit_stream_batch(self, stream_id: str, batch_id: int) -> None:
+        with self._lock:
+            commits = self._load_stream_commits()
+            commits[stream_id] = max(commits.get(stream_id, -1), int(batch_id))
+            path = self._stream_commits_path()
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(commits, fh)
+            os.replace(tmp, path)
 
     def rollback_generation(self, name: str, gen_idx: int) -> bool:
         """Remove a generation that a failed flush created and never wrote

@@ -5,8 +5,18 @@ batches through the same buffered write path
 (/root/reference/internal/service/miniodb_service.go:1196-1273). The
 Spark-native equivalent: any streaming source → ``foreachBatch`` →
 ``Engine.ingest_dataframe`` (the bulk path — straight partitioned
-parquet append, no driver materialization), with checkpointing
-providing the WAL/exactly-once semantics the reference built by hand.
+parquet append, no driver materialization).
+
+Delivery semantics: **effectively-once**. Structured Streaming's
+checkpoint replays the last uncommitted batch after a restart with the
+same ``batch_id``; the sink records each committed batch_id in the
+engine catalog and skips replays, so acknowledged batches are never
+ingested twice. The residual window is a crash *between* the parquet
+job commit and the marker write — that single batch is re-ingested on
+restart (plain parquet has no transaction that can span data + marker;
+closing the window needs a transactional table format). This is the
+honest bound for an append-only parquet sink, and one batch narrower
+than the reference's at-least-once StreamWrite ack model.
 """
 
 from __future__ import annotations
@@ -24,14 +34,24 @@ def stream_ingest(
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
     publish_cdc: bool = True,
+    stream_id: str | None = None,
 ):
     """Start (and by default drain-and-stop) a streaming ingestion into
-    ``table``. Returns the StreamingQuery."""
+    ``table``. Returns the StreamingQuery.
+
+    ``stream_id`` keys the idempotence registry; defaults to the target
+    table, which is right for one stream per table. Run two concurrent
+    streams into one table only with distinct explicit stream_ids."""
+    sid = stream_id or f"ingest:{table}"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= engine.catalog.last_committed_batch(sid):
+            return  # checkpoint replay of an already-ingested batch
         if batch_df.isEmpty():
+            engine.catalog.commit_stream_batch(sid, batch_id)
             return
         engine.ingest_dataframe(table, batch_df, ts_col=ts_col)
+        engine.catalog.commit_stream_batch(sid, batch_id)
         if publish_cdc and engine.events:
             n = batch_df.count()
             engine.events.publish(

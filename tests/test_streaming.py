@@ -137,3 +137,34 @@ def test_stream_ingest_foreachbatch(spark, tmp_path, sf_dir):
     q2.awaitTermination(120)
     got2 = json.loads(eng.query("SELECT count(*) AS n FROM events_in"))[0]["n"]
     assert got2 == expected
+
+
+def test_stream_ingest_skips_redelivered_batch_id(spark, tmp_path, sf_dir):
+    """A re-delivered batch_id (fresh checkpoint, same stream) must not
+    duplicate rows: the catalog's commit registry makes the sink
+    idempotent even when Structured Streaming's own checkpoint is lost."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    eng = Engine(spark, str(tmp_path / "store"))
+    batch_schema = spark.read.parquet(str(src)).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+        q = stream_ingest(eng, stream, "events_replay", ts_col="ts",
+                          checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt_a")
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n1 = json.loads(eng.query("SELECT count(*) AS n FROM events_replay"))[0]["n"]
+    assert n1 == expected
+    assert eng.catalog.last_committed_batch("ingest:events_replay") == 0
+    # lose the checkpoint: the same data re-arrives as batch_id 0 again
+    run("ckpt_b")
+    n2 = json.loads(eng.query("SELECT count(*) AS n FROM events_replay"))[0]["n"]
+    assert n2 == expected
