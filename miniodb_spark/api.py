@@ -4,10 +4,14 @@ gRPC ``MinIODBService`` (/root/reference/api/proto/miniodb/v1/
 miniodb.proto:12-39) and its REST mirror expose: WriteData, QueryData,
 UpdateData, DeleteData, StreamWrite, StreamQuery, CreateTable,
 ListTables, GetTable, DeleteTable, BackupMetadata, RestoreMetadata,
-HealthCheck, GetStatus, GetMetrics. This module maps each RPC onto the
-Engine so a reference client's call shapes translate directly; the
-transport (gRPC/HTTP server) is out of scope — any server can wrap
-this facade.
+ListBackups, GetMetadataStatus, HealthCheck, GetStatus, GetMetrics —
+plus the separate ``AuthService`` (miniodb.proto:42-46: GetToken,
+RefreshToken, RevokeToken). This module maps every RPC onto the Engine
+so a reference client's call shapes translate directly; the transport
+(gRPC/HTTP server) is out of scope — any server can wrap this facade,
+and per-RPC token enforcement is available through
+``miniodb_spark.auth.AuthInterceptor`` (mirroring the reference's
+interceptor chain, internal/security/interceptor.go).
 
 Responses use the reference's conventions: query results are JSON
 array strings (miniodb.proto:88-92), timestamps are µs since epoch.
@@ -18,13 +22,16 @@ from __future__ import annotations
 import time
 from typing import Any
 
+from .backup import BackupManager
 from .catalog import TableConfig
 from .engine import Engine
 
 
 class MiniODBService:
-    def __init__(self, engine: Engine):
+    def __init__(self, engine: Engine, auth=None, backup: BackupManager | None = None):
         self.engine = engine
+        self.auth = auth  # auth.TokenManager or None (auth RPCs error if None)
+        self.backup = backup or BackupManager(engine.catalog)
         self._started = time.time()
         self._counters = {"writes": 0, "queries": 0, "updates": 0, "deletes": 0}
 
@@ -93,11 +100,44 @@ class MiniODBService:
     # -- metadata plane ----------------------------------------------------
 
     def backup_metadata(self) -> dict:
-        return {"metadata": self.engine.catalog.export_metadata()}
+        info = self.backup.create_backup()
+        return {"metadata": self.engine.catalog.export_metadata(),
+                "backup": info, "success": True}
 
-    def restore_metadata(self, metadata: dict) -> dict:
-        n = self.engine.catalog.import_metadata(metadata)
+    def restore_metadata(self, metadata: dict | None = None,
+                         object_name: str | None = None) -> dict:
+        if object_name is not None:
+            n = self.backup.restore_backup(object_name)
+        else:
+            n = self.engine.catalog.import_metadata(metadata or {})
         return {"success": True, "tables_restored": n}
+
+    def list_backups(self, days: int = 30) -> dict:
+        """ListBackups RPC (miniodb.proto:287-304)."""
+        return self.backup.list_backups(days=days)
+
+    def get_metadata_status(self) -> dict:
+        """GetMetadataStatus RPC (miniodb.proto:306-318)."""
+        return self.backup.status(healthy=self.health_check()["status"] == "healthy")
+
+    # -- auth plane (AuthService, miniodb.proto:42-46) ---------------------
+
+    def _require_auth(self):
+        if self.auth is None:
+            from .auth import AuthError
+
+            raise AuthError("auth is not configured on this node")
+        return self.auth
+
+    def get_token(self, api_key: str, secret: str) -> dict:
+        return self._require_auth().get_token(api_key, secret)
+
+    def refresh_token(self, refresh_token: str) -> dict:
+        return self._require_auth().refresh(refresh_token)
+
+    def revoke_token(self, token: str) -> dict:
+        ok = self._require_auth().revoke(token)
+        return {"success": ok, "message": "token revoked"}
 
     # -- ops plane ---------------------------------------------------------
 
