@@ -14,16 +14,22 @@ to a temp dir with ``maxRecordsPerFile``, then swapped in atomically.
 At 100 TB this runs as a periodic job per table over only the
 partitions whose small-file count crossed the threshold — never a full
 table rewrite.
+
+All file listing/moving/removal goes through :mod:`miniodb_spark.fs`,
+so compaction runs unchanged against a local root or an object store
+(``s3a://``) — the reference compacts objects on MinIO the same
+download/merge/reupload way (manager.go:298-553).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+
+from . import fs as fsmod
+from .fs import LocalFS
 
 MB = 1024 * 1024
 
@@ -53,14 +59,11 @@ class CompactionPlan:
     total_bytes: int
 
 
-def plan_partition(partition_dir: str) -> list[CompactionPlan]:
+def plan_partition(partition_dir: str, fs=None) -> list[CompactionPlan]:
     """Classify a partition's parquet files by tier and select candidate
     groups (≥ tier threshold files in the same tier, capped per run)."""
-    files = [
-        (e.path, e.stat().st_size)
-        for e in os.scandir(partition_dir)
-        if e.is_file() and e.name.endswith(".parquet")
-    ]
+    fs = fs or LocalFS()
+    files = fs.list_files(partition_dir, suffix=".parquet")
     by_tier: dict[int, list[tuple[str, int]]] = {}
     for path, size in files:
         by_tier.setdefault(file_tier(size), []).append((path, size))
@@ -81,25 +84,22 @@ def plan_partition(partition_dir: str) -> list[CompactionPlan]:
     return plans
 
 
-def plan_table(table_dir: str) -> list[CompactionPlan]:
+def plan_table(table_dir: str, fs=None) -> list[CompactionPlan]:
     """Walk ``gen=N/dt=day`` leaf partitions (compaction stays inside one
     generation, so merged files keep a single physical schema)."""
+    fs = fs or LocalFS()
     plans: list[CompactionPlan] = []
-    if not os.path.isdir(table_dir):
-        return plans
-    for gen_entry in sorted(os.scandir(table_dir), key=lambda e: e.name):
-        if not (gen_entry.is_dir() and gen_entry.name.startswith("gen=")):
-            continue
-        for entry in sorted(os.scandir(gen_entry.path), key=lambda e: e.name):
-            if entry.is_dir() and entry.name.startswith("dt="):
-                plans.extend(plan_partition(entry.path))
+    for gen_dir in fs.list_dirs(table_dir, prefix="gen="):
+        for part_dir in fs.list_dirs(gen_dir, prefix="dt="):
+            plans.extend(plan_partition(part_dir, fs=fs))
     return plans
 
 
-def execute_plan(spark: SparkSession, plan: CompactionPlan) -> dict:
+def execute_plan(spark: SparkSession, plan: CompactionPlan, fs=None) -> dict:
     """Merge the plan's files: distributed read → coalesced write to a
     temp dir → atomic swap (write-then-rename; inputs deleted only after
     the rewrite landed). Lossless: no schema collapse."""
+    fs = fs or LocalFS()
     df = spark.read.option("mergeSchema", "true").parquet(*plan.files)
     target_files = max(1, plan.total_bytes // (128 * MB))
     tmp = plan.partition_dir + f".compact_{uuid.uuid4().hex}"
@@ -109,17 +109,15 @@ def execute_plan(spark: SparkSession, plan: CompactionPlan) -> dict:
         .mode("overwrite")
         .parquet(tmp)
     )
-    new_files = [
-        e.path for e in os.scandir(tmp) if e.is_file() and e.name.endswith(".parquet")
-    ]
+    new_files = [p for p, _ in fs.list_files(tmp, suffix=".parquet")]
     moved = []
     for i, src in enumerate(new_files):
-        dst = os.path.join(plan.partition_dir, f"compacted_{uuid.uuid4().hex}_{i}.parquet")
-        shutil.move(src, dst)
+        dst = fsmod.join(plan.partition_dir, f"compacted_{uuid.uuid4().hex}_{i}.parquet")
+        fs.move(src, dst)
         moved.append(dst)
     for old in plan.files:
-        os.remove(old)
-    shutil.rmtree(tmp, ignore_errors=True)
+        fs.remove_file(old)
+    fs.remove_dir(tmp)
     return {
         "inputs": len(plan.files),
         "outputs": len(moved),
@@ -130,5 +128,6 @@ def execute_plan(spark: SparkSession, plan: CompactionPlan) -> dict:
     }
 
 
-def compact_table(spark: SparkSession, table_dir: str) -> list[dict]:
-    return [execute_plan(spark, p) for p in plan_table(table_dir)]
+def compact_table(spark: SparkSession, table_dir: str, fs=None) -> list[dict]:
+    fs = fs or LocalFS()
+    return [execute_plan(spark, p, fs=fs) for p in plan_table(table_dir, fs=fs)]

@@ -44,6 +44,8 @@ from .buffer import BufferRow, WriteBuffer
 from .cache import QueryResultCache
 from .catalog import Catalog, TableConfig
 from .extractor import analyze_complexity, extract_tables
+from .fs import get_fs
+from . import fs as fsmod
 from .idgen import IDGenerator, resolve_id
 from .mutations import delete_rows
 
@@ -80,8 +82,25 @@ class Engine:
     ):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
-        self.catalog = Catalog(root)
+        # data-path file ops go through the fs abstraction so mutations /
+        # compaction / retention work against s3a:// roots; metadata
+        # (catalog JSON, WAL) stays driver-local, mirroring the reference's
+        # Redis-metadata / MinIO-data split. For an object-store root the
+        # local metadata dir is derived from a hash of the root URI.
+        self.fs = get_fs(spark, root)
+        self.fs.makedirs(root)
+        if "://" in root:
+            import hashlib as _hashlib
+
+            meta_root = os.path.join(
+                os.path.expanduser("~/.miniodb_spark_meta"),
+                _hashlib.sha256(root.encode()).hexdigest()[:16],
+            )
+        else:
+            meta_root = root
+        self.meta_root = meta_root
+        os.makedirs(meta_root, exist_ok=True)
+        self.catalog = Catalog(meta_root)
         self.cache = QueryResultCache(ttl_s=cache_ttl_s)
         self.idgen = IDGenerator(node_id)
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
@@ -120,15 +139,13 @@ class Engine:
                 buf.wal.close()
             ok = self.catalog.drop_table(name)
             self.cache.invalidate_table(name)
-            import shutil
-
             path = self._table_dir(name)
-            if os.path.isdir(path):
-                shutil.rmtree(path)
+            if self.fs.is_dir(path):
+                self.fs.remove_dir(path)
             return ok
 
     def _table_dir(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return fsmod.join(self.root, table)
 
     def _buffer_for(self, table: str) -> WriteBuffer:
         with self._lock:
@@ -136,7 +153,7 @@ class Engine:
             if buf is None:
                 cfg = self.catalog.ensure_table(table)
                 buf = WriteBuffer(
-                    wal_path=os.path.join(self.root, "_system", "wal", f"{table}.wal"),
+                    wal_path=os.path.join(self.meta_root, "_system", "wal", f"{table}.wal"),
                     buffer_size=cfg.buffer_size,
                     flush_interval_s=cfg.flush_interval_s,
                 )
@@ -246,7 +263,7 @@ class Engine:
         return total
 
     def _gen_dir(self, table: str, gen: int) -> str:
-        return os.path.join(self._table_dir(table), f"gen={gen}")
+        return fsmod.join(self._table_dir(table), f"gen={gen}")
 
     def _flush_rows(self, table: str, rows: list[BufferRow]) -> int:
         row_dicts = [r.to_dict() for r in rows]
@@ -280,8 +297,8 @@ class Engine:
             if gen == n_gens_before:
                 self.catalog.rollback_generation(table, gen)
                 gen_dir = self._gen_dir(table, gen)
-                if os.path.isdir(gen_dir):
-                    shutil.rmtree(gen_dir, ignore_errors=True)
+                if self.fs.is_dir(gen_dir):
+                    self.fs.remove_dir(gen_dir)
             raise
         return len(rows)
 
@@ -370,7 +387,7 @@ class Engine:
         parts: list[DataFrame] = []
         for i, gcols in enumerate(gens):
             gdir = self._gen_dir(table, i)
-            if not os.path.isdir(gdir):
+            if not self.fs.is_dir(gdir):
                 continue
             struct = T.StructType(
                 [
@@ -642,16 +659,12 @@ class Engine:
                 - timedelta(days=cfg.retention_days)
             ).strftime("%Y-%m-%d")
             tdir = self._table_dir(t)
-            if not os.path.isdir(tdir):
-                continue
-            for gen_entry in os.scandir(tdir):
-                if not (gen_entry.is_dir() and gen_entry.name.startswith("gen=")):
-                    continue
-                for entry in os.scandir(gen_entry.path):
-                    if entry.is_dir() and entry.name.startswith("dt="):
-                        if entry.name[len("dt=") :] < cutoff:
-                            shutil.rmtree(entry.path)
-                            removed += 1
+            for gen_dir in self.fs.list_dirs(tdir, prefix="gen="):
+                for part_dir in self.fs.list_dirs(gen_dir, prefix="dt="):
+                    part = part_dir.rstrip("/").rsplit("/", 1)[-1]
+                    if part[len("dt=") :] < cutoff:
+                        self.fs.remove_dir(part_dir)
+                        removed += 1
             if removed:
                 self.cache.invalidate_table(t)
         return removed

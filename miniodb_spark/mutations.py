@@ -11,16 +11,21 @@ schema generation, and the old partition directories are removed. A
 failure mid-rewrite leaves the old data in place (write-to-temp, swap
 last). The rewrite itself is a distributed Spark job, not a driver
 loop over files.
+
+All file manipulation goes through the engine's filesystem abstraction
+(:mod:`miniodb_spark.fs`), so the same rewrite-and-swap runs against a
+local root or an object store (``s3a://``) — matching the reference's
+MinIO rewrite-and-reupload.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from . import fs as fsmod
 
 
 def delete_rows(
@@ -34,6 +39,7 @@ def delete_rows(
     engine's aligned persisted read (columns = cumulative schema +
     dt + gen). Only (gen, dt) partitions containing matches are
     rewritten."""
+    fs = engine.fs
     per_part = df.filter(delete_predicate).groupBy("gen", "dt").count().collect()
     if not per_part:
         return 0
@@ -49,42 +55,33 @@ def delete_rows(
     survivors = df.filter(affected_pred).filter(~delete_predicate).drop("gen")
 
     table_dir = engine._table_dir(table)
-    tmp = os.path.join(table_dir, f"_rewrite_{uuid.uuid4().hex}")
+    tmp = fsmod.join(table_dir, f"_rewrite_{uuid.uuid4().hex}")
     survivors.write.mode("overwrite").partitionBy("dt").parquet(tmp)
 
     # snapshot the exact pre-existing files of every affected partition —
     # they (and only they) become redundant once survivors land
     preexisting: list[str] = []
     for g, d in affected:
-        pdir = os.path.join(engine._gen_dir(table, g), f"dt={d}")
-        if os.path.isdir(pdir):
-            preexisting.extend(
-                f.path for f in os.scandir(pdir)
-                if f.is_file() and f.name.endswith(".parquet")
-            )
+        pdir = fsmod.join(engine._gen_dir(table, g), f"dt={d}")
+        preexisting.extend(p for p, _ in fs.list_files(pdir, suffix=".parquet"))
 
     try:
         # land survivors in the cumulative-typed generation first…
         target_dir = engine._gen_dir(table, target_gen)
-        for entry in os.scandir(tmp):
-            if not (entry.is_dir() and entry.name.startswith("dt=")):
-                continue
-            dst_dir = os.path.join(target_dir, entry.name)
-            os.makedirs(dst_dir, exist_ok=True)
-            for f in os.scandir(entry.path):
-                if f.is_file() and f.name.endswith(".parquet"):
-                    shutil.move(
-                        f.path, os.path.join(dst_dir, f"rw_{uuid.uuid4().hex}_{f.name}")
-                    )
+        for part_dir in fs.list_dirs(tmp, prefix="dt="):
+            part_name = part_dir.rstrip("/").rsplit("/", 1)[-1]
+            dst_dir = fsmod.join(target_dir, part_name)
+            fs.makedirs(dst_dir)
+            for src, _ in fs.list_files(part_dir, suffix=".parquet"):
+                fname = src.rstrip("/").rsplit("/", 1)[-1]
+                fs.move(src, fsmod.join(dst_dir, f"rw_{uuid.uuid4().hex}_{fname}"))
         # …then drop exactly the snapshotted old files
         for path in preexisting:
-            os.remove(path)
+            fs.remove_file(path)
         for g, d in affected:
-            pdir = os.path.join(engine._gen_dir(table, g), f"dt={d}")
-            if os.path.isdir(pdir) and not any(
-                fn.endswith(".parquet") for fn in os.listdir(pdir)
-            ):
-                shutil.rmtree(pdir)
+            pdir = fsmod.join(engine._gen_dir(table, g), f"dt={d}")
+            if fs.is_dir(pdir) and not fs.list_files(pdir, suffix=".parquet"):
+                fs.remove_dir(pdir)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.remove_dir(tmp)
     return int(deleted)
