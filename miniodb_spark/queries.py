@@ -589,8 +589,13 @@ def join_multiway_region(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    # broadcast hints only on the BOUNDED dims (nation=25, region=5 rows at
+    # every SF). customer grows with the data — at 100× a hard-coded hint
+    # would force an executor-OOM-sized broadcast, so AQE's size check
+    # decides for it (it still broadcasts at bench SFs, asserted in
+    # test_plans.py::test_star_join_broadcasts_dims).
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -1102,9 +1107,13 @@ def q3_shipping_priority(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # customer is a growing table: no hard broadcast hint — AQE sizes the
+    # post-filter side at runtime (BUILDING segment ≈ 20% of customers) and
+    # still picks broadcast at bench SFs; at 100× it degrades gracefully to
+    # a shuffle join instead of OOMing an executor.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
