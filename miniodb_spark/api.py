@@ -19,26 +19,59 @@ array strings (miniodb.proto:88-92), timestamps are µs since epoch.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Any
 
 from .backup import BackupManager
 from .catalog import TableConfig
 from .engine import Engine
+from .monitoring import HealthChecker, MetricsRegistry
 
 
 class MiniODBService:
-    def __init__(self, engine: Engine, auth=None, backup: BackupManager | None = None):
+    def __init__(self, engine: Engine, auth=None, backup: BackupManager | None = None,
+                 rate_limiter=None, metrics: MetricsRegistry | None = None):
         self.engine = engine
         self.auth = auth  # auth.TokenManager or None (auth RPCs error if None)
         self.backup = backup or BackupManager(engine.catalog)
+        self.rate_limiter = rate_limiter  # ratelimit.SmartRateLimiter or None
+        self.metrics = metrics or MetricsRegistry()
+        self.health = HealthChecker(engine)
         self._started = time.time()
         self._counters = {"writes": 0, "queries": 0, "updates": 0, "deletes": 0}
 
+    @contextlib.contextmanager
+    def _rpc(self, path: str, client_id: str = "default"):
+        """Per-RPC guard: rate limit (reference grpc_smart_rate_limiter.go
+        enforces per method) + request counter + latency histogram
+        (reference internal/monitoring/metrics.go)."""
+        if self.rate_limiter is not None:
+            self.rate_limiter.check(client_id, path)
+        self.metrics.counter(
+            "rpc_requests_total", "RPC invocations by method"
+        ).inc(method=path)
+        t0 = time.perf_counter()
+        try:
+            yield
+        except Exception:
+            self.metrics.counter(
+                "rpc_errors_total", "RPC failures by method"
+            ).inc(method=path)
+            raise
+        finally:
+            self.metrics.histogram(
+                "rpc_latency_seconds", "RPC wall time"
+            ).observe(time.perf_counter() - t0)
+
     # -- data plane ------------------------------------------------------
 
-    def write_data(self, table: str, record: dict) -> dict:
+    def write_data(self, table: str, record: dict, client_id: str = "default") -> dict:
         """record: {id?, timestamp? (µs), payload: {...}}"""
+        with self._rpc("write_data", client_id):
+            return self._write_data(table, record)
+
+    def _write_data(self, table: str, record: dict) -> dict:
         rid = self.engine.write(
             table,
             record.get("payload", {}),
@@ -49,10 +82,15 @@ class MiniODBService:
         return {"success": True, "id": rid}
 
     def query_data(self, sql: str, limit: int | None = None,
-                   default_table: str | None = None) -> dict:
-        result_json = self.engine.query(sql, limit=limit, default_table=default_table)
-        self._counters["queries"] += 1
-        return {"result_json": result_json}
+                   default_table: str | None = None,
+                   client_id: str = "default") -> dict:
+        with self._rpc("query_data", client_id):
+            result_json = self.engine.query(
+                sql, limit=limit, default_table=default_table
+            )
+            self._counters["queries"] += 1
+            return {"result_json": result_json,
+                    "truncated": self.engine.last_query_truncated}
 
     def update_data(self, table: str, record_id: str, payload: dict,
                     timestamp_us: int | None = None) -> dict:
@@ -152,7 +190,25 @@ class MiniODBService:
         return self.engine.status() | {"uptime_s": round(time.time() - self._started, 1)}
 
     def get_metrics(self) -> dict[str, Any]:
-        return dict(self._counters) | {
+        out = dict(self._counters) | {
             "cache_hits": self.engine.cache.hits,
             "cache_misses": self.engine.cache.misses,
+            "query_stats": {
+                "count": self.engine.query_stats["count"],
+                "total_ms": round(self.engine.query_stats["total_ms"], 1),
+                "truncated": self.engine.query_stats["truncated"],
+                "slow_queries": len(self.engine.query_stats["slow"]),
+            },
+            "registry": self.metrics.snapshot(),
         }
+        if self.rate_limiter is not None:
+            out["rate_limiter"] = self.rate_limiter.stats()
+        return out
+
+    def get_metrics_text(self) -> str:
+        """Prometheus text exposition (reference exposes /metrics)."""
+        return self.metrics.expose_text()
+
+    def health_detail(self) -> dict:
+        """Component-level health rollup (reference monitoring/health.go)."""
+        return self.health.check()

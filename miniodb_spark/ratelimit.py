@@ -1,0 +1,165 @@
+"""QPS protection: token-bucket smart rate limiter.
+
+Parity target: /root/reference/internal/security/smart_rate_limiter.go
+(+ grpc_smart_rate_limiter.go) — a token bucket per (client, path
+rule), named tiers (requests/sec + burst + backoff on violation),
+path-pattern → tier routing, idle-client cleanup. The gRPC transport
+enforces it per RPC; here the facade enforces it per call
+(``MiniODBService`` with a limiter configured).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import threading
+import time
+from dataclasses import dataclass, field
+
+
+class RateLimitExceeded(Exception):
+    def __init__(self, retry_after_s: float):
+        super().__init__(f"rate limit exceeded; retry after {retry_after_s:.2f}s")
+        self.retry_after_s = retry_after_s
+
+
+class TokenBucket:
+    """Classic token bucket (smart_rate_limiter.go:40-106): starts full,
+    refills continuously at ``refill_rate`` tokens/s up to ``capacity``."""
+
+    def __init__(self, capacity: int, refill_rate: float,
+                 clock=time.monotonic):
+        self.capacity = capacity
+        self.refill_rate = refill_rate
+        self._tokens = float(capacity)
+        self._clock = clock
+        self._last = clock()
+        self._lock = threading.Lock()
+
+    def _refill(self) -> None:
+        now = self._clock()
+        self._tokens = min(
+            float(self.capacity), self._tokens + (now - self._last) * self.refill_rate
+        )
+        self._last = now
+
+    def try_consume(self, tokens: int = 1) -> bool:
+        with self._lock:
+            self._refill()
+            if self._tokens >= tokens:
+                self._tokens -= tokens
+                return True
+            return False
+
+    def wait_time_s(self, tokens: int = 1) -> float:
+        with self._lock:
+            self._refill()
+            deficit = tokens - self._tokens
+            return max(0.0, deficit / self.refill_rate)
+
+
+@dataclass
+class RateLimitTier:
+    name: str
+    requests_per_sec: float
+    burst_size: int
+    backoff_s: float = 0.0  # extra lockout after a violation
+
+
+@dataclass
+class PathRateLimit:
+    pattern: str  # fnmatch-style, e.g. "query*" or "*"
+    tier: str
+    enabled: bool = True
+
+
+# the reference ships a default 3-tier config (smart_rate_limiter.go:181-205)
+DEFAULT_TIERS = [
+    RateLimitTier("premium", 100.0, 200, backoff_s=0.5),
+    RateLimitTier("standard", 50.0, 100, backoff_s=1.0),
+    RateLimitTier("basic", 20.0, 60, backoff_s=2.0),
+]
+DEFAULT_PATH_LIMITS = [
+    PathRateLimit("stream_*", "premium"),
+    PathRateLimit("query*", "standard"),
+    PathRateLimit("*", "standard"),
+]
+
+
+@dataclass
+class SmartRateLimiterConfig:
+    enabled: bool = True
+    default_tier: str = "standard"
+    tiers: list[RateLimitTier] = field(default_factory=lambda: list(DEFAULT_TIERS))
+    path_limits: list[PathRateLimit] = field(
+        default_factory=lambda: list(DEFAULT_PATH_LIMITS)
+    )
+    idle_cleanup_s: float = 300.0
+
+
+class SmartRateLimiter:
+    def __init__(self, config: SmartRateLimiterConfig | None = None,
+                 clock=time.monotonic):
+        self.config = config or SmartRateLimiterConfig()
+        self._clock = clock
+        self._tiers = {t.name: t for t in self.config.tiers}
+        # (client, tier) -> (bucket, last_seen, backoff_until)
+        self._clients: dict[tuple[str, str], list] = {}
+        self._lock = threading.Lock()
+        self.denied = 0
+        self.allowed = 0
+
+    def _tier_for(self, path: str) -> tuple[RateLimitTier, str]:
+        """(tier, matched pattern) — buckets are per (client, path rule),
+        like the reference's per-client path-rule state, so e.g. writes
+        and queries never drain each other's budget even when both
+        resolve to the same tier."""
+        for rule in self.config.path_limits:
+            if rule.enabled and fnmatch.fnmatch(path, rule.pattern):
+                return self._tiers[rule.tier], rule.pattern
+        return self._tiers[self.config.default_tier], "<default>"
+
+    def check(self, client_id: str, path: str) -> None:
+        """Raise :class:`RateLimitExceeded` when the client is over its
+        tier's budget for this path family; otherwise consume one token."""
+        if not self.config.enabled:
+            return
+        tier, pattern = self._tier_for(path)
+        now = self._clock()
+        with self._lock:
+            self._cleanup(now)
+            key = (client_id, pattern)
+            state = self._clients.get(key)
+            if state is None:
+                state = [
+                    TokenBucket(tier.burst_size, tier.requests_per_sec,
+                                clock=self._clock),
+                    now,
+                    0.0,
+                ]
+                self._clients[key] = state
+            bucket, _, backoff_until = state
+            state[1] = now
+            if now < backoff_until:
+                self.denied += 1
+                raise RateLimitExceeded(backoff_until - now)
+            if not bucket.try_consume(1):
+                state[2] = now + tier.backoff_s
+                self.denied += 1
+                raise RateLimitExceeded(
+                    max(bucket.wait_time_s(1), tier.backoff_s)
+                )
+            self.allowed += 1
+
+    def _cleanup(self, now: float) -> None:
+        idle = self.config.idle_cleanup_s
+        dead = [k for k, st in self._clients.items() if now - st[1] > idle]
+        for k in dead:
+            del self._clients[k]
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "allowed": self.allowed,
+                "denied": self.denied,
+                "active_clients": len(self._clients),
+            }

@@ -1,0 +1,117 @@
+"""Metrics registry, health rollup, and the smart rate limiter."""
+
+import pytest
+
+from miniodb_spark.api import MiniODBService
+from miniodb_spark.monitoring import HealthChecker, MetricsRegistry
+from miniodb_spark.ratelimit import (
+    PathRateLimit,
+    RateLimitExceeded,
+    RateLimitTier,
+    SmartRateLimiter,
+    SmartRateLimiterConfig,
+    TokenBucket,
+)
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_token_bucket_refill():
+    clk = FakeClock()
+    b = TokenBucket(capacity=2, refill_rate=1.0, clock=clk)
+    assert b.try_consume() and b.try_consume()
+    assert not b.try_consume()          # empty
+    assert b.wait_time_s() == pytest.approx(1.0)
+    clk.t = 1.5                         # 1.5 tokens refilled
+    assert b.try_consume()
+    assert not b.try_consume()          # 0.5 left
+    clk.t = 100.0
+    assert b.try_consume() and b.try_consume()  # capped at capacity
+    assert not b.try_consume()
+
+
+def test_smart_limiter_tiers_and_backoff():
+    clk = FakeClock()
+    cfg = SmartRateLimiterConfig(
+        tiers=[RateLimitTier("tiny", requests_per_sec=1.0, burst_size=2,
+                             backoff_s=5.0)],
+        path_limits=[PathRateLimit("*", "tiny")],
+        default_tier="tiny",
+    )
+    rl = SmartRateLimiter(cfg, clock=clk)
+    rl.check("c1", "query_data")
+    rl.check("c1", "query_data")
+    with pytest.raises(RateLimitExceeded) as ei:
+        rl.check("c1", "query_data")
+    assert ei.value.retry_after_s >= 1.0
+    # backoff: even after tokens refill, the violator waits out backoff_s
+    clk.t = 2.0
+    with pytest.raises(RateLimitExceeded):
+        rl.check("c1", "query_data")
+    clk.t = 6.0
+    rl.check("c1", "query_data")
+    # other clients are unaffected throughout
+    rl.check("c2", "query_data")
+    assert rl.stats()["denied"] == 2
+
+
+def test_metrics_registry_and_exposition():
+    reg = MetricsRegistry()
+    reg.counter("reqs", "requests").inc(method="query")
+    reg.counter("reqs").inc(method="query")
+    reg.counter("reqs").inc(method="write")
+    reg.gauge("buffered").set(42.0)
+    h = reg.histogram("lat", "latency")
+    for v in (0.003, 0.02, 0.02, 4.0):
+        h.observe(v)
+    text = reg.expose_text()
+    assert 'reqs{method="query"} 2.0' in text
+    assert "buffered 42.0" in text
+    assert 'lat_bucket{le="0.005"} 1' in text and "lat_count 4" in text
+    snap = reg.snapshot()
+    assert snap["lat"]["count"] == 4 and snap["lat"]["p50"] == 0.025
+    assert snap["reqs"]['{method="write"}'] == 1.0
+
+
+def test_health_rollup_and_rpc_instrumentation(engine):
+    from miniodb_spark.auth import AuthError  # noqa: F401 (import check)
+
+    svc = MiniODBService(engine)
+    h = svc.health_detail()
+    assert h["status"] == "healthy"
+    assert set(h["components"]) == {"spark", "storage", "catalog", "buffers"}
+    assert all(c["status"] == "up" for c in h["components"].values())
+    assert svc.health.is_ready() and svc.health.is_live()
+
+    svc.write_data("m", {"payload": {"v": 1}, "timestamp": T0, "id": "a"})
+    svc.query_data("SELECT id FROM m")
+    metrics = svc.get_metrics()
+    assert metrics["registry"]["rpc_requests_total"]['{method="query_data"}'] == 1.0
+    assert metrics["registry"]["rpc_latency_seconds"]["count"] == 2
+    assert metrics["query_stats"]["count"] == 1
+    assert "rpc_requests_total" in svc.get_metrics_text()
+
+
+def test_rate_limited_facade(engine):
+    clk = FakeClock()
+    cfg = SmartRateLimiterConfig(
+        tiers=[RateLimitTier("one", requests_per_sec=0.1, burst_size=1,
+                             backoff_s=0.0)],
+        path_limits=[PathRateLimit("query*", "one")],
+        default_tier="one",
+    )
+    svc = MiniODBService(engine, rate_limiter=SmartRateLimiter(cfg, clock=clk))
+    svc.write_data("rl", {"payload": {"v": 1}, "timestamp": T0, "id": "a"})
+    svc.query_data("SELECT id FROM rl")
+    with pytest.raises(RateLimitExceeded):
+        svc.query_data("SELECT id FROM rl")
+    assert svc.rate_limiter.stats()["denied"] == 1
