@@ -98,6 +98,54 @@ def extract_features(df: DataFrame, use_stub_decoder: bool = False) -> DataFrame
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), True),
+        T.StructField("frame_sha1", T.StringType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int):
+    """The real resize hook (PIL/opencv in a full deployment).
+    Deliberately unimplemented in this environment — the Spark-side
+    plumbing around it (schema, Arrow batching, payload-sized
+    partitioning) is what this module proves."""
+    raise NotImplementedError(
+        "image resize requires codec libraries not present in this build"
+    )
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over opaque video payloads via mapInPandas: split
+    each payload into ``n_frames`` evenly-strided byte slices — the
+    exact batch shape a real keyframe extractor produces (one output row
+    per (media, frame) with per-frame bytes + digest). One streaming
+    pass over Arrow batches, no shuffle; at scale, feed it through
+    :func:`repartition_for_payloads` first so tasks are sized by
+    payload volume."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha1": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = payload or b""
+                stride = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    frame = data[i * stride : (i + 1) * stride]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_sha1"].append(hashlib.sha1(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def repartition_for_payloads(df: DataFrame, total_bytes: int,
                              target_task_bytes: int = 64 * 1024 * 1024) -> DataFrame:
     """Size tasks by payload volume, not row count."""
@@ -149,6 +197,43 @@ def register_queries(register) -> None:
                 F.max("nbytes").cast("bigint").alias("max_bytes"),
             )
             .orderBy("source")
+        )
+
+    @register(
+        "multimodal_frame_sample",
+        """
+        SELECT true AS frames_ok,
+               (SELECT CAST(count(*) * 4 AS BIGINT)
+                FROM documents WHERE doc_id < 30)  AS n_frames
+        """,
+        doc="mapInPandas frame sampling self-check: exactly n_frames strided "
+            "slices per media row, per-frame sha1 consistent with a JVM-side "
+            "substring digest on frame 0, output 1:n with the input",
+        tags=("llm", "capability"),
+    )
+    def multimodal_frame_sample(spark, sf_dir):
+        n_frames = 4
+        media = synthetic_media_df(spark, sf_dir).filter(F.col("media_id") < 30)
+        frames = sample_frames(media, n_frames=n_frames)
+        # JVM cross-check on frame 0: sha1 of the first len/n_frames bytes
+        jvm = media.select(
+            "media_id",
+            F.sha1(
+                F.expr(
+                    f"substring(payload, 1, greatest(1, int(length(payload) / {n_frames})))"
+                )
+            ).alias("sha_jvm"),
+        )
+        f0 = frames.filter(F.col("frame_idx") == 0).join(jvm, "media_id")
+        n_bad = f0.filter(F.col("frame_sha1") != F.col("sha_jvm")).count()
+        n_total = frames.count()
+        per_media_ok = (
+            frames.groupBy("media_id").count().filter(F.col("count") != n_frames).count()
+            == 0
+        )
+        ok = bool(n_bad == 0 and per_media_ok and n_total > 0)
+        return spark.createDataFrame(
+            [(ok, n_total)], "frames_ok boolean, n_frames long"
         )
 
     @register(

@@ -13,6 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# english stopwords for the quality stopword-ratio signal (a high ratio
+# is normal prose; near-zero suggests keyword spam / non-linguistic text)
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
 # stopword markers for the n-gram-free language heuristic; scoring is
 # "how many distinct marker words of language L appear in the doc".
 LANG_MARKERS: dict[str, list[str]] = {
@@ -60,6 +67,24 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     text — the exact-dedup key that survives formatting noise."""
     normalized = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
+
+
+def quality_signals(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document quality raw signals: punctuation ratio (chars that
+    are neither alphanumeric nor space / all chars) and stopword ratio
+    (stopword token occurrences / tokens). Pure expressions — narrow
+    single-column scan, no UDF, no shuffle."""
+    toks = tokens_col(col)
+    n_chars = F.length(F.col(col))
+    n_punct = F.length(F.regexp_replace(F.col(col), r"[a-zA-Z0-9 ]", ""))
+    stops = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return df.withColumns(
+        {
+            "punct_ratio": (n_punct / n_chars).cast("double"),
+            "stopword_ratio": (n_stop / F.size(toks)).cast("double"),
+        }
+    )
 
 
 def language_id(df: DataFrame, col: str = "text") -> DataFrame:
@@ -205,6 +230,32 @@ def register_queries(register) -> None:
             (
                 0.5 * F.least(n_tokens / 50.0, F.lit(1.0)) + 0.5 * (n_distinct / n_tokens)
             ).alias("quality"),
+        ).orderBy("doc_id")
+
+    _stop_list_sql = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+    @register(
+        "quality_signals",
+        f"""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text)                                   AS punct_ratio,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> list_contains([{_stop_list_sql}], t)))
+                    AS DOUBLE)
+                   / len(string_split(lower(text), ' '))            AS stopword_ratio
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        doc="quality raw signals: punctuation ratio + stopword-occurrence ratio "
+            "(keyword-spam / non-linguistic text detectors)",
+        tags=("llm", "capability"),
+    )
+    def quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 100
+        )
+        return quality_signals(docs).select(
+            "doc_id", "punct_ratio", "stopword_ratio"
         ).orderBy("doc_id")
 
     # the oracle mirrors language_id() exactly: distinct lowercase tokens,
