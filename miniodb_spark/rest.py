@@ -1,0 +1,272 @@
+"""REST transport: the reference's HTTP route table over the facade.
+
+Parity target: /root/reference/internal/transport/rest/server.go
+(route registration at :477-521). Same paths, same `/v1` prefix, same
+auth model (Bearer access token on secured routes when auth is
+configured; `/v1/health` and `/v1/auth/*` open). Implemented on the
+stdlib ``http.server`` — no framework dependency — so a reference REST
+client can point at this engine and run its calls unchanged.
+
+| Method+path                          | facade call        |
+|--------------------------------------|--------------------|
+| POST   /v1/auth/token                | get_token          |
+| POST   /v1/auth/refresh              | refresh_token      |
+| DELETE /v1/auth/token                | revoke_token       |
+| GET    /v1/health                    | health_check       |
+| POST   /v1/data                      | write_data         |
+| POST   /v1/query                     | query_data         |
+| PUT    /v1/data                      | update_data        |
+| DELETE /v1/data                      | delete_data        |
+| POST   /v1/data/cleanup-empty-ids    | cleanup RPC        |
+| POST   /v1/stream/write              | stream_write       |
+| POST   /v1/stream/query              | stream_query       |
+| POST   /v1/tables                    | create_table       |
+| GET    /v1/tables                    | list_tables        |
+| GET    /v1/tables/{name}             | get_table          |
+| DELETE /v1/tables/{name}             | delete_table       |
+| POST   /v1/metadata/backup           | backup_metadata    |
+| POST   /v1/metadata/restore          | restore_metadata   |
+| GET    /v1/metadata/backups          | list_backups       |
+| GET    /v1/metadata/status           | get_metadata_status|
+| GET    /v1/status                    | get_status         |
+| GET    /v1/metrics                   | get_metrics        |
+| GET    /metrics                      | Prometheus text    |
+
+(The reference's swagger/pprof debug groups are intentionally omitted.)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .auth import AuthError
+from .ratelimit import RateLimitExceeded
+
+
+class RestServer:
+    """Blocking-queue-free HTTP wrapper; one engine/facade per server.
+    Start with :meth:`serve_background` in tests; real deployments can
+    front it however they like — the route contract is the point."""
+
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 0):
+        self.service = service
+        handler = _make_handler(service)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def serve_background(self) -> "RestServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+# (method, path-regex) -> (handler-name, open_route)
+def _routes():
+    return [
+        ("POST", r"^/v1/auth/token$", "auth_get_token", True),
+        ("POST", r"^/v1/auth/refresh$", "auth_refresh", True),
+        ("DELETE", r"^/v1/auth/token$", "auth_revoke", True),
+        ("GET", r"^/v1/health$", "health", True),
+        ("POST", r"^/v1/data$", "write_data", False),
+        ("POST", r"^/v1/query$", "query_data", False),
+        ("PUT", r"^/v1/data$", "update_data", False),
+        ("DELETE", r"^/v1/data$", "delete_data", False),
+        ("POST", r"^/v1/data/cleanup-empty-ids$", "cleanup_empty_ids", False),
+        ("POST", r"^/v1/stream/write$", "stream_write", False),
+        ("POST", r"^/v1/stream/query$", "stream_query", False),
+        ("POST", r"^/v1/tables$", "create_table", False),
+        ("GET", r"^/v1/tables$", "list_tables", False),
+        ("GET", r"^/v1/tables/(?P<name>[^/]+)$", "get_table", False),
+        ("DELETE", r"^/v1/tables/(?P<name>[^/]+)$", "delete_table", False),
+        ("POST", r"^/v1/metadata/backup$", "backup_metadata", False),
+        ("POST", r"^/v1/metadata/restore$", "restore_metadata", False),
+        ("GET", r"^/v1/metadata/backups$", "list_backups", False),
+        ("GET", r"^/v1/metadata/status$", "metadata_status", False),
+        ("GET", r"^/v1/status$", "status", False),
+        ("GET", r"^/v1/metrics$", "metrics", False),
+        ("GET", r"^/metrics$", "metrics_text", False),
+    ]
+
+
+def _make_handler(service):
+    routes = [(m, re.compile(p), h, open_) for m, p, h, open_ in _routes()]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # tests don't want stderr chatter
+            pass
+
+        # -- plumbing ---------------------------------------------------
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            if not n:
+                return {}
+            try:
+                return json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return {}
+
+        def _send(self, code: int, payload, content_type="application/json") -> None:
+            data = (
+                payload.encode() if isinstance(payload, str)
+                else json.dumps(payload).encode()
+            )
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _bearer(self) -> str | None:
+            h = self.headers.get("Authorization") or ""
+            return h[7:] if h.startswith("Bearer ") else None
+
+        def _dispatch(self, method: str) -> None:
+            parsed = urlparse(self.path)
+            for m, rx, name, open_route in routes:
+                if m != method:
+                    continue
+                match = rx.match(parsed.path)
+                if not match:
+                    continue
+                try:
+                    if not open_route and service.auth is not None:
+                        tok = self._bearer()
+                        if not tok:
+                            return self._send(401, {"error": "missing bearer token"})
+                        service.auth.validate(tok)
+                    q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                    return getattr(self, f"r_{name}")(match.groupdict(), q)
+                except AuthError as exc:
+                    return self._send(401, {"error": str(exc)})
+                except RateLimitExceeded as exc:
+                    self.send_response(429)
+                    self.send_header("Retry-After", f"{exc.retry_after_s:.2f}")
+                    body = json.dumps({"error": str(exc)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                except Exception as exc:
+                    return self._send(400, {"error": str(exc)[:500]})
+            self._send(404, {"error": f"no route {method} {parsed.path}"})
+
+        def do_GET(self):  # noqa: N802
+            self._dispatch("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._dispatch("POST")
+
+        def do_PUT(self):  # noqa: N802
+            self._dispatch("PUT")
+
+        def do_DELETE(self):  # noqa: N802
+            self._dispatch("DELETE")
+
+        # -- routes -----------------------------------------------------
+
+        def r_auth_get_token(self, pv, q):
+            b = self._body()
+            self._send(200, service.get_token(b.get("api_key", ""), b.get("secret", "")))
+
+        def r_auth_refresh(self, pv, q):
+            self._send(200, service.refresh_token(self._body().get("refresh_token", "")))
+
+        def r_auth_revoke(self, pv, q):
+            tok = self._body().get("token") or self._bearer() or ""
+            self._send(200, service.revoke_token(tok))
+
+        def r_health(self, pv, q):
+            self._send(200, service.health_check())
+
+        def r_write_data(self, pv, q):
+            b = self._body()
+            self._send(200, service.write_data(b.get("table", ""), b.get("record", b)))
+
+        def r_query_data(self, pv, q):
+            b = self._body()
+            out = service.query_data(
+                b.get("sql", ""), limit=b.get("limit"),
+                default_table=b.get("table"),
+            )
+            self._send(200, out)
+
+        def r_update_data(self, pv, q):
+            b = self._body()
+            self._send(200, service.update_data(
+                b.get("table", ""), b.get("id", ""), b.get("payload", {}),
+                timestamp_us=b.get("timestamp"),
+            ))
+
+        def r_delete_data(self, pv, q):
+            b = self._body()
+            self._send(200, service.delete_data(b.get("table", ""), b.get("id", "")))
+
+        def r_cleanup_empty_ids(self, pv, q):
+            b = self._body()
+            n = service.engine.cleanup_empty_id_records(b.get("table", ""))
+            self._send(200, {"success": True, "cleaned": n})
+
+        def r_stream_write(self, pv, q):
+            b = self._body()
+            self._send(200, service.stream_write(b.get("table", ""), b.get("records", [])))
+
+        def r_stream_query(self, pv, q):
+            b = self._body()
+            self._send(200, service.stream_query(
+                b.get("sql", ""), batch_size=b.get("batch_size", 100),
+                cursor=b.get("cursor", 0),
+            ))
+
+        def r_create_table(self, pv, q):
+            b = self._body()
+            self._send(200, service.create_table(b.get("name", ""), b.get("config")))
+
+        def r_list_tables(self, pv, q):
+            self._send(200, service.list_tables())
+
+        def r_get_table(self, pv, q):
+            self._send(200, service.get_table(pv["name"]))
+
+        def r_delete_table(self, pv, q):
+            self._send(200, service.delete_table(pv["name"]))
+
+        def r_backup_metadata(self, pv, q):
+            self._send(200, service.backup_metadata())
+
+        def r_restore_metadata(self, pv, q):
+            b = self._body()
+            self._send(200, service.restore_metadata(
+                metadata=b.get("metadata"), object_name=b.get("object_name"),
+            ))
+
+        def r_list_backups(self, pv, q):
+            self._send(200, service.list_backups(days=int(q.get("days", 30))))
+
+        def r_metadata_status(self, pv, q):
+            self._send(200, service.get_metadata_status())
+
+        def r_status(self, pv, q):
+            self._send(200, service.get_status())
+
+        def r_metrics(self, pv, q):
+            self._send(200, service.get_metrics())
+
+        def r_metrics_text(self, pv, q):
+            self._send(200, service.get_metrics_text(),
+                       content_type="text/plain; version=0.0.4")
+
+    return Handler

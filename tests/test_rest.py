@@ -1,0 +1,113 @@
+"""REST transport: the reference's /v1 route table served over HTTP
+(reference transport/rest/server.go:477-521), driven by a plain
+urllib client — what a reference REST user would do."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from miniodb_spark.api import MiniODBService
+from miniodb_spark.auth import TokenManager
+from miniodb_spark.rest import RestServer
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+def _call(port, method, path, body=None, token=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"}
+        | ({"Authorization": f"Bearer {token}"} if token else {}),
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        ct = resp.headers.get("Content-Type", "")
+        raw = resp.read()
+        return resp.status, (json.loads(raw) if "json" in ct else raw.decode())
+
+
+@pytest.fixture()
+def server(engine):
+    srv = RestServer(MiniODBService(engine)).serve_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_rest_lifecycle(server):
+    p = server.port
+    assert _call(p, "GET", "/v1/health")[1]["status"] == "healthy"
+    _call(p, "POST", "/v1/tables", {"name": "users", "config": {"buffer_size": 10}})
+    assert "users" in _call(p, "GET", "/v1/tables")[1]["tables"]
+    assert _call(p, "GET", "/v1/tables/users")[1]["config"]["buffer_size"] == 10
+
+    _call(p, "POST", "/v1/data", {
+        "table": "users",
+        "record": {"id": "u1", "timestamp": T0, "payload": {"age": 30}}})
+    _call(p, "POST", "/v1/stream/write", {
+        "table": "users",
+        "records": [{"id": f"s{i}", "timestamp_us": T0, "payload": {"age": 40 + i}}
+                    for i in range(3)]})
+    out = _call(p, "POST", "/v1/query",
+                {"sql": "SELECT id, age FROM users ORDER BY id"})[1]
+    rows = json.loads(out["result_json"])
+    assert [r["id"] for r in rows] == ["u1", "s0", "s1", "s2"][0:0] + sorted(
+        ["u1", "s0", "s1", "s2"])
+    _call(p, "PUT", "/v1/data", {"table": "users", "id": "u1",
+                                 "payload": {"age": 31}, "timestamp": T0})
+    _call(p, "DELETE", "/v1/data", {"table": "users", "id": "s0"})
+    out = _call(p, "POST", "/v1/query",
+                {"sql": "SELECT count(*) AS n FROM users"})[1]
+    assert json.loads(out["result_json"])[0]["n"] == 3
+
+    sq = _call(p, "POST", "/v1/stream/query",
+               {"sql": "SELECT id FROM users ORDER BY id", "batch_size": 2})[1]
+    assert len(sq["rows"]) == 2 and sq["has_more"]
+
+    b = _call(p, "POST", "/v1/metadata/backup")[1]
+    assert b["success"]
+    assert _call(p, "GET", "/v1/metadata/backups?days=1")[1]["total"] >= 1
+    assert _call(p, "GET", "/v1/metadata/status")[1]["health_status"] == "healthy"
+    assert _call(p, "GET", "/v1/status")[1]["uptime_s"] >= 0
+    assert "cache_hits" in _call(p, "GET", "/v1/metrics")[1]
+    assert "rpc_requests_total" in _call(p, "GET", "/metrics")[1]
+    _call(p, "DELETE", "/v1/tables/users")
+    assert "users" not in _call(p, "GET", "/v1/tables")[1]["tables"]
+
+
+def test_rest_auth_enforced(engine):
+    svc = MiniODBService(engine, auth=TokenManager("k", {"api": "sec"}))
+    srv = RestServer(svc).serve_background()
+    p = srv.port
+    try:
+        # secured route without token → 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _call(p, "GET", "/v1/tables")
+        assert ei.value.code == 401
+        # open routes work; token unlocks secured routes
+        assert _call(p, "GET", "/v1/health")[1]["status"] == "healthy"
+        pair = _call(p, "POST", "/v1/auth/token",
+                     {"api_key": "api", "secret": "sec"})[1]
+        tok = pair["access_token"]
+        assert _call(p, "GET", "/v1/tables", token=tok)[1]["tables"] == []
+        pair2 = _call(p, "POST", "/v1/auth/refresh",
+                      {"refresh_token": pair["refresh_token"]})[1]
+        assert pair2["access_token"] != tok
+        _call(p, "DELETE", "/v1/auth/token", {"token": tok})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _call(p, "GET", "/v1/tables", token=tok)
+        assert ei.value.code == 401
+        # bad credentials → 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _call(p, "POST", "/v1/auth/token", {"api_key": "api", "secret": "no"})
+        assert ei.value.code == 401
+    finally:
+        srv.shutdown()
+
+
+def test_rest_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _call(server.port, "GET", "/v1/nope")
+    assert ei.value.code == 404
