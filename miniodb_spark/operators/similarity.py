@@ -102,6 +102,36 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def write_bucketed(df: DataFrame, path: str, vec_col: str = "embedding",
+                   bits: int = 8, seed: int = 42) -> None:
+    """Materialize the LSH-bucketed table partitioned by bucket — the
+    100 TB storage layout for ANN serving: the bucket expression is
+    deterministic, so probes against the written table filter on
+    ``lsh_bucket`` and Spark prunes to the probed partition directories
+    (no full scan; proven by
+    ``test_similarity_scale.py::test_probe_is_partition_pruned``)."""
+    lsh_bucketize(df, vec_col, bits, seed).write.mode("overwrite").partitionBy(
+        "lsh_bucket"
+    ).parquet(path)
+
+
+def probe_bucketed(spark: SparkSession, path: str, query_vec: list[float],
+                   k: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", bits: int = 8, seed: int = 42,
+                   probe_hamming: int = 1) -> DataFrame:
+    """ANN top-k against a :func:`write_bucketed` table. The bucket
+    filter is a partition filter → partition-pruned scan."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, bits, seed)
+    qbits = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0)
+    probe = [
+        b for b in range(1 << bits)
+        if bin(b ^ qbits).count("1") <= probe_hamming
+    ]
+    df = spark.read.parquet(path).filter(F.col("lsh_bucket").isin(probe))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)
+
+
 class IVFIndex:
     """Inverted-file ANN index: k-means centroids (trained on a bounded
     driver-side sample — at 100 TB you never need more than ~100k sampled
