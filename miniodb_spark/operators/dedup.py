@@ -65,10 +65,14 @@ def shingle_hashes(
 
     Linear in token count: posexplode tokens → window ``lead`` builds
     each shingle from its n successors → one base hash per shingle.
-    (A ``transform(sequence, slice)`` formulation is O(tokens²) per doc
-    inside codegen — it was 144 s for 5k docs at sf0.1 vs ~4 s for this
-    plan.) Shared by MinHash signatures and the exact shingle-Jaccard
-    ground truth so both operate on identical shingle sets."""
+    Two rejected alternatives, both measured at sf0.1 (5k docs):
+    ``transform(sequence, slice)`` is O(tokens²) inside codegen (144 s
+    vs ~4 s); ``transform(sequence, element_at×n)`` is linear and
+    shuffle-free but 4× slower end-to-end (3.5 s vs 0.9 s) because
+    higher-order-function lambdas evaluate interpreted per element
+    while the window path stays inside whole-stage codegen. Shared by
+    MinHash signatures and the exact shingle-Jaccard ground truth so
+    both operate on identical shingle sets."""
     from pyspark.sql import Window as W
 
     toks = F.split(F.lower(F.col(text_col)), " ")
