@@ -408,6 +408,45 @@ def connected_components(
     ).distinct()
 
 
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct character n-gram sets — robust to
+    tokenization differences (catches near-dups that differ by
+    punctuation/spacing, which token- and word-shingle-level measures
+    miss). Same inverted-index-join scale shape as
+    :func:`token_jaccard_pairs`. The n-gram build is a HOF ``transform``
+    (interpreted per element — acceptable for a ground-truth operator
+    run on bounded samples; the scale path for approximate char-level
+    dedup is MinHash over these same grams)."""
+    s = F.lower(F.col(text_col))
+    k = F.greatest(F.length(s) - (n - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(s, i, n))
+    )
+    toks = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def deduplicate_corpus(
     df: DataFrame,
     pairs: DataFrame,
@@ -517,6 +556,40 @@ def register_queries(register) -> None:
             F.col("doc_id") < 200
         )
         return token_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+    @register(
+        "dedup_char_ngram_jaccard",
+        """
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [substring(lower(text), i, 3)
+                    FOR i IN range(1, greatest(length(text) - 1, 2))])) AS g
+          FROM documents WHERE doc_id < 150),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.6
+        ORDER BY id_a, id_b
+        """,
+        doc="exact character-3-gram Jaccard near-dup pairs (tokenization-"
+            "robust ground truth; inverted-index join)",
+        tags=("llm", "capability"),
+    )
+    def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 150
+        )
+        return char_ngram_jaccard_pairs(docs, n=3, threshold=0.6).orderBy(
+            "id_a", "id_b"
+        )
 
     @register(
         "dedup_minhash_lsh",
