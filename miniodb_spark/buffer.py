@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 import zlib
@@ -51,10 +52,18 @@ class BufferRow:
 
 
 class WAL:
-    """Append-only JSON-lines log with CRC32 per record and replay."""
+    """Append-only JSON-lines log with CRC32 per record, replay, and
+    size-based segment rotation (the reference rotates at 64 MB,
+    wal.go:17-36). When the active file crosses ``max_segment_bytes``
+    it is sealed as ``<path>.segNNNNNN`` and a fresh active file opens;
+    replay reads sealed segments in order, then the active file.
+    Rotation makes post-flush truncation cheap: a sealed segment whose
+    max sequence is covered by the flush is *deleted whole* (O(1))
+    instead of rewritten."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, max_segment_bytes: int = 64 * 1024 * 1024):
         self.path = path
+        self.max_segment_bytes = max_segment_bytes
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # resume the sequence from any surviving records so seq stays
         # monotonic across restarts (truncate_upto relies on it)
@@ -63,10 +72,39 @@ class WAL:
         self._seq = existing[-1]["seq"] if existing else 0
         self._lock = threading.Lock()
 
+    # -- segments --------------------------------------------------------
+
+    _SEG_RE = re.compile(r"\.seg\d{6}$")
+
+    @staticmethod
+    def _segments(path: str) -> list[str]:
+        d, base = os.path.dirname(path), os.path.basename(path)
+        if not os.path.isdir(d):
+            return []
+        segs = [
+            os.path.join(d, fn)
+            for fn in os.listdir(d)
+            if fn.startswith(base + ".seg") and WAL._SEG_RE.search(fn)
+        ]
+        return sorted(segs)
+
+    def _maybe_rotate(self) -> None:
+        """Called under the lock after a write+flush."""
+        if self._fh.tell() < self.max_segment_bytes:
+            return
+        self._fh.close()
+        existing = WAL._segments(self.path)
+        nxt = (
+            int(existing[-1].rsplit(".seg", 1)[-1]) + 1 if existing else 0
+        )
+        os.replace(self.path, f"{self.path}.seg{nxt:06d}")
+        self._fh = open(self.path, "a", encoding="utf-8")
+
     def append(self, rec_type: str, payload: dict) -> int:
         with self._lock:
             self._write_record(rec_type, payload)
             self._fh.flush()
+            self._maybe_rotate()
             return self._seq
 
     def append_many(self, rec_type: str, payloads: list[dict]) -> int:
@@ -77,6 +115,7 @@ class WAL:
             for payload in payloads:
                 self._write_record(rec_type, payload)
             self._fh.flush()
+            self._maybe_rotate()
             return self._seq
 
     def _write_record(self, rec_type: str, payload: dict) -> None:
@@ -92,6 +131,8 @@ class WAL:
     def truncate(self) -> None:
         with self._lock:
             self._fh.close()
+            for seg in WAL._segments(self.path):
+                os.remove(seg)
             self._fh = open(self.path, "w", encoding="utf-8")
 
     def truncate_upto(self, seq: int) -> None:
@@ -107,39 +148,25 @@ class WAL:
         lose acked-durable records appended after the drained sequence."""
         with self._lock:
             self._fh.close()
-            kept: list[str] = []
-            with open(self.path, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.rstrip("\n")
-                    if not line:
-                        continue
-                    body, _, crc_s = line.rpartition("\t")
-                    try:
-                        if zlib.crc32(body.encode("utf-8")) != int(crc_s):
-                            break
-                        if json.loads(body)["seq"] > seq:
-                            kept.append(line)
-                    except (ValueError, json.JSONDecodeError):
-                        break
-            tmp = self.path + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write("".join(l + "\n" for l in kept))
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, self.path)
+            # sealed segments: fully-covered ones are dropped whole (O(1)
+            # unlink, no rewrite); a partially-covered one is rewritten in
+            # place with the same atomic tmp+replace dance
+            for seg in WAL._segments(self.path):
+                recs = WAL._read_lines(seg)
+                if not recs or all(r[1] <= seq for r in recs):
+                    os.remove(seg)
+                elif any(r[1] <= seq for r in recs):
+                    self._atomic_rewrite(seg, [l for l, s in recs if s > seq])
+            kept = [l for l, s in WAL._read_lines(self.path) if s > seq]
+            self._atomic_rewrite(self.path, kept)
             self._fh = open(self.path, "a", encoding="utf-8")
 
-    def close(self) -> None:
-        with self._lock:
-            self._fh.close()
-
     @staticmethod
-    def replay(path: str) -> list[dict]:
-        """Yield valid records (CRC-checked); corrupt tail lines are
-        dropped, matching the reference's recovery behavior."""
-        records: list[dict] = []
+    def _read_lines(path: str) -> list[tuple[str, int]]:
+        """(line, seq) for every CRC-valid record; stops at corruption."""
+        out: list[tuple[str, int]] = []
         if not os.path.exists(path):
-            return records
+            return out
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.rstrip("\n")
@@ -148,10 +175,46 @@ class WAL:
                 body, _, crc_s = line.rpartition("\t")
                 try:
                     if zlib.crc32(body.encode("utf-8")) != int(crc_s):
-                        break  # corruption: stop replay at first bad record
-                    records.append(json.loads(body))
+                        break
+                    out.append((line, json.loads(body)["seq"]))
                 except (ValueError, json.JSONDecodeError):
                     break
+        return out
+
+    @staticmethod
+    def _atomic_rewrite(path: str, lines: list[str]) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("".join(l + "\n" for l in lines))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def close(self) -> None:
+        with self._lock:
+            self._fh.close()
+
+    @staticmethod
+    def replay(path: str) -> list[dict]:
+        """Yield valid records (CRC-checked) across sealed segments (in
+        order) then the active file; corrupt tail lines are dropped per
+        file, matching the reference's recovery behavior."""
+        records: list[dict] = []
+        for p in [*WAL._segments(path), path]:
+            if not os.path.exists(p):
+                continue
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    body, _, crc_s = line.rpartition("\t")
+                    try:
+                        if zlib.crc32(body.encode("utf-8")) != int(crc_s):
+                            break  # corruption: stop this file's replay
+                        records.append(json.loads(body))
+                    except (ValueError, json.JSONDecodeError):
+                        break
         return records
 
 

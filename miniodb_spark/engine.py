@@ -117,6 +117,17 @@ class Engine:
         }
         self._buffers: dict[str, WriteBuffer] = {}
         self._lock = threading.RLock()
+        # boot-time WAL replay (reference replays on startup,
+        # concurrent_buffer.go:258-359): without this, rows acked before a
+        # crash stay invisible to hybrid reads until the first write
+        # happens to re-create the table's buffer
+        wal_dir = os.path.join(self.meta_root, "_system", "wal")
+        if os.path.isdir(wal_dir):
+            for fn in os.listdir(wal_dir):
+                # active files end .wal; sealed segments (.wal.segNNNNNN)
+                # are picked up by the active file's replay
+                if fn.endswith(".wal"):
+                    self._buffer_for(fn[: -len(".wal")])
 
     # ------------------------------------------------------------------
     # tables

@@ -141,3 +141,45 @@ def test_failed_flush_rolls_back_new_generation(spark, tmp_path):
     # rows were requeued; a retry succeeds and opens the generation for real
     assert eng.flush("t") == 1
     assert len(eng.catalog.gen_schemas("t")) == 2
+
+
+def test_wal_segment_rotation_and_replay(tmp_path):
+    from miniodb_spark.buffer import WAL
+
+    wal = WAL(str(tmp_path / "w.log"), max_segment_bytes=500)
+    seqs = [wal.append("insert", {"id": f"r{i}", "timestamp": i,
+                                  "table_name": "t", "fields": {"v": i}})
+            for i in range(20)]
+    segs = WAL._segments(wal.path)
+    assert segs, "rotation should have sealed at least one segment"
+    # replay spans sealed segments + active file, in order, no loss
+    recs = WAL.replay(wal.path)
+    assert [r["seq"] for r in recs] == seqs
+    # a new WAL on the same path resumes the sequence after the max
+    wal.close()
+    wal2 = WAL(str(tmp_path / "w.log"), max_segment_bytes=500)
+    s = wal2.append("insert", {"id": "next", "timestamp": 0,
+                               "table_name": "t", "fields": {}})
+    assert s == seqs[-1] + 1
+
+
+def test_wal_truncate_upto_drops_covered_segments(tmp_path):
+    from miniodb_spark.buffer import WAL
+
+    wal = WAL(str(tmp_path / "w.log"), max_segment_bytes=500)
+    seqs = [wal.append("insert", {"id": f"r{i}", "timestamp": i,
+                                  "table_name": "t", "fields": {"v": i}})
+            for i in range(20)]
+    n_segs_before = len(WAL._segments(wal.path))
+    assert n_segs_before >= 2
+    # flush covering everything but the last 3 records
+    wal.truncate_upto(seqs[-4])
+    remaining = WAL.replay(wal.path)
+    assert [r["seq"] for r in remaining] == seqs[-3:]
+    # covered segments were deleted whole, not rewritten empty
+    for seg in WAL._segments(wal.path):
+        assert WAL._read_lines(seg), "no empty segments should linger"
+    # full truncate clears segments too
+    wal.truncate()
+    assert WAL.replay(wal.path) == []
+    assert WAL._segments(wal.path) == []

@@ -182,3 +182,20 @@ def test_stream_query_never_collects_full_result(spark, tmp_path):
         )
         seen.extend(r["id"] for r in batch)
     assert len(seen) == 30 and seen == sorted(seen)
+
+
+def test_unflushed_rows_visible_after_restart_without_write(spark, tmp_path):
+    """Boot-time WAL replay: rows acked before a crash must be queryable
+    on the restarted engine immediately — not only after the next write
+    recreates the buffer."""
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "restart_store")
+    eng = Engine(spark, root)
+    eng.write("t", {"v": 1}, record_id="flushed", timestamp_us=T0)
+    eng.flush()
+    eng.write("t", {"v": 2}, record_id="acked_unflushed", timestamp_us=T0)
+    # no flush: row lives only in buffer + WAL. Simulate crash+restart.
+    eng2 = Engine(spark, root)
+    rows = json.loads(eng2.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["acked_unflushed", "flushed"]
