@@ -118,3 +118,18 @@ def test_simhash_block_bucketing_complete(spark):
     )
     got = [(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_near_pairs(sigs).collect()]
     assert got == [(1, 2, 2)]
+
+
+def test_distributed_cc_on_real_pair_volume(spark, sf_dir):
+    """Force the distributed path on the full exact-Jaccard pair list
+    (thousands of edges incl. large merged components) and require exact
+    agreement with driver union-find."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = token_jaccard_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+    assert pairs.count() > 1000
+    small = {r["doc_id"] for r in
+             deduplicate_corpus(docs, pairs, distributed_threshold=10**12).collect()}
+    large = {r["doc_id"] for r in
+             deduplicate_corpus(docs, pairs, distributed_threshold=0).collect()}
+    assert small == large
+    assert 0 < len(small) < docs.count()
