@@ -200,6 +200,28 @@ def ivf_topk(
     )
 
 
+def write_ivf(df: DataFrame, index: "IVFIndex", path: str,
+              vec_col: str = "embedding") -> None:
+    """Materialize the IVF-assigned table partitioned by cell — same
+    serving trick as :func:`write_bucketed`: the assignment is
+    deterministic given the trained centroids, so probes against the
+    written table prune to the nprobe cell directories."""
+    index.assign_cells(df, vec_col).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+
+
+def probe_ivf(spark: SparkSession, path: str, index: "IVFIndex",
+              query_vec: list[float], k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              nprobe: int = 4) -> DataFrame:
+    """ANN top-k against a :func:`write_ivf` table; the cell filter is a
+    partition filter → partition-pruned scan."""
+    cells = index.query_cells(query_vec, nprobe)
+    df = spark.read.parquet(path).filter(F.col("ivf_cell").isin(cells))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

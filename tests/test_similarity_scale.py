@@ -38,3 +38,21 @@ def test_bucketed_layout_round_trips(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == emb.count()
     assert back.select("lsh_bucket").distinct().count() <= 16
+
+
+def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    from miniodb_spark.operators.similarity import IVFIndex, probe_ivf, write_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rest = emb.filter(F.col("vec_id") != 0)
+    index = IVFIndex(n_cells=16).fit(rest)
+    path = str(tmp_path / "emb_ivf")
+    write_ivf(rest, index, path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probed = probe_ivf(spark, path, index, qv, k=10, nprobe=4)
+    pf = " ".join(plans.partition_filters(probed))
+    assert "ivf_cell" in pf, plans.formatted_plan(probed)
+    exact = {r["vec_id"] for r in cosine_topk(rest, qv, 10).collect()}
+    got = {r["vec_id"] for r in probed.collect()}
+    assert len(exact & got) / 10 >= 0.4
