@@ -93,26 +93,35 @@ class MiniODBService:
                     "truncated": self.engine.last_query_truncated}
 
     def update_data(self, table: str, record_id: str, payload: dict,
-                    timestamp_us: int | None = None) -> dict:
-        n = self.engine.update(table, record_id, payload, timestamp_us=timestamp_us)
-        self._counters["updates"] += 1
-        return {"success": True, "replaced": n}
+                    timestamp_us: int | None = None,
+                    client_id: str = "default") -> dict:
+        with self._rpc("update_data", client_id):
+            n = self.engine.update(table, record_id, payload,
+                                   timestamp_us=timestamp_us)
+            self._counters["updates"] += 1
+            return {"success": True, "replaced": n}
 
-    def delete_data(self, table: str, record_id: str) -> dict:
-        n = self.engine.delete(table, record_id)
-        self._counters["deletes"] += 1
-        return {"success": True, "deleted_count": n}
+    def delete_data(self, table: str, record_id: str,
+                    client_id: str = "default") -> dict:
+        with self._rpc("delete_data", client_id):
+            n = self.engine.delete(table, record_id)
+            self._counters["deletes"] += 1
+            return {"success": True, "deleted_count": n}
 
-    def stream_write(self, table: str, records: list[dict]) -> dict:
-        ids = self.engine.write_batch(table, records)
-        self._counters["writes"] += len(ids)
-        return {"success": True, "count": len(ids), "ids": ids}
+    def stream_write(self, table: str, records: list[dict],
+                     client_id: str = "default") -> dict:
+        with self._rpc("stream_write", client_id):
+            ids = self.engine.write_batch(table, records)
+            self._counters["writes"] += len(ids)
+            return {"success": True, "count": len(ids), "ids": ids}
 
-    def stream_query(self, sql: str, batch_size: int = 100, cursor: int = 0) -> dict:
-        batch, next_cursor, has_more = self.engine.stream_query(
-            sql, batch_size=batch_size, cursor=cursor
-        )
-        return {"rows": batch, "cursor": next_cursor, "has_more": has_more}
+    def stream_query(self, sql: str, batch_size: int = 100, cursor: int = 0,
+                     client_id: str = "default") -> dict:
+        with self._rpc("stream_query", client_id):
+            batch, next_cursor, has_more = self.engine.stream_query(
+                sql, batch_size=batch_size, cursor=cursor
+            )
+            return {"rows": batch, "cursor": next_cursor, "has_more": has_more}
 
     # -- table plane -----------------------------------------------------
 

@@ -117,6 +117,12 @@ class Engine:
         }
         self._buffers: dict[str, WriteBuffer] = {}
         self._lock = threading.RLock()
+        # per-table flush serialization: two concurrent parquet append jobs
+        # into the same gen dir share the FileOutputCommitter _temporary/0
+        # staging path, and one job's commit destroys the other's task
+        # files. The reference serializes flushes per table the same way.
+        # Different tables still flush/ingest in parallel.
+        self._flush_locks: dict[str, threading.Lock] = {}
         # boot-time WAL replay (reference replays on startup,
         # concurrent_buffer.go:258-359): without this, rows acked before a
         # crash stay invisible to hybrid reads until the first write
@@ -157,6 +163,13 @@ class Engine:
 
     def _table_dir(self, table: str) -> str:
         return fsmod.join(self.root, table)
+
+    def _flush_lock(self, table: str) -> threading.Lock:
+        with self._lock:
+            lk = self._flush_locks.get(table)
+            if lk is None:
+                lk = self._flush_locks[table] = threading.Lock()
+            return lk
 
     def _buffer_for(self, table: str) -> WriteBuffer:
         with self._lock:
@@ -256,21 +269,26 @@ class Engine:
             buf = self._buffers.get(t)
             if buf is None or buf.count == 0:
                 continue
-            batches, drained_seq = buf.drain()
-            flushed: list[str] = []
-            try:
-                for tname, rows in batches.items():
-                    if not rows:
-                        continue
-                    total += self._flush_rows(tname, rows)
-                    flushed.append(tname)
-            except Exception:
-                # restore only what didn't make it to parquet: the rows
-                # stay queryable via the hybrid read path, and their WAL
-                # records were never truncated, so durability holds.
-                buf.requeue({k: v for k, v in batches.items() if k not in flushed})
-                raise
-            buf.mark_flushed(drained_seq)
+            with self._flush_lock(t):
+                if buf.count == 0:  # a racing flush already drained it
+                    continue
+                batches, drained_seq = buf.drain()
+                flushed: list[str] = []
+                try:
+                    for tname, rows in batches.items():
+                        if not rows:
+                            continue
+                        total += self._flush_rows(tname, rows)
+                        flushed.append(tname)
+                except Exception:
+                    # restore only what didn't make it to parquet: the rows
+                    # stay queryable via the hybrid read path, and their WAL
+                    # records were never truncated, so durability holds.
+                    buf.requeue(
+                        {k: v for k, v in batches.items() if k not in flushed}
+                    )
+                    raise
+                buf.mark_flushed(drained_seq)
         return total
 
     def _gen_dir(self, table: str, gen: int) -> str:
@@ -328,13 +346,14 @@ class Engine:
             {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
         )
         cfg = self.catalog.get_table(table)
-        (
-            out.repartition("dt")
-            .write.mode("append")
-            .option("compression", cfg.compression if cfg else "snappy")
-            .partitionBy("dt")
-            .parquet(self._gen_dir(table, gen))
-        )
+        with self._flush_lock(table):
+            (
+                out.repartition("dt")
+                .write.mode("append")
+                .option("compression", cfg.compression if cfg else "snappy")
+                .partitionBy("dt")
+                .parquet(self._gen_dir(table, gen))
+            )
         self.cache.invalidate_table(table)
 
     def ingest_path(

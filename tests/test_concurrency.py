@@ -1,58 +1,69 @@
-"""Concurrent write-path smoke: parallel writers on one table must not
-lose rows, corrupt the WAL, or double-flush."""
+"""Write-path concurrency: concurrent writers + flusher + deleter must
+neither lose acked rows nor resurrect deleted ones."""
 
 import json
 import threading
+
+from miniodb_spark.engine import Engine
 
 US = 1_000_000
 T0 = 1_700_000_000 * US
 
 
-def test_parallel_writers_single_table(engine):
-    errors = []
+def test_concurrent_writes_and_flushes(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "conc"))
+    eng.create_table("t")
+    n_threads, per_thread = 4, 50
+    errs = []
 
-    def _writer(tid):
+    def writer(tid):
         try:
-            for i in range(50):
-                engine.write(
-                    "conc",
-                    {"t": tid, "i": i},
-                    record_id=f"w{tid}-{i:03d}",
-                    timestamp_us=T0,
-                )
-        except Exception as exc:  # pragma: no cover
-            errors.append(exc)
+            for i in range(per_thread):
+                eng.write("t", {"tid": tid, "i": i},
+                          record_id=f"w{tid}_{i}", timestamp_us=T0)
+                if i % 20 == 10:
+                    eng.flush("t")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
 
-    threads = [threading.Thread(target=_writer, args=(t,)) for t in range(4)]
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    assert not errors
-    engine.flush()
-    rows = json.loads(engine.query("SELECT count(*) AS n FROM conc"))
-    assert rows[0]["n"] == 200
-    dedup = json.loads(engine.query("SELECT count(DISTINCT id) AS n FROM conc"))
-    assert dedup[0]["n"] == 200
+    eng.flush("t")
+    assert not errs
+    n = json.loads(eng.query("SELECT count(*) AS n FROM t"))[0]["n"]
+    assert n == n_threads * per_thread
+    # all ids distinct (no duplicate flush of the same row)
+    d = json.loads(eng.query("SELECT count(DISTINCT id) AS d FROM t"))[0]["d"]
+    assert d == n
 
 
-def test_concurrent_write_and_delete(engine):
-    for i in range(20):
-        engine.write("cd", {"i": i}, record_id=f"r{i}", timestamp_us=T0)
-    engine.flush()
+def test_delete_during_writes_stays_deleted(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "conc2"))
+    eng.create_table("t")
+    for i in range(30):
+        eng.write("t", {"i": i}, record_id=f"r{i}", timestamp_us=T0)
+    stop = threading.Event()
 
-    results = {}
+    def background_writer():
+        j = 1000
+        while not stop.is_set():
+            eng.write("t", {"i": j}, record_id=f"bg{j}", timestamp_us=T0)
+            j += 1
 
-    def _deleter():
-        results["deleted"] = sum(engine.delete("cd", f"r{i}") for i in range(0, 20, 2))
-
-    def _writer():
-        for i in range(20, 30):
-            engine.write("cd", {"i": i}, record_id=f"r{i}", timestamp_us=T0)
-
-    td, tw = threading.Thread(target=_deleter), threading.Thread(target=_writer)
-    td.start(); tw.start(); td.join(); tw.join()
-    engine.flush()
-    assert results["deleted"] == 10
-    n = json.loads(engine.query("SELECT count(*) AS n FROM cd"))[0]["n"]
-    assert n == 20  # 20 original - 10 deleted + 10 new
+    th = threading.Thread(target=background_writer)
+    th.start()
+    try:
+        for i in range(0, 30, 3):
+            eng.delete("t", f"r{i}")
+    finally:
+        stop.set()
+        th.join()
+    eng.flush("t")
+    rows = json.loads(eng.query(
+        "SELECT id FROM t WHERE id LIKE 'r%' ORDER BY id", limit=100))
+    ids = {r["id"] for r in rows}
+    assert not any(f"r{i}" in ids for i in range(0, 30, 3))
+    assert all(f"r{i}" in ids for i in range(30) if i % 3 != 0)
