@@ -176,6 +176,30 @@ class IVFIndex:
 
         return df.withColumn("ivf_cell", _cell(F.col(vec_col)))
 
+    def save(self, path: str) -> None:
+        """Persist trained centroids as JSON — the index definition is
+        tiny (k × dim floats) and must outlive the session so probes
+        against a :func:`write_ivf` table use the exact centroids the
+        table was partitioned with."""
+        import json
+
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"n_cells": self.n_cells, "seed": self.seed,
+                 "centroids": self.centroids.tolist()},
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import json
+
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        idx = cls(n_cells=doc["n_cells"], seed=doc["seed"])
+        idx.centroids = np.asarray(doc["centroids"], dtype=np.float64)
+        return idx
+
     def query_cells(self, query_vec: list[float], nprobe: int = 4) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
         q /= np.linalg.norm(q) + 1e-12

@@ -56,3 +56,17 @@ def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     exact = {r["vec_id"] for r in cosine_topk(rest, qv, 10).collect()}
     got = {r["vec_id"] for r in probed.collect()}
     assert len(exact & got) / 10 >= 0.4
+
+
+def test_ivf_index_save_load_identical_assignments(spark, sf_dir, tmp_path):
+    from miniodb_spark.operators.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IVFIndex(n_cells=8).fit(emb)
+    p = str(tmp_path / "ivf.json")
+    idx.save(p)
+    idx2 = IVFIndex.load(p)
+    a = idx.assign_cells(emb).select("vec_id", "ivf_cell")
+    b = idx2.assign_cells(emb).select("vec_id", "ivf_cell")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert idx.query_cells([0.1] * 64, nprobe=3) == idx2.query_cells([0.1] * 64, nprobe=3)
