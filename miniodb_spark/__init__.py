@@ -34,6 +34,12 @@ Package map:
   plans.py      physical-plan inspection (pushdown/pruning/broadcast assertions)
   bucketing.py  bucketed co-located joins (zero-shuffle recurring joins)
   skew.py       salted joins + two-phase aggregation for hot keys
+  fs.py         data-path storage abstraction: local or Hadoop FS (s3a://)
+  auth.py       HS256 JWT token manager + per-RPC interceptor (internal/security/jwt_manager.go)
+  backup.py     metadata snapshots: create/list/restore/status (internal/backup)
+  monitoring.py Prometheus-style metrics registry + component health (internal/monitoring)
+  ratelimit.py  token-bucket smart rate limiter (internal/security/smart_rate_limiter.go)
+  rest.py       the reference's /v1 REST route table on stdlib http.server (internal/transport/rest)
   queries.py    the operator-inventory registry (Spark impl + DuckDB oracle pairs)
   operators/    dedup, similarity, temporal joins, text analysis, multimodal
   streaming/    structured-streaming ingest, CDC events, windows, stateful ops
