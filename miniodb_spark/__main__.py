@@ -1,0 +1,98 @@
+"""Runnable entry points — the reference ships server/client binaries
+(cmd/server, cmd/client); this is the Spark-native equivalent:
+
+    python -m miniodb_spark serve  --root /data/store --port 8080
+    python -m miniodb_spark query  --root /data/store "SELECT ..."
+    python -m miniodb_spark explain --root /data/store "SELECT ..."
+
+`serve` exposes the reference's /v1 REST contract (rest.py); pass
+``--api-key KEY:SECRET`` (repeatable) to enforce JWT auth, and
+``--rate-limit`` to enable the default tiered limiter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _engine(args):
+    from .engine import Engine
+    from .session import get_spark
+
+    spark = get_spark("miniodb_spark_cli", cpus=args.cpus)
+    return Engine(spark, args.root)
+
+
+def cmd_serve(args) -> int:
+    from .api import MiniODBService
+    from .rest import RestServer
+
+    auth = None
+    if args.api_key:
+        from .auth import TokenManager
+
+        keys = dict(kv.split(":", 1) for kv in args.api_key)
+        auth = TokenManager(args.signing_secret or "change-me", keys)
+    limiter = None
+    if args.rate_limit:
+        from .ratelimit import SmartRateLimiter
+
+        limiter = SmartRateLimiter()
+    svc = MiniODBService(_engine(args), auth=auth, rate_limiter=limiter)
+    srv = RestServer(svc, host=args.host, port=args.port)
+    print(f"miniodb_spark REST serving on http://{args.host}:{srv.port}/v1", flush=True)
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    eng = _engine(args)
+    print(eng.query(args.sql, limit=args.limit))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    eng = _engine(args)
+    print(eng.explain(args.sql))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="miniodb_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--root", required=True, help="engine storage root (local path or s3a:// URI)")
+        p.add_argument("--cpus", default=None, help="local[] core count (default $SPARK_GRAFT_CPUS)")
+
+    p = sub.add_parser("serve", help="serve the /v1 REST contract")
+    common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--api-key", action="append", default=[],
+                   metavar="KEY:SECRET", help="enable JWT auth (repeatable)")
+    p.add_argument("--signing-secret", default=None)
+    p.add_argument("--rate-limit", action="store_true")
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("query", help="run one gated SQL query, print JSON")
+    common(p)
+    p.add_argument("sql")
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("explain", help="print the formatted physical plan")
+    common(p)
+    p.add_argument("sql")
+    p.set_defaults(fn=cmd_explain)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -502,6 +502,15 @@ class Engine:
     # query path
     # ------------------------------------------------------------------
 
+    def explain(self, sql: str, default_table: str | None = None) -> str:
+        """Formatted physical plan for a gated query — the ops tool for
+        checking that a production query actually gets its pushdown /
+        pruning / broadcast (capability upgrade; the reference has no
+        plan introspection, its DuckDB plans are opaque to callers)."""
+        from .plans import formatted_plan
+
+        return formatted_plan(self.query_df(sql, default_table=default_table))
+
     def query_df(
         self, sql: str, limit: int | None = None, default_table: str | None = None
     ) -> DataFrame:
