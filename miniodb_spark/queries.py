@@ -1076,6 +1076,79 @@ def subquery_scalar(spark, sf_dir):
     )
 
 
+@register(
+    "subquery_correlated_scalar",
+    """
+    SELECT c_custkey,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c WHERE c_custkey <= 100 ORDER BY c_custkey
+    """,
+    doc="correlated scalar subquery in the SELECT list (Catalyst rewrites "
+        "to a left outer aggregate join)",
+)
+def subquery_correlated_scalar(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c WHERE c_custkey <= 100 ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "order_nulls_last",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS tp
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY tp DESC NULLS LAST, o_orderkey
+    """,
+    doc="explicit NULLS LAST ordering (engine defaults differ: Spark DESC is "
+        "nulls-last, DuckDB DESC is nulls-first — explicit placement is the "
+        "portable contract)",
+)
+def order_nulls_last(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    tp = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select("o_orderkey", tp.alias("tp")).orderBy(
+        F.col("tp").desc_nulls_last(), "o_orderkey"
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="explicit GROUPING SETS (beyond rollup/cube): per-status, "
+        "per-priority, and grand-total groups in one pass",
+)
+def grouping_sets_explicit(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # additional coverage: classic TPC-H shapes, nulls, set ops, stats
 # ---------------------------------------------------------------------------
