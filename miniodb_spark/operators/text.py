@@ -87,6 +87,56 @@ def quality_signals(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def vocabulary_stats(df: DataFrame, col: str = "text",
+                     min_doc_freq: int = 1) -> DataFrame:
+    """Corpus vocabulary: per-token document frequency + total
+    occurrences. One explode + one groupBy (single shuffle on the
+    token); the natural input for stopword discovery, hot-token caps
+    and tokenizer vocabulary construction."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(col)), " ")).alias("token"),
+        F.col("doc_id"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+            F.count("*").cast("bigint").alias("occurrences"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf(term, doc) · ln(N / df(term))
+    over lowercase whitespace tokens. All relational — explode → tf agg
+    → df agg → join → window top-k; the df side is a per-term aggregate
+    (tiny vs the corpus) and broadcastable. Ranking uses the score
+    rounded to 6 decimals with a term tie-break so ordering is
+    deterministic and engine-portable (raw float ULP ordering is not)."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(col)), " ")).alias("t"))
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = toks.groupBy("t").agg(F.countDistinct(id_col).alias("df"))
+    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(F.broadcast(dfreq), "t").select(
+        id_col, F.col("t").alias("term"), score.alias("tfidf")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def language_id(df: DataFrame, col: str = "text") -> DataFrame:
     """Marker-word language heuristic: score each language by distinct
     marker hits in the token set; predict the argmax (ties → 'und').
@@ -231,6 +281,61 @@ def register_queries(register) -> None:
                 0.5 * F.least(n_tokens / 50.0, F.lit(1.0)) + 0.5 * (n_distinct / n_tokens)
             ).alias("quality"),
         ).orderBy("doc_id")
+
+    @register(
+        "vocabulary_stats",
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+        SELECT token,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+               CAST(count(*) AS BIGINT)               AS occurrences
+        FROM toks GROUP BY token
+        HAVING count(DISTINCT doc_id) >= 50
+        ORDER BY token
+        """,
+        doc="corpus vocabulary with document frequency (stopword discovery / "
+            "hot-token-cap input); min_doc_freq 50 keeps output bounded",
+        tags=("llm", "capability"),
+    )
+    def vocabulary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return vocabulary_stats(docs, min_doc_freq=50).orderBy("token")
+
+    @register(
+        "tfidf_top_terms",
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.t AS term,
+                 round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+          FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+          FROM scored)
+        SELECT doc_id, term, tfidf, rk FROM ranked
+        WHERE rk <= 5 AND doc_id < 50
+        ORDER BY doc_id, rk
+        """,
+        doc="top-5 TF-IDF terms per document (tf x ln(N/df), rounded ranking "
+            "with term tie-break for engine-portable ordering)",
+        tags=("llm", "capability"),
+    )
+    def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            tfidf_top_terms(docs, k=5)
+            .filter(F.col("doc_id") < 50)
+            .orderBy("doc_id", "rk")
+        )
 
     _stop_list_sql = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
