@@ -558,6 +558,40 @@ def register_queries(register) -> None:
         return token_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
     @register(
+        "dedup_token_jaccard_capped",
+        """
+        WITH toks0 AS (
+          SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+          FROM documents WHERE doc_id < 200),
+        dfq AS (SELECT w, count(*) AS c FROM toks0 GROUP BY w),
+        toks AS (SELECT t.doc_id, t.w FROM toks0 t JOIN dfq USING (w) WHERE c <= 60),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+        ORDER BY id_a, id_b
+        """,
+        doc="token-Jaccard with the hot-token guard active (doc-freq cap 60): "
+            "exact Jaccard over the capped vocabulary, oracle mirrors the cap "
+            "— proves the guard's semantics, not just its boundedness",
+        tags=("llm", "capability"),
+    )
+    def dedup_token_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        return token_jaccard_pairs(docs, threshold=0.5, max_doc_freq=60).orderBy(
+            "id_a", "id_b"
+        )
+
+    @register(
         "dedup_char_ngram_jaccard",
         """
         WITH grams AS (
