@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import threading
 from typing import Any
 
@@ -683,7 +682,6 @@ class Engine:
         (reference: retention config in table_config.go; enforcement is a
         partition-directory drop here — O(partitions), never a rewrite).
         Returns the number of partitions removed."""
-        import shutil
         import time as _time
         from datetime import datetime, timedelta, timezone
 
