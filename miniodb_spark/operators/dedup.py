@@ -160,13 +160,16 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` is the scale guard: a duplicate-saturated corpus
     puts thousands of docs into one (band, band_hash) bucket, and the
     self-join inside that bucket is quadratic (10k docs ⇒ ~50M pairs).
-    Buckets larger than the cap are dropped from the join (the window
-    count shares the join's (band, bh) shuffle, so the guard costs no
-    extra exchange). Docs in a dropped bucket still pair through their
-    other ``bands - 1`` buckets, and *identical* docs are caught by the
-    cheaper :func:`exact_duplicates` pass that should always run first;
-    the trade-off is recall loss only for near-dup clusters larger than
-    the cap that collide in every band."""
+    A window count over (band, bh) drops oversized buckets before the
+    join. Measured at sf0.1 vs alternatives: window cap 0.30 s /
+    3 hash exchanges, broadcast-anti-join blacklist 0.36 s / 3 hash
+    exchanges, no guard 0.16 s / 1 — the guard costs ~2× on a healthy
+    corpus and is what makes a pathological one terminate at all. Docs
+    in a dropped bucket still pair through their other ``bands - 1``
+    buckets, and *identical* docs are caught by the cheaper
+    :func:`exact_duplicates` pass that should always run first; the
+    trade-off is recall loss only for near-dup clusters larger than the
+    cap that collide in every band."""
     from pyspark.sql import Window as W
 
     r = num_hashes // bands
