@@ -13,11 +13,13 @@ Scale design notes (the point of each variant):
   (``xxhash64(seed_i, shingle)`` + min-aggregate — no UDF), then
   banded: equal band-hash ⇒ candidate pair. Cost is linear in corpus
   size + output pairs; the band join is a shuffle on band keys.
-- **SimHash**: 32-bit signature via per-bit majority vote of token
+- **SimHash**: 64-bit signature via per-bit majority vote of token
   hashes; near-dups = signatures within small Hamming distance,
-  bucketed by 4 disjoint 8-bit blocks — by pigeonhole, any pair with
+  bucketed by 4 disjoint 16-bit blocks — by pigeonhole, any pair with
   Hamming ≤ 3 agrees exactly on at least one block, so block-bucketing
-  is *complete* (no missed pairs) for the default distance.
+  is *complete* (no missed pairs) for the default distance. 16-bit
+  block keys (65k buckets/block) plus a ``max_bucket_size`` cap keep
+  the verify join bounded at corpus scale.
 """
 
 from __future__ import annotations
@@ -225,10 +227,18 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32) -> DataFrame:
+            bits: int = 64) -> DataFrame:
     """SimHash signature: per-bit majority vote over token hashes.
     Expressed as explode → per-bit ±1 contributions → sum — one shuffle
-    on the id, no UDF."""
+    on the id, no UDF.
+
+    Default is 64 bits: with 4 bucket blocks that gives 16-bit block
+    keys (65k buckets per block) in :func:`simhash_near_pairs`, vs 256
+    buckets at 32 bits — at web-corpus N the 8-bit keys put ~N/256 docs
+    in *every* bucket and the verify join goes quadratic regardless of
+    content. The signature is assembled with ``bitwiseOR`` +
+    ``shiftleft`` (not arithmetic sum) so bit 63 — which wraps to the
+    long sign bit — is safe under ANSI overflow checking."""
     ex = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
@@ -240,16 +250,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         for i in range(bits)
     ]
     votes = ex.groupBy(id_col).agg(*bit_aggs)
-    sig = None
+    sig = F.lit(0).cast("long")
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3, bits: int = 32,
-                       blocks: int = 4) -> DataFrame:
+                       max_hamming: int = 3, bits: int = 64,
+                       blocks: int = 4,
+                       max_bucket_size: int | None = 2000) -> DataFrame:
     """Pairs within Hamming ≤ max_hamming: bucket on each of ``blocks``
     disjoint bit-blocks, verify exact Hamming distance with bit_count.
 
@@ -258,12 +271,22 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
     differing bits whenever max_hamming < blocks — so with the default
     4 blocks the block-join provably finds *every* pair at distance ≤ 3
     (the exact filter then removes false candidates). This is asserted
-    against brute force by the `dedup_simhash` self-check."""
+    against brute force by the `dedup_simhash` self-check.
+
+    Scale guards (same pattern as :func:`minhash_lsh_pairs`): 64-bit
+    signatures give 16-bit block keys, and ``max_bucket_size`` drops any
+    (block, key) bucket larger than the cap before the self-join — a
+    duplicate-saturated corpus collapses onto one signature and would
+    otherwise self-join quadratically. Identical docs belong to the
+    cheaper :func:`exact_duplicates` pass that should always run first;
+    the completeness guarantee then holds among the surviving buckets."""
     if max_hamming >= blocks:
         raise ValueError(
             f"blocks={blocks} cannot guarantee completeness for "
             f"max_hamming={max_hamming}; need blocks > max_hamming"
         )
+    from pyspark.sql import Window as W
+
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
     keyed = sigs.select(
@@ -283,6 +306,13 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.part").alias("part"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        bucket_n = F.count("*").over(W.partitionBy("part", "key"))
+        keyed = (
+            keyed.withColumn("_bn", bucket_n)
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -417,6 +447,7 @@ def char_ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct character n-gram sets — robust to
     tokenization differences (catches near-dups that differ by
@@ -425,13 +456,28 @@ def char_ngram_jaccard_pairs(
     :func:`token_jaccard_pairs`. The n-gram build is a HOF ``transform``
     (interpreted per element — acceptable for a ground-truth operator
     run on bounded samples; the scale path for approximate char-level
-    dedup is MinHash over these same grams)."""
+    dedup is MinHash over these same grams).
+
+    ``max_doc_freq`` is the hot-gram guard, identical in semantics to
+    the token variant's hot-token cap but *more* necessary here: common
+    character 3-grams (`` th``, ``e a``) appear in essentially every
+    English document, so the unguarded inverted-index join is Σk² over
+    near-corpus-sized posting lists. With the cap, grams whose document
+    frequency exceeds it are removed before both the join and the
+    per-doc set sizes — the result is exact Jaccard over the filtered
+    gram vocabulary (a defined semantic, not an approximation)."""
     s = F.lower(F.col(text_col))
     k = F.greatest(F.length(s) - (n - 1), F.lit(1))
     grams = F.array_distinct(
         F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(s, i, n))
     )
     toks = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    if max_doc_freq is not None:
+        doc_freq = toks.groupBy("g").agg(F.count("*").alias("_df"))
+        toks = (
+            toks.join(doc_freq.filter(F.col("_df") <= max_doc_freq), "g", "inner")
+            .drop("_df")
+        )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")
     common = (
@@ -627,6 +673,44 @@ def register_queries(register) -> None:
         return char_ngram_jaccard_pairs(docs, n=3, threshold=0.6).orderBy(
             "id_a", "id_b"
         )
+
+    @register(
+        "dedup_char_ngram_capped",
+        """
+        WITH grams0 AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [substring(lower(text), i, 3)
+                    FOR i IN range(1, greatest(length(text) - 1, 2))])) AS g
+          FROM documents WHERE doc_id < 150),
+        dfq AS (SELECT g, count(*) AS c FROM grams0 GROUP BY g),
+        grams AS (SELECT t.doc_id, t.g FROM grams0 t JOIN dfq USING (g) WHERE c <= 40),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.6
+        ORDER BY id_a, id_b
+        """,
+        doc="char-3-gram Jaccard with the hot-gram guard active (doc-freq cap "
+            "40): exact Jaccard over the capped gram vocabulary — the oracle "
+            "mirrors the cap, proving the guard's semantics exactly as the "
+            "token variant's capped entry does",
+        tags=("llm", "capability"),
+    )
+    def dedup_char_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 150
+        )
+        return char_ngram_jaccard_pairs(
+            docs, n=3, threshold=0.6, max_doc_freq=40
+        ).orderBy("id_a", "id_b")
 
     @register(
         "dedup_minhash_lsh",

@@ -251,14 +251,34 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bits: int = 8,
+    bits: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucket self-join + exact cosine
-    verification (bucket join bounds the quadratic blowup)."""
+    verification (bucket join bounds the quadratic blowup).
+
+    Scale guards (same pattern as ``dedup.minhash_lsh_pairs``): the
+    default is 16 hyperplanes (65k buckets — at 8 bits every one of the
+    256 buckets holds ~N/256 vectors at corpus scale and the verify join
+    goes quadratic regardless of content), and ``max_bucket_size`` drops
+    any bucket larger than the cap before the self-join — a corpus
+    saturated with copies of one vector collapses onto a single bucket
+    that would otherwise self-join quadratically. Exact-duplicate
+    vectors belong to a cheaper hash-groupBy pass run first; recall
+    among surviving buckets is the usual signed-projection bound."""
     bucketed = lsh_bucketize(df, vec_col, bits, seed).select(
         id_col, vec_col, "lsh_bucket"
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        bucket_n = F.count("*").over(W.partitionBy("lsh_bucket"))
+        bucketed = (
+            bucketed.withColumn("_bn", bucket_n)
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     sim = cosine(_as_double(f"a.{vec_col}"), _as_double(f"b.{vec_col}"))
     return (
@@ -358,15 +378,17 @@ def register_queries(register) -> None:
             "must equal exactly {brute-force pairs ≥ threshold whose endpoints "
             "share an LSH bucket} — verifies bucketing, self-join, and exact "
             "verification against ground truth computed without LSH (threshold "
-            "0.4 so the fixture's random vectors yield a non-empty truth set)",
+            "0.4 so the fixture's random vectors yield a non-empty truth set; "
+            "bits=8 here so same-bucket truth pairs exist at fixture N — the "
+            "operator's scale default is 16 bits, exercised by the skew test)",
         tags=("llm", "capability"),
     )
     def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold = 0.4
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        lsh_pairs = embedding_near_dup_pairs(emb, threshold=threshold).select(
-            "id_a", "id_b"
-        )
+        lsh_pairs = embedding_near_dup_pairs(
+            emb, threshold=threshold, bits=8
+        ).select("id_a", "id_b")
         # ground truth without LSH: brute-force all pairs ≥ threshold, then
         # restrict to same-bucket pairs (what a correct bucketed join returns)
         bucketed = lsh_bucketize(emb).select("vec_id", "embedding", "lsh_bucket")

@@ -133,3 +133,67 @@ def test_distributed_cc_on_real_pair_volume(spark, sf_dir):
              deduplicate_corpus(docs, pairs, distributed_threshold=0).collect()}
     assert small == large
     assert 0 < len(small) < docs.count()
+
+
+def test_simhash_bucket_cap_bounds_saturated_corpus(spark):
+    """Pathological skew: hundreds of identical signatures collapse onto
+    one (block, key) bucket per block — the cap must drop those buckets
+    so the verify join input stays bounded, while untouched small
+    buckets still pair up."""
+    from miniodb_spark.operators.dedup import simhash_near_pairs
+
+    rows = [(i, 0) for i in range(300)]  # 300 identical sigs
+    # a genuine small pair: shares a distinctive block-0 key (0x1234 —
+    # NOT the saturated key 0), differs only in bit 60
+    rows += [(1000, 0x1234), (1001, 0x1234 | (1 << 60))]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = simhash_near_pairs(sigs, max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the saturated component is dropped entirely; the small pair survives
+    assert got == {(1000, 1001)}
+    # without the guard the identical block explodes into ~300²/2 pairs
+    uncapped = simhash_near_pairs(sigs, max_bucket_size=None).limit(10)
+    assert uncapped.count() == 10
+
+
+def test_simhash_64bit_defaults_and_sign_bit(spark, sf_dir):
+    """The scale default is a 64-bit signature (16-bit block keys); bit
+    63 wraps to the long sign bit and must survive ANSI overflow
+    checking. All-'z' docs drive every token hash's high bit the same
+    way, exercising the top bits deterministically."""
+    from miniodb_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    sigs = simhash(docs)  # default bits=64 — must not raise under ANSI
+    vals = [r["simhash"] for r in sigs.collect()]
+    assert len(vals) == 50
+    # 64-bit signatures genuinely use the upper half of the key space
+    assert any((v >> 32) & 0xFFFFFFFF for v in vals)
+    # sign bit reachable without arithmetic overflow
+    one_doc = spark.createDataFrame([(1, "z")], "doc_id long, text string")
+    assert simhash(one_doc).count() == 1
+
+
+def test_char_ngram_hot_gram_cap(spark):
+    """Docs share only the ubiquitous gram 'the' (inside every text);
+    with the doc-freq cap those posting lists are removed before the
+    join, so no cross-doc pair survives — while a genuinely similar
+    pair below the cap still matches."""
+    from miniodb_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple orchard blooms"),
+            (2, "the quantum vacuum decays"),
+            (3, "the iron hull rusts"),
+            (4, "zygote xylem quartz"),
+            (5, "zygote xylem quartzy"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = char_ngram_jaccard_pairs(docs, n=3, threshold=0.03)
+    assert uncapped.filter("id_a < 4 AND id_b < 4").count() == 3
+    capped = char_ngram_jaccard_pairs(docs, n=3, threshold=0.03, max_doc_freq=2)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (4, 5) in got                       # real near-dup survives
+    assert not any(a < 4 and b < 4 for a, b in got if (a, b) != (4, 5))
