@@ -85,12 +85,11 @@ class MiniODBService:
                    default_table: str | None = None,
                    client_id: str = "default") -> dict:
         with self._rpc("query_data", client_id):
-            result_json = self.engine.query(
+            res = self.engine.query_full(
                 sql, limit=limit, default_table=default_table
             )
             self._counters["queries"] += 1
-            return {"result_json": result_json,
-                    "truncated": self.engine.last_query_truncated}
+            return {"result_json": res.json, "truncated": res.truncated}
 
     def update_data(self, table: str, record_id: str, payload: dict,
                     timestamp_us: int | None = None,

@@ -32,7 +32,7 @@ from __future__ import annotations
 import json
 import os
 import threading
-from typing import Any
+from typing import Any, NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +60,16 @@ _TYPE_MAP: dict[str, T.DataType] = {
 
 _CANONICAL = {"bigint": "long", "int": "long", "smallint": "long", "tinyint": "long",
               "float": "double"}
+
+
+class QueryResult(NamedTuple):
+    """A query's JSON payload plus its truncation flag. Truncation is a
+    property of the *result* — it travels with the cache entry, so a
+    cache-hit of a truncated result still reports truncated, and
+    concurrent queries can't cross-talk through shared engine state."""
+
+    json: str
+    truncated: bool
 
 
 def _type_name(dt: T.DataType) -> str:
@@ -110,7 +120,6 @@ class Engine:
         # a request-level LIMIT, miniodb_service.go:624-626) — an unbounded
         # SELECT * over a 100 TB table must never collect onto the driver
         self.max_result_rows = max_result_rows
-        self.last_query_truncated = False
         self.query_stats: dict[str, Any] = {
             "count": 0, "total_ms": 0.0, "slow": [], "truncated": 0
         }
@@ -128,11 +137,30 @@ class Engine:
         # happens to re-create the table's buffer
         wal_dir = os.path.join(self.meta_root, "_system", "wal")
         if os.path.isdir(wal_dir):
+            import re as _re
+
+            seg_re = _re.compile(r"^(?P<table>.+)\.wal\.seg\d{6}$")
+            names: set[str] = set()
             for fn in os.listdir(wal_dir):
-                # active files end .wal; sealed segments (.wal.segNNNNNN)
-                # are picked up by the active file's replay
+                # active files end .wal; a crash between segment-seal and
+                # active-file reopen can leave ONLY .wal.segNNNNNN files,
+                # so sealed segments must also nominate their table
                 if fn.endswith(".wal"):
-                    self._buffer_for(fn[: -len(".wal")])
+                    names.add(fn[: -len(".wal")])
+                else:
+                    m = seg_re.match(fn)
+                    if m:
+                        names.add(m.group("table"))
+            for name in sorted(names):
+                if self.catalog.get_table(name) is None:
+                    # leftover WAL for a table the catalog no longer knows:
+                    # an interrupted delete_table committed the drop (the
+                    # catalog is the source of truth) but crashed before
+                    # removing the log — finish the cleanup instead of
+                    # resurrecting an acked-deleted table via ensure_table
+                    self._remove_wal_files(name)
+                    continue
+                self._buffer_for(name)
 
     # ------------------------------------------------------------------
     # tables
@@ -149,16 +177,36 @@ class Engine:
         return self.catalog.get_table(name)
 
     def delete_table(self, name: str) -> bool:
+        """DeleteTable (reference miniodb_service.go): drop catalog entry,
+        buffer, WAL and data. The WAL file + sealed segments MUST go too —
+        boot replay re-creates any table with a leftover log, so skipping
+        this silently undoes an acked DeleteTable at the next restart (and
+        in-session on the next write to the same name, whose fresh
+        WriteBuffer would replay the pre-delete rows). Ordering: catalog
+        drop first (source of truth), then log removal — a crash in
+        between is healed by boot replay's catalog check."""
         with self._lock:
             buf = self._buffers.pop(name, None)
             if buf:
                 buf.wal.close()
             ok = self.catalog.drop_table(name)
+            self._remove_wal_files(name)
             self.cache.invalidate_table(name)
             path = self._table_dir(name)
             if self.fs.is_dir(path):
                 self.fs.remove_dir(path)
             return ok
+
+    def _remove_wal_files(self, table: str) -> None:
+        """Delete a table's active WAL file and every sealed segment."""
+        from .buffer import WAL
+
+        wal_path = os.path.join(self.meta_root, "_system", "wal", f"{table}.wal")
+        for p in [*WAL._segments(wal_path), wal_path]:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
 
     def _table_dir(self, table: str) -> str:
         return fsmod.join(self.root, table)
@@ -550,8 +598,16 @@ class Engine:
         self, sql: str, limit: int | None = None, default_table: str | None = None
     ) -> str:
         """Full QueryData: returns the JSON array string the reference's
-        API contract specifies (empty result ⇒ ``"[]"``), via the result
-        cache when the query is cache-worthy."""
+        API contract specifies (empty result ⇒ ``"[]"``). Callers that
+        need the truncation flag use ``query_full``."""
+        return self.query_full(sql, limit=limit, default_table=default_table).json
+
+    def query_full(
+        self, sql: str, limit: int | None = None, default_table: str | None = None
+    ) -> QueryResult:
+        """Gate → execute → bounded JSON collect, via the result cache
+        when the query is cache-worthy. The cached value is the whole
+        ``QueryResult``, so the truncated flag survives cache hits."""
         import time as _time
 
         checked = gate.validate_query(sql)
@@ -567,11 +623,11 @@ class Engine:
         # detectable; queries carrying their own LIMIT are unaffected
         # (inject_limit is a no-op then, and the cap only trims if the
         # user's limit exceeds it)
-        self.last_query_truncated = False
+        truncated = False
         rows = df.limit(self.max_result_rows + 1).toJSON().collect()
         if len(rows) > self.max_result_rows:
             rows = rows[: self.max_result_rows]
-            self.last_query_truncated = True
+            truncated = True
             self.query_stats["truncated"] += 1
         if self.encryptor:
             decrypted = [
@@ -591,9 +647,10 @@ class Engine:
                 {"sql": checked[:200], "ms": round(elapsed_ms, 1)}
             )
             self.query_stats["slow"] = self.query_stats["slow"][-100:]
+        out = QueryResult(result, truncated)
         if use_cache:
-            self.cache.put(checked, tables, result)
-        return result
+            self.cache.put(checked, tables, out)
+        return out
 
     def stream_query(
         self, sql: str, batch_size: int = 100, cursor: int = 0, default_table: str | None = None

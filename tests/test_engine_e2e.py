@@ -158,13 +158,23 @@ def test_unbounded_query_is_capped_and_signals_truncation(spark, tmp_path):
     eng = Engine(spark, str(tmp_path / "capstore"), max_result_rows=10)
     _seed_users(eng, n=25)
     eng.flush()
-    rows = json.loads(eng.query("SELECT id FROM users"))
-    assert len(rows) == 10
-    assert eng.last_query_truncated
+    res = eng.query_full("SELECT id FROM users")
+    assert len(json.loads(res.json)) == 10
+    assert res.truncated
     assert eng.query_stats["truncated"] == 1
     # a query with its own LIMIT under the cap is untouched
-    rows = json.loads(eng.query("SELECT id FROM users LIMIT 3"))
-    assert len(rows) == 3 and not eng.last_query_truncated
+    res = eng.query_full("SELECT id FROM users LIMIT 3")
+    assert len(json.loads(res.json)) == 3 and not res.truncated
+    # the flag travels with the cache entry: a cache-hit of the capped
+    # query must still report truncated (the old engine-level attribute
+    # was skipped on the hit path and raced across threads). The query
+    # needs medium complexity to be cache-worthy.
+    cached_sql = "SELECT id FROM users GROUP BY id ORDER BY id"
+    first = eng.query_full(cached_sql)
+    assert first.truncated
+    hits_before = eng.cache.hits
+    res = eng.query_full(cached_sql)
+    assert eng.cache.hits == hits_before + 1 and res.truncated
 
 
 def test_stream_query_never_collects_full_result(spark, tmp_path):
