@@ -473,6 +473,10 @@ def char_ngram_jaccard_pairs(
     )
     toks = df.select(F.col(id_col), F.explode(grams).alias("g"))
     if max_doc_freq is not None:
+        # the interpreted HOF gram build would otherwise be re-evaluated
+        # by doc_freq, both join sides and the size aggregation (4×);
+        # materialize it once — bounded-sample inputs make this cheap
+        toks = toks.localCheckpoint(eager=True)
         doc_freq = toks.groupBy("g").agg(F.count("*").alias("_df"))
         toks = (
             toks.join(doc_freq.filter(F.col("_df") <= max_doc_freq), "g", "inner")
@@ -743,13 +747,15 @@ def register_queries(register) -> None:
         "SELECT true AS simhash_ok",
         doc="SimHash completeness self-check: 4-block bucketed Hamming≤3 pairs "
             "must equal brute-force all-pairs Hamming≤3 over the same signatures "
-            "(pigeonhole guarantees the block join misses nothing at d<blocks)",
+            "(pigeonhole guarantees the block join misses nothing at d<blocks; "
+            "max_bucket_size=None keeps the production-only scale cap out of "
+            "the completeness comparison — the brute-force truth is uncapped)",
         tags=("llm", "capability"),
     )
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         sigs = simhash(docs).localCheckpoint(eager=True)
-        bucketed = simhash_near_pairs(sigs).select("id_a", "id_b")
+        bucketed = simhash_near_pairs(sigs, max_bucket_size=None).select("id_a", "id_b")
         a, b = sigs.alias("a"), sigs.alias("b")
         brute = (
             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

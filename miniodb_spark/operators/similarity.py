@@ -379,15 +379,17 @@ def register_queries(register) -> None:
             "share an LSH bucket} — verifies bucketing, self-join, and exact "
             "verification against ground truth computed without LSH (threshold "
             "0.4 so the fixture's random vectors yield a non-empty truth set; "
-            "bits=8 here so same-bucket truth pairs exist at fixture N — the "
-            "operator's scale default is 16 bits, exercised by the skew test)",
+            "bits=8 here so same-bucket truth pairs exist at fixture N, and "
+            "max_bucket_size=None so the check isolates bucketing+verification "
+            "from the scale guard, whose saturated-bucket behavior is pinned by "
+            "test_skew.py::test_embedding_bucket_cap_bounds_saturated_corpus)",
         tags=("llm", "capability"),
     )
     def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold = 0.4
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         lsh_pairs = embedding_near_dup_pairs(
-            emb, threshold=threshold, bits=8
+            emb, threshold=threshold, bits=8, max_bucket_size=None
         ).select("id_a", "id_b")
         # ground truth without LSH: brute-force all pairs ≥ threshold, then
         # restrict to same-bucket pairs (what a correct bucketed join returns)

@@ -1413,17 +1413,21 @@ def pivot_status_by_priority(spark, sf_dir):
 # round: every entry that has never had a green driver row goes inside the
 # window; entries already driver-green in one or more past rounds rotate to
 # the tail, where tests/test_oracle_parity.py keeps pinning them each CI
-# run. Round 3 window = the r2-red-now-fixed five, all round-3 additions,
-# the full LLM/temporal/sketch block, the two queries whose plans changed
-# this round (broadcast softening), and the flagship.
+# run. Round 5 window = the round-4 addition that was never driver-graded
+# (dedup_char_ngram_capped sat at position 81), the four entries whose
+# code changed this round (self-checks decoupled from the production
+# bucket caps; char-gram lineage checkpoint), the LLM/temporal/sketch
+# block, and the flagship; the most-seasoned triple-green core-SQL rows
+# rotate to the tail.
 _PRIORITY_ORDER = [
     "q1_pricing_summary",
-    # r2-red rows, fixed this round (oracles/self-checks added)
-    "lang_id_heuristic", "dedup_minhash_lsh", "dedup_simhash",
-    "embedding_near_dup", "multimodal_features",
-    # round-3 additions (never driver-graded before this round)
-    "dedup_corpus_survivors", "dedup_char_ngram_jaccard",
-    "dedup_token_jaccard_capped", "quality_signals",
+    # never driver-graded (round-4 addition, was position 81) + the four
+    # entries whose operator/self-check code changed in round 5
+    "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
+    "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
+    # recent additions / fixed rows — keep another round of driver rows
+    "lang_id_heuristic", "dedup_minhash_lsh", "multimodal_features",
+    "dedup_corpus_survivors", "quality_signals",
     "multimodal_frame_sample", "vocabulary_stats", "tfidf_top_terms",
     "subquery_correlated_scalar", "order_nulls_last",
     "grouping_sets_explicit",
@@ -1437,7 +1441,7 @@ _PRIORITY_ORDER = [
     "asof_join_events", "range_join_events",
     "hll_registry_within_bound", "cms_freq_within_bound",
     # r2-first-green block (keep one more round of driver rows)
-    "derived_table", "math_case_when", "cte_revenue",
+    "math_case_when", "cte_revenue",
     "window_row_number_topn", "window_running_sum", "window_lag_lead",
     "window_moving_avg", "window_rank_dist", "window_first_last",
     "sessionize_30min", "tumbling_window_counts",
@@ -1447,8 +1451,9 @@ _PRIORITY_ORDER = [
     # plans changed this round (broadcast softening) — fresh green row
     "join_multiway_region", "q3_shipping_priority",
     # --- position >50: outside the checked window; every entry below has
-    # a green driver row from r1 and/or r2 and stays pinned by
+    # green driver rows from two or more past rounds and stays pinned by
     # tests/test_oracle_parity.py
+    "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",
     "sort_limit_topk", "subquery_in", "q6_forecast_revenue",

@@ -29,6 +29,31 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert {r["k"]: r["w"] for r in out} == {1: "x", 2: None, 99: None}
 
 
+def test_embedding_bucket_cap_bounds_saturated_corpus(spark):
+    """Pathological skew for the embedding near-dup guard: hundreds of
+    identical vectors collapse onto one LSH bucket — max_bucket_size
+    must drop that bucket so the verify self-join stays bounded, while
+    a genuine near-pair in an untouched small bucket still survives."""
+    from miniodb_spark.operators.similarity import embedding_near_dup_pairs
+
+    sat = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]  # one bucket
+    # a genuine near-pair along a different direction (cosine ≈ 0.9995);
+    # both land in the same non-saturated bucket, far from the spike
+    good = [(1000, [0.0, 1.0, 0.03, 0.0]), (1001, [0.0, 1.0, 0.0, 0.03])]
+    emb = spark.createDataFrame(
+        sat + good, "vec_id long, embedding array<double>"
+    )
+    capped = embedding_near_dup_pairs(emb, threshold=0.95, bits=8,
+                                      max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the saturated bucket is dropped entirely; the small pair survives
+    assert got == {(1000, 1001)}
+    # without the guard the identical vectors explode into ~300²/2 pairs
+    uncapped = embedding_near_dup_pairs(emb, threshold=0.95, bits=8,
+                                        max_bucket_size=None).limit(10)
+    assert uncapped.count() == 10
+
+
 def test_two_phase_agg_matches_plain(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     plain = {
