@@ -71,6 +71,9 @@ class Catalog:
         self._configs: dict[str, TableConfig] = {}
         # table -> list of generation schemas [{col: type}, ...]
         self._generations: dict[str, list[dict[str, str]]] = {}
+        # table -> [[gen, dt], ...]: partitions superseded by a committed
+        # rewrite, excluded from reads until their directories are GC'd
+        self._excluded: dict[str, list[list]] = {}
         self._lock = threading.RLock()
         self._stream_commits: dict[str, int] | None = None  # lazy-loaded
         self._load_all()
@@ -89,11 +92,13 @@ class Catalog:
             cfg = TableConfig(**doc.get("config", {}))
             self._configs[cfg.name] = cfg
             self._generations[cfg.name] = doc.get("generations", [])
+            self._excluded[cfg.name] = doc.get("excluded", [])
 
     def _persist(self, name: str) -> None:
         doc = {
             "config": asdict(self._configs[name]),
             "generations": self._generations.get(name, []),
+            "excluded": self._excluded.get(name, []),
         }
         tmp = self._path(name) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -129,6 +134,7 @@ class Catalog:
                 return False
             del self._configs[name]
             self._generations.pop(name, None)
+            self._excluded.pop(name, None)
             try:
                 os.remove(self._path(name))
             except FileNotFoundError:
@@ -208,6 +214,53 @@ class Catalog:
         rewrites that re-materialize data in cumulative types)."""
         return self.register_flush_schema(name, columns)
 
+    # -- rename-free rewrite commit ---------------------------------------
+    # A copy-on-write rewrite lands its survivors in a brand-new generation
+    # directory that no reader references (readers enumerate only the
+    # catalog's generation list), then commits with ONE atomic catalog
+    # write: the survivor generation appears and the partitions it
+    # supersedes become excluded, in the same os.replace. On an object
+    # store there is no rename anywhere on the data path — matching the
+    # reference's upload-then-delete (internal/query/query.go:1252-1413),
+    # but with an atomic metadata flip instead of a visible delete window.
+
+    def next_generation_index(self, name: str) -> int:
+        with self._lock:
+            return len(self._generations.get(name, []))
+
+    def commit_rewrite(
+        self, name: str, columns: dict[str, str],
+        superseded: list[tuple[int, str]],
+    ) -> int:
+        """Atomic commit of a rewrite: append the survivors' generation
+        (always a NEW generation — its directory was invisible until this
+        write) and exclude the superseded ``(gen, dt)`` partitions from
+        reads. Returns the new generation index."""
+        with self._lock:
+            gens = self._generations.setdefault(name, [])
+            gens.append(dict(columns))
+            ex = self._excluded.setdefault(name, [])
+            for g, d in superseded:
+                if [int(g), d] not in ex:
+                    ex.append([int(g), d])
+            self._persist(name)
+            return len(gens) - 1
+
+    def excluded_parts(self, name: str) -> set[tuple[int, str]]:
+        with self._lock:
+            return {(int(g), d) for g, d in self._excluded.get(name, [])}
+
+    def clear_excluded(self, name: str, parts: list[tuple[int, str]]) -> None:
+        """Forget exclusions whose directories have been physically
+        removed (the GC step after a committed rewrite)."""
+        with self._lock:
+            gone = {(int(g), d) for g, d in parts}
+            ex = self._excluded.get(name, [])
+            kept = [p for p in ex if (int(p[0]), p[1]) not in gone]
+            if len(kept) != len(ex):
+                self._excluded[name] = kept
+                self._persist(name)
+
     def gen_schemas(self, name: str) -> list[dict[str, str]]:
         with self._lock:
             return [dict(g) for g in self._generations.get(name, [])]
@@ -229,6 +282,7 @@ class Catalog:
             return {
                 "tables": {n: asdict(c) for n, c in self._configs.items()},
                 "generations": {n: g for n, g in self._generations.items()},
+                "excluded": {n: e for n, e in self._excluded.items() if e},
             }
 
     def import_metadata(self, doc: dict[str, Any]) -> int:
@@ -237,6 +291,7 @@ class Catalog:
             for name, cfg in doc.get("tables", {}).items():
                 self._configs[name] = TableConfig(**cfg)
                 self._generations[name] = doc.get("generations", {}).get(name, [])
+                self._excluded[name] = doc.get("excluded", {}).get(name, [])
                 self._persist(name)
                 n += 1
             return n

@@ -388,12 +388,16 @@ class Engine:
         if "table_name" not in out.columns:
             out = out.withColumn("table_name", F.lit(table))
         out = out.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
-        gen = self.catalog.register_flush_schema(
-            table,
-            {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
-        )
         cfg = self.catalog.get_table(table)
         with self._flush_lock(table):
+            # register under the flush lock: every generation-creating
+            # path (flush, ingest, rewrite commit) serializes here, so a
+            # rewrite's reserved generation index can't be claimed by a
+            # racing ingest
+            gen = self.catalog.register_flush_schema(
+                table,
+                {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
+            )
             (
                 out.repartition("dt")
                 .write.mode("append")
@@ -461,6 +465,7 @@ class Engine:
         cum = self.catalog.schema_of(table)
         if not gens or not cum:
             return None
+        excluded = self.catalog.excluded_parts(table)
         parts: list[DataFrame] = []
         for i, gcols in enumerate(gens):
             gdir = self._gen_dir(table, i)
@@ -474,6 +479,12 @@ class Engine:
                 + [T.StructField("dt", T.StringType(), True)]
             )
             df = self.spark.read.schema(struct).parquet(gdir)
+            # partitions superseded by a committed-but-not-yet-GC'd
+            # rewrite: dt is a partition column, so this prunes at
+            # planning time rather than filtering rows
+            dts = sorted(d for g, d in excluded if g == i)
+            if dts:
+                df = df.filter(~F.col("dt").isin(dts))
             cols = [
                 (
                     F.col(c).cast(_TYPE_MAP.get(ct, T.StringType()))

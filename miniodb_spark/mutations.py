@@ -3,29 +3,55 @@
 Reference semantics (/root/reference/internal/query/query.go:1252-1413):
 find the files containing the id via the Redis index; files made
 entirely of the id are dropped, others are rewritten without the
-matching rows. Our Spark-shaped unit of rewrite is the
-``gen=N/dt=day`` partition: affected partitions are discovered by a
-pruned scan (the ``id`` predicate rides parquet footer min/max),
-survivors are re-materialized in *cumulative* types into the matching
-schema generation, and the old partition directories are removed. A
-failure mid-rewrite leaves the old data in place (write-to-temp, swap
-last). The rewrite itself is a distributed Spark job, not a driver
-loop over files.
+matching rows — upload the rewritten object, then delete the old one.
+Our Spark-shaped unit of rewrite is the ``gen=N/dt=day`` partition:
+affected partitions are discovered by a pruned scan (the ``id``
+predicate rides parquet footer min/max), survivors are re-materialized
+in cumulative types, and the old partitions are superseded. The
+rewrite itself is a distributed Spark job, not a driver loop over
+files.
 
-All file manipulation goes through the engine's filesystem abstraction
-(:mod:`miniodb_spark.fs`), so the same rewrite-and-swap runs against a
-local root or an object store (``s3a://``) — matching the reference's
-MinIO rewrite-and-reupload.
+**Rename-free commit protocol** (object-store-safe: on S3A a rename is
+a non-atomic copy+delete, so the data path must never rename):
+
+1. survivors are written *directly* into a brand-new generation
+   directory ``gen=M`` that the catalog does not reference yet —
+   readers enumerate only catalog-listed generations, so a crash
+   mid-write leaves an invisible orphan directory, never partial data;
+2. the commit point is ONE atomic catalog write
+   (:meth:`~miniodb_spark.catalog.Catalog.commit_rewrite`): the
+   survivor generation appears and the superseded ``(gen, dt)``
+   partitions become excluded from reads in the same ``os.replace``;
+3. the old partition directories are garbage-collected afterwards — a
+   crash between commit and GC leaves them on disk but invisible
+   (excluded), and the next mutation on the table retries the GC.
+
+The whole reserve→write→commit window runs under the engine's
+per-table flush lock so no concurrent flush can claim generation M.
 """
 
 from __future__ import annotations
-
-import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import fs as fsmod
+
+
+def gc_superseded(engine, table: str) -> int:
+    """Remove the directories of partitions a committed rewrite
+    superseded, then forget the exclusions. Idempotent and crash-safe:
+    every step re-checks disk state, and exclusions are only cleared
+    after the removals succeed."""
+    parts = sorted(engine.catalog.excluded_parts(table))
+    if not parts:
+        return 0
+    for g, d in parts:
+        pdir = fsmod.join(engine._gen_dir(table, g), f"dt={d}")
+        if engine.fs.is_dir(pdir):
+            engine.fs.remove_dir(pdir)
+    engine.catalog.clear_excluded(table, parts)
+    return len(parts)
 
 
 def delete_rows(
@@ -38,50 +64,36 @@ def delete_rows(
     data; returns the number of rows deleted. ``df`` must be the
     engine's aligned persisted read (columns = cumulative schema +
     dt + gen). Only (gen, dt) partitions containing matches are
-    rewritten."""
-    fs = engine.fs
+    rewritten, via the rename-free commit protocol above."""
     per_part = df.filter(delete_predicate).groupBy("gen", "dt").count().collect()
     if not per_part:
         return 0
     affected = [(int(r["gen"]), r["dt"]) for r in per_part]
     deleted = sum(r["count"] for r in per_part)
 
-    cum = engine.catalog.schema_of(table)
-    target_gen = engine.catalog.generation_for(table, cum)
-
     affected_pred = F.lit(False)
     for g, d in affected:
         affected_pred = affected_pred | ((F.col("gen") == g) & (F.col("dt") == d))
     survivors = df.filter(affected_pred).filter(~delete_predicate).drop("gen")
 
-    table_dir = engine._table_dir(table)
-    tmp = fsmod.join(table_dir, f"_rewrite_{uuid.uuid4().hex}")
-    survivors.write.mode("overwrite").partitionBy("dt").parquet(tmp)
-
-    # snapshot the exact pre-existing files of every affected partition —
-    # they (and only they) become redundant once survivors land
-    preexisting: list[str] = []
-    for g, d in affected:
-        pdir = fsmod.join(engine._gen_dir(table, g), f"dt={d}")
-        preexisting.extend(p for p, _ in fs.list_files(pdir, suffix=".parquet"))
-
-    try:
-        # land survivors in the cumulative-typed generation first…
-        target_dir = engine._gen_dir(table, target_gen)
-        for part_dir in fs.list_dirs(tmp, prefix="dt="):
-            part_name = part_dir.rstrip("/").rsplit("/", 1)[-1]
-            dst_dir = fsmod.join(target_dir, part_name)
-            fs.makedirs(dst_dir)
-            for src, _ in fs.list_files(part_dir, suffix=".parquet"):
-                fname = src.rstrip("/").rsplit("/", 1)[-1]
-                fs.move(src, fsmod.join(dst_dir, f"rw_{uuid.uuid4().hex}_{fname}"))
-        # …then drop exactly the snapshotted old files
-        for path in preexisting:
-            fs.remove_file(path)
-        for g, d in affected:
-            pdir = fsmod.join(engine._gen_dir(table, g), f"dt={d}")
-            if fs.is_dir(pdir) and not fs.list_files(pdir, suffix=".parquet"):
-                fs.remove_dir(pdir)
-    finally:
-        fs.remove_dir(tmp)
+    cum = engine.catalog.schema_of(table)
+    cfg = engine.catalog.get_table(table)
+    with engine._flush_lock(table):
+        # retry any GC a previous crash left behind, so stale excluded
+        # directories can't accumulate
+        gc_superseded(engine, table)
+        new_gen = engine.catalog.next_generation_index(table)
+        # 1. land survivors directly in the unreferenced generation dir
+        (
+            survivors.repartition("dt")
+            .write.mode("overwrite")
+            .option("compression", cfg.compression if cfg else "snappy")
+            .partitionBy("dt")
+            .parquet(engine._gen_dir(table, new_gen))
+        )
+        # 2. COMMIT: generation M becomes visible and the old partitions
+        #    invisible in one atomic metadata write
+        engine.catalog.commit_rewrite(table, dict(cum), affected)
+    # 3. GC the superseded directories (safe to crash here)
+    gc_superseded(engine, table)
     return int(deleted)

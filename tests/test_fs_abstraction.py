@@ -103,3 +103,67 @@ def test_retention_through_hadoop_fs(uri_engine):
     assert removed == 1
     rows = json.loads(eng.query("SELECT id FROM r"))
     assert [r["id"] for r in rows] == ["new"]
+
+
+def test_rewrite_commit_is_rename_free(uri_engine, monkeypatch):
+    """The mutation data path must never rename: on s3a:// a rename is a
+    non-atomic copy+delete. Survivors land directly in a fresh gen dir
+    and the commit is the catalog flip."""
+    eng = uri_engine
+    moves = []
+    orig_move = eng.fs.move
+    monkeypatch.setattr(eng.fs, "move",
+                        lambda s, d: (moves.append((s, d)), orig_move(s, d)))
+    for i in range(4):
+        eng.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i)
+    eng.flush()
+    assert eng.delete("t", "r1") == 1
+    assert moves == []
+    rows = json.loads(eng.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["r0", "r2", "r3"]
+
+
+def test_rewrite_crash_before_commit_is_invisible(uri_engine):
+    """Crash window 1: survivors written into the unreferenced gen dir
+    but the catalog flip never happened. Readers must see the table
+    exactly as before (the orphan directory is not in the catalog)."""
+    eng = uri_engine
+    for i in range(3):
+        eng.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i)
+    eng.flush()
+    # simulate: a rewrite wrote survivors into gen=1 and died pre-commit
+    orphan = eng._gen_dir("t", eng.catalog.next_generation_index("t"))
+    (eng.read_persisted("t").filter(F.col("id") != "r1").drop("gen")
+     .write.mode("overwrite").partitionBy("dt").parquet(orphan))
+    rows = json.loads(eng.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["r0", "r1", "r2"]  # unchanged
+
+
+def test_rewrite_crash_between_commit_and_gc(uri_engine, monkeypatch):
+    """Crash window 2: the catalog flip committed but the superseded
+    directories were not yet removed. They must be invisible to reads,
+    and the next mutation must finish the GC."""
+    from miniodb_spark import mutations
+
+    eng = uri_engine
+    for i in range(4):
+        eng.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i)
+    eng.flush()
+    # crash the GC step (both the retry inside the lock and the final one)
+    monkeypatch.setattr(mutations, "gc_superseded", lambda *_: 0)
+    assert eng.delete("t", "r2") == 1
+    assert eng.catalog.excluded_parts("t")  # commit recorded
+    old_part = join(eng._gen_dir("t", 0), "dt=2023-11-14")
+    assert eng.fs.is_dir(old_part)  # old files still on disk...
+    rows = json.loads(eng.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["r0", "r1", "r3"]  # ...but invisible
+    # restart-equivalent: a fresh engine on the same root reads the same
+    eng2 = Engine(eng.spark, eng.root)
+    rows = json.loads(eng2.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["r0", "r1", "r3"]
+    # the next mutation retries the GC
+    monkeypatch.undo()
+    assert eng2.delete("t", "r0") == 1
+    assert eng2.catalog.excluded_parts("t") == set()
+    rows = json.loads(eng2.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["r1", "r3"]
