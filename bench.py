@@ -61,10 +61,29 @@ def _lsh_pairs_full_corpus(spark, sf_dir):
 BENCH_OVERRIDES = {"dedup_minhash_lsh": _lsh_pairs_full_corpus}
 
 
+def _host_cpu_score() -> float:
+    """Deterministic single-core score (seconds; lower = faster host).
+
+    The bench runs on whatever VM the round driver boots; round 6 saw a
+    uniform ~1.8× wall-clock shift across every query AND the write
+    paths with zero code change on those paths — a host-speed artifact.
+    Publishing this anchor lets a reader normalize cross-round numbers:
+    code drift moves individual queries, host drift moves this score.
+    """
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(2_000_000):
+        h.update(b"x" * 64)
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     from miniodb_spark.queries import get_registry
     from miniodb_spark.session import get_spark
 
+    host_score = _host_cpu_score()
     spark = get_spark("miniodb_spark_bench")
     registry = get_registry()
 
@@ -152,6 +171,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 4),
                 "passes": 2,
                 "aggregation": "per-query min of 2 passes",
+                "host_cpu_score_sec": host_score,
                 "write_rows_per_s": {
                     "bulk_ingest": bulk_rps,
                     "row_api_synced_wal": row_rps,

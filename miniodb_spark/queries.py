@@ -25,22 +25,44 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events timestamp column to TimestampType.
+
+    The fixture's ts encoding has drifted across driver testdata
+    regenerations: parquet TIMESTAMP(NANOS) (rounds ≤4), plain
+    TIMESTAMP(MICROS) (round 5+), and — with nanosAsLong set — nanos
+    surfaces as a raw int64. Handle all three so nothing here assumes
+    a physical type. Works on batch and streaming DataFrames alike
+    (pure column expressions, no actions).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        # TimestampType so downstream instant arithmetic (unix_micros,
+        # watermarks) resolves; identical wall-clock values under the
+        # UTC session this repo runs with.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    # int64 nanoseconds (legacy nanos fixture read under nanosAsLong,
+    # or a raw epoch-ns column): truncate to µs exactly like DuckDB's
+    # TIMESTAMP_NS → TIMESTAMP coercion.
+    return df.withColumn(
+        col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # The fixture's ts is parquet TIMESTAMP(NANOS), which a vanilla
-        # Spark session refuses to read (PARQUET_TYPE_ILLEGAL). The conf
-        # below is runtime-settable, so set it here — registry queries must
-        # never depend on the caller's session factory (the correctness
-        # driver builds its own SparkSession). With it, Spark reads ts as
-        # long ns; truncate to µs exactly like DuckDB's TIMESTAMP_NS →
-        # TIMESTAMP coercion.
+        # nanosAsLong is runtime-settable and only affects
+        # TIMESTAMP(NANOS) files; set it first so a legacy nanos fixture
+        # reads as long instead of throwing PARQUET_TYPE_ILLEGAL
+        # (registry queries must not depend on the caller's session
+        # factory — the correctness driver builds its own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -1413,42 +1435,39 @@ def pivot_status_by_priority(spark, sf_dir):
 # round: every entry that has never had a green driver row goes inside the
 # window; entries already driver-green in one or more past rounds rotate to
 # the tail, where tests/test_oracle_parity.py keeps pinning them each CI
-# run. Round 5 window = the round-4 addition that was never driver-graded
-# (dedup_char_ngram_capped sat at position 81), the four entries whose
-# code changed this round (self-checks decoupled from the production
-# bucket caps; char-gram lineage checkpoint), the LLM/temporal/sketch
-# block, and the flagship; the most-seasoned triple-green core-SQL rows
-# rotate to the tail.
+# run. Round 6 window = the 18 rows that went red in round 5 (all killed
+# by the stale events-fixture shim, now fixed and in need of fresh green
+# driver evidence) first, then the flagship, then the round-5 greens in
+# their prior order; the most-seasoned core-SQL rows stay at the tail.
 _PRIORITY_ORDER = [
-    "q1_pricing_summary",
-    # never driver-graded (round-4 addition, was position 81) + the four
-    # entries whose operator/self-check code changed in round 5
-    "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
-    "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
-    # recent additions / fixed rows — keep another round of driver rows
-    "lang_id_heuristic", "dedup_minhash_lsh", "multimodal_features",
-    "dedup_corpus_survivors", "quality_signals",
-    "multimodal_frame_sample", "vocabulary_stats", "tfidf_top_terms",
-    "subquery_correlated_scalar", "order_nulls_last",
-    "grouping_sets_explicit",
-    # LLM-pipeline operators (documents/embeddings tables)
-    "text_stats_by_lang", "token_counts", "token_counts_bpe",
-    "doc_fingerprint", "quality_scores",
-    "dedup_exact_groups", "dedup_token_jaccard",
-    "embedding_cosine_topk", "embedding_ann_recall", "embedding_ivf_recall",
-    "multimodal_payload_stats",
-    # temporal joins + sketches
+    # the 18 events-coupled rows red in CORRECTNESS_r05 — every one died
+    # at load() on the regenerated timestamp[us] fixture; the operators
+    # themselves were last green in round 4
     "asof_join_events", "range_join_events",
     "hll_registry_within_bound", "cms_freq_within_bound",
-    # r2-first-green block (keep one more round of driver rows)
-    "math_case_when", "cte_revenue",
     "window_row_number_topn", "window_running_sum", "window_lag_lead",
     "window_moving_avg", "window_rank_dist", "window_first_last",
     "sessionize_30min", "tumbling_window_counts",
     "json_extract_props", "json_flatten_typed",
     "grouped_zscore", "percentiles_stddev",
     "approx_distinct_within_bound", "approx_percentile_within_bound",
-    # plans changed this round (broadcast softening) — fresh green row
+    # flagship
+    "q1_pricing_summary",
+    # round-5 greens, prior order (single-green dedup_char_ngram_capped
+    # gets one more round in the window before rotating out)
+    "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
+    "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
+    "lang_id_heuristic", "dedup_minhash_lsh", "multimodal_features",
+    "dedup_corpus_survivors", "quality_signals",
+    "multimodal_frame_sample", "vocabulary_stats", "tfidf_top_terms",
+    "subquery_correlated_scalar", "order_nulls_last",
+    "grouping_sets_explicit",
+    "text_stats_by_lang", "token_counts", "token_counts_bpe",
+    "doc_fingerprint", "quality_scores",
+    "dedup_exact_groups", "dedup_token_jaccard",
+    "embedding_cosine_topk", "embedding_ann_recall", "embedding_ivf_recall",
+    "multimodal_payload_stats",
+    "math_case_when", "cte_revenue",
     "join_multiway_region", "q3_shipping_priority",
     # --- position >50: outside the checked window; every entry below has
     # green driver rows from two or more past rounds and stays pinned by

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from miniodb_spark.engine import Engine
+from miniodb_spark.queries import load, normalize_event_ts
 from miniodb_spark.streaming.cdc import EventPublisher, InMemorySink
 from miniodb_spark.streaming.ingest import stream_ingest
 from miniodb_spark.streaming.windows import session, sliding, tumbling
@@ -55,8 +56,8 @@ def test_cdc_rejects_unknown_type():
 
 
 def _events_df(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # one shim, one place: queries.load owns fixture-encoding compatibility
+    return load(spark, sf_dir, "events")
 
 
 def test_tumbling_window_batch_semantics(spark, sf_dir):
@@ -106,10 +107,8 @@ def test_stream_ingest_foreachbatch(spark, tmp_path, sf_dir):
 
     eng = Engine(spark, str(tmp_path / "store"), event_publisher=EventPublisher())
     batch_schema = spark.read.parquet(str(src)).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_schema).parquet(str(src))
     )
     q = stream_ingest(
         eng, stream, "events_in", ts_col="ts",
@@ -125,10 +124,8 @@ def test_stream_ingest_foreachbatch(spark, tmp_path, sf_dir):
     assert batches and batches[0].metadata["rows"] == expected
 
     # restart with same checkpoint: no duplicate ingestion (exactly-once)
-    stream2 = (
-        spark.readStream.schema(batch_schema)
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    stream2 = normalize_event_ts(
+        spark.readStream.schema(batch_schema).parquet(str(src))
     )
     q2 = stream_ingest(
         eng, stream2, "events_in", ts_col="ts",
@@ -150,10 +147,8 @@ def test_stream_ingest_skips_redelivered_batch_id(spark, tmp_path, sf_dir):
     batch_schema = spark.read.parquet(str(src)).schema
 
     def run(ckpt):
-        stream = (
-            spark.readStream.schema(batch_schema)
-            .parquet(str(src))
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        stream = normalize_event_ts(
+            spark.readStream.schema(batch_schema).parquet(str(src))
         )
         q = stream_ingest(eng, stream, "events_replay", ts_col="ts",
                           checkpoint_dir=str(tmp_path / ckpt))
