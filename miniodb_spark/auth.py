@@ -57,16 +57,23 @@ def decode_jwt(token: str, secret: str) -> dict[str, Any]:
     """Verify signature + expiry; returns claims. Raises AuthError."""
     try:
         header_b64, claims_b64, sig_b64 = token.split(".")
-    except ValueError:
-        raise AuthError("malformed token") from None
-    header = json.loads(_b64url_decode(header_b64))
+        header = json.loads(_b64url_decode(header_b64))
+    except (ValueError, UnicodeDecodeError) as exc:
+        # covers wrong segment count, invalid base64 (binascii.Error is a
+        # ValueError), and non-JSON header bytes — all "malformed", never
+        # a server error
+        raise AuthError(f"malformed token: {type(exc).__name__}") from None
     if header.get("alg") != "HS256":
         raise AuthError(f"unsupported alg: {header.get('alg')}")
     signing_input = f"{header_b64}.{claims_b64}".encode("ascii")
     expected = _sign(secret.encode(), signing_input)
-    if not hmac.compare_digest(expected, _b64url_decode(sig_b64)):
+    try:
+        sig_ok = hmac.compare_digest(expected, _b64url_decode(sig_b64))
+        claims = json.loads(_b64url_decode(claims_b64))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise AuthError(f"malformed token: {type(exc).__name__}") from None
+    if not sig_ok:
         raise AuthError("bad signature")
-    claims = json.loads(_b64url_decode(claims_b64))
     if claims.get("exp") is not None and time.time() >= claims["exp"]:
         raise AuthError("token expired")
     return claims

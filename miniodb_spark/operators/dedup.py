@@ -505,6 +505,7 @@ def deduplicate_corpus(
     pairs: DataFrame,
     id_col: str = "doc_id",
     distributed_threshold: int = 100_000,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """Drop near-duplicates: given candidate pairs (id_a < id_b), keep one
     representative (the min id) per connected component.
@@ -520,9 +521,14 @@ def deduplicate_corpus(
       swamps the driver, so components are computed entirely in
       DataFrame ops and the drop-list never leaves the cluster (the
       anti-join shuffles instead of broadcasting).
+
+    ``force_distributed=True`` skips the sizing ``count()`` job and goes
+    straight to the distributed path — the right call when the caller
+    already knows the corpus is duplicate-saturated (a 100 TB crawl) and
+    the extra pre-count over the pair pipeline would roughly double the
+    work before components even start.
     """
-    n_pairs = pairs.count()
-    if n_pairs > distributed_threshold:
+    if force_distributed or pairs.count() > distributed_threshold:
         comp = connected_components(pairs)
         drop_df = comp.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)

@@ -142,11 +142,17 @@ def _make_handler(service):
                 if not match:
                     continue
                 try:
+                    # rate/limit identity: the token subject when auth is
+                    # on (one noisy api key must not 429 the others —
+                    # reference keys its limiter per client the same way),
+                    # else the peer address
+                    self.client_id = self.client_address[0]
                     if not open_route and service.auth is not None:
                         tok = self._bearer()
                         if not tok:
                             return self._send(401, {"error": "missing bearer token"})
-                        service.auth.validate(tok)
+                        claims = service.auth.validate(tok)
+                        self.client_id = claims.get("sub") or self.client_id
                     q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
                     return getattr(self, f"r_{name}")(match.groupdict(), q)
                 except AuthError as exc:
@@ -160,8 +166,14 @@ def _make_handler(service):
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                except Exception as exc:
+                except (ValueError, KeyError, TypeError) as exc:
+                    # client-shaped errors: SQLGateError is a ValueError,
+                    # bad params are Type/KeyErrors
                     return self._send(400, {"error": str(exc)[:500]})
+                except Exception as exc:
+                    # anything else is a server-side failure, not the
+                    # caller's fault
+                    return self._send(500, {"error": str(exc)[:500]})
             self._send(404, {"error": f"no route {method} {parsed.path}"})
 
         def do_GET(self):  # noqa: N802
@@ -194,13 +206,14 @@ def _make_handler(service):
 
         def r_write_data(self, pv, q):
             b = self._body()
-            self._send(200, service.write_data(b.get("table", ""), b.get("record", b)))
+            self._send(200, service.write_data(b.get("table", ""), b.get("record", b),
+                                               client_id=self.client_id))
 
         def r_query_data(self, pv, q):
             b = self._body()
             out = service.query_data(
                 b.get("sql", ""), limit=b.get("limit"),
-                default_table=b.get("table"),
+                default_table=b.get("table"), client_id=self.client_id,
             )
             self._send(200, out)
 
@@ -208,12 +221,13 @@ def _make_handler(service):
             b = self._body()
             self._send(200, service.update_data(
                 b.get("table", ""), b.get("id", ""), b.get("payload", {}),
-                timestamp_us=b.get("timestamp"),
+                timestamp_us=b.get("timestamp"), client_id=self.client_id,
             ))
 
         def r_delete_data(self, pv, q):
             b = self._body()
-            self._send(200, service.delete_data(b.get("table", ""), b.get("id", "")))
+            self._send(200, service.delete_data(b.get("table", ""), b.get("id", ""),
+                                                client_id=self.client_id))
 
         def r_cleanup_empty_ids(self, pv, q):
             b = self._body()
@@ -222,13 +236,14 @@ def _make_handler(service):
 
         def r_stream_write(self, pv, q):
             b = self._body()
-            self._send(200, service.stream_write(b.get("table", ""), b.get("records", [])))
+            self._send(200, service.stream_write(b.get("table", ""), b.get("records", []),
+                                                 client_id=self.client_id))
 
         def r_stream_query(self, pv, q):
             b = self._body()
             self._send(200, service.stream_query(
                 b.get("sql", ""), batch_size=b.get("batch_size", 100),
-                cursor=b.get("cursor", 0),
+                cursor=b.get("cursor", 0), client_id=self.client_id,
             ))
 
         def r_create_table(self, pv, q):

@@ -68,6 +68,43 @@ def test_distributed_cc_matches_union_find(spark):
     assert small == large == [0, 5, 6, 9, 10]
 
 
+def test_force_distributed_skips_precount_same_result(spark):
+    """force_distributed must (a) take the distributed path regardless of
+    edge count and (b) never run the sizing count() job over the pair
+    pipeline — asserted by feeding pairs whose count() raises."""
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    forced = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(
+            docs, pairs, distributed_threshold=10**9, force_distributed=True
+        ).collect()
+    )
+    assert forced == [0, 3, 4]
+
+    class NoCountPairs:
+        """Duck-typed pairs whose sizing count is forbidden."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def count(self):
+            raise AssertionError("force_distributed must not pre-count pairs")
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    forced2 = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(
+            docs, NoCountPairs(pairs), force_distributed=True
+        ).collect()
+    )
+    assert forced2 == [0, 3, 4]
+
+
 def test_connected_components_direct(spark):
     from miniodb_spark.operators.dedup import connected_components
 

@@ -111,3 +111,72 @@ def test_rest_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _call(server.port, "GET", "/v1/nope")
     assert ei.value.code == 404
+
+
+def test_rest_malformed_token_is_401(engine):
+    svc = MiniODBService(engine, auth=TokenManager("k", {"api": "sec"}))
+    srv = RestServer(svc).serve_background()
+    try:
+        for bad in ("not-a-jwt", "a.b.c", "x.!!!notb64!!!.y"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _call(srv.port, "GET", "/v1/tables", token=bad)
+            assert ei.value.code == 401, bad
+    finally:
+        srv.shutdown()
+
+
+def test_rest_client_error_400_server_error_500(server):
+    p = server.port
+    # gate violation (client's fault) → 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _call(p, "POST", "/v1/query", {"sql": "DROP TABLE users"})
+    assert ei.value.code == 400
+    # server-side failure → 500, not 400
+    def boom():
+        raise RuntimeError("spark cluster on fire")
+    server.service.get_status = boom
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _call(p, "GET", "/v1/status")
+    assert ei.value.code == 500
+
+
+def test_rest_rate_limit_is_per_client(engine):
+    """One client's burst must not 429 the others (reference keys its
+    smart limiter per client; SmartRateLimiter already does — the
+    transport has to hand it a real identity, the token subject)."""
+    from miniodb_spark.ratelimit import (
+        PathRateLimit, RateLimitTier, SmartRateLimiter, SmartRateLimiterConfig,
+    )
+
+    cfg = SmartRateLimiterConfig(
+        tiers=[RateLimitTier("tiny", 1.0, 3, backoff_s=5.0)],
+        path_limits=[PathRateLimit("*", "tiny")],
+        default_tier="tiny",
+    )
+    svc = MiniODBService(
+        engine,
+        auth=TokenManager("k", {"alice": "s1", "bob": "s2"}),
+        rate_limiter=SmartRateLimiter(cfg),
+    )
+    srv = RestServer(svc).serve_background()
+    p = srv.port
+    try:
+        tok_a = _call(p, "POST", "/v1/auth/token",
+                      {"api_key": "alice", "secret": "s1"})[1]["access_token"]
+        tok_b = _call(p, "POST", "/v1/auth/token",
+                      {"api_key": "bob", "secret": "s2"})[1]["access_token"]
+        _call(p, "POST", "/v1/data", {
+            "table": "rl",
+            "record": {"id": "r1", "timestamp": T0, "payload": {"v": 1}},
+        }, token=tok_a)
+        q = {"sql": "SELECT id FROM rl"}
+        # alice burns her burst of 3 and gets 429'd
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            for _ in range(10):
+                _call(p, "POST", "/v1/query", q, token=tok_a)
+        assert ei.value.code == 429
+        assert ei.value.headers.get("Retry-After") is not None
+        # bob is unaffected
+        assert _call(p, "POST", "/v1/query", q, token=tok_b)[0] == 200
+    finally:
+        srv.shutdown()
