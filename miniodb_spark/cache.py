@@ -55,14 +55,31 @@ def cache_key(sql: str, tables: list[str]) -> str:
 
 
 class QueryResultCache:
-    def __init__(self, max_entries: int = 1024, ttl_s: float = 1800.0):
+    """In-process LRU with optional cross-process invalidation.
+
+    With ``version_store`` (a :class:`miniodb_spark.kv.TableVersionStore`
+    on the shared store root), each entry records the version nonce of
+    every table it read; a hit re-checks those nonces, so a mutation
+    committed through *another* driver process on the same store is seen
+    without any push channel — the multi-driver substitution for the
+    reference's shared Redis cache keys + invalidation sets."""
+
+    def __init__(self, max_entries: int = 1024, ttl_s: float = 1800.0,
+                 version_store=None):
         self.max_entries = max_entries
         self.ttl_s = ttl_s
+        self.version_store = version_store
         self._lock = threading.Lock()
-        self._entries: OrderedDict[str, tuple[float, Any]] = OrderedDict()
+        # key -> (monotonic_ts, value, {table: version_at_put})
+        self._entries: OrderedDict[str, tuple[float, Any, dict]] = OrderedDict()
         self._by_table: dict[str, set[str]] = {}
         self.hits = 0
         self.misses = 0
+
+    def _current_versions(self, tables: list[str]) -> dict:
+        if self.version_store is None:
+            return {}
+        return {t: self.version_store.version(t) for t in tables}
 
     def get(self, sql: str, tables: list[str]) -> Any | None:
         key = cache_key(sql, tables)
@@ -71,9 +88,21 @@ class QueryResultCache:
             if item is None:
                 self.misses += 1
                 return None
-            ts, value = item
+            ts, value, versions = item
             if time.monotonic() - ts > self.ttl_s:
                 del self._entries[key]
+                self.misses += 1
+                return None
+        if self.version_store is not None:
+            # store reads outside the lock — one small GET per table
+            for t, seen in versions.items():
+                if self.version_store.version(t) != seen:
+                    with self._lock:
+                        self._entries.pop(key, None)
+                        self.misses += 1
+                    return None
+        with self._lock:
+            if key not in self._entries:
                 self.misses += 1
                 return None
             self._entries.move_to_end(key)
@@ -82,8 +111,9 @@ class QueryResultCache:
 
     def put(self, sql: str, tables: list[str], value: Any) -> None:
         key = cache_key(sql, tables)
+        versions = self._current_versions(tables)
         with self._lock:
-            self._entries[key] = (time.monotonic(), value)
+            self._entries[key] = (time.monotonic(), value, versions)
             self._entries.move_to_end(key)
             for t in tables:
                 self._by_table.setdefault(t, set()).add(key)
@@ -94,7 +124,11 @@ class QueryResultCache:
 
     def invalidate_table(self, table: str) -> int:
         """Drop every cached result that referenced ``table`` — called on
-        each write/update/delete (reference query_cache.go:364-397)."""
+        each write/update/delete (reference query_cache.go:364-397). With
+        a version store, also bumps the shared nonce so every *other*
+        driver on the store invalidates too."""
+        if self.version_store is not None:
+            self.version_store.bump(table)
         with self._lock:
             keys = self._by_table.pop(table, set())
             n = 0

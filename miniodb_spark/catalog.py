@@ -76,6 +76,9 @@ class Catalog:
         self._excluded: dict[str, list[list]] = {}
         self._lock = threading.RLock()
         self._stream_commits: dict[str, int] | None = None  # lazy-loaded
+        # table -> (mtime_ns, size) of its json at last load/persist;
+        # lets refresh_if_changed detect cross-process commits with a stat
+        self._sigs: dict[str, tuple | None] = {}
         self._load_all()
 
     # -- config persistence (memory -> json file -> default) ------------
@@ -83,16 +86,27 @@ class Catalog:
     def _path(self, name: str) -> str:
         return os.path.join(self._dir, f"{name}.json")
 
+    def _sig_of(self, path: str) -> tuple | None:
+        try:
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _load_one(self, path: str) -> None:
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        cfg = TableConfig(**doc.get("config", {}))
+        self._configs[cfg.name] = cfg
+        self._generations[cfg.name] = doc.get("generations", [])
+        self._excluded[cfg.name] = doc.get("excluded", [])
+        self._sigs[cfg.name] = self._sig_of(path)
+
     def _load_all(self) -> None:
         for fn in os.listdir(self._dir):
             if not fn.endswith(".json"):
                 continue
-            with open(os.path.join(self._dir, fn), encoding="utf-8") as fh:
-                doc = json.load(fh)
-            cfg = TableConfig(**doc.get("config", {}))
-            self._configs[cfg.name] = cfg
-            self._generations[cfg.name] = doc.get("generations", [])
-            self._excluded[cfg.name] = doc.get("excluded", [])
+            self._load_one(os.path.join(self._dir, fn))
 
     def _persist(self, name: str) -> None:
         doc = {
@@ -104,6 +118,27 @@ class Catalog:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(doc, fh, indent=1)
         os.replace(tmp, self._path(name))
+        self._sigs[name] = self._sig_of(self._path(name))
+
+    def refresh_if_changed(self, name: str) -> bool:
+        """Reload one table's metadata when another process changed it —
+        multi-driver serving support. One os.stat when nothing changed
+        (the reference pays a Redis metadata read per query instead).
+        Handles remote create (file appears), remote commit (mtime/size
+        moves) and remote delete (file gone). Returns True on reload."""
+        path = self._path(name)
+        with self._lock:
+            sig = self._sig_of(path)
+            if sig == self._sigs.get(name):
+                return False
+            if sig is None:  # deleted by another process
+                self._configs.pop(name, None)
+                self._generations.pop(name, None)
+                self._excluded.pop(name, None)
+                self._sigs.pop(name, None)
+                return True
+            self._load_one(path)
+            return True
 
     def create_table(self, name: str, config: TableConfig | None = None) -> TableConfig:
         with self._lock:

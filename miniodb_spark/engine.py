@@ -110,7 +110,16 @@ class Engine:
         self.meta_root = meta_root
         os.makedirs(meta_root, exist_ok=True)
         self.catalog = Catalog(meta_root)
-        self.cache = QueryResultCache(ttl_s=cache_ttl_s)
+        # cross-process cache invalidation: per-table version nonces on
+        # the *shared* store root (not the driver-local meta dir), so two
+        # serve processes over one object-store root cross-invalidate —
+        # the reference does this through Redis; see kv.py
+        from .kv import FileKV, TableVersionStore
+
+        versions = TableVersionStore(
+            FileKV(self.fs, fsmod.join(root, "_meta", "cache_versions"))
+        )
+        self.cache = QueryResultCache(ttl_s=cache_ttl_s, version_store=versions)
         self.idgen = IDGenerator(node_id)
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
         self.encryptor = encryptor  # encryption.FieldEncryptor or None
@@ -583,6 +592,10 @@ class Engine:
             raise gate.SQLGateError("no table referenced in query")
         for t in tables:
             gate.validate_table_name(t)
+            # pick up metadata committed by other driver processes on the
+            # same store (flush/rewrite/create/delete) before planning —
+            # one os.stat when nothing changed
+            self.catalog.refresh_if_changed(t)
             df = self.read_table(t)
             if df is None:
                 if self.catalog.get_table(t) is None:

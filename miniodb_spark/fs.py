@@ -74,6 +74,23 @@ class LocalFS:
     def move(self, src: str, dst: str) -> None:
         shutil.move(src, dst)
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Atomic for readers: write-temp + os.replace, so a concurrent
+        read_bytes never observes a torn write. The temp name must be
+        unique per *call* (not just per process) — concurrent writers to
+        the same key would otherwise replace each other's temp file."""
+        import secrets
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{secrets.token_hex(4)}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
 
 class HadoopFS:
     """Hadoop FileSystem-backed implementation (via the live session's
@@ -128,6 +145,32 @@ class HadoopFS:
 
     def move(self, src: str, dst: str) -> None:
         self._fs(src).rename(self._p(src), self._p(dst))
+
+    def read_bytes(self, path: str) -> bytes:
+        fs, p = self._fs(path), self._p(path)
+        stream = fs.open(p)
+        try:
+            out = bytearray()
+            buf = bytearray(65536)
+            while True:
+                n = stream.read(buf)
+                if n <= 0:
+                    break
+                out.extend(buf[:n])
+            return bytes(out)
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Object PUT (create w/ overwrite) — atomic on S3-style stores:
+        readers see either the old object or the new one, never a torn
+        write."""
+        fs, p = self._fs(path), self._p(path)
+        stream = fs.create(p, True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
 
 
 def get_fs(spark, root: str):

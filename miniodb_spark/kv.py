@@ -1,0 +1,106 @@
+"""Shared KV + table-version store for multi-driver serving.
+
+The reference shares its query cache and invalidation state across
+nodes through Redis (/root/reference/internal/query/query_cache.go:
+``query_cache:*`` values, per-table invalidation sets). This engine's
+Spark-native substitution keeps *results* in each driver's local LRU
+(cheap, no serialization tax) and shares only the thing that must be
+shared: a per-table **version nonce** on the store every driver already
+mounts. A mutation bumps the table's nonce; any driver's cache entry
+that recorded an older nonce is stale on its next read. That turns
+cross-process invalidation into one tiny object GET per cache hit —
+the S3-scale analog of the reference's Redis round-trip, with no extra
+infrastructure.
+
+The KV rides the same fs abstraction as the data path, so it works
+unchanged on ``file://`` roots (os.replace atomicity) and ``s3a://``
+roots (object PUT atomicity).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+import time
+
+from . import fs as _fs
+
+_SAFE_RE = re.compile(r"[^A-Za-z0-9_.-]")
+
+
+def _safe(key: str) -> str:
+    return _SAFE_RE.sub("_", key)
+
+
+class FileKV:
+    """Minimal KV on a filesystem/object-store directory: last-writer-wins
+    puts, torn-write-free reads (see fs.write_bytes). Not a lock service —
+    callers that need read-modify-write atomicity must tolerate lost
+    updates (the version store does: any write changes the nonce, which
+    is all invalidation needs)."""
+
+    def __init__(self, filesystem, root: str):
+        self.fs = filesystem
+        self.root = root
+        self.fs.makedirs(root)
+
+    def _path(self, key: str) -> str:
+        return _fs.join(self.root, _safe(key))
+
+    def get(self, key: str) -> bytes | None:
+        path = self._path(key)
+        try:
+            if not self.fs.exists(path):
+                return None
+            return self.fs.read_bytes(path)
+        except Exception:  # racing delete between exists and read
+            return None
+
+    def put(self, key: str, value: bytes) -> None:
+        self.fs.write_bytes(self._path(key), value)
+
+    def delete(self, key: str) -> None:
+        path = self._path(key)
+        if self.fs.exists(path):
+            self.fs.remove_file(path)
+
+
+class TableVersionStore:
+    """Per-table version nonces over a :class:`FileKV`.
+
+    ``bump(table)`` writes a fresh random nonce; ``version(table)``
+    returns the current nonce (None before the first bump). Concurrent
+    bumps may overwrite each other — harmless, because *any* change of
+    nonce invalidates every entry that recorded an older one.
+
+    ``memo_ttl_s`` bounds staleness visible to readers: within the TTL a
+    version() answer may come from a process-local memo instead of the
+    store. 0 (the default) reads through every time — at one small
+    object GET per cached-query hit, that is the Redis-equivalent cost
+    the reference already pays.
+    """
+
+    def __init__(self, kv: FileKV, memo_ttl_s: float = 0.0):
+        self.kv = kv
+        self.memo_ttl_s = memo_ttl_s
+        self._memo: dict[str, tuple[float, bytes | None]] = {}
+        self._lock = threading.Lock()
+
+    def version(self, table: str) -> bytes | None:
+        if self.memo_ttl_s > 0:
+            with self._lock:
+                hit = self._memo.get(table)
+                if hit is not None and time.monotonic() - hit[0] < self.memo_ttl_s:
+                    return hit[1]
+        v = self.kv.get(table)
+        if self.memo_ttl_s > 0:
+            with self._lock:
+                self._memo[table] = (time.monotonic(), v)
+        return v
+
+    def bump(self, table: str) -> None:
+        nonce = os.urandom(16)
+        self.kv.put(table, nonce)
+        with self._lock:
+            self._memo[table] = (time.monotonic(), nonce)

@@ -183,3 +183,69 @@ def test_wal_truncate_upto_drops_covered_segments(tmp_path):
     wal.truncate()
     assert WAL.replay(wal.path) == []
     assert WAL._segments(wal.path) == []
+
+
+def test_version_store_cross_instance_invalidation(tmp_path):
+    """Two caches over one shared version store (two driver processes on
+    one object-store root): invalidation through either is visible to
+    the other's next get."""
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import FileKV, TableVersionStore
+
+    def make_cache():
+        vs = TableVersionStore(FileKV(LocalFS(), str(tmp_path / "versions")))
+        return QueryResultCache(ttl_s=60, version_store=vs)
+
+    a, b = make_cache(), make_cache()
+    a.put("select * from t", ["t"], "[a]")
+    b.put("select * from t", ["t"], "[b]")
+    assert b.get("select * from t", ["t"]) == "[b]"
+    a.invalidate_table("t")          # "a write through A"
+    assert b.get("select * from t", ["t"]) is None   # B sees it
+    assert a.get("select * from t", ["t"]) is None
+    # refill after the bump: stable until the next mutation
+    b.put("select * from t", ["t"], "[b2]")
+    assert b.get("select * from t", ["t"]) == "[b2]"
+    a.invalidate_table("other")      # unrelated table: no effect
+    assert b.get("select * from t", ["t"]) == "[b2]"
+
+
+def test_version_store_memo_bounds_staleness(tmp_path):
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import FileKV, TableVersionStore
+
+    kv = FileKV(LocalFS(), str(tmp_path / "v"))
+    writer = TableVersionStore(kv)
+    reader = TableVersionStore(kv, memo_ttl_s=60.0)
+    assert reader.version("t") is None
+    writer.bump("t")
+    # within the memo TTL the reader may still answer None (bounded
+    # staleness by design); a fresh store sees the bump immediately
+    assert TableVersionStore(kv).version("t") is not None
+
+
+def test_two_engines_one_root_cross_invalidate(spark, tmp_path):
+    """Multi-driver serving on one store root: a write committed through
+    engine A must invalidate engine B's cached query AND be visible to
+    B's re-execution (shared version nonces + catalog refresh)."""
+    import json
+
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)
+    t0 = 1_700_000_000 * 1_000_000
+    a.write("shared", {"v": 1}, record_id="r1", timestamp_us=t0)
+    a.flush()
+
+    # medium-complexity query (group+order+agg) → cache-worthy
+    sql = "SELECT v, count(*) AS n FROM shared GROUP BY v ORDER BY v"
+    assert len(json.loads(b.query(sql))) == 1
+    assert len(json.loads(b.query(sql))) == 1  # second call: cache hit
+    assert b.cache.hits >= 1
+
+    a.write("shared", {"v": 2}, record_id="r2", timestamp_us=t0)
+    a.flush()
+    # B was never told directly — the shared nonce + catalog mtime do it
+    assert len(json.loads(b.query(sql))) == 2
