@@ -34,7 +34,7 @@ class MiniODBService:
                  rate_limiter=None, metrics: MetricsRegistry | None = None):
         self.engine = engine
         self.auth = auth  # auth.TokenManager or None (auth RPCs error if None)
-        self.backup = backup or BackupManager(engine.catalog)
+        self.backup = backup or BackupManager(engine.catalog, engine=engine)
         self.rate_limiter = rate_limiter  # ratelimit.SmartRateLimiter or None
         self.metrics = metrics or MetricsRegistry()
         self.health = HealthChecker(engine)
@@ -161,6 +161,18 @@ class MiniODBService:
     def list_backups(self, days: int = 30) -> dict:
         """ListBackups RPC (miniodb.proto:287-304)."""
         return self.backup.list_backups(days=days)
+
+    def backup_data(self, tables: list[str] | None = None) -> dict:
+        """Object-level data backup (reference internal/backup data
+        replication, docs/SOLUTION.md:629): parquet objects + manifest."""
+        return self.backup.create_data_backup(tables)
+
+    def restore_data(self, object_name: str,
+                     tables: list[str] | None = None) -> dict:
+        return self.backup.restore_data_backup(object_name, tables)
+
+    def list_data_backups(self) -> dict:
+        return {"backups": self.backup.list_data_backups()}
 
     def get_metadata_status(self) -> dict:
         """GetMetadataStatus RPC (miniodb.proto:306-318)."""

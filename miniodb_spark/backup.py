@@ -1,13 +1,16 @@
-"""Metadata backup subsystem: create / list / restore / status.
+"""Backup subsystem: metadata snapshots + object-level data backups.
 
 Parity target: the reference's backup RPCs (miniodb.proto:281-318 —
 BackupMetadata, RestoreMetadata, ListBackups, GetMetadataStatus) and
-``internal/backup/`` (executor writes timestamped metadata snapshots
-to the object store, scheduler runs them on an interval, status
-reports last/next backup). Here snapshots are JSON files under
-``{root}/_system/backups/`` — the same store the engine's data lives
-in, so when the engine root is an object-store path the backups land
-beside the data exactly like the reference's MinIO backup bucket.
+``internal/backup/`` (executor writes timestamped metadata snapshots,
+and the data-replication path copies the table's parquet objects into
+a second MinIO pool — docs/SOLUTION.md:629). Metadata snapshots are
+JSON files under ``{meta_root}/_system/backups/``; data backups are
+manifest + object copies under ``{data_root}/_backups/<name>/`` via
+the fs abstraction, so on an ``s3a://`` root the copies are
+server-side object COPYs into the same store — the one-store analog
+of the reference's second pool (pointing ``backup_root`` at a second
+bucket gives the two-pool layout verbatim).
 """
 
 from __future__ import annotations
@@ -17,17 +20,25 @@ import os
 import time
 from typing import Any
 
+from . import fs as fsmod
 from .catalog import Catalog
 
 
 class BackupManager:
     def __init__(self, catalog: Catalog, node_id: int = 0,
-                 interval_s: float = 3600.0):
+                 interval_s: float = 3600.0, engine=None,
+                 backup_root: str | None = None):
         self.catalog = catalog
         self.node_id = node_id
         self.interval_s = interval_s
         self._dir = os.path.join(catalog.root, "_system", "backups")
         os.makedirs(self._dir, exist_ok=True)
+        # data-object backup needs the engine's fs + data root; without an
+        # engine this manager is metadata-only (the pre-round-6 behavior)
+        self.engine = engine
+        self.backup_root = backup_root or (
+            fsmod.join(engine.root, "_backups") if engine is not None else None
+        )
 
     # -- create ----------------------------------------------------------
 
@@ -91,6 +102,112 @@ class BackupManager:
         with open(path, encoding="utf-8") as fh:
             doc = json.load(fh)
         return self.catalog.import_metadata(doc["metadata"])
+
+    # -- object-level data backup/restore --------------------------------
+
+    def _require_engine(self):
+        if self.engine is None:
+            raise ValueError("data backup requires a BackupManager bound "
+                             "to an engine (BackupManager(..., engine=eng))")
+        return self.engine
+
+    def _table_objects(self, table: str) -> list[tuple[str, str, int]]:
+        """(abs_path, relpath-under-table-dir, size) for every data object
+        of ``table`` — the same gen=/dt= walk the compactor uses."""
+        eng = self._require_engine()
+        tdir = fsmod.join(eng.root, table)
+        out: list[tuple[str, str, int]] = []
+        for gen_dir in eng.fs.list_dirs(tdir, prefix="gen="):
+            for part_dir in eng.fs.list_dirs(gen_dir, prefix="dt="):
+                for path, size in eng.fs.list_files(part_dir, suffix=".parquet"):
+                    rel = "/".join(path.replace("\\", "/").rsplit("/", 3)[-3:])
+                    out.append((path, rel, size))
+        return out
+
+    def create_data_backup(self, tables: list[str] | None = None) -> dict[str, Any]:
+        """Copy every data object of the given tables (default: all) into
+        ``{backup_root}/<name>/``, plus a manifest carrying the object
+        list and the catalog metadata needed to restore. Object copies go
+        through the fs abstraction — server-side COPY on object stores,
+        never through the driver's memory."""
+        eng = self._require_engine()
+        ts_us = int(time.time() * 1_000_000)
+        name = f"data-node{self.node_id}-{ts_us}"
+        dest_root = fsmod.join(self.backup_root, name)
+        tables = tables or self.catalog.list_tables()
+        manifest: dict[str, Any] = {
+            "name": name, "node_id": str(self.node_id), "timestamp": ts_us,
+            "tables": {}, "metadata": self.catalog.export_metadata(),
+        }
+        total = 0
+        for t in tables:
+            objs = self._table_objects(t)
+            entries = []
+            for path, rel, size in objs:
+                eng.fs.copy(path, fsmod.join(dest_root, t, rel))
+                entries.append({"rel": rel, "size": size})
+                total += size
+            manifest["tables"][t] = entries
+        # the manifest is written LAST: its presence marks a complete
+        # backup (a crashed copy leaves no manifest and is invisible to
+        # list/restore — same sentinel ordering as the mutation commit)
+        eng.fs.write_bytes(
+            fsmod.join(dest_root, "MANIFEST.json"),
+            json.dumps(manifest).encode("utf-8"),
+        )
+        return {"object_name": name, "node_id": str(self.node_id),
+                "timestamp": ts_us, "size": total,
+                "tables": {t: len(v) for t, v in manifest["tables"].items()}}
+
+    def list_data_backups(self) -> list[dict[str, Any]]:
+        eng = self._require_engine()
+        out = []
+        for d in eng.fs.list_dirs(self.backup_root, prefix="data-"):
+            mpath = fsmod.join(d, "MANIFEST.json")
+            if not eng.fs.exists(mpath):
+                continue  # incomplete (crashed) backup — not restorable
+            m = json.loads(eng.fs.read_bytes(mpath))
+            out.append({"object_name": m["name"], "timestamp": m["timestamp"],
+                        "tables": sorted(m["tables"])})
+        out.sort(key=lambda b: b["timestamp"], reverse=True)
+        return out
+
+    def restore_data_backup(self, object_name: str,
+                            tables: list[str] | None = None) -> dict[str, Any]:
+        """Copy a backup's objects back into the data root and re-import
+        the catalog metadata for the restored tables — recovers *data*,
+        not just table configs, for dropped or corrupted tables."""
+        eng = self._require_engine()
+        src_root = fsmod.join(self.backup_root, os.path.basename(object_name))
+        mpath = fsmod.join(src_root, "MANIFEST.json")
+        if not eng.fs.exists(mpath):
+            raise ValueError(f"no complete data backup named {object_name!r}")
+        manifest = json.loads(eng.fs.read_bytes(mpath))
+        tables = tables or list(manifest["tables"])
+        restored: dict[str, int] = {}
+        for t in tables:
+            entries = manifest["tables"].get(t)
+            if entries is None:
+                raise ValueError(f"table {t!r} is not in backup {object_name!r}")
+            for e in entries:
+                eng.fs.copy(fsmod.join(src_root, t, e["rel"]),
+                            fsmod.join(eng.root, t, e["rel"]))
+            restored[t] = len(entries)
+        # metadata last: once the catalog commits, readers resolve the
+        # freshly-copied objects
+        meta = manifest["metadata"]
+        subset = {
+            "tables": {t: meta["tables"][t] for t in tables
+                       if t in meta.get("tables", {})},
+            "generations": {t: meta.get("generations", {}).get(t, [])
+                            for t in tables},
+            "excluded": {t: meta.get("excluded", {}).get(t, [])
+                         for t in tables},
+        }
+        self.catalog.import_metadata(subset)
+        for t in tables:
+            eng.cache.invalidate_table(t)
+        return {"success": True, "tables_restored": restored}
 
     # -- status ----------------------------------------------------------
 

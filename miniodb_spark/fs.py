@@ -74,6 +74,10 @@ class LocalFS:
     def move(self, src: str, dst: str) -> None:
         shutil.move(src, dst)
 
+    def copy(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -145,6 +149,14 @@ class HadoopFS:
 
     def move(self, src: str, dst: str) -> None:
         self._fs(src).rename(self._p(src), self._p(dst))
+
+    def copy(self, src: str, dst: str) -> None:
+        """Server-side object copy where the store supports it (S3A maps
+        FileUtil.copy onto a COPY request per object)."""
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs(src), self._p(src), self._fs(dst), self._p(dst),
+            False, True, self._conf,
+        )
 
     def read_bytes(self, path: str) -> bytes:
         fs, p = self._fs(path), self._p(path)

@@ -26,6 +26,9 @@ client can point at this engine and run its calls unchanged.
 | DELETE /v1/tables/{name}             | delete_table       |
 | POST   /v1/metadata/backup           | backup_metadata    |
 | POST   /v1/metadata/restore          | restore_metadata   |
+| POST   /v1/backup/data               | backup_data        |
+| POST   /v1/backup/data/restore       | restore_data       |
+| GET    /v1/backup/data               | list_data_backups  |
 | GET    /v1/metadata/backups          | list_backups       |
 | GET    /v1/metadata/status           | get_metadata_status|
 | GET    /v1/status                    | get_status         |
@@ -92,6 +95,9 @@ def _routes():
         ("DELETE", r"^/v1/tables/(?P<name>[^/]+)$", "delete_table", False),
         ("POST", r"^/v1/metadata/backup$", "backup_metadata", False),
         ("POST", r"^/v1/metadata/restore$", "restore_metadata", False),
+        ("POST", r"^/v1/backup/data$", "backup_data", False),
+        ("POST", r"^/v1/backup/data/restore$", "restore_data", False),
+        ("GET", r"^/v1/backup/data$", "list_data_backups", False),
         ("GET", r"^/v1/metadata/backups$", "list_backups", False),
         ("GET", r"^/v1/metadata/status$", "metadata_status", False),
         ("GET", r"^/v1/status$", "status", False),
@@ -267,6 +273,18 @@ def _make_handler(service):
             self._send(200, service.restore_metadata(
                 metadata=b.get("metadata"), object_name=b.get("object_name"),
             ))
+
+        def r_backup_data(self, pv, q):
+            self._send(200, service.backup_data(self._body().get("tables")))
+
+        def r_restore_data(self, pv, q):
+            b = self._body()
+            self._send(200, service.restore_data(
+                b.get("object_name", ""), tables=b.get("tables"),
+            ))
+
+        def r_list_data_backups(self, pv, q):
+            self._send(200, service.list_data_backups())
 
         def r_list_backups(self, pv, q):
             self._send(200, service.list_backups(days=int(q.get("days", 30))))

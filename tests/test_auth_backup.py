@@ -96,3 +96,66 @@ def test_auth_unconfigured_errors(engine):
     svc = MiniODBService(engine)
     with pytest.raises(AuthError):
         svc.get_token("k", "s")
+
+
+def test_data_backup_restores_dropped_table_data(engine):
+    """Object-level backup: after DeleteTable removes the table's parquet
+    objects, restore brings back the *data*, not just the config."""
+    import json
+
+    svc = MiniODBService(engine)
+    t0 = 1_700_000_000 * 1_000_000
+    for i in range(5):
+        svc.write_data("facts", {"id": f"r{i}", "timestamp": t0,
+                                 "payload": {"v": i}})
+    engine.flush()
+    before = json.loads(svc.query_data(
+        "SELECT id, v FROM facts ORDER BY id")["result_json"])
+    assert len(before) == 5
+
+    b = svc.backup_data(["facts"])
+    assert b["tables"]["facts"] >= 1 and b["size"] > 0
+    listed = svc.list_data_backups()["backups"]
+    assert listed and listed[0]["object_name"] == b["object_name"]
+    assert "facts" in listed[0]["tables"]
+
+    svc.delete_table("facts")
+    assert "facts" not in svc.list_tables()["tables"]
+
+    out = svc.restore_data(b["object_name"])
+    assert out["tables_restored"]["facts"] >= 1
+    after = json.loads(svc.query_data(
+        "SELECT id, v FROM facts ORDER BY id")["result_json"])
+    assert after == before
+
+
+def test_data_backup_restore_subset_and_errors(engine):
+    import pytest as _pytest
+
+    svc = MiniODBService(engine)
+    t0 = 1_700_000_000 * 1_000_000
+    svc.write_data("a", {"id": "x", "timestamp": t0, "payload": {"v": 1}})
+    svc.write_data("b", {"id": "y", "timestamp": t0, "payload": {"v": 2}})
+    engine.flush()
+    bk = svc.backup_data()
+    svc.delete_table("a")
+    svc.delete_table("b")
+    out = svc.restore_data(bk["object_name"], tables=["a"])
+    assert list(out["tables_restored"]) == ["a"]
+    assert "a" in svc.list_tables()["tables"]
+    assert "b" not in svc.list_tables()["tables"]
+    with _pytest.raises(ValueError):
+        svc.restore_data(bk["object_name"], tables=["nope"])
+    with _pytest.raises(ValueError):
+        svc.restore_data("data-node0-0")
+
+
+def test_incomplete_data_backup_invisible(engine):
+    """A backup directory without MANIFEST.json (crashed mid-copy) is
+    not listed and not restorable — the manifest is the commit mark."""
+    import os
+
+    svc = MiniODBService(engine)
+    os.makedirs(os.path.join(engine.root, "_backups", "data-node0-1"),
+                exist_ok=True)
+    assert svc.list_data_backups()["backups"] == []
