@@ -15,6 +15,7 @@ reference: ``<prefix><table>`` (kafka_subscriber.go:331-470).
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import uuid
@@ -64,6 +65,88 @@ class InMemorySink:
     def all_events(self, table: str) -> list[DataEvent]:
         with self._lock:
             return list(self._events.get(table, []))
+
+
+class FileSink:
+    """Durable per-table event log on disk (NDJSON segments) with
+    persisted consumer-group offsets — proves the replay semantics the
+    external sinks (Kafka topics / Redis Streams) provide in a real
+    deployment, in an environment where neither broker exists.
+
+    Layout under ``root``::
+
+        <table>.events.ndjson     append-only event log (fsync'd)
+        _offsets.json             {group|table: offset}, atomic replace
+
+    Delivery contract (mirrors redis_subscriber.go XREADGROUP/XACK):
+    ``read`` returns events past the group's *durable* offset; ``ack``
+    persists the new offset. A consumer that crashes between read and
+    ack re-reads the same events on restart (at-least-once) — which is
+    exactly what the engine's idempotent StreamWrite sink is built to
+    absorb; a fresh group replays the log from offset 0.
+    """
+
+    def __init__(self, root: str, sync: bool = True):
+        self.root = root
+        self.sync = sync
+        os.makedirs(root, exist_ok=True)
+        self._lock = threading.Lock()
+        self._offsets_path = os.path.join(root, "_offsets.json")
+
+    def _log_path(self, table: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "_-" else "_" for c in table)
+        return os.path.join(self.root, f"{safe}.events.ndjson")
+
+    def publish(self, event: DataEvent) -> None:
+        line = event.to_json() + "\n"
+        with self._lock:
+            with open(self._log_path(event.table), "a", encoding="utf-8") as fh:
+                fh.write(line)
+                fh.flush()
+                if self.sync:
+                    os.fsync(fh.fileno())
+
+    def _load_offsets(self) -> dict[str, int]:
+        try:
+            with open(self._offsets_path, encoding="utf-8") as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _events(self, table: str) -> list[DataEvent]:
+        try:
+            with open(self._log_path(table), encoding="utf-8") as fh:
+                out = []
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        out.append(DataEvent(**json.loads(line)))
+                    except (json.JSONDecodeError, TypeError):
+                        break  # torn tail write: stop at first bad line
+                return out
+        except OSError:
+            return []
+
+    def read(self, group: str, table: str, max_events: int = 100) -> list[DataEvent]:
+        with self._lock:
+            offset = self._load_offsets().get(f"{group}|{table}", 0)
+            return self._events(table)[offset : offset + max_events]
+
+    def ack(self, group: str, table: str, n: int) -> None:
+        with self._lock:
+            offsets = self._load_offsets()
+            key = f"{group}|{table}"
+            offsets[key] = offsets.get(key, 0) + n
+            tmp = f"{self._offsets_path}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(offsets, fh)
+            os.replace(tmp, self._offsets_path)
+
+    def all_events(self, table: str) -> list[DataEvent]:
+        with self._lock:
+            return self._events(table)
 
 
 class KafkaSink:

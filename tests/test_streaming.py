@@ -163,3 +163,68 @@ def test_stream_ingest_skips_redelivered_batch_id(spark, tmp_path, sf_dir):
     run("ckpt_b")
     n2 = json.loads(eng.query("SELECT count(*) AS n FROM events_replay"))[0]["n"]
     assert n2 == expected
+
+
+def test_file_sink_durable_replay(tmp_path):
+    """The durable CDC sink: offsets survive process restart (simulated
+    by constructing fresh FileSink instances over the same root), a
+    crashed consumer re-reads unacked events, and a fresh group replays
+    from the start — the at-least-once contract the idempotent
+    StreamWrite sink absorbs."""
+    from miniodb_spark.streaming.cdc import FileSink
+
+    root = str(tmp_path / "cdc")
+    pub = EventPublisher([FileSink(root)])
+    for i in range(5):
+        pub.publish("insert", "t", [f"r{i}"])
+
+    # consumer 1 reads 3, acks 2, then "crashes"
+    s1 = FileSink(root)
+    got = s1.read("g1", "t", max_events=3)
+    assert [e.records for e in got] == [["r0"], ["r1"], ["r2"]]
+    s1.ack("g1", "t", 2)
+
+    # restart: a brand-new instance over the same root resumes at the
+    # durable offset — r2 is re-delivered (at-least-once), r0/r1 not
+    s2 = FileSink(root)
+    replay = s2.read("g1", "t")
+    assert [e.records for e in replay] == [["r2"], ["r3"], ["r4"]]
+    s2.ack("g1", "t", 3)
+    assert s2.read("g1", "t") == []
+
+    # a fresh group replays the full log from offset 0
+    assert len(FileSink(root).read("g2", "t")) == 5
+    # events are intact after all of this
+    assert [e.records for e in s2.all_events("t")] == [[f"r{i}"] for i in range(5)]
+
+
+def test_file_sink_torn_tail_dropped(tmp_path):
+    """A torn final line (crash mid-append) must not poison the log:
+    events before the tear remain readable."""
+    from miniodb_spark.streaming.cdc import FileSink
+
+    root = str(tmp_path / "cdc2")
+    sink = FileSink(root)
+    pub = EventPublisher([sink])
+    pub.publish("insert", "t", ["a"])
+    pub.publish("insert", "t", ["b"])
+    log = sink._log_path("t")
+    with open(log, "a") as fh:
+        fh.write('{"event_id": "xx", "trunc')  # torn write
+    events = FileSink(root).read("g", "t")
+    assert [e.records for e in events] == [["a"], ["b"]]
+
+
+def test_file_sink_engine_integration(spark, tmp_path):
+    """Engine mutations land in the durable sink and a consumer can
+    replay them after 'restart'."""
+    from miniodb_spark.streaming.cdc import FileSink
+
+    root = str(tmp_path / "cdc3")
+    eng = Engine(spark, str(tmp_path / "store"),
+                 event_publisher=EventPublisher([FileSink(root)]))
+    eng.write("t", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush()
+    eng.delete("t", "a")
+    types = [e.event_type for e in FileSink(root).all_events("t")]
+    assert "insert" in types and "delete" in types
