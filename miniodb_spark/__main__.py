@@ -6,8 +6,10 @@
     python -m miniodb_spark explain --root /data/store "SELECT ..."
 
 `serve` exposes the reference's /v1 REST contract (rest.py); pass
-``--api-key KEY:SECRET`` (repeatable) to enforce JWT auth, and
-``--rate-limit`` to enable the default tiered limiter.
+``--api-key KEY:SECRET`` (repeatable) to enforce JWT auth,
+``--rate-limit`` to enable the default tiered limiter, and
+``--grpc-port PORT`` to additionally serve the miniodb.v1 gRPC surface
+(grpc_server.py; requires grpcio).
 """
 
 from __future__ import annotations
@@ -40,12 +42,22 @@ def cmd_serve(args) -> int:
 
         limiter = SmartRateLimiter()
     svc = MiniODBService(_engine(args), auth=auth, rate_limiter=limiter)
+    grpc_srv = None
+    if args.grpc_port is not None:
+        from .grpc_server import GrpcServer  # raises if grpcio missing
+
+        grpc_srv = GrpcServer(svc, host=args.host,
+                              port=args.grpc_port).serve_background()
+        print(f"miniodb_spark gRPC serving on {args.host}:{grpc_srv.port}",
+              flush=True)
     srv = RestServer(svc, host=args.host, port=args.port)
     print(f"miniodb_spark REST serving on http://{args.host}:{srv.port}/v1", flush=True)
     try:
         srv.httpd.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+        if grpc_srv is not None:
+            grpc_srv.shutdown()
     return 0
 
 
@@ -77,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="KEY:SECRET", help="enable JWT auth (repeatable)")
     p.add_argument("--signing-secret", default=None)
     p.add_argument("--rate-limit", action="store_true")
+    p.add_argument("--grpc-port", type=int, default=None, metavar="PORT",
+                   help="also serve the miniodb.v1 gRPC surface "
+                        "(requires grpcio)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("query", help="run one gated SQL query, print JSON")
