@@ -157,6 +157,116 @@ def language_id(df: DataFrame, col: str = "text") -> DataFrame:
     return scored.withColumn("lang_pred", pred).drop(*[f"score_{l}" for l in langs])
 
 
+# PII patterns: deliberately simple expressions that parse identically
+# under Java regex (Spark) and RE2 (DuckDB) so the oracle agrees
+# byte-for-byte. Real deployments would extend the pattern set; the
+# operator shape (regexp_count over a narrow text scan) is the point.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def pii_signals(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails / IPv4s / phone-shaped /
+    SSN-shaped) + a redaction-needed flag — the scrub-before-training
+    pass every large-scale text pipeline runs. Pure JVM regexp_count
+    over a narrow scan: no UDF, no shuffle, linear in corpus size."""
+    c = F.col(col)
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL))
+    n_ip = F.regexp_count(c, F.lit(PII_IPV4))
+    n_phone = F.regexp_count(c, F.lit(PII_PHONE))
+    n_ssn = F.regexp_count(c, F.lit(PII_SSN))
+    return df.withColumns(
+        {
+            "n_email": n_email.cast("bigint"),
+            "n_ipv4": n_ip.cast("bigint"),
+            "n_phone": n_phone.cast("bigint"),
+            "n_ssn": n_ssn.cast("bigint"),
+            "has_pii": (n_email + n_ip + n_phone + n_ssn > 0),
+        }
+    )
+
+
+def _alnum_tokens(col: str = "text"):
+    """Non-empty lowercase alphanumeric token runs (the BPE-ish
+    pre-tokenization shared with token_counts_bpe)."""
+    toks = F.split(F.lower(F.col(col)), r"[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def unigram_logprob(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    unigram distribution — the classic cheap LM-quality proxy (docs of
+    rare/garbled tokens score low, ordinary prose scores high).
+
+    score(d) = avg_{t in d} ln c(t) − ln N, computed as two aggregations
+    over one exploded token relation: per-token corpus counts joined
+    back to occurrences (shuffle on token — fine at 100 TB, the token
+    relation is what any TF-IDF job shuffles), and the corpus total N
+    crossed in as a broadcast single-row aggregate (never collected to
+    the driver)."""
+    toks = df.select(F.col(id_col), F.explode(_alnum_tokens(col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c"))) - F.first(F.log(F.col("n_total"))), 4
+            ).alias("lm_score"),
+        )
+    )
+
+
+def contamination_pairs(
+    candidates: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: candidate docs sharing word
+    ``shingle_n``-grams with a (small) probe/benchmark set — the
+    decontamination pass run before training on scraped corpora.
+
+    Scale shape: the probe side (a benchmark suite, ~10⁴–10⁵ docs) is
+    tiny next to the corpus, so its distinct shingle set is broadcast
+    and the corpus side never shuffles — one narrow scan + broadcast
+    hash join, linear in corpus size. Shingles are xxhash64'd so the
+    broadcast is 8 bytes each. Returns per-candidate overlap counts
+    (distinct shared shingles)."""
+
+    def shingles(df: DataFrame) -> DataFrame:
+        ts = _alnum_tokens(text_col)
+        k = F.size(ts) - (shingle_n - 1)
+        # sequence(1, k) flips to a DESCENDING [1, 0] when k < 1 — docs
+        # shorter than the shingle width must produce no shingles at all
+        grams = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.xxhash64(F.array_join(F.slice(ts, i, shingle_n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(grams)).alias("sh")
+        )
+
+    probe_sh = shingles(probes).select("sh").distinct()
+    cand_sh = shingles(candidates)
+    return (
+        cand_sh.join(F.broadcast(probe_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared_shingles"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -409,3 +519,91 @@ def register_queries(register) -> None:
             .agg(F.count("*").alias("n"))
             .orderBy("lang", "lang_pred")
         )
+
+    @register(
+        "pii_detect",
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)  AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT)   AS n_ssn,
+               (len(regexp_extract_all(text, '{PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{PII_IPV4}'))
+                + len(regexp_extract_all(text, '{PII_PHONE}'))
+                + len(regexp_extract_all(text, '{PII_SSN}'))) > 0 AS has_pii
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        doc="PII hit counts (email/IPv4/phone/SSN shapes) + redaction flag — "
+            "the scrub-before-training pass; pure regexp_count, narrow scan",
+        tags=("llm", "capability"),
+    )
+    def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        return pii_signals(docs).select(
+            "doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "has_pii"
+        ).orderBy("doc_id")
+
+    @register(
+        "unigram_logprob_quality",
+        """
+        WITH toks AS (
+          SELECT doc_id, t AS tok
+          FROM documents,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS u(t)
+        ),
+        cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT count(*) AS n_total FROM toks)
+        SELECT toks.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(cnt.c)) - any_value(ln(tot.n_total)), 4) AS lm_score
+        FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+        WHERE toks.doc_id < 100
+        GROUP BY toks.doc_id ORDER BY toks.doc_id
+        """,
+        doc="avg token log-prob under the corpus's own unigram LM — the cheap "
+            "LM-quality proxy (rare/garbled tokens score low); counts over the "
+            "full corpus, scores reported for doc_id < 100",
+        tags=("llm", "capability"),
+    )
+    def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            unigram_logprob(docs)
+            .filter(F.col("doc_id") < 100)
+            .orderBy("doc_id")
+        )
+
+    @register(
+        "benchmark_contamination",
+        """
+        WITH docs_t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, array_to_string(list_slice(ts, i, i + 4), ' ') AS g
+          FROM docs_t, unnest(generate_series(1, len(ts) - 4)) AS s(i)
+          WHERE len(ts) >= 5
+        ),
+        probe AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+        cand AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id >= 20)
+        SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+        FROM cand JOIN probe USING (g)
+        GROUP BY cand.doc_id ORDER BY cand.doc_id
+        """,
+        doc="benchmark-contamination: candidates sharing word 5-grams with the "
+            "probe set (doc_id < 20 stands in for a benchmark suite); probe "
+            "shingles broadcast, corpus side never shuffles",
+        tags=("llm", "capability"),
+    )
+    def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return contamination_pairs(
+            docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+        ).orderBy("doc_id")

@@ -1464,14 +1464,17 @@ _PRIORITY_ORDER = [
     "grouping_sets_explicit",
     "text_stats_by_lang", "token_counts", "token_counts_bpe",
     "doc_fingerprint", "quality_scores",
-    "dedup_exact_groups", "dedup_token_jaccard",
-    "embedding_cosine_topk", "embedding_ann_recall", "embedding_ivf_recall",
+    # round-6 additions (never driver-graded -> in the window; the three
+    # most-seasoned LLM rows rotate to the tail to make room)
+    "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
+    "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
     "math_case_when", "cte_revenue",
     "join_multiway_region", "q3_shipping_priority",
     # --- position >50: outside the checked window; every entry below has
     # green driver rows from two or more past rounds and stays pinned by
     # tests/test_oracle_parity.py
+    "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
     "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",

@@ -90,3 +90,13 @@ def test_engine_query_pushes_predicates(engine):
     df = engine.query_df("SELECT id FROM gq WHERE age > 25")
     pushed = plans.pushed_filters(df)
     assert any("age" in p.lower() for p in pushed), pushed
+
+
+def test_contamination_probe_side_broadcasts(spark, sf_dir, registry):
+    """The probe/benchmark shingle set must broadcast so the corpus side
+    never shuffles — the property that keeps decontamination linear at
+    100 TB."""
+    df = registry["benchmark_contamination"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["broadcast_hash"] >= 1, kinds
+    assert kinds["sort_merge"] == 0, kinds
