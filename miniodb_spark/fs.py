@@ -159,17 +159,16 @@ class HadoopFS:
         )
 
     def read_bytes(self, path: str) -> bytes:
+        # NB: a read-into-buffer loop does NOT work over py4j — the
+        # Python bytearray is copied to a JVM byte[] by value, so the
+        # JVM-side writes never reach Python. Drain the stream entirely
+        # on the JVM (commons-io ships with Hadoop) and let py4j convert
+        # the returned byte[] once.
         fs, p = self._fs(path), self._p(path)
         stream = fs.open(p)
         try:
-            out = bytearray()
-            buf = bytearray(65536)
-            while True:
-                n = stream.read(buf)
-                if n <= 0:
-                    break
-                out.extend(buf[:n])
-            return bytes(out)
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data)
         finally:
             stream.close()
 
