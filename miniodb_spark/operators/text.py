@@ -267,6 +267,23 @@ def contamination_pairs(
     )
 
 
+def clean_text(df: DataFrame, col: str = "text") -> DataFrame:
+    """Normalization scrub run before dedup/tokenization in a training
+    pipeline: control characters → space, whitespace runs collapsed,
+    ends trimmed. Pure expressions (JVM, no UDF); emits the cleaned
+    text plus how many characters the scrub removed (a cheap
+    corpus-health signal — a high removal rate flags binary junk)."""
+    c = F.col(col)
+    no_ctl = F.regexp_replace(c, r"[\x00-\x1F\x7F]", " ")
+    cleaned = F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+    return df.withColumns(
+        {
+            "text_clean": cleaned,
+            "n_removed": (F.length(c) - F.length(cleaned)).cast("bigint"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -607,3 +624,38 @@ def register_queries(register) -> None:
         return contamination_pairs(
             docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
         ).orderBy("doc_id")
+
+    @register(
+        "text_normalize",
+        r"""
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                     regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                     '\s+', ' ', 'g')) AS text_clean,
+                 text
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               md5(text_clean)                                       AS clean_md5,
+               CAST(length(text) - length(text_clean) AS BIGINT)     AS n_removed
+        FROM c ORDER BY doc_id
+        """,
+        doc="normalization scrub (control chars -> space, whitespace "
+            "collapsed, trimmed) - the standard pre-dedup cleanup; md5 of "
+            "the cleaned text keeps the oracle compact",
+        tags=("llm", "capability"),
+    )
+    def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 100
+        )
+        return (
+            clean_text(docs)
+            .select(
+                "doc_id",
+                F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+                "n_removed",
+            )
+            .orderBy("doc_id")
+        )

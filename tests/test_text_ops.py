@@ -4,10 +4,30 @@ synthetic corpus is PII-free and contamination-light, so these pin the
 semantics the parity suite can't distinguish from vacuous zeros."""
 
 from miniodb_spark.operators.text import (
+    clean_text,
     contamination_pairs,
     pii_signals,
     unigram_logprob,
 )
+
+
+def test_clean_text_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a\x00b\tc\nd"),            # control chars -> single spaces
+            (2, "  spaced    out\t\ttext "),
+            (3, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in clean_text(docs).collect()}
+    assert rows[1]["text_clean"] == "a b c d"
+    assert rows[2]["text_clean"] == "spaced out text"
+    assert rows[3]["text_clean"] == "already clean"
+    assert rows[3]["n_removed"] == 0
+    assert rows[2]["n_removed"] == len("  spaced    out\t\ttext ") - len(
+        "spaced out text"
+    )
 
 
 def test_pii_signals_crafted(spark):
