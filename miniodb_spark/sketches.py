@@ -304,3 +304,48 @@ class ApproximateQueryEngine:
             for key in pairs:
                 merged.merge(self._hll[key])
             return merged.estimate()
+
+    # -- persistence (reference keeps its registry server-side; ours
+    #    rides the same shared-store KV the cache versions use, so the
+    #    registry survives restarts and merges across drivers) ----------
+
+    def save(self, kv) -> int:
+        """Write every sketch to a KV (e.g. ``kv.FileKV`` on the store
+        root). Key layout ``sketch/{hll|cms}/{table}/{column}``; sketch
+        byte formats are the versioned to_bytes() encodings. Returns the
+        number of objects written."""
+        with self._lock:
+            items = [("hll", k, s.to_bytes()) for k, s in self._hll.items()]
+            items += [("cms", k, s.to_bytes()) for k, s in self._cms.items()]
+        for kind, (table, col), data in items:
+            kv.put(f"sketch/{kind}/{table}/{col}", data)
+        return len(items)
+
+    def load(self, kv, keys: list[tuple[str, str]],
+             merge: bool = True) -> int:
+        """Load sketches for the given (table, column) keys from a KV.
+        With ``merge=True`` (default) loaded sketches merge into any
+        in-memory state — the cross-driver union; ``merge=False``
+        replaces. Missing keys are skipped. Returns sketches loaded."""
+        n = 0
+        for table, col in keys:
+            hb = kv.get(f"sketch/hll/{table}/{col}")
+            cb = kv.get(f"sketch/cms/{table}/{col}")
+            if hb is None and cb is None:
+                continue
+            with self._lock:
+                key = (table, col)
+                if hb is not None:
+                    loaded = HyperLogLog.from_bytes(hb)
+                    if merge and key in self._hll:
+                        self._hll[key].merge(loaded)
+                    else:
+                        self._hll[key] = loaded
+                if cb is not None:
+                    loaded_c = CountMinSketch.from_bytes(cb)
+                    if merge and key in self._cms:
+                        self._cms[key].merge(loaded_c)
+                    else:
+                        self._cms[key] = loaded_c
+            n += 1
+        return n

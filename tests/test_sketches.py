@@ -136,3 +136,40 @@ def test_registry_roundtrip(spark, sf_dir):
     assert eng.frequency("events", "event_type", "view") > 0
     merged = eng.merged_cardinality([("events", "user_id"), ("events", "event_type")])
     assert merged >= exact_users
+
+
+def test_registry_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """Sketch registry persisted to the shared-store KV: a fresh engine
+    (a restarted or different driver) loads identical estimates; loading
+    with merge unions the states."""
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import FileKV
+
+    kv = FileKV(LocalFS(), str(tmp_path / "sketches"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ApproximateQueryEngine()
+    a.update_from_dataframe("events", ev, ["user_id", "event_type"])
+    assert a.save(kv) == 4  # hll+cms for two columns
+
+    # restart: a fresh registry loads identical estimates
+    b = ApproximateQueryEngine()
+    assert b.load(kv, [("events", "user_id"), ("events", "event_type")]) == 2
+    assert b.cardinality("events", "user_id") == a.cardinality("events", "user_id")
+    assert (b.frequency("events", "event_type", "click")
+            == a.frequency("events", "event_type", "click"))
+    # missing keys are skipped without error
+    assert b.load(kv, [("nope", "col")]) == 0
+
+    # cross-driver merge: driver C sketched a disjoint id range; after
+    # C.save + B.load(merge=True) B's estimate covers the union
+    lo = ev.filter(ev.user_id < 5)
+    hi = ev.filter(ev.user_id >= 5)
+    exact_union = ev.select("user_id").distinct().count()
+    c = ApproximateQueryEngine()
+    c.update_from_dataframe("events2", lo, ["user_id"])
+    c.save(kv)
+    d = ApproximateQueryEngine()
+    d.update_from_dataframe("events2", hi, ["user_id"])
+    d.load(kv, [("events2", "user_id")], merge=True)
+    est = d.cardinality("events2", "user_id")
+    assert abs(est - exact_union) / exact_union < 0.1
