@@ -69,3 +69,40 @@ def session(
         F.col(c) for c in (group_cols or [])
     ]
     return df.groupBy(*keys).agg(*(aggs or [F.count("*").alias("n")]))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) event-time interval join: match rows with
+    equal ``on`` keys whose timestamps satisfy
+    ``left_ts - lower <= right_ts <= left_ts + upper``.
+
+    On streams both sides get the watermark (required for Structured
+    Streaming to bound join state — state for rows older than
+    watermark+interval is evicted; without it a stream-stream join's
+    state grows forever). On batch DataFrames the same predicate plans
+    as a regular range-join. Columns are disambiguated with l_/r_
+    prefixes only where names collide."""
+    lw = _apply_watermark(left, left_ts, watermark).alias("l")
+    rw = _apply_watermark(right, right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}")
+           >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
+        for c in right.columns
+    ]
+    return lw.join(rw, cond, how).select(*out_cols)
