@@ -221,6 +221,88 @@ def parse_wav_header(payload: bytes) -> dict | None:
     }
 
 
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),  # png/gif/jpeg/None
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def png_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """Encode a REAL (decoder-valid) grayscale PNG with stdlib zlib +
+    struct only: IHDR + deterministic-pixel IDAT + IEND, each chunk
+    CRC32'd per the PNG spec. Used by tests and the synthetic registry
+    entry so the parser below is verified against genuine files."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00" + bytes(((seed + x + y * width) % 251) for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Dimensions from PNG (IHDR), GIF (logical screen descriptor) or
+    JPEG (first SOF0/SOF2 marker) headers — plain struct layouts, no
+    codec libraries. Returns None for anything else; never raises."""
+    import struct
+
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", b, 16)
+        return {"format": "png", "width": w, "height": h}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack_from("<HH", b, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; walk markers to a frame header
+        pos = 2
+        while pos + 9 <= len(b) and b[pos] == 0xFF:
+            marker, size = b[pos + 1], struct.unpack_from(">H", b, pos + 2)[0]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack_from(">HH", b, pos + 5)
+                return {"format": "jpeg", "width": w, "height": h}
+            if marker == 0xD9:
+                break
+            pos += 2 + size
+        return None
+    return None
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas image-header extraction — same streamed header-only
+    shape as :func:`audio_metadata`."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in IMAGE_META_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = parse_image_header(payload)
+                rows["media_id"].append(mid)
+                rows["format"].append(h["format"] if h else None)
+                rows["width"].append(h["width"] if h else None)
+                rows["height"].append(h["height"] if h else None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_meta, IMAGE_META_SCHEMA)
+
+
 def audio_metadata(df: DataFrame) -> DataFrame:
     """mapInPandas WAV-metadata extraction over binary payloads — one
     streamed Arrow pass, header-only parsing, no shuffle."""
@@ -375,6 +457,55 @@ def register_queries(register) -> None:
                 F.col("sample_rate").cast("int"),
                 "duration_ms",
             )
+            .orderBy("doc_id")
+        )
+
+    @register(
+        "image_png_metadata",
+        """
+        SELECT doc_id,
+               'png'                                AS format,
+               CAST(1 + n_chars % 64 AS INTEGER)    AS width,
+               CAST(1 + doc_id % 8 AS INTEGER)      AS height
+        FROM documents WHERE doc_id < 40 ORDER BY doc_id
+        """,
+        doc="REAL PNG decode round-trip: genuine grayscale PNGs (stdlib "
+            "zlib/struct encoder, spec-correct chunk CRCs) with dimensions "
+            "derived from doc columns, parsed back by the IHDR header "
+            "parser in a mapInPandas pass; the oracle recomputes the "
+            "expected dimensions from the same arithmetic",
+        tags=("llm", "capability"),
+    )
+    def image_png_metadata(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 40
+        )
+
+        def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["doc_id"],
+                        "payload": [
+                            png_bytes(1 + int(n) % 64, 1 + int(d) % 8, seed=int(d))
+                            for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                        ],
+                    }
+                )
+
+        media = docs.select("doc_id", "n_chars").mapInPandas(
+            _encode,
+            T.StructType(
+                [
+                    T.StructField("media_id", T.LongType(), False),
+                    T.StructField("payload", T.BinaryType(), True),
+                ]
+            ),
+        )
+        return (
+            image_metadata(media)
+            .select(F.col("media_id").alias("doc_id"), "format",
+                    "width", "height")
             .orderBy("doc_id")
         )
 

@@ -1459,7 +1459,6 @@ _PRIORITY_ORDER = [
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "lang_id_heuristic", "dedup_minhash_lsh", "multimodal_features",
     "dedup_corpus_survivors", "quality_signals",
-    "multimodal_frame_sample",
     "subquery_correlated_scalar", "order_nulls_last",
     "grouping_sets_explicit",
     "text_stats_by_lang", "token_counts", "token_counts_bpe",
@@ -1467,7 +1466,7 @@ _PRIORITY_ORDER = [
     # round-6 additions (never driver-graded -> in the window; the
     # most-seasoned LLM rows rotate to the tail to make room)
     "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
-    "text_normalize", "audio_wav_metadata",
+    "text_normalize", "audio_wav_metadata", "image_png_metadata",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
     "math_case_when", "cte_revenue",
@@ -1476,7 +1475,7 @@ _PRIORITY_ORDER = [
     # green driver rows from two or more past rounds and stays pinned by
     # tests/test_oracle_parity.py
     "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
-    "vocabulary_stats", "tfidf_top_terms",
+    "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
     "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",

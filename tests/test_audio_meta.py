@@ -43,3 +43,44 @@ def test_audio_metadata_mixed_batch(spark):
     assert got[1]["duration_ms"] == (500 * 1000) // 8000
     assert not got[2]["is_wav"] and got[2]["channels"] is None
     assert got[3]["channels"] == 2 and got[3]["sample_rate"] == 16000
+
+
+def test_parse_image_header_formats():
+    import struct
+    import zlib
+
+    from miniodb_spark.operators.multimodal import (
+        image_metadata, parse_image_header, png_bytes,
+    )
+
+    png = png_bytes(17, 5, seed=3)
+    # the encoder emits a genuinely decodable PNG: IDAT inflates to
+    # h * (1 + w) filter-prefixed scanline bytes
+    idat_off = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[png.index(b"IDAT") - 4: png.index(b"IDAT")])[0]
+    assert len(zlib.decompress(png[idat_off: idat_off + idat_len])) == 5 * 18
+    assert parse_image_header(png) == {"format": "png", "width": 17, "height": 5}
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == {"format": "gif", "width": 320, "height": 200}
+
+    # minimal JPEG: SOI + APP0 stub + SOF0 with dims 64x48
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x01\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + sof0
+    assert parse_image_header(jpeg) == {"format": "jpeg", "width": 64, "height": 48}
+
+    assert parse_image_header(b"not an image") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(png[:12]) is None  # truncated
+
+
+def test_image_metadata_dataframe(spark):
+    from miniodb_spark.operators.multimodal import image_metadata, png_bytes
+
+    df = spark.createDataFrame(
+        [(1, png_bytes(9, 4)), (2, b"junk")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in image_metadata(df).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (9, 4)
+    assert got[2]["format"] is None
