@@ -755,6 +755,54 @@ class Engine:
         return n
 
     # ------------------------------------------------------------------
+    # approximate-query surface (reference approximation.go:309-456 —
+    # its registry lives server-side; ours persists through the shared
+    # store KV so estimates survive restarts and merge across drivers)
+    # ------------------------------------------------------------------
+
+    @property
+    def approx(self):
+        if getattr(self, "_approx", None) is None:
+            from .kv import FileKV
+            from .sketches import ApproximateQueryEngine
+
+            self._approx = ApproximateQueryEngine()
+            self._approx_kv = FileKV(
+                self.fs, fsmod.join(self.root, "_meta", "sketches")
+            )
+        return self._approx
+
+    def refresh_sketches(self, table: str, columns: list[str]) -> None:
+        """(Re)build HLL/CMS sketches for the table's columns from its
+        current hybrid view and persist them to the store. One narrow
+        scan per call; run it post-flush or on a schedule, like the
+        reference updates its registry on ingest."""
+        df = self.read_table(table)
+        if df is None:
+            raise gate.SQLGateError(f"table not found: {table}")
+        self.approx.update_from_dataframe(table, df, columns)
+        self.approx.save(self._approx_kv)
+
+    def approx_cardinality(self, table: str, column: str) -> float:
+        """HLL distinct estimate; falls back to sketches persisted by
+        another driver when this process hasn't built one."""
+        try:
+            return self.approx.cardinality(table, column)
+        except KeyError:
+            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+                raise
+            return self.approx.cardinality(table, column)
+
+    def approx_frequency(self, table: str, column: str, value) -> int:
+        """CMS point-frequency estimate (never underestimates)."""
+        try:
+            return self.approx.frequency(table, column, value)
+        except KeyError:
+            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+                raise
+            return self.approx.frequency(table, column, value)
+
+    # ------------------------------------------------------------------
     # retention + background flush
     # ------------------------------------------------------------------
 

@@ -173,3 +173,32 @@ def test_registry_persistence_roundtrip(spark, sf_dir, tmp_path):
     d.load(kv, [("events2", "user_id")], merge=True)
     est = d.cardinality("events2", "user_id")
     assert abs(est - exact_union) / exact_union < 0.1
+
+
+def test_engine_approx_surface_cross_driver(spark, tmp_path, sf_dir):
+    """Engine-level approximate queries: sketches built through engine A
+    are answerable from engine B on the same root (persisted registry),
+    and estimates track exact values."""
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a.ingest_dataframe("ev", ev.selectExpr(
+        "CAST(event_id AS STRING) AS id", "ts AS timestamp",
+        "user_id", "event_type"))
+    a.refresh_sketches("ev", ["user_id", "event_type"])
+
+    exact_users = ev.select("user_id").distinct().count()
+    est = a.approx_cardinality("ev", "user_id")
+    assert abs(est - exact_users) / exact_users < 0.1
+
+    b = Engine(spark, root)  # fresh driver, no in-memory sketches
+    est_b = b.approx_cardinality("ev", "user_id")
+    assert est_b == est
+    exact_clicks = ev.filter(ev.event_type == "click").count()
+    assert b.approx_frequency("ev", "event_type", "click") >= exact_clicks
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        b.approx_cardinality("ev", "never_sketched")
