@@ -510,6 +510,72 @@ def register_queries(register) -> None:
         )
 
     @register(
+        "media_sniff_dispatch",
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'wav'
+                    WHEN doc_id % 3 = 1 THEN 'png'
+                    ELSE 'unknown' END AS media_format
+        FROM documents WHERE doc_id < 60 ORDER BY doc_id
+        """,
+        doc="mixed-modality dispatch over one binary column: payloads are "
+            "genuine WAVs (doc_id%3=0), genuine PNGs (%3=1) or raw text "
+            "(%3=2), classified by the container parsers in one "
+            "mapInPandas pass — the per-row format routing a multimodal "
+            "pipeline does before modality-specific decode fan-out",
+        tags=("llm", "capability"),
+    )
+    def media_sniff_dispatch(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 60
+        )
+
+        def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for d, t in zip(pdf["doc_id"], pdf["text"]):
+                    if d % 3 == 0:
+                        payloads.append(wav_bytes(t.encode("utf-8")))
+                    elif d % 3 == 1:
+                        payloads.append(png_bytes(1 + int(d) % 32, 2, seed=int(d)))
+                    else:
+                        payloads.append(t.encode("utf-8"))
+                yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+        media = docs.select("doc_id", "text").mapInPandas(
+            _encode,
+            T.StructType(
+                [
+                    T.StructField("media_id", T.LongType(), False),
+                    T.StructField("payload", T.BinaryType(), True),
+                ]
+            ),
+        )
+
+        def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                fmts = []
+                for p in pdf["payload"]:
+                    img = parse_image_header(p)
+                    if img is not None:
+                        fmts.append(img["format"])
+                        continue
+                    wav = parse_wav_header(p)
+                    fmts.append("wav" if wav is not None else "unknown")
+                yield pd.DataFrame({"doc_id": pdf["media_id"],
+                                    "media_format": fmts})
+
+        return media.mapInPandas(
+            _sniff,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField("media_format", T.StringType(), True),
+                ]
+            ),
+        ).orderBy("doc_id")
+
+    @register(
         "multimodal_features",
         """
         SELECT true AS features_ok,

@@ -1460,13 +1460,13 @@ _PRIORITY_ORDER = [
     "lang_id_heuristic", "dedup_minhash_lsh", "multimodal_features",
     "dedup_corpus_survivors", "quality_signals",
     "subquery_correlated_scalar", "order_nulls_last",
-    "grouping_sets_explicit",
     "text_stats_by_lang", "token_counts", "token_counts_bpe",
     "doc_fingerprint", "quality_scores",
     # round-6 additions (never driver-graded -> in the window; the
     # most-seasoned LLM rows rotate to the tail to make room)
     "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
     "text_normalize", "audio_wav_metadata", "image_png_metadata",
+    "media_sniff_dispatch",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
     "math_case_when", "cte_revenue",
@@ -1476,6 +1476,7 @@ _PRIORITY_ORDER = [
     # tests/test_oracle_parity.py
     "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
     "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
+    "grouping_sets_explicit",
     "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",
