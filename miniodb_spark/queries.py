@@ -1123,6 +1123,37 @@ def subquery_correlated_scalar(spark, sf_dir):
 
 
 @register(
+    "subquery_not_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE c_custkey <= 200
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    ORDER BY c_custkey
+    """,
+    doc="correlated NOT EXISTS through the SQL gate (Catalyst rewrites to a "
+        "left-anti join — the distributed plan shape; no per-row subquery "
+        "execution at any scale)",
+)
+def subquery_not_exists(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE c_custkey <= 200
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= DATE '2001-01-01')
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
     "order_nulls_last",
     """
     SELECT o_orderkey,
@@ -1457,7 +1488,7 @@ _PRIORITY_ORDER = [
     # gets one more round in the window before rotating out)
     "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
-    "lang_id_heuristic", "dedup_minhash_lsh", "multimodal_features",
+    "dedup_minhash_lsh", "multimodal_features",
     "dedup_corpus_survivors", "quality_signals",
     "subquery_correlated_scalar", "order_nulls_last",
     "text_stats_by_lang", "token_counts", "token_counts_bpe",
@@ -1466,7 +1497,7 @@ _PRIORITY_ORDER = [
     # most-seasoned LLM rows rotate to the tail to make room)
     "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
     "text_normalize", "audio_wav_metadata", "image_png_metadata",
-    "media_sniff_dispatch",
+    "media_sniff_dispatch", "subquery_not_exists",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
     "math_case_when", "cte_revenue",
@@ -1476,7 +1507,7 @@ _PRIORITY_ORDER = [
     # tests/test_oracle_parity.py
     "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
     "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
-    "grouping_sets_explicit",
+    "grouping_sets_explicit", "lang_id_heuristic",
     "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",

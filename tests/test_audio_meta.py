@@ -84,3 +84,27 @@ def test_image_metadata_dataframe(spark):
     got = {r["media_id"]: r for r in image_metadata(df).collect()}
     assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (9, 4)
     assert got[2]["format"] is None
+
+
+def test_parsers_never_raise_on_fuzz():
+    """Container parsers must be total: arbitrary bytes (including
+    prefixes that start like valid magic) return a result or None,
+    never raise — corrupted payloads are routine at corpus scale."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from miniodb_spark.operators.multimodal import (
+        parse_image_header, parse_wav_header, png_bytes, wav_bytes,
+    )
+
+    magics = [b"", b"RIFF", b"RIFF1234WAVE", b"\x89PNG\r\n\x1a\n",
+              b"GIF89a", b"\xff\xd8", wav_bytes(b"\x01\x02" * 8)[:20],
+              png_bytes(3, 3)[:15]]
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=st.sampled_from(magics), tail=st.binary(max_size=64))
+    def run(prefix, tail):
+        parse_wav_header(prefix + tail)
+        parse_image_header(prefix + tail)
+
+    run()
