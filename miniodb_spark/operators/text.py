@@ -626,6 +626,36 @@ def register_queries(register) -> None:
         ).orderBy("doc_id")
 
     @register(
+        "source_quota_sample",
+        """
+        WITH ranked AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+        """,
+        doc="per-source quota enforcement (data-mixing): keep the top-5 "
+            "longest docs per source via a partitioned row_number — one "
+            "shuffle on source, deterministic tie-break, the exact shape "
+            "a mixture-weights sampler takes at corpus scale",
+        tags=("llm", "capability"),
+    )
+    def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            docs.select("doc_id", "source", "n_chars",
+                        F.row_number().over(w).cast("bigint").alias("rnk"))
+            .filter(F.col("rnk") <= 5)
+            .orderBy("source", "rnk")
+        )
+
+    @register(
         "text_normalize",
         r"""
         WITH c AS (

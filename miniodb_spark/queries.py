@@ -1489,7 +1489,7 @@ _PRIORITY_ORDER = [
     "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "dedup_minhash_lsh", "multimodal_features",
-    "dedup_corpus_survivors", "quality_signals",
+    "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
     "text_stats_by_lang", "token_counts", "token_counts_bpe",
     "doc_fingerprint", "quality_scores",
@@ -1497,7 +1497,7 @@ _PRIORITY_ORDER = [
     # most-seasoned LLM rows rotate to the tail to make room)
     "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
     "text_normalize", "audio_wav_metadata", "image_png_metadata",
-    "media_sniff_dispatch", "subquery_not_exists",
+    "media_sniff_dispatch", "subquery_not_exists", "source_quota_sample",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
     "math_case_when", "cte_revenue",
@@ -1507,7 +1507,7 @@ _PRIORITY_ORDER = [
     # tests/test_oracle_parity.py
     "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
     "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
-    "grouping_sets_explicit", "lang_id_heuristic",
+    "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
     "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",
