@@ -36,12 +36,38 @@ def cmd_serve(args) -> int:
 
         keys = dict(kv.split(":", 1) for kv in args.api_key)
         auth = TokenManager(args.signing_secret or "change-me", keys)
+    engine = _engine(args)
     limiter = None
     if args.rate_limit:
         from .ratelimit import SmartRateLimiter
 
-        limiter = SmartRateLimiter()
-    svc = MiniODBService(_engine(args), auth=auth, rate_limiter=limiter)
+        divisor = None
+        if args.shared_limits:
+            # multi-driver budget splitting: heartbeat into the store's
+            # driver registry and enforce rate/N locally (kv.py)
+            import threading
+            import uuid as _uuid
+
+            from . import fs as fsmod
+            from .kv import DriverRegistry, FileKV
+
+            reg = DriverRegistry(
+                FileKV(engine.fs, fsmod.join(args.root, "_meta", "drivers")),
+                _uuid.uuid4().hex[:12],
+            )
+            reg.heartbeat()
+
+            def _beat():
+                import time as _t
+
+                while True:
+                    _t.sleep(reg.ttl_s / 3)
+                    reg.heartbeat()
+
+            threading.Thread(target=_beat, daemon=True).start()
+            divisor = reg.active_count
+        limiter = SmartRateLimiter(budget_divisor=divisor)
+    svc = MiniODBService(engine, auth=auth, rate_limiter=limiter)
     grpc_srv = None
     if args.grpc_port is not None:
         from .grpc_server import GrpcServer  # raises if grpcio missing
@@ -89,6 +115,10 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="KEY:SECRET", help="enable JWT auth (repeatable)")
     p.add_argument("--signing-secret", default=None)
     p.add_argument("--rate-limit", action="store_true")
+    p.add_argument("--shared-limits", action="store_true",
+                   help="with --rate-limit: split budgets across the live "
+                        "serve processes on this store root (heartbeat "
+                        "registry; each driver enforces rate/N)")
     p.add_argument("--grpc-port", type=int, default=None, metavar="PORT",
                    help="also serve the miniodb.v1 gRPC surface "
                         "(requires grpcio)")

@@ -66,6 +66,55 @@ class FileKV:
             self.fs.remove_file(path)
 
 
+class DriverRegistry:
+    """Heartbeat registry of live serve processes on one store root.
+
+    Each driver periodically writes ``driver/{id}`` with a wall-clock
+    heartbeat; ``active_count`` counts heartbeats younger than the TTL.
+    This is the coordination primitive for *static budget splitting* —
+    the no-per-request-IO way to make N drivers jointly respect one
+    rate limit (each enforces budget/N locally; the reference gets the
+    same global bound from shared Redis token buckets at one round-trip
+    per request). Stale entries age out via the TTL, so a crashed
+    driver returns its budget share within ``ttl_s``.
+    """
+
+    def __init__(self, kv: FileKV, driver_id: str, ttl_s: float = 30.0):
+        self.kv = kv
+        self.driver_id = driver_id
+        self.ttl_s = ttl_s
+
+    def heartbeat(self) -> None:
+        self.kv.put(f"driver/{self.driver_id}", repr(time.time()).encode())
+
+    def active_count(self) -> int:
+        now = time.time()
+        n = 0
+        for _, ts in self._entries():
+            if now - ts <= self.ttl_s:
+                n += 1
+        return max(1, n)
+
+    def active_ids(self) -> list[str]:
+        now = time.time()
+        return sorted(
+            key.split("driver_", 1)[-1]
+            for key, ts in self._entries()
+            if now - ts <= self.ttl_s
+        )
+
+    def _entries(self):
+        for path, _ in self.kv.fs.list_files(self.kv.root):
+            name = path.replace("\\", "/").rsplit("/", 1)[-1]
+            if not name.startswith("driver_"):
+                continue
+            try:
+                raw = self.kv.fs.read_bytes(path)
+                yield name, float(raw.decode("ascii"))
+            except Exception:
+                continue  # racing delete / torn heartbeat
+
+
 class TableVersionStore:
     """Per-table version nonces over a :class:`FileKV`.
 

@@ -97,16 +97,41 @@ class SmartRateLimiterConfig:
 
 
 class SmartRateLimiter:
+    """Per-client × path-rule token buckets (reference
+    smart_rate_limiter.go). ``budget_divisor`` supports multi-driver
+    serving by static budget splitting: a callable returning the live
+    driver count (see ``kv.DriverRegistry``) — each driver enforces
+    rate/N and burst/N locally, so N drivers jointly respect the
+    configured global budget with zero per-request coordination IO
+    (the reference pays a Redis round-trip per request instead). The
+    divisor is re-read lazily every ``divisor_refresh_s``; buckets are
+    rebuilt when it changes (a brief refill reset, acceptable at a
+    membership-change boundary)."""
+
     def __init__(self, config: SmartRateLimiterConfig | None = None,
-                 clock=time.monotonic):
+                 clock=time.monotonic, budget_divisor=None,
+                 divisor_refresh_s: float = 10.0):
         self.config = config or SmartRateLimiterConfig()
         self._clock = clock
         self._tiers = {t.name: t for t in self.config.tiers}
-        # (client, tier) -> (bucket, last_seen, backoff_until)
+        # (client, tier) -> (bucket, last_seen, backoff_until, divisor)
         self._clients: dict[tuple[str, str], list] = {}
         self._lock = threading.Lock()
         self.denied = 0
         self.allowed = 0
+        self._budget_divisor = budget_divisor
+        self._divisor_refresh_s = divisor_refresh_s
+        self._divisor_cache: tuple[float, int] | None = None
+
+    def _divisor(self, now: float) -> int:
+        if self._budget_divisor is None:
+            return 1
+        if (self._divisor_cache is not None
+                and now - self._divisor_cache[0] < self._divisor_refresh_s):
+            return self._divisor_cache[1]
+        d = max(1, int(self._budget_divisor()))
+        self._divisor_cache = (now, d)
+        return d
 
     def _tier_for(self, path: str) -> tuple[RateLimitTier, str]:
         """(tier, matched pattern) — buckets are per (client, path rule),
@@ -127,17 +152,20 @@ class SmartRateLimiter:
         now = self._clock()
         with self._lock:
             self._cleanup(now)
+            div = self._divisor(now)
             key = (client_id, pattern)
             state = self._clients.get(key)
-            if state is None:
+            if state is None or state[3] != div:
                 state = [
-                    TokenBucket(tier.burst_size, tier.requests_per_sec,
+                    TokenBucket(max(1, tier.burst_size // div),
+                                tier.requests_per_sec / div,
                                 clock=self._clock),
                     now,
                     0.0,
+                    div,
                 ]
                 self._clients[key] = state
-            bucket, _, backoff_until = state
+            bucket, _, backoff_until, _ = state
             state[1] = now
             if now < backoff_until:
                 self.denied += 1

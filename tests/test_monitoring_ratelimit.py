@@ -115,3 +115,51 @@ def test_rate_limited_facade(engine):
     with pytest.raises(RateLimitExceeded):
         svc.query_data("SELECT id FROM rl")
     assert svc.rate_limiter.stats()["denied"] == 1
+
+
+def test_budget_splitting_across_drivers(tmp_path):
+    """Multi-driver rate limiting by static budget splitting: with two
+    live heartbeats on one root, each limiter enforces half the global
+    budget — N drivers jointly respect the configured rate with zero
+    per-request coordination IO."""
+    import pytest as _pytest
+
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import DriverRegistry, FileKV
+    from miniodb_spark.ratelimit import (
+        PathRateLimit, RateLimitExceeded, RateLimitTier,
+        SmartRateLimiter, SmartRateLimiterConfig,
+    )
+
+    kv = FileKV(LocalFS(), str(tmp_path / "coord"))
+    reg_a = DriverRegistry(kv, "a")
+    reg_b = DriverRegistry(kv, "b")
+    reg_a.heartbeat()
+    assert reg_a.active_count() == 1
+    reg_b.heartbeat()
+    assert reg_a.active_count() == 2
+    assert reg_a.active_ids() == ["a", "b"]
+
+    cfg = SmartRateLimiterConfig(
+        tiers=[RateLimitTier("t", 1.0, 8, backoff_s=60.0)],
+        path_limits=[PathRateLimit("*", "t")],
+        default_tier="t",
+    )
+    t = [0.0]
+    lim = SmartRateLimiter(cfg, clock=lambda: t[0],
+                           budget_divisor=reg_a.active_count)
+    # global burst 8, two drivers -> this driver admits exactly 4
+    for _ in range(4):
+        lim.check("c", "query_data")
+    with _pytest.raises(RateLimitExceeded):
+        lim.check("c", "query_data")
+
+    # driver b ages out -> full budget returns after the divisor refresh
+    reg_b.ttl_s = 0.0
+    stale = DriverRegistry(kv, "a", ttl_s=-1.0)  # everything stale
+    lim2 = SmartRateLimiter(cfg, clock=lambda: t[0],
+                            budget_divisor=stale.active_count)
+    for _ in range(8):
+        lim2.check("c", "query_data")
+    with _pytest.raises(RateLimitExceeded):
+        lim2.check("c", "query_data")
