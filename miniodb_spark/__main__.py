@@ -62,7 +62,14 @@ def cmd_serve(args) -> int:
 
                 while True:
                     _t.sleep(reg.ttl_s / 3)
-                    reg.heartbeat()
+                    try:
+                        reg.heartbeat()
+                    except Exception:
+                        # a transient store error must not kill the
+                        # thread: a silently-dead heartbeat ages this
+                        # driver out while it keeps serving, and the
+                        # fleet then jointly exceeds the global budget
+                        pass
 
             threading.Thread(target=_beat, daemon=True).start()
             divisor = reg.active_count

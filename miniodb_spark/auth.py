@@ -65,12 +65,14 @@ def decode_jwt(token: str, secret: str) -> dict[str, Any]:
         raise AuthError(f"malformed token: {type(exc).__name__}") from None
     if header.get("alg") != "HS256":
         raise AuthError(f"unsupported alg: {header.get('alg')}")
-    signing_input = f"{header_b64}.{claims_b64}".encode("ascii")
-    expected = _sign(secret.encode(), signing_input)
     try:
+        signing_input = f"{header_b64}.{claims_b64}".encode("ascii")
+        expected = _sign(secret.encode(), signing_input)
         sig_ok = hmac.compare_digest(expected, _b64url_decode(sig_b64))
         claims = json.loads(_b64url_decode(claims_b64))
-    except (ValueError, UnicodeDecodeError) as exc:
+    except (ValueError, UnicodeDecodeError, UnicodeEncodeError) as exc:
+        # non-ASCII segment bytes hit the encode; still "malformed",
+        # never a server error
         raise AuthError(f"malformed token: {type(exc).__name__}") from None
     if not sig_ok:
         raise AuthError("bad signature")

@@ -76,7 +76,12 @@ class QueryResultCache:
         self.hits = 0
         self.misses = 0
 
-    def _current_versions(self, tables: list[str]) -> dict:
+    def snapshot_versions(self, tables: list[str]) -> dict:
+        """Capture the tables' version nonces NOW. Callers must snapshot
+        BEFORE executing the query and hand the result to put():
+        recording versions at put time would stamp a pre-mutation result
+        with a post-mutation nonce when another driver commits mid-query,
+        making the stale entry permanently invisible to invalidation."""
         if self.version_store is None:
             return {}
         return {t: self.version_store.version(t) for t in tables}
@@ -109,9 +114,11 @@ class QueryResultCache:
             self.hits += 1
             return value
 
-    def put(self, sql: str, tables: list[str], value: Any) -> None:
+    def put(self, sql: str, tables: list[str], value: Any,
+            versions: dict | None = None) -> None:
         key = cache_key(sql, tables)
-        versions = self._current_versions(tables)
+        if versions is None:
+            versions = self.snapshot_versions(tables)
         with self._lock:
             self._entries[key] = (time.monotonic(), value, versions)
             self._entries.move_to_end(key)

@@ -637,10 +637,15 @@ class Engine:
         checked = gate.validate_query(sql)
         tables = extract_tables(checked)
         use_cache = analyze_complexity(checked).cacheable
+        versions = None
         if use_cache:
             hit = self.cache.get(checked, tables)
             if hit is not None:
                 return hit
+            # snapshot BEFORE executing: a mutation committed by another
+            # driver mid-query must invalidate the entry we are about to
+            # store, not be absorbed into its recorded versions
+            versions = self.cache.snapshot_versions(tables)
         t0 = _time.perf_counter()
         df = self.query_df(checked, limit=limit, default_table=default_table)
         # cap the collect: fetch one row beyond the cap so truncation is
@@ -673,7 +678,7 @@ class Engine:
             self.query_stats["slow"] = self.query_stats["slow"][-100:]
         out = QueryResult(result, truncated)
         if use_cache:
-            self.cache.put(checked, tables, out)
+            self.cache.put(checked, tables, out, versions=versions)
         return out
 
     def stream_query(

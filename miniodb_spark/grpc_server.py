@@ -228,7 +228,10 @@ class GrpcServer:
         grpc = self._grpc
         try:
             body = json.loads(request_bytes or b"{}")
-            client_id = metadata.get("x-client-ip") or "grpc-peer"
+            # fallback identity is the transport-level peer address —
+            # never client-supplied metadata, which would let a caller
+            # rotate identities to evade the rate limiter
+            client_id = context.peer() or "grpc-peer"
             if not open_route and self.service.auth is not None:
                 authz = metadata.get("authorization", "")
                 if not authz.startswith("Bearer "):

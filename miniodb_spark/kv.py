@@ -26,11 +26,16 @@ import time
 
 from . import fs as _fs
 
-_SAFE_RE = re.compile(r"[^A-Za-z0-9_.-]")
+_UNSAFE_RE = re.compile(r"[^A-Za-z0-9.-]")
 
 
 def _safe(key: str) -> str:
-    return _SAFE_RE.sub("_", key)
+    """Injective filename encoding: every char outside [A-Za-z0-9.-]
+    (including '_', the escape char itself) becomes _XX hex. A lossy
+    substitution would collide distinct keys — e.g. 'sketch/hll/a_b/c'
+    and 'sketch/hll/a/b_c' under a plain '/'→'_' mapping — and a
+    colliding put would silently overwrite an unrelated key's value."""
+    return _UNSAFE_RE.sub(lambda m: f"_{ord(m.group(0)):02x}", key)
 
 
 class FileKV:
@@ -85,7 +90,7 @@ class DriverRegistry:
         self.ttl_s = ttl_s
 
     def heartbeat(self) -> None:
-        self.kv.put(f"driver/{self.driver_id}", repr(time.time()).encode())
+        self.kv.put(f"driver.{self.driver_id}", repr(time.time()).encode())
 
     def active_count(self) -> int:
         now = time.time()
@@ -98,7 +103,7 @@ class DriverRegistry:
     def active_ids(self) -> list[str]:
         now = time.time()
         return sorted(
-            key.split("driver_", 1)[-1]
+            key.split("driver.", 1)[-1]
             for key, ts in self._entries()
             if now - ts <= self.ttl_s
         )
@@ -106,7 +111,9 @@ class DriverRegistry:
     def _entries(self):
         for path, _ in self.kv.fs.list_files(self.kv.root):
             name = path.replace("\\", "/").rsplit("/", 1)[-1]
-            if not name.startswith("driver_"):
+            # driver ids are hex, so 'driver.' + id round-trips _safe
+            # unchanged ('.' is in the safe set)
+            if not name.startswith("driver."):
                 continue
             try:
                 raw = self.kv.fs.read_bytes(path)

@@ -410,17 +410,19 @@ def register_queries(register) -> None:
         "audio_wav_metadata",
         """
         SELECT doc_id,
-               true                                            AS is_wav,
-               1                                               AS channels,
-               8000                                            AS sample_rate,
-               CAST(((n_chars // 2) * 1000) // 8000 AS BIGINT) AS duration_ms
+               true  AS is_wav,
+               1     AS channels,
+               8000  AS sample_rate,
+               CAST(((octet_length(encode(text)) // 2) * 1000) // 8000
+                    AS BIGINT) AS duration_ms
         FROM documents WHERE doc_id < 50 ORDER BY doc_id
         """,
         doc="REAL WAV decode round-trip: payloads are genuine WAV files "
             "(stdlib wave encoder over the doc's utf-8 bytes as 16-bit mono "
             "8 kHz PCM), parsed back by the struct-level RIFF header parser "
             "in a mapInPandas pass; the oracle recomputes the expected "
-            "duration from n_chars arithmetic",
+            "duration from the utf-8 BYTE length (octet_length, not "
+            "n_chars — they diverge on any non-ASCII fixture regeneration)",
         tags=("llm", "capability"),
     )
     def audio_wav_metadata(spark, sf_dir):

@@ -48,9 +48,11 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         return df.withColumn(col, F.col(col).cast("timestamp"))
     # int64 nanoseconds (legacy nanos fixture read under nanosAsLong,
     # or a raw epoch-ns column): truncate to µs exactly like DuckDB's
-    # TIMESTAMP_NS → TIMESTAMP coercion.
+    # TIMESTAMP_NS → TIMESTAMP coercion. MUST be integer division —
+    # `/` coerces to double, whose 256 ns ulp near 1.7e18 truncates
+    # ~1/64 of µs-grain values to the wrong microsecond.
     return df.withColumn(
-        col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+        col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
     )
 
 

@@ -150,18 +150,27 @@ class SmartRateLimiter:
             return
         tier, pattern = self._tier_for(path)
         now = self._clock()
+        # resolve the divisor OUTSIDE the lock: refreshing it may hit
+        # the coordination store (list + read per driver — multiple
+        # object-store round-trips), and holding the global lock through
+        # that would stall every concurrent request once per refresh
+        div = self._divisor(now)
         with self._lock:
             self._cleanup(now)
-            div = self._divisor(now)
             key = (client_id, pattern)
             state = self._clients.get(key)
             if state is None or state[3] != div:
+                # membership change rebuilds the bucket (brief refill
+                # reset) but MUST carry the backoff forward — an abusive
+                # client under penalty would otherwise burst again the
+                # moment a driver joins or leaves
+                prior_backoff = state[2] if state is not None else 0.0
                 state = [
                     TokenBucket(max(1, tier.burst_size // div),
                                 tier.requests_per_sec / div,
                                 clock=self._clock),
                     now,
-                    0.0,
+                    prior_backoff,
                     div,
                 ]
                 self._clients[key] = state

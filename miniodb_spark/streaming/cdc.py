@@ -92,15 +92,38 @@ class FileSink:
         os.makedirs(root, exist_ok=True)
         self._lock = threading.Lock()
         self._offsets_path = os.path.join(root, "_offsets.json")
+        self._repaired: set[str] = set()
 
     def _log_path(self, table: str) -> str:
         safe = "".join(c if c.isalnum() or c in "_-" else "_" for c in table)
         return os.path.join(self.root, f"{safe}.events.ndjson")
 
+    def _repair_tail(self, path: str) -> None:
+        """A crash mid-append can leave a final line without its
+        newline. The next publish must NOT continue that line — the
+        merged line would be unparseable and _events()'s stop-at-tear
+        would hide every later event forever. Terminate the torn line
+        once per (process, table); the torn record itself is dropped by
+        the parser, which is the correct at-least-once outcome for an
+        event whose write never completed."""
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(-1, os.SEEK_END)
+                last = fh.read(1)
+            if last != b"\n":
+                with open(path, "ab") as fh:
+                    fh.write(b"\n")
+        except OSError:
+            pass  # no file yet / empty file
+
     def publish(self, event: DataEvent) -> None:
         line = event.to_json() + "\n"
         with self._lock:
-            with open(self._log_path(event.table), "a", encoding="utf-8") as fh:
+            path = self._log_path(event.table)
+            if path not in self._repaired:
+                self._repair_tail(path)
+                self._repaired.add(path)
+            with open(path, "a", encoding="utf-8") as fh:
                 fh.write(line)
                 fh.flush()
                 if self.sync:
@@ -124,7 +147,11 @@ class FileSink:
                     try:
                         out.append(DataEvent(**json.loads(line)))
                     except (json.JSONDecodeError, TypeError):
-                        break  # torn tail write: stop at first bad line
+                        # a torn record terminated by _repair_tail: the
+                        # write never completed, so dropping it is the
+                        # correct at-least-once outcome; later complete
+                        # lines must still be delivered
+                        continue
                 return out
         except OSError:
             return []

@@ -249,3 +249,20 @@ def test_two_engines_one_root_cross_invalidate(spark, tmp_path):
     a.flush()
     # B was never told directly — the shared nonce + catalog mtime do it
     assert len(json.loads(b.query(sql))) == 2
+
+
+def test_filekv_keys_are_collision_free(tmp_path):
+    """_safe must be injective: 'sketch/hll/a_b/c' and 'sketch/hll/a/b_c'
+    collided under a lossy '/'->'_' mapping, silently overwriting an
+    unrelated key's value."""
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import FileKV
+
+    kv = FileKV(LocalFS(), str(tmp_path / "kv"))
+    kv.put("sketch/hll/a_b/c", b"one")
+    kv.put("sketch/hll/a/b_c", b"two")
+    assert kv.get("sketch/hll/a_b/c") == b"one"
+    assert kv.get("sketch/hll/a/b_c") == b"two"
+    kv.delete("sketch/hll/a_b/c")
+    assert kv.get("sketch/hll/a_b/c") is None
+    assert kv.get("sketch/hll/a/b_c") == b"two"

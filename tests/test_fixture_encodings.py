@@ -40,7 +40,12 @@ def _write(dir_path, ts_array):
 
 @pytest.fixture(scope="module")
 def encoded_dirs(tmp_path_factory):
-    us = [BASE_US + i * 1_000_000 for i in range(8)]
+    # sub-second µs offsets included deliberately: double division of
+    # epoch-ns truncates ~1/64 of µs-grain values (256 ns ulp at 1.7e18),
+    # which whole-second timestamps can never catch. Offset 16 is a
+    # pinned corrupting value: int(float((BASE_US+16)*1000)/1000) is
+    # BASE_US+15.
+    us = [BASE_US + off for off in (0, 16, 80, 144, 999_999, 500_001, 7, 63)]
     root = tmp_path_factory.mktemp("encodings")
     dirs = {}
 

@@ -200,7 +200,9 @@ def test_file_sink_durable_replay(tmp_path):
 
 def test_file_sink_torn_tail_dropped(tmp_path):
     """A torn final line (crash mid-append) must not poison the log:
-    events before the tear remain readable."""
+    events before the tear remain readable, the torn record is dropped
+    (its write never completed), and events published after restart are
+    NOT merged into the torn line — they stay fully visible."""
     from miniodb_spark.streaming.cdc import FileSink
 
     root = str(tmp_path / "cdc2")
@@ -213,6 +215,13 @@ def test_file_sink_torn_tail_dropped(tmp_path):
         fh.write('{"event_id": "xx", "trunc')  # torn write
     events = FileSink(root).read("g", "t")
     assert [e.records for e in events] == [["a"], ["b"]]
+
+    # "restart": a fresh sink must repair the tail before appending, so
+    # the post-crash event is parseable and delivered
+    sink2 = FileSink(root)
+    EventPublisher([sink2]).publish("insert", "t", ["c"])
+    events = FileSink(root).read("g", "t")
+    assert [e.records for e in events] == [["a"], ["b"], ["c"]]
 
 
 def test_file_sink_engine_integration(spark, tmp_path):
