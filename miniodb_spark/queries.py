@@ -1500,9 +1500,10 @@ _PRIORITY_ORDER = [
     "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
     "text_normalize", "audio_wav_metadata", "image_png_metadata",
     "media_sniff_dispatch", "subquery_not_exists", "source_quota_sample",
+    "embedding_pq_recall",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
-    "math_case_when", "cte_revenue",
+    "cte_revenue",
     "join_multiway_region", "q3_shipping_priority",
     # --- position >50: outside the checked window; every entry below has
     # green driver rows from two or more past rounds and stays pinned by
@@ -1510,6 +1511,7 @@ _PRIORITY_ORDER = [
     "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
     "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
+    "math_case_when",
     "derived_table",
     "agg_global", "agg_group_having", "agg_count_distinct",
     "filter_in_between_like", "join_inner_agg", "join_left_count",

@@ -70,3 +70,36 @@ def test_ivf_index_save_load_identical_assignments(spark, sf_dir, tmp_path):
     b = idx2.assign_cells(emb).select("vec_id", "ivf_cell")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert idx.query_cells([0.1] * 64, nprobe=3) == idx2.query_cells([0.1] * 64, nprobe=3)
+
+
+def test_pq_codes_compress_and_rank(spark, sf_dir):
+    """PQ: codes are m small ints (the compression claim), encoding is
+    deterministic, and ADC ranking over codes alone correlates with
+    exact cosine (top-1 exact neighbor lands in a small ADC shortlist)."""
+    from pyspark.sql import functions as F
+
+    from miniodb_spark.operators.similarity import (
+        PQIndex, cosine_topk, pq_rerank_topk, pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    idx = PQIndex(m=16, k=64).fit(rest)
+    enc = idx.encode(rest)
+
+    row = enc.select("pq_code").first()
+    assert len(row["pq_code"]) == 16
+    assert all(0 <= c < 64 for c in row["pq_code"])
+    # deterministic encoding: two runs produce identical codes
+    a = {r["vec_id"]: r["pq_code"] for r in enc.select("vec_id", "pq_code").collect()}
+    b = {r["vec_id"]: r["pq_code"]
+         for r in idx.encode(rest).select("vec_id", "pq_code").collect()}
+    assert a == b
+
+    exact_top1 = cosine_topk(rest, qv, 1).first()["vec_id"]
+    shortlist = {r["vec_id"] for r in pq_topk(enc, idx, qv, 50).collect()}
+    assert exact_top1 in shortlist
+    # rerank returns exact order within the shortlist
+    rr = [r["vec_id"] for r in pq_rerank_topk(rest, enc, idx, qv, 5).collect()]
+    assert rr[0] == exact_top1
