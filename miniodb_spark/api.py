@@ -151,12 +151,22 @@ class MiniODBService:
                 "backup": info, "success": True}
 
     def restore_metadata(self, metadata: dict | None = None,
-                         object_name: str | None = None) -> dict:
+                         object_name: str | None = None,
+                         from_latest: bool = False) -> dict:
+        """RestoreMetadata RPC (miniodb.proto:260-270): restore from an
+        explicit backup object, from the newest one (``from_latest``), or
+        from an inline metadata document."""
+        if object_name is None and from_latest:
+            listed = self.backup.list_backups(days=36500)["backups"]
+            if not listed:
+                raise ValueError("from_latest: no backups exist")
+            object_name = listed[0]["object_name"]
         if object_name is not None:
             n = self.backup.restore_backup(object_name)
         else:
             n = self.engine.catalog.import_metadata(metadata or {})
-        return {"success": True, "tables_restored": n}
+        return {"success": True, "tables_restored": n,
+                "backup_file": object_name or ""}
 
     def list_backups(self, days: int = 30) -> dict:
         """ListBackups RPC (miniodb.proto:287-304)."""

@@ -93,13 +93,60 @@ def test_server_requires_grpcio_cleanly(engine):
 
 @pytest.fixture()
 def grpc_server(engine):
+    """JSON-codec server (the pre-round-7 framing, kept as fallback)."""
+    grpc = pytest.importorskip("grpc")  # noqa: F841
+    from miniodb_spark.auth import TokenManager
+
+    svc = MiniODBService(engine, auth=TokenManager("k", {"api": "sec"}))
+    srv = GrpcServer(svc, codec="json").serve_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def grpc_proto_server(engine):
+    """Default protobuf-codec server — what a stock reference client
+    built from miniodb.proto speaks."""
     grpc = pytest.importorskip("grpc")  # noqa: F841
     from miniodb_spark.auth import TokenManager
 
     svc = MiniODBService(engine, auth=TokenManager("k", {"api": "sec"}))
     srv = GrpcServer(svc).serve_background()
+    assert srv.codec == "proto"
     yield srv
     srv.shutdown()
+
+
+def _proto_stub(port, method):
+    import grpc
+
+    from miniodb_spark import protowire as pw
+
+    req_schema, resp_schema = pw.METHOD_IO[method]
+    chan = grpc.insecure_channel(f"127.0.0.1:{port}")
+    return chan, chan.unary_unary(
+        f"/{method}",
+        request_serializer=lambda d: pw.encode_message(req_schema, d),
+        response_deserializer=lambda b: pw.decode_message(resp_schema, b),
+    )
+
+
+def test_grpc_proto_wire_roundtrip(grpc_proto_server):
+    """Binary protobuf end-to-end over real HTTP/2 framing."""
+    p = grpc_proto_server.port
+    _, health = _proto_stub(p, "miniodb.v1.MinIODBService/HealthCheck")
+    assert health({})["status"] == "healthy"
+    _, get_token = _proto_stub(p, "miniodb.v1.AuthService/GetToken")
+    tok = get_token({"api_key": "api", "secret": "sec"})["access_token"]
+    md = (("authorization", f"Bearer {tok}"),)
+    _, write = _proto_stub(p, "miniodb.v1.MinIODBService/WriteData")
+    out = write({"table": "w", "data": {"id": "x", "timestamp": T0,
+                                        "payload": {"v": 1}}}, metadata=md)
+    assert out["success"] and out["message"] == "x"
+    _, query = _proto_stub(p, "miniodb.v1.MinIODBService/QueryData")
+    rows = json.loads(query({"sql": "SELECT id, v FROM w"},
+                            metadata=md)["result_json"])
+    assert rows == [{"id": "x", "v": 1.0}]
 
 
 def _stub(port, method):
