@@ -3,15 +3,24 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct (mime, width/height/duration, source). The Spark-side plumbing
 — schema, batched Arrow transfer, ``mapInPandas`` feature extraction,
-partition sizing — is real and tested; the actual codec step is
-stubbed (decode libraries aren't available in this environment) behind
-``decode_stub`` which raises ``NotImplementedError``, with a
-deterministic fake (`fake_features`) used to exercise the pipeline.
+partition sizing — is real and tested. Decode depth by format:
+
+- **PNG**: full pixel decode (`decode_png_pixels`) — chunk walk with
+  CRC verification, zlib inflate, and all five scanline filters
+  (None/Sub/Up/Average/Paeth, PNG spec §9) for 8-bit gray/RGB/RGBA.
+- **WAV**: full 16-bit PCM sample decode (`decode_wav_samples`).
+- **GIF/JPEG**: container headers only (dimensions); pixel decode
+  needs LZW/DCT codecs deliberately out of scope here —
+  `decode_media` raises ``ValueError`` for them with a clear message
+  (defined error semantics, not a stub).
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses ``mapInPandas`` (streamed Arrow batches — one pass, no shuffle)
 and `repartition_for_payloads` targets ~64 MB of payload per task to
-keep executor memory flat.
+keep executor memory flat. Pixel unfiltering is sequential along a
+scanline by definition (Sub/Paeth reference the previous pixel), so
+the inner loop is per-row Python — parallelism comes from Spark
+partitioning across images, which is the axis that matters at 100 TB.
 """
 
 from __future__ import annotations
@@ -55,13 +64,25 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_stub(payload: bytes, mime: str):
-    """The real codec hook (PIL/ffmpeg/torchaudio live here in a full
-    deployment). Deliberately unimplemented in this environment."""
-    raise NotImplementedError(
-        "media decoding requires codec libraries not present in this build; "
-        "use fake_features for pipeline testing"
-    )
+def decode_media(payload: bytes, mime: str | None = None) -> dict:
+    """Format-sniffing media decode (replaces the pre-round-7
+    ``decode_stub``): PNG -> pixel dict, WAV -> sample dict. GIF/JPEG
+    pixel decode needs LZW/DCT codecs that are out of scope for a
+    stdlib-only build; those raise ``ValueError`` with the sniffed
+    format so callers can route around them."""
+    px = decode_png_pixels(payload)
+    if px is not None:
+        return {"kind": "image"} | px
+    au = decode_wav_samples(payload)
+    if au is not None:
+        return {"kind": "audio"} | au
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        raise ValueError(
+            f"{hdr['format']} pixel decode unsupported (needs LZW/DCT); "
+            "header metadata is available via parse_image_header"
+        )
+    raise ValueError(f"unrecognized media payload (mime hint: {mime!r})")
 
 
 def fake_features(payload: bytes, dims: int = 8) -> list[float]:
@@ -71,17 +92,35 @@ def fake_features(payload: bytes, dims: int = 8) -> list[float]:
     return [((seed >> (i * 4)) & 0xFF) / 255.0 for i in range(dims)]
 
 
-def extract_features(df: DataFrame, use_stub_decoder: bool = False) -> DataFrame:
-    """mapInPandas feature extraction over Arrow batches. The UDF sees
-    pandas DataFrames with a `payload` bytes column — the same shape a
-    real decoder would consume."""
+def pixel_features(payload: bytes, dims: int = 8) -> list[float] | None:
+    """Real decoded-pixel feature vector for PNG payloads: an
+    ``dims``-bin normalized intensity histogram over the unfiltered
+    pixel bytes. Returns None when the payload isn't a decodable PNG."""
+    px = decode_png_pixels(payload)
+    if px is None:
+        return None
+    data = px["pixels"]
+    if not data:
+        return [0.0] * dims
+    hist = [0] * dims
+    for v in data:
+        hist[v * dims // 256] += 1
+    return [c / len(data) for c in hist]
+
+
+def extract_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches. With
+    ``use_real_decoder`` the vector is a real pixel-intensity histogram
+    from the PNG decoder (undecodable payloads fall back to
+    `fake_features`); default keeps the deterministic fake so pipeline
+    tests don't depend on payload format."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            if use_stub_decoder:
-                mimes = pdf["meta"].apply(lambda m: (m or {}).get("mime"))
-                feats = [decode_stub(p, m) for p, m in zip(payloads, mimes)]
+            if use_real_decoder:
+                feats = [pixel_features(p) or fake_features(p)
+                         for p in payloads]
             else:
                 feats = [fake_features(p) for p in payloads]
             yield pd.DataFrame(
@@ -108,14 +147,36 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def resize_stub(payload: bytes, width: int, height: int):
-    """The real resize hook (PIL/opencv in a full deployment).
-    Deliberately unimplemented in this environment — the Spark-side
-    plumbing around it (schema, Arrow batching, payload-sized
-    partitioning) is what this module proves."""
-    raise NotImplementedError(
-        "image resize requires codec libraries not present in this build"
-    )
+def resize_pixels(px: dict, out_w: int, out_h: int) -> dict:
+    """Nearest-neighbor resize over a decoded pixel dict (the shape
+    `decode_png_pixels` returns). Replaces the pre-round-7
+    ``resize_stub`` with a real implementation: source coordinates are
+    sampled at the bin centers (``(i + 0.5) * src/dst``), the standard
+    nearest-neighbor mapping."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    w, h, ch = px["width"], px["height"], px["channels"]
+    src, out = px["pixels"], bytearray(out_w * out_h * ch)
+    for oy in range(out_h):
+        sy = min(h - 1, int((oy + 0.5) * h / out_h))
+        row = sy * w * ch
+        for ox in range(out_w):
+            sx = min(w - 1, int((ox + 0.5) * w / out_w))
+            s = row + sx * ch
+            d = (oy * out_w + ox) * ch
+            out[d:d + ch] = src[s:s + ch]
+    return {"width": out_w, "height": out_h, "channels": ch,
+            "pixels": bytes(out)}
+
+
+def resize_image(payload: bytes, width: int, height: int) -> dict:
+    """Decode a PNG payload and resize it (nearest-neighbor). Raises
+    ValueError for undecodable payloads — same error semantics as
+    `decode_media`."""
+    px = decode_png_pixels(payload)
+    if px is None:
+        raise ValueError("resize requires a decodable PNG payload")
+    return resize_pixels(px, width, height)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -231,13 +292,32 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def png_bytes(width: int, height: int, seed: int = 0) -> bytes:
-    """Encode a REAL (decoder-valid) grayscale PNG with stdlib zlib +
-    struct only: IHDR + deterministic-pixel IDAT + IEND, each chunk
-    CRC32'd per the PNG spec. Used by tests and the synthetic registry
-    entry so the parser below is verified against genuine files."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_bytes(width: int, height: int, seed: int = 0, channels: int = 1,
+              filter_type: int = 0) -> bytes:
+    """Encode a REAL (decoder-valid) PNG with stdlib zlib + struct
+    only: IHDR + IDAT + IEND, each chunk CRC32'd per the PNG spec.
+    ``channels`` 1 (grayscale) or 3 (RGB); ``filter_type`` 0-4 applies
+    that scanline filter to every row (spec §9: None/Sub/Up/Average/
+    Paeth), so the decoder is exercised against genuine filtered files,
+    not just filter-0 ones. Pixel bytes follow the deterministic
+    ``(seed + k) % 251`` ramp over the flattened byte index k — the
+    oracle recomputes stats from the same formula in SQL."""
     import struct
     import zlib
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (rgb)")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -245,17 +325,131 @@ def png_bytes(width: int, height: int, seed: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    raw = b"".join(
-        b"\x00" + bytes(((seed + x + y * width) % 251) for x in range(width))
-        for y in range(height)
-    )
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    rows, prev = [], bytes(stride)
+    for y in range(height):
+        line = bytes((seed + i + y * stride) % 251 for i in range(stride))
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: _paeth(a, b, c)}[filter_type]
+            filt[i] = (line[i] - pred) & 0xFF
+        rows.append(bytes([filter_type]) + bytes(filt))
+        prev = line
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_png_pixels(payload: bytes) -> dict | None:
+    """Full PNG pixel decode for 8-bit non-interlaced grayscale/RGB/
+    gray+alpha/RGBA: chunk walk with per-chunk CRC verification,
+    multi-IDAT zlib inflate, and scanline unfiltering for all five
+    filter types (PNG spec §9). Returns ``{"width", "height",
+    "channels", "pixels": bytes}`` (pixels row-major, channels
+    interleaved) or None for anything malformed/unsupported — never
+    raises on junk bytes. Retires the round-≤6 pixel-decode stub."""
+    import struct
+    import zlib
+
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, hdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        if pos + 12 + length > len(b):
+            return None
+        body = b[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None:
+        return None
+    w, h, bit_depth, color_type, _comp, _filt, interlace = hdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8 or interlace != 0 or not w or not h:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        return None
+    out, prev = bytearray(stride * h), bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = line
+        prev = bytes(line)
+    return {"width": w, "height": h, "channels": channels,
+            "pixels": bytes(out)}
+
+
+def decode_wav_samples(payload: bytes) -> dict | None:
+    """Full 16-bit PCM sample decode for WAV payloads: RIFF chunk walk
+    (shared header parser) + little-endian sample extraction via the
+    stdlib ``array`` module. Returns ``{"rate", "channels",
+    "samples": list[int]}`` or None for non-WAV / non-16-bit
+    payloads."""
+    import struct
+    from array import array
+
+    hdr = parse_wav_header(payload)
+    if hdr is None or hdr["bits_per_sample"] != 16:
+        return None
+    b = payload or b""
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"data":
+            data = b[body:body + min(size, len(b) - body)]
+            samples = array("h")
+            samples.frombytes(data[:len(data) - (len(data) % 2)])
+            import sys
+
+            if sys.byteorder == "big":  # pragma: no cover
+                samples.byteswap()
+            return {"rate": hdr["sample_rate"], "channels": hdr["channels"],
+                    "samples": samples.tolist()}
+        pos = body + size + (size % 2)
+    return None
 
 
 def parse_image_header(payload: bytes) -> dict | None:
@@ -510,6 +704,84 @@ def register_queries(register) -> None:
                     "width", "height")
             .orderBy("doc_id")
         )
+
+    @register(
+        "image_pixel_stats",
+        """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(1 + n_chars % 64 AS INTEGER) AS width,
+                 CAST(1 + doc_id % 8 AS INTEGER)   AS height,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+                      AS INTEGER)                  AS channels
+          FROM documents WHERE doc_id < 40
+        )
+        SELECT d.doc_id, d.width, d.height, d.channels,
+               CAST(d.width * d.height * d.channels AS BIGINT) AS n_bytes,
+               CAST(sum((d.doc_id + g.k) % 251) AS BIGINT)     AS pixel_sum,
+               CAST(min((d.doc_id + g.k) % 251) AS INTEGER)    AS pixel_min,
+               CAST(max((d.doc_id + g.k) % 251) AS INTEGER)    AS pixel_max
+        FROM dims d
+        JOIN generate_series(0, 64 * 8 * 3 - 1) AS g(k)
+          ON g.k < d.width * d.height * d.channels
+        GROUP BY d.doc_id, d.width, d.height, d.channels
+        ORDER BY d.doc_id
+        """,
+        doc="REAL PNG pixel decode round-trip (retires the decode stub): "
+            "genuine PNGs — gray or RGB by doc parity, every row filtered "
+            "with scanline filter doc_id%5 (None/Sub/Up/Average/Paeth) — "
+            "are inflated, CRC-checked and unfiltered back to raw pixels "
+            "in a mapInPandas pass; stats over the decoded bytes must "
+            "match the oracle's exact integer recomputation of the "
+            "(seed + k) % 251 ramp the encoder wrote. Any unfiltering "
+            "bug shifts pixel_sum and hash-fails",
+        tags=("llm", "capability"),
+    )
+    def image_pixel_stats(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 40
+        )
+
+        def _encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows: dict[str, list] = {
+                    "doc_id": [], "width": [], "height": [], "channels": [],
+                    "n_bytes": [], "pixel_sum": [], "pixel_min": [],
+                    "pixel_max": [],
+                }
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                    d, n = int(d), int(n)
+                    payload = png_bytes(
+                        1 + n % 64, 1 + d % 8, seed=d,
+                        channels=1 if d % 2 == 0 else 3,
+                        filter_type=d % 5,
+                    )
+                    px = decode_png_pixels(payload)
+                    assert px is not None, f"self-encoded PNG must decode (doc {d})"
+                    data = px["pixels"]
+                    rows["doc_id"].append(d)
+                    rows["width"].append(px["width"])
+                    rows["height"].append(px["height"])
+                    rows["channels"].append(px["channels"])
+                    rows["n_bytes"].append(len(data))
+                    rows["pixel_sum"].append(sum(data))
+                    rows["pixel_min"].append(min(data))
+                    rows["pixel_max"].append(max(data))
+                yield pd.DataFrame(rows)
+
+        return docs.select("doc_id", "n_chars").mapInPandas(
+            _encode_decode,
+            T.StructType([
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("width", T.IntegerType(), False),
+                T.StructField("height", T.IntegerType(), False),
+                T.StructField("channels", T.IntegerType(), False),
+                T.StructField("n_bytes", T.LongType(), False),
+                T.StructField("pixel_sum", T.LongType(), False),
+                T.StructField("pixel_min", T.IntegerType(), False),
+                T.StructField("pixel_max", T.IntegerType(), False),
+            ]),
+        ).orderBy("doc_id")
 
     @register(
         "media_sniff_dispatch",
