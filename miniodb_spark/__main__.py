@@ -74,7 +74,13 @@ def cmd_serve(args) -> int:
             threading.Thread(target=_beat, daemon=True).start()
             divisor = reg.active_count
         limiter = SmartRateLimiter(budget_divisor=divisor)
-    svc = MiniODBService(engine, auth=auth, rate_limiter=limiter)
+    audit_log = None
+    if args.audit_log:
+        from .audit import AuditLogger
+
+        audit_log = AuditLogger(args.audit_log)
+    svc = MiniODBService(engine, auth=auth, rate_limiter=limiter,
+                         audit=audit_log)
     grpc_srv = None
     if args.grpc_port is not None:
         from .grpc_server import GrpcServer  # raises if grpcio missing
@@ -126,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --rate-limit: split budgets across the live "
                         "serve processes on this store root (heartbeat "
                         "registry; each driver enforces rate/N)")
+    p.add_argument("--audit-log", default=None, metavar="PATH",
+                   help="enable per-RPC audit logging to this JSONL file "
+                        "(served back over GET /v1/audit)")
     p.add_argument("--grpc-port", type=int, default=None, metavar="PORT",
                    help="also serve the miniodb.v1 gRPC surface "
                         "(requires grpcio)")

@@ -31,15 +31,27 @@ from .monitoring import HealthChecker, MetricsRegistry
 
 class MiniODBService:
     def __init__(self, engine: Engine, auth=None, backup: BackupManager | None = None,
-                 rate_limiter=None, metrics: MetricsRegistry | None = None):
+                 rate_limiter=None, metrics: MetricsRegistry | None = None,
+                 audit=None):
         self.engine = engine
         self.auth = auth  # auth.TokenManager or None (auth RPCs error if None)
         self.backup = backup or BackupManager(engine.catalog, engine=engine)
         self.rate_limiter = rate_limiter  # ratelimit.SmartRateLimiter or None
         self.metrics = metrics or MetricsRegistry()
         self.health = HealthChecker(engine)
+        self.audit = audit  # audit.AuditLogger or None (reference audit.go)
         self._started = time.time()
         self._counters = {"writes": 0, "queries": 0, "updates": 0, "deletes": 0}
+
+    def _audited(self, action: str, table: str = "", record_id: str = "",
+                 user_id: str = ""):
+        """Audit scope for a mutating RPC (reference audit.go LogWrite/
+        LogUpdate/LogDelete); a no-op nullcontext when auditing is off
+        so the hot path carries zero cost."""
+        if self.audit is None:
+            return contextlib.nullcontext({"record_id": record_id,
+                                           "details": None})
+        return self.audit.audited(action, table, record_id, user_id)
 
     @contextlib.contextmanager
     def _rpc(self, path: str, client_id: str = "default"):
@@ -69,7 +81,11 @@ class MiniODBService:
     def write_data(self, table: str, record: dict, client_id: str = "default") -> dict:
         """record: {id?, timestamp? (µs), payload: {...}}"""
         with self._rpc("write_data", client_id):
-            return self._write_data(table, record)
+            with self._audited("write", table, record.get("id") or "",
+                               client_id) as a:
+                out = self._write_data(table, record)
+                a["record_id"] = out.get("id", "")
+                return out
 
     def _write_data(self, table: str, record: dict) -> dict:
         rid = self.engine.write(
@@ -95,24 +111,30 @@ class MiniODBService:
                     timestamp_us: int | None = None,
                     client_id: str = "default") -> dict:
         with self._rpc("update_data", client_id):
-            n = self.engine.update(table, record_id, payload,
-                                   timestamp_us=timestamp_us)
-            self._counters["updates"] += 1
-            return {"success": True, "replaced": n}
+            with self._audited("update", table, record_id, client_id) as a:
+                n = self.engine.update(table, record_id, payload,
+                                       timestamp_us=timestamp_us)
+                a["details"] = {"replaced": n}
+                self._counters["updates"] += 1
+                return {"success": True, "replaced": n}
 
     def delete_data(self, table: str, record_id: str,
                     client_id: str = "default") -> dict:
         with self._rpc("delete_data", client_id):
-            n = self.engine.delete(table, record_id)
-            self._counters["deletes"] += 1
-            return {"success": True, "deleted_count": n}
+            with self._audited("delete", table, record_id, client_id) as a:
+                n = self.engine.delete(table, record_id)
+                a["details"] = {"deleted_count": n}
+                self._counters["deletes"] += 1
+                return {"success": True, "deleted_count": n}
 
     def stream_write(self, table: str, records: list[dict],
                      client_id: str = "default") -> dict:
         with self._rpc("stream_write", client_id):
-            ids = self.engine.write_batch(table, records)
-            self._counters["writes"] += len(ids)
-            return {"success": True, "count": len(ids), "ids": ids}
+            with self._audited("stream_write", table, "", client_id) as a:
+                ids = self.engine.write_batch(table, records)
+                a["details"] = {"count": len(ids)}
+                self._counters["writes"] += len(ids)
+                return {"success": True, "count": len(ids), "ids": ids}
 
     def stream_query(self, sql: str, batch_size: int = 100, cursor: int = 0,
                      client_id: str = "default") -> dict:
@@ -125,9 +147,10 @@ class MiniODBService:
     # -- table plane -----------------------------------------------------
 
     def create_table(self, name: str, config: dict | None = None) -> dict:
-        cfg = TableConfig(name=name, **(config or {}))
-        self.engine.create_table(name, cfg)
-        return {"success": True}
+        with self._audited("create_table", name):
+            cfg = TableConfig(name=name, **(config or {}))
+            self.engine.create_table(name, cfg)
+            return {"success": True}
 
     def list_tables(self) -> dict:
         return {"tables": self.engine.list_tables()}
@@ -141,7 +164,10 @@ class MiniODBService:
         return {"found": True, "config": asdict(cfg)}
 
     def delete_table(self, name: str) -> dict:
-        return {"success": self.engine.delete_table(name)}
+        with self._audited("delete_table", name) as a:
+            ok = self.engine.delete_table(name)
+            a["details"] = {"existed": ok}
+            return {"success": ok}
 
     # -- metadata plane ----------------------------------------------------
 
@@ -161,12 +187,15 @@ class MiniODBService:
             if not listed:
                 raise ValueError("from_latest: no backups exist")
             object_name = listed[0]["object_name"]
-        if object_name is not None:
-            n = self.backup.restore_backup(object_name)
-        else:
-            n = self.engine.catalog.import_metadata(metadata or {})
-        return {"success": True, "tables_restored": n,
-                "backup_file": object_name or ""}
+        with self._audited("restore_metadata", "") as a:
+            if object_name is not None:
+                n = self.backup.restore_backup(object_name)
+            else:
+                n = self.engine.catalog.import_metadata(metadata or {})
+            a["details"] = {"tables_restored": n,
+                            "backup_file": object_name or ""}
+            return {"success": True, "tables_restored": n,
+                    "backup_file": object_name or ""}
 
     def list_backups(self, days: int = 30) -> dict:
         """ListBackups RPC (miniodb.proto:287-304)."""

@@ -33,6 +33,7 @@ client can point at this engine and run its calls unchanged.
 | GET    /v1/metadata/status           | get_metadata_status|
 | GET    /v1/status                    | get_status         |
 | GET    /v1/metrics                   | get_metrics        |
+| GET    /v1/audit                     | audit trail        |
 | GET    /metrics                      | Prometheus text    |
 
 (The reference's swagger/pprof debug groups are intentionally omitted.)
@@ -102,6 +103,7 @@ def _routes():
         ("GET", r"^/v1/metadata/status$", "metadata_status", False),
         ("GET", r"^/v1/status$", "status", False),
         ("GET", r"^/v1/metrics$", "metrics", False),
+        ("GET", r"^/v1/audit$", "audit", False),
         ("GET", r"^/metrics$", "metrics_text", False),
     ]
 
@@ -301,5 +303,17 @@ def _make_handler(service):
         def r_metrics_text(self, pv, q):
             self._send(200, service.get_metrics_text(),
                        content_type="text/plain; version=0.0.4")
+
+        def r_audit(self, pv, q):
+            """GET /v1/audit?table=&action=&user_id=&limit= — the audit
+            trail surface (reference internal/audit/audit.go entries)."""
+            if service.audit is None:
+                return self._send(200, {"enabled": False, "entries": []})
+            entries = service.audit.read(
+                table=q.get("table"), action=q.get("action"),
+                user_id=q.get("user_id"), limit=int(q.get("limit", 100)),
+            )
+            self._send(200, {"enabled": True, "entries": entries,
+                             "total": len(entries)})
 
     return Handler
