@@ -268,6 +268,96 @@ class MiniODBService:
         """Prometheus text exposition (reference exposes /metrics)."""
         return self.metrics.expose_text()
 
+    # -- dashboard plane (read-only) ---------------------------------------
+    # Reference: internal/dashboard/server.go serves cluster/table/monitor
+    # stats to dashboard-ui by proxying the same core service this facade
+    # wraps (its heavy routes — backup plans, node decommission, config
+    # editing — manage infrastructure Spark deployments delegate to the
+    # cluster manager). This is the read-only stats family, served over
+    # `/v1/dashboard/*` by rest.py.
+
+    def _table_file_stats(self, table: str) -> tuple[int, int]:
+        """(parquet file count, total bytes) for one table via the fs
+        abstraction — the reference's tableStats reads the same numbers
+        from its Redis file index (dashboard/server.go:1240-1260)."""
+        from . import fs as fsmod
+
+        eng = self.engine
+        tdir = fsmod.join(eng.root, table)
+        if not eng.fs.exists(tdir):
+            return 0, 0
+        files, size = 0, 0
+        stack = [tdir]
+        while stack:
+            d = stack.pop()
+            for _name, sz in eng.fs.list_files(d, suffix=".parquet"):
+                files += 1
+                size += sz
+            stack.extend(eng.fs.list_dirs(d))  # list_dirs yields full paths
+        return files, size
+
+    def dashboard_cluster(self) -> dict:
+        """clusterInfo (dashboard/server.go:559-600): health, uptime,
+        table/pending counts, node count."""
+        st = self.engine.status()
+        return {
+            "status": self.health_check()["status"],
+            "uptime_s": round(time.time() - self._started, 1),
+            "tables_count": len(st.get("tables", [])),
+            "pending_writes": sum(st.get("buffered_rows", {}).values()),
+            "nodes_count": 1,
+            "mode": "standalone",
+        }
+
+    def dashboard_tables(self) -> dict:
+        """listTables + tableStats rolled together: per-table config,
+        buffered rows, and on-store parquet footprint."""
+        from dataclasses import asdict
+
+        buffered = self.engine.status().get("buffered_rows", {})
+        out = []
+        for name in self.engine.list_tables():
+            cfg = self.engine.get_table(name)
+            files, size = self._table_file_stats(name)
+            out.append({
+                "name": name,
+                "config": asdict(cfg) if cfg else None,
+                "buffered_rows": int(buffered.get(name, 0)),
+                "file_count": files,
+                "size_bytes": size,
+            })
+        return {"tables": out, "total": len(out)}
+
+    def dashboard_overview(self) -> dict:
+        """monitorOverview analog: request counters, cache hit rate,
+        query latency aggregates, limiter state."""
+        qs = self.engine.query_stats
+        hits, misses = self.engine.cache.hits, self.engine.cache.misses
+        out: dict[str, Any] = {
+            "counters": dict(self._counters),
+            "cache": {
+                "hits": hits, "misses": misses,
+                "hit_rate": round(hits / max(1, hits + misses), 4),
+            },
+            "queries": {
+                "count": qs["count"],
+                "avg_ms": round(qs["total_ms"] / max(1, qs["count"]), 1),
+                "truncated": qs["truncated"],
+                "slow": len(qs["slow"]),
+            },
+            "audit_enabled": self.audit is not None,
+        }
+        if self.rate_limiter is not None:
+            out["rate_limiter"] = self.rate_limiter.stats()
+        return out
+
+    def dashboard_slow_queries(self, limit: int = 20) -> dict:
+        """The slow-query log (reference query.go:351-373 keeps the same
+        rolling window; the dashboard surfaces it)."""
+        slow = self.engine.query_stats["slow"]
+        return {"slow_queries": slow[-max(1, int(limit)):],
+                "total": len(slow)}
+
     def health_detail(self) -> dict:
         """Component-level health rollup (reference monitoring/health.go)."""
         return self.health.check()

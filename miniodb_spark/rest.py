@@ -34,6 +34,10 @@ client can point at this engine and run its calls unchanged.
 | GET    /v1/status                    | get_status         |
 | GET    /v1/metrics                   | get_metrics        |
 | GET    /v1/audit                     | audit trail        |
+| GET    /v1/dashboard/cluster         | dashboard cluster  |
+| GET    /v1/dashboard/tables          | dashboard tables   |
+| GET    /v1/dashboard/overview        | dashboard monitor  |
+| GET    /v1/dashboard/slow-queries    | slow-query log     |
 | GET    /metrics                      | Prometheus text    |
 
 (The reference's swagger/pprof debug groups are intentionally omitted.)
@@ -104,6 +108,10 @@ def _routes():
         ("GET", r"^/v1/status$", "status", False),
         ("GET", r"^/v1/metrics$", "metrics", False),
         ("GET", r"^/v1/audit$", "audit", False),
+        ("GET", r"^/v1/dashboard/cluster$", "dash_cluster", False),
+        ("GET", r"^/v1/dashboard/tables$", "dash_tables", False),
+        ("GET", r"^/v1/dashboard/overview$", "dash_overview", False),
+        ("GET", r"^/v1/dashboard/slow-queries$", "dash_slow", False),
         ("GET", r"^/metrics$", "metrics_text", False),
     ]
 
@@ -315,5 +323,20 @@ def _make_handler(service):
             )
             self._send(200, {"enabled": True, "entries": entries,
                              "total": len(entries)})
+
+        # read-only dashboard family (reference internal/dashboard/)
+
+        def r_dash_cluster(self, pv, q):
+            self._send(200, service.dashboard_cluster())
+
+        def r_dash_tables(self, pv, q):
+            self._send(200, service.dashboard_tables())
+
+        def r_dash_overview(self, pv, q):
+            self._send(200, service.dashboard_overview())
+
+        def r_dash_slow(self, pv, q):
+            self._send(200, service.dashboard_slow_queries(
+                limit=int(q.get("limit", 20))))
 
     return Handler
