@@ -9,6 +9,11 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_CORRECT = os.environ.get("SPARK_GRAFT_CORRECT_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running gates (bench regression at sf0.1)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from miniodb_spark.session import get_spark
