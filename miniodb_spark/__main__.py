@@ -61,7 +61,7 @@ def cmd_serve(args) -> int:
                 import time as _t
 
                 while True:
-                    _t.sleep(reg.ttl_s / 3)
+                    _t.sleep(reg.heartbeat_interval_s())
                     try:
                         reg.heartbeat()
                     except Exception:

@@ -19,6 +19,7 @@ roots (object PUT atomicity).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import threading
@@ -82,12 +83,37 @@ class DriverRegistry:
     same global bound from shared Redis token buckets at one round-trip
     per request). Stale entries age out via the TTL, so a crashed
     driver returns its budget share within ``ttl_s``.
+
+    **Clock assumption**: liveness compares the *reader's* wall clock
+    against the *writer's* heartbeat timestamp, so drivers must share a
+    clock to within a fraction of ``ttl_s``. Same-host drivers (the
+    primary multi-driver deployment) trivially satisfy this; across
+    hosts, NTP-disciplined clocks (drift typically ≪1 s) are fine at
+    the default 30 s TTL, while unsynchronized clocks skewed beyond
+    the TTL would miscount the fleet — raise ``ttl_s`` or fix NTP
+    rather than trusting such an environment. ``jitter_frac`` spreads
+    each driver's heartbeat period by a deterministic per-driver ±10%
+    so N drivers started together don't stat-storm the store in
+    lockstep forever.
     """
 
-    def __init__(self, kv: FileKV, driver_id: str, ttl_s: float = 30.0):
+    def __init__(self, kv: FileKV, driver_id: str, ttl_s: float = 30.0,
+                 jitter_frac: float = 0.1):
         self.kv = kv
         self.driver_id = driver_id
         self.ttl_s = ttl_s
+        # deterministic per-driver jitter in [-jitter_frac, +jitter_frac]:
+        # hash the id rather than calling random() so a restarted driver
+        # keeps the same phase offset (no re-roll flapping)
+        h = int(hashlib.sha256(driver_id.encode("utf-8")).hexdigest()[:8], 16)
+        self._jitter = (h / 0xFFFFFFFF * 2 - 1) * jitter_frac
+
+    def heartbeat_interval_s(self, base_s: float | None = None) -> float:
+        """Sleep period for the heartbeat loop: ``ttl_s / 3`` by default
+        (3 beats per TTL tolerates 2 missed), spread by the per-driver
+        jitter."""
+        base = base_s if base_s is not None else self.ttl_s / 3
+        return base * (1.0 + self._jitter)
 
     def heartbeat(self) -> None:
         self.kv.put(f"driver.{self.driver_id}", repr(time.time()).encode())

@@ -163,3 +163,42 @@ def test_budget_splitting_across_drivers(tmp_path):
         lim2.check("c", "query_data")
     with _pytest.raises(RateLimitExceeded):
         lim2.check("c", "query_data")
+
+
+def test_driver_registry_jitter_and_skew_tolerance(tmp_path):
+    """Heartbeat jitter is deterministic per driver id and spreads the
+    fleet's beat phases (no stat-storm lockstep); liveness tolerates
+    realistic cross-host clock skew (5 s ≪ the 30 s TTL)."""
+    import time as _time
+
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import DriverRegistry, FileKV
+
+    kv = FileKV(LocalFS(), str(tmp_path / "coord"))
+
+    # deterministic: same id -> same interval across restarts
+    r1 = DriverRegistry(kv, "driver-one")
+    r1b = DriverRegistry(kv, "driver-one")
+    assert r1.heartbeat_interval_s() == r1b.heartbeat_interval_s()
+    # bounded: within ±10% of ttl/3
+    base = r1.ttl_s / 3
+    ivals = [DriverRegistry(kv, f"d{i}").heartbeat_interval_s()
+             for i in range(40)]
+    assert all(base * 0.9 <= v <= base * 1.1 for v in ivals)
+    # spread: 40 drivers don't all share one phase
+    assert len({round(v, 3) for v in ivals}) > 10
+    # custom base period honors the same jitter
+    assert abs(r1.heartbeat_interval_s(10.0) - 10.0) <= 1.0
+
+    # clock skew: a heartbeat stamped 5 s in the past (writer's clock
+    # behind the reader's) still counts as live at ttl_s=30
+    skewed = DriverRegistry(kv, "skewed", ttl_s=30.0)
+    kv.put("driver.skewed", repr(_time.time() - 5.0).encode())
+    assert "skewed" in skewed.active_ids()
+    # a heartbeat from a clock AHEAD of the reader is also live (the
+    # age test is one-sided; future stamps read as age<0 <= ttl)
+    kv.put("driver.ahead", repr(_time.time() + 5.0).encode())
+    assert "ahead" in skewed.active_ids()
+    # beyond-TTL skew ages out, as documented
+    kv.put("driver.dead", repr(_time.time() - 31.0).encode())
+    assert "dead" not in skewed.active_ids()
