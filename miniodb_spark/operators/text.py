@@ -284,6 +284,96 @@ def clean_text(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (public technique: Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", §A1.1): word-count
+    band, mean-word-length band, alphabetic-word fraction, stopword
+    presence. Pure JVM expressions, zero shuffle — the arithmetic is
+    SQL-expressible so the oracle recomputes it exactly.
+
+    The line-shape rules (bullet/ellipsis fractions) are omitted: the
+    fixture corpus is single-line, and their implementation is the
+    same split+filter shape pinned here."""
+    toks = tokens_col(col)
+    n_words = F.size(toks).cast("bigint")
+    # sum of word lengths = chars minus the (n-1) separating spaces
+    mean_word_len = (F.length(F.col(col)) - n_words + 1) / n_words
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(mean_word_len, 6),
+            "alpha_word_frac": F.round(alpha_frac, 6),
+            "stopword_hits": stop_hits,
+            "gopher_pass": (
+                n_words.between(50, 100_000)
+                & mean_word_len.between(3.0, 10.0)
+                & (alpha_frac > 0.8)
+                & (stop_hits >= 2)
+            ),
+        }
+    )
+
+
+def repetition_fractions(df: DataFrame, col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.2): the fraction
+    of a document covered by its most frequent word 2-gram and the
+    fraction of word 3-grams that are duplicated within the document.
+    High values flag boilerplate/spam for training-data filtering.
+
+    Shape: per-doc gram explosion -> one shuffle on (doc, gram) ->
+    per-doc aggregate. Gram cardinality is bounded by document length,
+    so partitions stay document-sized at corpus scale; there is no
+    corpus-wide state (contrast `substring_dup_spans`, which is the
+    cross-document variant)."""
+    toks = tokens_col(col)
+
+    def grams(n: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+
+    base = df.select(id_col, grams(2).alias("g2"), grams(3).alias("g3")).filter(
+        F.size(toks) >= 3
+    )
+    g2 = (
+        base.select(id_col, F.explode("g2").alias("gram"))
+        .groupBy(id_col, "gram").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top2"), F.sum("count").alias("tot2"))
+    )
+    g3 = (
+        base.select(id_col, F.explode("g3").alias("gram"))
+        .groupBy(id_col, "gram").count()
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup3"),
+            F.sum("count").alias("tot3"),
+        )
+    )
+    return (
+        g2.join(g3, id_col)
+        .select(
+            id_col,
+            F.round(F.col("top2") / F.col("tot2"), 6).alias("top_2gram_frac"),
+            F.round(F.col("dup3") / F.col("tot3"), 6).alias("dup_3gram_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -689,3 +779,91 @@ def register_queries(register) -> None:
             )
             .orderBy("doc_id")
         )
+
+    @register(
+        "gopher_quality_filter",
+        """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 length(text) AS nc
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               ROUND((nc - len(toks) + 1) / len(toks), 6) AS mean_word_len,
+               ROUND(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                     / len(toks), 6) AS alpha_word_frac,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS stopword_hits,
+               (len(toks) BETWEEN 50 AND 100000
+                AND (nc - len(toks) + 1) / len(toks) BETWEEN 3.0 AND 10.0
+                AND len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                    / len(toks) > 0.8
+                AND len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with'])) >= 2
+               ) AS gopher_pass
+        FROM w ORDER BY doc_id
+        """,
+        doc="Gopher document-quality rules (Rae et al. 2021 §A1.1): "
+            "word-count band [50,100k], mean word length [3,10], "
+            "alphabetic-word fraction >0.8, >=2 distinct stopwords. Pure "
+            "JVM expressions, zero shuffle; the oracle recomputes the "
+            "identical arithmetic over string_split",
+        tags=("llm", "capability"),
+    )
+    def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            gopher_quality(docs)
+            .select("doc_id", "n_words", "mean_word_len",
+                    "alpha_word_frac", "stopword_hits", "gopher_pass")
+            .orderBy("doc_id")
+        )
+
+    @register(
+        "repetition_fractions",
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), g2 AS (
+          SELECT doc_id, w[g.k] || ' ' || w[g.k+1] AS gram
+          FROM toks JOIN generate_series(1, 250) AS g(k)
+            ON g.k <= len(w) - 1
+        ), g3 AS (
+          SELECT doc_id, w[g.k] || ' ' || w[g.k+1] || ' ' || w[g.k+2] AS gram
+          FROM toks JOIN generate_series(1, 250) AS g(k)
+            ON g.k <= len(w) - 2
+        ), a2 AS (
+          SELECT doc_id, max(c) AS top2, sum(c) AS tot2
+          FROM (SELECT doc_id, gram, count(*) AS c FROM g2
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id
+        ), a3 AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+                 sum(c) AS tot3
+          FROM (SELECT doc_id, gram, count(*) AS c FROM g3
+                GROUP BY doc_id, gram)
+          GROUP BY doc_id
+        )
+        SELECT a2.doc_id,
+               ROUND(top2 / tot2, 6) AS top_2gram_frac,
+               ROUND(dup3 / tot3, 6) AS dup_3gram_frac
+        FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        ORDER BY a2.doc_id
+        """,
+        doc="Gopher repetition filters (Rae et al. 2021 §A1.2): "
+            "fraction covered by the most frequent word 2-gram + "
+            "fraction of word 3-grams duplicated within the doc - the "
+            "boilerplate/spam signals of a training-data pipeline; one "
+            "(doc, gram) shuffle, document-bounded state (the oracle "
+            "enumerates gram positions via a constant-bound "
+            "generate_series join because DuckDB table functions can't "
+            "take lateral column bounds)",
+        tags=("llm", "capability"),
+    )
+    def repetition_fractions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return repetition_fractions(docs).orderBy("doc_id")

@@ -86,3 +86,43 @@ def test_contamination_pairs_semantics(spark):
         for r in contamination_pairs(cands, probes).collect()
     }
     assert got == {100: 1, 103: 2}
+
+
+def test_gopher_quality_crafted(spark):
+    """The Gopher rules must discriminate: normal prose passes, a
+    too-short doc, a symbol-heavy doc, and a stopword-free keyword list
+    each fail their specific rule (Rae et al. 2021 §A1.1)."""
+    from miniodb_spark.operators.text import gopher_quality
+
+    prose = ("the quick brown fox jumps over the lazy dog and then runs "
+             "away to be with the other foxes that have made peace ") * 3
+    short = "too short to pass"
+    symbols = " ".join(["####", "1234", "%%%", "the", "and"] * 20)
+    keywords = " ".join(["spark", "parquet", "shuffle", "column"] * 20)
+    df = spark.createDataFrame(
+        [(0, prose.strip()), (1, short), (2, symbols), (3, keywords)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[0]["gopher_pass"] is True
+    assert out[1]["gopher_pass"] is False  # word count < 50
+    assert out[1]["n_words"] == 4
+    assert out[2]["gopher_pass"] is False  # alpha fraction <= 0.8
+    assert out[2]["alpha_word_frac"] < 0.8
+    assert out[3]["gopher_pass"] is False  # no stopwords
+    assert out[3]["stopword_hits"] == 0
+
+
+def test_repetition_fractions_crafted(spark):
+    """Boilerplate (one repeated phrase) maxes the fractions; varied
+    text keeps them low (Rae et al. 2021 §A1.2)."""
+    from miniodb_spark.operators.text import repetition_fractions
+
+    boiler = " ".join(["click here now"] * 20)          # one 3-gram dominates
+    varied = " ".join(f"w{i}" for i in range(60))       # all grams unique
+    df = spark.createDataFrame(
+        [(0, boiler), (1, varied)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_fractions(df).collect()}
+    assert out[0]["top_2gram_frac"] > 0.3
+    assert out[0]["dup_3gram_frac"] == 1.0   # every 3-gram repeats
+    assert out[1]["top_2gram_frac"] < 0.05
+    assert out[1]["dup_3gram_frac"] == 0.0
