@@ -8,11 +8,14 @@ partition sizing — is real and tested. Decode depth by format:
 - **PNG**: full pixel decode (`decode_png_pixels`) — chunk walk with
   CRC verification, zlib inflate, and all five scanline filters
   (None/Sub/Up/Average/Paeth, PNG spec §9) for 8-bit gray/RGB/RGBA.
+- **GIF**: full pixel decode (`decode_gif_pixels`) — a complete GIF
+  LZW decompressor (variable code width, CLEAR/EOI, 12-bit cap) over
+  the first non-interlaced frame, palette-mapped to RGB.
 - **WAV**: full 16-bit PCM sample decode (`decode_wav_samples`).
-- **GIF/JPEG**: container headers only (dimensions); pixel decode
-  needs LZW/DCT codecs deliberately out of scope here —
-  `decode_media` raises ``ValueError`` for them with a clear message
-  (defined error semantics, not a stub).
+- **JPEG**: container header only (dimensions); DCT entropy decode is
+  deliberately out of scope here — `decode_media` raises
+  ``ValueError`` for it with a clear message (defined error
+  semantics, not a stub).
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses ``mapInPandas`` (streamed Arrow batches — one pass, no shuffle)
@@ -66,11 +69,13 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_media(payload: bytes, mime: str | None = None) -> dict:
     """Format-sniffing media decode (replaces the pre-round-7
-    ``decode_stub``): PNG -> pixel dict, WAV -> sample dict. GIF/JPEG
-    pixel decode needs LZW/DCT codecs that are out of scope for a
-    stdlib-only build; those raise ``ValueError`` with the sniffed
-    format so callers can route around them."""
+    ``decode_stub``): PNG/GIF -> pixel dict, WAV -> sample dict. JPEG
+    pixel decode needs a DCT entropy codec that is out of scope for a
+    stdlib-only build; it raises ``ValueError`` with the sniffed
+    format so callers can route around it."""
     px = decode_png_pixels(payload)
+    if px is None:
+        px = decode_gif_pixels(payload)
     if px is not None:
         return {"kind": "image"} | px
     au = decode_wav_samples(payload)
@@ -78,10 +83,13 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
         return {"kind": "audio"} | au
     hdr = parse_image_header(payload)
     if hdr is not None:
-        raise ValueError(
-            f"{hdr['format']} pixel decode unsupported (needs LZW/DCT); "
-            "header metadata is available via parse_image_header"
-        )
+        if hdr["format"] == "jpeg":
+            raise ValueError(
+                "jpeg pixel decode unsupported (needs DCT); header "
+                "metadata is available via parse_image_header"
+            )
+        # png/gif header but the pixel decoder rejected the body
+        raise ValueError(f"malformed {hdr['format']} payload")
     raise ValueError(f"unrecognized media payload (mime hint: {mime!r})")
 
 
@@ -418,6 +426,196 @@ def decode_png_pixels(payload: bytes) -> dict | None:
         prev = bytes(line)
     return {"width": w, "height": h, "channels": channels,
             "pixels": bytes(out)}
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """Full GIF-variant LZW decompression (GIF89a spec appendix F):
+    LSB-first variable-width codes starting at ``min_code_size``+1
+    bits, growing to the 12-bit cap as the dictionary fills, with
+    CLEAR resetting the table and EOI terminating the stream. Returns
+    the decoded index stream, or None for a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _gif_lzw_encode_uncompressed(indices, min_code_size: int = 8) -> bytes:
+    """Spec-valid LZW stream that stores literals only (the standard
+    'uncompressed GIF' technique): a CLEAR every 128 codes keeps the
+    decoder's dictionary small enough that the code width never grows.
+    Any conforming decoder — including real ones — reads it."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, idx in enumerate(indices):
+        if i and i % 128 == 0:
+            emit(clear)
+        emit(idx)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """Encode a REAL (decoder-valid) GIF89a with stdlib struct only: a
+    256-entry grayscale ramp palette and the deterministic
+    ``(seed + k) % 251`` index ramp (same formula as :func:`png_bytes`,
+    so the same oracle arithmetic applies), LZW-packed via the
+    uncompressed technique and framed into ≤255-byte sub-blocks."""
+    import struct
+
+    palette = bytearray()
+    for j in range(256):
+        v = j if j < 251 else 0
+        palette += bytes((v, v, v))
+    indices = bytes((seed + k) % 251 for k in range(width * height))
+    lzw = _gif_lzw_encode_uncompressed(indices)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+        + bytes(palette)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> dict | None:
+    """Full GIF pixel decode for the first non-interlaced frame:
+    header + logical screen descriptor, global/local color table,
+    extension-block skipping, sub-block reassembly, complete LZW
+    decompression, palette mapping to interleaved RGB. Returns the
+    same dict shape as :func:`decode_png_pixels` or None on anything
+    malformed/interlaced — never raises on junk bytes."""
+    import struct
+
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    _w, _h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                return None
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            if ipacked & 0x40:  # interlaced: out of scope
+                return None
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = b[pos:pos + 3 * n]
+                if len(table) < 3 * n:
+                    return None
+                pos += 3 * n
+            if table is None or pos >= len(b) or not w or not h:
+                return None
+            min_code_size = b[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            lzw = bytearray()
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                lzw += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(lzw), min_code_size)
+            if indices is None or len(indices) < w * h:
+                return None
+            out = bytearray(w * h * 3)
+            ncolors = len(table) // 3
+            for i in range(w * h):
+                idx = indices[i]
+                if idx >= ncolors:
+                    return None
+                out[i * 3:i * 3 + 3] = table[idx * 3:idx * 3 + 3]
+            return {"width": w, "height": h, "channels": 3,
+                    "pixels": bytes(out)}
+        elif marker == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
 
 
 def decode_wav_samples(payload: bytes) -> dict | None:
@@ -776,6 +974,76 @@ def register_queries(register) -> None:
                 T.StructField("width", T.IntegerType(), False),
                 T.StructField("height", T.IntegerType(), False),
                 T.StructField("channels", T.IntegerType(), False),
+                T.StructField("n_bytes", T.LongType(), False),
+                T.StructField("pixel_sum", T.LongType(), False),
+                T.StructField("pixel_min", T.IntegerType(), False),
+                T.StructField("pixel_max", T.IntegerType(), False),
+            ]),
+        ).orderBy("doc_id")
+
+    @register(
+        "image_gif_pixel_stats",
+        """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(1 + n_chars % 48 AS INTEGER) AS width,
+                 CAST(1 + doc_id % 6 AS INTEGER)   AS height
+          FROM documents WHERE doc_id < 30
+        )
+        SELECT d.doc_id, d.width, d.height,
+               CAST(d.width * d.height * 3 AS BIGINT)          AS n_bytes,
+               CAST(3 * sum((d.doc_id + g.k) % 251) AS BIGINT) AS pixel_sum,
+               CAST(min((d.doc_id + g.k) % 251) AS INTEGER)    AS pixel_min,
+               CAST(max((d.doc_id + g.k) % 251) AS INTEGER)    AS pixel_max
+        FROM dims d
+        JOIN generate_series(0, 48 * 6 - 1) AS g(k)
+          ON g.k < d.width * d.height
+        GROUP BY d.doc_id, d.width, d.height
+        ORDER BY d.doc_id
+        """,
+        doc="REAL GIF pixel decode round-trip: genuine GIF89a files "
+            "(grayscale ramp palette, spec-valid LZW via the uncompressed "
+            "technique) are LZW-decompressed and palette-mapped back to "
+            "RGB in a mapInPandas pass; stats over the decoded bytes must "
+            "match the oracle's exact integer recomputation of the "
+            "(seed + k) % 251 index ramp (each index maps to an (v,v,v) "
+            "triple, hence the 3x). Any LZW bit-unpacking or dictionary "
+            "bug shifts pixel_sum and hash-fails",
+        tags=("llm", "capability"),
+    )
+    def image_gif_pixel_stats(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 30
+        )
+
+        def _encode_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows: dict[str, list] = {
+                    "doc_id": [], "width": [], "height": [],
+                    "n_bytes": [], "pixel_sum": [], "pixel_min": [],
+                    "pixel_max": [],
+                }
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                    d, n = int(d), int(n)
+                    px = decode_gif_pixels(
+                        gif_bytes(1 + n % 48, 1 + d % 6, seed=d))
+                    assert px is not None, f"self-encoded GIF must decode (doc {d})"
+                    data = px["pixels"]
+                    rows["doc_id"].append(d)
+                    rows["width"].append(px["width"])
+                    rows["height"].append(px["height"])
+                    rows["n_bytes"].append(len(data))
+                    rows["pixel_sum"].append(sum(data))
+                    rows["pixel_min"].append(min(data))
+                    rows["pixel_max"].append(max(data))
+                yield pd.DataFrame(rows)
+
+        return docs.select("doc_id", "n_chars").mapInPandas(
+            _encode_decode,
+            T.StructType([
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("width", T.IntegerType(), False),
+                T.StructField("height", T.IntegerType(), False),
                 T.StructField("n_bytes", T.LongType(), False),
                 T.StructField("pixel_sum", T.LongType(), False),
                 T.StructField("pixel_min", T.IntegerType(), False),

@@ -117,8 +117,11 @@ def test_decode_media_dispatch():
     assert img["kind"] == "image" and (img["width"], img["height"]) == (4, 2)
     au = decode_media(wav_bytes(struct.pack("<2h", 1, -1)))
     assert au["kind"] == "audio" and au["samples"] == [1, -1]
-    with pytest.raises(ValueError, match="gif"):
+    with pytest.raises(ValueError, match="malformed gif"):
         decode_media(b"GIF89a" + struct.pack("<HH", 3, 3) + b"\x00" * 16)
+    jpeg_hdr = b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x05\x00\x07" + b"\x00" * 8
+    with pytest.raises(ValueError, match="jpeg.*DCT"):
+        decode_media(jpeg_hdr)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_media(b"plain text", mime="text/plain")
 
@@ -196,3 +199,71 @@ def test_image_pixel_stats_registry_parity():
     ocols = [d[0] for d in cur.description]
     assert sorted(scols) == sorted(ocols)
     assert _canon(srows, scols) == _canon(orows, ocols)
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (7, 3), (48, 6), (255, 2)])
+def test_gif_roundtrip(dims):
+    from miniodb_spark.operators.multimodal import (
+        decode_gif_pixels, gif_bytes, parse_image_header,
+    )
+
+    w, h = dims
+    g = gif_bytes(w, h, seed=9)
+    assert parse_image_header(g) == {"format": "gif", "width": w, "height": h}
+    px = decode_gif_pixels(g)
+    assert (px["width"], px["height"], px["channels"]) == (w, h, 3)
+    assert px["pixels"] == b"".join(
+        bytes([(9 + k) % 251] * 3) for k in range(w * h))
+
+
+def test_gif_lzw_kwkwk_and_code_growth():
+    """The decoder must handle the KwKwK self-referencing code and
+    variable code width — the parts a literal-only stream never hits."""
+    from miniodb_spark.operators.multimodal import _gif_lzw_decode
+
+    def pack(codes, size):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # min_code_size=2: clear=4, eoi=5; code 6 right after '1' is KwKwK
+    assert _gif_lzw_decode(pack([4, 1, 6, 5], 3), 2) == bytes([1, 1, 1])
+    # real compression: 'abababab' as codes with dict reuse
+    # clear, a(0), b(1), 6('ab'), 8('aba'... wait next: 6 adds, 7='ba'),
+    # keep simple: 0,1,6,7 -> a b ab b a? decode and check prefix property
+    out = _gif_lzw_decode(pack([4, 0, 1, 6, 5], 3), 2)
+    assert out == bytes([0, 1, 0, 1])
+
+
+def test_gif_decode_rejects_garbage():
+    from miniodb_spark.operators.multimodal import (
+        decode_gif_pixels, gif_bytes,
+    )
+
+    assert decode_gif_pixels(b"") is None
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 5) is None
+    good = gif_bytes(6, 4, seed=2)
+    assert decode_gif_pixels(good[:len(good) // 2]) is None
+    # interlace flag set -> out of scope, clean None
+    tampered = bytearray(good)
+    # image descriptor packed byte: header(6)+LSD(7)+GCT(768)+1 -> offset
+    idesc = 6 + 7 + 768
+    assert tampered[idesc] == 0x2C
+    tampered[idesc + 9] |= 0x40
+    assert decode_gif_pixels(bytes(tampered)) is None
+
+
+def test_decode_media_gif_branch():
+    from miniodb_spark.operators.multimodal import decode_media, gif_bytes
+
+    m = decode_media(gif_bytes(3, 2, seed=1))
+    assert m["kind"] == "image" and m["channels"] == 3
