@@ -564,12 +564,92 @@ def deduplicate_corpus(
     return df.join(F.broadcast(drop_df), on=id_col, how="left_anti")
 
 
+def substring_dup_spans(df: DataFrame, k: int = 20, col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Substring-level exact duplication (public technique: Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    their ExactSubstr finds repeated spans ACROSS documents, which
+    document-level dedup misses). Per document: how many of its
+    character ``k``-gram positions also occur in at least one *other*
+    document.
+
+    Spark shape: per-position k-gram explosion (linear — ~n_chars
+    grams per doc) → one shuffle on the gram for a distinct-doc count
+    → join back → per-doc aggregate. At 100 TB the raw 20-char gram is
+    a 20-byte shuffle key ~20× the text volume; the production path
+    hashes grams to 8 bytes first (``F.xxhash64`` — collisions only
+    overcount dup spans by ~2^-64 per pair) and the suffix-array
+    approach in the paper trades this shuffle for a global sort. Raw
+    grams are kept here so the DuckDB oracle compares exact strings."""
+    eligible = df.filter(F.length(F.col(col)) >= k)
+    gram = F.col(col).substr(F.col("pos"), F.lit(k))
+    grams = (
+        eligible.select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(col)) - (k - 1))
+            ).alias("pos"),
+            F.col(col),
+        )
+        .select(id_col, gram.alias("gram"))
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_spans"),
+        )
+        .select(
+            id_col, "n_spans", "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+            .alias("dup_span_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
 
 
 def register_queries(register) -> None:
+    @register(
+        "substring_dup_spans",
+        """
+        WITH g AS (
+          SELECT doc_id, substr(text, s.k, 20) AS gram
+          FROM documents JOIN generate_series(1, 2000) AS s(k)
+            ON s.k <= length(text) - 19
+          WHERE length(text) >= 20
+        ), gd AS (
+          SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               ROUND(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS dup_span_frac
+        FROM g JOIN gd USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        doc="substring-level exact dedup (Lee et al. 2022 ExactSubstr "
+            "re-expressed relationally): per-doc fraction of 20-char "
+            "positions whose gram also occurs in another document — the "
+            "cross-document repeated-span signal document-level dedup "
+            "misses; oracle enumerates positions via a constant-bound "
+            "generate_series join",
+        tags=("llm", "capability"),
+    )
+    def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return substring_dup_spans(docs).orderBy("doc_id")
+
     @register(
         "dedup_exact_groups",
         """

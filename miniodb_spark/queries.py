@@ -1470,12 +1470,13 @@ def pivot_status_by_priority(spark, sf_dir):
 # driver-green first — so no entry's most recent driver grade ages past
 # two rounds; the freshest greens sit at the tail, where
 # tests/test_oracle_parity.py keeps pinning them each CI run.
-# Round 7 window = the 2 new round-7 entries, then the 31 rows last
+# Round 7 window = the 6 new round-7 entries, then the 31 rows last
 # driver-green in round 4, then the 10 last green in round 5, then the
-# flagship + 6 high-value round-6 greens to fill the window to exactly 50.
+# flagship + 2 high-value round-6 greens to fill the window to exactly 50.
 _PRIORITY_ORDER = [
     # new in round 7 (never driver-graded)
-    "image_pixel_stats", "ivfpq_topk",
+    "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",
+    "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
     # last driver-green in round 4 (the 31 longest-ungraded)
     "derived_table", "agg_global", "agg_group_having",
     "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
@@ -1494,10 +1495,10 @@ _PRIORITY_ORDER = [
     "math_case_when",
     # flagship + high-value round-6 greens filling the window to 50
     "q1_pricing_summary", "q3_shipping_priority", "join_multiway_region",
-    "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
-    "asof_join_events",
     # --- position >50: outside the checked window; every entry below was
     # driver-green in round 6 and stays pinned by test_oracle_parity.py
+    "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
+    "asof_join_events",
     "range_join_events",
     "hll_registry_within_bound", "cms_freq_within_bound",
     "window_row_number_topn", "window_running_sum", "window_lag_lead",

@@ -234,3 +234,28 @@ def test_char_ngram_hot_gram_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (4, 5) in got                       # real near-dup survives
     assert not any(a < 4 and b < 4 for a, b in got if (a, b) != (4, 5))
+
+
+def test_substring_dup_spans_crafted(spark):
+    """Two documents sharing an exact 40-char span show dup positions
+    covering exactly that span's k-gram windows; a unique doc shows
+    zero (Lee et al. 2022 ExactSubstr semantics)."""
+    from miniodb_spark.operators.dedup import substring_dup_spans
+
+    shared = "the exact same forty character span here"  # 40 chars
+    assert len(shared) == 40
+    # boundary chars differ on both sides so the common substring is
+    # EXACTLY the 40-char span (a shared space would extend it)
+    a = "prefix-oneX" + shared + "Psuffix-alpha"
+    b = "other-preY" + shared + "Qending-beta"
+    c = "completely unrelated text with no overlap at all whatsoever"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dup_spans(df, k=20).collect()}
+    # a 40-char shared span yields exactly 40-20+1 = 21 shared positions
+    assert out[0]["n_dup_spans"] == 21
+    assert out[1]["n_dup_spans"] == 21
+    assert out[2]["n_dup_spans"] == 0
+    assert out[0]["n_spans"] == len(a) - 19
+    assert out[2]["dup_span_frac"] == 0.0
+    assert out[0]["dup_span_frac"] == round(21 / (len(a) - 19), 6)
