@@ -374,6 +374,84 @@ def repetition_fractions(df: DataFrame, col: str = "text",
     )
 
 
+def _bpe_merge_loop(word_counts: dict[tuple[str, ...], int],
+                    n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge loop (public algorithm: Sennrich, Haddow,
+    Birch 2016, "Neural Machine Translation of Rare Words with Subword
+    Units", alg. 1) over a word→count table. Ties on pair frequency
+    break lexicographically so training is deterministic across runs
+    and engines."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # deterministic: highest count, then lexicographically smallest
+        top = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        out: dict[tuple[str, ...], int] = {}
+        for sym, c in words.items():
+            new: list[str] = []
+            i = 0
+            while i < len(sym):
+                if (i < len(sym) - 1
+                        and sym[i] == best_pair[0]
+                        and sym[i + 1] == best_pair[1]):
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            key = tuple(new)
+            out[key] = out.get(key, 0) + c
+        words = out
+    return merges
+
+
+def bpe_train(df: DataFrame, col: str = "text", n_merges: int = 30,
+              max_words: int = 100_000) -> list[tuple[str, str]]:
+    """Distributed BPE tokenizer training: the corpus-scale step (word
+    frequency aggregation — one token shuffle over the whole corpus)
+    runs in Spark; the merge loop runs on the collected word→count
+    table, which is VOCABULARY-sized, not corpus-sized (the same
+    bounded-driver-state argument as the sketch registry: 100 TB of
+    text still collapses to ≤``max_words`` distinct words, capped by
+    frequency). This is how production tokenizer trainers consume
+    corpora — counts in, merges out."""
+    wc = (
+        df.select(F.explode(_alnum_tokens(col)).alias("w"))
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return _bpe_merge_loop({tuple(r["w"]): r["count"] for r in wc}, n_merges)
+
+
+def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to one word (greedy in merge-rank order —
+    the standard BPE inference)."""
+    sym = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -867,3 +945,43 @@ def register_queries(register) -> None:
     def repetition_fractions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return repetition_fractions(docs).orderBy("doc_id")
+
+    @register(
+        "bpe_train_merges",
+        "SELECT true AS bpe_ok, CAST(30 AS BIGINT) AS n_merges",
+        doc="distributed BPE tokenizer training self-check (Sennrich et "
+            "al. 2016): merges learned from Spark's corpus-wide word-"
+            "frequency aggregation must equal merges learned by an "
+            "independent pure-python recount of the same collected text "
+            "(deterministic tie-break), and segmenting every corpus word "
+            "with the learned merges must exactly reconstruct it "
+            "(lossless subword property). Corpus-scale step is one token "
+            "shuffle; the merge loop runs on the vocabulary-sized count "
+            "table",
+        tags=("llm", "capability"),
+    )
+    def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import re as _re
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = bpe_train(docs, n_merges=30)
+
+        # independent reference: recount words in pure python from the
+        # raw text (bounded here by the fixture SF; the check's point is
+        # the distributed count path, not the loop it shares)
+        texts = [r["text"] for r in docs.select("text").collect()]
+        counts: dict[tuple[str, ...], int] = {}
+        for t in texts:
+            for w in _re.split(r"[^a-z0-9]+", t.lower()):
+                if w:
+                    counts[tuple(w)] = counts.get(tuple(w), 0) + 1
+        ref = _bpe_merge_loop(counts, 30)
+
+        # lossless segmentation: merges never corrupt a word
+        vocab = {w for t in texts for w in _re.split(r"[^a-z0-9]+", t.lower()) if w}
+        lossless = all("".join(bpe_segment(w, merges)) == w for w in vocab)
+
+        ok = bool(merges == ref and len(merges) == 30 and lossless)
+        return spark.createDataFrame(
+            [(ok, len(merges))], "bpe_ok boolean, n_merges long"
+        )

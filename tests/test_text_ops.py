@@ -126,3 +126,27 @@ def test_repetition_fractions_crafted(spark):
     assert out[0]["dup_3gram_frac"] == 1.0   # every 3-gram repeats
     assert out[1]["top_2gram_frac"] < 0.05
     assert out[1]["dup_3gram_frac"] == 0.0
+
+
+def test_bpe_train_and_segment(spark):
+    """BPE merge learning is deterministic and frequency-driven: on a
+    corpus dominated by one repeated word, the first merges build that
+    word's subwords; segmentation with learned merges is lossless."""
+    from miniodb_spark.operators.text import bpe_segment, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "banana banana banana apple"), (1, "banana apple apple"),
+         (2, "band bandana banana")],
+        "doc_id long, text string")
+    merges = bpe_train(df, n_merges=10)
+    assert len(merges) == 10
+    # 'an' is the most frequent pair across banana/bandana/band
+    assert merges[0] == ("a", "n")
+    # lossless reconstruction for every word
+    for w in ("banana", "apple", "bandana", "band", "unseenword"):
+        assert "".join(bpe_segment(w, merges)) == w
+    # after enough merges the dominant word becomes a single token
+    big = bpe_train(df, n_merges=30)
+    assert bpe_segment("banana", big) == ["banana"]
+    # determinism across runs
+    assert bpe_train(df, n_merges=10) == merges
