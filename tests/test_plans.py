@@ -100,3 +100,28 @@ def test_contamination_probe_side_broadcasts(spark, sf_dir, registry):
     kinds = plans.join_kinds(df)
     assert kinds["broadcast_hash"] >= 1, kinds
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_gopher_quality_zero_shuffle(spark, sf_dir, registry):
+    """The Gopher rules are pure per-row expressions — no exchange
+    beyond the final global sort of the result."""
+    df = registry["gopher_quality_filter"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) <= 1, plans.simple_plan(df)  # orderBy only
+    cols = plans.scan_columns(df)
+    assert "text" in cols and "embedding" not in cols
+
+
+def test_repetition_fractions_shuffles_bounded(spark, sf_dir, registry):
+    """Gram aggregation shuffles on (doc, gram) and joins two per-doc
+    aggregates — the state is document-bounded, and the plan must not
+    blow past the agg+join exchanges."""
+    df = registry["repetition_fractions"].fn(spark, sf_dir)
+    # g2 agg (2 exchanges: gram-count + doc rollup), g3 same, join + sort;
+    # AQE reuses what it can — cap at the declared inventory
+    assert plans.num_shuffles(df) <= 7, plans.simple_plan(df)
+
+
+def test_substring_dedup_scans_text_only(spark, sf_dir, registry):
+    df = registry["substring_dup_spans"].fn(spark, sf_dir)
+    cols = plans.scan_columns(df)
+    assert cols <= {"doc_id", "text"}, cols
