@@ -25,6 +25,12 @@ pre-round-7 JSON framing for hand-rolled clients; both ride the same
 method table and the same facade. :func:`dispatch_proto` is the whole
 decode→facade→encode pipeline factored out of the grpc handler so the
 codec and translators are fully testable without grpcio.
+
+RPC shapes match the proto exactly: 18 unary methods, StreamWrite as
+client-streaming (drain request messages, one aggregate response) and
+StreamQuery as server-streaming (one page per response message,
+cursor-advanced until exhausted) — so a stock protoc-generated client's
+streaming stubs bind to matching handler types.
 """
 
 from __future__ import annotations
@@ -474,6 +480,65 @@ def dispatch_proto(service, method: str, request_bytes: bytes,
     return protowire.encode_message(resp_schema, to_resp(out, preq))
 
 
+# the two non-unary RPCs (miniodb.proto:20-21): StreamWrite is
+# client-streaming, StreamQuery is server-streaming — a stock
+# protoc-generated client opens them with streaming stubs, so the
+# server must register matching handler types.
+STREAMING_METHODS = {
+    "miniodb.v1.MinIODBService/StreamWrite": "client",
+    "miniodb.v1.MinIODBService/StreamQuery": "server",
+}
+
+
+def dispatch_proto_stream_write(service, request_iter, client_id="default",
+                                table=None, adapters=None) -> bytes:
+    """Client-streaming StreamWrite: drain the request stream, writing
+    each message's batch as it arrives (bounded memory — one message's
+    records at a time), then answer with the aggregate
+    StreamWriteResponse (success, records_count, per-batch errors)."""
+    table = table if table is not None else _method_table(service)
+    adapters = adapters if adapters is not None else _proto_adapters(service)
+    req_schema, resp_schema = protowire.METHOD_IO[
+        "miniodb.v1.MinIODBService/StreamWrite"]
+    to_body, _ = adapters["miniodb.v1.MinIODBService/StreamWrite"]
+    fn, _open = table["miniodb.v1.MinIODBService/StreamWrite"]
+    total, errors, ok = 0, [], True
+    for request_bytes in request_iter:
+        preq = protowire.decode_message(req_schema, request_bytes or b"")
+        try:
+            out = fn(to_body(preq), client_id)
+            total += int(out.get("count", 0))
+        except Exception as exc:  # noqa: BLE001 - per-batch error list
+            ok = False
+            errors.append(str(exc)[:200])
+    return protowire.encode_message(resp_schema, {
+        "success": ok, "records_count": total, "errors": errors[:100]})
+
+
+def dispatch_proto_stream_query(service, request_bytes: bytes,
+                                client_id="default", table=None,
+                                adapters=None):
+    """Server-streaming StreamQuery: yield one encoded
+    StreamQueryResponse per page, following the cursor until the
+    engine reports no more — the page loop holds one batch at a time
+    (the engine side pulls through toLocalIterator)."""
+    table = table if table is not None else _method_table(service)
+    adapters = adapters if adapters is not None else _proto_adapters(service)
+    req_schema, resp_schema = protowire.METHOD_IO[
+        "miniodb.v1.MinIODBService/StreamQuery"]
+    to_body, to_resp = adapters["miniodb.v1.MinIODBService/StreamQuery"]
+    fn, _open = table["miniodb.v1.MinIODBService/StreamQuery"]
+    preq = protowire.decode_message(req_schema, request_bytes or b"")
+    body = to_body(preq)
+    while True:
+        out = fn(body, client_id)
+        resp = to_resp(out, preq)
+        yield protowire.encode_message(resp_schema, resp)
+        if not out.get("has_more"):
+            return
+        body = dict(body, cursor=int(out.get("cursor", 0)))
+
+
 class GrpcServer:
     """gRPC server over the facade. Requires ``grpcio`` at construction
     (not import) time; everything else in this module is stdlib."""
@@ -506,16 +571,34 @@ class GrpcServer:
                     return None
                 fn, open_route = entry
                 md = dict(handler_call_details.invocation_metadata or ())
+                passthrough = {"request_deserializer": lambda b: b,
+                               "response_serializer": lambda b: b}
+
+                # proto codec: honor the two non-unary RPC shapes a
+                # stock protoc client uses (miniodb.proto:20-21)
+                if outer.codec == "proto":
+                    kind = STREAMING_METHODS.get(name)
+                    if kind == "client":
+                        def s_unary(request_iter, context):
+                            return outer._handle_stream_write(
+                                open_route, request_iter, md, context)
+
+                        return grpc.stream_unary_rpc_method_handler(
+                            s_unary, **passthrough)
+                    if kind == "server":
+                        def unary_s(request_bytes, context):
+                            return outer._handle_stream_query(
+                                open_route, request_bytes, md, context)
+
+                        return grpc.unary_stream_rpc_method_handler(
+                            unary_s, **passthrough)
 
                 def unary(request_bytes, context):
                     return outer._handle(fn, open_route, name, request_bytes,
                                          md, context)
 
                 return grpc.unary_unary_rpc_method_handler(
-                    unary,
-                    request_deserializer=lambda b: b,
-                    response_serializer=lambda b: b,
-                )
+                    unary, **passthrough)
 
         self.server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers)
@@ -524,6 +607,52 @@ class GrpcServer:
         self.port = self.server.add_insecure_port(f"{host}:{port}")
 
     # -- per-RPC pipeline (mirrors rest.py's _dispatch) -------------------
+
+    def _auth_client(self, open_route, metadata, context) -> str:
+        """Shared auth/identity step: token subject when auth is on,
+        else the transport peer address (never client metadata)."""
+        client_id = context.peer() or "grpc-peer"
+        if not open_route and self.service.auth is not None:
+            authz = metadata.get("authorization", "")
+            if not authz.startswith("Bearer "):
+                raise AuthError("missing bearer token")
+            claims = self.service.auth.validate(authz[7:])
+            client_id = claims.get("sub") or client_id
+        return client_id
+
+    def _abort(self, context, exc):
+        """Map an exception onto the reference's status codes and abort
+        (abort raises, terminating the RPC)."""
+        grpc = self._grpc
+        if isinstance(exc, AuthError):
+            context.abort(grpc.StatusCode.UNAUTHENTICATED, str(exc))
+        elif isinstance(exc, RateLimitExceeded):
+            context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
+                          f"rate limited; retry after {exc.retry_after_s:.2f}s")
+        elif isinstance(exc, (ValueError, KeyError, TypeError)):
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc)[:500])
+        else:
+            context.abort(grpc.StatusCode.INTERNAL, str(exc)[:500])
+
+    def _handle_stream_write(self, open_route, request_iter, metadata,
+                             context):
+        try:
+            client_id = self._auth_client(open_route, metadata, context)
+            return dispatch_proto_stream_write(
+                self.service, request_iter, client_id,
+                table=self._table, adapters=self._adapters)
+        except Exception as exc:  # noqa: BLE001 - transport boundary
+            self._abort(context, exc)
+
+    def _handle_stream_query(self, open_route, request_bytes, metadata,
+                             context):
+        try:
+            client_id = self._auth_client(open_route, metadata, context)
+            yield from dispatch_proto_stream_query(
+                self.service, request_bytes, client_id,
+                table=self._table, adapters=self._adapters)
+        except Exception as exc:  # noqa: BLE001 - transport boundary
+            self._abort(context, exc)
 
     def _handle(self, fn, open_route, method, request_bytes, metadata,
                 context):

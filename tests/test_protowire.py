@@ -286,3 +286,55 @@ def test_proto_auth_plane(engine):
     assert ref["access_token"] != tok["access_token"]
     out = _call(svc, A + "RevokeToken", {"token": ref["access_token"]})
     assert out["success"]
+
+
+def test_stream_write_client_streaming_dispatch(engine):
+    """StreamWrite is client-streaming on the wire (miniodb.proto:20):
+    the dispatcher drains N binary request messages and answers one
+    aggregate response."""
+    from miniodb_spark.grpc_server import dispatch_proto_stream_write
+
+    svc = MiniODBService(engine)
+    req_schema, resp_schema = pw.METHOD_IO[M + "StreamWrite"]
+    frames = [
+        pw.encode_message(req_schema, {
+            "table": "sw",
+            "records": [{"id": f"r{b}-{i}", "timestamp": T0,
+                         "payload": {"v": float(i)}} for i in range(3)],
+        })
+        for b in range(4)
+    ]
+    out = pw.decode_message(
+        resp_schema, dispatch_proto_stream_write(svc, iter(frames)))
+    assert out["success"] is True
+    assert out["records_count"] == 12 and out["errors"] == []
+    rows = json.loads(_call(svc, M + "QueryData", {
+        "sql": "SELECT count(*) AS n FROM sw"})["result_json"])
+    assert rows == [{"n": 12}]
+    # a bad batch mid-stream is recorded, the rest still lands
+    bad = pw.encode_message(req_schema, {"table": "", "records": [
+        {"id": "x", "payload": {"v": 1}}]})
+    out = pw.decode_message(resp_schema, dispatch_proto_stream_write(
+        svc, iter([frames[0], bad])))
+    assert out["success"] is False and len(out["errors"]) == 1
+    assert out["records_count"] == 3
+
+
+def test_stream_query_server_streaming_dispatch(engine):
+    """StreamQuery is server-streaming (miniodb.proto:21): one request,
+    a page per response message, cursor-advanced until exhausted."""
+    from miniodb_spark.grpc_server import dispatch_proto_stream_query
+
+    svc = MiniODBService(engine)
+    for i in range(7):
+        svc.write_data("sq", {"id": f"r{i}", "timestamp": T0,
+                              "payload": {"v": i}})
+    req_schema, resp_schema = pw.METHOD_IO[M + "StreamQuery"]
+    req = pw.encode_message(req_schema, {
+        "sql": "SELECT id FROM sq ORDER BY id", "batch_size": 3})
+    pages = [pw.decode_message(resp_schema, b)
+             for b in dispatch_proto_stream_query(svc, req)]
+    assert [len(p["records"]) for p in pages] == [3, 3, 1]
+    assert [p["has_more"] for p in pages] == [True, True, False]
+    ids = [r["id"] for p in pages for r in p["records"]]
+    assert ids == [f"r{i}" for i in range(7)]
