@@ -95,16 +95,37 @@ def plan_table(table_dir: str, fs=None) -> list[CompactionPlan]:
     return plans
 
 
-def execute_plan(spark: SparkSession, plan: CompactionPlan, fs=None) -> dict:
+def execute_plan(spark: SparkSession, plan: CompactionPlan, fs=None,
+                 zorder_by: list[str] | None = None) -> dict:
     """Merge the plan's files: distributed read → coalesced write to a
     temp dir → atomic swap (write-then-rename; inputs deleted only after
-    the rewrite landed). Lossless: no schema collapse."""
+    the rewrite landed). Lossless: no schema collapse.
+
+    ``zorder_by`` additionally Morton-clusters the rewritten partition
+    (layout.zorder_value) — the OPTIMIZE-ZORDER analog: compaction is
+    the natural moment to fix layout, since the rewrite is already paid
+    for. Columns missing from this partition's schema are skipped."""
     fs = fs or LocalFS()
     df = spark.read.option("mergeSchema", "true").parquet(*plan.files)
     target_files = max(1, plan.total_bytes // (128 * MB))
     tmp = plan.partition_dir + f".compact_{uuid.uuid4().hex}"
+    zcols = [c for c in (zorder_by or []) if c in df.columns]
+    if zcols:
+        from .layout import zorder_value
+
+        # range-partition on the Morton key (coalesce would concatenate
+        # sorted partitions and break the global clustering), then sort
+        # within each output file
+        out_df = (
+            zorder_value(df, zcols)
+            .repartitionByRange(int(target_files), "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+    else:
+        out_df = df.coalesce(int(target_files))
     (
-        df.coalesce(int(target_files))
+        out_df
         .write.option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
         .mode("overwrite")
         .parquet(tmp)
@@ -128,6 +149,8 @@ def execute_plan(spark: SparkSession, plan: CompactionPlan, fs=None) -> dict:
     }
 
 
-def compact_table(spark: SparkSession, table_dir: str, fs=None) -> list[dict]:
+def compact_table(spark: SparkSession, table_dir: str, fs=None,
+                  zorder_by: list[str] | None = None) -> list[dict]:
     fs = fs or LocalFS()
-    return [execute_plan(spark, p, fs=fs) for p in plan_table(table_dir, fs=fs)]
+    return [execute_plan(spark, p, fs=fs, zorder_by=zorder_by)
+            for p in plan_table(table_dir, fs=fs)]

@@ -84,3 +84,34 @@ def test_compaction_caps_files_per_run(engine, tmp_path):
         engine.flush("t4")
     plans = plan_table(os.path.join(engine.root, "t4"))
     assert len(plans[0].files) == MAX_FILES_PER_RUN
+
+
+def test_compaction_with_zorder_clusters_rewrite(engine):
+    """compact_table(zorder_by=...) is the OPTIMIZE-ZORDER analog: the
+    rewritten partition is Morton-clustered, losslessly."""
+    import random
+
+    rng = random.Random(7)
+    for i in range(6):
+        for j in range(40):
+            engine.write("zt", {"u": rng.randint(0, 1000),
+                                "m": rng.randint(0, 1000)},
+                         record_id=f"r{i}-{j}", timestamp_us=T0)
+        engine.flush("zt")
+    table_dir = os.path.join(engine.root, "zt")
+    assert _count_parquet(table_dir) == 6
+
+    stats = compact_table(engine.spark, table_dir, zorder_by=["u", "m"])
+    assert stats and stats[0]["inputs"] == 6
+    # lossless
+    rows = json.loads(engine.query("SELECT id, u, m FROM zt LIMIT 500"))
+    assert len(rows) == 240
+    # missing zorder columns are skipped, not fatal
+    for i in range(5):
+        engine.write("zt2", {"v": i}, record_id=f"s{i}", timestamp_us=T0)
+        engine.flush("zt2")
+    stats2 = compact_table(engine.spark, os.path.join(engine.root, "zt2"),
+                           zorder_by=["nonexistent_col"])
+    assert stats2[0]["outputs"] >= 1
+    rows2 = json.loads(engine.query("SELECT v FROM zt2"))
+    assert len(rows2) == 5
