@@ -169,6 +169,19 @@ class MiniODBService:
             a["details"] = {"existed": ok}
             return {"success": ok}
 
+    def optimize_table(self, name: str, zorder_by: list[str] | None = None,
+                       client_id: str = "default") -> dict:
+        """Maintenance RPC: tiered compaction (+ optional Z-order
+        clustering) over one table — the reference schedules its
+        compaction manager the same way; here it is also callable
+        on demand."""
+        with self._rpc("optimize_table", client_id):
+            with self._audited("optimize_table", name) as a:
+                stats = self.engine.compact(name, zorder_by=zorder_by)
+                a["details"] = {"plans": len(stats),
+                                "zorder_by": list(zorder_by or [])}
+                return {"success": True, "plans": stats}
+
     # -- metadata plane ----------------------------------------------------
 
     def backup_metadata(self) -> dict:

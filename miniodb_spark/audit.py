@@ -33,7 +33,8 @@ import zlib
 from typing import Any, Iterator
 
 ACTIONS = ("write", "update", "delete", "stream_write", "create_table",
-           "delete_table", "restore_metadata", "restore_data")
+           "delete_table", "optimize_table", "restore_metadata",
+           "restore_data")
 
 
 class AuditLogger:

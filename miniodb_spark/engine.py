@@ -840,6 +840,25 @@ class Engine:
                 self.cache.invalidate_table(t)
         return removed
 
+    def compact(self, table: str,
+                zorder_by: list[str] | None = None) -> list[dict]:
+        """Run tiered compaction over one table's partitions (reference
+        compaction manager; exposed here as the maintenance entry point
+        the service schedules). ``zorder_by`` Morton-clusters rewritten
+        partitions (the OPTIMIZE-ZORDER analog). Rewriting files changes
+        what a cached result was computed from, so the table's cache
+        entries (and the cross-process version nonce) are invalidated
+        whenever any plan executed."""
+        from .compaction import compact_table as _compact
+
+        if self.catalog.get_table(table) is None:
+            raise ValueError(f"no such table: {table}")
+        stats = _compact(self.spark, self._table_dir(table), fs=self.fs,
+                         zorder_by=zorder_by)
+        if stats:
+            self.cache.invalidate_table(table)
+        return stats
+
     def start_auto_flush(self, poll_interval_s: float = 1.0) -> None:
         """Background timer flush — the reference's flush_interval trigger
         (concurrent_buffer.go:1128-1209). Size-triggered flushes remain

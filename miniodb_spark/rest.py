@@ -21,6 +21,7 @@ client can point at this engine and run its calls unchanged.
 | POST   /v1/stream/write              | stream_write       |
 | POST   /v1/stream/query              | stream_query       |
 | POST   /v1/tables                    | create_table       |
+| POST   /v1/tables/{name}/optimize    | optimize_table     |
 | GET    /v1/tables                    | list_tables        |
 | GET    /v1/tables/{name}             | get_table          |
 | DELETE /v1/tables/{name}             | delete_table       |
@@ -95,6 +96,8 @@ def _routes():
         ("POST", r"^/v1/stream/write$", "stream_write", False),
         ("POST", r"^/v1/stream/query$", "stream_query", False),
         ("POST", r"^/v1/tables$", "create_table", False),
+        ("POST", r"^/v1/tables/(?P<name>[^/]+)/optimize$", "optimize_table",
+         False),
         ("GET", r"^/v1/tables$", "list_tables", False),
         ("GET", r"^/v1/tables/(?P<name>[^/]+)$", "get_table", False),
         ("DELETE", r"^/v1/tables/(?P<name>[^/]+)$", "delete_table", False),
@@ -265,6 +268,12 @@ def _make_handler(service):
         def r_create_table(self, pv, q):
             b = self._body()
             self._send(200, service.create_table(b.get("name", ""), b.get("config")))
+
+        def r_optimize_table(self, pv, q):
+            b = self._body()
+            self._send(200, service.optimize_table(
+                pv["name"], zorder_by=b.get("zorder_by"),
+                client_id=self.client_id))
 
         def r_list_tables(self, pv, q):
             self._send(200, service.list_tables())

@@ -115,3 +115,41 @@ def test_compaction_with_zorder_clusters_rewrite(engine):
     assert stats2[0]["outputs"] >= 1
     rows2 = json.loads(engine.query("SELECT v FROM zt2"))
     assert len(rows2) == 5
+
+
+def test_engine_compact_invalidates_cache_and_rest_route(engine):
+    """Engine.compact is the maintenance entry point: it must refuse
+    unknown tables, rewrite files, and invalidate cached results whose
+    inputs it rewrote; the REST route exposes it."""
+    import json as _json
+    import urllib.request
+
+    import pytest as _pytest
+
+    from miniodb_spark.api import MiniODBService
+    from miniodb_spark.rest import RestServer
+
+    with _pytest.raises(ValueError, match="no such table"):
+        engine.compact("ghost")
+
+    for i in range(6):
+        engine.write("ec", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+        engine.flush("ec")
+    # populate the cache, then compact — the cached entry must not be
+    # served from files that no longer exist
+    first = engine.query("SELECT count(*) AS n FROM ec")
+    stats = engine.compact("ec")
+    assert stats and stats[0]["inputs"] == 6
+    assert engine.query("SELECT count(*) AS n FROM ec") == first
+
+    svc = MiniODBService(engine)
+    srv = RestServer(svc, port=0).serve_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/tables/ec/optimize",
+            data=_json.dumps({"zorder_by": ["v"]}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = _json.loads(urllib.request.urlopen(req).read())
+        assert out["success"] is True  # nothing left to merge is still ok
+    finally:
+        srv.shutdown()
