@@ -12,10 +12,11 @@ partition sizing — is real and tested. Decode depth by format:
   LZW decompressor (variable code width, CLEAR/EOI, 12-bit cap) over
   the first non-interlaced frame, palette-mapped to RGB.
 - **WAV**: full 16-bit PCM sample decode (`decode_wav_samples`).
-- **JPEG**: container header only (dimensions); DCT entropy decode is
-  deliberately out of scope here — `decode_media` raises
-  ``ValueError`` for it with a clear message (defined error
-  semantics, not a stub).
+- **JPEG**: real baseline DCT decode (`operators/jpeg.py` — canonical
+  Huffman entropy decode, dequant, numpy IDCT, YCbCr→RGB) for
+  sequential 8-bit grayscale/4:4:4; progressive and subsampled files
+  fall back to header metadata with a ``ValueError`` naming the
+  unsupported variant.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses ``mapInPandas`` (streamed Arrow batches — one pass, no shuffle)
@@ -69,13 +70,18 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_media(payload: bytes, mime: str | None = None) -> dict:
     """Format-sniffing media decode (replaces the pre-round-7
-    ``decode_stub``): PNG/GIF -> pixel dict, WAV -> sample dict. JPEG
-    pixel decode needs a DCT entropy codec that is out of scope for a
-    stdlib-only build; it raises ``ValueError`` with the sniffed
-    format so callers can route around it."""
+    ``decode_stub``): PNG/GIF/baseline-JPEG -> pixel dict, WAV ->
+    sample dict. Out-of-scope JPEG variants (progressive, subsampled)
+    raise ``ValueError`` naming the variant so callers can route
+    around them; malformed payloads of a recognized container raise
+    with ``malformed``."""
     px = decode_png_pixels(payload)
     if px is None:
         px = decode_gif_pixels(payload)
+    if px is None:
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(payload)
     if px is not None:
         return {"kind": "image"} | px
     au = decode_wav_samples(payload)
@@ -85,8 +91,8 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
     if hdr is not None:
         if hdr["format"] == "jpeg":
             raise ValueError(
-                "jpeg pixel decode unsupported (needs DCT); header "
-                "metadata is available via parse_image_header"
+                "unsupported jpeg variant (progressive or subsampled); "
+                "header metadata is available via parse_image_header"
             )
         # png/gif header but the pixel decoder rejected the body
         raise ValueError(f"malformed {hdr['format']} payload")
@@ -1050,6 +1056,63 @@ def register_queries(register) -> None:
                 T.StructField("pixel_max", T.IntegerType(), False),
             ]),
         ).orderBy("doc_id")
+
+    @register(
+        "image_jpeg_roundtrip",
+        "SELECT true AS jpeg_ok, CAST(25 AS BIGINT) AS n_images",
+        doc="REAL baseline JPEG codec self-check (ITU T.81: canonical "
+            "Huffman entropy coding, zigzag+quant, numpy DCT): genuine "
+            "JPEGs encoded from doc-derived smooth gradients (gray or "
+            "4:4:4 color by parity) must decode with correct dims and "
+            "mean |error| < 3 levels — JPEG is lossy by design, so the "
+            "check is bounded error, not bit equality (flat blocks "
+            "round-trip exactly; pinned in test_pixels.py)",
+        tags=("llm", "capability"),
+    )
+    def image_jpeg_roundtrip(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 25
+        )
+
+        def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from .jpeg import decode_jpeg_pixels, jpeg_bytes
+
+            for pdf in batches:
+                oks = []
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                    d, n = int(d), int(n)
+                    w, h = 8 + n % 25, 8 + d % 9
+                    ch = 1 if d % 2 == 0 else 3
+                    xx, yy = np.meshgrid(np.arange(w * 1.0),
+                                         np.arange(h * 1.0))
+                    plane = 127 + 100 * np.sin(xx / 7 + d) * np.cos(yy / 5)
+                    img = np.repeat(plane[:, :, None], ch, axis=2)
+                    raw = np.clip(np.round(img), 0, 255).astype("uint8").tobytes()
+                    out = decode_jpeg_pixels(jpeg_bytes(raw, w, h, ch))
+                    ok = (
+                        out is not None
+                        and (out["width"], out["height"],
+                             out["channels"]) == (w, h, ch)
+                        and float(np.abs(
+                            np.frombuffer(out["pixels"], np.uint8)
+                            .astype(float)
+                            - np.frombuffer(raw, np.uint8).astype(float)
+                        ).mean()) < 3.0
+                    )
+                    oks.append(bool(ok))
+                yield pd.DataFrame({"ok": [all(oks)],
+                                    "n": [len(oks)]})
+
+        parts = docs.select("doc_id", "n_chars").coalesce(1).mapInPandas(
+            _roundtrip, "ok boolean, n long"
+        )
+        row = parts.first()
+        return spark.createDataFrame(
+            [(bool(row["ok"]), int(row["n"]))],
+            "jpeg_ok boolean, n_images long",
+        )
 
     @register(
         "media_sniff_dispatch",

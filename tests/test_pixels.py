@@ -120,8 +120,13 @@ def test_decode_media_dispatch():
     with pytest.raises(ValueError, match="malformed gif"):
         decode_media(b"GIF89a" + struct.pack("<HH", 3, 3) + b"\x00" * 16)
     jpeg_hdr = b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x05\x00\x07" + b"\x00" * 8
-    with pytest.raises(ValueError, match="jpeg.*DCT"):
+    with pytest.raises(ValueError, match="unsupported jpeg variant"):
         decode_media(jpeg_hdr)
+    # a real baseline JPEG decodes through the dispatch
+    from miniodb_spark.operators.jpeg import jpeg_bytes
+
+    m = decode_media(jpeg_bytes(bytes([90]) * 64, 8, 8, 1))
+    assert m["kind"] == "image" and m["channels"] == 1
     with pytest.raises(ValueError, match="unrecognized"):
         decode_media(b"plain text", mime="text/plain")
 

@@ -80,6 +80,7 @@ def test_decode_message_never_raises_uncontrolled(data):
 @given(st.binary(max_size=300))
 @settings(max_examples=300, deadline=None)
 def test_media_decoders_never_raise_on_junk(data):
+    from miniodb_spark.operators.jpeg import decode_jpeg_pixels
     from miniodb_spark.operators.multimodal import (
         decode_gif_pixels,
         decode_png_pixels,
@@ -88,8 +89,8 @@ def test_media_decoders_never_raise_on_junk(data):
         parse_wav_header,
     )
 
-    for fn in (decode_png_pixels, decode_gif_pixels, decode_wav_samples,
-               parse_image_header, parse_wav_header):
+    for fn in (decode_png_pixels, decode_gif_pixels, decode_jpeg_pixels,
+               decode_wav_samples, parse_image_header, parse_wav_header):
         out = fn(data)
         assert out is None or isinstance(out, dict)
 
