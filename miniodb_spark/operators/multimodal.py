@@ -106,11 +106,25 @@ def fake_features(payload: bytes, dims: int = 8) -> list[float]:
     return [((seed >> (i * 4)) & 0xFF) / 255.0 for i in range(dims)]
 
 
-def pixel_features(payload: bytes, dims: int = 8) -> list[float] | None:
-    """Real decoded-pixel feature vector for PNG payloads: an
-    ``dims``-bin normalized intensity histogram over the unfiltered
-    pixel bytes. Returns None when the payload isn't a decodable PNG."""
+def decode_image_pixels(payload: bytes) -> dict | None:
+    """Decode any supported image container to the common pixel dict:
+    PNG, GIF, or baseline JPEG. None for anything else — the shared
+    entry point for pixel-level operators."""
     px = decode_png_pixels(payload)
+    if px is None:
+        px = decode_gif_pixels(payload)
+    if px is None:
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(payload)
+    return px
+
+
+def pixel_features(payload: bytes, dims: int = 8) -> list[float] | None:
+    """Real decoded-pixel feature vector for image payloads (PNG/GIF/
+    baseline JPEG): a ``dims``-bin normalized intensity histogram over
+    the decoded pixel bytes. Returns None for undecodable payloads."""
+    px = decode_image_pixels(payload)
     if px is None:
         return None
     data = px["pixels"]
@@ -184,12 +198,12 @@ def resize_pixels(px: dict, out_w: int, out_h: int) -> dict:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> dict:
-    """Decode a PNG payload and resize it (nearest-neighbor). Raises
-    ValueError for undecodable payloads — same error semantics as
-    `decode_media`."""
-    px = decode_png_pixels(payload)
+    """Decode an image payload (PNG/GIF/baseline JPEG) and resize it
+    (nearest-neighbor). Raises ValueError for undecodable payloads —
+    same error semantics as `decode_media`."""
+    px = decode_image_pixels(payload)
     if px is None:
-        raise ValueError("resize requires a decodable PNG payload")
+        raise ValueError("resize requires a decodable image payload")
     return resize_pixels(px, width, height)
 
 

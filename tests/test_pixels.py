@@ -154,7 +154,18 @@ def test_resize_nearest_neighbor_exact():
 def test_resize_image_end_to_end():
     out = resize_image(png_bytes(6, 6, seed=4), 3, 3)
     assert (out["width"], out["height"]) == (3, 3)
-    with pytest.raises(ValueError, match="decodable PNG"):
+    # works across formats: GIF and baseline JPEG decode + resize too
+    from miniodb_spark.operators.multimodal import gif_bytes
+    from miniodb_spark.operators.jpeg import jpeg_bytes
+
+    out = resize_image(gif_bytes(6, 4, seed=1), 3, 2)
+    assert (out["width"], out["height"], out["channels"]) == (3, 2, 3)
+    out = resize_image(jpeg_bytes(bytes([70]) * 64, 8, 8, 1), 4, 4)
+    assert (out["width"], out["height"]) == (4, 4)
+    # pixel_features also spans formats
+    assert pixel_features(gif_bytes(8, 8, seed=2)) is not None
+    assert pixel_features(jpeg_bytes(bytes([70]) * 64, 8, 8, 1)) is not None
+    with pytest.raises(ValueError, match="decodable image"):
         resize_image(b"nope", 2, 2)
 
 
