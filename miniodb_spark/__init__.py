@@ -40,8 +40,13 @@ Package map:
   monitoring.py Prometheus-style metrics registry + component health (internal/monitoring)
   ratelimit.py  token-bucket smart rate limiter (internal/security/smart_rate_limiter.go)
   rest.py       the reference's /v1 REST route table on stdlib http.server (internal/transport/rest)
+  grpc_server.py the miniodb.v1 gRPC surface: protobuf codec default, streaming RPC shapes (internal/transport/grpc)
+  protowire.py  hand-rolled pure-python protobuf wire codec for miniodb.v1 (api/proto)
+  audit.py      per-RPC audit log, CRC-framed replayable JSONL (internal/audit/audit.go)
+  kv.py         store-root KV: version nonces, driver heartbeat registry (Redis substitution)
+  layout.py     Z-order (Morton) clustered writes for multi-column pruning
   queries.py    the operator-inventory registry (Spark impl + DuckDB oracle pairs)
-  operators/    dedup, similarity, temporal joins, text analysis, multimodal
+  operators/    dedup, similarity, temporal joins, text analysis, multimodal, jpeg codec
   streaming/    structured-streaming ingest, CDC events, windows, stateful ops
 """
 

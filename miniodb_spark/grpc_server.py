@@ -1,10 +1,11 @@
 """gRPC transport: the reference's RPC surface over the facade.
 
 Parity target: /root/reference/api/proto/miniodb/v1/miniodb.proto:12-46
-— ``miniodb.v1.MinIODBService`` (17 unary RPCs: WriteData, QueryData,
-UpdateData, DeleteData, StreamWrite, StreamQuery, CreateTable,
-ListTables, GetTable, DeleteTable, BackupMetadata, RestoreMetadata,
-ListBackups, GetMetadataStatus, HealthCheck, GetStatus, GetMetrics)
+— ``miniodb.v1.MinIODBService`` (17 RPCs: WriteData, QueryData,
+UpdateData, DeleteData, client-streaming StreamWrite, server-streaming
+StreamQuery, CreateTable, ListTables, GetTable, DeleteTable,
+BackupMetadata, RestoreMetadata, ListBackups, GetMetadataStatus,
+HealthCheck, GetStatus, GetMetrics)
 plus ``miniodb.v1.AuthService`` (GetToken, RefreshToken, RevokeToken) —
 bound to the same :class:`miniodb_spark.api.MiniODBService` facade that
 ``rest.py`` serves, with the same auth model (Bearer access token in
