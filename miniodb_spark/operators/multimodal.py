@@ -1072,6 +1072,66 @@ def register_queries(register) -> None:
         ).orderBy("doc_id")
 
     @register(
+        "audio_pcm_features",
+        "SELECT true AS audio_ok, CAST(20 AS BIGINT) AS n_audio",
+        doc="sample-level audio features from REAL WAV decode: genuine "
+            "WAV containers carrying known sine PCM are decoded back to "
+            "int16 samples and reduced to RMS / zero-crossing rate / "
+            "peak; measurements must match the analytic values of the "
+            "encoded sine (RMS = A/sqrt(2), ZCR = 2f/rate) within 3% — "
+            "any sample-extraction bug (endianness, width, data-chunk "
+            "offset) breaks the identities",
+        tags=("llm", "capability"),
+    )
+    def audio_pcm_features(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 20
+        )
+
+        def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import math
+            import struct as _struct
+
+            rate, n = 8000, 1600
+            for pdf in batches:
+                oks = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    amp = 2000 + (d % 10) * 1500
+                    freq = 200 + d * 20
+                    samples = [
+                        int(amp * math.sin(2 * math.pi * freq * i / rate))
+                        for i in range(n)
+                    ]
+                    payload = wav_bytes(
+                        _struct.pack(f"<{n}h", *samples), rate=rate)
+                    dec = decode_wav_samples(payload)
+                    if dec is None or len(dec["samples"]) != n:
+                        oks.append(False)
+                        continue
+                    s = dec["samples"]
+                    rms = math.sqrt(sum(x * x for x in s) / n)
+                    zc = sum(
+                        1 for a, b in zip(s, s[1:])
+                        if (a >= 0) != (b >= 0)
+                    ) / (n - 1)
+                    peak = max(abs(x) for x in s)
+                    ok = (
+                        abs(rms - amp / math.sqrt(2)) < 0.03 * amp
+                        and abs(zc - 2 * freq / rate) < 0.03
+                        and 0.97 * amp <= peak <= amp
+                    )
+                    oks.append(bool(ok))
+                yield pd.DataFrame({"ok": [all(oks)], "n": [len(oks)]})
+
+        row = docs.select("doc_id").coalesce(1).mapInPandas(
+            _check, "ok boolean, n long").first()
+        return spark.createDataFrame(
+            [(bool(row["ok"]), int(row["n"]))],
+            "audio_ok boolean, n_audio long",
+        )
+
+    @register(
         "image_jpeg_roundtrip",
         "SELECT true AS jpeg_ok, CAST(25 AS BIGINT) AS n_images",
         doc="REAL baseline JPEG codec self-check (ITU T.81: canonical "

@@ -1477,7 +1477,7 @@ _PRIORITY_ORDER = [
     # new in round 7 (never driver-graded)
     "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",
     "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
-    "bpe_train_merges", "image_jpeg_roundtrip",
+    "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
     # last driver-green in round 4 (the 31 longest-ungraded)
     "derived_table", "agg_global", "agg_group_having",
     "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
@@ -1494,10 +1494,9 @@ _PRIORITY_ORDER = [
     "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
     "math_case_when",
-    # flagship filling the window to 50
-    "q1_pricing_summary",
     # --- position >50: outside the checked window; every entry below was
     # driver-green in round 6 and stays pinned by test_oracle_parity.py
+    "q1_pricing_summary",
     "q3_shipping_priority", "join_multiway_region",
     "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
     "asof_join_events",
