@@ -452,6 +452,41 @@ def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return sym
 
 
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 50,
+                    overlap: int = 10, col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking — the context-window preparation step a
+    training/embedding pipeline runs before tokenization: fixed-size
+    token chunks with overlap so no boundary context is lost. One row
+    per (doc, chunk) via posexplode of slice expressions — per-row
+    work, no shuffle; chunk count is ceil(n_tokens / stride), bounded
+    by document length."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(col)
+    # k = 0 .. floor((n-1)/stride): every start k*stride falls inside
+    last_k = F.floor((F.size(toks) - 1) / stride).cast("int")
+    chunk = F.slice(toks, F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return (
+        df.select(id_col, F.explode(
+            F.sequence(F.lit(0), last_k)).alias("chunk_idx"), toks.alias("_t"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("_t"),
+                             F.col("chunk_idx") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_t"),
+                        F.col("chunk_idx") * stride + 1, chunk_tokens)
+            ).cast("bigint").alias("n_chunk_tokens"),
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -985,3 +1020,31 @@ def register_queries(register) -> None:
         return spark.createDataFrame(
             [(ok, len(merges))], "bpe_ok boolean, n_merges long"
         )
+
+    @register(
+        "doc_chunking",
+        """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), c AS (
+          SELECT doc_id, g.k AS chunk_idx,
+                 w[(g.k * 40 + 1):(g.k * 40 + 50)] AS chunk
+          FROM t JOIN generate_series(0, 63) AS g(k)
+            ON g.k * 40 < len(w)
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT)      AS chunk_idx,
+               array_to_string(chunk, ' ')    AS chunk_text,
+               CAST(len(chunk) AS BIGINT)     AS n_chunk_tokens
+        FROM c ORDER BY doc_id, chunk_idx
+        """,
+        doc="sliding-window document chunking (50-token chunks, 10-token "
+            "overlap -> stride 40) — the context-window prep step before "
+            "embedding/training; pure slice expressions, zero shuffle "
+            "beyond the result sort. Oracle mirrors the chunk arithmetic "
+            "with DuckDB's 1-based inclusive list slicing",
+        tags=("llm", "capability"),
+    )
+    def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return chunk_documents(docs).orderBy("doc_id", "chunk_idx")

@@ -1493,9 +1493,12 @@ _PRIORITY_ORDER = [
     "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
     "vocabulary_stats", "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
-    "math_case_when",
+    # 10th round-7 entry takes the final slot (never-graded beats
+    # 2-round-stale; math_case_when stays parity-pinned for round 8)
+    "doc_chunking",
     # --- position >50: outside the checked window; every entry below was
     # driver-green in round 6 and stays pinned by test_oracle_parity.py
+    "math_case_when",
     "q1_pricing_summary",
     "q3_shipping_priority", "join_multiway_region",
     "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",

@@ -150,3 +150,34 @@ def test_bpe_train_and_segment(spark):
     assert bpe_segment("banana", big) == ["banana"]
     # determinism across runs
     assert bpe_train(df, n_merges=10) == merges
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk arithmetic: stride = chunk - overlap; consecutive chunks
+    share exactly `overlap` tokens; the tail chunk is short, never
+    empty; a short doc yields one chunk."""
+    from miniodb_spark.operators.text import chunk_documents
+
+    import pytest as _pytest
+
+    long_doc = " ".join(f"w{i}" for i in range(95))
+    short_doc = "a b c"
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc)], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    # 95 tokens, stride 40 -> starts at 0, 40, 80 -> 3 chunks
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in c0] == [50, 50, 15]
+    # overlap: last 10 tokens of chunk0 == first 10 of chunk1
+    t0 = c0[0]["chunk_text"].split(" ")
+    t1 = c0[1]["chunk_text"].split(" ")
+    assert t0[-10:] == t1[:10]
+    assert t0[0] == "w0" and t1[0] == "w40"
+    c1 = by_doc[1]
+    assert len(c1) == 1 and c1[0]["n_chunk_tokens"] == 3
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
