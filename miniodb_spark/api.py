@@ -146,11 +146,21 @@ class MiniODBService:
 
     # -- table plane -----------------------------------------------------
 
-    def create_table(self, name: str, config: dict | None = None) -> dict:
+    def create_table(self, name: str, config: dict | None = None,
+                     if_not_exists: bool = False) -> dict:
+        """CreateTable RPC. ``if_not_exists`` lives here (not in the
+        transports) so REST, gRPC-proto and gRPC-JSON all share one
+        implementation; the underlying catalog create is idempotent
+        under its own lock, so the exists pre-check only shapes the
+        response/error, it cannot double-create."""
         with self._audited("create_table", name):
+            if self.engine.get_table(name) is not None:
+                if if_not_exists:
+                    return {"success": True, "message": "table exists"}
+                raise ValueError(f"table already exists: {name}")
             cfg = TableConfig(name=name, **(config or {}))
             self.engine.create_table(name, cfg)
-            return {"success": True}
+            return {"success": True, "message": "created"}
 
     def list_tables(self) -> dict:
         return {"tables": self.engine.list_tables()}

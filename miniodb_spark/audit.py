@@ -49,6 +49,7 @@ class AuditLogger:
         self.enabled = enabled
         self.fsync_every = fsync_every
         self._lock = threading.Lock()
+        self._tail_checked = False  # torn-tail probe runs once per process
         if enabled:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
@@ -84,15 +85,20 @@ class AuditLogger:
             # THIS record to the garbage and lose both. If the tail
             # isn't newline-terminated, start on a fresh line (the torn
             # fragment then fails its own CRC and only it is lost).
+            # The probe runs ONCE per process: after our first locked
+            # append the file is guaranteed newline-terminated, so the
+            # hot path pays a single open per entry, not three.
             prefix = ""
-            try:
-                if os.path.getsize(self.path) > 0:
-                    with open(self.path, "rb") as rf:
-                        rf.seek(-1, os.SEEK_END)
-                        if rf.read(1) != b"\n":
-                            prefix = "\n"
-            except OSError:
-                pass
+            if not self._tail_checked:
+                try:
+                    if os.path.getsize(self.path) > 0:
+                        with open(self.path, "rb") as rf:
+                            rf.seek(-1, os.SEEK_END)
+                            if rf.read(1) != b"\n":
+                                prefix = "\n"
+                except OSError:
+                    pass
+                self._tail_checked = True
             with open(self.path, "a", encoding="utf-8") as fh:
                 fh.write(prefix + line)
                 fh.flush()

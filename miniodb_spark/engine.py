@@ -297,7 +297,12 @@ class Engine:
             rows.append(
                 BufferRow(
                     id=rid,
-                    timestamp=rec.get("timestamp_us") or now_us,
+                    # accept both key spellings: REST bodies say
+                    # timestamp_us, proto DataRecords decode as
+                    # timestamp (µs) — dropping the latter silently
+                    # restamped streamed rows with server time
+                    timestamp=rec.get("timestamp_us")
+                    or rec.get("timestamp") or now_us,
                     table_name=table,
                     fields=payload,
                 )

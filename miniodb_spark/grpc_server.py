@@ -55,7 +55,6 @@ def _method_table(service) -> dict[str, tuple[Callable[[dict, str], Any], bool]]
     def data_svc(name: str, fn: Callable[[dict, str], Any], open_route=False):
         return (name, (fn, open_route))
 
-    eng = service.engine
     return dict(
         [
             data_svc(
@@ -99,12 +98,9 @@ def _method_table(service) -> dict[str, tuple[Callable[[dict, str], Any], bool]]
             ),
             data_svc(
                 "miniodb.v1.MinIODBService/CreateTable",
-                lambda b, cid: (
-                    {"success": True, "message": "table exists"}
-                    if b.get("if_not_exists")
-                    and eng.get_table(b.get("name", "")) is not None
-                    else service.create_table(b.get("name", ""),
-                                              b.get("config"))
+                lambda b, cid: service.create_table(
+                    b.get("name", ""), b.get("config"),
+                    if_not_exists=b.get("if_not_exists", False),
                 ),
             ),
             data_svc(
@@ -509,6 +505,11 @@ def dispatch_proto_stream_write(service, request_iter, client_id="default",
         try:
             out = fn(to_body(preq), client_id)
             total += int(out.get("count", 0))
+        except (AuthError, RateLimitExceeded):
+            # status-mapped conditions must terminate the RPC with their
+            # code (UNAUTHENTICATED / RESOURCE_EXHAUSTED + retry_after),
+            # not degrade into an OK response's error list
+            raise
         except Exception as exc:  # noqa: BLE001 - per-batch error list
             ok = False
             errors.append(str(exc)[:200])

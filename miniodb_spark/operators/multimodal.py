@@ -75,13 +75,7 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
     raise ``ValueError`` naming the variant so callers can route
     around them; malformed payloads of a recognized container raise
     with ``malformed``."""
-    px = decode_png_pixels(payload)
-    if px is None:
-        px = decode_gif_pixels(payload)
-    if px is None:
-        from .jpeg import decode_jpeg_pixels
-
-        px = decode_jpeg_pixels(payload)
+    px = decode_image_pixels(payload)
     if px is not None:
         return {"kind": "image"} | px
     au = decode_wav_samples(payload)

@@ -339,15 +339,20 @@ def repetition_fractions(df: DataFrame, col: str = "text",
     toks = tokens_col(col)
 
     def grams(n: int):
+        # total expressions: clamp the sequence bound and use
+        # try_element_at so short documents cannot throw — Catalyst may
+        # collapse the projection with the size filter and evaluate it
+        # on rows the filter would drop (observed: a 2-token doc threw
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT despite a preceding filter)
         return F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)]
             ),
         )
 
-    base = df.select(id_col, grams(2).alias("g2"), grams(3).alias("g3")).filter(
-        F.size(toks) >= 3
+    base = df.filter(F.size(toks) >= 3).select(
+        id_col, grams(2).alias("g2"), grams(3).alias("g3")
     )
     g2 = (
         base.select(id_col, F.explode("g2").alias("gram"))
@@ -469,21 +474,19 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 50,
     toks = tokens_col(col)
     # k = 0 .. floor((n-1)/stride): every start k*stride falls inside
     last_k = F.floor((F.size(toks) - 1) / stride).cast("int")
-    chunk = F.slice(toks, F.col("chunk_idx") * stride + 1, chunk_tokens)
     return (
         df.select(id_col, F.explode(
             F.sequence(F.lit(0), last_k)).alias("chunk_idx"), toks.alias("_t"))
         .select(
             id_col,
             F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(F.col("_t"),
-                             F.col("chunk_idx") * stride + 1, chunk_tokens)
-            ).alias("chunk_text"),
-            F.size(
-                F.slice(F.col("_t"),
-                        F.col("chunk_idx") * stride + 1, chunk_tokens)
-            ).cast("bigint").alias("n_chunk_tokens"),
+            F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1,
+                    chunk_tokens).alias("_chunk"),
+        )
+        .select(
+            id_col, "chunk_idx",
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+            F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),
         )
     )
 

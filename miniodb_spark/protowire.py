@@ -154,6 +154,8 @@ def _decode_value(data: bytes) -> Any:
             _, pos = decode_uvarint(data, pos)
             out = None
         elif fno == 2 and wt == 1:  # number_value
+            if pos + 8 > len(data):
+                raise ValueError("truncated number_value")
             out = struct.unpack_from("<d", data, pos)[0]
             pos += 8
         elif fno == 3 and wt == 2:  # string_value
@@ -338,6 +340,8 @@ def _decode_payload(kind, data: bytes, pos: int, wt: int):
         n, pos = decode_uvarint(data, pos)
         return _decode_signed(n), pos
     if kind == "double":
+        if pos + 8 > len(data):
+            raise ValueError("truncated double field")
         return struct.unpack_from("<d", data, pos)[0], pos + 8
     # everything else is length-delimited
     if wt != 2:

@@ -1470,9 +1470,9 @@ def pivot_status_by_priority(spark, sf_dir):
 # driver-green first — so no entry's most recent driver grade ages past
 # two rounds; the freshest greens sit at the tail, where
 # tests/test_oracle_parity.py keeps pinning them each CI run.
-# Round 7 window = the 6 new round-7 entries, then the 31 rows last
-# driver-green in round 4, then the 10 last green in round 5, then the
-# flagship + 2 high-value round-6 greens to fill the window to exactly 50.
+# Round 7 window = the 10 new round-7 entries, then the 31 rows last
+# driver-green in round 4, then 9 of the 10 last green in round 5 —
+# exactly 50; the freshest round-6 greens rotate to the tail.
 _PRIORITY_ORDER = [
     # new in round 7 (never driver-graded)
     "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",

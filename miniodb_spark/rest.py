@@ -267,7 +267,9 @@ def _make_handler(service):
 
         def r_create_table(self, pv, q):
             b = self._body()
-            self._send(200, service.create_table(b.get("name", ""), b.get("config")))
+            self._send(200, service.create_table(
+                b.get("name", ""), b.get("config"),
+                if_not_exists=b.get("if_not_exists", False)))
 
         def r_optimize_table(self, pv, q):
             b = self._body()

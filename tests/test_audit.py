@@ -73,9 +73,12 @@ def test_replay_skips_torn_and_corrupt_lines(tmp_path):
     log.log("delete", "t", "2")
     with open(log.path, "a", encoding="utf-8") as fh:
         fh.write('{"crc":12345,"e":{"action":"write","tampered":true}}\n')
-        fh.write('{"crc":99,"e":{"action":"truncat')  # torn tail
-    log.log("update", "t", "3")  # appends after the torn line
-    actions = [e["action"] for e in log.replay()]
+        fh.write('{"crc":99,"e":{"action":"truncat')  # torn tail (crash)
+    # the process restarts after the crash: a fresh logger probes the
+    # tail once and starts a clean line (the torn fragment alone is lost)
+    log2 = AuditLogger(str(tmp_path / "a.jsonl"))
+    log2.log("update", "t", "3")
+    actions = [e["action"] for e in log2.replay()]
     assert actions == ["write", "delete", "update"]
 
 

@@ -311,6 +311,13 @@ def test_stream_write_client_streaming_dispatch(engine):
     rows = json.loads(_call(svc, M + "QueryData", {
         "sql": "SELECT count(*) AS n FROM sw"})["result_json"])
     assert rows == [{"n": 12}]
+    # regression: proto DataRecord timestamps must be STORED, not
+    # silently replaced with server time (the two write paths used
+    # different key spellings for the microsecond timestamp)
+    rows = json.loads(_call(svc, M + "QueryData", {
+        "sql": f"SELECT count(*) AS n FROM sw "
+               f"WHERE unix_micros(timestamp) = {T0}"})["result_json"])
+    assert rows == [{"n": 12}]
     # a bad batch mid-stream is recorded, the rest still lands
     bad = pw.encode_message(req_schema, {"table": "", "records": [
         {"id": "x", "payload": {"v": 1}}]})

@@ -126,6 +126,14 @@ def test_repetition_fractions_crafted(spark):
     assert out[0]["dup_3gram_frac"] == 1.0   # every 3-gram repeats
     assert out[1]["top_2gram_frac"] < 0.05
     assert out[1]["dup_3gram_frac"] == 0.0
+    # regression: docs with <3 tokens must be excluded, not crash the
+    # gram expressions (sequence(0, size-n) goes descending for short
+    # docs and element_at threw before the filter was applied first)
+    short = spark.createDataFrame(
+        [(0, "solo"), (1, "two words"), (2, "now three tokens here")],
+        "doc_id long, text string")
+    got = {r["doc_id"] for r in repetition_fractions(short).collect()}
+    assert got == {2}
 
 
 def test_bpe_train_and_segment(spark):
