@@ -299,6 +299,67 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_survivors(
+    df: DataFrame,
+    index: "IVFIndex | None" = None,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    max_cell_size: int | None = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): cluster the embeddings with spherical k-means,
+    then inside each cluster drop every vector that has a lower-id
+    cluster-mate with cosine >= ``threshold`` (greedy keep-min-id — the
+    same survivor rule as ``dedup.corpus_survivors``). Returns the full
+    id set with ``sem_cell`` and ``is_kept`` columns.
+
+    Scale shape: the only quadratic work is the within-cell self-join,
+    bounded by cluster size — at corpus scale ``n_cells`` grows ~sqrt(N)
+    (FAISS guidance) so cells stay ~sqrt(N)-sized, and ``max_cell_size``
+    hard-caps degenerate clusters (a corpus saturated with one vector
+    collapses into one cell; those rows are kept un-deduped rather than
+    joined quadratically, mirroring ``embedding_near_dup_pairs``'s
+    guard). Cell assignment is a vectorized pandas_udf over broadcast
+    centroids; the pair join shuffles on ``sem_cell`` only.
+    """
+    if index is None:
+        index = IVFIndex(n_cells=n_cells).fit(df, vec_col)
+    assigned = index.assign_cells(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("ivf_cell").alias("sem_cell")
+    )
+    joinable = assigned
+    if max_cell_size is not None:
+        from pyspark.sql import Window as W
+
+        cell_n = F.count("*").over(W.partitionBy("sem_cell"))
+        joinable = (
+            assigned.withColumn("_cn", cell_n)
+            .filter(F.col("_cn") <= max_cell_size)
+            .drop("_cn")
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    sim = cosine(_as_double(f"a.{vec_col}"), _as_double(f"b.{vec_col}"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.sem_cell") == F.col("b.sem_cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "sem_cell").join(
+        dropped.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "sem_cell",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -765,3 +826,53 @@ def register_queries(register) -> None:
         )
         ok = bool(n_truth > 0 and diff == 0)
         return spark.createDataFrame([(ok,)], "near_dup_ok boolean")
+
+    @register(
+        "semantic_dedup",
+        "SELECT true AS semantic_dedup_ok",
+        doc="SemDeDup (Abbas et al. arXiv:2303.09540) structural "
+            "self-check: k-means-cluster the embeddings, drop within-"
+            "cluster cosine>=0.4 lower-id duplicates, then verify three "
+            "properties computed independently from the survivor set — "
+            "(1) the fixture actually produced drops, (2) no two kept "
+            "vectors in the same cell have cosine>=threshold, (3) every "
+            "dropped vector has a lower-id cell-mate with "
+            "cosine>=threshold (threshold 0.4: the fixture's random "
+            "vectors never reach the production 0.9)",
+        tags=("llm", "capability"),
+    )
+    def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        threshold = 0.4
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        marked = semantic_dedup_survivors(
+            emb, threshold=threshold, max_cell_size=None
+        ).localCheckpoint(eager=True)
+        with_vec = marked.join(emb.select("vec_id", "embedding"), "vec_id")
+        a, b = with_vec.alias("a"), with_vec.alias("b")
+        sim = cosine(_as_double("a.embedding"), _as_double("b.embedding"))
+        cell_pairs = a.join(
+            b,
+            (F.col("a.sem_cell") == F.col("b.sem_cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.is_kept").alias("kept_a"),
+            F.col("b.is_kept").alias("kept_b"),
+            F.col("b.vec_id").alias("id_b"),
+            (sim >= threshold).alias("is_dup"),
+        ).localCheckpoint(eager=True)
+        n_dropped = marked.filter(~F.col("is_kept")).count()
+        kept_dup_pairs = cell_pairs.filter(
+            F.col("kept_a") & F.col("kept_b") & F.col("is_dup")
+        ).count()
+        # ids with a lower-id same-cell duplicate — must equal the dropped
+        # set exactly (set equality, not just count equality)
+        justified = cell_pairs.filter(F.col("is_dup")).select(
+            F.col("id_b").alias("vec_id")
+        ).distinct()
+        dropped_ids = marked.filter(~F.col("is_kept")).select("vec_id")
+        set_diff = (
+            justified.exceptAll(dropped_ids).count()
+            + dropped_ids.exceptAll(justified).count()
+        )
+        ok = bool(n_dropped > 0 and kept_dup_pairs == 0 and set_diff == 0)
+        return spark.createDataFrame([(ok,)], "semantic_dedup_ok boolean")

@@ -152,3 +152,47 @@ def test_ivfpq_residual_encoding_and_save_load(spark, sf_dir, tmp_path):
     b = {r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
          for r in idx2.encode(emb).select("vec_id", "ivf_cell", "pq_code").collect()}
     assert a == b
+
+
+def test_semantic_dedup_crafted_clusters(spark):
+    """SemDeDup on a crafted corpus: two tight clusters plus an
+    orthogonal singleton. Within each tight cluster only the min-id
+    vector survives; the singleton always survives."""
+    import numpy as np
+
+    from miniodb_spark.operators.similarity import semantic_dedup_survivors
+
+    rng = np.random.RandomState(7)
+    base_a = rng.randn(8)
+    base_b = rng.randn(8)
+    rows = []
+    # ids 0-2: jittered copies of base_a (cosine ~1); ids 10-11: base_b
+    for i in range(3):
+        rows.append((i, (base_a + 0.001 * rng.randn(8)).tolist()))
+    for i in (10, 11):
+        rows.append((i, (base_b + 0.001 * rng.randn(8)).tolist()))
+    rows.append((20, np.eye(8)[0].tolist()))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    marked = semantic_dedup_survivors(df, threshold=0.95, n_cells=3)
+    got = {r["vec_id"]: r["is_kept"] for r in marked.collect()}
+    assert got[0] is True and got[1] is False and got[2] is False
+    assert got[10] is True and got[11] is False
+    assert got[20] is True
+
+
+def test_semantic_dedup_cell_cap_keeps_saturated_cells(spark):
+    """A degenerate cell larger than max_cell_size is never self-joined:
+    its rows pass through kept — the scale guard trades recall for a
+    bounded join, identical to the near-dup bucket cap."""
+    import numpy as np
+
+    from miniodb_spark.operators.similarity import semantic_dedup_survivors
+
+    base = np.ones(8)
+    rows = [(i, base.tolist()) for i in range(50)]  # exact ties -> one cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    marked = semantic_dedup_survivors(df, threshold=0.9, n_cells=2,
+                                      max_cell_size=10)
+    kept = marked.filter("is_kept").count()
+    assert kept == 50  # every cell saturated -> nothing joined, all kept
