@@ -9,10 +9,11 @@ from __future__ import annotations
 
 
 def register_all(register) -> None:
-    from . import dedup, multimodal, similarity, temporal, text
+    from . import dedup, multimodal, sampling, similarity, temporal, text
 
     text.register_queries(register)
     dedup.register_queries(register)
     similarity.register_queries(register)
     multimodal.register_queries(register)
     temporal.register_queries(register)
+    sampling.register_queries(register)

@@ -1,0 +1,226 @@
+"""Corpus sampling / mixing operators for training-data assembly.
+
+Reference scope: the reference engine exposes per-table scan + SQL
+sampling only (``internal/query/engine.go`` SELECT surface); these
+operators extend it with the mixing steps an LLM-data pipeline runs
+between dedup and tokenization:
+
+- **Temperature-weighted source mixing** (multinomial alpha-sampling a
+  la GPT-3 / XLM-R data mixing, alpha=0.5): upweight small sources,
+  downweight dominant ones, with per-source quotas computed in *exact
+  integer arithmetic* (floor-sqrt weights, integer division) so the
+  result is bit-reproducible across engines — no float rounding
+  boundary can flip a quota between Spark and an external validator.
+- **Deterministic stratified split**: md5-keyed train/val/test
+  assignment — stable under re-runs, insertion order, and partitioning,
+  because the split key is a pure function of the row id.
+
+Scale shape: quota computation is one map-side-combinable groupBy over
+the source column (|sources| rows out); quota application broadcasts
+the quota table. The rank-based selector needs a per-source total
+order (one shuffle; fine while quotas are bounded); the hash-threshold
+selector is the 100 TB path — selection becomes a pure per-row
+predicate with no window and no shuffle beyond the counts agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _md5_key(id_col: str):
+    """Deterministic pseudo-random sort key: md5 of the stringified id.
+
+    md5 hex is identical across engines (unlike xxhash64 seeds or
+    engine-native ``hash()``), which keeps every selector below
+    oracle-checkable."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def _hex_digit(c):
+    """Value 0..15 of a single lowercase hex char, by ascii arithmetic
+    ('0'-'9' → 48-57, 'a'-'f' → 97-102) — portable to any SQL engine,
+    unlike conv()/strtol, and *uniform* (raw ascii codes are not)."""
+    a = F.ascii(c)
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def _md5_bucket(id_col: str, buckets: int = 100):
+    """Integer bucket in [0, buckets) from the first four md5 hex
+    digits — uniform over 0..65535 before the modulo (bias from
+    65536 % buckets is ≤1 part in 655 for buckets=100)."""
+    h = _md5_key(id_col)
+    raw = F.lit(0)
+    for i in range(1, 5):
+        raw = raw * 16 + _hex_digit(F.substring(h, i, 1))
+    return raw % buckets
+
+
+def temperature_quotas(
+    df: DataFrame,
+    target_rows: int,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source row quotas under alpha=0.5 temperature sampling.
+
+    weight_s = floor(sqrt(sum(size_s)));  quota_s = (target * weight_s)
+    div sum(weights). sqrt is IEEE-correctly-rounded and everything
+    else is integer math, so quotas are engine-independent. Returns
+    (source, sz, w, quota)."""
+    sizes = df.groupBy(source_col).agg(F.sum(size_col).alias("sz"))
+    sizes = sizes.withColumn(
+        "w", F.floor(F.sqrt(F.col("sz").cast("double"))).cast("long")
+    )
+    tot = sizes.agg(F.sum("w").alias("tw"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("quota", F.expr(f"({int(target_rows)} * w) div tw"))
+        .drop("tw")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    target_rows: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-quota selector: rank rows per source by md5(id) and keep
+    the first quota_s. One shuffle for the per-source window; use
+    :func:`temperature_sample_hash` when quotas are unbounded."""
+    quotas = temperature_quotas(df, target_rows, source_col, size_col)
+    rn = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(_md5_key(id_col), F.col(id_col))
+    )
+    return (
+        df.withColumn("rnk", rn.cast("long"))
+        .join(F.broadcast(quotas.select(source_col, "quota")), source_col)
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select(id_col, source_col, "rnk")
+    )
+
+
+def temperature_sample_hash(
+    df: DataFrame,
+    target_rows: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Shuffle-free quota selector (the 100 TB path): keep a row iff
+    its md5 bucket falls under quota_s / count_s — a pure per-row
+    predicate against the broadcast quota table, no per-source sort.
+    Selected counts are binomially distributed around the quota
+    (±O(sqrt(quota))) rather than exact."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_rows"))
+    quotas = temperature_quotas(df, target_rows, source_col, size_col).join(
+        counts, source_col
+    )
+    bucket = _md5_bucket(id_col, 65536)
+    return (
+        df.join(F.broadcast(quotas.select(source_col, "quota", "n_rows")), source_col)
+        .filter(bucket * F.col("n_rows") < F.col("quota") * F.lit(65536))
+        .select(id_col, source_col)
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Adds a deterministic ``split`` column (train/val/test) keyed on
+    md5(id) mod 100 — a pure projection, zero shuffle, stable across
+    re-runs and repartitioning. Holdout membership must never depend on
+    partition layout or ingestion order; a hash of the id is the only
+    thing that guarantees that at scale."""
+    bucket = _md5_bucket(id_col, 100)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def register_queries(register) -> None:
+    @register(
+        "temperature_source_mix",
+        """
+        WITH sz AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz,
+                 CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM sz),
+        quota AS (SELECT source, (200 * w) // tw AS quota FROM sz, tot),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents)
+        SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk
+        FROM ranked r JOIN quota q ON r.source = q.source
+        WHERE r.rnk <= q.quota
+        ORDER BY r.source, r.rnk
+        """,
+        doc="alpha=0.5 temperature-weighted source mixing (GPT-3-style "
+            "multinomial reweighting): per-source quotas from floor-sqrt "
+            "char-mass weights in exact integer arithmetic, rows picked "
+            "by md5-rank within source — fully oracle-checked because no "
+            "float rounding can flip a quota",
+        tags=("llm",),
+    )
+    def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return temperature_sample(docs, 200).orderBy("source", "rnk")
+
+    @register(
+        "stratified_split_counts",
+        """
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 md5(CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents),
+        d AS (
+          SELECT n_chars,
+                 (ascii(substr(hx,1,1))
+                    - CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN 87 ELSE 48 END) AS d1,
+                 (ascii(substr(hx,2,1))
+                    - CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN 87 ELSE 48 END) AS d2,
+                 (ascii(substr(hx,3,1))
+                    - CASE WHEN ascii(substr(hx,3,1)) >= 97 THEN 87 ELSE 48 END) AS d3,
+                 (ascii(substr(hx,4,1))
+                    - CASE WHEN ascii(substr(hx,4,1)) >= 97 THEN 87 ELSE 48 END) AS d4
+          FROM h),
+        s AS (SELECT n_chars,
+                     (((d1*16 + d2)*16 + d3)*16 + d4) % 100 AS bucket FROM d)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY 1 ORDER BY split
+        """,
+        doc="deterministic md5-keyed train/val/test split (80/10/10): "
+            "membership is a pure function of doc_id — stable across "
+            "re-runs, partitioning, and ingestion order; entry returns "
+            "per-split doc and char counts",
+        tags=("llm",),
+    )
+    def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            stratified_split(docs)
+            .groupBy("split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .orderBy("split")
+        )
