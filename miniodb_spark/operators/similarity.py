@@ -360,6 +360,47 @@ def semantic_dedup_survivors(
     )
 
 
+def corpus_centroid(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension mean of an embedding column, computed distributed:
+    posexplode → per-dimension avg (a shuffle of dim-sized cardinality,
+    map-side combined) → a dim-length collect. The collect is bounded by
+    the embedding dimension, never by corpus size."""
+    rows = (
+        df.select(F.posexplode(_as_double(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("c"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r["c"]) for r in rows]
+
+
+def centroid_outliers(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid: list[float] | None = None,
+) -> DataFrame:
+    """Top-k embedding outliers by Euclidean distance to the corpus
+    centroid — the standard first-pass filter for mislabeled / corrupt
+    vectors before ANN indexing. The centroid is broadcast as a literal
+    array; the distance is a pure Catalyst fold (zip_with + aggregate),
+    so scoring is a narrow codegen scan and the only reduction is the
+    final TakeOrderedAndProject."""
+    if centroid is None:
+        centroid = corpus_centroid(df, vec_col)
+    cent = F.array(*[F.lit(float(c)) for c in centroid])
+    sq = F.zip_with(_as_double(vec_col), cent, lambda x, c: (x - c) * (x - c))
+    dist = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        df.select(F.col(id_col), dist.alias("dist_raw"))
+        .orderBy(F.col("dist_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("dist_raw", 4).alias("dist4"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -876,3 +917,29 @@ def register_queries(register) -> None:
         )
         ok = bool(n_dropped > 0 and kept_dup_pairs == 0 and set_diff == 0)
         return spark.createDataFrame([(ok,)], "semantic_dedup_ok boolean")
+
+    @register(
+        "embedding_outliers",
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        u AS (SELECT vec_id, unnest(v) AS val,
+                     unnest(range(1, len(v)+1)) AS pos FROM e),
+        c AS (SELECT pos, avg(val) AS cv FROM u GROUP BY pos),
+        d AS (SELECT u.vec_id,
+                     sqrt(sum((u.val - c.cv)*(u.val - c.cv))) AS dist
+              FROM u JOIN c USING (pos) GROUP BY u.vec_id)
+        SELECT vec_id, round(dist, 4) AS dist4
+        FROM d ORDER BY dist DESC, vec_id LIMIT 10
+        """,
+        doc="top-10 embedding outliers by Euclidean distance to the "
+            "per-dimension corpus centroid (mislabeled/corrupt-vector "
+            "screen): centroid via posexplode + dim-cardinality agg, "
+            "distance as a codegen zip_with fold against the broadcast "
+            "centroid literal, TakeOrderedAndProject reduction; rounded "
+            "to 4dp to absorb cross-engine float summation order",
+        tags=("llm", "capability"),
+    )
+    def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return centroid_outliers(emb, k=10)

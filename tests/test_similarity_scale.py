@@ -196,3 +196,39 @@ def test_semantic_dedup_cell_cap_keeps_saturated_cells(spark):
                                       max_cell_size=10)
     kept = marked.filter("is_kept").count()
     assert kept == 50  # every cell saturated -> nothing joined, all kept
+
+
+def test_centroid_outliers_match_numpy(spark, sf_dir):
+    """Distance-to-centroid scores and ranking match a numpy recompute."""
+    import numpy as np
+
+    from miniodb_spark.operators.similarity import centroid_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    d = np.sqrt(((x - x.mean(axis=0)) ** 2).sum(axis=1))
+    order = np.lexsort((ids, -d))[:10]
+    expected = [(int(ids[i]), round(float(d[i]), 4)) for i in order]
+
+    got = [(r["vec_id"], r["dist4"]) for r in centroid_outliers(emb, 10).collect()]
+    assert got == expected
+
+
+def test_centroid_outlier_scoring_is_scan_plus_topk(spark, sf_dir):
+    """Once the centroid literal is known, scoring shuffles nothing:
+    the plan is a narrow scan + TakeOrderedAndProject."""
+    from miniodb_spark.operators.similarity import (
+        centroid_outliers,
+        corpus_centroid,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = corpus_centroid(emb)
+    plan = (
+        centroid_outliers(emb, 10, centroid=cent)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
