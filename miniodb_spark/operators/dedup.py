@@ -617,6 +617,47 @@ def substring_dup_spans(df: DataFrame, k: int = 20, col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    existing_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify a new ingest batch against an existing fingerprint
+    store — the production dedup shape: the corpus is deduped once,
+    after which every arriving batch is checked against the store
+    instead of re-deduping the world. Statuses:
+
+    - ``dup_of_existing``: fingerprint already in the store;
+    - ``dup_in_batch``: a lower-id row in the same batch shares the
+      fingerprint (keep-min-id within the batch);
+    - ``kept``: first sighting — its fp is what gets appended to the
+      store.
+
+    ``existing_fps`` is a one-column (``fp``) relation. Scale shape:
+    one shuffle of the batch on the 16-byte fp (window min), then a
+    left join against the store — broadcast when the store fits,
+    shuffle hash join on fp otherwise; bucketing the store by fp makes
+    the join one-sided. The batch never joins itself row-by-row."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    from pyspark.sql import Window as W
+
+    with_fp = batch.select(
+        F.col(id_col), F.md5(normalized.cast("binary")).alias("fp")
+    ).withColumn("_mn", F.min(id_col).over(W.partitionBy("fp")))
+    marked = with_fp.join(
+        existing_fps.select("fp").distinct().withColumn("_seen", F.lit(True)),
+        "fp",
+        "left",
+    )
+    status = (
+        F.when(F.col("_seen"), F.lit("dup_of_existing"))
+        .when(F.col("_mn") < F.col(id_col), F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return marked.select(F.col(id_col), status.alias("status"))
+
+
 def register_queries(register) -> None:
     @register(
         "substring_dup_spans",
@@ -880,3 +921,40 @@ def register_queries(register) -> None:
         )
         ok = bool(n_small > 0 and diff == 0)
         return spark.createDataFrame([(ok,)], "cc_ok boolean")
+
+    @register(
+        "dedup_incremental",
+        """
+        WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents),
+        old AS (SELECT DISTINCT f.fp FROM fp f, cut WHERE f.doc_id < cut.c),
+        b AS (
+          SELECT f.doc_id, f.fp,
+                 min(f.doc_id) OVER (PARTITION BY f.fp) AS mn
+          FROM fp f, cut WHERE f.doc_id >= cut.c)
+        SELECT b.doc_id,
+               CASE WHEN o.fp IS NOT NULL THEN 'dup_of_existing'
+                    WHEN b.mn < b.doc_id THEN 'dup_in_batch'
+                    ELSE 'kept' END AS status
+        FROM b LEFT JOIN old o ON b.fp = o.fp
+        ORDER BY b.doc_id
+        """,
+        doc="incremental dedup of an arriving batch against the existing "
+            "corpus fingerprint store (upper half of doc_id vs lower "
+            "half): dup_of_existing / dup_in_batch / kept per doc — the "
+            "production shape where only the delta is re-checked, never "
+            "the whole corpus",
+        tags=("llm",),
+    )
+    def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cut = docs.agg(F.expr("max(doc_id) div 2")).first()[0]
+        normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        existing = docs.filter(F.col("doc_id") < cut).select(
+            F.md5(normalized.cast("binary")).alias("fp")
+        )
+        batch = docs.filter(F.col("doc_id") >= cut)
+        return incremental_dedup(batch, existing).orderBy("doc_id")

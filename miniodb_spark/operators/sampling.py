@@ -148,6 +148,39 @@ def stratified_split(
     return df.withColumn("split", split)
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pretraining
+    batch-assembly step: documents are concatenated in ``id_col`` order
+    within each shard and split every ``capacity`` tokens; a document's
+    bin is where its first token lands (documents may straddle bins,
+    exactly like the real packed token stream).
+
+    Returns (shard, id, n_tokens, start_offset, bin_id).
+
+    Scale shape: the running offset is a per-shard window cumsum —
+    parallel across shards, which is how production packing runs anyway
+    (you pack within an output shard, never across the whole corpus; a
+    corpus-global order would serialize into one partition). Token
+    counts are a codegen ``size(split(...))``; no UDF anywhere."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = Window.partitionBy(shard_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_tok = df.withColumn("n_tokens", n_tokens)
+    end_offset = F.sum("n_tokens").over(w)
+    return (
+        with_tok.withColumn("start_offset", (end_offset - F.col("n_tokens")))
+        .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
+        .select(shard_col, id_col, "n_tokens", "start_offset", "bin_id")
+    )
+
+
 def register_queries(register) -> None:
     @register(
         "temperature_source_mix",
@@ -224,3 +257,32 @@ def register_queries(register) -> None:
             )
             .orderBy("split")
         )
+
+    @register(
+        "sequence_packing",
+        """
+        WITH t AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS start_offset
+          FROM t)
+        SELECT source, doc_id, n_tokens, start_offset,
+               start_offset // 512 AS bin_id
+        FROM o ORDER BY source, doc_id
+        """,
+        doc="concat-and-chunk sequence packing (per-shard document "
+            "concatenation split every 512 tokens — the LLM pretraining "
+            "batch-assembly step): per-doc start offset via a per-shard "
+            "window cumsum, bin = start div capacity; parallel across "
+            "shards, codegen token counts, no UDF",
+        tags=("llm",),
+    )
+    def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_sequences(docs, capacity=512).orderBy("source", "doc_id")

@@ -1470,8 +1470,8 @@ def pivot_status_by_priority(spark, sf_dir):
 # driver-green first — so no entry's most recent driver grade ages past
 # two rounds; the freshest greens sit at the tail, where
 # tests/test_oracle_parity.py keeps pinning them each CI run.
-# Round 7 window = the 14 new round-7 entries, then the 31 rows last
-# driver-green in round 4, then 5 of the 10 last green in round 5 —
+# Round 7 window = the 16 new round-7 entries, then the 31 rows last
+# driver-green in round 4, then 3 of the 10 last green in round 5 —
 # exactly 50; the freshest round-6 greens and the remaining round-5
 # greens rotate to the tail (tail head = round 8's first pick-ups).
 _PRIORITY_ORDER = [
@@ -1480,7 +1480,7 @@ _PRIORITY_ORDER = [
     "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
     "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
     "semantic_dedup", "temperature_source_mix", "stratified_split_counts",
-    "embedding_outliers",
+    "embedding_outliers", "sequence_packing", "dedup_incremental",
     # last driver-green in round 4 (the 31 longest-ungraded)
     "derived_table", "agg_global", "agg_group_having",
     "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
@@ -1493,14 +1493,14 @@ _PRIORITY_ORDER = [
     "set_intersect_except", "string_agg_sorted", "regexp_ops",
     "pivot_status_by_priority",
     # last driver-green in round 5
-    "dedup_exact_groups", "dedup_token_jaccard", "embedding_cosine_topk",
-    "vocabulary_stats",
-    # 14th round-7 entry takes the final slot (never-graded beats
+    "dedup_exact_groups", "dedup_token_jaccard",
+    # 16th round-7 entry takes the final slot (never-graded beats
     # 2-round-stale; the displaced round-5 entries below stay
     # parity-pinned and head the round-8 rotation)
-    "doc_chunking",
-    # --- position >50: outside the checked window; entries below were
+    "doc_chunking", "embedding_cosine_topk",
+    # --- position >=50: outside the checked window; entries below were
     # driver-green in round 5/6 and stay pinned by test_oracle_parity.py
+    "vocabulary_stats",
     "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
     "math_case_when",
