@@ -64,3 +64,31 @@ def stream_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: tuple[str, ...] = ("record_id",),
+    ts_col: str = "ts",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with *bounded* state: drop rows whose key
+    was already seen within the watermark horizon.
+
+    The streaming counterpart of ``operators.dedup.incremental_dedup``
+    (which covers the batch/backfill path against the persistent
+    fingerprint store): at-source redelivery and producer retries are
+    absorbed here before rows ever reach the ingest sink.
+
+    Uses ``dropDuplicatesWithinWatermark``, so the dedup state holds
+    only keys newer than the watermark — state size is
+    ingest-rate x horizon, independent of corpus size. A plain
+    ``dropDuplicates`` on a stream grows state forever; that is the
+    difference between an operator that survives a year of uptime and
+    one that OOMs in week two. Exactly-once against redelivery *across*
+    the horizon (e.g. a 3-day-late replay) is the job of the
+    idempotent batch registry in :func:`stream_ingest` and the
+    store-side ``incremental_dedup``."""
+    return stream_df.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -237,3 +237,41 @@ def test_file_sink_engine_integration(spark, tmp_path):
     eng.delete("t", "a")
     types = [e.event_type for e in FileSink(root).all_events("t")]
     assert "insert" in types and "delete" in types
+
+
+def test_dedup_stream_bounded_state_across_files(spark, tmp_path, sf_dir):
+    """Duplicated source rows (producer retry shape: the same events
+    delivered in two files) collapse to one copy through
+    dedup_stream, and the dedup state is watermark-bounded."""
+    from miniodb_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    schema = spark.read.parquet(str(src / "a.parquet")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = dedup_stream(stream, keys=("event_id",), ts_col="ts",
+                           horizon="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+        "FROM dedup_stream_sink"
+    ).first()
+    expected = events.select("event_id").distinct().count()
+    assert got["d"] == expected
+    assert got["n"] == got["d"]  # every survivor unique: dups dropped
