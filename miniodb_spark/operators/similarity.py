@@ -401,6 +401,34 @@ def centroid_outliers(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    compression for embedding serving (scale = 127 / max|x|, code =
+    round(x·scale) clamped to [-127, 127]). Keeps (id, codes, scale);
+    dequantization is codes / scale.
+
+    Pure Catalyst array expressions (transform / array_max) — codegen,
+    no UDF, no shuffle: quantization is a narrow map over the scan.
+    Compare PQIndex for the 21× product-quantization path; int8 is the
+    cheap general-purpose tier that preserves exact dimensionality."""
+    v = _as_double(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
+    code = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x * scale).cast("int"))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        code.alias("q_codes"),
+        scale.alias("q_scale"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -943,3 +971,44 @@ def register_queries(register) -> None:
     def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return centroid_outliers(emb, k=10)
+
+    @register(
+        "embedding_quantize_int8",
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 100),
+        s AS (SELECT vec_id, v,
+                     127.0 / list_aggregate(list_transform(v, x -> abs(x)),
+                                            'max') AS sc
+              FROM e),
+        q AS (SELECT vec_id,
+                     list_transform(
+                       v, x -> greatest(-127, least(127,
+                               CAST(round(x * sc) AS INTEGER)))) AS code
+              FROM s)
+        SELECT vec_id,
+               CAST(list_aggregate(code, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_aggregate(code, 'min') AS INTEGER) AS q_min,
+               CAST(list_aggregate(code, 'max') AS INTEGER) AS q_max
+        FROM q ORDER BY vec_id
+        """,
+        doc="symmetric per-vector int8 quantization (4x embedding "
+            "compression for serving): scale = 127/max|x|, code = "
+            "round(x*scale) clamped; entry returns integer code "
+            "summaries (sum/min/max per vector) so the oracle compare "
+            "is exact integer equality, no float tolerance",
+        tags=("llm", "capability"),
+    )
+    def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 100
+        )
+        q = quantize_int8(emb)
+        codes = F.col("q_codes")
+        return q.select(
+            "vec_id",
+            F.aggregate(codes, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("q_sum"),
+            F.array_min(codes).alias("q_min"),
+            F.array_max(codes).alias("q_max"),
+        ).orderBy("vec_id")

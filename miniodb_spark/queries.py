@@ -1481,6 +1481,7 @@ _PRIORITY_ORDER = [
     "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
     "semantic_dedup", "temperature_source_mix", "stratified_split_counts",
     "embedding_outliers", "sequence_packing", "dedup_incremental",
+    "embedding_quantize_int8",
     # last driver-green in round 4 (the 31 longest-ungraded)
     "derived_table", "agg_global", "agg_group_having",
     "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
@@ -1497,10 +1498,10 @@ _PRIORITY_ORDER = [
     # 16th round-7 entry takes the final slot (never-graded beats
     # 2-round-stale; the displaced round-5 entries below stay
     # parity-pinned and head the round-8 rotation)
-    "doc_chunking", "embedding_cosine_topk",
+    "doc_chunking",
     # --- position >=50: outside the checked window; entries below were
     # driver-green in round 5/6 and stay pinned by test_oracle_parity.py
-    "vocabulary_stats",
+    "embedding_cosine_topk", "vocabulary_stats",
     "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
     "math_case_when",

@@ -232,3 +232,26 @@ def test_centroid_outlier_scoring_is_scan_plus_topk(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized vectors sit within half a quantization step of the
+    original in every dimension, codes span the int8 range, and
+    quantization adds no shuffle (pure projection)."""
+    import numpy as np
+
+    from miniodb_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = quantize_int8(emb)
+    assert "Exchange" not in q._jdf.queryExecution().executedPlan().toString()
+
+    joined = q.join(emb.select("vec_id", "embedding"), "vec_id").collect()
+    assert joined
+    for r in joined:
+        x = np.array(r["embedding"], dtype=np.float64)
+        codes = np.array(r["q_codes"], dtype=np.float64)
+        assert codes.min() >= -127 and codes.max() <= 127
+        deq = codes / r["q_scale"]
+        step = 1.0 / r["q_scale"]
+        assert np.abs(deq - x).max() <= 0.5 * step + 1e-9
