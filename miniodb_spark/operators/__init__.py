@@ -9,7 +9,7 @@ from __future__ import annotations
 
 
 def register_all(register) -> None:
-    from . import dedup, multimodal, sampling, similarity, temporal, text
+    from . import dedup, multimodal, pipeline, sampling, similarity, temporal, text
 
     text.register_queries(register)
     dedup.register_queries(register)
@@ -17,3 +17,4 @@ def register_all(register) -> None:
     multimodal.register_queries(register)
     temporal.register_queries(register)
     sampling.register_queries(register)
+    pipeline.register_queries(register)

@@ -1481,7 +1481,7 @@ _PRIORITY_ORDER = [
     "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
     "semantic_dedup", "temperature_source_mix", "stratified_split_counts",
     "embedding_outliers", "sequence_packing", "dedup_incremental",
-    "embedding_quantize_int8",
+    "embedding_quantize_int8", "training_pipeline_e2e",
     # last driver-green in round 4 (the 31 longest-ungraded)
     "derived_table", "agg_global", "agg_group_having",
     "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
@@ -1494,14 +1494,14 @@ _PRIORITY_ORDER = [
     "set_intersect_except", "string_agg_sorted", "regexp_ops",
     "pivot_status_by_priority",
     # last driver-green in round 5
-    "dedup_exact_groups", "dedup_token_jaccard",
-    # 16th round-7 entry takes the final slot (never-graded beats
-    # 2-round-stale; the displaced round-5 entries below stay
+    "dedup_exact_groups",
+    # final slot: the last never-graded round-7 entry (never-graded
+    # beats 2-round-stale; the displaced round-5 entries below stay
     # parity-pinned and head the round-8 rotation)
     "doc_chunking",
     # --- position >=50: outside the checked window; entries below were
     # driver-green in round 5/6 and stay pinned by test_oracle_parity.py
-    "embedding_cosine_topk", "vocabulary_stats",
+    "dedup_token_jaccard", "embedding_cosine_topk", "vocabulary_stats",
     "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
     "math_case_when",
