@@ -429,6 +429,82 @@ def quantize_int8(
     )
 
 
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched k-NN join: exact cosine top-k neighbors in ``corpus_df``
+    for EVERY vector in ``queries_df`` at once (the batch-serving /
+    retrieval-training shape — e.g. mining hard negatives for a whole
+    query set — where per-query ``cosine_topk`` calls would launch Q
+    jobs and rescan the corpus Q times).
+
+    Two-stage partial top-k, the only shape that survives 100 TB:
+
+    1. The query batch (bounded — a serving batch, not a table) is
+       collected once and closed over as a dense float64 matrix. Each
+       corpus Arrow batch computes all Q similarities with ONE numpy
+       matmul (vectorized, Arrow-fed ``mapInPandas``) and emits only
+       its per-query top-k — ≤ Q·k rows per batch regardless of batch
+       size. The corpus is scanned once, projected to (id, vec), and
+       never shuffled.
+    2. The surviving Q·k·n_batches candidate rows (tiny) take one
+       window over query_id for the global rank.
+
+    Tie-break inside stage 1 matches stage 2 exactly — (sim desc,
+    neighbor_id asc) via lexsort — so boundary ties cannot flip the
+    final result between engines. A window over the RAW corpus×queries
+    product would shuffle N·Q rows; this shuffles Q·k·n_batches.
+
+    Reference scope: the reference engine has no vector surface at all
+    (its QueryData path is SQL-only — internal/query/engine.go); this
+    is part of the LLM-pipeline extension family alongside
+    ``cosine_topk`` / IVF / PQ serving.
+    """
+    qrows = queries_df.select(id_col, vec_col).collect()
+    qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def _partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray(
+                [[float(x) for x in v] for v in pdf[vec_col]], dtype=np.float64
+            )
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = 1.0
+            sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            kk = min(k, len(pdf))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_n.extend(ids[order])
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    partial = corpus_df.select(id_col, vec_col).mapInPandas(
+        _partial, "query_id long, neighbor_id long, sim double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
@@ -1012,3 +1088,45 @@ def register_queries(register) -> None:
             F.array_min(codes).alias("q_min"),
             F.array_max(codes).alias("q_max"),
         ).orderBy("vec_id")
+
+    @register(
+        "knn_batch_join",
+        """
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(cv, qv) AS sim
+              FROM q, c),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM s)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rnk AS BIGINT) AS rnk,
+               round(sim, 4) AS sim4
+        FROM r WHERE rnk <= 3
+        ORDER BY query_id, rnk
+        """,
+        doc="batched exact k-NN join (retrieval-training shape: top-3 "
+            "corpus neighbors for every query in one corpus scan): one "
+            "numpy matmul per Arrow batch emits per-query partial top-k, "
+            "then one tiny window ranks Q*k*n_batches survivors — the "
+            "corpus itself is never shuffled; rounded to 4dp to absorb "
+            "cross-engine float summation order",
+        tags=("llm",),
+    )
+    def knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        res = knn_join(
+            emb.filter(F.col("vec_id") < 5),
+            emb.filter(F.col("vec_id") >= 5),
+            k=3,
+        )
+        return res.select(
+            "query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim4")
+        ).orderBy("query_id", "rnk")

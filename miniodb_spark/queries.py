@@ -1499,8 +1499,11 @@ _PRIORITY_ORDER = [
     # beats 2-round-stale; the displaced round-5 entries below stay
     # parity-pinned and head the round-8 rotation)
     "doc_chunking",
-    # --- position >=50: outside the checked window; entries below were
-    # driver-green in round 5/6 and stay pinned by test_oracle_parity.py
+    # --- position >=50: outside the checked window. First the entries
+    # added mid-round-7 after the window was packed (never driver-graded;
+    # they head the round-8 rotation), then entries driver-green in
+    # round 5/6 — all pinned by test_oracle_parity.py either way.
+    "knn_batch_join", "dedup_bloom_prefilter",
     "dedup_token_jaccard", "embedding_cosine_topk", "vocabulary_stats",
     "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
