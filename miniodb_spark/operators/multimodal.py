@@ -371,6 +371,66 @@ def png_bytes(width: int, height: int, seed: int = 0, channels: int = 1,
     )
 
 
+def png_bytes_from_pixels(pixels: bytes, width: int, height: int,
+                          channels: int = 1) -> bytes:
+    """Encode EXPLICIT pixel bytes (row-major, channel-interleaved) as a
+    real filter-0 PNG — same stdlib chunk/CRC layout as ``png_bytes``
+    but with caller-supplied content instead of the ramp formula, so
+    tests can construct images whose perceptual relationships (e.g.
+    uniform brightness shifts) are controlled exactly."""
+    import struct
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (rgb)")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixels length must be width*height*channels")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       0 if channels == 1 else 2, 0, 0, 0)
+    rows = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+
+
+def dhash64(px: dict, grid: int = 8) -> int:
+    """64-bit difference hash (dHash — the public perceptual-hash
+    family popularized by Krawetz, "Kind of Like That", 2013) over a
+    decoded pixel dict from ``decode_image_pixels``: grayscale-reduce,
+    nearest-neighbor downsample to (grid+1)×grid, then one bit per
+    horizontally-adjacent pair (left > right).
+
+    Comparisons see only pixel DIFFERENCES, so the hash is exactly
+    invariant to uniform brightness shifts that stay in gamut — the
+    property the near-dup operator's oracle is built on — while any
+    content change that flips a local gradient changes the hash."""
+    import numpy as np
+
+    w, h, c = px["width"], px["height"], px["channels"]
+    arr = np.frombuffer(px["pixels"], dtype=np.uint8).reshape(h, w, c)
+    gray = arr.astype(np.int32).mean(axis=2) if c > 1 else arr[:, :, 0].astype(np.int32)
+    xs = (np.arange(grid + 1) * w) // (grid + 1)
+    ys = (np.arange(grid) * h) // grid
+    sub = gray[np.ix_(ys, xs)]
+    bits = (sub[:, :-1] > sub[:, 1:]).astype(np.uint64).ravel()
+    v = int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+    # two's-complement signed view so the value fits Spark's LongType
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def decode_png_pixels(payload: bytes) -> dict | None:
     """Full PNG pixel decode for 8-bit non-interlaced grayscale/RGB/
     gray+alpha/RGBA: chunk walk with per-chunk CRC verification,
@@ -1280,4 +1340,77 @@ def register_queries(register) -> None:
         ok = bool(n_media > 0 and n_bad == 0)
         return spark.createDataFrame(
             [(ok, n_media)], "features_ok boolean, n_media long"
+        )
+
+    @register(
+        "image_phash_near_dup",
+        """
+        SELECT CAST(doc_id AS BIGINT) AS min_media_id,
+               CAST(4 AS BIGINT) AS n_members,
+               CAST(4 AS BIGINT) AS n_variants
+        FROM documents WHERE doc_id < 15 ORDER BY doc_id
+        """,
+        doc="image near-duplicate detection by 64-bit perceptual dHash "
+            "over REAL decoded PNG pixels: 60 images in 15 content groups "
+            "of 4 brightness-shifted variants (shift stays in gamut, so "
+            "the gradient-sign hash is provably invariant while sha1 "
+            "differs) — grouping by dhash must recover exactly the 15 "
+            "groups of 4 with 4 distinct payloads each, which the oracle "
+            "recomputes from the doc_id arithmetic",
+        tags=("llm",),
+    )
+    def image_phash_near_dup(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 60
+        )
+        w, h = 16, 12
+
+        def _pattern(group: int) -> bytes:
+            # LCG-derived base pattern in [30, 180): +shift<=60 cannot
+            # clip, so every variant keeps identical pixel differences.
+            x, out = (group * 2654435761 + 1) & 0xFFFFFFFF, bytearray()
+            for _ in range(w * h):
+                x = (1103515245 * x + 12345) & 0x7FFFFFFF
+                out.append(30 + (x >> 16) % 150)
+            return bytes(out)
+
+        def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for d in pdf["doc_id"]:
+                    g, v = int(d) % 15, int(d) // 15
+                    base = _pattern(g)
+                    shifted = bytes((b + v * 20) for b in base)
+                    payloads.append(png_bytes_from_pixels(shifted, w, h))
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        media = docs.select("doc_id").mapInPandas(
+            _encode, "media_id long, payload binary"
+        )
+
+        def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                hs, shas = [], []
+                for p in pdf["payload"]:
+                    px = decode_image_pixels(bytes(p))
+                    hs.append(dhash64(px))
+                    shas.append(hashlib.sha1(bytes(p)).hexdigest())
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "dhash": hs, "sha1": shas}
+                )
+
+        hashed = media.mapInPandas(
+            _hash, "media_id long, dhash long, sha1 string"
+        )
+        return (
+            hashed.groupBy("dhash")
+            .agg(
+                F.min("media_id").alias("min_media_id"),
+                F.count("*").alias("n_members"),
+                F.countDistinct("sha1").alias("n_variants"),
+            )
+            .select("min_media_id", "n_members", "n_variants")
+            .orderBy("min_media_id")
         )

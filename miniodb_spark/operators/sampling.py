@@ -181,6 +181,48 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards — the
+    epoch-order randomization step between corpus assembly and the
+    training dataloader. Each row gets a pseudo-random key
+    ``md5(seed || ':' || id)``; its shard is the key's 16-bit prefix
+    mod ``n_shards`` and its position is the key-order rank within the
+    shard. A different ``seed`` yields an independent permutation (new
+    epoch), and the whole assignment is a pure function of (seed, id):
+    re-runs, partition layout, and ingestion order cannot change it.
+
+    Scale shape: shard assignment is a zero-shuffle projection; the
+    within-shard rank is one window per shard (parallel across shards —
+    a GLOBAL permutation rank would serialize the corpus into a single
+    partition, which is exactly what sharding exists to avoid). At
+    100 TB you skip the rank column entirely and write
+    ``partitionBy(shard).sortWithinPartitions(key)`` — the dataloader
+    consumes shards in seeded order; the rank here is what makes the
+    entry oracle-checkable.
+
+    Reference scope: no analog in the reference (its scan order is
+    storage order); part of the LLM-pipeline extension family.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(int(seed))), F.col(id_col).cast("string")))
+    raw = F.lit(0)
+    for i in range(1, 5):
+        raw = raw * 16 + _hex_digit(F.substring(key, i, 1))
+    shard = (raw % n_shards).cast("long")
+    rn = F.row_number().over(
+        Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    )
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"), shard.alias("shard_id"))
+        .withColumn("pos_in_shard", rn.cast("long"))
+        .select(id_col, "shard_id", "pos_in_shard")
+    )
+
+
 def register_queries(register) -> None:
     @register(
         "temperature_source_mix",
@@ -286,3 +328,45 @@ def register_queries(register) -> None:
     def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return pack_sequences(docs, capacity=512).orderBy("source", "doc_id")
+
+    @register(
+        "epoch_shuffle_shards",
+        """
+        WITH k AS (
+          SELECT doc_id,
+                 md5('1:' || CAST(doc_id AS VARCHAR)) AS key
+          FROM documents),
+        d AS (
+          SELECT doc_id, key,
+                 (ascii(substr(key,1,1))
+                    - CASE WHEN ascii(substr(key,1,1)) >= 97 THEN 87 ELSE 48 END) AS d1,
+                 (ascii(substr(key,2,1))
+                    - CASE WHEN ascii(substr(key,2,1)) >= 97 THEN 87 ELSE 48 END) AS d2,
+                 (ascii(substr(key,3,1))
+                    - CASE WHEN ascii(substr(key,3,1)) >= 97 THEN 87 ELSE 48 END) AS d3,
+                 (ascii(substr(key,4,1))
+                    - CASE WHEN ascii(substr(key,4,1)) >= 97 THEN 87 ELSE 48 END) AS d4
+          FROM k),
+        s AS (
+          SELECT doc_id, key,
+                 (((d1*16 + d2)*16 + d3)*16 + d4) % 8 AS shard_id
+          FROM d)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(row_number() OVER (
+                      PARTITION BY shard_id
+                      ORDER BY key, doc_id) AS BIGINT) AS pos_in_shard
+        FROM s ORDER BY shard_id, pos_in_shard
+        """,
+        doc="deterministic seeded epoch shuffle into 8 training shards: "
+            "shard + within-shard position are pure functions of "
+            "(seed, doc_id) via md5, so the training order is exactly "
+            "reproducible across engines and re-runs; a new seed yields "
+            "an independent permutation for the next epoch",
+        tags=("llm",),
+    )
+    def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return epoch_shuffle(docs, seed=1, n_shards=8).orderBy(
+            "shard_id", "pos_in_shard"
+        )

@@ -1,0 +1,76 @@
+"""Unit tests for the perceptual dHash and the seeded epoch shuffle."""
+
+from pyspark.sql import functions as F
+
+from miniodb_spark.operators.multimodal import (
+    decode_png_pixels,
+    dhash64,
+    png_bytes_from_pixels,
+)
+from miniodb_spark.operators.sampling import epoch_shuffle
+
+
+def _px(pixels: bytes, w: int, h: int):
+    return decode_png_pixels(png_bytes_from_pixels(pixels, w, h))
+
+
+def test_png_from_pixels_roundtrip():
+    pix = bytes(range(0, 192))  # 16x12 gradient
+    px = _px(pix, 16, 12)
+    assert (px["width"], px["height"], px["channels"]) == (16, 12, 1)
+    assert px["pixels"] == pix
+
+
+def test_dhash_invariant_to_uniform_brightness_shift():
+    base = bytes((i * 7 + (i // 16) * 13) % 150 + 20 for i in range(16 * 12))
+    shifted = bytes(b + 40 for b in base)  # max 209, no clipping
+    assert dhash64(_px(base, 16, 12)) == dhash64(_px(shifted, 16, 12))
+
+
+def test_dhash_changes_on_content_change():
+    base = bytes((i * 7) % 150 + 20 for i in range(16 * 12))
+    flipped = bytes(reversed(base))
+    assert dhash64(_px(base, 16, 12)) != dhash64(_px(flipped, 16, 12))
+
+
+def test_dhash_fits_long_range():
+    # an image whose first comparison sets the MSB must still be a
+    # valid signed 64-bit value (two's complement view)
+    desc = bytes(max(0, 200 - i) for i in range(16 * 12))
+    v = dhash64(_px(desc, 16, 12))
+    assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_dhash_rgb_reduces_to_grayscale():
+    gray = bytes((i * 5) % 180 + 20 for i in range(8 * 8))
+    rgb = b"".join(bytes([g, g, g]) for g in gray)
+    px_rgb = decode_png_pixels(png_bytes_from_pixels(rgb, 8, 8, channels=3))
+    assert dhash64(_px(gray, 8, 8)) == dhash64(px_rgb)
+
+
+def test_epoch_shuffle_is_deterministic_and_seed_sensitive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e1 = epoch_shuffle(docs, seed=1).collect()
+    e1b = epoch_shuffle(docs, seed=1).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    e2 = {r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+          for r in epoch_shuffle(docs, seed=2).collect()}
+    moved = sum(
+        1 for r in e1 if e2[r["doc_id"]] != (r["shard_id"], r["pos_in_shard"])
+    )
+    assert moved > len(e1) * 0.8  # a new seed reshuffles nearly everything
+
+
+def test_epoch_shuffle_positions_are_dense_per_shard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = epoch_shuffle(docs, seed=3, n_shards=4)
+    assert out.count() == docs.count()
+    per = (
+        out.groupBy("shard_id")
+        .agg(F.count("*").alias("n"), F.max("pos_in_shard").alias("mx"),
+             F.min("pos_in_shard").alias("mn"))
+        .collect()
+    )
+    assert {r["shard_id"] for r in per} == {0, 1, 2, 3}
+    for r in per:
+        assert (r["mn"], r["mx"]) == (1, r["n"])  # dense 1..n ranks
