@@ -1414,3 +1414,58 @@ def register_queries(register) -> None:
             .select("min_media_id", "n_members", "n_variants")
             .orderBy("min_media_id")
         )
+
+    @register(
+        "audio_dominant_freq",
+        """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(200 + (doc_id % 12) * 250 AS BIGINT) AS dominant_hz
+        FROM documents WHERE doc_id < 24 ORDER BY media_id
+        """,
+        doc="spectral dominant-frequency estimation from REAL WAV decode: "
+            "bin-aligned sine tones (integer cycles in the window, so the "
+            "DFT peak lands exactly on one bin) are encoded to genuine "
+            "WAV containers, decoded back to int16 PCM, and the peak of a "
+            "vectorized numpy rFFT magnitude spectrum must equal the "
+            "encoded tone — the oracle recomputes the frequency from the "
+            "doc_id arithmetic; any sample-extraction or windowing bug "
+            "shifts the peak",
+        tags=("llm",),
+    )
+    def audio_dominant_freq(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 24
+        )
+
+        def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import math
+            import struct as _struct
+
+            import numpy as np
+
+            rate, n = 8000, 1600  # 5 Hz bins; tones are multiples of 5
+            ids, hz = [], []
+            for pdf in batches:
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    freq = 200 + (d % 12) * 250
+                    samples = [
+                        int(12000 * math.sin(2 * math.pi * freq * i / rate))
+                        for i in range(n)
+                    ]
+                    payload = wav_bytes(_struct.pack(f"<{n}h", *samples), rate=rate)
+                    dec = decode_wav_samples(payload)
+                    x = np.asarray(dec["samples"], dtype=np.float64)
+                    mag = np.abs(np.fft.rfft(x))
+                    mag[0] = 0.0  # ignore DC
+                    peak_bin = int(np.argmax(mag))
+                    ids.append(d)
+                    hz.append(int(round(peak_bin * rate / n)))
+                yield pd.DataFrame({"media_id": ids, "dominant_hz": hz})
+                ids, hz = [], []
+
+        return (
+            docs.select("doc_id")
+            .mapInPandas(_spec, "media_id long, dominant_hz long")
+            .orderBy("media_id")
+        )

@@ -74,3 +74,23 @@ def test_epoch_shuffle_positions_are_dense_per_shard(spark, sf_dir):
     assert {r["shard_id"] for r in per} == {0, 1, 2, 3}
     for r in per:
         assert (r["mn"], r["mx"]) == (1, r["n"])  # dense 1..n ranks
+
+
+def test_dominant_freq_two_tone_picks_stronger():
+    import math
+    import struct
+
+    import numpy as np
+
+    from miniodb_spark.operators.multimodal import decode_wav_samples, wav_bytes
+
+    rate, n = 8000, 1600
+    s = [
+        int(9000 * math.sin(2 * math.pi * 1000 * i / rate)
+            + 3000 * math.sin(2 * math.pi * 400 * i / rate))
+        for i in range(n)
+    ]
+    dec = decode_wav_samples(wav_bytes(struct.pack(f"<{n}h", *s), rate=rate))
+    mag = np.abs(np.fft.rfft(np.asarray(dec["samples"], dtype=np.float64)))
+    mag[0] = 0.0
+    assert int(round(int(np.argmax(mag)) * rate / n)) == 1000
