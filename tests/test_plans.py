@@ -125,3 +125,34 @@ def test_substring_dedup_scans_text_only(spark, sf_dir, registry):
     df = registry["substring_dup_spans"].fn(spark, sf_dir)
     cols = plans.scan_columns(df)
     assert cols <= {"doc_id", "text"}, cols
+
+
+def test_knn_join_corpus_side_never_shuffles(spark, sf_dir, registry):
+    """Stage 1 of the batched k-NN join reduces each Arrow batch to
+    Q*k candidate rows BEFORE anything shuffles; the only exchange in
+    the plan is the tiny final window (+ result sort) over survivors —
+    never the corpus."""
+    df = registry["knn_batch_join"].fn(spark, sf_dir)
+    # window on query_id + orderBy: at most 2 exchanges, none corpus-sized
+    assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
+    plan = plans.simple_plan(df)
+    # the map-partitions stage must sit below the first exchange
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_image_phash_shuffles_hash_not_payload(spark, sf_dir, registry):
+    """The perceptual-hash groupBy must shuffle only (dhash, media_id,
+    sha1) projections — the payload bytes stay inside the map stage."""
+    df = registry["image_phash_near_dup"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    agg_and_below = plan[plan.index("HashAggregate"):] if "HashAggregate" in plan else plan
+    assert "payload" not in agg_and_below.split("MapInPandas")[0], plan
+
+
+def test_bloom_prefilter_store_join_is_gated(spark, sf_dir, registry):
+    """The fingerprint-store join must consume the Bloom-filtered
+    candidate stream (a Filter on maybe_seen below the join), not the
+    raw batch."""
+    df = registry["dedup_bloom_prefilter"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "maybe_seen" in plan, plan
