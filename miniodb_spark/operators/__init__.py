@@ -9,9 +9,19 @@ from __future__ import annotations
 
 
 def register_all(register) -> None:
-    from . import dedup, multimodal, pipeline, sampling, similarity, temporal, text
+    from . import (
+        classifier,
+        dedup,
+        multimodal,
+        pipeline,
+        sampling,
+        similarity,
+        temporal,
+        text,
+    )
 
     text.register_queries(register)
+    classifier.register_queries(register)
     dedup.register_queries(register)
     similarity.register_queries(register)
     multimodal.register_queries(register)

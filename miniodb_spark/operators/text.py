@@ -224,6 +224,48 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average conditional bigram log-probability under the
+    corpus's own MLE bigram model — one step up from
+    :func:`unigram_logprob` as an LM-quality proxy: it scores token
+    ORDER, not just token choice (shuffled word salad keeps its unigram
+    score but collapses here).
+
+    score(d) = avg_{(w1,w2) in d} [ln c(w1,w2) − ln c(w1,·)], where
+    c(w1,·) counts bigrams starting with w1, so every conditional is a
+    true probability and no smoothing is needed when scoring the
+    training corpus itself (every observed bigram has c ≥ 1).
+
+    Spark shape: bigrams come from a pure Catalyst zip of two array
+    slices (no posexplode self-join), then two groupBy counts joined
+    back to occurrences — the same token-relation shuffle any TF-IDF
+    job pays, with map-side combine on both counts."""
+    ts = _alnum_tokens(col)
+    n = F.size(ts)
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        df.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cw = bg.groupBy("w1").agg(F.count("*").alias("cw"))
+    return (
+        bg.join(cb, ["w1", "w2"]).join(cw, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log("cb") - F.log("cw")), 4).alias("lm2_score"),
+        )
+    )
+
+
 def contamination_pairs(
     candidates: DataFrame,
     probes: DataFrame,
@@ -1051,3 +1093,41 @@ def register_queries(register) -> None:
     def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return chunk_documents(docs).orderBy("doc_id", "chunk_idx")
+
+    @register(
+        "bigram_logprob_quality",
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents),
+        bg AS (
+          SELECT doc_id, ts[s.i] AS w1, ts[s.i + 1] AS w2
+          FROM t JOIN generate_series(1, 4000) AS s(i)
+            ON s.i < len(ts)),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1)
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(cb.cb) - ln(cw.cw)), 4) AS lm2_score
+        FROM bg b
+        JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        JOIN cw ON b.w1 = cw.w1
+        WHERE b.doc_id < 100
+        GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        doc="per-document MLE bigram conditional log-probability (word-"
+            "order-aware LM quality, one step past the unigram proxy): "
+            "avg ln c(w1,w2) - ln c(w1,.) over corpus-trained counts; "
+            "bigrams built from zipped array slices (pure Catalyst, no "
+            "posexplode self-join)",
+        tags=("llm",),
+    )
+    def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            bigram_logprob(docs)
+            .filter(F.col("doc_id") < 100)
+            .orderBy("doc_id")
+        )

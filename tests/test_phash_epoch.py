@@ -94,3 +94,25 @@ def test_dominant_freq_two_tone_picks_stronger():
     mag = np.abs(np.fft.rfft(np.asarray(dec["samples"], dtype=np.float64)))
     mag[0] = 0.0
     assert int(round(int(np.argmax(mag)) * rate / n)) == 1000
+
+
+def test_quality_classifier_holdout_auc(spark, sf_dir):
+    from miniodb_spark.queries import get_registry
+
+    row = get_registry()["quality_classifier_auc"].fn(spark, sf_dir).first()
+    assert row["auc_ok"] is True
+    assert row["n_train"] > 0 and row["n_test"] > 0
+
+
+def test_bigram_logprob_penalizes_rare_order(spark):
+    # 'a b' appears twice, 'b z' once: doc 3 (rare continuation) must
+    # score below doc 1 (common continuation).
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "b z a")],
+        "doc_id long, text string",
+    )
+    from miniodb_spark.operators.text import bigram_logprob
+
+    rows = {r["doc_id"]: r["lm2_score"] for r in bigram_logprob(docs).collect()}
+    assert rows[3] < rows[1]
+    assert rows[1] == rows[2]
