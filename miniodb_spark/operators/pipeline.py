@@ -197,3 +197,77 @@ def register_queries(register) -> None:
     def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return prepare_training_corpus(docs).orderBy("doc_id")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_cols: tuple[str, ...] = ("split", "source"),
+) -> dict:
+    """Terminal pipeline stage: materialize the packed corpus as
+    shard-partitioned parquet plus an atomically-committed
+    ``manifest.json`` — the contract a training dataloader consumes
+    (which shards exist, how many documents/tokens/bins each holds,
+    corpus totals).
+
+    Scale shape: ``repartition(shard_cols)`` before the write so each
+    shard directory gets its partitions' files instead of
+    one-file-per-input-task small-file spray (the classic 100 TB
+    partitioned-write mistake); the manifest is built from a groupBy of
+    the WRITTEN data read back — shard-cardinality-sized, so the
+    driver-side JSON is bounded by the number of shards, never rows —
+    and committed via tmp+rename so a crash mid-write never leaves a
+    readable-but-wrong manifest (same commit discipline as
+    ``mutations.py``).
+
+    Reference scope: the reference's export surface is per-table parquet
+    objects (internal/storage/writer.go); sharded training output with a
+    dataloader manifest is part of the LLM-pipeline extension family.
+    """
+    import json
+    import os
+
+    df.repartition(*[F.col(c) for c in shard_cols]).write.mode(
+        "overwrite"
+    ).partitionBy(*shard_cols).parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    agg_cols = [F.count("*").cast("long").alias("n_docs")]
+    if "n_tokens" in written.columns:
+        agg_cols.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    if "bin_id" in written.columns:
+        agg_cols.append(
+            (F.countDistinct("bin_id")).cast("long").alias("n_bins")
+        )
+    per_shard = written.groupBy(*shard_cols).agg(*agg_cols).collect()
+    shards = sorted(
+        (
+            {
+                "shard": "/".join(str(r[c]) for c in shard_cols),
+                **{
+                    k: int(r[k])
+                    for k in r.asDict()
+                    if k not in shard_cols
+                },
+            }
+            for r in per_shard
+        ),
+        key=lambda s: s["shard"],
+    )
+    manifest = {
+        "shard_cols": list(shard_cols),
+        "n_shards": len(shards),
+        "total_docs": sum(s["n_docs"] for s in shards),
+        "total_tokens": sum(s.get("n_tokens", 0) for s in shards),
+        "shards": shards,
+    }
+    # underscore prefix: Spark/Hadoop file listings skip _-prefixed
+    # names, so the manifest can live inside the dataset root without
+    # breaking read-back of the parquet shards
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    final = os.path.join(path, "_manifest.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, final)
+    return manifest

@@ -50,3 +50,39 @@ def test_pipeline_is_one_catalyst_plan(spark, sf_dir):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert df.schema is not None
     assert after == before
+
+
+def test_write_training_shards_manifest_matches_disk(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from miniodb_spark.operators.pipeline import (
+        prepare_training_corpus,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = prepare_training_corpus(docs, target_rows=60, min_words=5)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out)
+
+    # manifest totals agree with the source aggregates
+    assert manifest["total_docs"] == packed.count()
+    assert manifest["total_tokens"] == (
+        packed.agg({"n_tokens": "sum"}).first()[0]
+    )
+    # the committed file equals the returned dict and the tmp is gone
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f) == manifest
+    assert not os.path.exists(os.path.join(out, "_manifest.json.tmp"))
+
+    # shard directories exist per manifest and read-back is lossless
+    back = spark.read.parquet(out)
+    assert back.count() == manifest["total_docs"]
+    for s in manifest["shards"]:
+        split, source = s["shard"].split("/", 1)
+        assert os.path.isdir(os.path.join(out, f"split={split}", f"source={source}"))
+        n = back.filter(
+            (back["split"] == split) & (back["source"] == source)
+        ).count()
+        assert n == s["n_docs"]
