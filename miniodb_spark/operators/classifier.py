@@ -32,30 +32,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FEATURE_COLS = [
-    "n_tokens_f", "ttr", "avg_token_len", "stopword_ratio", "punct_ratio",
+    "n_tokens", "ttr", "avg_token_len", "stopword_ratio", "punct_ratio",
 ]
 
 
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
-    """Engineered per-document quality features (all codegen
-    expressions, narrow text scan, zero shuffle)."""
-    from .text import EN_STOPWORDS, tokens_col
+    """Engineered per-document quality features — composed from the
+    SAME expression definitions the quality operators use
+    (``text.text_stats`` + ``text.quality_signals``), so a change to
+    e.g. the stopword set or punctuation definition reaches the trained
+    classifier automatically instead of silently drifting. All codegen
+    expressions, narrow text scan, zero shuffle."""
+    from .text import quality_signals, text_stats
 
-    toks = tokens_col(col)
-    n_chars = F.length(F.col(col)).cast("double")
-    n_tokens = F.size(toks).cast("double")
-    stops = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    n_punct = F.length(F.regexp_replace(F.col(col), r"[a-zA-Z0-9 ]", ""))
-    return df.withColumns(
-        {
-            "n_tokens_f": n_tokens,
-            "ttr": F.size(F.array_distinct(toks)) / n_tokens,
-            "avg_token_len": (n_chars - n_tokens + 1) / n_tokens,
-            "stopword_ratio": n_stop / n_tokens,
-            "punct_ratio": n_punct / n_chars,
-        }
-    )
+    return quality_signals(text_stats(df, col), col)
 
 
 def train_quality_classifier(train_df: DataFrame, label_col: str = "label"):
@@ -65,7 +55,9 @@ def train_quality_classifier(train_df: DataFrame, label_col: str = "label"):
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    va = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    va = VectorAssembler(
+        inputCols=FEATURE_COLS, outputCol="features", handleInvalid="skip"
+    )
     lr = LogisticRegression(
         featuresCol="features",
         labelCol=label_col,

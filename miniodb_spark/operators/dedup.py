@@ -639,23 +639,50 @@ def incremental_dedup(
     left join against the store — broadcast when the store fits,
     shuffle hash join on fp otherwise; bucketing the store by fp makes
     the join one-sided. The batch never joins itself row-by-row."""
-    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    from pyspark.sql import Window as W
-
-    with_fp = batch.select(
-        F.col(id_col), F.md5(normalized.cast("binary")).alias("fp")
-    ).withColumn("_mn", F.min(id_col).over(W.partitionBy("fp")))
+    with_fp = _fp_with_batch_min(batch, text_col, id_col)
     marked = with_fp.join(
         existing_fps.select("fp").distinct().withColumn("_seen", F.lit(True)),
         "fp",
         "left",
     )
-    status = (
+    return marked.select(F.col(id_col), _incremental_status(id_col).alias("status"))
+
+
+def _fp_with_batch_min(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared fingerprint core for the incremental-dedup family:
+    (id, fp=md5(normalized text), _mn=min id in the batch sharing fp)."""
+    from pyspark.sql import Window as W
+
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return batch.select(
+        F.col(id_col), F.md5(normalized.cast("binary")).alias("fp")
+    ).withColumn("_mn", F.min(id_col).over(W.partitionBy("fp")))
+
+
+def _incremental_status(id_col: str):
+    """Shared status precedence: store hit > in-batch dup > kept."""
+    return (
         F.when(F.col("_seen"), F.lit("dup_of_existing"))
         .when(F.col("_mn") < F.col(id_col), F.lit("dup_in_batch"))
         .otherwise(F.lit("kept"))
     )
-    return marked.select(F.col(id_col), status.alias("status"))
+
+
+def _bloom_positions(fps, m_bits: int, n_hashes: int):
+    """Bit positions for a sequence of md5-hex fingerprints via
+    Kirsch-Mitzenmacher double hashing (position_i = h1 + i*h2 with h1,
+    h2 the two 64-bit halves of the digest itself). THE single
+    definition shared by the bitmap build and the probe — any drift
+    between the two sides would silently break the no-false-negative
+    invariant."""
+    import numpy as np
+
+    h1 = np.array([int(s[:16], 16) for s in fps], dtype=np.uint64)
+    h2 = np.array([int(s[16:32], 16) for s in fps], dtype=np.uint64)
+    return [
+        (h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+        for i in range(n_hashes)
+    ]
 
 
 def bloom_bitmap(
@@ -688,10 +715,7 @@ def bloom_bitmap(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h1 = np.array([int(s[:16], 16) for s in pdf[fp_col]], dtype=np.uint64)
-            h2 = np.array([int(s[16:32], 16) for s in pdf[fp_col]], dtype=np.uint64)
-            for i in range(n_hashes):
-                pos = (h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+            for pos in _bloom_positions(pdf[fp_col], m_bits, n_hashes):
                 np.bitwise_or.at(
                     bm,
                     (pos >> np.uint64(3)).astype(np.int64),
@@ -731,17 +755,10 @@ def bloom_prefilter_dedup(
     (``bloom_bitmap``) and shipped to executors in task closures
     (128 KiB at the default sizing).
     """
-    import numpy as np
-
     bm = bloom_bitmap(existing_fps, m_bits=m_bits, n_hashes=n_hashes)
     bm_bytes = bm.tobytes()
 
-    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    from pyspark.sql import Window as W
-
-    with_fp = batch.select(
-        F.col(id_col), F.md5(normalized.cast("binary")).alias("fp")
-    ).withColumn("_mn", F.min(id_col).over(W.partitionBy("fp")))
+    with_fp = _fp_with_batch_min(batch, text_col, id_col)
 
     def _probe(batches):
         import numpy as np
@@ -750,11 +767,8 @@ def bloom_prefilter_dedup(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h1 = np.array([int(s[:16], 16) for s in pdf["fp"]], dtype=np.uint64)
-            h2 = np.array([int(s[16:32], 16) for s in pdf["fp"]], dtype=np.uint64)
             maybe = np.ones(len(pdf), dtype=bool)
-            for i in range(n_hashes):
-                pos = (h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+            for pos in _bloom_positions(pdf["fp"], m_bits, n_hashes):
                 maybe &= (
                     bits[(pos >> np.uint64(3)).astype(np.int64)]
                     >> (pos & np.uint64(7)).astype(np.uint8)
@@ -763,28 +777,30 @@ def bloom_prefilter_dedup(
             out["maybe_seen"] = maybe
             yield out
 
+    # localCheckpoint: the candidate/negative branches below both read
+    # `probed`; without materialization Spark would clone the whole
+    # window+probe subtree into each branch and Bloom-probe the batch
+    # twice — the cost the filter exists to avoid. The checkpoint is
+    # batch-sized (the small side by construction).
     probed = with_fp.mapInPandas(
         _probe,
         f"{id_col} long, fp string, _mn long, maybe_seen boolean",
+    ).localCheckpoint()
+    store = existing_fps.select("fp").distinct().withColumn(
+        "_seen", F.lit(True)
     )
-    candidates = probed.filter(F.col("maybe_seen"))
-    confirmed = candidates.join(
-        existing_fps.select("fp").distinct().withColumn("_seen", F.lit(True)),
-        "fp",
-        "left",
-    )
+    # only the Bloom-positive sliver joins the store (with a bucketed
+    # store this is the only shuffle: ε·batch rows); negatives are
+    # definitively unseen — no false negatives — and bypass with zero
+    # store IO.
+    confirmed = probed.filter(F.col("maybe_seen")).join(store, "fp", "left")
     negatives = probed.filter(~F.col("maybe_seen")).withColumn(
         "_seen", F.lit(None).cast("boolean")
     )
-    marked = confirmed.select(id_col, "fp", "_mn", "_seen").unionByName(
-        negatives.select(id_col, "fp", "_mn", "_seen")
+    marked = confirmed.select(id_col, "_mn", "_seen").unionByName(
+        negatives.select(id_col, "_mn", "_seen")
     )
-    status = (
-        F.when(F.col("_seen"), F.lit("dup_of_existing"))
-        .when(F.col("_mn") < F.col(id_col), F.lit("dup_in_batch"))
-        .otherwise(F.lit("kept"))
-    )
-    return marked.select(F.col(id_col), status.alias("status"))
+    return marked.select(F.col(id_col), _incremental_status(id_col).alias("status"))
 
 
 def register_queries(register) -> None:

@@ -203,31 +203,38 @@ def write_training_shards(
     df: DataFrame,
     path: str,
     shard_cols: tuple[str, ...] = ("split", "source"),
+    files_per_shard: int = 4,
+    id_col: str = "doc_id",
 ) -> dict:
     """Terminal pipeline stage: materialize the packed corpus as
     shard-partitioned parquet plus an atomically-committed
-    ``manifest.json`` — the contract a training dataloader consumes
+    ``_manifest.json`` — the contract a training dataloader consumes
     (which shards exist, how many documents/tokens/bins each holds,
     corpus totals).
 
-    Scale shape: ``repartition(shard_cols)`` before the write so each
-    shard directory gets its partitions' files instead of
-    one-file-per-input-task small-file spray (the classic 100 TB
-    partitioned-write mistake); the manifest is built from a groupBy of
-    the WRITTEN data read back — shard-cardinality-sized, so the
-    driver-side JSON is bounded by the number of shards, never rows —
-    and committed via tmp+rename so a crash mid-write never leaves a
-    readable-but-wrong manifest (same commit discipline as
-    ``mutations.py``).
+    Scale shape: repartition on (shard_cols, salt) before the write,
+    where the salt is ``pmod(hash(id), files_per_shard)`` — bare
+    low-cardinality shard columns would collapse each terabyte-scale
+    shard into ONE write task, while no repartition at all sprays
+    one-file-per-input-task into every shard directory; the bounded
+    salt keeps both parallelism and file counts under control. The
+    manifest is built from a groupBy of the WRITTEN data read back —
+    shard-cardinality-sized, so the driver-side JSON is bounded by the
+    number of shards, never rows — and committed through the ``fs``
+    abstraction's atomic write (tmp + rename), which also keeps the
+    manifest working on hdfs://-style roots where raw ``open()`` can't
+    reach (same commit discipline as ``mutations.py``).
 
     Reference scope: the reference's export surface is per-table parquet
     objects (internal/storage/writer.go); sharded training output with a
     dataloader manifest is part of the LLM-pipeline extension family.
     """
     import json
-    import os
 
-    df.repartition(*[F.col(c) for c in shard_cols]).write.mode(
+    from .. import fs as fsmod
+
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(int(files_per_shard)))
+    df.repartition(*[F.col(c) for c in shard_cols], salt).write.mode(
         "overwrite"
     ).partitionBy(*shard_cols).parquet(path)
 
@@ -265,9 +272,8 @@ def write_training_shards(
     # underscore prefix: Spark/Hadoop file listings skip _-prefixed
     # names, so the manifest can live inside the dataset root without
     # breaking read-back of the parquet shards
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    final = os.path.join(path, "_manifest.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, final)
+    fsmod.get_fs(spark, path).write_bytes(
+        fsmod.join(path, "_manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True).encode(),
+    )
     return manifest

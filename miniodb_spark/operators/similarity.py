@@ -465,6 +465,10 @@ def knn_join(
     ``cosine_topk`` / IVF / PQ serving.
     """
     qrows = queries_df.select(id_col, vec_col).collect()
+    if not qrows:
+        return queries_df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk long, sim double"
+        )
     qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
     qmat = np.asarray([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)

@@ -120,3 +120,51 @@ def test_bloom_prefilter_tiny_filter_still_exact(spark, sf_dir):
         for r in bloom_prefilter_dedup(batch, existing, m_bits=256).collect()
     }
     assert bloomed == plain
+
+
+def test_bloom_prefilter_crafted_duplicates_hit_all_statuses(spark):
+    # The parquet fixtures contain no duplicate fingerprints, so the
+    # dup branches need crafted input: store holds A; batch has a
+    # store dup (A), an in-batch dup pair (B,B as whitespace variants),
+    # and a fresh doc.
+    store_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    existing = store_docs.select(F.md5(norm.cast("binary")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta gamma"),   # normalizes to the stored fp
+            (11, "delta epsilon"),        # first of the in-batch pair
+            (12, "  Delta   Epsilon "),   # whitespace variant of 11
+            (13, "unique zeta"),          # fresh
+        ],
+        "doc_id long, text string",
+    )
+    expected = {
+        10: "dup_of_existing",
+        11: "kept",
+        12: "dup_in_batch",
+        13: "kept",
+    }
+    got = {
+        r["doc_id"]: r["status"]
+        for r in bloom_prefilter_dedup(batch, existing).collect()
+    }
+    assert got == expected
+    # and the plain-join path agrees on the same crafted input
+    plain = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(batch, existing).collect()
+    }
+    assert plain == expected
+
+
+def test_knn_join_empty_query_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty_q = corpus.filter(F.col("vec_id") < 0)
+    out = knn_join(empty_q, corpus, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rnk", "sim"]

@@ -74,7 +74,7 @@ def test_write_training_shards_manifest_matches_disk(spark, sf_dir, tmp_path):
     # the committed file equals the returned dict and the tmp is gone
     with open(os.path.join(out, "_manifest.json")) as f:
         assert json.load(f) == manifest
-    assert not os.path.exists(os.path.join(out, "_manifest.json.tmp"))
+    assert not [f for f in os.listdir(out) if ".tmp" in f]
 
     # shard directories exist per manifest and read-back is lossless
     back = spark.read.parquet(out)
