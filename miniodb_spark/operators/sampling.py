@@ -370,3 +370,90 @@ def register_queries(register) -> None:
         return epoch_shuffle(docs, seed=1, n_shards=8).orderBy(
             "shard_id", "pos_in_shard"
         )
+
+    @register(
+        "contrastive_pair_mining",
+        """
+        WITH k AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+          FROM documents),
+        d AS (
+          SELECT doc_id, key,
+                 (ascii(substr(key,1,1))
+                    - CASE WHEN ascii(substr(key,1,1)) >= 97 THEN 87 ELSE 48 END) AS d1,
+                 (ascii(substr(key,2,1))
+                    - CASE WHEN ascii(substr(key,2,1)) >= 97 THEN 87 ELSE 48 END) AS d2,
+                 (ascii(substr(key,3,1))
+                    - CASE WHEN ascii(substr(key,3,1)) >= 97 THEN 87 ELSE 48 END) AS d3,
+                 (ascii(substr(key,4,1))
+                    - CASE WHEN ascii(substr(key,4,1)) >= 97 THEN 87 ELSE 48 END) AS d4
+          FROM k),
+        b AS (
+          SELECT doc_id, key,
+                 (((d1*16 + d2)*16 + d3)*16 + d4) % 16 AS batch_id
+          FROM d),
+        p AS (
+          SELECT doc_id, batch_id,
+                 coalesce(
+                   lead(doc_id) OVER w,
+                   first_value(doc_id) OVER (
+                     PARTITION BY batch_id ORDER BY key, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)) AS neg_doc_id
+          FROM b WINDOW w AS (PARTITION BY batch_id ORDER BY key, doc_id))
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(neg_doc_id AS BIGINT) AS neg_doc_id
+        FROM p WHERE neg_doc_id <> doc_id
+        ORDER BY doc_id
+        """,
+        doc="deterministic in-batch-negative pairing for contrastive/"
+            "retriever training (SimCLR / DPR batch shape): md5-bucket "
+            "batch assignment + cyclic next-in-md5-order negatives — the "
+            "pairing is a pure function of doc_id, so training batches "
+            "are reproducible across engines and re-runs",
+        tags=("llm",),
+    )
+    def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return contrastive_pairs(docs, n_batches=16).orderBy("doc_id")
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    n_batches: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic contrastive-pair assembly for embedding/retriever
+    training (in-batch negatives, the SimCLR / DPR batch shape): every
+    document is assigned to a pseudo-random batch (md5 bucket), and its
+    hard-wired negative is the NEXT document in md5 order within the
+    batch (cyclic — the last wraps to the first). Positives are the
+    document's own chunks (see ``text.chunk_documents``); this operator
+    pins the (anchor, negative) pairing.
+
+    Everything is a pure function of (id), so the pairing is
+    reproducible across engines, re-runs and partitionings — the
+    property that makes a training run repeatable. Batches with a
+    single document yield no pair (a self-negative is useless) and are
+    filtered.
+
+    Scale shape: one shuffle on batch_id (windows parallel across
+    batches); batch sizes are corpus/n_batches — pick n_batches so a
+    batch fits a partition, exactly like the epoch-shuffle shards.
+    """
+    key = _md5_key(id_col)
+    batch = (_md5_bucket(id_col, n_batches)).cast("long")
+    w = Window.partitionBy("batch_id").orderBy("pair_key", id_col)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = F.coalesce(
+        F.lead(id_col).over(w), F.first(id_col).over(w_all)
+    )
+    return (
+        df.select(
+            F.col(id_col), key.alias("pair_key"), batch.alias("batch_id")
+        )
+        .withColumn("neg_doc_id", neg.cast("long"))
+        .filter(F.col("neg_doc_id") != F.col(id_col))
+        .select(id_col, "batch_id", "neg_doc_id")
+    )

@@ -116,3 +116,22 @@ def test_bigram_logprob_penalizes_rare_order(spark):
     rows = {r["doc_id"]: r["lm2_score"] for r in bigram_logprob(docs).collect()}
     assert rows[3] < rows[1]
     assert rows[1] == rows[2]
+
+
+def test_contrastive_pairs_properties(spark, sf_dir):
+    from miniodb_spark.operators.sampling import contrastive_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = contrastive_pairs(docs, n_batches=8).collect()
+    by_id = {r["doc_id"]: r for r in pairs}
+    batches = {}
+    for r in pairs:
+        batches.setdefault(r["batch_id"], set()).add(r["doc_id"])
+    for r in pairs:
+        # the negative is a different doc from the SAME batch
+        assert r["neg_doc_id"] != r["doc_id"]
+        assert r["neg_doc_id"] in batches[r["batch_id"]]
+    # deterministic across runs
+    again = {r["doc_id"]: r["neg_doc_id"]
+             for r in contrastive_pairs(docs, n_batches=8).collect()}
+    assert again == {k: v["neg_doc_id"] for k, v in by_id.items()}
