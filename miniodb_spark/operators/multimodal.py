@@ -1469,3 +1469,110 @@ def register_queries(register) -> None:
             .mapInPandas(_spec, "media_id long, dominant_hz long")
             .orderBy("media_id")
         )
+
+    @register(
+        "image_near_dup_hamming",
+        """
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+               CAST(b.doc_id AS BIGINT) AS id_b
+        FROM documents a JOIN documents b
+          ON a.doc_id % 10 = b.doc_id % 10 AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 30 AND b.doc_id < 30
+        ORDER BY id_a, id_b
+        """,
+        doc="image NEAR-duplicate pairs by banded perceptual dHash "
+            "(pigeonhole: Hamming<=3 over 64 bits guarantees one equal "
+            "16-bit band): 10 content groups of 3 — base, brightness-"
+            "shifted (hash-equal), and one-sampled-pixel perturbed "
+            "(flips at most 2 gradient bits by construction) — band "
+            "self-join proposes candidates, exact bit_count(xor) "
+            "verification keeps Hamming<=3; must recover exactly the 30 "
+            "intra-group pairs the oracle derives from id arithmetic",
+        tags=("llm",),
+    )
+    def image_near_dup_hamming(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 30
+        )
+        w, h = 16, 12
+        # the (row 4, col 4) downsample sample point for grid=8:
+        # ys[4] = 4*12//8 = 6, xs[4] = 4*16//9 = 7
+        px_y, px_x = 6, 7
+
+        def _pattern(group: int) -> bytearray:
+            x, out = (group * 2246822519 + 5) & 0xFFFFFFFF, bytearray()
+            for _ in range(w * h):
+                x = (1103515245 * x + 12345) & 0x7FFFFFFF
+                out.append(30 + (x >> 16) % 150)
+            return out
+
+        def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for d in pdf["doc_id"]:
+                    g, v = int(d) % 10, int(d) // 10
+                    pix = _pattern(g)
+                    if v == 1:  # brightness shift: dHash-invariant
+                        pix = bytearray(b + 25 for b in pix)
+                    elif v == 2:  # one sampled pixel: flips <=2 bits
+                        pix[px_y * w + px_x] = 250
+                    payloads.append(png_bytes_from_pixels(bytes(pix), w, h))
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        media = docs.select("doc_id").mapInPandas(
+            _encode, "media_id long, payload binary"
+        )
+
+        def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "dhash": [
+                            dhash64(decode_image_pixels(bytes(p)))
+                            for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+        hashed = media.mapInPandas(_hash, "media_id long, dhash long")
+        bands = hashed.select(
+            "media_id",
+            "dhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.expr(
+                                f"shiftrightunsigned(dhash, {16 * i}) & 65535"
+                            ).alias("band_val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ).select("media_id", "dhash", "band.band_idx", "band.band_val")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("id_a"),
+                F.col("b.media_id").alias("id_b"),
+                F.col("a.dhash").alias("ha"),
+                F.col("b.dhash").alias("hb"),
+            )
+            .distinct()
+        )
+        return (
+            cand.filter(F.expr("bit_count(ha ^ hb)") <= 3)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b")
+        )

@@ -135,3 +135,36 @@ def test_contrastive_pairs_properties(spark, sf_dir):
     again = {r["doc_id"]: r["neg_doc_id"]
              for r in contrastive_pairs(docs, n_batches=8).collect()}
     assert again == {k: v["neg_doc_id"] for k, v in by_id.items()}
+
+
+def test_image_near_dup_perturbation_hamming_profile():
+    # the one-sampled-pixel perturbation used by image_near_dup_hamming
+    # must stay within the banding bound (<=2 bits: one sample point
+    # touches two horizontal comparisons) and produce GENUINE nonzero
+    # distances for some groups, so the Hamming-verify path is
+    # exercised by real near-dups, not only exact matches.
+    from miniodb_spark.operators.multimodal import (
+        decode_png_pixels,
+        dhash64,
+        png_bytes_from_pixels,
+    )
+
+    w, h = 16, 12
+
+    def pattern(g):
+        x, out = (g * 2246822519 + 5) & 0xFFFFFFFF, bytearray()
+        for _ in range(w * h):
+            x = (1103515245 * x + 12345) & 0x7FFFFFFF
+            out.append(30 + (x >> 16) % 150)
+        return out
+
+    dists = []
+    for g in range(10):
+        base = pattern(g)
+        v2 = bytearray(base)
+        v2[6 * 16 + 7] = 250
+        h0 = dhash64(decode_png_pixels(png_bytes_from_pixels(bytes(base), w, h)))
+        h2 = dhash64(decode_png_pixels(png_bytes_from_pixels(bytes(v2), w, h)))
+        dists.append(bin((h0 ^ h2) & ((1 << 64) - 1)).count("1"))
+    assert all(d <= 2 for d in dists), dists
+    assert any(d >= 1 for d in dists), dists
