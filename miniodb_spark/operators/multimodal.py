@@ -807,6 +807,19 @@ def synthetic_media_df(spark, sf_dir: str) -> DataFrame:
     )
 
 
+
+def lcg_pixels(seed32: int, n: int) -> bytearray:
+    """Deterministic pseudo-random pixel pattern in [30, 180): a glibc-
+    constant LCG over a 32-bit seed. Shared by the perceptual-hash
+    entries so base/variant constructions can never drift apart; values
+    leave >=75 levels of headroom for brightness-shift variants."""
+    x, out = seed32 & 0xFFFFFFFF, bytearray()
+    for _ in range(n):
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        out.append(30 + (x >> 16) % 150)
+    return out
+
+
 def register_queries(register) -> None:
     @register(
         "multimodal_payload_stats",
@@ -1366,13 +1379,9 @@ def register_queries(register) -> None:
         w, h = 16, 12
 
         def _pattern(group: int) -> bytes:
-            # LCG-derived base pattern in [30, 180): +shift<=60 cannot
-            # clip, so every variant keeps identical pixel differences.
-            x, out = (group * 2654435761 + 1) & 0xFFFFFFFF, bytearray()
-            for _ in range(w * h):
-                x = (1103515245 * x + 12345) & 0x7FFFFFFF
-                out.append(30 + (x >> 16) % 150)
-            return bytes(out)
+            # +shift<=60 cannot clip the [30,180) base, so every variant
+            # keeps identical pixel differences.
+            return bytes(lcg_pixels(group * 2654435761 + 1, w * h))
 
         def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -1500,11 +1509,7 @@ def register_queries(register) -> None:
         px_y, px_x = 6, 7
 
         def _pattern(group: int) -> bytearray:
-            x, out = (group * 2246822519 + 5) & 0xFFFFFFFF, bytearray()
-            for _ in range(w * h):
-                x = (1103515245 * x + 12345) & 0x7FFFFFFF
-                out.append(30 + (x >> 16) % 150)
-            return out
+            return lcg_pixels(group * 2246822519 + 5, w * h)
 
         def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -152,11 +152,9 @@ def test_image_near_dup_perturbation_hamming_profile():
     w, h = 16, 12
 
     def pattern(g):
-        x, out = (g * 2246822519 + 5) & 0xFFFFFFFF, bytearray()
-        for _ in range(w * h):
-            x = (1103515245 * x + 12345) & 0x7FFFFFFF
-            out.append(30 + (x >> 16) % 150)
-        return out
+        from miniodb_spark.operators.multimodal import lcg_pixels
+
+        return lcg_pixels(g * 2246822519 + 5, w * h)
 
     dists = []
     for g in range(10):
