@@ -46,7 +46,12 @@ Package map:
   kv.py         store-root KV: version nonces, driver heartbeat registry (Redis substitution)
   layout.py     Z-order (Morton) clustered writes for multi-column pruning
   queries.py    the operator-inventory registry (Spark impl + DuckDB oracle pairs)
-  operators/    dedup, similarity, temporal joins, text analysis, multimodal, jpeg codec
+  operators/    dedup (incl. Bloom-gated incremental), similarity (ANN
+                tiers + batched k-NN join), temporal joins, text analysis
+                (incl. bigram LM), trainable quality classifier, sampling
+                (mixing/split/packing/epoch shuffle/contrastive pairs),
+                multimodal (decoders + perceptual-hash near-dup), jpeg
+                codec, composed pipeline + sharded writer
   streaming/    structured-streaming ingest, CDC events, windows, stateful ops
 """
 
