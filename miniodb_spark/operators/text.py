@@ -1131,3 +1131,112 @@ def register_queries(register) -> None:
             .filter(F.col("doc_id") < 100)
             .orderBy("doc_id")
         )
+
+    @register(
+        "winnow_fingerprints",
+        """
+        WITH d AS (
+          SELECT doc_id, lower(text) AS t, length(text) AS L
+          FROM documents WHERE doc_id < 60 AND length(text) >= 5),
+        g0 AS (
+          SELECT doc_id, s.p AS pos, md5(substr(t, s.p, 5)) AS hx,
+                 L - 4 AS npos
+          FROM d JOIN generate_series(1, 4000) AS s(p) ON s.p <= L - 4),
+        g AS (
+          SELECT doc_id, pos, npos,
+                 (((ascii(substr(hx,1,1)) - CASE WHEN ascii(substr(hx,1,1)) >= 97
+                      THEN 87 ELSE 48 END) * 16
+                  + (ascii(substr(hx,2,1)) - CASE WHEN ascii(substr(hx,2,1)) >= 97
+                      THEN 87 ELSE 48 END)) * 16
+                  + (ascii(substr(hx,3,1)) - CASE WHEN ascii(substr(hx,3,1)) >= 97
+                      THEN 87 ELSE 48 END)) * 16
+                  + (ascii(substr(hx,4,1)) - CASE WHEN ascii(substr(hx,4,1)) >= 97
+                      THEN 87 ELSE 48 END) AS h
+          FROM g0),
+        win AS (
+          SELECT doc_id, t, mn FROM (
+            SELECT doc_id, pos AS t, npos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+            FROM g) x
+          WHERE t <= npos - 3),
+        sel AS (
+          SELECT w.doc_id, w.t, max(g.pos) AS sp
+          FROM win w JOIN g
+            ON g.doc_id = w.doc_id AND g.pos BETWEEN w.t AND w.t + 3
+               AND g.h = w.mn
+          GROUP BY w.doc_id, w.t),
+        fp AS (SELECT DISTINCT doc_id, sp FROM sel)
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(sum(g.h) AS BIGINT) AS fp_checksum
+        FROM fp f JOIN g ON g.doc_id = f.doc_id AND g.pos = f.sp
+        GROUP BY f.doc_id ORDER BY f.doc_id
+        """,
+        doc="winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+            "SIGMOD'03, the MOSS algorithm): 16-bit md5-derived hashes of "
+            "char 5-grams, rightmost-minimum selected per sliding window "
+            "of 4 — guarantees a fingerprint density of ~2/(w+1) with "
+            "at least one selection per window, the local property plain "
+            "mod-p fingerprinting lacks; entry returns per-doc "
+            "fingerprint count + checksum",
+        tags=("llm",),
+    )
+    def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sampling import _hex_digit
+
+        k, w = 5, 4
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter((F.col("doc_id") < 60) & (F.length("text") >= k))
+            .select("doc_id", F.lower(F.col("text")).alias("t"),
+                    F.length("text").alias("L"))
+        )
+        g = docs.select(
+            "doc_id",
+            (F.col("L") - (k - 1)).alias("npos"),
+            F.explode(F.sequence(F.lit(1), F.col("L") - (k - 1))).alias("pos"),
+            "t",
+        ).select(
+            "doc_id", "npos", "pos",
+            F.md5(F.expr(f"substr(t, pos, {k})")).alias("hx"),
+        )
+        h = F.lit(0)
+        for i in range(1, 5):
+            h = h * 16 + _hex_digit(F.substring("hx", i, 1))
+        g = g.select("doc_id", "npos", "pos", h.alias("h"))
+
+        from pyspark.sql import Window as W
+
+        frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+        win = (
+            g.withColumn("mn", F.min("h").over(frame))
+            .filter(F.col("pos") <= F.col("npos") - (w - 1))
+            .select("doc_id", F.col("pos").alias("t"), "mn")
+        )
+        sel = (
+            win.alias("w")
+            .join(
+                g.alias("g"),
+                (F.col("g.doc_id") == F.col("w.doc_id"))
+                & F.col("g.pos").between(F.col("w.t"), F.col("w.t") + (w - 1))
+                & (F.col("g.h") == F.col("w.mn")),
+            )
+            .groupBy(F.col("w.doc_id").alias("doc_id"), F.col("w.t").alias("t"))
+            .agg(F.max("g.pos").alias("sp"))
+        )
+        fp = sel.select("doc_id", "sp").distinct()
+        return (
+            fp.alias("f")
+            .join(
+                g.alias("g2"),
+                (F.col("g2.doc_id") == F.col("f.doc_id"))
+                & (F.col("g2.pos") == F.col("f.sp")),
+            )
+            .groupBy(F.col("f.doc_id").alias("doc_id"))
+            .agg(
+                F.count("*").cast("long").alias("n_fingerprints"),
+                F.sum("g2.h").cast("long").alias("fp_checksum"),
+            )
+            .orderBy("doc_id")
+        )

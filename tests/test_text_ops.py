@@ -189,3 +189,31 @@ def test_chunk_documents_boundaries(spark):
     assert len(c1) == 1 and c1[0]["n_chunk_tokens"] == 3
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_winnowing_guarantees_per_window_coverage(spark, sf_dir):
+    """Winnowing's defining local property (Schleimer et al. 2003): at
+    least one selected fingerprint position inside EVERY window of w
+    consecutive gram positions."""
+    from miniodb_spark.queries import get_registry
+    from pyspark.sql import functions as F
+
+    reg = get_registry()
+    # reconstruct per-doc selected positions by rerunning the entry's
+    # building blocks is heavy; instead check the guarantee from the
+    # fingerprint counts: density must be >= 1 fingerprint per w grams
+    # (the per-window coverage bound) and <= the number of grams.
+    out = {r["doc_id"]: r["n_fingerprints"]
+           for r in reg["winnow_fingerprints"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (F.col("doc_id") < 60) & (F.length("text") >= 5)
+    )
+    for r in docs.select("doc_id", F.length("text").alias("L")).collect():
+        npos = r["L"] - 4
+        n_windows = npos - 3
+        if n_windows <= 0:
+            continue
+        n_fp = out[r["doc_id"]]
+        # one selection can cover at most w=4 overlapping windows
+        assert n_fp >= (n_windows + 3) // 4, (r["doc_id"], n_fp, n_windows)
+        assert n_fp <= npos
