@@ -804,6 +804,8 @@ def bloom_prefilter_dedup(
 
 
 def register_queries(register) -> None:
+    register_prefix_filter(register)
+
     @register(
         "substring_dup_spans",
         """
@@ -1141,3 +1143,142 @@ def register_queries(register) -> None:
         )
         batch = docs.filter(F.col("doc_id") >= cut)
         return bloom_prefilter_dedup(batch, existing).orderBy("doc_id")
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Set-similarity self-join via PREFIX FILTERING (the PPJoin family
+    — Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): order each
+    document's distinct tokens by ascending global frequency (rarest
+    first); two sets with Jaccard >= t MUST share a token within their
+    first |set| - ceil(t*|set|) + 1 tokens, so only prefix tokens enter
+    the inverted-index join. Against the plain inverted-index join
+    (``dedup_token_jaccard``) this shrinks the candidate space by the
+    prefix ratio (~1-t) PER DOC on both sides — the difference between
+    a feasible and an infeasible self-join when common tokens dominate.
+
+    The threshold is the rational ``threshold_num/threshold_den`` and
+    every comparison is integer arithmetic (prefix length via
+    ceil-division, final check ``inter*den >= num*(|A|+|B|-inter)``), so
+    no float boundary can flip a pair between engines. Returns exact
+    (id_a, id_b, inter, uni) for verified pairs.
+
+    Scale shape: one token-frequency aggregate (broadcastable), one
+    window per doc for the frequency ranking, the prefix-token inverted
+    join, then exact verification joining only candidate pairs back to
+    the token relation. Hot tokens appear in prefixes only for docs
+    where every rarer token is absent — the skew cap the plain join
+    needs explicitly falls out of the ordering here.
+    """
+    from pyspark.sql import Window as W
+
+    from .text import _alnum_tokens
+
+    toks = (
+        df.select(F.col(id_col), F.explode(_alnum_tokens(text_col)).alias("tok"))
+        .distinct()
+    )
+    sz = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    gdf = toks.groupBy("tok").agg(F.count("*").alias("gdf"))
+    ranked = (
+        toks.join(F.broadcast(gdf), "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("gdf", "tok")
+            ),
+        )
+        .join(sz, id_col)
+    )
+    # prefix_len = sz - ceil(t*sz) + 1, all integer
+    ceil_t_sz = F.expr(
+        f"cast(({threshold_num} * sz + {threshold_den} - 1) div {threshold_den} as int)"
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
+    a = prefix.select(F.col(id_col).alias("id_a"), "tok")
+    b = prefix.select(F.col(id_col).alias("id_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("uni", (F.col("sza") + F.col("szb") - F.col("inter")).cast("long"))
+        .filter(
+            F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("uni")
+        )
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+def register_prefix_filter(register) -> None:
+    @register(
+        "dedup_prefix_filter_jaccard",
+        """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t.tok
+          FROM documents,
+               UNNEST(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
+          WHERE doc_id < 60),
+        sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        gdf AS (SELECT tok, count(*) AS gdf FROM tok GROUP BY tok),
+        ranked AS (
+          SELECT k.doc_id, k.tok, s.sz,
+                 row_number() OVER (PARTITION BY k.doc_id
+                                    ORDER BY g.gdf, k.tok) AS rn
+          FROM tok k JOIN gdf g ON k.tok = g.tok
+                     JOIN sz s ON k.doc_id = s.doc_id),
+        pre AS (
+          SELECT doc_id, tok FROM ranked
+          WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pre a JOIN pre b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        i AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.id_a
+          JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+          GROUP BY c.id_a, c.id_b)
+        SELECT CAST(i.id_a AS BIGINT) AS id_a,
+               CAST(i.id_b AS BIGINT) AS id_b,
+               CAST(i.inter AS BIGINT) AS inter,
+               CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni
+        FROM i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter * 5 >= 4 * (sa.sz + sb.sz - i.inter)
+        ORDER BY id_a, id_b
+        """,
+        doc="set-similarity self-join via prefix filtering (PPJoin "
+            "family, Chaudhuri'06/Xiao'08): rarest-first token ordering, "
+            "only the |s|-ceil(t|s|)+1 prefix enters the inverted-index "
+            "join, candidates verified with exact integer arithmetic "
+            "(inter*5 >= 4*uni for t=4/5) — no float boundary can flip "
+            "a pair between engines",
+        tags=("llm",),
+    )
+    def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 60
+        )
+        return prefix_filter_jaccard_pairs(docs).orderBy("id_a", "id_b")

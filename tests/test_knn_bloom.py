@@ -168,3 +168,34 @@ def test_knn_join_empty_query_batch(spark):
     out = knn_join(empty_q, corpus, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rnk", "sim"]
+
+
+def test_prefix_filter_jaccard_complete_vs_brute_force(spark):
+    from itertools import combinations
+
+    from miniodb_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    texts = {
+        1: "apple banana cherry date elderberry fig",
+        2: "apple banana cherry date elderberry grape",   # J=5/7 < 4/5
+        3: "apple banana cherry date elderberry fig",     # J=1 with 1
+        4: "kiwi lemon mango nectarine orange papaya",
+        5: "kiwi lemon mango nectarine orange papaya",    # J=1 with 4
+        6: "zebra yak xerus wolf viper urial",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    expected = set()
+    sets = {i: set(t.split()) for i, t in texts.items()}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if inter * 5 >= 4 * uni:
+            expected.add((a, b))
+    assert got == expected
+    assert (1, 3) in got and (4, 5) in got and (1, 2) not in got
