@@ -1240,3 +1240,46 @@ def register_queries(register) -> None:
             )
             .orderBy("doc_id")
         )
+
+    @register(
+        "char_entropy_quality",
+        """
+        WITH c AS (
+          SELECT doc_id, t.ch, length(text) AS L
+          FROM documents,
+               UNNEST(string_split_regex(lower(text), '')) AS t(ch)
+          WHERE doc_id < 100 AND length(text) > 0),
+        k AS (SELECT doc_id, ch, L, count(*) AS n
+              FROM c GROUP BY doc_id, ch, L)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               round(-sum((n * 1.0 / L) * ln(n * 1.0 / L)), 4) AS entropy
+        FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
+        doc="per-document Shannon character entropy (nats) — the cheap "
+            "gibberish/compression-artifact signal: natural prose sits "
+            "in a narrow entropy band, base64 blobs and aaaa-runs fall "
+            "far outside it; explode-chars + two count aggs, the same "
+            "token-relation shape every text op pays",
+        tags=("llm",),
+    )
+    def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            (F.col("doc_id") < 100) & (F.length("text") > 0)
+        )
+        chars = docs.select(
+            "doc_id",
+            F.length("text").alias("L"),
+            F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+        ).filter(F.col("ch") != "")
+        p = F.col("n") / F.col("L")
+        return (
+            chars.groupBy("doc_id", "ch", "L")
+            .agg(F.count("*").alias("n"))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_distinct_chars"),
+                F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            )
+            .orderBy("doc_id")
+        )

@@ -217,3 +217,28 @@ def test_winnowing_guarantees_per_window_coverage(spark, sf_dir):
         # one selection can cover at most w=4 overlapping windows
         assert n_fp >= (n_windows + 3) // 4, (r["doc_id"], n_fp, n_windows)
         assert n_fp <= npos
+
+
+def test_char_entropy_separates_prose_from_runs(spark):
+    from miniodb_spark.queries import get_registry  # noqa: F401  (registry import pattern)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")],
+        "doc_id long, text string",
+    )
+    chars = docs.select(
+        "doc_id", F.length("text").alias("L"),
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    p = F.col("n") / F.col("L")
+    ent = {
+        r["doc_id"]: r["e"]
+        for r in chars.groupBy("doc_id", "ch", "L")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log(p))).alias("e"))
+        .collect()
+    }
+    assert ent[1] < 0.01 < 2.0 < ent[0]  # run ~0 nats, prose ~3 nats
