@@ -217,6 +217,102 @@ def build_cms(
     return merged
 
 
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (Misra & Gries 1982; the
+    SpaceSaving/MG family every streaming top-k uses): at most ``k``
+    (value, count) counters; every stored count UNDERESTIMATES the true
+    frequency by at most the total decrement ``D``, and any value absent
+    from the summary has true count <= D, with D <= N/(k+1). Merging two
+    summaries (combine + prune back to k) preserves the bound with
+    D = D1 + D2 + prune-decrement, tracked exactly in ``decrements`` so
+    callers can assert the guarantee instead of trusting it.
+
+    Completes the mergeable-sketch registry next to HyperLogLog and
+    CountMinSketch (reference approximation surface:
+    /root/reference/internal/query/approximation.go — HLL/CMS only; MG
+    extends it with deterministic top-k candidates CMS cannot give
+    without a candidate stream)."""
+
+    def __init__(self, k: int = 32):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counters: dict[str, int] = {}
+        self.decrements = 0
+        self.total = 0
+
+    def add_values(self, values, counts) -> None:
+        for v, c in zip(values, counts):
+            c = int(c)
+            self.total += c
+            self.counters[v] = self.counters.get(v, 0) + c
+        self._prune()
+
+    def _prune(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        # decrement everything by the (k+1)-th largest count and drop
+        # the non-positive rest — the batch form of MG's decrement step
+        cs = sorted(self.counters.values(), reverse=True)
+        d = cs[self.k]
+        self.decrements += d
+        self.counters = {
+            v: c - d for v, c in self.counters.items() if c - d > 0
+        }
+
+    def merge(self, other: "MisraGries") -> None:
+        if other.k != self.k:
+            raise ValueError("cannot merge MG summaries of different k")
+        for v, c in other.counters.items():
+            self.counters[v] = self.counters.get(v, 0) + c
+        self.total += other.total
+        self.decrements += other.decrements
+        self._prune()
+
+    def to_bytes(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"k": self.k, "c": self.counters, "d": self.decrements,
+             "n": self.total},
+            sort_keys=True,
+        ).encode()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MisraGries":
+        import json
+
+        o = json.loads(b.decode())
+        mg = cls(o["k"])
+        mg.counters = {str(v): int(c) for v, c in o["c"].items()}
+        mg.decrements = int(o["d"])
+        mg.total = int(o["n"])
+        return mg
+
+
+def build_mg(df: DataFrame, column: str, k: int = 32) -> MisraGries:
+    """One partial MG per partition (value counts pre-aggregated inside
+    each Arrow batch), merged on the driver — same partials shape as
+    the HLL/CMS builders; data moved to Python is one k-entry summary
+    per partition, never rows."""
+
+    vals = df.filter(F.col(column).isNotNull()).select(
+        F.col(column).cast("string").alias("v")
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mg = MisraGries(k)
+        for pdf in batches:
+            vc = pdf["v"].value_counts()
+            mg.add_values(vc.index.tolist(), vc.to_numpy())
+        yield pd.DataFrame({"sketch": [mg.to_bytes()]})
+
+    merged = MisraGries(k)
+    for row in vals.mapInPandas(_partial, _PARTIAL_SCHEMA).collect():
+        merged.merge(MisraGries.from_bytes(row["sketch"]))
+    return merged
+
+
 def value_hash(value) -> int:
     """Driver-side hash matching the JVM xxhash64(cast-to-string) used in
     the builders — so point queries hash identically."""
@@ -261,6 +357,38 @@ def register_queries(register) -> None:
             for v in exact
         )
         return spark.createDataFrame([(bool(ok),)], "cms_ok boolean")
+
+    @register(
+        "mg_heavy_hitters_within_bound",
+        "SELECT true AS mg_ok",
+        doc="Misra-Gries heavy-hitters summary (k=8) over events."
+            "user_id (cardinality >> k, so pruning really happens): "
+            "every stored count underestimates the exact "
+            "count by at most the tracked decrement D, absent values "
+            "have exact count <= D, and every value with exact count "
+            "> D is present — the full MG guarantee asserted against "
+            "exact aggregation, not sampled",
+        tags=("sketch",),
+    )
+    def mg_heavy_hitters_within_bound(spark, sf_dir):
+        ev = _load(spark, sf_dir, "events")
+        mg = build_mg(ev, "user_id", k=8)
+        exact = {
+            str(r["user_id"]): r["n"]
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        d = mg.decrements
+        ok = (
+            all(
+                0 < mg.counters.get(v, 0) <= exact[v]
+                and exact[v] - mg.counters.get(v, 0) <= d
+                for v in mg.counters
+            )
+            and all(exact[v] <= d for v in exact if v not in mg.counters)
+            and all(v in mg.counters for v in exact if exact[v] > d)
+            and mg.total == sum(exact.values())
+        )
+        return spark.createDataFrame([(bool(ok),)], "mg_ok boolean")
 
 
 class ApproximateQueryEngine:

@@ -202,3 +202,56 @@ def test_engine_approx_surface_cross_driver(spark, tmp_path, sf_dir):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         b.approx_cardinality("ev", "never_sketched")
+
+
+def test_misra_gries_guarantee_and_merge(spark):
+    from collections import Counter
+
+    from miniodb_spark.sketches import MisraGries, build_mg
+
+    # skewed stream: value i appears 2^i times for i in 0..9
+    stream = []
+    for i in range(10):
+        stream += [f"v{i}"] * (2 ** i)
+    exact = Counter(stream)
+
+    mg = MisraGries(k=4)
+    mg.add_values(list(exact.keys()), list(exact.values()))
+    d = mg.decrements
+    assert d > 0  # pruning happened (10 values, 4 counters)
+    for v, c in mg.counters.items():
+        assert 0 < c <= exact[v]
+        assert exact[v] - c <= d
+    for v in exact:
+        if v not in mg.counters:
+            assert exact[v] <= d
+    # the top hitters survive
+    assert "v9" in mg.counters and "v8" in mg.counters
+
+    # merge of two halves obeys the same guarantee with summed decrements
+    a, b = MisraGries(k=4), MisraGries(k=4)
+    a.add_values(list(exact.keys()), list(exact.values()))
+    b.add_values(["v9", "w", "x", "y", "z"], [100, 60, 50, 40, 30])
+    total = Counter(exact) + Counter({"v9": 100, "w": 60, "x": 50, "y": 40, "z": 30})
+    a.merge(b)
+    assert a.total == sum(total.values())
+    for v, c in a.counters.items():
+        assert c <= total[v] and total[v] - c <= a.decrements
+
+    # distributed build agrees with the guarantee on a real column
+    df = spark.createDataFrame([(v,) for v in stream], "val string").repartition(8)
+    mg2 = build_mg(df, "val", k=4)
+    assert mg2.total == len(stream)
+    for v, c in mg2.counters.items():
+        assert c <= exact[v] and exact[v] - c <= mg2.decrements
+
+
+def test_misra_gries_serialization_roundtrip():
+    from miniodb_spark.sketches import MisraGries
+
+    mg = MisraGries(k=3)
+    mg.add_values(["a", "b", "c", "d"], [5, 4, 3, 2])
+    back = MisraGries.from_bytes(mg.to_bytes())
+    assert back.counters == mg.counters
+    assert back.decrements == mg.decrements
+    assert back.total == mg.total

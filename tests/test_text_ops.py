@@ -220,7 +220,6 @@ def test_winnowing_guarantees_per_window_coverage(spark, sf_dir):
 
 
 def test_char_entropy_separates_prose_from_runs(spark):
-    from miniodb_spark.queries import get_registry  # noqa: F401  (registry import pattern)
     from pyspark.sql import functions as F
 
     docs = spark.createDataFrame(
