@@ -395,26 +395,32 @@ class ApproximateQueryEngine:
     """Per-(table, column) sketch registry with global merge — parity
     with the reference's registry (approximation.go:309-456)."""
 
-    def __init__(self, precision: int = 12, cms_width: int = 1000, cms_depth: int = 5):
+    def __init__(self, precision: int = 12, cms_width: int = 1000,
+                 cms_depth: int = 5, mg_k: int = 32):
         self.precision = precision
         self.cms_width = cms_width
         self.cms_depth = cms_depth
+        self.mg_k = mg_k
         self._hll: dict[tuple[str, str], HyperLogLog] = {}
         self._cms: dict[tuple[str, str], CountMinSketch] = {}
+        self._mg: dict[tuple[str, str], MisraGries] = {}
         self._lock = threading.Lock()
 
     def update_from_dataframe(self, table: str, df: DataFrame, columns: list[str]) -> None:
         for col in columns:
             hll = build_hll(df, col, self.precision)
             cms = build_cms(df, col, self.cms_width, self.cms_depth)
+            mg = build_mg(df, col, self.mg_k)
             with self._lock:
                 key = (table, col)
                 if key in self._hll:
                     self._hll[key].merge(hll)
                     self._cms[key].merge(cms)
+                    self._mg[key].merge(mg)
                 else:
                     self._hll[key] = hll
                     self._cms[key] = cms
+                    self._mg[key] = mg
 
     def cardinality(self, table: str, column: str) -> float:
         with self._lock:
@@ -423,6 +429,14 @@ class ApproximateQueryEngine:
     def frequency(self, table: str, column: str, value) -> int:
         with self._lock:
             return self._cms[(table, column)].query_hash(value_hash(value))
+
+    def top_values(self, table: str, column: str, n: int = 10) -> list[tuple[str, int]]:
+        """Heavy-hitter candidates from the MG summary, largest first —
+        deterministic top-k candidates the CMS alone cannot enumerate;
+        counts are MG lower bounds (underestimate ≤ tracked decrement)."""
+        with self._lock:
+            mg = self._mg[(table, column)]
+            return sorted(mg.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
 
     def merged_cardinality(self, pairs: list[tuple[str, str]]) -> float:
         """Cardinality of the union across (table, column) sketches —
@@ -445,6 +459,7 @@ class ApproximateQueryEngine:
         with self._lock:
             items = [("hll", k, s.to_bytes()) for k, s in self._hll.items()]
             items += [("cms", k, s.to_bytes()) for k, s in self._cms.items()]
+            items += [("mg", k, s.to_bytes()) for k, s in self._mg.items()]
         for kind, (table, col), data in items:
             kv.put(f"sketch/{kind}/{table}/{col}", data)
         return len(items)
@@ -459,7 +474,8 @@ class ApproximateQueryEngine:
         for table, col in keys:
             hb = kv.get(f"sketch/hll/{table}/{col}")
             cb = kv.get(f"sketch/cms/{table}/{col}")
-            if hb is None and cb is None:
+            mb = kv.get(f"sketch/mg/{table}/{col}")
+            if hb is None and cb is None and mb is None:
                 continue
             with self._lock:
                 key = (table, col)
@@ -475,5 +491,11 @@ class ApproximateQueryEngine:
                         self._cms[key].merge(loaded_c)
                     else:
                         self._cms[key] = loaded_c
+                if mb is not None:
+                    loaded_m = MisraGries.from_bytes(mb)
+                    if merge and key in self._mg:
+                        self._mg[key].merge(loaded_m)
+                    else:
+                        self._mg[key] = loaded_m
             n += 1
         return n
