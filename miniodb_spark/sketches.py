@@ -313,6 +313,127 @@ def build_mg(df: DataFrame, column: str, k: int = 32) -> MisraGries:
     return merged
 
 
+class QuantileDigest:
+    """Mergeable quantile summary: sorted centroids (mean, weight) with a
+    UNIFORM weight cap of ``2*total/max_centroids`` — the equal-weight
+    simplification of the t-digest (Dunning & Ertl, "Computing extremely
+    accurate quantiles using t-digests", arXiv:1902.04023; uniform cap =
+    their k0 scale function). Provable bound: a query's rank error is at
+    most the largest centroid's mass fraction (``rank_error_bound``),
+    since a centroid's true members span at most its own weight in rank.
+    Deterministic — sort + greedy accumulation, no randomness — so two
+    engines building from the same values agree exactly.
+
+    Completes the mergeable-sketch registry: HLL (cardinality), CMS
+    (frequency), MG (top-k), QuantileDigest (quantiles)."""
+
+    def __init__(self, max_centroids: int = 100):
+        if max_centroids < 2:
+            raise ValueError("max_centroids must be >= 2")
+        self.max_centroids = max_centroids
+        self.means: list[float] = []
+        self.weights: list[int] = []
+        self.total = 0
+        self.vmin = float("inf")
+        self.vmax = float("-inf")
+
+    def add_values(self, values) -> None:
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        self.total += int(vals.size)
+        vals.sort()
+        self._absorb(vals.tolist(), [1] * vals.size)
+
+    def merge(self, other: "QuantileDigest") -> None:
+        if other.total == 0:
+            return
+        self.total += other.total
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._absorb(other.means, other.weights)
+
+    def _absorb(self, means, weights) -> None:
+        merged = sorted(
+            zip(self.means + list(means), self.weights + list(weights))
+        )
+        cap = max(1, (2 * self.total) // self.max_centroids)
+        out_m, out_w = [], []
+        for m, w in merged:
+            if out_w and out_w[-1] + w <= cap:
+                tw = out_w[-1] + w
+                out_m[-1] = (out_m[-1] * out_w[-1] + m * w) / tw
+                out_w[-1] = tw
+            else:
+                out_m.append(float(m))
+                out_w.append(int(w))
+        self.means, self.weights = out_m, out_w
+
+    def rank_error_bound(self) -> float:
+        if self.total == 0:
+            return 0.0
+        return max(self.weights) / self.total
+
+    def quantile(self, q: float) -> float:
+        """Value estimate at quantile q via cumulative-weight walk with
+        midpoint attribution (each centroid's mass centered on its mean)."""
+        if not 0 <= q <= 1:
+            raise ValueError("q must be in [0, 1]")
+        if self.total == 0:
+            raise ValueError("empty digest")
+        target = q * self.total
+        cum = 0.0
+        for m, w in zip(self.means, self.weights):
+            if cum + w / 2 >= target:
+                return m
+            cum += w
+        return self.vmax
+
+    def to_bytes(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"k": self.max_centroids, "m": self.means, "w": self.weights,
+             "n": self.total, "lo": self.vmin, "hi": self.vmax},
+        ).encode()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "QuantileDigest":
+        import json
+
+        o = json.loads(b.decode())
+        qd = cls(o["k"])
+        qd.means = [float(x) for x in o["m"]]
+        qd.weights = [int(x) for x in o["w"]]
+        qd.total = int(o["n"])
+        qd.vmin, qd.vmax = float(o["lo"]), float(o["hi"])
+        return qd
+
+
+def build_qdigest(df: DataFrame, column: str,
+                  max_centroids: int = 100) -> QuantileDigest:
+    """One partial digest per partition, merged on the driver — the
+    HLL/CMS/MG partials shape; rows never leave the executors."""
+
+    vals = df.filter(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("v")
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qd = QuantileDigest(max_centroids)
+        for pdf in batches:
+            qd.add_values(pdf["v"].to_numpy(dtype=np.float64))
+        yield pd.DataFrame({"sketch": [qd.to_bytes()]})
+
+    merged = QuantileDigest(max_centroids)
+    for row in vals.mapInPandas(_partial, _PARTIAL_SCHEMA).collect():
+        merged.merge(QuantileDigest.from_bytes(row["sketch"]))
+    return merged
+
+
 def value_hash(value) -> int:
     """Driver-side hash matching the JVM xxhash64(cast-to-string) used in
     the builders — so point queries hash identically."""
@@ -389,6 +510,32 @@ def register_queries(register) -> None:
             and mg.total == sum(exact.values())
         )
         return spark.createDataFrame([(bool(ok),)], "mg_ok boolean")
+
+    @register(
+        "quantile_digest_within_bound",
+        "SELECT true AS qd_ok",
+        doc="mergeable quantile digest (uniform-cap t-digest, Dunning & "
+            "Ertl) over events.value: for q in {0.1,0.25,0.5,0.75,0.9} "
+            "the EXACT rank of the digest's estimate must sit within "
+            "q +/- rank_error_bound (the largest centroid's mass "
+            "fraction) — the bound is computed from the digest itself "
+            "and asserted against exact ranks, not trusted",
+        tags=("sketch",),
+    )
+    def quantile_digest_within_bound(spark, sf_dir):
+        ev = _load(spark, sf_dir, "events")
+        qd = build_qdigest(ev, "value", max_centroids=100)
+        bound = qd.rank_error_bound() + 1e-9
+        n = ev.filter(F.col("value").isNotNull()).count()
+        ok = True
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            est = qd.quantile(q)
+            below = ev.filter(F.col("value") <= F.lit(float(est))).count()
+            strictly_below = ev.filter(F.col("value") < F.lit(float(est))).count()
+            # exact rank interval of the estimate [strictly_below, below]/n
+            lo, hi = strictly_below / n, below / n
+            ok = ok and (lo - bound <= q <= hi + bound)
+        return spark.createDataFrame([(bool(ok),)], "qd_ok boolean")
 
 
 class ApproximateQueryEngine:

@@ -255,3 +255,46 @@ def test_misra_gries_serialization_roundtrip():
     assert back.counters == mg.counters
     assert back.decrements == mg.decrements
     assert back.total == mg.total
+
+
+def test_quantile_digest_bound_and_merge(spark):
+    import numpy as np
+
+    from miniodb_spark.sketches import QuantileDigest, build_qdigest
+
+    # skewed data: exp-ish distribution, deterministic
+    vals = np.array([(i * i) % 9973 for i in range(20000)], dtype=np.float64)
+    qd = QuantileDigest(100)
+    qd.add_values(vals)
+    bound = qd.rank_error_bound()
+    assert 0 < bound <= 0.03  # cap = 2/100 of mass (+merge slack)
+    svals = np.sort(vals)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = qd.quantile(q)
+        rank = np.searchsorted(svals, est, side="right") / len(svals)
+        lo = np.searchsorted(svals, est, side="left") / len(svals)
+        assert lo - bound <= q <= rank + bound, (q, est, lo, rank, bound)
+
+    # merge of two halves equals the guarantee over the union
+    a, b = QuantileDigest(100), QuantileDigest(100)
+    a.add_values(vals[:10000])
+    b.add_values(vals[10000:])
+    a.merge(b)
+    assert a.total == 20000
+    mbound = a.rank_error_bound()
+    for q in (0.1, 0.5, 0.9):
+        est = a.quantile(q)
+        rank = np.searchsorted(svals, est, side="right") / len(svals)
+        lo = np.searchsorted(svals, est, side="left") / len(svals)
+        assert lo - mbound <= q <= rank + mbound
+
+    # serialization roundtrip + distributed build sanity
+    back = QuantileDigest.from_bytes(qd.to_bytes())
+    assert back.quantile(0.5) == qd.quantile(0.5)
+    df = spark.createDataFrame([(float(v),) for v in vals[:2000]], "v double")
+    dqd = build_qdigest(df.repartition(8), "v", 100)
+    assert dqd.total == 2000
+    s2 = np.sort(vals[:2000])
+    est = dqd.quantile(0.5)
+    rank = np.searchsorted(s2, est, side="right") / 2000
+    assert abs(rank - 0.5) <= dqd.rank_error_bound() + 1e-9
