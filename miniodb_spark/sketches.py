@@ -551,6 +551,7 @@ class ApproximateQueryEngine:
         self._hll: dict[tuple[str, str], HyperLogLog] = {}
         self._cms: dict[tuple[str, str], CountMinSketch] = {}
         self._mg: dict[tuple[str, str], MisraGries] = {}
+        self._qd: dict[tuple[str, str], QuantileDigest] = {}
         self._lock = threading.Lock()
 
     def update_from_dataframe(self, table: str, df: DataFrame, columns: list[str]) -> None:
@@ -558,16 +559,25 @@ class ApproximateQueryEngine:
             hll = build_hll(df, col, self.precision)
             cms = build_cms(df, col, self.cms_width, self.cms_depth)
             mg = build_mg(df, col, self.mg_k)
+            numeric = dict(df.dtypes).get(col) in (
+                "int", "bigint", "double", "float", "smallint", "tinyint",
+                "decimal",
+            )
+            qd = build_qdigest(df, col) if numeric else None
             with self._lock:
                 key = (table, col)
                 if key in self._hll:
                     self._hll[key].merge(hll)
                     self._cms[key].merge(cms)
                     self._mg[key].merge(mg)
+                    if qd is not None:
+                        self._qd[key].merge(qd)
                 else:
                     self._hll[key] = hll
                     self._cms[key] = cms
                     self._mg[key] = mg
+                    if qd is not None:
+                        self._qd[key] = qd
 
     def cardinality(self, table: str, column: str) -> float:
         with self._lock:
@@ -584,6 +594,12 @@ class ApproximateQueryEngine:
         with self._lock:
             mg = self._mg[(table, column)]
             return sorted(mg.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+    def quantile(self, table: str, column: str, q: float) -> float:
+        """Quantile estimate from the mergeable digest (numeric columns
+        only); rank error bounded by the digest's rank_error_bound()."""
+        with self._lock:
+            return self._qd[(table, column)].quantile(q)
 
     def merged_cardinality(self, pairs: list[tuple[str, str]]) -> float:
         """Cardinality of the union across (table, column) sketches —
@@ -607,6 +623,7 @@ class ApproximateQueryEngine:
             items = [("hll", k, s.to_bytes()) for k, s in self._hll.items()]
             items += [("cms", k, s.to_bytes()) for k, s in self._cms.items()]
             items += [("mg", k, s.to_bytes()) for k, s in self._mg.items()]
+            items += [("qd", k, s.to_bytes()) for k, s in self._qd.items()]
         for kind, (table, col), data in items:
             kv.put(f"sketch/{kind}/{table}/{col}", data)
         return len(items)
@@ -622,7 +639,8 @@ class ApproximateQueryEngine:
             hb = kv.get(f"sketch/hll/{table}/{col}")
             cb = kv.get(f"sketch/cms/{table}/{col}")
             mb = kv.get(f"sketch/mg/{table}/{col}")
-            if hb is None and cb is None and mb is None:
+            qb = kv.get(f"sketch/qd/{table}/{col}")
+            if hb is None and cb is None and mb is None and qb is None:
                 continue
             with self._lock:
                 key = (table, col)
@@ -644,5 +662,11 @@ class ApproximateQueryEngine:
                         self._mg[key].merge(loaded_m)
                     else:
                         self._mg[key] = loaded_m
+                if qb is not None:
+                    loaded_q = QuantileDigest.from_bytes(qb)
+                    if merge and key in self._qd:
+                        self._qd[key].merge(loaded_q)
+                    else:
+                        self._qd[key] = loaded_q
             n += 1
         return n

@@ -149,7 +149,7 @@ def test_registry_persistence_roundtrip(spark, sf_dir, tmp_path):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     a = ApproximateQueryEngine()
     a.update_from_dataframe("events", ev, ["user_id", "event_type"])
-    assert a.save(kv) == 6  # hll+cms+mg for two columns
+    assert a.save(kv) == 7  # hll+cms+mg x2 cols + qd for the numeric one
 
     # restart: a fresh registry loads identical estimates
     b = ApproximateQueryEngine()
