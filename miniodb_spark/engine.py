@@ -812,6 +812,27 @@ class Engine:
                 raise
             return self.approx.frequency(table, column, value)
 
+    def approx_top_values(self, table: str, column: str, n: int = 10):
+        """Misra-Gries heavy-hitter candidates (value, lower-bound count),
+        largest first; same cross-driver KV fallback as the other
+        sketch accessors."""
+        try:
+            return self.approx.top_values(table, column, n)
+        except KeyError:
+            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+                raise
+            return self.approx.top_values(table, column, n)
+
+    def approx_quantile(self, table: str, column: str, q: float) -> float:
+        """Mergeable-digest quantile estimate for numeric columns (rank
+        error bounded by the digest's own rank_error_bound)."""
+        try:
+            return self.approx.quantile(table, column, q)
+        except KeyError:
+            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+                raise
+            return self.approx.quantile(table, column, q)
+
     # ------------------------------------------------------------------
     # retention + background flush
     # ------------------------------------------------------------------

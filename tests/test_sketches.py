@@ -298,3 +298,37 @@ def test_quantile_digest_bound_and_merge(spark):
     est = dqd.quantile(0.5)
     rank = np.searchsorted(s2, est, side="right") / 2000
     assert abs(rank - 0.5) <= dqd.rank_error_bound() + 1e-9
+
+
+def test_engine_topk_and_quantile_cross_driver(spark, tmp_path, sf_dir):
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a.ingest_dataframe("ev", ev.selectExpr(
+        "CAST(event_id AS STRING) AS id", "ts AS timestamp",
+        "user_id", "event_type", "value"))
+    a.refresh_sketches("ev", ["event_type", "value"])
+
+    # MG: the true most-common event_type must be tracked (cardinality
+    # is tiny, so MG is exact here) with the exact count as lower bound
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type").count()
+             .withColumnRenamed("count", "n").collect()}
+    top = a.approx_top_values("ev", "event_type", n=3)
+    assert top[0][0] == max(exact, key=exact.get)
+    assert 0 < top[0][1] <= exact[top[0][0]]
+
+    # quantile digest on value: estimate's exact rank within the bound
+    med = a.approx_quantile("ev", "value", 0.5)
+    n = ev.filter(ev.value.isNotNull()).count()
+    below = ev.filter(ev.value <= med).count() / n
+    lo = ev.filter(ev.value < med).count() / n
+    bound = a.approx._qd[("ev", "value")].rank_error_bound() + 1e-9
+    assert lo - bound <= 0.5 <= below + bound
+
+    # fresh driver answers both from the persisted registry
+    b = Engine(spark, root)
+    assert b.approx_top_values("ev", "event_type", n=1)[0] == top[0]
+    assert b.approx_quantile("ev", "value", 0.5) == med
