@@ -799,7 +799,8 @@ class Engine:
         try:
             return self.approx.cardinality(table, column)
         except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+            if self.approx.load(self._approx_kv, [(table, column)],
+                                fill_missing=True) == 0:
                 raise
             return self.approx.cardinality(table, column)
 
@@ -808,7 +809,8 @@ class Engine:
         try:
             return self.approx.frequency(table, column, value)
         except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+            if self.approx.load(self._approx_kv, [(table, column)],
+                                fill_missing=True) == 0:
                 raise
             return self.approx.frequency(table, column, value)
 
@@ -819,7 +821,8 @@ class Engine:
         try:
             return self.approx.top_values(table, column, n)
         except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+            if self.approx.load(self._approx_kv, [(table, column)],
+                                fill_missing=True) == 0:
                 raise
             return self.approx.top_values(table, column, n)
 
@@ -829,7 +832,8 @@ class Engine:
         try:
             return self.approx.quantile(table, column, q)
         except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)]) == 0:
+            if self.approx.load(self._approx_kv, [(table, column)],
+                                fill_missing=True) == 0:
                 raise
             return self.approx.quantile(table, column, q)
 

@@ -1103,9 +1103,10 @@ def register_queries(register) -> None:
                              x -> x <> '') AS ts
           FROM documents),
         bg AS (
-          SELECT doc_id, ts[s.i] AS w1, ts[s.i + 1] AS w2
-          FROM t JOIN generate_series(1, 4000) AS s(i)
-            ON s.i < len(ts)),
+          SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM (SELECT doc_id, ts,
+                       unnest(generate_series(1, len(ts) - 1)) AS i
+                FROM t WHERE len(ts) >= 2) x),
         cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
         cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1)
         SELECT b.doc_id,
@@ -1139,9 +1140,10 @@ def register_queries(register) -> None:
           SELECT doc_id, lower(text) AS t, length(text) AS L
           FROM documents WHERE doc_id < 60 AND length(text) >= 5),
         g0 AS (
-          SELECT doc_id, s.p AS pos, md5(substr(t, s.p, 5)) AS hx,
-                 L - 4 AS npos
-          FROM d JOIN generate_series(1, 4000) AS s(p) ON s.p <= L - 4),
+          SELECT doc_id, pos, md5(substr(t, pos, 5)) AS hx, npos
+          FROM (SELECT doc_id, t, L - 4 AS npos,
+                       unnest(generate_series(1, L - 4)) AS pos
+                FROM d) x),
         g AS (
           SELECT doc_id, pos, npos,
                  (((ascii(substr(hx,1,1)) - CASE WHEN ascii(substr(hx,1,1)) >= 97

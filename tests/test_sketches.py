@@ -257,47 +257,72 @@ def test_misra_gries_serialization_roundtrip():
     assert back.total == mg.total
 
 
-def test_quantile_digest_bound_and_merge(spark):
+def _assert_digest_guarantees(qd, sorted_vals, qs=(0.05, 0.25, 0.5, 0.75, 0.95)):
+    import numpy as np
+
+    n = len(sorted_vals)
+    half_max = qd.rank_error_bound() / 2 + 1e-12
+    for q in qs:
+        est = qd.quantile(q)
+        lb, ub = qd.rank_bracket(est)
+        slb, _ = qd.rank_bracket(est, strict=True)
+        exact_le = np.searchsorted(sorted_vals, est, side="right") / n
+        assert lb - 1e-12 <= exact_le <= ub + 1e-12, (q, lb, exact_le, ub)
+        assert slb - half_max <= q <= ub + 1e-12, (q, slb, ub, half_max)
+
+
+def test_quantile_digest_bracket_guarantees_and_merge(spark):
     import numpy as np
 
     from miniodb_spark.sketches import QuantileDigest, build_qdigest
 
-    # skewed data: exp-ish distribution, deterministic
+    # skewed data: deterministic quadratic-residue spread
     vals = np.array([(i * i) % 9973 for i in range(20000)], dtype=np.float64)
     qd = QuantileDigest(100)
     qd.add_values(vals)
-    bound = qd.rank_error_bound()
-    assert 0 < bound <= 0.03  # cap = 2/100 of mass (+merge slack)
     svals = np.sort(vals)
-    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
-        est = qd.quantile(q)
-        rank = np.searchsorted(svals, est, side="right") / len(svals)
-        lo = np.searchsorted(svals, est, side="left") / len(svals)
-        assert lo - bound <= q <= rank + bound, (q, est, lo, rank, bound)
+    _assert_digest_guarantees(qd, svals)
 
-    # merge of two halves equals the guarantee over the union
+    # merge of two halves keeps the guarantees over the union
     a, b = QuantileDigest(100), QuantileDigest(100)
     a.add_values(vals[:10000])
     b.add_values(vals[10000:])
     a.merge(b)
     assert a.total == 20000
-    mbound = a.rank_error_bound()
-    for q in (0.1, 0.5, 0.9):
-        est = a.quantile(q)
-        rank = np.searchsorted(svals, est, side="right") / len(svals)
-        lo = np.searchsorted(svals, est, side="left") / len(svals)
-        assert lo - mbound <= q <= rank + mbound
+    _assert_digest_guarantees(a, svals, qs=(0.1, 0.5, 0.9))
 
     # serialization roundtrip + distributed build sanity
     back = QuantileDigest.from_bytes(qd.to_bytes())
     assert back.quantile(0.5) == qd.quantile(0.5)
+    assert back.rank_bracket(back.quantile(0.5)) == qd.rank_bracket(qd.quantile(0.5))
     df = spark.createDataFrame([(float(v),) for v in vals[:2000]], "v double")
     dqd = build_qdigest(df.repartition(8), "v", 100)
     assert dqd.total == 2000
-    s2 = np.sort(vals[:2000])
-    est = dqd.quantile(0.5)
-    rank = np.searchsorted(s2, est, side="right") / 2000
-    assert abs(rank - 0.5) <= dqd.rank_error_bound() + 1e-9
+    _assert_digest_guarantees(dqd, np.sort(vals[:2000]), qs=(0.5,))
+
+
+def test_quantile_digest_adversarial_ties_and_tail():
+    """The review repro: half zeros + a Pareto tail, merged across 8
+    partials — mean-sorted merging interleaves member ranks, which broke
+    the old per-centroid-mass 'bound'. The bracket guarantees must hold
+    anyway, and the bracket honestly reports the tie mass at v=0."""
+    import numpy as np
+
+    from miniodb_spark.sketches import QuantileDigest
+
+    vals = np.concatenate(
+        [np.zeros(10000), 1.0 / (1.0 - np.linspace(0, 0.999, 10000)) ** 1.5]
+    )
+    merged = QuantileDigest(100)
+    for part in np.array_split(vals, 8):
+        d = QuantileDigest(100)
+        d.add_values(part)
+        merged.merge(d)
+    _assert_digest_guarantees(
+        merged, np.sort(vals), qs=(0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+    lb, ub = merged.rank_bracket(0.0)
+    assert lb <= 0.5 <= ub  # the tie mass is inside the bracket
 
 
 def test_engine_topk_and_quantile_cross_driver(spark, tmp_path, sf_dir):
@@ -320,15 +345,40 @@ def test_engine_topk_and_quantile_cross_driver(spark, tmp_path, sf_dir):
     assert top[0][0] == max(exact, key=exact.get)
     assert 0 < top[0][1] <= exact[top[0][0]]
 
-    # quantile digest on value: estimate's exact rank within the bound
+    # quantile digest on value: exact rank inside the provable bracket
     med = a.approx_quantile("ev", "value", 0.5)
     n = ev.filter(ev.value.isNotNull()).count()
-    below = ev.filter(ev.value <= med).count() / n
-    lo = ev.filter(ev.value < med).count() / n
-    bound = a.approx._qd[("ev", "value")].rank_error_bound() + 1e-9
-    assert lo - bound <= 0.5 <= below + bound
+    exact_le = ev.filter(ev.value <= med).count() / n
+    qd = a.approx._qd[("ev", "value")]
+    lb, ub = qd.rank_bracket(med)
+    assert lb - 1e-12 <= exact_le <= ub + 1e-12
 
     # fresh driver answers both from the persisted registry
     b = Engine(spark, root)
     assert b.approx_top_values("ev", "event_type", n=1)[0] == top[0]
     assert b.approx_quantile("ev", "value", 0.5) == med
+
+
+def test_failed_fallback_does_not_corrupt_live_sketches(spark, tmp_path, sf_dir):
+    """Review repro: asking for a quantile on a non-numeric column used
+    to KeyError AND double-merge the just-persisted hll/cms/mg copies
+    into the live sketches via the load fallback; fill_missing loading
+    must leave live counts untouched."""
+    import pytest as _pytest
+
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a.ingest_dataframe("ev", ev.selectExpr(
+        "CAST(event_id AS STRING) AS id", "ts AS timestamp", "event_type"))
+    a.refresh_sketches("ev", ["event_type"])
+    before_freq = a.approx_frequency("ev", "event_type", "click")
+    before_top = a.approx_top_values("ev", "event_type", n=3)
+
+    with _pytest.raises(KeyError):
+        a.approx_quantile("ev", "event_type", 0.5)  # no digest for strings
+
+    assert a.approx_frequency("ev", "event_type", "click") == before_freq
+    assert a.approx_top_values("ev", "event_type", n=3) == before_top
