@@ -94,3 +94,56 @@ def running_counter_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(
+    df: DataFrame, shard_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Streaming heavy hitters: one Misra-Gries summary per shard,
+    maintained across micro-batches in the state store and emitted
+    (value, lower-bound count, decrements, total) each update — the
+    streaming face of the batch sketch registry. Shard summaries are
+    MERGEABLE (sketches.MisraGries.merge), so a downstream batch job
+    folds the per-shard outputs into corpus-wide top-k.
+
+    State per shard = one k-entry summary regardless of stream length —
+    the bounded-state property that makes top-k over an unbounded
+    stream feasible at all (exact per-value counters grow with
+    distinct-value cardinality; MG does not)."""
+    out_schema = (
+        f"{shard_col} long, value string, lower_bound long, "
+        "decrements long, total long"
+    )
+
+    def _hh(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from ..sketches import MisraGries
+
+        mg = (
+            MisraGries.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else MisraGries(k)
+        )
+        for pdf in pdfs:
+            vc = pdf[value_col].astype(str).value_counts()
+            mg.add_values(vc.index.tolist(), vc.to_numpy())
+        state.update((mg.to_bytes(),))
+        items = sorted(mg.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                shard_col: [key[0]] * len(items),
+                "value": [v for v, _ in items],
+                "lower_bound": [int(c) for _, c in items],
+                "decrements": [mg.decrements] * len(items),
+                "total": [mg.total] * len(items),
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandasWithState(
+        _hh,
+        outputStructType=out_schema,
+        stateStructType="sketch binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -81,3 +81,50 @@ def test_running_counter_stream(spark, tmp_path):
         latest[r["k"]] = (r["n"], r["total"])
     assert latest[1] == (3, 15.0)  # 2 rows then +1 across batches
     assert latest[2] == (1, 1.0)
+
+
+def test_heavy_hitters_stream_across_batches(spark, tmp_path):
+    from miniodb_spark.streaming.stateful import heavy_hitters_stream
+
+    src = str(tmp_path / "hh_src")
+    sink: list = []
+    # shard 0: 'a' dominates across two micro-batches; cardinality (4)
+    # exceeds k=3 so MG actually prunes
+    _write_batch(spark, src, [(0, "a"), (0, "a"), (0, "b"), (0, "c")],
+                 schema="shard long, val string")
+
+    stream = spark.readStream.schema("shard long, val string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    hh = heavy_hitters_stream(stream, "shard", "val", k=3)
+
+    def _collect(batch_df, batch_id):
+        sink.append([r.asDict() for r in batch_df.collect()])
+
+    q = (
+        hh.writeStream.outputMode("update")
+        .foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(0, "a"), (0, "a"), (0, "d"), (0, "b")],
+                     schema="shard long, val string")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    finals = [rows for rows in sink if rows]
+    assert finals, sink
+    last = finals[-1]
+    by_val = {r["value"]: r for r in last}
+    # state carried across batches: totals cover BOTH micro-batches
+    assert last[0]["total"] == 8
+    # 'a' seen 4 times total; MG lower bound <= exact, within decrements
+    assert "a" in by_val
+    d = last[0]["decrements"]
+    assert 0 < by_val["a"]["lower_bound"] <= 4
+    assert 4 - by_val["a"]["lower_bound"] <= d
+    # bounded state: never more than k tracked values
+    assert len(last) <= 3
