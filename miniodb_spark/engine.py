@@ -790,52 +790,50 @@ class Engine:
         df = self.read_table(table)
         if df is None:
             raise gate.SQLGateError(f"table not found: {table}")
-        self.approx.update_from_dataframe(table, df, columns)
+        self.approx.update_from_dataframe(table, df, columns, replace=True)
         self.approx.save(self._approx_kv)
+
+    def _approx_with_fallback(self, table: str, column: str, fn):
+        """Shared accessor fallback: on a sketch miss, load ONLY the
+        missing kinds from the store (fill_missing — merging a persisted
+        copy into the live sketch it was saved from would double every
+        count) and retry once."""
+        try:
+            return fn()
+        except KeyError:
+            if self.approx.load(self._approx_kv, [(table, column)],
+                                fill_missing=True) == 0:
+                raise
+            return fn()
 
     def approx_cardinality(self, table: str, column: str) -> float:
         """HLL distinct estimate; falls back to sketches persisted by
         another driver when this process hasn't built one."""
-        try:
-            return self.approx.cardinality(table, column)
-        except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)],
-                                fill_missing=True) == 0:
-                raise
-            return self.approx.cardinality(table, column)
+        return self._approx_with_fallback(
+            table, column, lambda: self.approx.cardinality(table, column)
+        )
 
     def approx_frequency(self, table: str, column: str, value) -> int:
         """CMS point-frequency estimate (never underestimates)."""
-        try:
-            return self.approx.frequency(table, column, value)
-        except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)],
-                                fill_missing=True) == 0:
-                raise
-            return self.approx.frequency(table, column, value)
+        return self._approx_with_fallback(
+            table, column, lambda: self.approx.frequency(table, column, value)
+        )
 
     def approx_top_values(self, table: str, column: str, n: int = 10):
         """Misra-Gries heavy-hitter candidates (value, lower-bound count),
         largest first; same cross-driver KV fallback as the other
         sketch accessors."""
-        try:
-            return self.approx.top_values(table, column, n)
-        except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)],
-                                fill_missing=True) == 0:
-                raise
-            return self.approx.top_values(table, column, n)
+        return self._approx_with_fallback(
+            table, column, lambda: self.approx.top_values(table, column, n)
+        )
 
     def approx_quantile(self, table: str, column: str, q: float) -> float:
-        """Mergeable-digest quantile estimate for numeric columns (rank
-        error bounded by the digest's own rank_error_bound)."""
-        try:
-            return self.approx.quantile(table, column, q)
-        except KeyError:
-            if self.approx.load(self._approx_kv, [(table, column)],
-                                fill_missing=True) == 0:
-                raise
-            return self.approx.quantile(table, column, q)
+        """Mergeable-digest quantile estimate for numeric columns. Point
+        estimate is heuristic; sound rank bounds come from the digest's
+        ``rank_bracket(est)`` (see sketches.QuantileDigest)."""
+        return self._approx_with_fallback(
+            table, column, lambda: self.approx.quantile(table, column, q)
+        )
 
     # ------------------------------------------------------------------
     # retention + background flush

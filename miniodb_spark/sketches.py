@@ -175,6 +175,26 @@ class CountMinSketch:
 _PARTIAL_SCHEMA = T.StructType([T.StructField("sketch", T.BinaryType(), False)])
 
 
+def _update_hll_batch(hll: "HyperLogLog", h_series) -> None:
+    hll.add_hashes(h_series.to_numpy(dtype=np.int64).view(np.uint64))
+
+
+def _update_cms_batch(cms: "CountMinSketch", h_series) -> None:
+    vals, counts = np.unique(
+        h_series.to_numpy(dtype=np.int64).view(np.uint64), return_counts=True
+    )
+    cms.add_hashes(vals, counts.astype(np.int64))
+
+
+def _update_mg_batch(mg: "MisraGries", v_series) -> None:
+    vc = v_series.value_counts()
+    mg.add_values(vc.index.tolist(), vc.to_numpy())
+
+
+def _update_qd_batch(qd: "QuantileDigest", v_series) -> None:
+    qd.add_values(v_series.to_numpy(dtype=np.float64))
+
+
 def build_hll(df: DataFrame, column: str, precision: int = 12) -> HyperLogLog:
     """One partial HLL per partition (mapInPandas), merged on the driver."""
     hashed = df.select(F.xxhash64(F.col(column).cast("string")).alias("h")).filter(
@@ -184,7 +204,7 @@ def build_hll(df: DataFrame, column: str, precision: int = 12) -> HyperLogLog:
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hll = HyperLogLog(precision)
         for pdf in batches:
-            hll.add_hashes(pdf["h"].to_numpy(dtype=np.int64).view(np.uint64))
+            _update_hll_batch(hll, pdf["h"])
         yield pd.DataFrame({"sketch": [hll.to_bytes()]})
 
     merged = HyperLogLog(precision)
@@ -205,10 +225,7 @@ def build_cms(
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cms = CountMinSketch(width, depth, seed)
         for pdf in batches:
-            vals, counts = np.unique(
-                pdf["h"].to_numpy(dtype=np.int64).view(np.uint64), return_counts=True
-            )
-            cms.add_hashes(vals, counts.astype(np.int64))
+            _update_cms_batch(cms, pdf["h"])
         yield pd.DataFrame({"sketch": [cms.to_bytes()]})
 
     merged = CountMinSketch(width, depth, seed)
@@ -303,8 +320,7 @@ def build_mg(df: DataFrame, column: str, k: int = 32) -> MisraGries:
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mg = MisraGries(k)
         for pdf in batches:
-            vc = pdf["v"].value_counts()
-            mg.add_values(vc.index.tolist(), vc.to_numpy())
+            _update_mg_batch(mg, pdf["v"])
         yield pd.DataFrame({"sketch": [mg.to_bytes()]})
 
     merged = MisraGries(k)
@@ -471,7 +487,7 @@ def build_qdigest(df: DataFrame, column: str,
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qd = QuantileDigest(max_centroids)
         for pdf in batches:
-            qd.add_values(pdf["v"].to_numpy(dtype=np.float64))
+            _update_qd_batch(qd, pdf["v"])
         yield pd.DataFrame({"sketch": [qd.to_bytes()]})
 
     merged = QuantileDigest(max_centroids)
@@ -513,14 +529,11 @@ def build_all_sketches(
         mg = MisraGries(mg_k)
         qd = QuantileDigest(max_centroids) if numeric else None
         for pdf in batches:
-            hs = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
-            hll.add_hashes(hs)
-            vals, counts = np.unique(hs, return_counts=True)
-            cms.add_hashes(vals, counts.astype(np.int64))
-            vc = pdf["vs"].value_counts()
-            mg.add_values(vc.index.tolist(), vc.to_numpy())
+            _update_hll_batch(hll, pdf["h"])
+            _update_cms_batch(cms, pdf["h"])
+            _update_mg_batch(mg, pdf["vs"])
             if qd is not None:
-                qd.add_values(pdf["vn"].to_numpy(dtype=np.float64))
+                _update_qd_batch(qd, pdf["vn"])
         yield pd.DataFrame(
             {
                 "hll": [hll.to_bytes()],
@@ -667,7 +680,15 @@ class ApproximateQueryEngine:
         self._qd: dict[tuple[str, str], QuantileDigest] = {}
         self._lock = threading.Lock()
 
-    def update_from_dataframe(self, table: str, df: DataFrame, columns: list[str]) -> None:
+    def update_from_dataframe(self, table: str, df: DataFrame,
+                              columns: list[str],
+                              replace: bool = False) -> None:
+        """Build sketches for the columns in ONE scan each and fold them
+        in. ``replace=False`` merges — the INCREMENTAL mode for sketching
+        a batch of newly-ingested rows. ``replace=True`` overwrites — the
+        REBUILD mode for sketching the full table again; merging a
+        full-table rebuild into sketches derived from the same rows
+        would double every count (and persist the doubled state)."""
         for col in columns:
             hll, cms, mg, qd = build_all_sketches(
                 df, col, self.precision, self.cms_width, self.cms_depth,
@@ -675,7 +696,7 @@ class ApproximateQueryEngine:
             )
             with self._lock:
                 key = (table, col)
-                if key in self._hll:
+                if key in self._hll and not replace:
                     self._hll[key].merge(hll)
                     self._cms[key].merge(cms)
                     self._mg[key].merge(mg)
@@ -687,6 +708,8 @@ class ApproximateQueryEngine:
                     self._mg[key] = mg
                     if qd is not None:
                         self._qd[key] = qd
+                    elif key in self._qd:
+                        del self._qd[key]
 
     def cardinality(self, table: str, column: str) -> float:
         with self._lock:
@@ -706,7 +729,8 @@ class ApproximateQueryEngine:
 
     def quantile(self, table: str, column: str, q: float) -> float:
         """Quantile estimate from the mergeable digest (numeric columns
-        only); rank error bounded by the digest's rank_error_bound()."""
+        only). Point estimate is heuristic; for sound bounds use the
+        digest's ``rank_bracket(est)`` — see QuantileDigest docs."""
         with self._lock:
             return self._qd[(table, column)].quantile(q)
 

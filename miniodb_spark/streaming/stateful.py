@@ -110,8 +110,9 @@ def heavy_hitters_stream(
     the bounded-state property that makes top-k over an unbounded
     stream feasible at all (exact per-value counters grow with
     distinct-value cardinality; MG does not)."""
+    shard_type = df.schema[shard_col].dataType.simpleString()
     out_schema = (
-        f"{shard_col} long, value string, lower_bound long, "
+        f"{shard_col} {shard_type}, value string, lower_bound long, "
         "decrements long, total long"
     )
 
@@ -126,7 +127,10 @@ def heavy_hitters_stream(
             else MisraGries(k)
         )
         for pdf in pdfs:
-            vc = pdf[value_col].astype(str).value_counts()
+            # skip nulls like the batch builders (isNotNull filter);
+            # astype(str) would otherwise tally "None"/"nan" as values
+            vals = pdf[value_col]
+            vc = vals[vals.notna()].astype(str).value_counts()
             mg.add_values(vc.index.tolist(), vc.to_numpy())
         state.update((mg.to_bytes(),))
         items = sorted(mg.counters.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -382,3 +382,35 @@ def test_failed_fallback_does_not_corrupt_live_sketches(spark, tmp_path, sf_dir)
 
     assert a.approx_frequency("ev", "event_type", "click") == before_freq
     assert a.approx_top_values("ev", "event_type", n=3) == before_top
+
+
+def test_repeated_refresh_does_not_double_counts(spark, tmp_path, sf_dir):
+    """Review repro: refresh_sketches is a FULL-TABLE rebuild, so a
+    second refresh on unchanged data must leave every estimate exactly
+    where it was — merging the rebuild would double counts and persist
+    the corruption."""
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a.ingest_dataframe("ev", ev.selectExpr(
+        "CAST(event_id AS STRING) AS id", "ts AS timestamp",
+        "event_type", "value"))
+    a.refresh_sketches("ev", ["event_type", "value"])
+    freq1 = a.approx_frequency("ev", "event_type", "click")
+    top1 = a.approx_top_values("ev", "event_type", n=3)
+    med1 = a.approx_quantile("ev", "value", 0.5)
+    total1 = a.approx._qd[("ev", "value")].total
+
+    a.refresh_sketches("ev", ["event_type", "value"])  # unchanged table
+    assert a.approx_frequency("ev", "event_type", "click") == freq1
+    assert a.approx_top_values("ev", "event_type", n=3) == top1
+    assert a.approx_quantile("ev", "value", 0.5) == med1
+    assert a.approx._qd[("ev", "value")].total == total1
+
+    # and the fallback-then-refresh sequence on a second driver
+    b = Engine(spark, root)
+    b.approx_frequency("ev", "event_type", "click")  # loads persisted
+    b.refresh_sketches("ev", ["event_type"])         # rebuild, not merge
+    assert b.approx_frequency("ev", "event_type", "click") == freq1

@@ -128,3 +128,38 @@ def test_heavy_hitters_stream_across_batches(spark, tmp_path):
     assert 4 - by_val["a"]["lower_bound"] <= d
     # bounded state: never more than k tracked values
     assert len(last) <= 3
+
+
+def test_heavy_hitters_stream_skips_nulls_and_string_shards(spark, tmp_path):
+    from miniodb_spark.streaming.stateful import heavy_hitters_stream
+
+    src = str(tmp_path / "hh2_src")
+    sink: list = []
+    _write_batch(spark, src,
+                 [("h1", "a"), ("h1", None), ("h1", "a"), ("h1", None)],
+                 schema="shard string, val string")
+    stream = spark.readStream.schema("shard string, val string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    hh = heavy_hitters_stream(stream, "shard", "val", k=4)
+
+    def _collect(batch_df, batch_id):
+        sink.append([r.asDict() for r in batch_df.collect()])
+
+    q = (
+        hh.writeStream.outputMode("update")
+        .foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "hh2_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [r for rows in sink for r in rows]
+    assert rows, sink
+    assert {r["shard"] for r in rows} == {"h1"}  # string shard key works
+    vals = {r["value"] for r in rows}
+    assert vals == {"a"}  # nulls not tallied as "None"/"nan"
+    assert all(r["total"] == 2 for r in rows)  # total excludes nulls
