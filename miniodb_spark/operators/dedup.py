@@ -20,6 +20,14 @@ Scale design notes (the point of each variant):
   is *complete* (no missed pairs) for the default distance. 16-bit
   block keys (65k buckets/block) plus a ``max_bucket_size`` cap keep
   the verify join bounded at corpus scale.
+- **incremental / Bloom-prefiltered**: the steady-state shapes — an
+  arriving batch checks a fingerprint store instead of re-deduping the
+  corpus; the Bloom gate (``bloom_prefilter_dedup``) keeps all but the
+  true-dup sliver of the batch away from the store join entirely.
+- **prefix-filtered similarity join** (PPJoin family): rarest-first
+  token ordering lets only each set's short prefix enter the inverted
+  join — the candidate-generation strategy that stays feasible when
+  common tokens dominate.
 """
 
 from __future__ import annotations

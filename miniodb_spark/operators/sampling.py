@@ -14,6 +14,10 @@ between dedup and tokenization:
 - **Deterministic stratified split**: md5-keyed train/val/test
   assignment — stable under re-runs, insertion order, and partitioning,
   because the split key is a pure function of the row id.
+- **Sequence packing / epoch shuffle / contrastive pairing**: the
+  batch-assembly tail of the pipeline — concat-and-chunk packing,
+  seeded shard permutations for epoch order, and in-batch-negative
+  pairing; every assignment is a pure function of (seed, id).
 
 Scale shape: quota computation is one map-side-combinable groupBy over
 the source column (|sources| rows out); quota application broadcasts

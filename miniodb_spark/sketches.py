@@ -1,4 +1,6 @@
-"""Approximate aggregation: HyperLogLog + CountMinSketch registry.
+"""Approximate aggregation: the mergeable sketch registry —
+HyperLogLog (cardinality), CountMinSketch (frequency), Misra-Gries
+(heavy hitters / top-k), QuantileDigest (quantiles).
 
 Parity target: the reference's ApproximateQueryEngine
 (/root/reference/internal/query/approximation.go:13-456) — per
