@@ -1285,3 +1285,66 @@ def register_queries(register) -> None:
             )
             .orderBy("doc_id")
         )
+
+    @register(
+        "bpe_encode_corpus",
+        """
+        SELECT true AS encode_ok,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM documents WHERE doc_id < 200) AS n_docs,
+               (SELECT CAST(sum(length(array_to_string(
+                        list_filter(string_split_regex(lower(text),
+                                    '[^a-z0-9]+'), x -> x <> ''), ''))) AS BIGINT)
+                FROM documents WHERE doc_id < 200) AS total_alnum_chars
+        """,
+        doc="distributed BPE ENCODE over the corpus with the trained "
+            "merge table broadcast to executors (the inference half of "
+            "bpe_train): every word's segmentation must concatenate "
+            "back to the word (lossless), per-word piece counts never "
+            "exceed character counts, and the character mass the "
+            "encoder saw must equal the oracle's SQL-computed total — "
+            "a tokenization-drift bug between the Python and SQL "
+            "tokenizers breaks the count equality",
+        tags=("llm", "capability"),
+    )
+    def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from collections.abc import Iterator as _Iter
+
+        import pandas as pd
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        merges = bpe_train(docs, n_merges=30)
+
+        def _encode(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+            import re
+
+            tok_re = re.compile(r"[^a-z0-9]+")
+            for pdf in batches:
+                ok, chars, pieces, n = True, 0, 0, 0
+                for text in pdf["text"]:
+                    n += 1
+                    words = [w for w in tok_re.split(str(text).lower()) if w]
+                    for w in words:
+                        seg = bpe_segment(w, merges)
+                        if "".join(seg) != w or len(seg) > len(w):
+                            ok = False
+                        chars += len(w)
+                        pieces += len(seg)
+                yield pd.DataFrame(
+                    {"ok": [ok and pieces <= chars], "n_docs": [n],
+                     "chars": [chars], "pieces": [pieces]}
+                )
+
+        parts = docs.select("text").mapInPandas(
+            _encode, "ok boolean, n_docs long, chars long, pieces long"
+        ).collect()
+        return spark.createDataFrame(
+            [(
+                bool(all(r["ok"] for r in parts)),
+                int(sum(r["n_docs"] for r in parts)),
+                int(sum(r["chars"] for r in parts)),
+            )],
+            "encode_ok boolean, n_docs long, total_alnum_chars long",
+        )

@@ -1509,6 +1509,7 @@ _PRIORITY_ORDER = [
     "image_near_dup_hamming", "winnow_fingerprints",
     "dedup_prefix_filter_jaccard", "char_entropy_quality",
     "mg_heavy_hitters_within_bound", "quantile_digest_within_bound",
+    "bpe_encode_corpus",
     "dedup_token_jaccard", "embedding_cosine_topk", "vocabulary_stats",
     "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
