@@ -790,9 +790,14 @@ def bloom_prefilter_dedup(
     # window+probe subtree into each branch and Bloom-probe the batch
     # twice — the cost the filter exists to avoid. The checkpoint is
     # batch-sized (the small side by construction).
+    # derive the id/_mn field types from the input so non-long id
+    # columns (string/int ids) keep working — the contract is "exactly
+    # incremental_dedup's output", which is type-generic (_mn is
+    # min(id) over a window, hence the id's type)
+    id_type = with_fp.schema[id_col].dataType.simpleString()
     probed = with_fp.mapInPandas(
         _probe,
-        f"{id_col} long, fp string, _mn long, maybe_seen boolean",
+        f"{id_col} {id_type}, fp string, _mn {id_type}, maybe_seen boolean",
     ).localCheckpoint()
     store = existing_fps.select("fp").distinct().withColumn(
         "_seen", F.lit(True)

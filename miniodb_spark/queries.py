@@ -1470,39 +1470,14 @@ def pivot_status_by_priority(spark, sf_dir):
 # driver-green first — so no entry's most recent driver grade ages past
 # two rounds; the freshest greens sit at the tail, where
 # tests/test_oracle_parity.py keeps pinning them each CI run.
-# Round 7 window = the 16 new round-7 entries, then the 31 rows last
-# driver-green in round 4, then 3 of the 10 last green in round 5 —
-# exactly 50; the freshest round-6 greens and the remaining round-5
-# greens rotate to the tail (tail head = round 8's first pick-ups).
+# Round 8 window = the 15 entries added mid-round-7 after that window
+# was packed (never driver-graded), then the 9 entries last
+# driver-green in round 5, then 26 round-6 greens as backfill —
+# exactly 50. After CORRECTNESS_r08 no entry's last grade is older
+# than round 6. The remaining round-6 greens head the round-9
+# rotation; the 50 round-7 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
-    # new in round 7 (never driver-graded)
-    "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",
-    "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
-    "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
-    "semantic_dedup", "temperature_source_mix", "stratified_split_counts",
-    "embedding_outliers", "sequence_packing", "dedup_incremental",
-    "embedding_quantize_int8", "training_pipeline_e2e",
-    # last driver-green in round 4 (the 31 longest-ungraded)
-    "derived_table", "agg_global", "agg_group_having",
-    "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
-    "join_left_count", "sort_limit_topk", "subquery_in",
-    "q6_forecast_revenue", "date_trunc_month", "agg_rollup",
-    "having_on_avg", "ilike_filter", "agg_cube", "string_funcs",
-    "date_parts_interval", "distinct_values", "join_right",
-    "join_full_outer", "join_cross", "join_semi", "join_anti",
-    "limit_offset", "subquery_scalar", "null_handling", "set_union_all",
-    "set_intersect_except", "string_agg_sorted", "regexp_ops",
-    "pivot_status_by_priority",
-    # last driver-green in round 5
-    "dedup_exact_groups",
-    # final slot: the last never-graded round-7 entry (never-graded
-    # beats 2-round-stale; the displaced round-5 entries below stay
-    # parity-pinned and head the round-8 rotation)
-    "doc_chunking",
-    # --- position >=50: outside the checked window. First the entries
-    # added mid-round-7 after the window was packed (never driver-graded;
-    # they head the round-8 rotation), then entries driver-green in
-    # round 5/6 — all pinned by test_oracle_parity.py either way.
+    # added mid-round-7, never driver-graded
     "knn_batch_join", "dedup_bloom_prefilter", "image_phash_near_dup",
     "epoch_shuffle_shards", "audio_dominant_freq", "bigram_logprob_quality",
     "quality_classifier_auc", "contrastive_pair_mining",
@@ -1510,15 +1485,15 @@ _PRIORITY_ORDER = [
     "dedup_prefix_filter_jaccard", "char_entropy_quality",
     "mg_heavy_hitters_within_bound", "quantile_digest_within_bound",
     "bpe_encode_corpus",
+    # last driver-green in round 5 (longest-ungraded)
     "dedup_token_jaccard", "embedding_cosine_topk", "vocabulary_stats",
     "tfidf_top_terms", "multimodal_frame_sample",
     "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
     "math_case_when",
-    "q1_pricing_summary",
-    "q3_shipping_priority", "join_multiway_region",
+    # backfill: last driver-green in round 6 (26 of the 50 r6 rows)
+    "q1_pricing_summary", "q3_shipping_priority", "join_multiway_region",
     "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
-    "asof_join_events",
-    "range_join_events",
+    "asof_join_events", "range_join_events",
     "hll_registry_within_bound", "cms_freq_within_bound",
     "window_row_number_topn", "window_running_sum", "window_lag_lead",
     "window_moving_avg", "window_rank_dist", "window_first_last",
@@ -1527,6 +1502,10 @@ _PRIORITY_ORDER = [
     "grouped_zscore", "percentiles_stddev",
     "approx_distinct_within_bound", "approx_percentile_within_bound",
     "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
+    # --- position >=50: outside the checked window. First the
+    # remaining round-6 greens (they head the round-9 rotation), then
+    # the 50 entries driver-green in round 7 — all pinned by
+    # test_oracle_parity.py either way.
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
@@ -1537,6 +1516,23 @@ _PRIORITY_ORDER = [
     "media_sniff_dispatch", "subquery_not_exists", "source_quota_sample",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
+    # driver-green in round 7
+    "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",
+    "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
+    "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
+    "semantic_dedup", "temperature_source_mix", "stratified_split_counts",
+    "embedding_outliers", "sequence_packing", "dedup_incremental",
+    "embedding_quantize_int8", "training_pipeline_e2e",
+    "derived_table", "agg_global", "agg_group_having",
+    "agg_count_distinct", "filter_in_between_like", "join_inner_agg",
+    "join_left_count", "sort_limit_topk", "subquery_in",
+    "q6_forecast_revenue", "date_trunc_month", "agg_rollup",
+    "having_on_avg", "ilike_filter", "agg_cube", "string_funcs",
+    "date_parts_interval", "distinct_values", "join_right",
+    "join_full_outer", "join_cross", "join_semi", "join_anti",
+    "limit_offset", "subquery_scalar", "null_handling", "set_union_all",
+    "set_intersect_except", "string_agg_sorted", "regexp_ops",
+    "pivot_status_by_priority", "dedup_exact_groups", "doc_chunking",
 ]
 
 

@@ -261,7 +261,11 @@ class MisraGries:
         self.total = 0
 
     def add_values(self, values, counts) -> None:
+        # keys are coerced to str so a to_bytes/from_bytes round-trip
+        # (JSON object keys are always strings) preserves identity —
+        # otherwise 5 and "5" would double-count after reload
         for v, c in zip(values, counts):
+            v = str(v)
             c = int(c)
             self.total += c
             self.counters[v] = self.counters.get(v, 0) + c
@@ -699,11 +703,25 @@ class ApproximateQueryEngine:
             with self._lock:
                 key = (table, col)
                 if key in self._hll and not replace:
+                    # guard each kind independently: state loaded from
+                    # a pre-MG persisted store (or a column whose dtype
+                    # changed) may hold hll/cms without mg/qd — merging
+                    # only where present keeps the update atomic
                     self._hll[key].merge(hll)
                     self._cms[key].merge(cms)
-                    self._mg[key].merge(mg)
+                    if key in self._mg:
+                        self._mg[key].merge(mg)
+                    else:
+                        self._mg[key] = mg
                     if qd is not None:
-                        self._qd[key].merge(qd)
+                        if key in self._qd:
+                            self._qd[key].merge(qd)
+                        else:
+                            self._qd[key] = qd
+                    elif key in self._qd:
+                        # column no longer numeric: a digest from the
+                        # old dtype era must not keep serving quantiles
+                        del self._qd[key]
                 else:
                     self._hll[key] = hll
                     self._cms[key] = cms

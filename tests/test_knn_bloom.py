@@ -199,3 +199,39 @@ def test_prefix_filter_jaccard_complete_vs_brute_force(spark):
             expected.add((a, b))
     assert got == expected
     assert (1, 3) in got and (4, 5) in got and (1, 2) not in got
+
+
+def test_bloom_prefilter_string_ids(spark):
+    """Review repro: the probe schema once hardcoded `doc_id long`, so
+    string-id corpora crashed; the contract is type-generic parity
+    with incremental_dedup."""
+    store_docs = spark.createDataFrame(
+        [("s-1", "alpha beta gamma")], "doc_id string, text string"
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    existing = store_docs.select(F.md5(norm.cast("binary")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            ("s-10", "ALPHA   beta gamma"),  # stored fp
+            ("s-11", "delta epsilon"),       # first of the in-batch pair
+            ("s-12", " Delta  Epsilon "),    # variant of s-11
+            ("s-13", "unique zeta"),         # fresh
+        ],
+        "doc_id string, text string",
+    )
+    expected = {
+        "s-10": "dup_of_existing",
+        "s-11": "kept",
+        "s-12": "dup_in_batch",
+        "s-13": "kept",
+    }
+    got = {
+        r["doc_id"]: r["status"]
+        for r in bloom_prefilter_dedup(batch, existing).collect()
+    }
+    assert got == expected
+    plain = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(batch, existing).collect()
+    }
+    assert plain == expected

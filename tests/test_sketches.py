@@ -414,3 +414,56 @@ def test_repeated_refresh_does_not_double_counts(spark, tmp_path, sf_dir):
     b.approx_frequency("ev", "event_type", "click")  # loads persisted
     b.refresh_sketches("ev", ["event_type"])         # rebuild, not merge
     assert b.approx_frequency("ev", "event_type", "click") == freq1
+
+
+def test_mg_int_keys_survive_serialization_roundtrip():
+    """Review repro: JSON coerces non-string counter keys to strings,
+    so a round-trip used to change key identity and a post-reload
+    merge double-counted 5 vs "5". add_values now coerces to str."""
+    from miniodb_spark.sketches import MisraGries
+
+    mg = MisraGries(k=8)
+    mg.add_values([5, 7, 5], [3, 2, 1])
+    assert set(mg.counters) == {"5", "7"}
+    back = MisraGries.from_bytes(mg.to_bytes())
+    assert back.counters == mg.counters
+    back.merge(mg)
+    assert back.counters["5"] == 2 * mg.counters["5"]
+    assert len(back.counters) == 2
+
+
+def test_registry_merge_with_pre_mg_persisted_state(spark, sf_dir, tmp_path):
+    """Review repro: state loaded from a pre-MG persisted store holds
+    hll/cms for a key but no mg/qd; a non-replace update must not
+    KeyError mid-merge (which would leave partially-updated state) —
+    the missing kinds are simply assigned."""
+    from miniodb_spark.sketches import ApproximateQueryEngine
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eng = ApproximateQueryEngine()
+    eng.update_from_dataframe("events", ev, ["value"])
+    # simulate pre-MG era state: hll/cms present, mg/qd absent
+    del eng._mg[("events", "value")]
+    del eng._qd[("events", "value")]
+    eng.update_from_dataframe("events", ev, ["value"], replace=False)
+    assert ("events", "value") in eng._mg
+    assert ("events", "value") in eng._qd
+    assert eng.quantile("events", "value", 0.5) is not None
+
+
+def test_registry_merge_drops_stale_digest_on_dtype_change(spark):
+    """Review repro: when a column is refreshed (replace=False) with a
+    non-numeric dtype, the old-era QuantileDigest must stop serving —
+    only the replace branch used to drop it."""
+    from miniodb_spark.sketches import ApproximateQueryEngine
+
+    num = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                                "id long, v double")
+    txt = num.selectExpr("id", "CAST(v AS STRING) AS v")
+    eng = ApproximateQueryEngine()
+    eng.update_from_dataframe("t", num, ["v"])
+    assert ("t", "v") in eng._qd
+    eng.update_from_dataframe("t", txt, ["v"], replace=False)
+    assert ("t", "v") not in eng._qd
+    with pytest.raises(KeyError):
+        eng.quantile("t", "v", 0.5)
