@@ -6,11 +6,14 @@ stream, canonical Huffman entropy coding, zigzag + quantization,
 orthonormal 8×8 DCT via numpy matrix products, byte stuffing, restart
 markers on decode). Scope, stated plainly:
 
-- **decode**: baseline sequential (SOF0), 8-bit, grayscale or 3-
-  component 4:4:4 (no chroma subsampling), with DRI/RSTn support.
-  Progressive (SOF2) and subsampled files return None — the header
-  parser still reports their dimensions.
-- **encode**: grayscale or 4:4:4 YCbCr, quality-fixed quantization.
+- **decode**: baseline sequential (SOF0), 8-bit, grayscale or
+  3-component with any T.81 sampling factors (1..4) — 4:4:4, 4:2:2
+  and the camera-standard 4:2:0 all decode; subsampled chroma is
+  upsampled by sample replication. DRI/RSTn supported. Progressive
+  (SOF2) returns None — the header parser still reports dimensions.
+- **encode**: grayscale, 4:4:4 YCbCr, or 4:2:0 YCbCr
+  (``subsample=True``: 2x2 box-averaged chroma, 16x16 MCUs),
+  quality-fixed quantization.
   Huffman tables are OUR canonical tables written into DHT (the spec
   lets every file carry its own tables — that is what DHT is for), so
   any conforming decoder reads these files; transcribing the optional
@@ -242,14 +245,17 @@ def _dqt_segment(tq: int, qt: np.ndarray) -> bytes:
 
 
 def jpeg_bytes(pixels: bytes, width: int, height: int,
-               channels: int = 1) -> bytes:
+               channels: int = 1, subsample: bool = False) -> bytes:
     """Encode raw 8-bit pixels (row-major, interleaved channels) into a
     baseline JPEG. ``channels`` 1 (grayscale) or 3 (RGB — converted to
-    full-resolution YCbCr, no subsampling)."""
+    YCbCr). ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, chroma
+    box-averaged 2x2 — the layout of most camera JPEGs); default is
+    full-resolution 4:4:4."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
+    subsample = bool(subsample) and channels == 3
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
     img = img.reshape(height, width, channels)
     if channels == 3:
@@ -264,27 +270,58 @@ def jpeg_bytes(pixels: bytes, width: int, height: int,
         planes = [img[..., 0]]
         qts = [_QT_LUMA]
 
-    bw, bh = (width + 7) // 8, (height + 7) // 8
     w = _BitWriter()
-    dc_prev = [0] * channels
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                block = np.full((8, 8), 128.0)
-                ys, xs = by * 8, bx * 8
-                sub = plane[ys:ys + 8, xs:xs + 8]
-                block[:sub.shape[0], :sub.shape[1]] = sub
-                # edge replication keeps partial blocks smooth
-                if sub.shape[0] < 8:
-                    block[sub.shape[0]:, :] = block[sub.shape[0] - 1, :]
-                if sub.shape[1] < 8:
-                    block[:, sub.shape[1]:] = block[:, sub.shape[1] - 1:sub.shape[1]]
-                dc_prev[ci] = _encode_block(block, qts[ci], dc_prev[ci], w)
+    if subsample:
+        # MCU = 16x16 px: 4 Y blocks + 1 Cb + 1 Cr. Pad with edge
+        # replication to MCU multiples, box-average chroma 2x2.
+        mcux = (width + 15) // 16
+        mcuy = (height + 15) // 16
+        y = np.pad(planes[0], ((0, mcuy * 16 - height),
+                               (0, mcux * 16 - width)), mode="edge")
+        chroma = [
+            np.pad(p, ((0, mcuy * 16 - height), (0, mcux * 16 - width)),
+                   mode="edge").reshape(mcuy * 8, 2, mcux * 8, 2)
+            .mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+        dc_prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        ys, xs = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+                        dc_prev[0] = _encode_block(
+                            y[ys:ys + 8, xs:xs + 8], _QT_LUMA,
+                            dc_prev[0], w)
+                for ci, cp in enumerate(chroma, start=1):
+                    ys, xs = my * 8, mx * 8
+                    dc_prev[ci] = _encode_block(
+                        cp[ys:ys + 8, xs:xs + 8], _QT_CHROMA,
+                        dc_prev[ci], w)
+    else:
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        dc_prev = [0] * channels
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, plane in enumerate(planes):
+                    block = np.full((8, 8), 128.0)
+                    ys, xs = by * 8, bx * 8
+                    sub = plane[ys:ys + 8, xs:xs + 8]
+                    block[:sub.shape[0], :sub.shape[1]] = sub
+                    # edge replication keeps partial blocks smooth
+                    if sub.shape[0] < 8:
+                        block[sub.shape[0]:, :] = block[sub.shape[0] - 1, :]
+                    if sub.shape[1] < 8:
+                        block[:, sub.shape[1]:] = block[:, sub.shape[1] - 1:sub.shape[1]]
+                    dc_prev[ci] = _encode_block(block, qts[ci], dc_prev[ci], w)
     entropy = w.flush()
 
     ncomp = channels
+    y_sampling = 0x22 if subsample else 0x11
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(ncomp)
+        bytes([cid + 1, y_sampling if cid == 0 else 0x11,
+               0 if cid == 0 else 1])
+        for cid in range(ncomp)
     )
     sof = (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height,
                                      width, ncomp) + sof_comps)
@@ -390,8 +427,9 @@ def _decode_jpeg(b: bytes) -> dict | None:
                 cid, sampling, tq = body[off], body[off + 1], body[off + 2]
                 comps.append({"id": cid, "h": sampling >> 4,
                               "v": sampling & 0x0F, "tq": tq})
-            if any(c["h"] != 1 or c["v"] != 1 for c in comps):
-                return None  # subsampling out of scope
+            if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4)
+                   for c in comps):
+                return None  # sampling factors outside T.81's 1..4
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -416,20 +454,30 @@ def _decode_jpeg(b: bytes) -> dict | None:
 
 def _decode_scan(b, pos, frame, scan, qts, dc_tables, ac_tables,
                  restart_interval):
+    """Interleaved-scan entropy decode, generalized over sampling
+    factors: each MCU carries h_i x v_i blocks per component (T.81
+    A.2.3), so 4:4:4 (1x1 everywhere), 4:2:2 (Y 2x1) and 4:2:0
+    (Y 2x2) all take this path; subsampled chroma planes are
+    upsampled by sample replication at the end."""
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     nc = len(comps)
     if not w or not h or len(scan) != nc:
         return None
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # MCU grid: ceil over the MCU pixel footprint (8*hmax x 8*vmax)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
     # split entropy data from trailing markers; restart markers are
     # consumed inline
     br = _BitReader(b[pos:])
     dc_prev = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-align and consume RSTn
                 br.nbits = 0
@@ -445,30 +493,44 @@ def _decode_scan(b, pos, frame, scan, qts, dc_tables, ac_tables,
                 qt = qts.get(comp["tq"])
                 if dct is None or act is None or qt is None:
                     return None
-                q = np.zeros((8, 8))
-                size = dct.decode(br)
-                diff = _amplitude_decode(size, br.read_bits(size))
-                dc_prev[ci] += diff
-                q[0, 0] = dc_prev[ci]
-                k = 1
-                while k < 64:
-                    sym = act.decode(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k >= 64:
-                        return None
-                    r, c = _ZIGZAG[k]
-                    q[r, c] = _amplitude_decode(size, br.read_bits(size))
-                    k += 1
-                block = _C.T @ (q * qt) @ _C + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+                # h_i x v_i blocks per MCU, left-to-right then
+                # top-to-bottom (T.81 A.2.3 ordering)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        q = np.zeros((8, 8))
+                        size = dct.decode(br)
+                        diff = _amplitude_decode(size, br.read_bits(size))
+                        dc_prev[ci] += diff
+                        q[0, 0] = dc_prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = act.decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k >= 64:
+                                return None
+                            r, c = _ZIGZAG[k]
+                            q[r, c] = _amplitude_decode(size, br.read_bits(size))
+                            k += 1
+                        block = _C.T @ (q * qt) @ _C + 128.0
+                        ys = (my * comp["v"] + by) * 8
+                        xs = (mx * comp["h"] + bx) * 8
+                        planes[ci][ys:ys + 8, xs:xs + 8] = block
             mcu += 1
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    # upsample each plane to full resolution by index-mapped sample
+    # replication (exact for integer ratios, safe for the rest), then
+    # crop to the frame dims
+    full = []
+    for comp, plane in zip(comps, planes):
+        ys = (np.arange(h) * comp["v"]) // vmax
+        xs = (np.arange(w) * comp["h"]) // hmax
+        full.append(np.clip(np.round(plane[np.ix_(ys, xs)]), 0, 255))
+    planes = full
     if nc == 1:
         out = planes[0].astype(np.uint8).tobytes()
         return {"width": w, "height": h, "channels": 1, "pixels": out}

@@ -1203,11 +1203,12 @@ def register_queries(register) -> None:
         "SELECT true AS jpeg_ok, CAST(25 AS BIGINT) AS n_images",
         doc="REAL baseline JPEG codec self-check (ITU T.81: canonical "
             "Huffman entropy coding, zigzag+quant, numpy DCT): genuine "
-            "JPEGs encoded from doc-derived smooth gradients (gray or "
-            "4:4:4 color by parity) must decode with correct dims and "
-            "mean |error| < 3 levels — JPEG is lossy by design, so the "
-            "check is bounded error, not bit equality (flat blocks "
-            "round-trip exactly; pinned in test_pixels.py)",
+            "JPEGs encoded from doc-derived smooth gradients (gray, "
+            "4:4:4, or 4:2:0 chroma-subsampled color by doc_id mod 4) "
+            "must decode with correct dims and mean |error| < 3 levels "
+            "— JPEG is lossy by design, so the check is bounded error, "
+            "not bit equality (flat blocks round-trip exactly; pinned "
+            "in test_pixels.py and test_jpeg.py)",
         tags=("llm", "capability"),
     )
     def image_jpeg_roundtrip(spark, sf_dir):
@@ -1226,12 +1227,14 @@ def register_queries(register) -> None:
                     d, n = int(d), int(n)
                     w, h = 8 + n % 25, 8 + d % 9
                     ch = 1 if d % 2 == 0 else 3
+                    sub = d % 4 == 1  # color docs alternate 4:4:4 / 4:2:0
                     xx, yy = np.meshgrid(np.arange(w * 1.0),
                                          np.arange(h * 1.0))
                     plane = 127 + 100 * np.sin(xx / 7 + d) * np.cos(yy / 5)
                     img = np.repeat(plane[:, :, None], ch, axis=2)
                     raw = np.clip(np.round(img), 0, 255).astype("uint8").tobytes()
-                    out = decode_jpeg_pixels(jpeg_bytes(raw, w, h, ch))
+                    out = decode_jpeg_pixels(
+                        jpeg_bytes(raw, w, h, ch, subsample=sub))
                     ok = (
                         out is not None
                         and (out["width"], out["height"],

@@ -53,11 +53,14 @@ def test_scope_rejections_return_none():
     # progressive frame marker (SOF2) instead of SOF0
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_pixels(prog) is None
-    # 4:2:0 subsampling flagged in SOF (sampling byte 0x22)
+    # sampling factors outside T.81's 1..4 range
     sof_at = good.index(b"\xff\xc0")
-    sub = bytearray(good)
-    sub[sof_at + 11] = 0x22  # component 1 sampling factors
-    assert decode_jpeg_pixels(bytes(sub)) is None
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x55  # component 1 sampling factors 5x5
+    assert decode_jpeg_pixels(bytes(bad)) is None
+    zero = bytearray(good)
+    zero[sof_at + 11] = 0x00
+    assert decode_jpeg_pixels(bytes(zero)) is None
     # junk / truncation
     assert decode_jpeg_pixels(b"") is None
     assert decode_jpeg_pixels(b"\xff\xd8junk") is None
@@ -79,3 +82,95 @@ def test_byte_stuffing_survives():
         img = rng.randint(0, 256, size=16 * 16, dtype=np.uint8).tobytes()
         out = decode_jpeg_pixels(jpeg_bytes(img, 16, 16, 1))
         assert out is not None and len(out["pixels"]) == 256
+
+
+def test_color_420_roundtrip_bounded_error():
+    """4:2:0 chroma-subsampled encode/decode (2x2 Y sampling, 16x16
+    MCUs, box-averaged chroma): gray-chroma images round-trip within
+    the same <3-level bound as 4:4:4; saturated-chroma images stay
+    bounded (subsampling is lossy on chroma edges by design)."""
+    for (w, h) in [(16, 16), (17, 13), (33, 9), (8, 8), (31, 15)]:
+        xx, yy = np.meshgrid(np.arange(w * 1.0), np.arange(h * 1.0))
+        plane = 127 + 100 * np.sin(xx / 7 + 1) * np.cos(yy / 5)
+        img = np.repeat(plane[:, :, None], 3, axis=2)
+        raw = np.clip(np.round(img), 0, 255).astype(np.uint8).tobytes()
+        out = decode_jpeg_pixels(jpeg_bytes(raw, w, h, 3, subsample=True))
+        assert out is not None
+        assert (out["width"], out["height"], out["channels"]) == (w, h, 3)
+        err = np.abs(
+            np.frombuffer(out["pixels"], np.uint8).astype(float)
+            - np.frombuffer(raw, np.uint8).astype(float)
+        ).mean()
+        assert err < 3.0, (w, h, err)
+        # strong-chroma variant: bounded, looser (coarse chroma QT +
+        # 2x2 averaging)
+        color = np.stack([plane, np.roll(plane, 3, axis=1),
+                          255 - plane], axis=2)
+        rawc = np.clip(np.round(color), 0, 255).astype(np.uint8).tobytes()
+        outc = decode_jpeg_pixels(jpeg_bytes(rawc, w, h, 3, subsample=True))
+        assert outc is not None
+        errc = np.abs(
+            np.frombuffer(outc["pixels"], np.uint8).astype(float)
+            - np.frombuffer(rawc, np.uint8).astype(float)
+        ).mean()
+        assert errc < 12.0, (w, h, errc)
+
+
+def test_420_smaller_than_444_on_color():
+    """The point of subsampling: 4:2:0 spends 6 blocks per 16x16 MCU
+    where 4:4:4 spends 12 — file must shrink on non-trivial images."""
+    w, h = 48, 32
+    xx, yy = np.meshgrid(np.arange(w * 1.0), np.arange(h * 1.0))
+    plane = 127 + 100 * np.sin(xx / 7) * np.cos(yy / 5)
+    img = np.stack([plane, np.roll(plane, 3, axis=1), 255 - plane], axis=2)
+    raw = np.clip(np.round(img), 0, 255).astype(np.uint8).tobytes()
+    full = jpeg_bytes(raw, w, h, 3, subsample=False)
+    sub = jpeg_bytes(raw, w, h, 3, subsample=True)
+    assert len(sub) < len(full)
+    # and the SOF advertises 2x2 Y sampling
+    sof_at = sub.index(b"\xff\xc0")
+    assert sub[sof_at + 11] == 0x22
+
+
+def test_422_decode_via_crafted_sof():
+    """The decoder generalizes over sampling factors, not just 4:2:0:
+    a 4:2:2 stream (Y 2x1) hand-assembled from the encoder's
+    primitives decodes with correct dims. Build it by encoding a
+    half-width chroma pair alongside full-width luma."""
+    from miniodb_spark.operators.jpeg import (
+        _AC_BITS, _AC_SYMBOLS, _BitWriter, _DC_BITS, _DC_SYMBOLS,
+        _QT_CHROMA, _QT_LUMA, _dht_segment, _dqt_segment, _encode_block,
+    )
+    import struct as _struct
+
+    w, h = 16, 8  # one MCU: 2 Y blocks + 1 Cb + 1 Cr
+    xx, yy = np.meshgrid(np.arange(w * 1.0), np.arange(h * 1.0))
+    y_plane = 127 + 100 * np.sin(xx / 7) * np.cos(yy / 5)
+    cb = np.full((8, 8), 128.0)
+    cr = np.full((8, 8), 128.0)
+    bw = _BitWriter()
+    dc = [0, 0, 0]
+    for bx in range(2):
+        dc[0] = _encode_block(y_plane[:, bx * 8:bx * 8 + 8], _QT_LUMA,
+                              dc[0], bw)
+    dc[1] = _encode_block(cb, _QT_CHROMA, dc[1], bw)
+    dc[2] = _encode_block(cr, _QT_CHROMA, dc[2], bw)
+    entropy = bw.flush()
+    sof_comps = bytes([1, 0x21, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    sof = b"\xff\xc0" + _struct.pack(">HBHHB", 17, 8, h, w, 3) + sof_comps
+    sos = (b"\xff\xda" + _struct.pack(">HB", 12, 3)
+           + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    dht = (_dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS)
+           + _dht_segment(1, 0, _AC_BITS, _AC_SYMBOLS)
+           + _dht_segment(0, 1, _DC_BITS, _DC_SYMBOLS)
+           + _dht_segment(1, 1, _AC_BITS, _AC_SYMBOLS))
+    payload = (b"\xff\xd8" + _dqt_segment(0, _QT_LUMA)
+               + _dqt_segment(1, _QT_CHROMA) + dht + sof + sos
+               + entropy + b"\xff\xd9")
+    out = decode_jpeg_pixels(payload)
+    assert out is not None
+    assert (out["width"], out["height"], out["channels"]) == (w, h, 3)
+    # luma must survive: compare the decoded Y back against the source
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(h, w, 3).astype(float)
+    y_back = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert np.abs(y_back - y_plane).mean() < 3.0
