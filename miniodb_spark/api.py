@@ -370,6 +370,12 @@ class MiniODBService:
             },
             "audit_enabled": self.audit is not None,
         }
+        # streaming jobs: state-store rows/updates/evictions per active
+        # query, so stateful-stream state growth shows up next to the
+        # buffer sizes (spark.streams.active is the source of truth)
+        from .monitoring import streaming_state_metrics
+
+        out["streaming"] = streaming_state_metrics(self.engine.spark)
         if self.rate_limiter is not None:
             out["rate_limiter"] = self.rate_limiter.stats()
         return out

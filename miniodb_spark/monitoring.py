@@ -213,3 +213,40 @@ class HealthChecker:
             return True
         except Exception:
             return False
+
+
+def streaming_state_metrics(spark) -> list[dict[str, Any]]:
+    """State-store metrics for every active Structured Streaming query
+    on the session, read from ``lastProgress`` (the engine's own
+    instrumentation — rows in state, updates, evictions, state memory
+    per stateful operator). The reference dashboard has no streaming
+    jobs to show; here the overview covers them so a stateful stream's
+    state growth is observable the same way buffer sizes are.
+
+    Purely observational: no tracking registry to keep in sync —
+    ``spark.streams.active`` IS the source of truth."""
+    out: list[dict[str, Any]] = []
+    for q in spark.streams.active:
+        entry: dict[str, Any] = {
+            "id": str(q.id),
+            "run_id": str(q.runId),
+            "name": q.name,
+            "is_active": bool(q.isActive),
+            "batch_id": None,
+            "input_rows": None,
+            "state_operators": [],
+        }
+        p = q.lastProgress  # dict in pyspark >= 3.5, None before batch 1
+        if p:
+            entry["batch_id"] = p.get("batchId")
+            entry["input_rows"] = p.get("numInputRows")
+            for op in p.get("stateOperators") or []:
+                entry["state_operators"].append({
+                    "operator": op.get("operatorName"),
+                    "rows_in_state": op.get("numRowsTotal"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "evictions": op.get("numRowsRemoved"),
+                    "memory_used_bytes": op.get("memoryUsedBytes"),
+                })
+        out.append(entry)
+    return out
