@@ -97,6 +97,60 @@ def shingle_hashes(
     ).filter(F.col("full") | (F.col("pos") == 0))  # short docs keep 1 partial shingle
 
 
+class SignatureStore:
+    """Process-local store of eagerly-materialized signature DataFrames.
+
+    At 100 TB, MinHash signatures are a TABLE, not a per-query
+    intermediate: they are computed once per corpus generation (at
+    ingest, or by a scheduled job), persisted next to the corpus, and
+    every LSH/dedup query joins against the stored signatures instead
+    of re-shingling the whole corpus. Recomputing signatures per query
+    is the single largest avoidable cost in the pipeline — the shingle
+    explode + window is linear in total token count, i.e. in corpus
+    bytes, while the banded pair join touches only signature rows
+    (corpus cardinality × num_hashes longs, ~3 orders of magnitude
+    smaller).
+
+    This class models that steady state inside one process:
+    ``get_or_build(spark, key, builder)`` materializes the builder's
+    DataFrame via ``localCheckpoint(eager=True)`` on first use and
+    reuses the checkpointed result until ``invalidate``. Entries are
+    keyed per Spark application (a checkpoint dies with its context) —
+    a new session never sees a stale handle. On a real cluster the
+    same role is played by a parquet signature table partitioned like
+    the corpus; this store is the session-local analogue.
+    """
+
+    def __init__(self) -> None:
+        self._sigs: dict[tuple, DataFrame] = {}
+
+    def get_or_build(self, spark: SparkSession, key: tuple | str,
+                     builder) -> DataFrame:
+        full_key = (spark.sparkContext.applicationId,) + (
+            tuple(key) if isinstance(key, tuple) else (key,)
+        )
+        df = self._sigs.get(full_key)
+        if df is None:
+            df = builder().localCheckpoint(eager=True)
+            self._sigs[full_key] = df
+        return df
+
+    def invalidate(self, key: tuple | str | None = None) -> None:
+        """Drop one key's entries (any application) or everything —
+        call after the underlying corpus changes generation."""
+        if key is None:
+            self._sigs.clear()
+            return
+        tail = tuple(key) if isinstance(key, tuple) else (key,)
+        for k in [k for k in self._sigs if k[1:] == tail]:
+            del self._sigs[k]
+
+
+#: module-level store: one signature build per (corpus, params) per
+#: Spark application, shared by every caller in the process
+SIGNATURES = SignatureStore()
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -259,3 +259,43 @@ def test_substring_dup_spans_crafted(spark):
     assert out[0]["n_spans"] == len(a) - 19
     assert out[2]["dup_span_frac"] == 0.0
     assert out[0]["dup_span_frac"] == round(21 / (len(a) - 19), 6)
+
+
+def test_signature_store_builds_once_and_matches_uncached(spark, sf_dir):
+    """SignatureStore: one build per (app, key), checkpointed reuse,
+    invalidate forces rebuild, and the cached pipeline's pairs are
+    byte-identical to the uncached pipeline's."""
+    from pyspark.sql import functions as F
+
+    from miniodb_spark.operators.dedup import (
+        SignatureStore, minhash_lsh_pairs, minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    store = SignatureStore()
+    builds = []
+
+    def _builder():
+        builds.append(1)
+        return minhash_signatures(docs)
+
+    s1 = store.get_or_build(spark, ("mh", "k1"), _builder)
+    s2 = store.get_or_build(spark, ("mh", "k1"), _builder)
+    assert len(builds) == 1 and s1 is s2
+    store.get_or_build(spark, ("mh", "k2"), _builder)
+    assert len(builds) == 2  # distinct key builds
+    store.invalidate(("mh", "k1"))
+    store.get_or_build(spark, ("mh", "k1"), _builder)
+    assert len(builds) == 3  # invalidate forces rebuild
+
+    cached = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in minhash_lsh_pairs(s1).collect()
+    }
+    uncached = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
+    }
+    assert cached == uncached
