@@ -174,3 +174,49 @@ def test_422_decode_via_crafted_sof():
     px = np.frombuffer(out["pixels"], np.uint8).reshape(h, w, 3).astype(float)
     y_back = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     assert np.abs(y_back - y_plane).mean() < 3.0
+
+
+def test_jpeg_property_roundtrip_random_images():
+    """Property sweep: random dims (including non-multiple-of-MCU),
+    channels, and subsampling must always produce a decodable file
+    with correct dims, and smooth content stays within bounded error.
+    Deterministic seeds (no hypothesis here: each case costs a full
+    encode+decode, so a fixed 24-case grid beats example shrinking)."""
+    rng = np.random.RandomState(7)
+    for trial in range(24):
+        w = int(rng.randint(1, 40))
+        h = int(rng.randint(1, 40))
+        ch = 1 if trial % 2 == 0 else 3
+        sub = trial % 4 == 1  # only meaningful for ch=3
+        # smooth low-frequency content (JPEG's design envelope)
+        xx, yy = np.meshgrid(np.arange(w * 1.0), np.arange(h * 1.0))
+        base = 127 + 80 * np.sin(xx / 9 + trial) * np.cos(yy / 6)
+        img = np.repeat(base[:, :, None], ch, axis=2)
+        raw = np.clip(np.round(img), 0, 255).astype(np.uint8).tobytes()
+        out = decode_jpeg_pixels(jpeg_bytes(raw, w, h, ch, subsample=sub))
+        assert out is not None, (w, h, ch, sub)
+        assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+        assert len(out["pixels"]) == w * h * ch
+        err = np.abs(
+            np.frombuffer(out["pixels"], np.uint8).astype(float)
+            - np.frombuffer(raw, np.uint8).astype(float)
+        ).mean()
+        assert err < 4.0, (w, h, ch, sub, err)
+
+
+def test_jpeg_decoder_never_raises_on_mutations():
+    """Junk tolerance holds for the generalized decoder: single-byte
+    mutations of a valid 4:2:0 file either decode or return None —
+    never raise (the registry's mapInPandas contract)."""
+    xx, yy = np.meshgrid(np.arange(24.0), np.arange(16.0))
+    plane = np.clip(
+        np.round(127 + 90 * np.sin(xx / 5) * np.cos(yy / 4)), 0, 255
+    )
+    raw = np.repeat(plane[:, :, None], 3, axis=2).astype(np.uint8).tobytes()
+    good = jpeg_bytes(raw, 24, 16, 3, subsample=True)
+    rng = np.random.RandomState(3)
+    for _ in range(60):
+        pos = int(rng.randint(0, len(good)))
+        val = int(rng.randint(0, 256))
+        mutated = good[:pos] + bytes([val]) + good[pos + 1:]
+        decode_jpeg_pixels(mutated)  # must not raise
