@@ -1423,3 +1423,71 @@ def register_queries(register) -> None:
             )
             .orderBy("doc_id")
         )
+
+    @register(
+        "ngram_novelty",
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        ),
+        firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT gr.doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS novelty
+        FROM grams gr JOIN firsts f USING (g)
+        GROUP BY gr.doc_id ORDER BY gr.doc_id
+        """,
+        doc="per-document n-gram novelty: the fraction of a doc's "
+            "distinct 3-grams whose FIRST corpus occurrence (min doc_id "
+            "= ingestion order) is this doc — the duplication-"
+            "attribution view used to audit corpus ordering and "
+            "incremental crawls (a doc full of already-seen phrases "
+            "scores near 0). Spark shape: distinct grams (shuffle on "
+            "(doc, g)), first-occurrence via min window over g (shuffle "
+            "on g), per-doc agg — the window reuses nothing but stays "
+            "one pass; no join needed where the oracle uses one",
+        tags=("llm",),
+    )
+    def ngram_novelty(spark, sf_dir):
+        from pyspark.sql import Window as W
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+        )
+        w = W.partitionBy("doc_id").orderBy("pos")
+        nxt1, nxt2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        grams = (
+            toks.select(
+                "doc_id",
+                F.concat_ws(" ", F.col("tok"), nxt1, nxt2).alias("g"),
+                nxt2.isNotNull().alias("_full"),
+            )
+            .filter("_full")
+            .select("doc_id", "g")
+            .distinct()
+        )
+        first_doc = F.min("doc_id").over(W.partitionBy("g"))
+        return (
+            grams.withColumn("first_doc", first_doc)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_distinct_grams"),
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("bigint").alias("n_novel"),
+            )
+            .select(
+                "doc_id", "n_distinct_grams", "n_novel",
+                F.round(F.col("n_novel") / F.col("n_distinct_grams"), 6)
+                .alias("novelty"),
+            )
+            .orderBy("doc_id")
+        )

@@ -1531,6 +1531,110 @@ def window_range_frame(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+    doc="ordered funnel analysis (view -> click within 1 day -> purchase "
+        "within 1 day): each stage is a min-agg over the previous "
+        "stage's users — per-user state stays one timestamp per stage, "
+        "and the per-stage user tables (cardinality = users, not "
+        "events) broadcast under AQE at any corpus size where users << "
+        "events",
+)
+def funnel_conversion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + day))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + day))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) // 7
+                AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE date_trunc('day', e.ts) >= f.cohort_day
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="retention cohort matrix: users grouped by first-signup day, "
+        "distinct-active counts per week offset since signup. The "
+        "cohort table (one row per user) broadcasts; one shuffle for "
+        "the distinct-count agg. Week offset is integer-div of exact "
+        "day difference on day-truncated timestamps — identical "
+        "arithmetic in both engines (no week-boundary semantics)",
+)
+def retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .withColumn("eday", F.date_trunc("day", F.col("ts")))
+        .filter(F.col("eday") >= F.col("cohort_day"))
+        .withColumn(
+            "week_offset",
+            F.expr("CAST(datediff(eday, cohort_day) div 7 AS BIGINT)"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -1576,6 +1680,7 @@ _PRIORITY_ORDER = [
     # the 50 entries driver-green in round 7 — all pinned by
     # test_oracle_parity.py either way.
     "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
+    "funnel_conversion", "retention_cohorts", "ngram_novelty",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
