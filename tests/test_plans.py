@@ -156,3 +156,48 @@ def test_bloom_prefilter_store_join_is_gated(spark, sf_dir, registry):
     df = registry["dedup_bloom_prefilter"].fn(spark, sf_dir)
     plan = plans.simple_plan(df)
     assert "maybe_seen" in plan, plan
+
+
+def _final_plan(df):
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_stages_broadcast_under_aqe(spark, sf_dir, registry):
+    """funnel_conversion's claim: per-stage user tables (cardinality =
+    users << events) broadcast at runtime — AQE must convert every
+    stage join, leaving no sort-merge join in the final plan."""
+    import re
+
+    df = registry["funnel_conversion"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_retention_cohort_table_broadcasts(spark, sf_dir, registry):
+    """retention_cohorts: the one-row-per-user cohort table must
+    broadcast; the only real shuffle is the distinct-count agg."""
+    df = registry["retention_cohorts"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_boilerplate_boiler_set_broadcasts(spark, sf_dir, registry):
+    """boilerplate_ngrams: the boiler gram set (tiny after the >=5-doc
+    filter) must come back as a broadcast join against the corpus-sized
+    gram table, not a second corpus-wide shuffle."""
+    df = registry["boilerplate_ngrams"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_ngram_novelty_two_gram_shuffles_only(spark, sf_dir, registry):
+    """ngram_novelty avoids the oracle's join entirely (min window over
+    the gram key) — the plan must carry no join at all."""
+    df = registry["ngram_novelty"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
