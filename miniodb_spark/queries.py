@@ -1532,6 +1532,72 @@ def window_range_frame(spark, sf_dir):
 
 
 @register(
+    "median_by_type",
+    """
+    SELECT event_type,
+           round(median(value), 6) AS med_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="exact MEDIAN aggregate (both engines interpolate the middle "
+        "pair on even counts) — the exact-percentile face of the "
+        "approx_percentile entries; Spark executes it as a sort-based "
+        "percentile within each group",
+)
+def median_by_type(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 6).alias("med_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "filter_clause_agg",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_error,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+               AS purchase_value,
+           round(avg(value) FILTER (WHERE value > 50), 6) AS avg_high
+    FROM events WHERE user_id < 20
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="FILTER-clause aggregation (modern-SQL conditional aggregates; "
+        "one scan, N conditions) — expressed in the DataFrame API as "
+        "agg-over-when, which Catalyst compiles to the identical "
+        "single-pass conditional-aggregate plan; empty filter groups "
+        "yield NULL in both engines",
+)
+def filter_clause_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", True))
+            .alias("n_click"),
+            F.count(F.when(F.col("event_type") == "error", True))
+            .alias("n_error"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase",
+                             F.col("value"))), 6
+            ).alias("purchase_value"),
+            F.round(
+                F.avg(F.when(F.col("value") > 50, F.col("value"))), 6
+            ).alias("avg_high"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH v AS (
@@ -1681,6 +1747,7 @@ _PRIORITY_ORDER = [
     # test_oracle_parity.py either way.
     "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
     "funnel_conversion", "retention_cohorts", "ngram_novelty",
+    "median_by_type", "filter_clause_agg",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
