@@ -1491,3 +1491,247 @@ def register_queries(register) -> None:
             )
             .orderBy("doc_id")
         )
+
+    @register(
+        "pmi_collocations",
+        """
+        WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS t FROM documents
+        ),
+        big AS (
+          SELECT unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS bg
+          FROM toks
+        ),
+        bc AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        nb AS (SELECT sum(c) AS n FROM bc),
+        nu AS (SELECT sum(c) AS n FROM uc)
+        SELECT b.bg AS bigram, CAST(b.c AS BIGINT) AS n,
+               round(ln((b.c * 1.0 / nb.n) /
+                        ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))), 6)
+                 AS pmi
+        FROM bc b
+        JOIN uc u1 ON u1.w = string_split(b.bg, ' ')[1]
+        JOIN uc u2 ON u2.w = string_split(b.bg, ' ')[2]
+        CROSS JOIN nb CROSS JOIN nu
+        WHERE b.c >= 25
+        ORDER BY bigram
+        """,
+        doc="collocation mining via pointwise mutual information: "
+            "ln(p(xy) / (p(x)p(y))) over whitespace bigrams with a "
+            "min-count support filter (the phrase-mining primitive for "
+            "tokenizer/vocab curation). Scale shape: bigram and unigram "
+            "count tables are vocabulary-sized; the unigram side "
+            "broadcasts into the two enrichment joins and the totals are "
+            "broadcast scalars — corpus bytes are scanned exactly once "
+            "per n-gram order, and no per-bigram value accumulates "
+            "across partitions (PMI is a pure function of four counts)",
+        tags=("llm",),
+    )
+    def pmi_collocations(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t = docs.select(F.split(F.lower("text"), " ").alias("t"))
+        pairs = t.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), "
+                    "slice(t, 2, size(t) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+        uc = (
+            t.select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("uc"))
+        )
+        nb = bc.agg(F.sum("c").alias("nb"))
+        nu = uc.agg(F.sum("uc").alias("nu"))
+        u1 = uc.withColumnRenamed("w", "w1").withColumnRenamed("uc", "c1")
+        u2 = uc.withColumnRenamed("w", "w2").withColumnRenamed("uc", "c2")
+        return (
+            bc.filter(F.col("c") >= 25)
+            .join(F.broadcast(u1), "w1")
+            .join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(nu))
+            .select(
+                F.concat_ws(" ", "w1", "w2").alias("bigram"),
+                F.col("c").cast("bigint").alias("n"),
+                F.round(
+                    F.log(
+                        (F.col("c") / F.col("nb"))
+                        / ((F.col("c1") / F.col("nu"))
+                           * (F.col("c2") / F.col("nu")))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+            .orderBy("bigram")
+        )
+
+    @register(
+        "kl_divergence_sources",
+        """
+        WITH toks AS (
+          SELECT source, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ),
+        sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+        gc AS (SELECT w, sum(c) AS gcnt FROM sc GROUP BY 1),
+        gt AS (SELECT sum(gcnt) AS gn FROM gc)
+        SELECT sc.source,
+               round(sum((sc.c * 1.0 / st.n) *
+                         ln((sc.c * 1.0 / st.n) / (gc.gcnt * 1.0 / gt.gn))),
+                     4) AS kl_nats
+        FROM sc JOIN st USING (source) JOIN gc USING (w) CROSS JOIN gt
+        GROUP BY sc.source ORDER BY sc.source
+        """,
+        doc="per-source distribution drift: KL(source unigram dist || "
+            "corpus unigram dist) — the source-mixing diagnostic that "
+            "flags a crawl slice whose vocabulary departed from the "
+            "blend. All intermediates are (source x vocab)- or "
+            "vocab-sized; per-source totals broadcast; the final sum is "
+            "one agg over the sc table. Rounded to 4 (summed doubles "
+            "accumulate in engine-specific order)",
+        tags=("llm",),
+    )
+    def kl_divergence_sources(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        sc = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+        st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+        gc = sc.groupBy("w").agg(F.sum("c").alias("gcnt"))
+        gt = gc.agg(F.sum("gcnt").alias("gn"))
+        term = (F.col("c") / F.col("n")) * F.log(
+            (F.col("c") / F.col("n")) / (F.col("gcnt") / F.col("gn"))
+        )
+        return (
+            sc.join(F.broadcast(st), "source")
+            .join(F.broadcast(gc), "w")
+            .crossJoin(F.broadcast(gt))
+            .groupBy("source")
+            .agg(F.round(F.sum(term), 4).alias("kl_nats"))
+            .orderBy("source")
+        )
+
+    @register(
+        "vocab_jaccard_sources",
+        """
+        WITH v AS (
+          SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ),
+        sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        ix AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS i
+          FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, CAST(i AS BIGINT) AS n_common,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM ix
+        JOIN sz sa ON sa.source = source_a
+        JOIN sz sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+        """,
+        doc="pairwise vocabulary overlap between sources (exact Jaccard "
+            "over distinct-token sets) — the corpus-composition view of "
+            "which slices are near-redundant. The distinct (source, "
+            "token) table is at most sources x vocab; the self-join "
+            "shuffles on the token key and the output is sources^2 "
+            "rows, so nothing here grows with corpus bytes",
+        tags=("llm",),
+    )
+    def vocab_jaccard_sources(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        v = docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        ).distinct()
+        sz = v.groupBy("source").agg(F.count("*").alias("n"))
+        a = v.alias("a")
+        b = v.alias("b")
+        ix = (
+            a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count("*").alias("i"))
+        )
+        sa = F.broadcast(
+            sz.withColumnRenamed("source", "source_a")
+            .withColumnRenamed("n", "na")
+        )
+        sb = F.broadcast(
+            sz.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("n", "nb")
+        )
+        return (
+            ix.join(sa, "source_a")
+            .join(sb, "source_b")
+            .select(
+                "source_a", "source_b",
+                F.col("i").cast("bigint").alias("n_common"),
+                F.round(
+                    F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+                ).alias("jaccard"),
+            )
+            .orderBy("source_a", "source_b")
+        )
+
+    @register(
+        "dup_cluster_size_dist",
+        """
+        WITH h AS (
+          SELECT md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                            1, 50)) AS fp
+          FROM documents
+        ),
+        c AS (SELECT fp, count(*) AS sz FROM h GROUP BY fp)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY sz ORDER BY sz
+        """,
+        doc="duplicate cluster-size histogram over normalized 50-char "
+            "prefix fingerprints: the dedup *audit* view (how much of "
+            "the corpus sits in clusters of size k — prefix clustering "
+            "catches boilerplate-led documents that exact full-text "
+            "hashing misses). Two key-bounded aggs — fingerprint then "
+            "size — with map-side partials; the second agg's domain is "
+            "the handful of distinct cluster sizes",
+        tags=("llm",),
+    )
+    def dup_cluster_size_dist(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fp = F.md5(
+            F.substring(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                1, 50,
+            )
+        )
+        c = (
+            docs.select(fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("sz"))
+        )
+        return (
+            c.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"))
+            .select(
+                "cluster_size",
+                F.col("n_clusters").cast("bigint").alias("n_clusters"),
+                (F.col("cluster_size") * F.col("n_clusters"))
+                .cast("bigint").alias("n_docs"),
+            )
+            .orderBy("cluster_size")
+        )

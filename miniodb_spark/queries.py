@@ -1701,6 +1701,265 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day ORDER BY d.day
+    """,
+    doc="trailing-7-day distinct active users per day. Scale shape: events "
+        "first collapse to distinct (day, user) pairs — cardinality is "
+        "days x users, orders of magnitude below raw events — then the "
+        "tiny day dimension broadcast-range-joins the pairs. Avoids the "
+        "quadratic expanding-distinct-window formulation entirely",
+)
+def rolling_7d_active_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = F.broadcast(du.select("day").distinct().alias("d"))
+    u = du.alias("u")
+    return (
+        days.join(
+            u,
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day ORDER BY day
+    """,
+    doc="cumulative distinct users per day via the first-seen-day trick: "
+        "min(day) per user then a running sum over the day-grain table. "
+        "One agg shuffle on user_id; the window runs over ~days rows, not "
+        "events — the expanding COUNT(DISTINCT) it replaces is quadratic "
+        "and unshardable at 100 TB",
+)
+def cumulative_distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("day"))
+    )
+    per_day = firsts.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: lead() under a (ts, event_id) total order, then one "
+        "group-agg; row-normalized via a window over the tiny "
+        "(types x types) result. One shuffle on user_id, one on the "
+        "transition pair — both key-bounded",
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    g = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    row_tot = W.partitionBy("from_type")
+    return g.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "histogram_equi_width",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, b GROUP BY 1 ORDER BY 1
+    """,
+    doc="equi-width 10-bin histogram: global min/max (scalar agg, "
+        "broadcast), then a single binning pass + group-agg on a 10-key "
+        "domain. Two scans, no wide shuffle; the bin arithmetic is "
+        "identical IEEE double ops in both engines",
+)
+def histogram_equi_width(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+      SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM rev ORDER BY n_name
+    """,
+    doc="ratio-to-report: per-nation revenue share via an unbounded "
+        "window over the 25-row aggregate (the grand total never "
+        "recomputes the fact scan). Joins: nation/customer broadcast "
+        "under AQE; lineitem->orders is the only big shuffle",
+)
+def revenue_share_by_nation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+    w = W.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    ).orderBy("n_name")
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+          FROM part WHERE p_partkey <= 50)
+    UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    ORDER BY p_partkey, metric
+    """,
+    doc="UNPIVOT / melt: wide metric columns to long (metric, value) rows "
+        "— the inverse of pivot_status_by_priority. Spark's unpivot is a "
+        "narrow per-row expand (no shuffle); output is k x rows",
+)
+def unpivot_part_metrics(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
+    "levenshtein_blocked_pairs",
+    """
+    WITH b AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk
+      FROM part
+    )
+    SELECT a.blk, CAST(count(*) AS BIGINT) AS n_near_pairs
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+    WHERE levenshtein(a.p_name, c.p_name) <= 2
+    GROUP BY a.blk ORDER BY a.blk
+    """,
+    doc="blocked string near-dup join: edit-distance pairs computed only "
+        "within blocking-key groups (the noun token), never all-pairs — "
+        "the classic entity-resolution shape. The self-join shuffles on "
+        "the block key; per-block fan-out is bounded by block size, and "
+        "skewed blocks would split under AQE skew-join handling",
+)
+def levenshtein_blocked_pairs(spark, sf_dir):
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.split("p_name", " ").getItem(1).alias("blk"),
+    )
+    a, c = p.alias("a"), p.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_partkey") < F.col("c.p_partkey")),
+        )
+        .filter(F.levenshtein("a.p_name", "c.p_name") <= 2)
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.count("*").alias("n_near_pairs"))
+        .orderBy("blk")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -1748,6 +2007,12 @@ _PRIORITY_ORDER = [
     "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
     "funnel_conversion", "retention_cohorts", "ngram_novelty",
     "median_by_type", "filter_clause_agg",
+    "rolling_7d_active_users", "cumulative_distinct_users",
+    "event_transition_matrix", "histogram_equi_width",
+    "revenue_share_by_nation", "unpivot_part_metrics",
+    "levenshtein_blocked_pairs",
+    "pmi_collocations", "kl_divergence_sources", "vocab_jaccard_sources",
+    "dup_cluster_size_dist",
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",

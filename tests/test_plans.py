@@ -201,3 +201,53 @@ def test_ngram_novelty_two_gram_shuffles_only(spark, sf_dir, registry):
     df = registry["ngram_novelty"].fn(spark, sf_dir)
     plan = _final_plan(df)
     assert "Join" not in plan, plan[:2000]
+
+
+def test_rolling_active_day_dim_broadcasts(spark, sf_dir, registry):
+    """rolling_7d_active_users: the day dimension must broadcast into
+    the range join (BroadcastNestedLoopJoin over the tiny day side) —
+    never a cartesian over raw events. The only wide shuffles are the
+    two distinct/count-distinct aggs over (day, user) pairs."""
+    df = registry["rolling_7d_active_users"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_cumulative_distinct_avoids_expanding_window(spark, sf_dir, registry):
+    """cumulative_distinct_users: the first-seen-day formulation must
+    contain no join and no expanding count-distinct — two hash aggs
+    plus one window over the day-grain table."""
+    df = registry["cumulative_distinct_users"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_pmi_unigram_sides_broadcast(spark, sf_dir, registry):
+    """pmi_collocations: the unigram count table and both scalar
+    totals broadcast into the bigram table — vocabulary-sized build
+    sides, no sort-merge join anywhere."""
+    df = registry["pmi_collocations"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_kl_divergence_totals_broadcast(spark, sf_dir, registry):
+    """kl_divergence_sources: per-source totals and the global
+    distribution join in as broadcast sides; the only wide shuffle is
+    the (source, token) count agg."""
+    df = registry["kl_divergence_sources"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_levenshtein_join_is_block_keyed(spark, sf_dir, registry):
+    """levenshtein_blocked_pairs: the self-join must be an equi-join on
+    the blocking key (hash-partitioned or broadcast), never a cartesian
+    / nested-loop over all pairs."""
+    df = registry["levenshtein_blocked_pairs"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
