@@ -14,9 +14,10 @@ partition sizing — is real and tested. Decode depth by format:
 - **WAV**: full 16-bit PCM sample decode (`decode_wav_samples`).
 - **JPEG**: real baseline DCT decode (`operators/jpeg.py` — canonical
   Huffman entropy decode, dequant, numpy IDCT, YCbCr→RGB) for
-  sequential 8-bit grayscale/4:4:4; progressive and subsampled files
-  fall back to header metadata with a ``ValueError`` naming the
-  unsupported variant.
+  sequential 8-bit grayscale and any T.81 sampling factors — 4:4:4,
+  4:2:2 and camera-standard 4:2:0 all decode (chroma upsampled by
+  replication); DRI/RSTn supported. Progressive (SOF2) files fall
+  back to header metadata (dimensions still reported).
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses ``mapInPandas`` (streamed Arrow batches — one pass, no shuffle)

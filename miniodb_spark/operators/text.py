@@ -1523,11 +1523,17 @@ def register_queries(register) -> None:
             "ln(p(xy) / (p(x)p(y))) over whitespace bigrams with a "
             "min-count support filter (the phrase-mining primitive for "
             "tokenizer/vocab curation). Scale shape: bigram and unigram "
-            "count tables are vocabulary-sized; the unigram side "
-            "broadcasts into the two enrichment joins and the totals are "
-            "broadcast scalars — corpus bytes are scanned exactly once "
-            "per n-gram order, and no per-bigram value accumulates "
-            "across partitions (PMI is a pure function of four counts)",
+            "count tables are vocabulary-sized; the unigram enrichment "
+            "joins carry no forced hint (AQE broadcasts them while they "
+            "fit, degrades to shuffle when a web-scale vocabulary does "
+            "not) and only the single-row totals are hint-broadcast — "
+            "corpus bytes are scanned exactly once per n-gram order, and "
+            "no per-bigram value accumulates across partitions (PMI is a "
+            "pure function of four counts). The min-count support of 25 "
+            "is a statistical-stability floor (PMI is noise below ~25 "
+            "observations); it only admits more bigrams as the corpus "
+            "grows, and is non-vacuous at the smallest tested scale "
+            "(770 rows at sf0.001)",
         tags=("llm",),
     )
     def pmi_collocations(spark, sf_dir):
@@ -1552,10 +1558,16 @@ def register_queries(register) -> None:
         nu = uc.agg(F.sum("uc").alias("nu"))
         u1 = uc.withColumnRenamed("w", "w1").withColumnRenamed("uc", "c1")
         u2 = uc.withColumnRenamed("w", "w2").withColumnRenamed("uc", "c2")
+        # No hard broadcast hint on u1/u2: a web-scale unigram vocabulary
+        # is tens of millions of rows, and a forced F.broadcast would
+        # override AQE's size judgment (driver/executor OOM risk) where an
+        # unhinted join degrades to shuffle gracefully. At test scale AQE
+        # still broadcasts them (plan-gated in test_plans.py). Hints stay
+        # only on the single-row totals nb/nu.
         return (
             bc.filter(F.col("c") >= 25)
-            .join(F.broadcast(u1), "w1")
-            .join(F.broadcast(u2), "w2")
+            .join(u1, "w1")
+            .join(u2, "w2")
             .crossJoin(F.broadcast(nb))
             .crossJoin(F.broadcast(nu))
             .select(
@@ -1595,9 +1607,11 @@ def register_queries(register) -> None:
             "corpus unigram dist) — the source-mixing diagnostic that "
             "flags a crawl slice whose vocabulary departed from the "
             "blend. All intermediates are (source x vocab)- or "
-            "vocab-sized; per-source totals broadcast; the final sum is "
-            "one agg over the sc table. Rounded to 4 (summed doubles "
-            "accumulate in engine-specific order)",
+            "vocab-sized; per-source totals broadcast by hint (bounded "
+            "by source count); the vocab-sized global count table joins "
+            "unhinted so AQE decides; the final sum is one agg over the "
+            "sc table. Rounded to 4 (summed doubles accumulate in "
+            "engine-specific order)",
         tags=("llm",),
     )
     def kl_divergence_sources(spark, sf_dir):
@@ -1612,9 +1626,12 @@ def register_queries(register) -> None:
         term = (F.col("c") / F.col("n")) * F.log(
             (F.col("c") / F.col("n")) / (F.col("gcnt") / F.col("gn"))
         )
+        # gc is vocabulary-sized (unbounded at web scale) — no hard
+        # broadcast hint; AQE broadcasts it at test scale (plan-gated).
+        # st (one row per source) and gt (scalar) keep their hints.
         return (
             sc.join(F.broadcast(st), "source")
-            .join(F.broadcast(gc), "w")
+            .join(gc, "w")
             .crossJoin(F.broadcast(gt))
             .groupBy("source")
             .agg(F.round(F.sum(term), 4).alias("kl_nats"))

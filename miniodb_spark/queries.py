@@ -1717,25 +1717,31 @@ def retention_cohorts(spark, sf_dir):
     """,
     doc="trailing-7-day distinct active users per day. Scale shape: events "
         "first collapse to distinct (day, user) pairs — cardinality is "
-        "days x users, orders of magnitude below raw events — then the "
-        "tiny day dimension broadcast-range-joins the pairs. Avoids the "
-        "quadratic expanding-distinct-window formulation entirely",
+        "days x users, orders of magnitude below raw events — then each "
+        "pair explodes to the <=7 window days it covers (sequence()) and "
+        "equi-joins the observed-day dimension: O(7*|pairs|) hash-join "
+        "work, never an O(|days|*|pairs|) nested-loop range predicate. "
+        "Avoids the quadratic expanding-distinct-window formulation "
+        "entirely",
 )
 def rolling_7d_active_users(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
-    days = F.broadcast(du.select("day").distinct().alias("d"))
-    u = du.alias("u")
+    days = F.broadcast(du.select(F.col("day").alias("obs_day")).distinct())
+    # each (day, user) activity covers window anchors day..day+6; only
+    # anchors that actually occur in the data survive the equi-join
+    covered = du.select(
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+        ).alias("wday"),
+        "user_id",
+    )
     return (
-        days.join(
-            u,
-            (F.col("u.day") <= F.col("d.day"))
-            & (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAY")),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.count_distinct("u.user_id").alias("active_7d"))
+        covered.join(days, covered.wday == F.col("obs_day"))
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
         .orderBy("day")
     )
 
@@ -1823,29 +1829,38 @@ def event_transition_matrix(spark, sf_dir):
 @register(
     "histogram_equi_width",
     """
-    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-    SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
-             AS bin,
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    b AS (SELECT min(value) AS lo, max(value) AS hi FROM v)
+    SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+           ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10.0))
+                           AS BIGINT), 9) END AS bin,
            CAST(count(*) AS BIGINT) AS n
-    FROM events, b GROUP BY 1 ORDER BY 1
+    FROM v, b GROUP BY 1 ORDER BY 1
     """,
     doc="equi-width 10-bin histogram: global min/max (scalar agg, "
         "broadcast), then a single binning pass + group-agg on a 10-key "
         "domain. Two scans, no wide shuffle; the bin arithmetic is "
-        "identical IEEE double ops in both engines",
+        "identical IEEE double ops in both engines. NULL values are "
+        "excluded before binning and the degenerate hi==lo range "
+        "collapses to bin 0, so bin 9 only ever holds genuine "
+        "top-decile rows",
 )
 def histogram_equi_width(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     return (
         ev.crossJoin(F.broadcast(b))
         .select(
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / 10.0)
-                ).cast("bigint"),
-                F.lit(9).cast("bigint"),
+            F.when(
+                F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")
+            ).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 10.0)
+                    ).cast("bigint"),
+                    F.lit(9).cast("bigint"),
+                )
             ).alias("bin")
         )
         .groupBy("bin")
@@ -1908,7 +1923,10 @@ def revenue_share_by_nation(spark, sf_dir):
     """,
     doc="UNPIVOT / melt: wide metric columns to long (metric, value) rows "
         "— the inverse of pivot_status_by_priority. Spark's unpivot is a "
-        "narrow per-row expand (no shuffle); output is k x rows",
+        "narrow per-row expand (no shuffle); output is k x rows. NULL "
+        "values are dropped after the expand to match DuckDB UNPIVOT's "
+        "exclude-NULLs default (Spark's unpivot keeps them), so the two "
+        "formulations stay equivalent even on nullable metrics",
 )
 def unpivot_part_metrics(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
@@ -1919,6 +1937,7 @@ def unpivot_part_metrics(spark, sf_dir):
             "p_retailprice",
         )
         .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+        .filter(F.col("value").isNotNull())
         .orderBy("p_partkey", "metric")
     )
 
@@ -1967,43 +1986,14 @@ def levenshtein_blocked_pairs(spark, sf_dir):
 # driver-green first — so no entry's most recent driver grade ages past
 # two rounds; the freshest greens sit at the tail, where
 # tests/test_oracle_parity.py keeps pinning them each CI run.
-# Round 8 window = the 15 entries added mid-round-7 after that window
-# was packed (never driver-graded), then the 9 entries last
-# driver-green in round 5, then 26 round-6 greens as backfill —
-# exactly 50. After CORRECTNESS_r08 no entry's last grade is older
-# than round 6. The remaining round-6 greens head the round-9
-# rotation; the 50 round-7 greens sit at the tail (freshest).
+# Round 9 window = the 19 entries added mid-round-8 (never
+# driver-graded), then the 24 entries last driver-green in round 6
+# (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
+# After CORRECTNESS_r09 no entry's last driver grade is older than
+# round 7. The remaining 43 round-7 greens head the round-10
+# rotation; the 50 round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
-    # added mid-round-7, never driver-graded
-    "knn_batch_join", "dedup_bloom_prefilter", "image_phash_near_dup",
-    "epoch_shuffle_shards", "audio_dominant_freq", "bigram_logprob_quality",
-    "quality_classifier_auc", "contrastive_pair_mining",
-    "image_near_dup_hamming", "winnow_fingerprints",
-    "dedup_prefix_filter_jaccard", "char_entropy_quality",
-    "mg_heavy_hitters_within_bound", "quantile_digest_within_bound",
-    "bpe_encode_corpus",
-    # last driver-green in round 5 (longest-ungraded)
-    "dedup_token_jaccard", "embedding_cosine_topk", "vocabulary_stats",
-    "tfidf_top_terms", "multimodal_frame_sample",
-    "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
-    "math_case_when",
-    # backfill: last driver-green in round 6 (26 of the 50 r6 rows)
-    "q1_pricing_summary", "q3_shipping_priority", "join_multiway_region",
-    "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
-    "asof_join_events", "range_join_events",
-    "hll_registry_within_bound", "cms_freq_within_bound",
-    "window_row_number_topn", "window_running_sum", "window_lag_lead",
-    "window_moving_avg", "window_rank_dist", "window_first_last",
-    "sessionize_30min", "tumbling_window_counts",
-    "json_extract_props", "json_flatten_typed",
-    "grouped_zscore", "percentiles_stddev",
-    "approx_distinct_within_bound", "approx_percentile_within_bound",
-    "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
-    # --- position >=50: outside the checked window. First the entries
-    # added mid-round-8 (never driver-graded — they head the round-9
-    # rotation together with the remaining round-6 greens below), then
-    # the 50 entries driver-green in round 7 — all pinned by
-    # test_oracle_parity.py either way.
+    # added mid-round-8, never driver-graded
     "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
     "funnel_conversion", "retention_cohorts", "ngram_novelty",
     "median_by_type", "filter_clause_agg",
@@ -2013,6 +2003,7 @@ _PRIORITY_ORDER = [
     "levenshtein_blocked_pairs",
     "pmi_collocations", "kl_divergence_sources", "vocab_jaccard_sources",
     "dup_cluster_size_dist",
+    # last driver-green in round 6 (longest-ungraded)
     "dedup_simhash", "embedding_near_dup", "dedup_token_jaccard_capped",
     "multimodal_features", "dedup_corpus_survivors",
     "subquery_correlated_scalar", "order_nulls_last",
@@ -2023,10 +2014,15 @@ _PRIORITY_ORDER = [
     "media_sniff_dispatch", "subquery_not_exists", "source_quota_sample",
     "embedding_ann_recall", "embedding_ivf_recall",
     "multimodal_payload_stats",
-    # driver-green in round 7
+    # backfill: driver-green in round 7 (7 of the 50 r7 rows)
     "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",
     "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
-    "bpe_train_merges", "image_jpeg_roundtrip", "audio_pcm_features",
+    "bpe_train_merges",
+    # --- position >=50: outside the checked window, staleness order.
+    # First the remaining 43 round-7 greens (they head the round-10
+    # rotation), then the 50 round-8 greens (freshest) — all pinned by
+    # test_oracle_parity.py either way.
+    "image_jpeg_roundtrip", "audio_pcm_features",
     "semantic_dedup", "temperature_source_mix", "stratified_split_counts",
     "embedding_outliers", "sequence_packing", "dedup_incremental",
     "embedding_quantize_int8", "training_pipeline_e2e",
@@ -2040,6 +2036,29 @@ _PRIORITY_ORDER = [
     "limit_offset", "subquery_scalar", "null_handling", "set_union_all",
     "set_intersect_except", "string_agg_sorted", "regexp_ops",
     "pivot_status_by_priority", "dedup_exact_groups", "doc_chunking",
+    # driver-green in round 8 (freshest)
+    "knn_batch_join", "dedup_bloom_prefilter", "image_phash_near_dup",
+    "epoch_shuffle_shards", "audio_dominant_freq", "bigram_logprob_quality",
+    "quality_classifier_auc", "contrastive_pair_mining",
+    "image_near_dup_hamming", "winnow_fingerprints",
+    "dedup_prefix_filter_jaccard", "char_entropy_quality",
+    "mg_heavy_hitters_within_bound", "quantile_digest_within_bound",
+    "bpe_encode_corpus",
+    "dedup_token_jaccard", "embedding_cosine_topk", "vocabulary_stats",
+    "tfidf_top_terms", "multimodal_frame_sample",
+    "grouping_sets_explicit", "lang_id_heuristic", "quality_signals",
+    "math_case_when",
+    "q1_pricing_summary", "q3_shipping_priority", "join_multiway_region",
+    "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
+    "asof_join_events", "range_join_events",
+    "hll_registry_within_bound", "cms_freq_within_bound",
+    "window_row_number_topn", "window_running_sum", "window_lag_lead",
+    "window_moving_avg", "window_rank_dist", "window_first_last",
+    "sessionize_30min", "tumbling_window_counts",
+    "json_extract_props", "json_flatten_typed",
+    "grouped_zscore", "percentiles_stddev",
+    "approx_distinct_within_bound", "approx_percentile_within_bound",
+    "dedup_char_ngram_capped", "dedup_char_ngram_jaccard",
 ]
 
 

@@ -203,14 +203,16 @@ def test_ngram_novelty_two_gram_shuffles_only(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
 
 
-def test_rolling_active_day_dim_broadcasts(spark, sf_dir, registry):
-    """rolling_7d_active_users: the day dimension must broadcast into
-    the range join (BroadcastNestedLoopJoin over the tiny day side) —
-    never a cartesian over raw events. The only wide shuffles are the
-    two distinct/count-distinct aggs over (day, user) pairs."""
+def test_rolling_active_explodes_to_equi_join(spark, sf_dir, registry):
+    """rolling_7d_active_users: pairs explode to their <=7 covered
+    window days and equi-join the broadcast day dimension — a hash
+    join, never a nested-loop range predicate (O(|days|*|pairs|)) or a
+    cartesian over raw events. The only wide shuffles are the two
+    distinct/count-distinct aggs over (day, user) pairs."""
     df = registry["rolling_7d_active_users"].fn(spark, sf_dir)
     plan = _final_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
