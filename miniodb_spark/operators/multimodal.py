@@ -12,12 +12,12 @@ partition sizing — is real and tested. Decode depth by format:
   LZW decompressor (variable code width, CLEAR/EOI, 12-bit cap) over
   the first non-interlaced frame, palette-mapped to RGB.
 - **WAV**: full 16-bit PCM sample decode (`decode_wav_samples`).
-- **JPEG**: real baseline DCT decode (`operators/jpeg.py` — canonical
+- **JPEG**: real DCT decode (`operators/jpeg.py` — canonical
   Huffman entropy decode, dequant, numpy IDCT, YCbCr→RGB) for
-  sequential 8-bit grayscale and any T.81 sampling factors — 4:4:4,
-  4:2:2 and camera-standard 4:2:0 all decode (chroma upsampled by
-  replication); DRI/RSTn supported. Progressive (SOF2) files fall
-  back to header metadata (dimensions still reported).
+  sequential (SOF0) AND progressive (SOF2, T.81 Annex G: spectral
+  selection + successive approximation) 8-bit files, with any T.81
+  sampling factors — 4:4:4, 4:2:2 and camera-standard 4:2:0 all
+  decode (chroma upsampled by replication); DRI/RSTn supported.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses ``mapInPandas`` (streamed Arrow batches — one pass, no shuffle)
@@ -72,10 +72,10 @@ FEATURE_SCHEMA = T.StructType(
 def decode_media(payload: bytes, mime: str | None = None) -> dict:
     """Format-sniffing media decode (replaces the pre-round-7
     ``decode_stub``): PNG/GIF/baseline-JPEG -> pixel dict, WAV ->
-    sample dict. Out-of-scope JPEG variants (progressive, subsampled)
-    raise ``ValueError`` naming the variant so callers can route
-    around them; malformed payloads of a recognized container raise
-    with ``malformed``."""
+    sample dict. JPEG variants outside the decoder's scope (e.g.
+    arithmetic-coded or 12-bit) raise ``ValueError`` so callers can
+    route around them; malformed payloads of a recognized container
+    raise with ``malformed``."""
     px = decode_image_pixels(payload)
     if px is not None:
         return {"kind": "image"} | px
@@ -86,7 +86,7 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
     if hdr is not None:
         if hdr["format"] == "jpeg":
             raise ValueError(
-                "unsupported jpeg variant (progressive or subsampled); "
+                "unsupported jpeg variant (arithmetic/hierarchical/12-bit); "
                 "header metadata is available via parse_image_header"
             )
         # png/gif header but the pixel decoder rejected the body
@@ -1202,14 +1202,19 @@ def register_queries(register) -> None:
     @register(
         "image_jpeg_roundtrip",
         "SELECT true AS jpeg_ok, CAST(25 AS BIGINT) AS n_images",
-        doc="REAL baseline JPEG codec self-check (ITU T.81: canonical "
-            "Huffman entropy coding, zigzag+quant, numpy DCT): genuine "
-            "JPEGs encoded from doc-derived smooth gradients (gray, "
-            "4:4:4, or 4:2:0 chroma-subsampled color by doc_id mod 4) "
-            "must decode with correct dims and mean |error| < 3 levels "
-            "— JPEG is lossy by design, so the check is bounded error, "
+        doc="REAL JPEG codec self-check (ITU T.81: canonical Huffman "
+            "entropy coding, zigzag+quant, numpy DCT): genuine JPEGs "
+            "encoded from doc-derived smooth gradients (gray, 4:4:4, "
+            "or 4:2:0 chroma-subsampled color by doc_id mod 4) must "
+            "decode with correct dims and mean |error| < 3 levels — "
+            "JPEG is lossy by design, so the check is bounded error, "
             "not bit equality (flat blocks round-trip exactly; pinned "
-            "in test_pixels.py and test_jpeg.py)",
+            "in test_pixels.py and test_jpeg.py). Every third doc is "
+            "ALSO re-encoded progressive (SOF2, Annex G multi-scan) "
+            "and must decode bit-identically to the baseline file — "
+            "progressive carries the same quantized coefficients, so "
+            "exact equality is the correct oracle there "
+            "(test_jpeg_progressive.py)",
         tags=("llm", "capability"),
     )
     def image_jpeg_roundtrip(spark, sf_dir):
@@ -1220,7 +1225,11 @@ def register_queries(register) -> None:
         def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
 
-            from .jpeg import decode_jpeg_pixels, jpeg_bytes
+            from .jpeg import (
+                decode_jpeg_pixels,
+                jpeg_bytes,
+                jpeg_bytes_progressive,
+            )
 
             for pdf in batches:
                 oks = []
@@ -1246,6 +1255,12 @@ def register_queries(register) -> None:
                             - np.frombuffer(raw, np.uint8).astype(float)
                         ).mean()) < 3.0
                     )
+                    if ok and d % 3 == 0:
+                        # progressive re-encode carries the same quantized
+                        # coefficients -> decode must be bit-identical
+                        ok = decode_jpeg_pixels(jpeg_bytes_progressive(
+                            raw, w, h, ch, subsample=sub,
+                            restart_interval=d % 5)) == out
                     oks.append(bool(ok))
                 yield pd.DataFrame({"ok": [all(oks)],
                                     "n": [len(oks)]})

@@ -50,9 +50,12 @@ def test_color_444_roundtrip():
 
 def test_scope_rejections_return_none():
     good = jpeg_bytes(bytes(64), 8, 8, 1)
-    # progressive frame marker (SOF2) instead of SOF0
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert decode_jpeg_pixels(prog) is None
+    # arithmetic-coded frame marker (SOF9) instead of SOF0
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert decode_jpeg_pixels(arith) is None
+    # SOF2 on a baseline-shaped single scan is malformed progressive
+    # (Ss=0 with Se=63): junk-tolerant None, never a raise
+    assert decode_jpeg_pixels(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
     # sampling factors outside T.81's 1..4 range
     sof_at = good.index(b"\xff\xc0")
     bad = bytearray(good)
