@@ -160,7 +160,11 @@ def test_bloom_prefilter_store_join_is_gated(spark, sf_dir, registry):
 
 def _final_plan(df):
     df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # keep only the executed plan: the trailing "Initial Plan" section is
+    # the pre-AQE shape and may legitimately contain sort-merge joins
+    # that the runtime then converted to broadcast
+    return s.split("== Initial Plan ==")[0]
 
 
 def test_funnel_stages_broadcast_under_aqe(spark, sf_dir, registry):
@@ -253,3 +257,60 @@ def test_levenshtein_join_is_block_keyed(spark, sf_dir, registry):
     plan = _final_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+# --- round-9 TPC-H-shaped suite -------------------------------------------
+
+
+def test_q5_star_join_all_broadcast_under_aqe(spark, sf_dir, registry):
+    """q5's 6-way star: after AQE every join (orders, customer, the
+    two-key supplier join, nation, region) runs broadcast — no
+    sort-merge join and no cartesian shape at test scale."""
+    df = registry["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir, registry):
+    """Top-20 by revenue must be TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort of the aggregate."""
+    df = registry["q10_returned_items"].fn(spark, sf_dir)
+    assert plans.has_take_ordered(df)
+
+
+def test_q18_having_shortlist_broadcasts(spark, sf_dir, registry):
+    """The >300-quantity survivor set (46 orders at sf0.01) must come
+    back to orders/customer as the broadcast side."""
+    df = registry["q18_large_volume_customers"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_q19_envelope_bounds_reach_scan(spark, sf_dir, registry):
+    """The disjunction itself cannot push down; the stated envelope
+    bounds (quantity 1..30) must appear as PushedFilters so the
+    lineitem scan still prunes."""
+    df = registry["q19_disjunctive_brackets"].fn(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir, registry):
+    """EXISTS decorrelates to a LeftSemi hash join with the date
+    comparison as residual — no per-row subquery re-execution."""
+    df = registry["q4_priority_exists"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q17_threshold_join_broadcasts(spark, sf_dir, registry):
+    """The per-part average table (one row per Brand#12 part) joins
+    back by broadcast; the fact side never shuffles on part key."""
+    df = registry["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
