@@ -2590,6 +2590,323 @@ def q22_idle_high_balance(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-9 analytics batch: spine gap-fill, distribution diagnostics,
+# corpus audits. Shared plan posture: spines/thresholds/fences are
+# aggregate-sized and broadcast; raw facts shuffle at most once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_daily_counts",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+             AS day
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(d.day AS TIMESTAMP) AS day, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    ORDER BY d.day, t.event_type
+    """,
+    doc="time-series gap fill: a generated day x type spine left-joins "
+        "the aggregated daily counts so missing days surface as explicit "
+        "zeros (the shape every downstream charting/anomaly job wants). "
+        "The spine is days x types — bounded by the retention window and "
+        "an enum, NOT by event volume — so its cross join is spine "
+        "construction, never a data-size cartesian; counts aggregate "
+        "before the join and the spine side broadcasts",
+)
+def gap_fill_daily_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(F.to_date(F.min("ts")).alias("lo"),
+                    F.to_date(F.max("ts")).alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)  # bounded spine, not a data join
+    return (
+        F.broadcast(spine)
+        .join(daily, ["day", "event_type"], "left")
+        .select(F.col("day").cast("timestamp").alias("day"), "event_type",
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "zipf_slope_top_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM toks WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+               AS rnk
+      FROM counts ORDER BY freq DESC, token LIMIT 1000)
+    SELECT round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM ranked
+    """,
+    doc="Zipf's-law fit over the token frequency spectrum: natural "
+        "corpora show ln(freq) ~ -1 * ln(rank); a flat slope flags "
+        "templated/boilerplate corpora, a steep one flags vocabulary "
+        "collapse. One token shuffle, TakeOrdered 1000-row shortlist, "
+        "then the rank window and regr_slope run on the shortlist — "
+        "driver-bounded regardless of corpus size",
+)
+def zipf_slope_top_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    shortlist = counts.orderBy(F.col("freq").desc(), "token").limit(1000)
+    ranked = shortlist.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("freq").desc(), "token")).cast("long"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log(F.col("freq").cast("double")),
+                             F.log(F.col("rnk").cast("double"))), 6)
+        .alias("zipf_slope"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+@register(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY user_id, event_type),
+    t AS (
+      SELECT user_id, event_type, n,
+             sum(n) OVER (PARTITION BY user_id) AS tot
+      FROM c)
+    SELECT user_id,
+           round(-sum((n / tot) * ln(n / tot)), 6) AS type_entropy,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Shannon entropy of each user's event-type distribution "
+        "(behavioral-diversity score; 0 = single-type bots). Two "
+        "aggregations over the (user, type) count table — the window "
+        "runs on user x type cardinality, never on raw events",
+)
+def user_event_entropy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("n"))
+    tot = F.sum("n").over(W.partitionBy("user_id"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.withColumn("tot", tot)
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "iqr_outlier_fences",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type),
+    f AS (
+      SELECT event_type,
+             round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+             round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+      FROM q)
+    SELECT e.event_type, f.lo_fence, f.hi_fence,
+           CAST(sum(CASE WHEN e.value < f.lo_fence
+                           OR e.value > f.hi_fence THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN f ON e.event_type = f.event_type
+    GROUP BY e.event_type, f.lo_fence, f.hi_fence
+    ORDER BY e.event_type
+    """,
+    doc="Tukey-fence outlier counting per event type: exact "
+        "interpolated quartiles (one aggregate over the facts), fences "
+        "rounded to 6 decimals on BOTH sides so the fence doubles are "
+        "bit-identical across engines before any comparison, then one "
+        "more pass counts the exceedances with the type-cardinality "
+        "fence table broadcast",
+)
+def iqr_outlier_fences(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    fences = q.select(
+        "event_type",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6)
+        .alias("lo_fence"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6)
+        .alias("hi_fence"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < F.col("lo_fence"))
+                       | (F.col("value") > F.col("hi_fence")), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cross_source_dup_audit",
+    """
+    WITH f AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+    x AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT source) > 1)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.fp IN (SELECT fp FROM x)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup
+    FROM f GROUP BY f.source ORDER BY f.source
+    """,
+    doc="cross-source contamination audit: per source, how many docs "
+        "also appear verbatim (md5 fingerprint) under ANOTHER source — "
+        "the overlap a crawl-merge dedup pass must resolve. Fingerprint "
+        "shuffle once; the >1-source fingerprint set is itself "
+        "aggregated, and the membership test is a semi-join marker, "
+        "never an IN re-scan",
+)
+def cross_source_dup_audit(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select("doc_id", "source", F.md5("text").alias("fp"))
+    x = (
+        f.groupBy("fp")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("fp")
+    )
+    marked = f.join(x, "fp", "left_semi").groupBy("source").agg(
+        F.count("*").alias("n_cross_dup"))
+    totals = f.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(marked, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_cross_dup", F.lit(0)).cast("bigint")
+            .alias("n_cross_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT n_name,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(o_totalprice), 6) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, date_trunc('month', o_orderdate))
+    SELECT n_name, month, rev,
+           round(100.0 * (rev - lag(rev) OVER w) / lag(rev) OVER w, 6)
+             AS mom_pct
+    FROM m WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    ORDER BY n_name, month
+    """,
+    doc="month-over-month revenue growth by nation: the lag window "
+        "runs on the nation x month aggregate (bounded), never on raw "
+        "orders; first month per nation is NULL growth by definition. "
+        "Revenue rounds to 6 BEFORE the ratio so both engines divide "
+        "identical doubles",
+)
+def mom_revenue_growth(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    m = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    w = W.partitionBy("n_name").orderBy("month")
+    prev = F.lag("rev").over(w)
+    return (
+        m.select(
+            "n_name", "month", "rev",
+            F.round(F.lit(100.0) * (F.col("rev") - prev) / prev, 6)
+            .alias("mom_pct"),
+        )
+        .orderBy("n_name", "month")
+    )
+
+
+@register(
+    "top_decile_revenue_share",
+    """
+    WITH r AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT quantile_cont(rev, 0.9) AS thr FROM r)
+    SELECT round(sum(CASE WHEN rev >= thr THEN rev ELSE 0 END)
+                 / sum(rev), 6) AS top_decile_share,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM r CROSS JOIN q
+    """,
+    doc="revenue concentration (Pareto check): share of total revenue "
+        "held by the top decile of customers. NO global sort and NO "
+        "unpartitioned window — the p90 threshold is one exact-"
+        "percentile aggregate over the customer-cardinality revenue "
+        "table, broadcast back as a scalar",
+)
+def top_decile_revenue_share(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    thr = r.agg(F.percentile("rev", F.lit(0.9)).alias("thr"))
+    return (
+        r.crossJoin(F.broadcast(thr))  # 1-row scalar, not a data join
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rev") >= F.col("thr"), F.col("rev"))
+                      .otherwise(F.lit(0.0))) / F.sum("rev"), 6
+            ).alias("top_decile_share"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -2631,6 +2948,9 @@ _PRIORITY_ORDER = [
     "bpe_train_merges",
     # --- position >=50: outside the checked window, staleness order.
     # Round-9 additions (never driver-graded): head the round-10 window.
+    "gap_fill_daily_counts", "zipf_slope_top_tokens", "user_event_entropy",
+    "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
+    "top_decile_revenue_share",
     "q4_priority_exists", "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety",
