@@ -445,6 +445,50 @@ def token_jaccard_pairs(
     )
 
 
+def token_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric set containment C(A->B) = |A n B| / |A| over distinct
+    token sets — the doc-inside-doc signal symmetric Jaccard misses: a
+    short page embedded verbatim in a long one scores near 1.0 on
+    containment but low on Jaccard (union is dominated by the long
+    side). Directed pairs, both orientations. Same inverted-index join
+    shape as :func:`token_jaccard_pairs` (pairs exist only through a
+    shared token; ``max_doc_freq`` caps hot-token fan-out); the score
+    is a single int/int division, so the threshold compares
+    bit-identical doubles on any engine."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("w"),
+    )
+    if max_doc_freq is not None:
+        doc_freq = toks.groupBy("w").agg(F.count("*").alias("_df"))
+        toks = (
+            toks.join(doc_freq.filter(F.col("_df") <= max_doc_freq), "w", "inner")
+            .drop("_df")
+        )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    cont = F.col("common") / F.col("sz_a")
+    return (
+        common.join(sa, "id_a")
+        .select("id_a", "id_b", cont.cast("double").alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
@@ -950,6 +994,35 @@ def register_queries(register) -> None:
             F.col("doc_id") < 200
         )
         return token_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+    @register(
+        "dedup_containment_pairs",
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+          FROM documents WHERE doc_id < 200),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(common AS DOUBLE) / sa.sz AS containment
+        FROM common JOIN sizes sa ON sa.doc_id = id_a
+        WHERE CAST(common AS DOUBLE) / sa.sz >= 0.9
+        ORDER BY id_a, id_b
+        """,
+        doc="asymmetric containment near-dup (|A n B|/|A|, directed): "
+            "catches short-doc-inside-long-doc duplication that "
+            "symmetric Jaccard under-scores; same inverted-index join "
+            "bound as the jaccard entries",
+        tags=("llm", "capability"),
+    )
+    def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        return token_containment_pairs(docs, threshold=0.9).orderBy(
+            "id_a", "id_b")
 
     @register(
         "dedup_token_jaccard_capped",

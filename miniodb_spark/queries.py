@@ -2907,6 +2907,43 @@ def top_decile_revenue_share(spark, sf_dir):
     )
 
 
+@register(
+    "out_of_order_rate",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ingestion data-quality probe: events whose event time runs "
+        "backwards relative to arrival order (event_id) within a user "
+        "stream — the late-data volume a streaming watermark must "
+        "absorb. One lag window partitioned BY USER (per-user streams "
+        "are bounded; never a global ordering), then a plain rollup",
+)
+def out_of_order_rate(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("prev_ts").isNotNull()
+                       & (F.col("ts") < F.col("prev_ts")), 1).otherwise(0)
+            ).cast("bigint").alias("n_out_of_order"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -2951,6 +2988,7 @@ _PRIORITY_ORDER = [
     "gap_fill_daily_counts", "zipf_slope_top_tokens", "user_event_entropy",
     "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
     "top_decile_revenue_share",
+    "out_of_order_rate", "dedup_containment_pairs",
     "q4_priority_exists", "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety",

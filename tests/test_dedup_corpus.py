@@ -299,3 +299,44 @@ def test_signature_store_builds_once_and_matches_uncached(spark, sf_dir):
         for r in minhash_lsh_pairs(minhash_signatures(docs)).collect()
     }
     assert cached == uncached
+
+
+def test_containment_is_asymmetric_where_jaccard_is_not(spark):
+    """A short doc embedded verbatim in a long one: containment
+    C(short->long) = 1.0 while C(long->short) and symmetric Jaccard
+    stay low — the doc-inside-doc signal the operator exists for."""
+    from miniodb_spark.operators.dedup import (
+        token_containment_pairs,
+        token_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(27))  # 30 tokens
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in token_containment_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # all of short is inside long
+    assert pairs[(2, 1)] == 3 / 30  # only 3 of long's 30 tokens hit
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] == 3 / 30  # symmetric: union-dominated
+
+
+def test_containment_hot_token_cap_changes_vocabulary_not_score_shape(spark):
+    from miniodb_spark.operators.dedup import token_containment_pairs
+
+    # "the" appears in every doc; capped out it cannot create pairs
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} token{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    uncapped = token_containment_pairs(docs, threshold=0.0).count()
+    capped = token_containment_pairs(docs, threshold=0.0,
+                                     max_doc_freq=3).count()
+    assert uncapped == 20  # every ordered pair shares "the"
+    assert capped == 0
