@@ -314,3 +314,54 @@ def test_q17_threshold_join_broadcasts(spark, sf_dir, registry):
     plan = _final_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+# --- round-9 analytics batch ----------------------------------------------
+
+
+def test_gap_fill_spine_broadcasts(spark, sf_dir, registry):
+    """The day x type spine is bounded (retention window x enum); it
+    must be the broadcast side of the left join against the aggregated
+    daily counts — the counts never shuffle to meet a spine."""
+    df = registry["gap_fill_daily_counts"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_top_decile_share_has_no_global_window_or_sort(spark, sf_dir,
+                                                       registry):
+    """Revenue concentration must come from an exact-percentile scalar
+    broadcast — an unpartitioned window or global sort over customer
+    revenue would single-task at scale."""
+    df = registry["top_decile_revenue_share"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar join
+
+
+def test_iqr_fences_table_broadcasts(spark, sf_dir, registry):
+    """The per-type fence table (enum cardinality) joins the facts by
+    broadcast; events shuffle only for the quantile aggregate."""
+    df = registry["iqr_outlier_fences"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_out_of_order_window_is_user_partitioned(spark, sf_dir, registry):
+    """The lag window must be partitioned by user_id (bounded per-user
+    streams), never a global ordering of all events."""
+    df = registry["out_of_order_rate"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "partitionBy" not in plan  # spark spells it in the Window node
+    import re
+    m = re.search(r"Window .*user_id", plan)
+    assert m, plan[:2000]
+
+
+def test_zipf_shortlist_is_take_ordered(spark, sf_dir, registry):
+    """The top-1000 token shortlist must be TakeOrderedAndProject, so
+    the rank window runs on 1000 rows no matter the corpus size."""
+    df = registry["zipf_slope_top_tokens"].fn(spark, sf_dir)
+    assert plans.has_take_ordered(df)
