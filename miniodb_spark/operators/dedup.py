@@ -151,6 +151,33 @@ class SignatureStore:
 SIGNATURES = SignatureStore()
 
 
+def persist_signature_table(
+    df: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """The cluster-durable form of :class:`SignatureStore`: write the
+    signature DataFrame as a bucketed (+bucket-sorted) parquet table,
+    bucketed by the document id. Signatures survive the Spark
+    application (the in-process store's checkpoint does not), and every
+    downstream id-equi-join — survivor resolution after pair finding,
+    enriching incremental-dedup probes, joining signatures back to the
+    corpus — reads co-located buckets with NO exchange on the signature
+    side. The banded LSH self-join still shuffles on (band, bucket) as
+    it must; what the table removes is the per-query re-shingle AND the
+    recurring id-join shuffles around it."""
+    from ..bucketing import write_bucketed
+
+    write_bucketed(df, table_name, id_col, num_buckets=num_buckets)
+
+
+def load_signature_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a persisted signature table (bucket metadata comes from the
+    session catalog, so joins on the bucket column skip the exchange)."""
+    return spark.table(table_name)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

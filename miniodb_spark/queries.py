@@ -2955,8 +2955,11 @@ def out_of_order_rate(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. The remaining 43 round-7 greens head the round-10
-# rotation; the 50 round-8 greens sit at the tail (freshest).
+# round 7. Round-10 window: the 23 round-9 additions (TPC-H suite +
+# analytics batch + containment/out-of-order — never driver-graded,
+# placed immediately after position 50 below) lead, backfilled with
+# the remaining 43 round-7 greens; the 50 round-8 greens sit at the
+# tail (freshest).
 _PRIORITY_ORDER = [
     # added mid-round-8, never driver-graded
     "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",

@@ -340,3 +340,49 @@ def test_containment_hot_token_cap_changes_vocabulary_not_score_shape(spark):
                                      max_doc_freq=3).count()
     assert uncapped == 20  # every ordered pair shares "the"
     assert capped == 0
+
+
+def test_signature_table_persists_and_joins_without_exchange(spark, sf_dir):
+    """The cluster-durable SignatureStore: signatures written as a
+    bucketed table round-trip exactly (same LSH pairs as the direct
+    path), and an id-equi-join between the signature table and a
+    co-bucketed corpus table needs no exchange on either side."""
+    from miniodb_spark import plans
+    from miniodb_spark.operators.dedup import (
+        load_signature_table,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        persist_signature_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120)
+    sigs = minhash_signatures(docs)
+    persist_signature_table(sigs, "sig_tbl", num_buckets=4)
+    from miniodb_spark.bucketing import write_bucketed
+
+    write_bucketed(docs.select("doc_id", "source"), "corpus_ids",
+                   "doc_id", num_buckets=4)
+    try:
+        loaded = load_signature_table(spark, "sig_tbl")
+        direct = {
+            (r["id_a"], r["id_b"], r["jaccard_est"])
+            for r in minhash_lsh_pairs(sigs).collect()
+        }
+        stored = {
+            (r["id_a"], r["id_b"], r["jaccard_est"])
+            for r in minhash_lsh_pairs(loaded).collect()
+        }
+        assert direct == stored and stored  # non-vacuous round trip
+        # survivor-resolution shape: id join against a co-bucketed table
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = loaded.join(spark.table("corpus_ids"), "doc_id")
+            assert j.count() == 120
+            assert plans.num_shuffles(j) == 0, plans.simple_plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_tbl")
+        spark.sql("DROP TABLE IF EXISTS corpus_ids")
