@@ -2944,6 +2944,53 @@ def out_of_order_rate(spark, sf_dir):
     )
 
 
+# the {daily} placeholder is the bounded day x type aggregate; the
+# recursive part is IDENTICAL text on both engines
+_EWMA_DAILY_SQL = """
+  SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+  FROM {events} GROUP BY event_type, CAST(ts AS DATE)
+"""
+_EWMA_RECURSIVE_SQL = """
+WITH RECURSIVE idx AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS i
+  FROM ({daily}) daily),
+r AS (
+  SELECT event_type, i, v AS ewma FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.i, round(0.3 * idx.v + 0.7 * r.ewma, 6) AS ewma
+  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+  WHERE idx.i <= 14)
+SELECT event_type, i AS day_idx, ewma FROM r
+ORDER BY event_type, day_idx
+"""
+
+
+@register(
+    "ewma_recursive_daily",
+    _EWMA_RECURSIVE_SQL.format(daily=_EWMA_DAILY_SQL.format(events="events")),
+    doc="exponentially-weighted moving average of the daily value "
+        "series per event type — a LINEAR RECURRENCE (ewma_t = 0.3 v_t "
+        "+ 0.7 ewma_{t-1}) that no window frame can express without a "
+        "numerically explosive pow() rewrite; Spark 4's WITH RECURSIVE "
+        "runs it natively (identical SQL text on both engines). The "
+        "recursion operates on the bounded day x type aggregate (14 "
+        "steps x 5 types), never on raw events; per-step round(...,6) "
+        "pins every intermediate to the same double in both engines. "
+        "UNION is gate-banned (reference deny-list), so like the set "
+        "ops this is a capability outside the gate",
+)
+def ewma_recursive_daily(spark, sf_dir):
+    # the recursion's per-iteration cost is Spark job scheduling, not
+    # data (the loop runs over the day x type aggregate); measured at
+    # sf0.01: ~0.9 s/step — the price of the only construct that can
+    # express a linear recurrence, paid 14 times on a bounded spine
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ewma_events")
+    return spark.sql(_EWMA_RECURSIVE_SQL.format(
+        daily=_EWMA_DAILY_SQL.format(events="_ewma_events")))
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -2991,7 +3038,7 @@ _PRIORITY_ORDER = [
     "gap_fill_daily_counts", "zipf_slope_top_tokens", "user_event_entropy",
     "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
     "top_decile_revenue_share",
-    "out_of_order_rate", "dedup_containment_pairs",
+    "out_of_order_rate", "dedup_containment_pairs", "ewma_recursive_daily",
     "q4_priority_exists", "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety",
