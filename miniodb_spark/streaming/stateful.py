@@ -151,3 +151,105 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _SessionFinalizer(StatefulProcessor):
+    """StatefulProcessor for :func:`session_finalize_stream` — kept
+    module-level so Spark can pickle it to executors."""
+
+    def __init__(self, key_col: str, ts_col: str, gap_ms: int):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState(
+            "session", "start_ms long, last_ms long, n long")
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def _emit(self, key, start_ms, last_ms, n, via):
+        return pd.DataFrame(
+            {
+                self.key_col: [key[0]],
+                "start_ms": [int(start_ms)],
+                "end_ms": [int(last_ms)],
+                "n_events": [int(n)],
+                "via": [via],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = self._state.get() if self._state.exists() else None
+        out = []
+        ts = []
+        for pdf in rows:
+            ts.extend(int(v) for v in pdf[self.ts_col])
+        ts.sort()
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > self.gap_ms:
+                out.append(self._emit(key, *cur, "gap"))
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            self._state.update(cur)
+            # one flush timer per key: re-arm at last-activity + gap
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self.gap_ms)
+        for pdf in out:
+            yield pdf
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            cur = self._state.get()
+            self._state.clear()
+            yield self._emit(key, *cur, "timer")
+
+
+def session_finalize_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Timer-driven session finalization on Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    ``applyInPandasWithState``): per-key sessions close EITHER when a
+    later event arrives beyond the inactivity gap (input-driven, exact
+    event-time boundaries) OR when the per-key processing-time timer
+    fires with no further input — the idle-flush the old API cannot
+    express, because it only runs user code when input (or a state
+    timeout, without emit-on-expiry row access) arrives for the key.
+    Emits one row per completed session ``(key, start_ms, end_ms,
+    n_events, via)`` with ``via`` recording which path closed it.
+    State per key = three longs + one timer, so state size is
+    O(active keys) regardless of stream length.
+
+    Runtime requirements (both environment-gated in the tests, which
+    auto-unskip when present): ``google.protobuf`` — the
+    transformWithState python<->JVM state protocol uses it — and, on
+    some builds, the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    gap_ms = int(gap_minutes * 60 * 1000)
+    out_schema = f"{key_col} long, start_ms long, end_ms long, n_events long, via string"
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_SessionFinalizer(key_col, ts_col, gap_ms),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

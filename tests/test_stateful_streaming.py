@@ -163,3 +163,105 @@ def test_heavy_hitters_stream_skips_nulls_and_string_shards(spark, tmp_path):
     vals = {r["value"] for r in rows}
     assert vals == {"a"}  # nulls not tallied as "None"/"nan"
     assert all(r["total"] == 2 for r in rows)  # total excludes nulls
+
+
+def test_session_finalize_stream_gap_and_timer(spark, tmp_path):
+    """transformWithStateInPandas sessionizer: a later-batch event past
+    the gap closes the session input-driven ('gap'); an idle key is
+    flushed by its processing-time timer ('timer').
+
+    Gated on google.protobuf exactly like the gRPC wire tests gate on
+    grpcio: transformWithState's python<->JVM state server speaks
+    protobuf, which this sandbox lacks; the test auto-unskips the
+    moment the module appears (meta-tested below)."""
+    pytest.importorskip("google.protobuf")
+    from miniodb_spark.streaming.stateful import session_finalize_stream
+
+    src = str(tmp_path / "src")
+    sink: list = []
+    m = 60_000
+    # user 1: two events 1 min apart
+    _write_batch(spark, src, [(1, 0 * m), (1, 1 * m)], "k long, ts long")
+
+    stream = spark.readStream.schema("k long, ts long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    # gap = 30 min of EVENT time for the input-driven close; the
+    # processing-time flush timer uses the same gap scaled tiny here?
+    # no — one knob: use 30 min, timer fires only via the 0-gap test key
+    sessions = session_finalize_stream(stream, "k", "ts", gap_minutes=30)
+
+    def _collect(batch_df, batch_id):
+        sink.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        sessions.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 40 min later in event time -> closes session 1, opens session 2
+        _write_batch(spark, src, [(1, 41 * m)], "k long, ts long")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sink) == 1, sink
+    s0 = sink[0]
+    assert (s0["k"], s0["start_ms"], s0["end_ms"], s0["n_events"], s0["via"]) \
+        == (1, 0, 1 * m, 2, "gap")
+
+
+def test_session_finalize_timer_flushes_idle_key(spark, tmp_path):
+    pytest.importorskip("google.protobuf")
+    from miniodb_spark.streaming.stateful import session_finalize_stream
+
+    src = str(tmp_path / "src")
+    sink: list = []
+    _write_batch(spark, src, [(7, 123), (7, 456)], "k long, ts long")
+
+    stream = spark.readStream.schema("k long, ts long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    # gap 0: the flush timer is already due at the next micro-batch
+    sessions = session_finalize_stream(stream, "k", "ts", gap_minutes=0)
+
+    def _collect(batch_df, batch_id):
+        sink.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        sessions.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(0.2)
+        # unrelated key triggers another micro-batch; 7's timer fires
+        _write_batch(spark, src, [(8, 999)], "k long, ts long")
+        q.processAllAvailable()
+        time.sleep(0.2)
+        _write_batch(spark, src, [(9, 1)], "k long, ts long")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    flushed = [r for r in sink if r["k"] == 7]
+    assert flushed and flushed[0]["via"] == "timer", sink
+    assert (flushed[0]["start_ms"], flushed[0]["end_ms"],
+            flushed[0]["n_events"]) == (123, 456, 2)
+
+
+def test_session_finalize_skip_guard_is_the_import_not_a_stale_flag():
+    """Same readiness audit as the gRPC wire tests: the
+    transformWithState e2e tests must auto-unskip the moment
+    google.protobuf appears; the gate is the importorskip itself."""
+    import re
+    from pathlib import Path
+
+    src = Path(__file__).read_text()
+    assert len(re.findall(
+        r'pytest\.importorskip\("google\.protobuf"\)', src)) >= 2
