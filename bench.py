@@ -189,6 +189,30 @@ def main() -> None:
                 (med_t * scale / ANCHOR["queries"][name]) / median_ratio, 3
             )
 
+    # TPC-H-shaped suite (round 9): tracked as a SEPARATE metric block
+    # so the headline protocol stays byte-comparable with rounds 1-8.
+    # No anchor ratios yet — this round's numbers become the anchor for
+    # future rounds' drift checks.
+    tpch_names = [
+        "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+        "q4_priority_exists", "q5_local_supplier_volume",
+        "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
+        "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+        "q16_part_supplier_variety", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_disjunctive_brackets",
+        "q20_promo_part_suppliers", "q22_idle_high_balance",
+    ]
+    tpch_passes: list[dict[str, float]] = []
+    for _ in range(2):
+        tp: dict[str, float] = {}
+        for name in tpch_names:
+            fn = registry[name].fn
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            tp[name] = round(time.perf_counter() - t0, 4)
+        tpch_passes.append(tp)
+    tpch_timings = {n: min(p[n] for p in tpch_passes) for n in tpch_names}
+
     # write-path throughput (reference claim: 10,000+ records/s batch —
     # BASELINE.md). Bulk path: ingest_dataframe straight to partitioned
     # parquet; row path: the buffered write API (single flush at the end).
@@ -281,6 +305,8 @@ def main() -> None:
                 # ⇒ recheck > 1.25, noise ⇒ recheck falls back to ~1.
                 "median_ratio_vs_anchor": median_ratio,
                 "residual_recheck": residual_recheck,
+                "tpch_suite_total": round(sum(tpch_timings.values()), 4),
+                "tpch_queries": tpch_timings,
                 "cache_hit_ms": cache_hit_ms,
                 "write_rows_per_s": {
                     "bulk_ingest": bulk_rps,
