@@ -3099,6 +3099,51 @@ def weekday_profile(spark, sf_dir):
     )
 
 
+@register(
+    "higher_order_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_filter(words, x -> length(x) > 3)) AS BIGINT)
+             AS n_long,
+           CAST(list_aggregate(list_transform(words, x -> length(x)),
+                               'sum') AS BIGINT) AS total_chars,
+           round(CAST(list_aggregate(list_transform(words,
+                                     x -> length(x)), 'sum') AS DOUBLE)
+                 / len(words), 6) AS avg_word_len
+    FROM t ORDER BY doc_id
+    """,
+    doc="higher-order array functions with lambda expressions — "
+        "filter / transform / aggregate over the token array, entirely "
+        "inside codegen (no explode, no shuffle, no UDF): the idiom "
+        "for per-row collection work at scale, where exploding 100 TB "
+        "of token arrays just to re-group them is the classic "
+        "anti-pattern. DuckDB spells them list_filter/list_transform/"
+        "list_aggregate; Spark spells them filter/transform/aggregate",
+)
+def higher_order_array_funcs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    words = F.split(F.lower("text"), " ")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_words = F.size(words)
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            F.size(F.filter(words, lambda x: F.length(x) > 3))
+            .cast("long").alias("n_long"),
+            total_chars.alias("total_chars"),
+            F.round(total_chars.cast("double") / n_words, 6)
+            .alias("avg_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -3147,7 +3192,7 @@ _PRIORITY_ORDER = [
     "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
     "top_decile_revenue_share",
     "out_of_order_rate", "dedup_containment_pairs", "ewma_recursive_daily", "variant_props_stats",
-    "value_autocorr_by_type", "weekday_profile",
+    "value_autocorr_by_type", "weekday_profile", "higher_order_array_funcs",
     "q4_priority_exists", "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety",
