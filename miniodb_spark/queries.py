@@ -3144,6 +3144,44 @@ def higher_order_array_funcs(spark, sf_dir):
     )
 
 
+@register(
+    "null_safe_join_counts",
+    """
+    WITH a AS (
+      SELECT doc_id, nullif(lang, 'en') AS k
+      FROM documents WHERE doc_id < 100),
+    b AS (
+      SELECT doc_id, nullif(lang, 'en') AS k
+      FROM documents WHERE doc_id >= 100 AND doc_id < 200)
+    SELECT coalesce(a.k, '<null>') AS join_key,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY coalesce(a.k, '<null>')
+    ORDER BY join_key
+    """,
+    doc="null-safe equality join (Spark <=> / eqNullSafe, SQL IS NOT "
+        "DISTINCT FROM): NULL keys match each other instead of "
+        "vanishing — the semantic a plain equi-join silently drops. "
+        "Derived nullable keys (lang with 'en' nulled out) make the "
+        "NULL bucket the largest group, so the difference is load-"
+        "bearing in the oracle, not decorative. eqNullSafe keys still "
+        "hash-partition (null-safe joins stay shuffle-joinable; only "
+        "the comparison differs)",
+)
+def null_safe_join_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 100).select(
+        F.nullif("lang", F.lit("en")).alias("ka"))
+    b = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        F.nullif("lang", F.lit("en")).alias("kb"))
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(F.coalesce("ka", F.lit("<null>")).alias("join_key"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("join_key")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -3192,7 +3230,7 @@ _PRIORITY_ORDER = [
     "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
     "top_decile_revenue_share",
     "out_of_order_rate", "dedup_containment_pairs", "ewma_recursive_daily", "variant_props_stats",
-    "value_autocorr_by_type", "weekday_profile", "higher_order_array_funcs",
+    "value_autocorr_by_type", "weekday_profile", "higher_order_array_funcs", "null_safe_join_counts",
     "q4_priority_exists", "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety",
