@@ -3193,11 +3193,12 @@ def null_safe_join_counts(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 23 round-9 additions (TPC-H suite +
-# analytics batch + containment/out-of-order — never driver-graded,
+# round 7. Round-10 window: the 30 round-9 additions (TPC-H suite,
+# analytics batch, containment/out-of-order, recursive EWMA, VARIANT,
+# autocorr/weekday, higher-order/null-safe — never driver-graded,
 # placed immediately after position 50 below) lead, backfilled with
-# the remaining 43 round-7 greens; the 50 round-8 greens sit at the
-# tail (freshest).
+# 20 of the remaining round-7 greens; the rest follow in staleness
+# order and the 50 round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
     # added mid-round-8, never driver-graded
     "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
