@@ -194,13 +194,17 @@ def main() -> None:
     # No anchor ratios yet — this round's numbers become the anchor for
     # future rounds' drift checks.
     tpch_names = [
-        "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+        "q1_pricing_summary", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q6_forecast_revenue",
         "q4_priority_exists", "q5_local_supplier_volume",
         "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
-        "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+        "q10_returned_items", "q11_important_parts",
+        "q12_late_priority_lines", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
         "q16_part_supplier_variety", "q17_small_quantity_revenue",
         "q18_large_volume_customers", "q19_disjunctive_brackets",
-        "q20_promo_part_suppliers", "q22_idle_high_balance",
+        "q20_promo_part_suppliers", "q21_waiting_suppliers",
+        "q22_idle_high_balance",
     ]
     tpch_passes: list[dict[str, float]] = []
     for _ in range(2):

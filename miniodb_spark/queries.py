@@ -2590,6 +2590,259 @@ def q22_idle_high_balance(spark, sf_dir):
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity)
+             AS unit_cost
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           round(unit_cost, 6) AS best_cost
+    FROM part JOIN cost ON p_partkey = l_partkey
+    JOIN eu ON l_suppkey = s_suppkey
+    WHERE p_type = 'LARGE'
+      AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (observed min unit sell price from lineitem "
+        "stands in for the absent partsupp supplycost): the correlated "
+        "per-part MIN becomes a window min over the (part, supplier) "
+        "cost aggregate — one shuffle on partkey serves both the "
+        "aggregate and the correlation, no self-join. The EUROPE "
+        "supplier dim (supplier⨝nation⨝region) is broadcast into the "
+        "lineitem scan; the double equality against the window min is "
+        "exact because the min is an element of the compared set. The "
+        "final part join is unhinted — AQE broadcasts the type-filtered "
+        "slice while it fits",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n.join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    cost = (
+        li.join(F.broadcast(eu.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("unit_cost"))
+    )
+    best = cost.withColumn(
+        "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE").select("p_partkey")
+    return (
+        best.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                F.round("unit_cost", 6).alias("best_cost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY 1)
+    SELECT l_partkey AS p_partkey, round(value, 4) AS value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    ORDER BY value DESC, p_partkey LIMIT 200
+    """,
+    doc="TPC-H Q11 shape (shipped revenue from the two nations' "
+        "suppliers stands in for the absent partsupp stock value): "
+        "per-part aggregate once, then the HAVING-fraction threshold "
+        "arrives as a 1-row broadcast scalar — the fact table is "
+        "scanned and shuffled exactly once and the threshold pass is "
+        "a narrow filter over the already-aggregated (part, value) "
+        "rows. Supplier dim broadcast; total order under LIMIT",
+)
+def q11_important_parts(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7"))
+    sup = s.join(F.broadcast(n),
+                 s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice")
+                   * (1 - F.col("l_discount"))).alias("value"))
+    )
+    thr = val.agg((F.sum("value") * 0.001).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))  # 1-row scalar, not a data join
+        .filter(F.col("value") > F.col("thr"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.round("value", 4).alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q12_late_priority_lines",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE o_orderpriority IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (90-day ship lateness over shipdate/orderdate "
+        "stands in for the absent commit/receipt dates and returnflag "
+        "for shipmode): one big join shuffled on orderkey, then "
+        "conditional counts by priority class fold into a single "
+        "partial+final aggregate over a 3-key group domain — the "
+        "two FILTER counts share one pass",
+)
+def q12_late_priority_lines(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (priority exclusion stands in for the comment "
+        "LIKE filter): LEFT join keeps order-less customers, "
+        "count(o_orderkey) turns their NULL matches into 0, and the "
+        "distribution-of-counts is the classic double aggregation — "
+        "shuffle on custkey, then on the tiny c_count domain. The "
+        "excluded-priority predicate lives in the join condition, not "
+        "a WHERE (a WHERE would silently drop the NULL-extended rows)",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+               & (F.col("o_orderpriority") != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name IN ('NATION_0', 'NATION_2', 'NATION_5',
+                     'NATION_11', 'NATION_19')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (60-day ship lateness stands in for "
+        "receipt-after-commit): the correlated EXISTS / NOT EXISTS "
+        "pair is rewritten as per-order supplier counts — an order "
+        "qualifies a late line iff it has >=2 distinct suppliers "
+        "(EXISTS) and exactly 1 distinct LATE supplier (NOT EXISTS, "
+        "which must be the line's own). All three aggregates hash on "
+        "l_orderkey, so the shuffle partitioning is computed once and "
+        "reused; the 5-nation supplier dim broadcasts at the end, "
+        "after the candidate set has already collapsed",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"))
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    late_supp = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(
+        "NATION_0", "NATION_2", "NATION_5", "NATION_11", "NATION_19"))
+    sup = s.join(F.broadcast(n),
+                 s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    return (
+        late.join(per_order, "l_orderkey")
+        .join(late_supp, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-9 analytics batch: spine gap-fill, distribution diagnostics,
 # corpus audits. Shared plan posture: spines/thresholds/fences are
@@ -3238,6 +3491,9 @@ _PRIORITY_ORDER = [
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_brackets", "q20_promo_part_suppliers",
     "q22_idle_high_balance",
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q12_late_priority_lines", "q13_customer_distribution",
+    "q21_waiting_suppliers",
     # First the remaining 43 round-7 greens (they head the round-10
     # rotation), then the 50 round-8 greens (freshest) — all pinned by
     # test_oracle_parity.py either way.

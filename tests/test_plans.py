@@ -365,3 +365,65 @@ def test_zipf_shortlist_is_take_ordered(spark, sf_dir, registry):
     the rank window runs on 1000 rows no matter the corpus size."""
     df = registry["zipf_slope_top_tokens"].fn(spark, sf_dir)
     assert plans.has_take_ordered(df)
+
+
+# --- TPC-H completion set (Q2/Q11/Q12/Q13/Q21) ----------------------------
+
+
+def test_q2_correlation_is_window_not_self_join(spark, sf_dir, registry):
+    """The correlated per-part MIN must run as a window over the
+    (part, supplier) cost aggregate — one partkey shuffle, no second
+    scan of lineitem and no nested-loop correlation."""
+    df = registry["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plan.count("Window") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_q11_threshold_is_scalar_broadcast(spark, sf_dir, registry):
+    """The threshold branch and the filter branch share one per-part
+    aggregate: the runtime must reuse the partkey exchange so the
+    lineitem fact is scanned exactly once per execution (the static
+    plan textually duplicates the subtree; ReuseExchange collapses
+    it)."""
+    df = registry["q11_important_parts"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    scans = plan.count("lineitem.parquet")
+    assert scans == 1, f"lineitem scanned {scans}x\n{plan[:2000]}"
+    assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_q12_conditional_counts_share_one_aggregate(spark, sf_dir, registry):
+    """Both FILTER counts fold into a single partial+final aggregate
+    pass — no Expand (distinct-style rewrite) and no second join."""
+    df = registry["q12_late_priority_lines"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plan.count("HashAggregate") == 2, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+
+
+def test_q13_left_join_keeps_null_extension(spark, sf_dir, registry):
+    """The priority exclusion must live in the join condition (LeftOuter
+    with a join-side predicate), not a post-join filter that would drop
+    the NULL-extended zero-order customers."""
+    df = registry["q13_customer_distribution"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    lines = plan.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "LeftOuter" in l)
+    filt_at = [i for i, l in enumerate(lines)
+               if "Filter" in l and "o_orderpriority" in l]
+    # the tree prints parents first: a build-side (pre-join) filter sits
+    # BELOW the join line; a post-join filter would sit above it and
+    # wrongly drop NULL-extended customers
+    assert filt_at and all(i > join_at for i in filt_at), plan[:2000]
+
+
+def test_q21_exists_rewrite_has_no_nested_loops(spark, sf_dir, registry):
+    """The EXISTS / NOT EXISTS pair is per-order counts: every join is
+    hash-based on l_orderkey (or a broadcast dim) — no nested-loop or
+    cartesian shape anywhere, at any scale."""
+    df = registry["q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
