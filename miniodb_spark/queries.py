@@ -2806,35 +2806,42 @@ def q13_customer_distribution(spark, sf_dir):
         "pair is rewritten as per-order supplier counts — an order "
         "qualifies a late line iff it has >=2 distinct suppliers "
         "(EXISTS) and exactly 1 distinct LATE supplier (NOT EXISTS, "
-        "which must be the line's own). All three aggregates hash on "
-        "l_orderkey, so the shuffle partitioning is computed once and "
-        "reused; the 5-nation supplier dim broadcasts at the end, "
-        "after the candidate set has already collapsed",
+        "which must be the line's own). Both distinct counts fold "
+        "into ONE aggregate over the F-status-pruned join (counting "
+        "over the F order's own lines equals counting over all "
+        "lineitem, since the correlation key is the orderkey), so "
+        "lineitem shuffles on orderkey once for the stats and once "
+        "for the candidate join; the 5-nation supplier dim "
+        "broadcasts at the end, after the candidate set has already "
+        "collapsed",
 )
 def q21_waiting_suppliers(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"))
-    late = (
+    j = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "is_late")
     )
-    late_supp = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_late"))
+    stats = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(
         "NATION_0", "NATION_2", "NATION_5", "NATION_11", "NATION_19"))
     sup = s.join(F.broadcast(n),
                  s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     return (
-        late.join(per_order, "l_orderkey")
-        .join(late_supp, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        j.filter("is_late").select("l_orderkey", "l_suppkey")
+        .join(stats.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+              "l_orderkey")
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
