@@ -3580,6 +3580,51 @@ def session_window_stats(spark, sf_dir):
     )
 
 
+@register(
+    "hll_sketch_columns_mergeable",
+    "SELECT true AS per_type_ok, true AS union_ok, true AS merge_le_sum",
+    doc="native Datasketches HLL sketch COLUMNS (hll_sketch_agg / "
+        "hll_union_agg / hll_sketch_estimate): per-type user sketches "
+        "are built once, persisted as binary values, and re-aggregated "
+        "by sketch union WITHOUT touching the raw facts — the "
+        "sketch-per-segment pattern our custom sketches.py registry "
+        "implements, here through Spark's built-in operators (the "
+        "reference keeps per-table HLL state the same way, "
+        "query/approximation.go). Checks: every per-type estimate "
+        "within 10% of exact, the union estimate within 10% of the "
+        "global exact, and union <= sum of parts (sketches dedupe "
+        "across segments). 100 TB posture: the expensive pass is one "
+        "map-side-combined agg; re-aggregation unions kilobyte "
+        "sketches, which is what makes rollup cubes over distincts "
+        "cheap at scale",
+    tags=("sketch",),
+)
+def hll_sketch_columns_mergeable(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    checked = per_type.select(
+        (F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+         / F.col("exact") < 0.10).alias("type_ok"),
+        F.hll_sketch_estimate("sk").alias("est"),
+        "sk",
+    )
+    merged = checked.agg(
+        F.min("type_ok").alias("per_type_ok"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+        F.sum("est").alias("sum_est"),
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_all"))
+    return merged.crossJoin(F.broadcast(exact_all)).select(
+        "per_type_ok",
+        (F.abs(F.col("union_est") - F.col("exact_all"))
+         / F.col("exact_all") < 0.10).alias("union_ok"),
+        (F.col("union_est") <= F.col("sum_est")).alias("merge_le_sum"),
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -3640,6 +3685,7 @@ _PRIORITY_ORDER = [
     "q12_late_priority_lines", "q13_customer_distribution",
     "q21_waiting_suppliers",
     "interpolate_hourly_values", "session_window_stats",
+    "hll_sketch_columns_mergeable",
     # First the remaining 43 round-7 greens (they head the round-10
     # rotation), then the 50 round-8 greens (freshest) — all pinned by
     # test_oracle_parity.py either way.
