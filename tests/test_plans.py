@@ -427,3 +427,16 @@ def test_q21_exists_rewrite_has_no_nested_loops(spark, sf_dir, registry):
     plan = _final_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_interpolation_windows_are_type_partitioned(spark, sf_dir, registry):
+    """Both ignore-nulls windows partition by event_type — O(1) state
+    per window over the bounded spine; never a global ordering, and the
+    spine cross join is the only nested-loop shape (bounded by
+    retention x enum, not data)."""
+    df = registry["interpolate_hourly_values"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "event_type" in m.group(0), m.group(0)
+    assert "SortMergeJoin" not in plan, plan[:2000]
