@@ -440,3 +440,32 @@ def test_interpolation_windows_are_type_partitioned(spark, sf_dir, registry):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "event_type" in m.group(0), m.group(0)
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_engages_on_selective_dim(spark, sf_dir):
+    """Runtime bloom-filter join (on by default in this Spark): a
+    selective dim side injects a bloom_filter_agg semi-filter into the
+    fact scan of a shuffle join — the companion to broadcast pruning
+    when the dim is too big to broadcast at 100 TB. Size thresholds
+    keep it dormant at test scale, so lower them (and disable auto
+    broadcast, which would otherwise win) to prove the rewrite
+    engages; every config is restored afterwards."""
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
