@@ -3716,12 +3716,13 @@ def pagerank_bipartite_topk(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 37 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 38 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
-# HLL sketch columns — never driver-graded, placed immediately after
-# position 50 below) lead, backfilled with 13 of the remaining
+# HLL sketch columns, iterative PageRank — never driver-graded,
+# placed immediately after position 50 below) lead, backfilled with
+# 12 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
