@@ -469,3 +469,38 @@ def test_runtime_bloom_filter_engages_on_selective_dim(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pagerank_matches_first_principles_on_tiny_graph(spark, tmp_path):
+    """The PageRank entry and its SQL oracle share one formulation; a
+    shared conceptual bug would pass the parity check. Pin the entry to
+    an independent dense-matrix power iteration on a hand-built
+    4-part x 2-supplier graph."""
+    import numpy as np
+    import pandas as pd
+
+    from miniodb_spark.queries import get_registry
+
+    links = [(1, 1), (2, 1), (3, 1), (3, 2), (4, 2)]
+    pdf = pd.DataFrame(links, columns=["l_partkey", "l_suppkey"])
+    sf = tmp_path / "tiny"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "lineitem.parquet"))
+
+    # independent computation: undirected bipartite adjacency,
+    # column-stochastic transition, 3 damped iterations from uniform
+    nodes = [1, 2, 3, 4, "s1", "s2"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((6, 6))
+    for p, s in links:
+        A[idx[p], idx[f"s{s}"]] = A[idx[f"s{s}"], idx[p]] = 1.0
+    M = A / A.sum(axis=0)  # column-stochastic (A symmetric)
+    r = np.full(6, 1 / 6)
+    for _ in range(3):
+        r = 0.15 / 6 + 0.85 * (M @ r)
+
+    out = get_registry()["pagerank_bipartite_topk"].fn(spark, str(sf))
+    got = {row.s_suppkey: row.pagerank for row in out.collect()}
+    assert got.keys() == {1, 2}
+    assert abs(got[1] - round(r[idx["s1"]], 9)) < 1e-9, (got, r)
+    assert abs(got[2] - round(r[idx["s2"]], 9)) < 1e-9, (got, r)
