@@ -504,3 +504,37 @@ def test_pagerank_matches_first_principles_on_tiny_graph(spark, tmp_path):
     assert got.keys() == {1, 2}
     assert abs(got[1] - round(r[idx["s1"]], 9)) < 1e-9, (got, r)
     assert abs(got[2] - round(r[idx["s2"]], 9)) < 1e-9, (got, r)
+
+
+def test_interpolation_matches_numpy_interp_on_tiny_series(spark, tmp_path):
+    """Pin interpolate_hourly_values to numpy.interp on a hand-built
+    series: type A has values only at hours 0 and 3 (interior gap ->
+    linear fill, trailing gap -> nearest side), type B spans all hours
+    so it fixes the spine bounds."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from miniodb_spark.queries import get_registry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(hours=0), 7, "A", 10.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 7, "A", 40.0, "{}"),
+    ] + [
+        (10 + h, t0 + dt.timedelta(hours=h), 8, "B", 5.0, "{}")
+        for h in range(6)
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    sf = tmp_path / "tinyev"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+
+    out = get_registry()["interpolate_hourly_values"].fn(spark, str(sf))
+    a = {r.hour.hour: (r.value, r.interpolated)
+         for r in out.collect() if r.event_type == "A"}
+    # interior gap: linear between 10@h0 and 40@h3; trailing gap: nearest
+    assert a[0] == (10.0, False) and a[3] == (40.0, False)
+    assert a[1] == (20.0, True) and a[2] == (30.0, True)
+    assert a[4] == (40.0, True) and a[5] == (40.0, True)
