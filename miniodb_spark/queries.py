@@ -3705,6 +3705,53 @@ def pagerank_bipartite_topk(spark, sf_dir):
     )
 
 
+@register(
+    "hll_intersection_within_bound",
+    "SELECT true AS intersect_ok, true AS union_ge_parts",
+    doc="sketch ALGEBRA beyond union: distinct-set intersection "
+        "estimated by inclusion-exclusion over native HLL sketches "
+        "(|A n B| ~ |A| + |B| - |A u B|) for two partially-overlapping "
+        "user cohorts (high-value clickers vs high-value purchasers — "
+        "75/67 users overlapping in 31 at sf0.01). I-E error compounds "
+        "three estimates, so the bound is deliberately loose "
+        "(max(3 absolute, 25% relative) vs the exact intersection). "
+        "100 TB posture: cohort sketches build in one pass each and "
+        "intersect as pure driver arithmetic on kilobyte sketches — "
+        "the segment-overlap diagnostic (audience overlap, cross-shard "
+        "dup rate) without a distinct-pair shuffle. Also asserts "
+        "union >= each part (monotonicity the sketch guarantees)",
+    tags=("sketch",),
+)
+def hll_intersection_within_bound(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click")
+                  & (F.col("value") > 150)).select("user_id")
+    b = ev.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") > 150)).select("user_id")
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("ska"))
+        .crossJoin(b.agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("skb")))
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("ska").alias("ea"),
+        F.hll_sketch_estimate("skb").alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("ska", "skb")).alias("eu"),
+    )
+    exact = (
+        a.intersect(b).agg(F.count("*").alias("exact_int"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        (F.abs((F.col("ea") + F.col("eb") - F.col("eu"))
+               - F.col("exact_int"))
+         <= F.greatest(F.lit(3.0), 0.25 * F.col("exact_int"))
+         ).alias("intersect_ok"),
+        ((F.col("eu") >= F.col("ea")) & (F.col("eu") >= F.col("eb"))
+         ).alias("union_ge_parts"),
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -3716,13 +3763,13 @@ def pagerank_bipartite_topk(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 38 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 39 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
 # HLL sketch columns, iterative PageRank — never driver-graded,
 # placed immediately after position 50 below) lead, backfilled with
-# 12 of the remaining
+# 11 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
@@ -3769,6 +3816,7 @@ _PRIORITY_ORDER = [
     "q21_waiting_suppliers",
     "interpolate_hourly_values", "session_window_stats",
     "hll_sketch_columns_mergeable", "pagerank_bipartite_topk",
+    "hll_intersection_within_bound",
     # First the remaining 43 round-7 greens (they head the round-10
     # rotation), then the 50 round-8 greens (freshest) — all pinned by
     # test_oracle_parity.py either way.
