@@ -3752,6 +3752,50 @@ def hll_intersection_within_bound(spark, sf_dir):
     )
 
 
+@register(
+    "weighted_sample_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1.0) / 4294967297.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars,
+           round(pow(u, 1.0 / n_chars), 9) AS es_key
+    FROM keyed
+    ORDER BY round(pow(u, 1.0 / n_chars), 9) DESC, doc_id LIMIT 50
+    """,
+    doc="deterministic weighted sampling WITHOUT replacement "
+        "(Efraimidis-Spirakis 2006): key = u^(1/w) with w = document "
+        "length, top-k by key == a weight-proportional sample. The "
+        "uniform u derives from md5(doc_id) — not a PRNG — so the "
+        "sample is a pure function of the data: stable across re-runs, "
+        "partitioning, and engines (the property every reproducible "
+        "training-data pipeline needs from its samplers, same posture "
+        "as the md5-rank quota sampler). One narrow scan + "
+        "TakeOrderedAndProject: top-k never sorts the corpus, and the "
+        "per-row key needs no global state, so the op is embarrassingly "
+        "parallel at any scale. Keys round to 9 decimals before "
+        "ranking so both engines order identically (pow ulp "
+        "differences sit ~1e-15, seven orders below the grain)",
+    tags=("llm",),
+)
+def weighted_sample_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("bigint") + 1.0)
+        / 4294967297.0
+    )
+    es_key = F.round(
+        F.pow(u, 1.0 / F.col("n_chars")), 9).alias("es_key")
+    return (
+        docs.select("doc_id", "n_chars", es_key)
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -3763,13 +3807,13 @@ def hll_intersection_within_bound(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 39 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 40 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
 # HLL sketch columns, iterative PageRank — never driver-graded,
 # placed immediately after position 50 below) lead, backfilled with
-# 11 of the remaining
+# 10 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
@@ -3816,7 +3860,7 @@ _PRIORITY_ORDER = [
     "q21_waiting_suppliers",
     "interpolate_hourly_values", "session_window_stats",
     "hll_sketch_columns_mergeable", "pagerank_bipartite_topk",
-    "hll_intersection_within_bound",
+    "hll_intersection_within_bound", "weighted_sample_topk",
     # First the remaining 43 round-7 greens (they head the round-10
     # rotation), then the 50 round-8 greens (freshest) — all pinned by
     # test_oracle_parity.py either way.
