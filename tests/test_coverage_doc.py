@@ -38,3 +38,18 @@ def test_claim_is_dated_per_round():
     assert re.search(r"round \d+", header), (
         "COVERAGE.md header must date its all-green claim with a round"
     )
+
+
+def test_registry_doc_in_sync():
+    """REGISTRY.md must equal what tools/gen_registry_doc.py renders
+    from the live registry — no silently-stale generated doc."""
+    import sys
+    sys.path.insert(0, str(DOC.parent / "tools"))
+    import gen_registry_doc
+
+    rendered = gen_registry_doc.render()
+    actual = (DOC.parent / "REGISTRY.md").read_text()
+    assert actual == rendered, (
+        "REGISTRY.md is stale — run `python tools/gen_registry_doc.py` "
+        "in the same commit as the registry change"
+    )
