@@ -3796,6 +3796,124 @@ def weighted_sample_topk(spark, sf_dir):
     )
 
 
+@register(
+    "skyline_parts",
+    """
+    WITH m AS (
+      SELECT p_size AS sz, min(p_retailprice) AS best_price
+      FROM part GROUP BY p_size),
+    w AS (
+      SELECT sz, best_price,
+             min(best_price) OVER (
+               ORDER BY sz DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_best
+      FROM m)
+    SELECT sz, round(best_price, 2) AS best_price
+    FROM w
+    WHERE prev_best IS NULL OR best_price < prev_best
+    ORDER BY sz
+    """,
+    doc="2-D skyline (Pareto frontier): parts not dominated on "
+        "(maximize p_size, minimize p_retailprice). The naive frontier "
+        "is a quadratic NOT-EXISTS self-join; this formulation is "
+        "O(n log n) and reduce-first: one distributed min-aggregate "
+        "collapses the facts to one candidate per size (the size "
+        "domain is bounded — ~50 values — so the candidate table is "
+        "tiny at any corpus scale), then a running-min window over the "
+        "candidates ordered by size DESC keeps exactly the points that "
+        "strictly improve on every larger size. The single-partition "
+        "window touches only the domain-sized candidate set, never the "
+        "facts; for unbounded 2-D domains the same algebra distributes "
+        "as block-local skyline + merge (skyline(U) is a subset of the "
+        "union of block skylines)",
+)
+def skyline_parts(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    m = part.groupBy(F.col("p_size").alias("sz")).agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    w = (
+        W.orderBy(F.col("sz").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        m.select(
+            "sz", "best_price", F.min("best_price").over(w).alias("prev_best")
+        )
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_price") < F.col("prev_best"))
+        )
+        .select("sz", F.round("best_price", 2).alias("best_price"))
+        .orderBy("sz")
+    )
+
+
+@register(
+    "winsorized_value_stats",
+    """
+    WITH e AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL),
+    b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM e GROUP BY event_type)
+    SELECT e.event_type,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6)
+             AS wins_mean,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lo_clip,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hi_clip,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="winsorized (p05/p95-clamped) mean per event type plus exact "
+        "clip counts — the robust-statistics companion to the Tukey "
+        "fences: instead of discarding outliers it caps them, which is "
+        "what metric pipelines do when heavy tails would otherwise let "
+        "a single bad sensor dominate a mean. Two passes, both "
+        "distributed: one exact interpolated-percentile aggregate "
+        "builds the per-type (lo, hi) bounds table (type-cardinality "
+        "rows, broadcast), one more pass clamps and averages. NULL "
+        "values are filtered before the percentile so the bounds and "
+        "the clamp see the same population; the mean rounds to 6 "
+        "decimals (partial-agg order differences sit ~1e-12, six "
+        "orders below the grain) and the clip counts are exact "
+        "integers",
+)
+def winsorized_value_stats(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(b), "event_type")
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.least(F.greatest("value", "lo"), F.col("hi"))), 6
+            ).alias("wins_mean"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_lo_clip"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_hi_clip"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -3807,13 +3925,15 @@ def weighted_sample_topk(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 40 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 42 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
-# HLL sketch columns, iterative PageRank — never driver-graded,
-# placed immediately after position 50 below) lead, backfilled with
-# 10 of the remaining
+# HLL sketch columns, iterative PageRank, weighted sampling, skyline,
+# winsorized stats — never driver-graded; the listed ones sit
+# immediately after position 50 below, the late additions
+# skyline_parts / winsorized_value_stats at the registration tail)
+# lead, backfilled with 8 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
