@@ -538,3 +538,24 @@ def test_interpolation_matches_numpy_interp_on_tiny_series(spark, tmp_path):
     assert a[0] == (10.0, False) and a[3] == (40.0, False)
     assert a[1] == (20.0, True) and a[2] == (30.0, True)
     assert a[4] == (40.0, True) and a[5] == (40.0, True)
+
+
+def test_skyline_is_reduce_first_no_join(spark, sf_dir, registry):
+    """The Pareto frontier must be computed join-free: a distributed
+    min-aggregate collapses the facts to the domain-bounded candidate
+    set and the running-min window runs on that — never the quadratic
+    NOT-EXISTS self-join formulation."""
+    df = registry["skyline_parts"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "HashAggregate" in plan and "Window" in plan, plan[:2000]
+
+
+def test_winsorized_bounds_table_broadcasts(spark, sf_dir, registry):
+    """The per-type (lo, hi) percentile bounds table (enum cardinality)
+    joins the facts by broadcast; events shuffle only for the two
+    aggregates."""
+    df = registry["winsorized_value_stats"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
