@@ -559,3 +559,54 @@ def test_winsorized_bounds_table_broadcasts(spark, sf_dir, registry):
     plan = _final_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_gini_single_window_then_agg_no_join(spark, sf_dir, registry):
+    """Exact Gini is one in-group rank window plus one aggregate —
+    no join, no second pass over orders."""
+    df = registry["gini_totalprice_by_priority"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Window") >= 1 and "HashAggregate" in plan
+
+
+def test_benford_window_runs_on_agg_output_not_facts(spark, sf_dir, registry):
+    """The digit-share window must sit ABOVE the 9-group aggregate
+    (constant-size input at any scale), never below it on the fact
+    table, and the digit aggregate must be map-side combinable
+    (partial HashAggregate under the exchange)."""
+    df = registry["benford_first_digit"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    # Window appears after (above) the aggregate in the formatted tree:
+    # the aggregate's scan feeds it, so the agg node id is deeper.
+    assert "Window" in plan and "HashAggregate" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], (
+        "digit aggregate should be below the share window\n" + plan[:2000]
+    )
+
+
+def test_chi2_no_cross_join_windows_on_cell_table(spark, sf_dir, registry):
+    """The telescoped sparse-contingency form must not densify: no
+    cross/nested-loop join anywhere; windows run on the |p|x|s| cell
+    aggregate only."""
+    df = registry["chi2_priority_status"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+        plan[:2000]
+    )
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_streak_join_free_user_partitioned_window(spark, sf_dir, registry):
+    """Gaps-and-islands must stay join-free and the anchor window must
+    be partitioned by user_id (high cardinality) — a global window
+    here would serialize the whole corpus through one task."""
+    df = registry["longest_daily_streak"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    win_seg = plan[plan.index("Window"):]
+    head = win_seg[:600]
+    assert "user_id" in head, head
