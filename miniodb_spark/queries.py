@@ -4136,7 +4136,7 @@ def longest_daily_streak(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 42 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 46 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
@@ -4146,7 +4146,7 @@ def longest_daily_streak(spark, sf_dir):
 # skyline_parts / winsorized_value_stats / gini_totalprice_by_priority /
 # benford_first_digit / chi2_priority_status / longest_daily_streak at
 # the registration tail)
-# lead, backfilled with 8 of the remaining
+# lead, backfilled with 4 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [
