@@ -4125,6 +4125,83 @@ def longest_daily_streak(spark, sf_dir):
     )
 
 
+@register(
+    "rrf_fused_selection",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100
+    ),
+    q AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / greatest(n_chars, 1) AS alpha_frac
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY alpha_frac DESC, doc_id) AS r
+      FROM q ORDER BY alpha_frac DESC, doc_id LIMIT 100
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + a.r), 0.0)
+                 + coalesce(1.0 / (60 + b.r), 0.0), 6) AS rrf_score
+    FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    doc="reciprocal-rank fusion for training-data selection: two "
+        "independent document rankings (length; alphabetic-character "
+        "fraction as a quality proxy) fused by RRF with the standard "
+        "k=60, top-20 selected. Implemented the way retrieval systems "
+        "actually run RRF at scale — over per-signal top-M shortlists "
+        "(M=100), NOT global ranks: each shortlist is a "
+        "TakeOrderedAndProject (per-partition top-M then merge, no "
+        "global sort or single-partition window over the corpus), the "
+        "rank window runs on the M-row shortlist, and the two "
+        "shortlists full-outer-join at M-row size (broadcastable). "
+        "Deterministic: both orderings tiebreak on doc_id, so "
+        "row_number equals rank and float ties cannot reorder across "
+        "engines",
+)
+def rrf_fused_selection(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a_short = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(100)
+    )
+    a = a_short.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("ra"),
+    )
+    q = docs.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
+            / F.greatest("n_chars", F.lit(1))
+        ).alias("alpha_frac"),
+    )
+    b_short = q.orderBy(F.desc("alpha_frac"), "doc_id").limit(100)
+    b = b_short.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("alpha_frac"), "doc_id"))
+        .alias("rb"),
+    )
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -4136,7 +4213,7 @@ def longest_daily_streak(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 46 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 47 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
@@ -4144,9 +4221,9 @@ def longest_daily_streak(spark, sf_dir):
 # winsorized stats — never driver-graded; the listed ones sit
 # immediately after position 50 below, the late additions
 # skyline_parts / winsorized_value_stats / gini_totalprice_by_priority /
-# benford_first_digit / chi2_priority_status / longest_daily_streak at
-# the registration tail)
-# lead, backfilled with 4 of the remaining
+# benford_first_digit / chi2_priority_status / longest_daily_streak /
+# rrf_fused_selection at the registration tail)
+# lead, backfilled with 3 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [

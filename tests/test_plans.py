@@ -610,3 +610,18 @@ def test_streak_join_free_user_partitioned_window(spark, sf_dir, registry):
     win_seg = plan[plan.index("Window"):]
     head = win_seg[:600]
     assert "user_id" in head, head
+
+
+def test_rrf_shortlists_take_ordered_no_global_corpus_window(
+    spark, sf_dir, registry
+):
+    """RRF must run over per-signal TakeOrdered shortlists: the plan
+    carries TakeOrderedAndProject (per-partition top-M, merge — never
+    a global sort of the corpus) feeding M-row rank windows, and the
+    shortlist full-outer join must not be a nested loop."""
+    df = registry["rrf_fused_selection"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+        plan[:2000]
+    )
