@@ -4202,6 +4202,90 @@ def rrf_fused_selection(spark, sf_dir):
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
 
 
+@register(
+    "ks_drift_event_types",
+    """
+    WITH e AS (
+      SELECT event_type AS g, value FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+    b AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    binned AS (
+      SELECT g,
+             least(CAST(floor((value - lo)
+                              / (greatest(hi - lo, 1e-12) / 200.0))
+                        AS INT), 199) AS bin,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM e, b GROUP BY 1, 2),
+    cum AS (
+      SELECT bin,
+             sum(CASE WHEN g = 'click' THEN n ELSE 0 END) AS nc,
+             sum(CASE WHEN g = 'purchase' THEN n ELSE 0 END) AS np
+      FROM binned GROUP BY bin),
+    cdf AS (
+      SELECT bin,
+             sum(nc) OVER (ORDER BY bin) / sum(nc) OVER () AS fc,
+             sum(np) OVER (ORDER BY bin) / sum(np) OVER () AS fp
+      FROM cum)
+    SELECT round(max(abs(fc - fp)), 6) AS ks_stat,
+           CAST(count(*) AS BIGINT) AS n_bins_used
+    FROM cdf
+    """,
+    doc="two-sample Kolmogorov-Smirnov drift statistic between the "
+        "'click' and 'purchase' value distributions, in the grid-ECDF "
+        "form that is the honest distributed shape: values bin onto a "
+        "200-cell equi-width grid (one map-side-combinable aggregate "
+        "over the facts), cumulative shares and the max-gap run on the "
+        "<=200-row bin table. Exact KS needs a global sort by value; "
+        "the grid form bounds the error by the largest per-bin "
+        "probability mass while keeping every post-scan stage "
+        "constant-size at any corpus scale — the standard "
+        "drift-monitor trade (same posture as histogram_equi_width). "
+        "The scalar (lo, hi) bounds row broadcasts; the zero-width "
+        "guard (greatest(hi-lo, 1e-12)) keeps the degenerate "
+        "single-value corpus from dividing by zero",
+)
+def ks_drift_event_types(spark, sf_dir):
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(F.col("event_type").alias("g"), "value")
+    )
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / 200.0
+    binned = (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            "g",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(199),
+            ).alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    cum = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("g") == "click", F.col("n")).otherwise(0.0))
+        .alias("nc"),
+        F.sum(F.when(F.col("g") == "purchase", F.col("n")).otherwise(0.0))
+        .alias("np"),
+    )
+    w_run = W.partitionBy().orderBy("bin")
+    w_all = W.partitionBy()
+    cdf = cum.select(
+        "bin",
+        (F.sum("nc").over(w_run) / F.sum("nc").over(w_all)).alias("fc"),
+        (F.sum("np").over(w_run) / F.sum("np").over(w_all)).alias("fp"),
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("fc") - F.col("fp"))), 6).alias("ks_stat"),
+        F.count("*").alias("n_bins_used"),
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
@@ -4213,7 +4297,7 @@ def rrf_fused_selection(spark, sf_dir):
 # driver-graded), then the 24 entries last driver-green in round 6
 # (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
 # After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 47 round-9 additions (TPC-H suite —
+# round 7. Round-10 window: the 48 round-9 additions (TPC-H suite —
 # now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
 # containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
 # higher-order/null-safe, interpolation, native session_window, native
@@ -4222,8 +4306,8 @@ def rrf_fused_selection(spark, sf_dir):
 # immediately after position 50 below, the late additions
 # skyline_parts / winsorized_value_stats / gini_totalprice_by_priority /
 # benford_first_digit / chi2_priority_status / longest_daily_streak /
-# rrf_fused_selection at the registration tail)
-# lead, backfilled with 3 of the remaining
+# rrf_fused_selection / ks_drift_event_types at the registration tail)
+# lead, backfilled with 2 of the remaining
 # round-7 greens; the rest follow in staleness order and the 50
 # round-8 greens sit at the tail (freshest).
 _PRIORITY_ORDER = [

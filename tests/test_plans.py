@@ -625,3 +625,16 @@ def test_rrf_shortlists_take_ordered_no_global_corpus_window(
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
         plan[:2000]
     )
+
+
+def test_ks_drift_windows_on_bin_grid_only(spark, sf_dir, registry):
+    """The KS statistic must bin first: the only join is the scalar
+    (lo, hi) bounds broadcast, and the cumulative-share windows run on
+    the <=200-row bin table — never a global sort of raw values."""
+    df = registry["ks_drift_event_types"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Window" in plan and "HashAggregate" in plan
+    # the fact-table aggregate (g, bin) must sit below the windows
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan[:2000]
