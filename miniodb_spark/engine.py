@@ -114,10 +114,18 @@ class Engine:
         # the *shared* store root (not the driver-local meta dir), so two
         # serve processes over one object-store root cross-invalidate —
         # the reference does this through Redis; see kv.py
-        from .kv import FileKV, TableVersionStore
+        from .kv import FileKV, MutationLease, TableVersionStore
 
         versions = TableVersionStore(
             FileKV(self.fs, fsmod.join(root, "_meta", "cache_versions"))
+        )
+        # cross-driver mutation lease on the shared store root (reference
+        # locks (table, id) in Redis with a 30 s TTL before Update/Delete,
+        # miniodb_service.go:720-722 + pkg/lock); owner token is random
+        # per engine so two engines in one process still exclude each other
+        self.lease = MutationLease(
+            FileKV(self.fs, fsmod.join(root, "_meta", "locks")),
+            owner=os.urandom(8).hex(),
         )
         self.cache = QueryResultCache(ttl_s=cache_ttl_s, version_store=versions)
         self.idgen = IDGenerator(node_id)
@@ -723,13 +731,15 @@ class Engine:
         miniodb_service.go:867-1007, query/query.go:1252-1413 rewrites
         per *file*; partition-level rewrite is the Spark-shaped unit)."""
         gate.validate_table_name(table)
-        removed = 0
-        buf = self._buffers.get(table)
-        if buf is not None:
-            removed += buf.remove(table, record_id)
-        persisted = self.read_persisted(table)
-        if persisted is not None:
-            removed += delete_rows(self, table, persisted, F.col("id") == record_id)
+        with self.lease.holding(f"{table}/{record_id}"):
+            self.catalog.refresh_if_changed(table)
+            removed = 0
+            buf = self._buffers.get(table)
+            if buf is not None:
+                removed += buf.remove(table, record_id)
+            persisted = self.read_persisted(table)
+            if persisted is not None:
+                removed += delete_rows(self, table, persisted, F.col("id") == record_id)
         self.cache.invalidate_table(table)
         if self.events:
             self.events.publish("delete", table, [record_id])
@@ -741,8 +751,11 @@ class Engine:
         new one. The reference inserts first and tolerates transient
         duplicates on partial failure (miniodb_service.go:737-741); under
         a single in-process lock we can do remove→insert atomically, which
-        is strictly cleaner and returns the same final state."""
-        with self._lock:
+        is strictly cleaner and returns the same final state. The
+        cross-driver (table, id) lease (reference miniodb_service.go:
+        720-722) spans the whole remove→insert window; the nested
+        ``delete`` re-enters it on this thread."""
+        with self.lease.holding(f"{table}/{record_id}"), self._lock:
             removed = self.delete(table, record_id)
             self.write(table, payload, record_id=record_id, timestamp_us=timestamp_us)
         if self.events:

@@ -95,6 +95,23 @@ class LocalFS:
             f.write(data)
         os.replace(tmp, path)
 
+    def create_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomic create-if-absent (the lock primitive): O_CREAT|O_EXCL
+        guarantees exactly one of N concurrent callers wins. Returns
+        False if the path already exists. The payload is written through
+        the won descriptor, so a winner's marker is never empty for
+        longer than one write syscall."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+
 
 class HadoopFS:
     """Hadoop FileSystem-backed implementation (via the live session's
@@ -182,6 +199,22 @@ class HadoopFS:
             stream.write(bytearray(data))
         finally:
             stream.close()
+
+    def create_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        """create(overwrite=False): atomic on HDFS (namenode arbitration)
+        and on conditional-write-capable object stores; on plain S3A it
+        degrades to check-at-create — same fidelity class as the
+        reference's Redis lock when Redis runs without persistence."""
+        fs, p = self._fs(path), self._p(path)
+        try:
+            stream = fs.create(p, False)
+        except Exception:
+            return False
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        return True
 
 
 def get_fs(spark, root: str):

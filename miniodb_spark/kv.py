@@ -148,6 +148,157 @@ class DriverRegistry:
                 continue  # racing delete / torn heartbeat
 
 
+class MutationLease:
+    """Cross-driver lease lock for the mutation path.
+
+    The reference takes a distributed lock on ``(table, id)`` with a
+    30 s TTL before UpdateData/DeleteData
+    (/root/reference/internal/service/miniodb_service.go:720-722;
+    /root/reference/pkg/lock/redis_lock.go:55-64 — SetNX of a random
+    token, Lua compare-and-delete unlock, DefaultLockTTL = 30 s in
+    pkg/lock/lock.go:49). This is the store-root equivalent over the
+    same fs abstraction the data path already mounts:
+
+    - **acquire** = atomic create-if-absent of a marker object whose
+      payload is ``owner-token|expiry-wallclock`` — exactly one of N
+      concurrent creators wins (O_EXCL locally, namenode-arbitrated
+      create on HDFS; see fs.create_bytes_if_absent for the S3A
+      caveat, which mirrors the reference's Redis-without-persistence
+      fidelity class).
+    - **TTL age-out** = a waiter that reads an expired payload atomically
+      *moves* the marker aside to a unique steal path (rename is
+      only-one-wins on POSIX/HDFS), then competes in a fresh
+      create-if-absent round. A crashed holder's lock therefore frees
+      within ``ttl_s`` without any daemon, same as Redis key expiry.
+    - **release** = compare owner token, then delete — never deletes a
+      lock stolen from us after our own expiry (the reference's Lua
+      check-token-then-DEL, redis_lock.go:11).
+
+    **Clock assumption**: identical to :class:`DriverRegistry` — the
+    waiter's wall clock judges the holder's expiry stamp, so drivers
+    must agree to well within ``ttl_s`` (same-host drivers trivially;
+    NTP across hosts).
+
+    Re-entrant per (owner, thread): ``Engine.update`` takes the
+    ``(table, id)`` lease and internally calls ``Engine.delete``, which
+    takes it again on the same thread — depth-counted, refreshed, and
+    released only at depth 0.
+    """
+
+    def __init__(self, kv: FileKV, owner: str, ttl_s: float = 30.0):
+        self.kv = kv
+        self.owner = owner
+        self.ttl_s = ttl_s
+        self._depth: dict[tuple[int, str], int] = {}
+        self._mu = threading.Lock()
+
+    def _marker(self, key: str) -> str:
+        return _fs.join(self.kv.root, "lease." + _safe(key))
+
+    def _token(self, key: str) -> str:
+        return f"{self.owner}.t{threading.get_ident()}"
+
+    def acquire(self, key: str, timeout_s: float | None = None,
+                poll_s: float = 0.02) -> bool:
+        """Block (up to ``timeout_s``; None = ttl_s, like the reference's
+        Lock() retry loop bounded by ctx) until the lease on ``key`` is
+        held by this (owner, thread). Returns False on timeout."""
+        token = self._token(key)
+        ident = (threading.get_ident(), key)
+        with self._mu:
+            if self._depth.get(ident, 0) > 0:
+                self._depth[ident] += 1
+                return True
+        deadline = time.time() + (timeout_s if timeout_s is not None else self.ttl_s)
+        marker = self._marker(key)
+        payload = lambda: f"{token}|{time.time() + self.ttl_s}".encode()
+        while True:
+            if self.kv.fs.create_bytes_if_absent(marker, payload()):
+                with self._mu:
+                    self._depth[ident] = 1
+                return True
+            raw = None
+            try:
+                if self.kv.fs.exists(marker):
+                    raw = self.kv.fs.read_bytes(marker)
+            except Exception:
+                raw = None  # racing release between exists and read
+            if raw:
+                try:
+                    _, expiry = raw.decode("ascii").rsplit("|", 1)
+                    expired = time.time() > float(expiry)
+                except Exception:
+                    expired = True  # torn/corrupt marker: treat as dead
+                if expired:
+                    # atomic move-aside: exactly one stealer wins the
+                    # rename; everyone then races a fresh create above
+                    steal = f"{marker}.steal.{os.urandom(6).hex()}"
+                    try:
+                        self.kv.fs.move(marker, steal)
+                        self.kv.fs.remove_file(steal)
+                    except Exception:
+                        pass  # someone else stole it first
+                    continue
+            if time.time() >= deadline:
+                return False
+            time.sleep(poll_s)
+
+    def extend(self, key: str) -> bool:
+        """Push a held lease's expiry out by another ``ttl_s`` (the
+        reference lock's Extend, pkg/lock/lock.go + redis_lock.go PEXPIRE
+        path). Call before launching work that may outlast the TTL —
+        e.g. a large rewrite job. No-op (False) if the lease was already
+        stolen; the subsequent release is then also a no-op, so a stolen
+        lease is never clobbered."""
+        marker = self._marker(key)
+        token = self._token(key)
+        try:
+            raw = self.kv.fs.read_bytes(marker)
+            if raw.decode("ascii").rsplit("|", 1)[0] != token:
+                return False
+        except Exception:
+            return False
+        # write-temp+replace keeps the refresh atomic for readers; only
+        # the holder refreshes, so last-writer-wins cannot lose a
+        # competing holder's stamp
+        self.kv.fs.write_bytes(marker, f"{token}|{time.time() + self.ttl_s}".encode())
+        return True
+
+    def release(self, key: str) -> None:
+        ident = (threading.get_ident(), key)
+        with self._mu:
+            d = self._depth.get(ident, 0)
+            if d > 1:
+                self._depth[ident] = d - 1
+                return
+            self._depth.pop(ident, None)
+        marker = self._marker(key)
+        try:
+            raw = self.kv.fs.read_bytes(marker)
+            if raw.decode("ascii").rsplit("|", 1)[0] == self._token(key):
+                self.kv.fs.remove_file(marker)
+        except Exception:
+            pass  # already stolen/expired — never delete another's lock
+
+    def holding(self, key: str, timeout_s: float | None = None):
+        """``with lease.holding(f"{table}/{id}"): ...`` — raises
+        TimeoutError if the lease cannot be acquired, mirroring the
+        reference's lock-failed audit + error return path
+        (miniodb_service.go:723-731)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            if not self.acquire(key, timeout_s=timeout_s):
+                raise TimeoutError(f"mutation lease busy: {key}")
+            try:
+                yield
+            finally:
+                self.release(key)
+
+        return _cm()
+
+
 class TableVersionStore:
     """Per-table version nonces over a :class:`FileKV`.
 

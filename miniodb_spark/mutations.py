@@ -64,25 +64,44 @@ def delete_rows(
     data; returns the number of rows deleted. ``df`` must be the
     engine's aligned persisted read (columns = cumulative schema +
     dt + gen). Only (gen, dt) partitions containing matches are
-    rewritten, via the rename-free commit protocol above."""
-    per_part = df.filter(delete_predicate).groupBy("gen", "dt").count().collect()
-    if not per_part:
-        return 0
-    affected = [(int(r["gen"]), r["dt"]) for r in per_part]
-    deleted = sum(r["count"] for r in per_part)
+    rewritten, via the rename-free commit protocol above.
 
-    affected_pred = F.lit(False)
-    for g, d in affected:
-        affected_pred = affected_pred | ((F.col("gen") == g) & (F.col("dt") == d))
-    survivors = df.filter(affected_pred).filter(~delete_predicate).drop("gen")
+    **Cross-driver serialization**: the whole snapshot→rewrite→commit
+    runs under the table-level ``#rewrite`` lease (reference: every
+    mutation holds the Redis (table,id) lock, miniodb_service.go:
+    720-722; rewrites serialize per *table* here because the unit of
+    commit is the whole catalog entry). The per-process flush lock
+    alone cannot stop a second driver on the same store root from
+    reserving the same generation index — and, worse, a snapshot taken
+    before the other driver's commit would re-materialize rows it just
+    deleted. So if the catalog moved while we waited for the lease, the
+    snapshot is re-derived from the refreshed catalog before counting."""
+    with engine.lease.holding(f"{table}/#rewrite"), engine._flush_lock(table):
+        if engine.catalog.refresh_if_changed(table):
+            df = engine.read_persisted(table)
+            if df is None:
+                return 0
+        per_part = df.filter(delete_predicate).groupBy("gen", "dt").count().collect()
+        if not per_part:
+            return 0
+        affected = [(int(r["gen"]), r["dt"]) for r in per_part]
+        deleted = sum(r["count"] for r in per_part)
 
-    cum = engine.catalog.schema_of(table)
-    cfg = engine.catalog.get_table(table)
-    with engine._flush_lock(table):
+        affected_pred = F.lit(False)
+        for g, d in affected:
+            affected_pred = affected_pred | ((F.col("gen") == g) & (F.col("dt") == d))
+        survivors = df.filter(affected_pred).filter(~delete_predicate).drop("gen")
+
+        cum = engine.catalog.schema_of(table)
+        cfg = engine.catalog.get_table(table)
         # retry any GC a previous crash left behind, so stale excluded
         # directories can't accumulate
         gc_superseded(engine, table)
         new_gen = engine.catalog.next_generation_index(table)
+        # a long rewrite job must not outlive the lease TTL mid-commit:
+        # push the expiry out before launching the write (the reference
+        # lock exposes the same Extend operation, pkg/lock/lock.go)
+        engine.lease.extend(f"{table}/#rewrite")
         # 1. land survivors directly in the unreferenced generation dir
         (
             survivors.repartition("dt")

@@ -1,0 +1,218 @@
+"""Cross-driver mutation lease (kv.MutationLease).
+
+Reference parity: the reference takes a distributed (table, id) lock
+with a 30 s TTL before UpdateData/DeleteData
+(/root/reference/internal/service/miniodb_service.go:720-722;
+/root/reference/pkg/lock/redis_lock.go:55-64 — SetNX random token,
+compare-token unlock, DefaultLockTTL = 30 s). These tests prove the
+store-root lease gives the same guarantees: mutual exclusion across
+engines, TTL recovery from a crashed holder, token-checked release,
+re-entrancy, and — the integration half — that two engines on one
+store root serialize concurrent update+delete with no lost update and
+no orphaned generation.
+"""
+
+import json
+import os
+import threading
+import time
+
+from miniodb_spark.fs import LocalFS
+from miniodb_spark.kv import FileKV, MutationLease
+
+US = 1_000_000
+DAY = 86_400 * US
+T0 = 1_700_000_000 * US
+
+
+def _kv(tmp_path):
+    return FileKV(LocalFS(), str(tmp_path / "locks"))
+
+
+def test_lease_mutual_exclusion_two_owners(tmp_path):
+    """Two lease owners (≈ two drivers) interleaving a read-modify-write:
+    under the lease every increment survives; the counter never loses an
+    update."""
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=30.0)
+    b = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+    counter_path = str(tmp_path / "counter")
+    with open(counter_path, "w") as f:
+        f.write("0")
+
+    def bump(lease, n):
+        for _ in range(n):
+            assert lease.acquire("k", timeout_s=10.0)
+            try:
+                v = int(open(counter_path).read())
+                time.sleep(0.001)  # widen the race window
+                with open(counter_path, "w") as f:
+                    f.write(str(v + 1))
+            finally:
+                lease.release("k")
+
+    ts = [threading.Thread(target=bump, args=(l, 25)) for l in (a, b)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert int(open(counter_path).read()) == 50
+
+
+def test_lease_ttl_steal_and_safe_release(tmp_path):
+    """A crashed holder's lease frees after ttl_s; the stale holder's
+    later release must NOT delete the stolen lock (token check — the
+    reference's Lua compare-and-delete)."""
+    kv = _kv(tmp_path)
+    dead = MutationLease(kv, owner="dead", ttl_s=0.05)
+    live = MutationLease(kv, owner="live", ttl_s=30.0)
+    assert dead.acquire("k", timeout_s=1.0)
+    time.sleep(0.08)  # past the dead holder's TTL
+    assert live.acquire("k", timeout_s=1.0), "expired lease not stolen"
+    dead.release("k")  # stale release: must be a no-op on live's lock
+    # live still holds it: a third owner cannot get in
+    third = MutationLease(kv, owner="cccc", ttl_s=30.0)
+    assert not third.acquire("k", timeout_s=0.15)
+    live.release("k")
+    assert third.acquire("k", timeout_s=1.0)
+    third.release("k")
+
+
+def test_lease_reentrant_same_thread_exclusive_across_threads(tmp_path):
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=30.0)
+    assert a.acquire("k")
+    assert a.acquire("k")  # re-enter (update -> nested delete)
+    a.release("k")
+    # still held at depth 1: another OWNER must block
+    b = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+    assert not b.acquire("k", timeout_s=0.1)
+    # ...and another THREAD of the same owner must block too (the token
+    # is per (owner, thread), like one Redis client per goroutine)
+    got = []
+    t = threading.Thread(target=lambda: got.append(a.acquire("k", timeout_s=0.1)))
+    t.start(); t.join()
+    assert got == [False]
+    a.release("k")
+    assert b.acquire("k", timeout_s=1.0)
+    b.release("k")
+
+
+def test_lease_extend_pushes_expiry(tmp_path):
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=0.2)
+    b = MutationLease(kv, owner="bbbb", ttl_s=0.2)
+    assert a.acquire("k")
+    time.sleep(0.12)
+    assert a.extend("k")  # fresh 0.2 s from now
+    time.sleep(0.12)  # past original expiry, inside extended one
+    assert not b.acquire("k", timeout_s=0.01), "extend did not hold"
+    a.release("k")
+    # extend on a lock we no longer hold is a refused no-op
+    assert b.acquire("k", timeout_s=1.0)
+    assert not a.extend("k")
+    b.release("k")
+
+
+def test_two_engines_same_id_update_delete_serialize(spark, tmp_path):
+    """VERDICT r9 task 2 acceptance: two engines on one store root run a
+    concurrent update (A) and delete (B) of the SAME id. The (table, id)
+    lease serializes them, so whichever order wins, the final state is
+    the update's row (B's delete only sees the persisted side; A's
+    re-insert lands via A's buffer) — never a duplicate, never a lost
+    sibling row, and never an orphaned or double-claimed generation."""
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)
+    a.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    for i in range(12):
+        a.write("t", {"v": i}, record_id=f"r{i:02d}", timestamp_us=T0 + (i % 3) * DAY)
+    a.flush("t")
+
+    errs: list[Exception] = []
+    gate_ = threading.Barrier(2)
+
+    def upd():
+        gate_.wait()
+        try:
+            a.update("t", "r05", {"v": 555}, timestamp_us=T0)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    def dele():
+        gate_.wait()
+        try:
+            b.delete("t", "r05")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=upd), threading.Thread(target=dele)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+
+    a.flush("t")
+    rows = json.loads(a.query("SELECT id, v FROM t ORDER BY id"))
+    got = {r["id"]: r["v"] for r in rows}
+    assert len(rows) == len(got), "duplicate ids after concurrent mutation"
+    assert got.pop("r05") == 555, "update lost"
+    assert got == {f"r{i:02d}": i for i in range(12) if i != 5}, \
+        "sibling rows corrupted by racing rewrites"
+    _assert_no_orphan_generations(a, root, "t")
+
+
+def test_two_engines_different_ids_rewrite_lease(spark, tmp_path):
+    """Concurrent deletes of DIFFERENT ids from two engines: no shared
+    (table, id) lease — only the table-level #rewrite lease stands
+    between the two copy-on-write commits. Without it both would claim
+    the same generation index and one commit would destroy the other
+    (or resurrect the other's deleted rows from a stale snapshot)."""
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)
+    a.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    for i in range(12):
+        a.write("t", {"v": i}, record_id=f"r{i:02d}", timestamp_us=T0 + (i % 3) * DAY)
+    a.flush("t")
+
+    errs: list[Exception] = []
+    gate_ = threading.Barrier(2)
+
+    def d(eng, rid):
+        gate_.wait()
+        try:
+            n = eng.delete("t", rid)
+            assert n == 1, f"delete {rid} removed {n}"
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=d, args=(a, "r03")),
+          threading.Thread(target=d, args=(b, "r07"))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+
+    rows = json.loads(a.query("SELECT id, v FROM t ORDER BY id"))
+    got = {r["id"]: r["v"] for r in rows}
+    assert len(rows) == len(got), "duplicate ids after racing rewrites"
+    assert got == {f"r{i:02d}": i for i in range(12) if i not in (3, 7)}, \
+        "lost update / resurrected row across drivers"
+    _assert_no_orphan_generations(a, root, "t")
+
+
+def _assert_no_orphan_generations(engine, root: str, table: str) -> None:
+    """Every gen=N directory on disk is referenced by the (refreshed)
+    catalog and no superseded partition is left pending GC."""
+    engine.catalog.refresh_if_changed(table)
+    n_gens = len(engine.catalog.gen_schemas(table))
+    tdir = os.path.join(root, table)
+    on_disk = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(tdir) if d.startswith("gen=")
+    )
+    assert all(g < n_gens for g in on_disk), \
+        f"orphaned generation dirs {on_disk} vs catalog {n_gens}"
+    assert engine.catalog.excluded_parts(table) == set(), "GC left pending"
