@@ -1037,19 +1037,33 @@ def register_queries(register) -> None:
             "with the learned merges must exactly reconstruct it "
             "(lossless subword property). Corpus-scale step is one token "
             "shuffle; the merge loop runs on the vocabulary-sized count "
-            "table",
+            "table. The python recount runs on a DETERMINISTIC BOUNDED "
+            "slice (md5 hash-band of doc_ids, TakeOrdered-capped at 512 "
+            "docs) and the distributed trainer is pointed at the same "
+            "slice — so the check itself never collects corpus-sized "
+            "data, no matter the SF",
         tags=("llm", "capability"),
     )
     def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re as _re
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        merges = bpe_train(docs, n_merges=30)
+        # deterministic hash-band + cap: the subset is a function of the
+        # data only (no sampling seed), spread across the corpus by the
+        # md5 band, and its driver footprint is fixed at <=512 docs —
+        # orderBy+limit plans as TakeOrdered, a distributed top-k, so
+        # the full corpus is scanned but never collected
+        band = docs.filter(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("long") % 4 == 0
+        )
+        sub = band.orderBy("doc_id").limit(512)
+        merges = bpe_train(sub, n_merges=30)
 
         # independent reference: recount words in pure python from the
-        # raw text (bounded here by the fixture SF; the check's point is
-        # the distributed count path, not the loop it shares)
-        texts = [r["text"] for r in docs.select("text").collect()]
+        # SAME bounded slice (the check's point is the distributed count
+        # path, not the merge loop it shares)
+        texts = [r["text"] for r in sub.select("text").collect()]
         counts: dict[tuple[str, ...], int] = {}
         for t in texts:
             for w in _re.split(r"[^a-z0-9]+", t.lower()):
