@@ -1530,7 +1530,7 @@ def register_queries(register) -> None:
         JOIN uc u1 ON u1.w = string_split(b.bg, ' ')[1]
         JOIN uc u2 ON u2.w = string_split(b.bg, ' ')[2]
         CROSS JOIN nb CROSS JOIN nu
-        WHERE b.c >= 25
+        WHERE b.c >= greatest(25, CAST(floor(nb.n / 10000.0) AS BIGINT))
         ORDER BY bigram
         """,
         doc="collocation mining via pointwise mutual information: "
@@ -1543,11 +1543,13 @@ def register_queries(register) -> None:
             "not) and only the single-row totals are hint-broadcast — "
             "corpus bytes are scanned exactly once per n-gram order, and "
             "no per-bigram value accumulates across partitions (PMI is a "
-            "pure function of four counts). The min-count support of 25 "
-            "is a statistical-stability floor (PMI is noise below ~25 "
-            "observations); it only admits more bigrams as the corpus "
-            "grows, and is non-vacuous at the smallest tested scale "
-            "(770 rows at sf0.001)",
+            "pure function of four counts). The min-count support is "
+            "CORPUS-DERIVED: greatest(25, total_bigrams/10000) — 25 is "
+            "the statistical-stability floor (PMI is noise below ~25 "
+            "observations) and the linear term keeps the result "
+            "vocabulary-bounded as the corpus grows instead of admitting "
+            "every noise bigram that crosses a fixed count at web scale; "
+            "identical integer derivation on both engines",
         tags=("llm",),
     )
     def pmi_collocations(spark, sf_dir):
@@ -1578,11 +1580,18 @@ def register_queries(register) -> None:
         # unhinted join degrades to shuffle gracefully. At test scale AQE
         # still broadcasts them (plan-gated in test_plans.py). Hints stay
         # only on the single-row totals nb/nu.
+        # support threshold derived from the corpus size (nb is a 1-row
+        # broadcast, so the filter is a scalar comparison applied during
+        # the bigram-count scan — no extra shuffle)
+        thr = F.greatest(
+            F.lit(25).cast("bigint"),
+            F.floor(F.col("nb") / 10000.0).cast("bigint"),
+        )
         return (
-            bc.filter(F.col("c") >= 25)
+            bc.crossJoin(F.broadcast(nb))
+            .filter(F.col("c") >= thr)
             .join(u1, "w1")
             .join(u2, "w2")
-            .crossJoin(F.broadcast(nb))
             .crossJoin(F.broadcast(nu))
             .select(
                 F.concat_ws(" ", "w1", "w2").alias("bigram"),

@@ -2559,7 +2559,7 @@ def q20_promo_part_suppliers(spark, sf_dir):
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
            round(sum(c_acctbal), 6) AS totacctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
                        WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c.c_custkey
@@ -2574,8 +2574,12 @@ def q20_promo_part_suppliers(spark, sf_dir):
 )
 def q22_idle_high_balance(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
+    # round-before-compare (repo convention, cf. iqr_outlier_fences): a
+    # distributed double avg can differ from the oracle's in the last
+    # ulp, and an unrounded threshold would let a borderline customer
+    # flip between engines
     thr = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal"))
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
     recent = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
     ).select("o_custkey")
@@ -2735,9 +2739,12 @@ def q12_late_priority_lines(spark, sf_dir):
                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            # when/when (no otherwise) leaves NULL priorities out of BOTH
+            # counts, exactly like the SQL FILTER's three-valued IN /
+            # NOT IN — an otherwise(1) would have counted NULLs as low
+            F.sum(F.when(high, 1).when(~high, 0)).cast("long")
             .alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            F.sum(F.when(high, 0).when(~high, 1)).cast("long")
             .alias("low_line_count"),
         )
         .orderBy("l_returnflag")
@@ -3139,7 +3146,7 @@ def mom_revenue_growth(spark, sf_dir):
     WITH r AS (
       SELECT o_custkey, sum(o_totalprice) AS rev
       FROM orders GROUP BY o_custkey),
-    q AS (SELECT quantile_cont(rev, 0.9) AS thr FROM r)
+    q AS (SELECT round(quantile_cont(rev, 0.9), 6) AS thr FROM r)
     SELECT round(sum(CASE WHEN rev >= thr THEN rev ELSE 0 END)
                  / sum(rev), 6) AS top_decile_share,
            CAST(count(*) AS BIGINT) AS n_customers
@@ -3154,7 +3161,10 @@ def mom_revenue_growth(spark, sf_dir):
 def top_decile_revenue_share(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    thr = r.agg(F.percentile("rev", F.lit(0.9)).alias("thr"))
+    # round-before-compare: the interpolated p90 is a double expression
+    # evaluated by two engines; rounding to 6 on both sides keeps a
+    # borderline customer from flipping across the >= at larger SFs
+    thr = r.agg(F.round(F.percentile("rev", F.lit(0.9)), 6).alias("thr"))
     return (
         r.crossJoin(F.broadcast(thr))  # 1-row scalar, not a data join
         .agg(

@@ -203,10 +203,20 @@ class _SessionFinalizer(StatefulProcessor):
                 out.append(self._emit(key, *cur, "gap"))
                 cur = (t, t, 1)
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                # min() on start: a cross-batch late event older than the
+                # open session's start merges in (its lateness is within
+                # the gap of last_ms), and the emitted session start must
+                # be min(ts) over everything merged, not first-seen
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
         if cur is not None:
             self._state.update(cur)
-            # one flush timer per key: re-arm at last-activity + gap
+            # one flush timer per key, re-armed at every input batch for
+            # the key — DELIBERATELY even when the batch only carried
+            # late (already-absorbed-range) timestamps: any arrival is
+            # processing-time activity, and the idle flush measures
+            # silence in processing time, not event time. The timer is
+            # a liveness bound, not the session boundary — event-time
+            # gaps still close sessions exactly via the branch above.
             for old in self._handle.listTimers():
                 self._handle.deleteTimer(old)
             self._handle.registerTimer(

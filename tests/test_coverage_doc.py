@@ -31,6 +31,19 @@ def test_stated_oracle_count_matches_live_registry():
     assert int(m.group(1)) == with_oracle
 
 
+def test_readme_registry_count_matches_live_registry():
+    """README is prose, not generated — pin its stated count the same
+    way COVERAGE.md is pinned (round-9 verdict item 6: README drifted
+    189 vs 191 because only COVERAGE.md was test-pinned)."""
+    readme = DOC.parent / "README.md"
+    m = re.search(r"\((\d+) as of round", readme.read_text())
+    assert m, "README.md must state the registry size '(N as of round …)'"
+    assert int(m.group(1)) == len(get_registry()), (
+        f"README.md claims {m.group(1)} registry entries but "
+        f"get_registry() has {len(get_registry())}"
+    )
+
+
 def test_claim_is_dated_per_round():
     # the green-at-SF claim must carry a round stamp so staleness is
     # visible ("round N" somewhere in the header paragraph)
