@@ -61,9 +61,10 @@ class RestServer:
     Start with :meth:`serve_background` in tests; real deployments can
     front it however they like — the route contract is the point."""
 
-    def __init__(self, service, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 0,
+                 static_dir: str | None = None):
         self.service = service
-        handler = _make_handler(service)
+        handler = _make_handler(service, static_dir=static_dir)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
 
@@ -116,10 +117,25 @@ def _routes():
         ("GET", r"^/v1/dashboard/overview$", "dash_overview", False),
         ("GET", r"^/v1/dashboard/slow-queries$", "dash_slow", False),
         ("GET", r"^/metrics$", "metrics_text", False),
+        # static dashboard UI (reference serves its embedded dashboard-ui
+        # from internal/dashboard/server.go; we serve a user-provided
+        # directory — the UI assets themselves are not part of this repo).
+        # Open route like the reference's static handler: the login page
+        # must load before the client holds a bearer token; the data it
+        # talks to (/v1/dashboard/*) stays auth-gated.
+        ("GET", r"^/dashboard(?:/(?P<path>.*))?$", "dash_static", True),
     ]
 
 
-def _make_handler(service):
+_STATIC_TYPES = {
+    ".html": "text/html", ".js": "text/javascript", ".css": "text/css",
+    ".json": "application/json", ".svg": "image/svg+xml",
+    ".png": "image/png", ".ico": "image/x-icon", ".map": "application/json",
+    ".woff2": "font/woff2",
+}
+
+
+def _make_handler(service, static_dir: str | None = None):
     routes = [(m, re.compile(p), h, open_) for m, p, h, open_ in _routes()]
 
     class Handler(BaseHTTPRequestHandler):
@@ -349,5 +365,33 @@ def _make_handler(service):
         def r_dash_slow(self, pv, q):
             self._send(200, service.dashboard_slow_queries(
                 limit=int(q.get("limit", 20))))
+
+        def r_dash_static(self, pv, q):
+            """Static dashboard assets (reference
+            internal/dashboard/server.go serves the embedded
+            dashboard-ui the same way). Traversal-safe: the resolved
+            path must stay inside static_dir."""
+            import os as _os
+
+            if static_dir is None:
+                return self._send(404, {"error": "no dashboard UI configured"})
+            rel = (pv.get("path") or "").strip("/") or "index.html"
+            base = _os.path.realpath(static_dir)
+            full = _os.path.realpath(_os.path.join(base, rel))
+            if full != base and not full.startswith(base + _os.sep):
+                return self._send(404, {"error": "not found"})
+            if _os.path.isdir(full):
+                full = _os.path.join(full, "index.html")
+            if not _os.path.isfile(full):
+                return self._send(404, {"error": "not found"})
+            ctype = _STATIC_TYPES.get(
+                _os.path.splitext(full)[1].lower(), "application/octet-stream")
+            with open(full, "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
 
     return Handler

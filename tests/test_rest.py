@@ -180,3 +180,43 @@ def test_rest_rate_limit_is_per_client(engine):
         assert _call(p, "POST", "/v1/query", q, token=tok_b)[0] == 200
     finally:
         srv.shutdown()
+
+
+def test_dashboard_static_serving(engine, tmp_path):
+    """Static dashboard UI serving (reference
+    internal/dashboard/server.go serves its embedded dashboard-ui):
+    index fallback, content types, and path-traversal rejection. The
+    JSON data routes under /v1/dashboard/* stay auth-gated; the static
+    assets are an open route like the reference's."""
+    ui = tmp_path / "ui"
+    (ui / "assets").mkdir(parents=True)
+    (ui / "index.html").write_text("<html>dash</html>")
+    (ui / "assets" / "app.js").write_text("console.log(1)")
+    (tmp_path / "secret.txt").write_text("nope")
+
+    srv = RestServer(MiniODBService(engine), static_dir=str(ui)).serve_background()
+    try:
+        p = srv.port
+        code, body = _call(p, "GET", "/dashboard")
+        assert (code, body) == (200, "<html>dash</html>")
+        assert _call(p, "GET", "/dashboard/")[1] == "<html>dash</html>"
+        assert _call(p, "GET", "/dashboard/index.html")[1] == "<html>dash</html>"
+        req = urllib.request.Request(f"http://127.0.0.1:{p}/dashboard/assets/app.js")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.headers["Content-Type"] == "text/javascript"
+            assert resp.read() == b"console.log(1)"
+        # traversal out of the static root is a 404, never a file read
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _call(p, "GET", "/dashboard/%2e%2e/secret.txt")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _call(p, "GET", "/dashboard/missing.js")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_dashboard_static_unconfigured_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _call(server.port, "GET", "/dashboard")
+    assert ei.value.code == 404
