@@ -4296,6 +4296,181 @@ def ks_drift_event_types(spark, sf_dir):
     )
 
 
+@register(
+    "snapshot_diff_users",
+    """
+    WITH d1 AS (
+      SELECT user_id, sum(value) AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+      GROUP BY 1),
+    d2 AS (
+      SELECT user_id, sum(value) AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+      GROUP BY 1)
+    SELECT CASE WHEN d1.user_id IS NULL THEN 'added'
+                WHEN d2.user_id IS NULL THEN 'removed'
+                ELSE 'retained' END AS status,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(d2.v - d1.v), 6) AS avg_value_delta
+    FROM d1 FULL JOIN d2 ON d1.user_id = d2.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="snapshot diff (data-versioning primitive): classify every key as "
+        "added / removed / retained between two day snapshots via one "
+        "FULL OUTER join of two partition-pruned aggregates, with the "
+        "retained keys' value drift. At 100 TB this is the generational "
+        "table-diff shape: each side scans only its dt partitions, both "
+        "sides shuffle once on the join key, AQE co-partitions the join, "
+        "and the output is status-bounded (3 rows)",
+)
+def snapshot_diff_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+
+    def day(d1, d2):
+        return (
+            ev.filter((F.col("ts") >= F.lit(d1).cast("timestamp"))
+                      & (F.col("ts") < F.lit(d2).cast("timestamp")))
+            .groupBy("user_id").agg(F.sum("value").alias("v"))
+        )
+
+    a = day("2024-01-01", "2024-01-02").withColumnsRenamed(
+        {"user_id": "u1", "v": "v1"})
+    b = day("2024-01-02", "2024-01-03").withColumnsRenamed(
+        {"user_id": "u2", "v": "v2"})
+    return (
+        a.join(b, F.col("u1") == F.col("u2"), "full_outer")
+        .select(
+            F.when(F.col("u1").isNull(), "added")
+            .when(F.col("u2").isNull(), "removed")
+            .otherwise("retained").alias("status"),
+            (F.col("v2") - F.col("v1")).alias("delta"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_users"),
+             F.round(F.avg("delta"), 6).alias("avg_value_delta"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "monolingual_source_audit",
+    """
+    WITH sl AS (SELECT source, lang, count(*) AS c FROM documents
+                GROUP BY 1, 2),
+    agg AS (SELECT source, sum(c) AS n_docs, count(*) AS n_langs,
+                   max(c) AS top_c
+            FROM sl GROUP BY 1)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           round(top_c * 1.0 / n_docs, 6) AS majority_share,
+           n_langs > 1 AS fd_violated
+    FROM agg ORDER BY source
+    """,
+    doc="functional-dependency audit (source -> lang): the data-quality "
+        "gate a crawl pipeline runs before training-mix decisions — a "
+        "source claiming to be monolingual but carrying many languages "
+        "signals mislabeled or contaminated ingestion. Two key-bounded "
+        "aggregations (source x lang, then source); the first shuffle "
+        "carries only counts, never text — scale cost is one pass over "
+        "the corpus metadata columns",
+    tags=("llm",),
+)
+def monolingual_source_audit(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sl = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    return (
+        sl.groupBy("source")
+        .agg(F.sum("c").alias("n_docs"),
+             F.count("*").alias("n_langs"),
+             F.max("c").alias("top_c"))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            F.round(F.col("top_c") / F.col("n_docs"), 6)
+            .alias("majority_share"),
+            (F.col("n_langs") > 1).alias("fd_violated"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "histogram_equi_depth",
+    """
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    e AS (SELECT list_transform(
+            quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                  0.6, 0.7, 0.8, 0.9]),
+            q -> round(q, 6)) AS edges FROM v)
+    SELECT CAST(len(list_filter(edges, x -> value >= x)) AS BIGINT)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v, e GROUP BY 1 ORDER BY 1
+    """,
+    doc="equi-depth 10-bin histogram: decile edges from ONE exact "
+        "interpolated-percentile aggregate (rounded to 6 on both "
+        "engines before the comparisons), broadcast back as a 9-element "
+        "array; bin = how many edges the value clears. Unlike an "
+        "ntile() formulation there is NO unpartitioned global-sort "
+        "window — the scan-side cost is a scalar-array comparison "
+        "inside codegen, the agg domain is 10 keys",
+)
+def histogram_equi_depth(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = ev.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+            lambda q: F.round(q, 6),
+        ).alias("edges")
+    )
+    return (
+        ev.crossJoin(F.broadcast(edges))  # 1-row scalar, not a data join
+        .select(
+            F.aggregate(
+                "edges", F.lit(0),
+                lambda acc, x: acc + F.when(F.col("value") >= x, 1)
+                .otherwise(0),
+            ).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "label_class_weights",
+    """
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round(total * 1.0 / (k * n), 6) AS class_weight
+    FROM c, t ORDER BY label
+    """,
+    doc="balanced class weights (sklearn's n_samples/(n_classes*n_c) "
+        "convention) for a labeled training set: one count per label, "
+        "one scalar total, weight as a pure expression — the loss-"
+        "weighting prep step of an imbalanced-data training run. "
+        "Label-bounded agg; the totals row is a 1-row broadcast",
+    tags=("llm",),
+)
+def label_class_weights(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    return (
+        c.crossJoin(F.broadcast(t))  # 1-row scalar, not a data join
+        .select(
+            "label", F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("total") / (F.col("k") * F.col("n")), 6)
+            .alias("class_weight"),
+        )
+        .orderBy("label")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the

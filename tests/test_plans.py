@@ -638,3 +638,28 @@ def test_ks_drift_windows_on_bin_grid_only(spark, sf_dir, registry):
     # the fact-table aggregate (g, bin) must sit below the windows
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:], plan[:2000]
+
+
+def test_equi_depth_histogram_no_global_window(spark, sf_dir, registry):
+    """Equi-depth bins must come from a percentile AGGREGATE plus a
+    1-row edge broadcast — never an ntile() global-sort window over the
+    fact table, which would single-partition the corpus at scale."""
+    df = registry["histogram_equi_depth"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan, (
+        plan[:2000]
+    )
+
+
+def test_snapshot_diff_prunes_both_sides(spark, sf_dir, registry):
+    """Each snapshot side must push its ts range into the scan (at an
+    engine-layout 100 TB table this is dt partition pruning) and join
+    co-partitioned on the key — no nested loop, no cartesian."""
+    df = registry["snapshot_diff_users"].fn(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("ts" in p for p in pushed), pushed
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+        plan[:2000]
+    )
