@@ -3462,7 +3462,8 @@ def null_safe_join_counts(spark, sf_dir):
           FROM b),
     t AS (SELECT DISTINCT event_type FROM events),
     c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
-                 avg(value) AS v
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value) AS v
           FROM events GROUP BY 1, 2),
     spine AS (
       SELECT d.hour, t.event_type, c.v
@@ -3506,9 +3507,18 @@ def null_safe_join_counts(spark, sf_dir):
 )
 def interpolate_hourly_values(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
+    # exact decimal sum, then one double division: a plain avg(double)
+    # is partial-sum-order dependent, and at sf0.1 one hourly mean lands
+    # exactly on a round-6 half boundary (…2.5), flipping the last digit
+    # between engines. The decimal(18,6) sum is exact for the fixture's
+    # 2-decimal values in BOTH engines, so the division inputs — and
+    # therefore every interpolated value downstream — are identical
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.avg("value").alias("v"))
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+         / F.count("value")).alias("v")
+    )
     bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
                     F.date_trunc("hour", F.max("ts")).alias("hi"))
     hours = bounds.select(F.explode(
