@@ -2673,7 +2673,7 @@ def q2_min_cost_supplier(spark, sf_dir):
       GROUP BY 1)
     SELECT l_partkey AS p_partkey, round(value, 4) AS value
     FROM val
-    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    WHERE round(value, 6) > (SELECT round(sum(value) * 0.001, 6) FROM val)
     ORDER BY value DESC, p_partkey LIMIT 200
     """,
     doc="TPC-H Q11 shape (shipped revenue from the two nations' "
@@ -2697,10 +2697,13 @@ def q11_important_parts(spark, sf_dir):
         .agg(F.sum(F.col("l_extendedprice")
                    * (1 - F.col("l_discount"))).alias("value"))
     )
-    thr = val.agg((F.sum("value") * 0.001).alias("thr"))
+    # round-before-compare on BOTH the per-part sums and the threshold
+    # (repo convention): every side of the > is a distributed double sum
+    # whose last ulp is partial-order dependent
+    thr = val.agg(F.round(F.sum("value") * 0.001, 6).alias("thr"))
     return (
         val.crossJoin(F.broadcast(thr))  # 1-row scalar, not a data join
-        .filter(F.col("value") > F.col("thr"))
+        .filter(F.round(F.col("value"), 6) > F.col("thr"))
         .select(F.col("l_partkey").alias("p_partkey"),
                 F.round("value", 4).alias("value"))
         .orderBy(F.col("value").desc(), "p_partkey")
