@@ -4484,6 +4484,123 @@ def label_class_weights(spark, sf_dir):
     )
 
 
+@register(
+    "market_basket_lift",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING count(*) <= 100),
+    b AS (SELECT li.l_orderkey, li.l_partkey FROM li
+          JOIN ok ON li.l_orderkey = ok.l_orderkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    supp AS (SELECT l_partkey, count(*) AS s FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS nb
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p1, p2, CAST(nb AS BIGINT) AS n_both,
+           round(nb * 1.0 / n_orders, 6) AS support,
+           round(nb * 1.0 / s1.s, 6) AS confidence,
+           round((nb * 1.0 * n_orders) / (s1.s * s2.s), 6) AS lift
+    FROM pairs
+    JOIN supp s1 ON s1.l_partkey = p1
+    JOIN supp s2 ON s2.l_partkey = p2
+    CROSS JOIN n
+    ORDER BY lift DESC, p1, p2 LIMIT 100
+    """,
+    doc="market-basket association rules (support / confidence / lift) "
+        "over co-ordered parts — the classic co-occurrence mining shape. "
+        "Scale posture: the pair generator is a self-join ON THE ORDER "
+        "KEY, so fan-out per order is basket-size-bounded (quadratic in "
+        "lines-per-order, ~4 here), and a basket-size cap of 100 "
+        "excludes degenerate mega-baskets the same way the LSH bucket "
+        "cap kills duplicate-saturated buckets — identical guard in the "
+        "oracle. Support tables are item-bounded; the single-row order "
+        "count is hint-broadcast; min-support prunes before the "
+        "enrichment joins; top-100 by lift is a TakeOrdered, not a "
+        "global sort",
+)
+def market_basket_lift(spark, sf_dir):
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    ok = (li.groupBy("l_orderkey").agg(F.count("*").alias("bs"))
+          .filter(F.col("bs") <= 100).select("l_orderkey"))
+    b = li.join(ok, "l_orderkey")
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = b.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = b.withColumnsRenamed({"l_partkey": "p1"})
+    c = b.withColumnsRenamed({"l_partkey": "p2"})
+    pairs = (
+        a.join(c, ["l_orderkey"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") >= 3)
+    )
+    s1 = supp.withColumnsRenamed({"l_partkey": "p1", "s": "s1"})
+    s2 = supp.withColumnsRenamed({"l_partkey": "p2", "s": "s2"})
+    return (
+        pairs.join(s1, "p1").join(s2, "p2")
+        .crossJoin(F.broadcast(n))  # 1-row scalar, not a data join
+        .select(
+            "p1", "p2", F.col("nb").cast("bigint").alias("n_both"),
+            F.round(F.col("nb") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("nb") / F.col("s1"), 6).alias("confidence"),
+            F.round((F.col("nb") * F.col("n_orders"))
+                    / (F.col("s1") * F.col("s2")), 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(100)
+    )
+
+
+@register(
+    "join_key_skew_audit",
+    """
+    WITH k AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+               GROUP BY 1),
+    st AS (SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_c
+           FROM k),
+    top AS (SELECT sum(c) AS top10 FROM
+            (SELECT c FROM k ORDER BY c DESC, l_orderkey LIMIT 10))
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_c AS BIGINT) AS max_rows_per_key,
+           round(n_rows * 1.0 / n_keys, 6) AS avg_rows_per_key,
+           round(max_c * n_keys * 1.0 / n_rows, 6) AS skew_factor,
+           round(top10 * 1.0 / n_rows, 6) AS top10_share
+    FROM st CROSS JOIN top
+    """,
+    doc="join-key skew audit — the diagnostic you run BEFORE a big join "
+        "to decide between plain shuffle, AQE skew splitting, and "
+        "manual salting: per-key cardinality profile (max/avg, "
+        "skew factor = max/mean, share held by the 10 hottest keys). "
+        "One key-bounded aggregate shuffle; the hottest-key probe is a "
+        "TakeOrdered top-10, never a global sort; output is one row",
+)
+def join_key_skew_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    st = k.agg(F.count("*").alias("n_keys"), F.sum("c").alias("n_rows"),
+               F.max("c").alias("max_c"))
+    top = (k.orderBy(F.col("c").desc(), "l_orderkey").limit(10)
+           .agg(F.sum("c").alias("top10")))
+    return (
+        st.crossJoin(F.broadcast(top))  # two 1-row scalars
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("max_c").cast("bigint").alias("max_rows_per_key"),
+            F.round(F.col("n_rows") / F.col("n_keys"), 6)
+            .alias("avg_rows_per_key"),
+            F.round(F.col("max_c") * F.col("n_keys") / F.col("n_rows"), 6)
+            .alias("skew_factor"),
+            F.round(F.col("top10") / F.col("n_rows"), 6)
+            .alias("top10_share"),
+        )
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
