@@ -243,15 +243,18 @@ class MutationLease:
                 return False
             time.sleep(poll_s)
 
-    def extend(self, key: str) -> bool:
+    def extend(self, key: str, token: str | None = None) -> bool:
         """Push a held lease's expiry out by another ``ttl_s`` (the
         reference lock's Extend, pkg/lock/lock.go + redis_lock.go PEXPIRE
         path). Call before launching work that may outlast the TTL —
         e.g. a large rewrite job. No-op (False) if the lease was already
         stolen; the subsequent release is then also a no-op, so a stolen
-        lease is never clobbered."""
+        lease is never clobbered. ``token`` lets a helper thread extend
+        on the holder's behalf (tokens are per (owner, thread), so the
+        keepalive daemon must present the acquiring thread's token, not
+        its own)."""
         marker = self._marker(key)
-        token = self._token(key)
+        token = token if token is not None else self._token(key)
         try:
             raw = self.kv.fs.read_bytes(marker)
             if raw.decode("ascii").rsplit("|", 1)[0] != token:
@@ -263,6 +266,38 @@ class MutationLease:
         # competing holder's stamp
         self.kv.fs.write_bytes(marker, f"{token}|{time.time() + self.ttl_s}".encode())
         return True
+
+    def keepalive(self, key: str):
+        """Context manager: a daemon thread extends the held lease every
+        ``ttl_s / 3`` while the body runs — for work whose duration is
+        unknown and can exceed the TTL (a partition-rewrite Spark job at
+        100 TB runs minutes). One-shot :meth:`extend` covers known-short
+        overruns; this covers the rest. The thread stops (and the final
+        state is left to the caller's release) as soon as the body
+        exits, and it halts early if the lease is observed stolen, so a
+        zombie holder cannot fight the thief forever."""
+        import contextlib
+
+        holder_token = self._token(key)  # caller's thread, not the daemon's
+
+        @contextlib.contextmanager
+        def _cm():
+            stop = threading.Event()
+
+            def _beat():
+                while not stop.wait(self.ttl_s / 3):
+                    if not self.extend(key, token=holder_token):
+                        return  # stolen: stop refreshing immediately
+
+            t = threading.Thread(target=_beat, daemon=True)
+            t.start()
+            try:
+                yield
+            finally:
+                stop.set()
+                t.join(timeout=1.0)
+
+        return _cm()
 
     def release(self, key: str) -> None:
         ident = (threading.get_ident(), key)

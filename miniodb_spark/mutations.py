@@ -99,20 +99,22 @@ def delete_rows(
         gc_superseded(engine, table)
         new_gen = engine.catalog.next_generation_index(table)
         # a long rewrite job must not outlive the lease TTL mid-commit:
-        # push the expiry out before launching the write (the reference
-        # lock exposes the same Extend operation, pkg/lock/lock.go)
-        engine.lease.extend(f"{table}/#rewrite")
-        # 1. land survivors directly in the unreferenced generation dir
-        (
-            survivors.repartition("dt")
-            .write.mode("overwrite")
-            .option("compression", cfg.compression if cfg else "snappy")
-            .partitionBy("dt")
-            .parquet(engine._gen_dir(table, new_gen))
-        )
-        # 2. COMMIT: generation M becomes visible and the old partitions
-        #    invisible in one atomic metadata write
-        engine.catalog.commit_rewrite(table, dict(cum), affected)
+        # the keepalive daemon re-extends every ttl/3 for the duration
+        # of the write + commit (at 100 TB the rewrite job runs minutes;
+        # the reference lock exposes the same Extend, pkg/lock/lock.go)
+        with engine.lease.keepalive(f"{table}/#rewrite"):
+            # 1. land survivors directly in the unreferenced generation
+            #    dir
+            (
+                survivors.repartition("dt")
+                .write.mode("overwrite")
+                .option("compression", cfg.compression if cfg else "snappy")
+                .partitionBy("dt")
+                .parquet(engine._gen_dir(table, new_gen))
+            )
+            # 2. COMMIT: generation M becomes visible and the old
+            #    partitions invisible in one atomic metadata write
+            engine.catalog.commit_rewrite(table, dict(cum), affected)
     # 3. GC the superseded directories (safe to crash here)
     gc_superseded(engine, table)
     return int(deleted)

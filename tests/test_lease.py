@@ -216,3 +216,19 @@ def _assert_no_orphan_generations(engine, root: str, table: str) -> None:
     assert all(g < n_gens for g in on_disk), \
         f"orphaned generation dirs {on_disk} vs catalog {n_gens}"
     assert engine.catalog.excluded_parts(table) == set(), "GC left pending"
+
+
+def test_lease_keepalive_holds_past_ttl(tmp_path):
+    """The keepalive daemon must extend on the HOLDER's token from its
+    own thread: the lease stays held well past several TTLs while the
+    body runs, and stops being refreshed the moment the body exits."""
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=0.15)
+    b = MutationLease(kv, owner="bbbb", ttl_s=0.15)
+    assert a.acquire("k")
+    with a.keepalive("k"):
+        time.sleep(0.5)  # > 3 TTLs
+        assert not b.acquire("k", timeout_s=0.02), "keepalive lapsed"
+    a.release("k")
+    assert b.acquire("k", timeout_s=1.0)
+    b.release("k")
