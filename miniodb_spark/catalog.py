@@ -178,16 +178,23 @@ class Catalog:
 
     # -- schema generations ---------------------------------------------
 
-    def register_flush_schema(self, name: str, columns: dict[str, str]) -> int:
+    def register_flush_schema(self, name: str, columns: dict[str, str],
+                              force_new: bool = False) -> int:
         """Pick (or open) the generation a flush with ``columns`` physical
         types writes into, and fold new columns into it.
 
         The latest generation absorbs the flush when no existing column
         changes type (additive evolution is free). A type conflict on any
-        column opens a new generation. Returns the generation index."""
+        column opens a new generation. Returns the generation index.
+
+        ``force_new`` always opens a fresh generation even for an
+        identical schema — merge_upsert needs its batch in a generation
+        no pre-existing row shares, because the old-version sweep
+        discriminates fresh-vs-old by generation (lazy DataFrames make
+        "rows that existed before the ingest" unexpressible otherwise)."""
         with self._lock:
             gens = self._generations.setdefault(name, [])
-            if gens:
+            if gens and not force_new:
                 latest = gens[-1]
                 if all(latest.get(c, t) == t for c, t in columns.items()):
                     latest.update(columns)
@@ -299,6 +306,19 @@ class Catalog:
     def gen_schemas(self, name: str) -> list[dict[str, str]]:
         with self._lock:
             return [dict(g) for g in self._generations.get(name, [])]
+
+    def tombstone_generations(self, name: str, indices: list[int]) -> None:
+        """Mark generations as dead ({} schema) after collapse_generations
+        folded their data away. Indices must stay stable (they name the
+        gen=N directories), so entries are emptied, never removed; an
+        empty schema is skipped by readers without a directory stat, so
+        scan metadata cost stays O(live generations)."""
+        with self._lock:
+            gens = self._generations.get(name, [])
+            for i in indices:
+                if 0 <= i < len(gens):
+                    gens[i] = {}
+            self._persist(name)
 
     def schema_of(self, name: str) -> dict[str, str]:
         """Cumulative schema: column union across generations with

@@ -400,10 +400,13 @@ class Engine:
             raise
         return len(rows)
 
-    def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp") -> None:
+    def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp",
+                         force_new_generation: bool = False) -> int:
         """Bulk-ingest path: no driver materialization — the DataFrame is
         written straight through with the same layout. This is the 100 TB
-        path; the row-level ``write`` API is for the low-latency edge."""
+        path; the row-level ``write`` API is for the low-latency edge.
+        Returns the generation index the batch landed in (merge_upsert
+        needs it to exclude the fresh rows from its old-version sweep)."""
         gate.validate_table_name(table)
         self.catalog.ensure_table(table)
         out = df
@@ -419,6 +422,7 @@ class Engine:
             gen = self.catalog.register_flush_schema(
                 table,
                 {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
+                force_new=force_new_generation,
             )
             (
                 out.repartition("dt")
@@ -428,6 +432,7 @@ class Engine:
                 .parquet(self._gen_dir(table, gen))
             )
         self.cache.invalidate_table(table)
+        return gen
 
     def ingest_path(
         self,
@@ -490,6 +495,8 @@ class Engine:
         excluded = self.catalog.excluded_parts(table)
         parts: list[DataFrame] = []
         for i, gcols in enumerate(gens):
+            if not gcols:
+                continue  # tombstoned by collapse_generations: no stat
             gdir = self._gen_dir(table, i)
             if not self.fs.is_dir(gdir):
                 continue
@@ -761,6 +768,26 @@ class Engine:
         if self.events:
             self.events.publish("update", table, [record_id])
         return removed
+
+    def merge_upsert(self, table: str, batch: DataFrame, key_col: str = "id",
+                     ts_col: str = "timestamp") -> tuple[int, int]:
+        """Bulk MERGE (SCD1): insert ``batch`` and drop every older
+        version of its keys — the distributed, single-commit-per-side
+        generalization of per-record :meth:`update` (see
+        mutations.upsert_dataframe for the protocol and the reference
+        citation). Returns (n_inserted, n_replaced)."""
+        from .mutations import upsert_dataframe
+
+        return upsert_dataframe(self, table, batch, key_col=key_col,
+                                ts_col=ts_col)
+
+    def collapse_generations(self, table: str) -> int:
+        """Fold all schema generations into one cumulative-schema
+        generation (maintenance pass; see mutations.collapse_generations).
+        Returns the number of (gen, dt) partitions folded."""
+        from .mutations import collapse_generations
+
+        return collapse_generations(self, table)
 
     def cleanup_empty_id_records(self, table: str) -> int:
         """DELETE FROM t WHERE id = '' OR id IS NULL (reference

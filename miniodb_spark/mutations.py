@@ -58,13 +58,18 @@ def delete_rows(
     engine,
     table: str,
     df: DataFrame,
-    delete_predicate: Column,
+    delete_predicate: Column | None = None,
+    match_keys: tuple[DataFrame, str] | None = None,
 ) -> int:
-    """Delete rows matching ``delete_predicate`` from a table's persisted
+    """Delete rows matching ``delete_predicate`` — or, with
+    ``match_keys=(keys_df, key_col)``, rows whose key appears in a keys
+    DataFrame (semi-join matching, the bulk-merge shape: a million-key
+    batch can never be an ``isin`` literal) — from a table's persisted
     data; returns the number of rows deleted. ``df`` must be the
     engine's aligned persisted read (columns = cumulative schema +
-    dt + gen). Only (gen, dt) partitions containing matches are
-    rewritten, via the rename-free commit protocol above.
+    dt + gen), optionally pre-filtered (merge_upsert passes
+    ``gen != fresh_gen``). Only (gen, dt) partitions containing matches
+    are rewritten, via the rename-free commit protocol above.
 
     **Cross-driver serialization**: the whole snapshot→rewrite→commit
     runs under the table-level ``#rewrite`` lease (reference: every
@@ -76,12 +81,30 @@ def delete_rows(
     before the other driver's commit would re-materialize rows it just
     deleted. So if the catalog moved while we waited for the lease, the
     snapshot is re-derived from the refreshed catalog before counting."""
+    assert (delete_predicate is None) != (match_keys is None), \
+        "exactly one of delete_predicate / match_keys"
     with engine.lease.holding(f"{table}/#rewrite"), engine._flush_lock(table):
         if engine.catalog.refresh_if_changed(table):
+            # another driver committed while we waited: the caller's
+            # snapshot (and any pre-filter baked into it) is stale.
+            # Predicate deletes re-derive here; key-mode callers hold
+            # the lease reentrantly around snapshot+call (merge_upsert),
+            # so a mid-call catalog move cannot happen for them.
             df = engine.read_persisted(table)
             if df is None:
                 return 0
-        per_part = df.filter(delete_predicate).groupBy("gen", "dt").count().collect()
+        if match_keys is not None:
+            keys_df, key_col = match_keys
+            # distinct keys, joined (no broadcast hint — a merge batch
+            # can be arbitrarily large; AQE broadcasts while it fits)
+            keys = keys_df.select(F.col(key_col).alias("__mk")).distinct()
+            matched = df.join(keys, df[key_col] == F.col("__mk"), "left_semi")
+            survivors_of = lambda part: part.join(
+                keys, part[key_col] == F.col("__mk"), "left_anti")
+        else:
+            matched = df.filter(delete_predicate)
+            survivors_of = lambda part: part.filter(~delete_predicate)
+        per_part = matched.groupBy("gen", "dt").count().collect()
         if not per_part:
             return 0
         affected = [(int(r["gen"]), r["dt"]) for r in per_part]
@@ -90,7 +113,7 @@ def delete_rows(
         affected_pred = F.lit(False)
         for g, d in affected:
             affected_pred = affected_pred | ((F.col("gen") == g) & (F.col("dt") == d))
-        survivors = df.filter(affected_pred).filter(~delete_predicate).drop("gen")
+        survivors = survivors_of(df.filter(affected_pred)).drop("gen")
 
         cum = engine.catalog.schema_of(table)
         cfg = engine.catalog.get_table(table)
@@ -118,3 +141,117 @@ def delete_rows(
     # 3. GC the superseded directories (safe to crash here)
     gc_superseded(engine, table)
     return int(deleted)
+
+
+def upsert_dataframe(
+    engine,
+    table: str,
+    batch: DataFrame,
+    key_col: str = "id",
+    ts_col: str = "timestamp",
+) -> tuple[int, int]:
+    """Bulk MERGE (SCD1 upsert): insert the batch, then drop every OLDER
+    version of the batch's keys — the distributed generalization of the
+    reference's per-record UpdateData (miniodb_service.go:712-795),
+    whose insert-first order we keep: the reference inserts the new
+    record and then deletes the old one, tolerating a transient
+    duplicate on partial failure rather than a lost record
+    (miniodb_service.go:737-741). Same here: a crash between ingest and
+    sweep leaves both versions visible until the merge is retried —
+    never data loss.
+
+    Scale shape: the batch lands via the 100 TB ingest path (one
+    distributed write, no driver materialization); the old-version
+    sweep is a key semi-join rewrite of only the (gen, dt) partitions
+    that contain batch keys (``delete_rows`` match_keys mode — a
+    million-key batch is a join, never an ``isin`` literal). The whole
+    ingest+sweep runs under the table's cross-driver #rewrite lease,
+    re-entered by the sweep, so two drivers merging into one table
+    serialize.
+
+    Returns ``(n_inserted, n_replaced)``.
+    """
+    from . import gate
+
+    gate.validate_table_name(table)
+    n_batch = batch.count()
+    with engine.lease.holding(f"{table}/#rewrite"):
+        engine.catalog.refresh_if_changed(table)
+        # buffered rows of batch keys would resurrect on flush: drain the
+        # buffer first so every old version is persisted and sweepable
+        engine.flush(table)
+        # the batch gets its OWN generation (even under an identical
+        # schema): DataFrames are lazy, so "rows that existed before
+        # this ingest" is only expressible as a generation filter — an
+        # absorbed batch would be swept by its own old-version pass
+        fresh_gen = engine.ingest_dataframe(table, batch, ts_col=ts_col,
+                                            force_new_generation=True)
+        persisted = engine.read_persisted(table)
+        replaced = 0
+        if persisted is not None:
+            replaced = delete_rows(
+                engine, table,
+                persisted.filter(F.col("gen") != fresh_gen),
+                match_keys=(batch, key_col),
+            )
+    engine.cache.invalidate_table(table)
+    if engine.events:
+        engine.events.publish("update", table, [f"bulk:{n_batch}"])
+    return n_batch, int(replaced)
+
+
+def collapse_generations(engine, table: str) -> int:
+    """Fold every generation into ONE cumulative-schema generation — the
+    maintenance pass that keeps scan cost O(1) in generations after
+    schema evolution or repeated merge_upsert batches (each merge opens
+    a fresh generation by design; file-level compaction deliberately
+    stays inside a generation). Same rename-free protocol as
+    delete_rows: survivors land in an unreferenced generation dir, ONE
+    atomic catalog write commits, GC afterwards. Returns the number of
+    (gen, dt) partitions folded; no-op (0) when the table already has a
+    single generation.
+
+    The whole pass runs under the cross-driver #rewrite lease with the
+    keepalive daemon — at 100 TB this re-materializes the table, a
+    multi-minute job."""
+    from . import gate
+
+    gate.validate_table_name(table)
+    with engine.lease.holding(f"{table}/#rewrite"), engine._flush_lock(table):
+        engine.catalog.refresh_if_changed(table)
+        live = [g for g in engine.catalog.gen_schemas(table) if g]
+        if len(live) <= 1:
+            return 0
+        df = engine.read_persisted(table)
+        if df is None:
+            return 0
+        parts = df.groupBy("gen", "dt").count().collect()
+        if not parts:
+            return 0
+        affected = [(int(r["gen"]), r["dt"]) for r in parts]
+        cum = engine.catalog.schema_of(table)
+        cfg = engine.catalog.get_table(table)
+        gc_superseded(engine, table)
+        new_gen = engine.catalog.next_generation_index(table)
+        with engine.lease.keepalive(f"{table}/#rewrite"):
+            (
+                df.drop("gen").repartition("dt")
+                .write.mode("overwrite")
+                .option("compression", cfg.compression if cfg else "snappy")
+                .partitionBy("dt")
+                .parquet(engine._gen_dir(table, new_gen))
+            )
+            engine.catalog.commit_rewrite(table, dict(cum), affected)
+        # every pre-collapse generation is now empty: tombstone them so
+        # future scans don't even stat their directories
+        engine.catalog.tombstone_generations(table, list(range(new_gen)))
+    gc_superseded(engine, table)
+    # dt-level GC leaves the gen roots behind (a parquet job drops
+    # _SUCCESS there); the dead generations hold no data anymore, so
+    # remove the whole directories
+    for g in range(new_gen):
+        gdir = engine._gen_dir(table, g)
+        if engine.fs.is_dir(gdir):
+            engine.fs.remove_dir(gdir)
+    engine.cache.invalidate_table(table)
+    return len(affected)

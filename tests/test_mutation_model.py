@@ -71,3 +71,96 @@ def test_compression_config_applied(engine, tmp_path):
     assert files and all(".zstd." in f or "zstd" in f for f in files), files
     rows = json.loads(engine.query("SELECT count(*) AS n FROM z"))
     assert rows[0]["n"] == 3
+
+
+def test_merge_upsert_bulk(engine, spark):
+    """Bulk MERGE (SCD1): existing keys replaced, new keys inserted, one
+    version per key afterwards, untouched keys intact."""
+    engine.create_table("mu", TableConfig(name="mu", buffer_size=10_000))
+    for i in range(10):
+        engine.write("mu", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i * DAY)
+    engine.flush("mu")
+
+    import datetime
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    batch = spark.createDataFrame(
+        [(k, v, ts) for k, v in
+         [("r2", 102), ("r4", 104), ("r6", 106), ("n1", 201), ("n2", 202)]],
+        "id string, v long, timestamp timestamp",
+    )
+    inserted, replaced = engine.merge_upsert("mu", batch)
+    assert (inserted, replaced) == (5, 3)
+
+    rows = json.loads(engine.query("SELECT id, v FROM mu ORDER BY id"))
+    got = {r["id"]: r["v"] for r in rows}
+    assert len(rows) == len(got), "duplicate versions after merge"
+    expect = {f"r{i}": i for i in range(10) if i not in (2, 4, 6)}
+    expect |= {"r2": 102, "r4": 104, "r6": 106, "n1": 201, "n2": 202}
+    assert got == expect
+
+    # idempotent retry (the crash-recovery story: re-running the merge
+    # after a partial failure converges): same batch again -> the prior
+    # merged copies are themselves replaced, still one version per key
+    inserted, replaced = engine.merge_upsert("mu", batch)
+    assert (inserted, replaced) == (5, 5)
+    rows = json.loads(engine.query("SELECT id, v FROM mu ORDER BY id"))
+    assert {r["id"]: r["v"] for r in rows} == expect and len(rows) == 12
+
+
+def test_merge_upsert_replaces_buffered_rows(engine, spark):
+    """Unflushed buffered rows of a merged key must not resurrect on the
+    next flush (the merge drains the buffer first)."""
+    engine.create_table("mb", TableConfig(name="mb", buffer_size=10_000))
+    engine.write("mb", {"v": 1}, record_id="k1", timestamp_us=T0)
+    engine.write("mb", {"v": 2}, record_id="k2", timestamp_us=T0)  # buffered
+
+    import datetime
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    batch = spark.createDataFrame([("k2", 22, ts)],
+                                  "id string, v long, timestamp timestamp")
+    engine.merge_upsert("mb", batch)
+    engine.flush("mb")
+    rows = json.loads(engine.query("SELECT id, v FROM mb ORDER BY id"))
+    assert {r["id"]: r["v"] for r in rows} == {"k1": 1, "k2": 22}
+    assert len(rows) == 2
+
+
+def test_collapse_generations_after_merges(engine, spark):
+    """Repeated merges open fresh generations by design; the collapse
+    maintenance pass folds them into one cumulative generation,
+    tombstones the dead ones (no directory stat per scan), and leaves
+    the data byte-identical."""
+    import datetime
+    import os
+
+    engine.create_table("cg", TableConfig(name="cg", buffer_size=10_000))
+    for i in range(6):
+        engine.write("cg", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i * DAY)
+    engine.flush("cg")
+
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    for n in range(3):  # three merges -> at least 3 extra generations
+        batch = spark.createDataFrame(
+            [(f"r{n}", 100 + n, ts)], "id string, v long, timestamp timestamp")
+        engine.merge_upsert("cg", batch)
+    before = json.loads(engine.query("SELECT id, v FROM cg ORDER BY id"))
+    n_gens_before = len([g for g in engine.catalog.gen_schemas("cg") if g])
+    assert n_gens_before > 1
+
+    folded = engine.collapse_generations("cg")
+    assert folded > 0
+    after = json.loads(engine.query("SELECT id, v FROM cg ORDER BY id"))
+    assert after == before, "collapse changed query results"
+    live = [g for g in engine.catalog.gen_schemas("cg") if g]
+    assert len(live) == 1, "collapse left multiple live generations"
+    # dead generation directories are gone from disk
+    tdir = os.path.join(engine.root, "cg")
+    on_disk = [d for d in os.listdir(tdir) if d.startswith("gen=")]
+    assert len(on_disk) == 1, on_disk
+    # collapse is idempotent: single-generation table is a no-op
+    assert engine.collapse_generations("cg") == 0
+    # and the table stays fully usable afterwards
+    engine.write("cg", {"v": 99}, record_id="post", timestamp_us=T0)
+    engine.flush("cg")
+    rows = json.loads(engine.query("SELECT count(*) AS n FROM cg"))
+    assert rows[0]["n"] == len(before) + 1
