@@ -275,3 +275,59 @@ def test_dedup_stream_bounded_state_across_files(spark, tmp_path, sf_dir):
     expected = events.select("event_id").distinct().count()
     assert got["d"] == expected
     assert got["n"] == got["d"]  # every survivor unique: dups dropped
+
+
+def test_stream_upsert_cdc_apply(spark, tmp_path):
+    """CDC-apply sink: a file-source change feed with multiple versions
+    per key and delete ops lands as latest-version-per-key state; a
+    checkpoint restart replays nothing."""
+    import datetime
+
+    from miniodb_spark.streaming.ingest import stream_upsert
+
+    t0 = datetime.datetime(2023, 11, 14, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("k1", 1, t0, "upsert"),
+        ("k1", 11, t0 + datetime.timedelta(seconds=1), "upsert"),  # later wins
+        ("k2", 2, t0, "upsert"),
+        ("k3", 3, t0, "upsert"),
+        ("k3", 0, t0 + datetime.timedelta(seconds=2), "delete"),   # deleted
+    ]
+    schema = "id string, v long, timestamp timestamp, op string"
+    src = tmp_path / "cdc"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "batch0"))
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.create_table("cdc_t")
+    stream = spark.readStream.schema(schema).parquet(str(src / "batch0"))
+    q = stream_upsert(eng, stream, "cdc_t", op_col="op",
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["id"]: r["v"] for r in
+           json.loads(eng.query("SELECT id, v FROM cdc_t ORDER BY id"))}
+    assert got == {"k1": 11, "k2": 2}
+
+    # restart on the same checkpoint: nothing re-applied
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "batch0"))
+    q2 = stream_upsert(eng, stream2, "cdc_t", op_col="op",
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    got2 = {r["id"]: r["v"] for r in
+            json.loads(eng.query("SELECT id, v FROM cdc_t ORDER BY id"))}
+    assert got2 == got
+
+    # a second feed directory updates k2 and re-creates k3
+    rows2 = [("k2", 22, t0 + datetime.timedelta(minutes=1), "upsert"),
+             ("k3", 33, t0 + datetime.timedelta(minutes=1), "upsert")]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "batch0"), mode="append")
+    stream3 = spark.readStream.schema(schema).parquet(str(src / "batch0"))
+    q3 = stream_upsert(eng, stream3, "cdc_t", op_col="op",
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    q3.awaitTermination(120)
+    got3 = {r["id"]: r["v"] for r in
+            json.loads(eng.query("SELECT id, v FROM cdc_t ORDER BY id"))}
+    assert got3 == {"k1": 11, "k2": 22, "k3": 33}
