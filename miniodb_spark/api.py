@@ -118,6 +118,20 @@ class MiniODBService:
                 self._counters["updates"] += 1
                 return {"success": True, "replaced": n}
 
+    def merge_data(self, table: str, records: list[dict],
+                   key_col: str = "id", client_id: str = "default") -> dict:
+        """Bulk MERGE (beyond-reference: UpdateData generalized to a
+        batch — see Engine.merge_upsert for the protocol)."""
+        with self._rpc("merge_data", client_id):
+            with self._audited("merge", table, "", client_id) as a:
+                inserted, replaced = self.engine.merge_records(
+                    table, records, key_col=key_col)
+                a["details"] = {"inserted": inserted, "replaced": replaced}
+                self._counters["updates"] += replaced
+                self._counters["writes"] += inserted
+                return {"success": True, "inserted": inserted,
+                        "replaced": replaced}
+
     def delete_data(self, table: str, record_id: str,
                     client_id: str = "default") -> dict:
         with self._rpc("delete_data", client_id):

@@ -781,6 +781,39 @@ class Engine:
         return upsert_dataframe(self, table, batch, key_col=key_col,
                                 ts_col=ts_col)
 
+    def merge_records(self, table: str, records: list[dict],
+                      key_col: str = "id") -> tuple[int, int]:
+        """Row-shaped bulk merge: StreamWrite-style {id, timestamp_us?,
+        payload} dicts → one DataFrame (same dynamic-schema inference as
+        the flush path) → :meth:`merge_upsert`. The transport-facing
+        counterpart of the bulk merge, sized for API batches — the
+        100 TB path takes a DataFrame directly."""
+        import time as _time
+
+        gate.validate_table_name(table)
+        cfg = self.catalog.ensure_table(table)
+        now_us = int(_time.time() * 1_000_000)
+        row_dicts = []
+        for rec in records:
+            rid = resolve_id(
+                rec.get("id"), cfg.id_strategy, cfg.auto_generate_id,
+                self.idgen, cfg.id_prefix, cfg.max_id_length,
+            )
+            payload = rec.get("payload", {})
+            if self.encryptor:
+                payload = self.encryptor.encrypt_payload(payload)
+            row_dicts.append({
+                "id": rid,
+                "timestamp": rec.get("timestamp_us", rec.get("timestamp", now_us)),
+                "table_name": table,
+                "fields": payload,
+            })
+        batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
+        tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map)
+                  for d in row_dicts]
+        df = self.spark.createDataFrame(tuples, batch_schema)
+        return self.merge_upsert(table, df, key_col=key_col)
+
     def collapse_generations(self, table: str) -> int:
         """Fold all schema generations into one cumulative-schema
         generation (maintenance pass; see mutations.collapse_generations).

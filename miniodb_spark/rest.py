@@ -94,6 +94,7 @@ def _routes():
         ("PUT", r"^/v1/data$", "update_data", False),
         ("DELETE", r"^/v1/data$", "delete_data", False),
         ("POST", r"^/v1/data/cleanup-empty-ids$", "cleanup_empty_ids", False),
+        ("POST", r"^/v1/data/merge$", "merge_data", False),
         ("POST", r"^/v1/stream/write$", "stream_write", False),
         ("POST", r"^/v1/stream/query$", "stream_query", False),
         ("POST", r"^/v1/tables$", "create_table", False),
@@ -268,6 +269,12 @@ def _make_handler(service, static_dir: str | None = None):
             b = self._body()
             n = service.engine.cleanup_empty_id_records(b.get("table", ""))
             self._send(200, {"success": True, "cleaned": n})
+
+        def r_merge_data(self, pv, q):
+            b = self._body()
+            self._send(200, service.merge_data(
+                b.get("table", ""), b.get("records", []),
+                key_col=b.get("key_col", "id"), client_id=self.client_id))
 
         def r_stream_write(self, pv, q):
             b = self._body()

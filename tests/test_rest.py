@@ -220,3 +220,26 @@ def test_dashboard_static_unconfigured_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _call(server.port, "GET", "/dashboard")
     assert ei.value.code == 404
+
+
+def test_rest_bulk_merge(server):
+    """POST /v1/data/merge: bulk SCD1 upsert over the wire — existing
+    key replaced, new key inserted, one version per key."""
+    p = server.port
+    _call(p, "POST", "/v1/tables", {"name": "mg", "config": {"buffer_size": 10}})
+    _call(p, "POST", "/v1/stream/write", {
+        "table": "mg",
+        "records": [{"id": f"m{i}", "timestamp_us": T0, "payload": {"v": i}}
+                    for i in range(4)]})
+    code, out = _call(p, "POST", "/v1/data/merge", {
+        "table": "mg",
+        "records": [
+            {"id": "m1", "timestamp_us": T0, "payload": {"v": 11}},
+            {"id": "new", "timestamp_us": T0, "payload": {"v": 99}},
+        ]})
+    assert code == 200 and out["inserted"] == 2 and out["replaced"] == 1
+    rows = json.loads(_call(p, "POST", "/v1/query", {
+        "sql": "SELECT id, v FROM mg ORDER BY id"})[1]["result_json"])
+    assert {r["id"]: r["v"] for r in rows} == {
+        "m0": 0, "m1": 11, "m2": 2, "m3": 3, "new": 99}
+    assert len(rows) == 5
