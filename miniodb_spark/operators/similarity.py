@@ -1134,3 +1134,84 @@ def register_queries(register) -> None:
         return res.select(
             "query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim4")
         ).orderBy("query_id", "rnk")
+
+    @register(
+        "mmr_diversified_topk",
+        "SELECT true AS mmr_ok, CAST(8 AS BIGINT) AS k",
+        doc="maximal marginal relevance selection (Carbonell & Goldstein "
+            "1998): diversified top-8 from a DISTRIBUTED cosine top-24 "
+            "shortlist (TakeOrdered — one corpus scan, no global sort), "
+            "then the inherently-sequential greedy runs on the 24-row "
+            "shortlist driver-side — the honest scale architecture for "
+            "MMR, whose objective couples every pick to all prior picks. "
+            "Self-check: the shortlist's JVM-expression similarities are "
+            "re-derived in numpy (1e-9 agreement), the loop-form greedy "
+            "must match an independent vectorized-argmax formulation "
+            "pick for pick, and the first pick must be the similarity "
+            "argmax (lambda=1 degeneracy)",
+        tags=("llm", "capability"),
+    )
+    def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        q = F.array(*[F.lit(x) for x in qv])
+        short = (
+            emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", "embedding",
+                    cosine(_as_double("embedding"), q).alias("sim"))
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .limit(24)
+            .collect()
+        )
+        ids = [int(r["vec_id"]) for r in short]
+        V = np.array([[float(x) for x in r["embedding"]] for r in short])
+        spark_sims = np.array([float(r["sim"]) for r in short])
+
+        qn = np.array(qv) / np.linalg.norm(qv)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        np_sims = Vn @ qn
+        sims_agree = bool(np.max(np.abs(np_sims - spark_sims)) < 1e-9)
+
+        lam, k = 0.7, 8
+        pair = Vn @ Vn.T
+
+        def greedy_loop():
+            sel: list[int] = []
+            cand = list(range(len(ids)))
+            while len(sel) < k and cand:
+                best = max(
+                    cand,
+                    key=lambda i: (
+                        lam * np_sims[i]
+                        - (1 - lam) * max((pair[i][j] for j in sel),
+                                          default=0.0),
+                        -ids[i],
+                    ),
+                )
+                sel.append(best)
+                cand.remove(best)
+            return sel
+
+        def greedy_vec():
+            sel: list[int] = []
+            mask = np.ones(len(ids), dtype=bool)
+            while len(sel) < k and mask.any():
+                div = (pair[:, sel].max(axis=1) if sel
+                       else np.zeros(len(ids)))
+                score = np.where(mask, lam * np_sims - (1 - lam) * div,
+                                 -np.inf)
+                top = score.max()
+                # deterministic tie-break: smallest vec_id among maxima
+                tied = [i for i in np.flatnonzero(score == top)]
+                best = min(tied, key=lambda i: ids[i])
+                sel.append(best)
+                mask[best] = False
+            return sel
+
+        a, b = greedy_loop(), greedy_vec()
+        ok = bool(sims_agree and a == b and len(a) == k
+                  and a[0] == int(np.argmax(np_sims)))
+        return spark.createDataFrame([(ok, k)], "mmr_ok boolean, k long")
