@@ -4601,6 +4601,82 @@ def join_key_skew_audit(spark, sf_dir):
     )
 
 
+@register(
+    "welch_t_test",
+    """
+    WITH s AS (
+      SELECT event_type, count(value) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY 1),
+    a AS (SELECT * FROM s WHERE event_type = 'click'),
+    b AS (SELECT * FROM s WHERE event_type = 'purchase'),
+    m AS (SELECT a.n AS n1, b.n AS n2,
+                 a.sx / a.n AS m1, b.sx / b.n AS m2,
+                 (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) / a.n AS v1n,
+                 (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) / b.n AS v2n
+          FROM a, b)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+           round((m1 - m2) / sqrt(v1n + v2n), 6) AS t_stat,
+           round((v1n + v2n) * (v1n + v2n)
+                 / (v1n * v1n / (n1 - 1) + v2n * v2n / (n2 - 1)), 6)
+             AS dof
+    FROM m
+    """,
+    doc="Welch's unequal-variance two-sample t-test (the A/B-test "
+        "statistic) between click and purchase values: one grouped "
+        "aggregate produces exact decimal(12,2) first and second "
+        "moments — order-independent at any parallelism, unlike double "
+        "partial sums (the interpolate_hourly_values lesson) — and the "
+        "t statistic and Welch-Satterthwaite dof are pure expressions "
+        "over the two 1-row stat sets. Scale cost: one map-side-"
+        "combinable pass over the filtered facts",
+)
+def welch_t_test(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    d = F.col("value").cast("decimal(12,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+    )
+    a = (s.filter(F.col("event_type") == "click")
+         .select(F.col("n").alias("n1"), F.col("sx").alias("sxa"),
+                 F.col("sxx").alias("sxxa")))
+    b = (s.filter(F.col("event_type") == "purchase")
+         .select(F.col("n").alias("n2"), F.col("sx").alias("sxb"),
+                 F.col("sxx").alias("sxxb")))
+    m = a.crossJoin(F.broadcast(b)).select(  # two 1-row stat sets
+        "n1", "n2",
+        (F.col("sxa") / F.col("n1")).alias("m1"),
+        (F.col("sxb") / F.col("n2")).alias("m2"),
+        ((F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("n1"))
+         / (F.col("n1") - 1) / F.col("n1")).alias("v1n"),
+        ((F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("n2"))
+         / (F.col("n2") - 1) / F.col("n2")).alias("v2n"),
+    )
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("m1", 6).alias("mean1"),
+        F.round("m2", 6).alias("mean2"),
+        F.round((F.col("m1") - F.col("m2"))
+                / F.sqrt(F.col("v1n") + F.col("v2n")), 6).alias("t_stat"),
+        F.round((F.col("v1n") + F.col("v2n"))
+                * (F.col("v1n") + F.col("v2n"))
+                / (F.col("v1n") * F.col("v1n") / (F.col("n1") - 1)
+                   + F.col("v2n") * F.col("v2n") / (F.col("n2") - 1)),
+                6).alias("dof"),
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
