@@ -663,3 +663,17 @@ def test_snapshot_diff_prunes_both_sides(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
         plan[:2000]
     )
+
+
+def test_market_basket_no_cartesian_topk_take_ordered(spark, sf_dir, registry):
+    """The basket pair generator must self-join ON the order key (no
+    cartesian) and the top-100-by-lift must compile to
+    TakeOrderedAndProject, never a global sort of the pair table. The
+    single BroadcastNestedLoopJoin is the intended 1-row order-count
+    scalar broadcast — any second one would be a real data nested
+    loop."""
+    df = registry["market_basket_lift"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
