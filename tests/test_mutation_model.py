@@ -164,3 +164,51 @@ def test_collapse_generations_after_merges(engine, spark):
     engine.flush("cg")
     rows = json.loads(engine.query("SELECT count(*) AS n FROM cg"))
     assert rows[0]["n"] == len(before) + 1
+
+
+def test_randomized_mutations_with_merges_match_model(engine, spark):
+    """Randomized soak with bulk merges mixed into the write/update/
+    delete stream: engine state must equal the dict model exactly after
+    every interleaving of buffer writes, flushes, rewrites and merges."""
+    import datetime
+
+    rng = random.Random(7)
+    engine.create_table("mm", TableConfig(name="mm", buffer_size=10_000))
+    model: dict[str, dict] = {}
+    ids = [f"id{i:03d}" for i in range(30)]
+    ts_dt = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+
+    for step in range(60):
+        op = rng.random()
+        rid = rng.choice(ids)
+        ts = T0 + rng.randrange(3) * DAY
+        if op < 0.4:
+            if rid not in model:
+                payload = {"v": rng.randrange(1000)}
+                engine.write("mm", payload, record_id=rid, timestamp_us=ts)
+                model[rid] = payload
+        elif op < 0.55:
+            if rid in model:
+                payload = {"v": rng.randrange(1000)}
+                engine.update("mm", rid, payload, timestamp_us=ts)
+                model[rid] = payload
+        elif op < 0.7:
+            if rid in model:
+                engine.delete("mm", rid)
+                del model[rid]
+        else:  # bulk merge of 3 random keys (mix of existing + new)
+            keys = rng.sample(ids, 3)
+            rows = [(k, rng.randrange(1000), ts_dt) for k in keys]
+            batch = spark.createDataFrame(
+                rows, "id string, v long, timestamp timestamp")
+            engine.merge_upsert("mm", batch)
+            for k, v, _ in rows:
+                model[k] = {"v": v}
+        if rng.random() < 0.2:
+            engine.flush("mm")
+    engine.flush("mm")
+
+    rows = json.loads(engine.query("SELECT id, v FROM mm ORDER BY id"))
+    got = {r["id"]: {"v": r["v"]} for r in rows}
+    assert len(rows) == len(got), "duplicate ids after merge-mixed soak"
+    assert got == model
