@@ -4677,6 +4677,56 @@ def welch_t_test(spark, sf_dir):
     )
 
 
+@register(
+    "anomaly_days_zscore",
+    """
+    WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+               FROM events GROUP BY 1),
+    s AS (SELECT count(*) AS k,
+                 CAST(sum(CAST(n AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(n AS DECIMAL(18,0))
+                          * CAST(n AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+          FROM d),
+    m AS (SELECT k, sx / k AS mu,
+                 sqrt((sxx - sx * sx / k) / (k - 1)) AS sigma
+          FROM s)
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sigma, 6) AS z
+    FROM d, m
+    WHERE abs(round((n - mu) / sigma, 6)) > 1.5
+    ORDER BY day
+    """,
+    doc="z-score control chart over daily event volume (1.5-sigma warning limit, exercised non-vacuously by the fixture whose max |z| is ~2.5; a production 3-sigma alarm is the same plan) — the pipeline-"
+        "monitoring alarm for ingestion gaps and crawl storms. Daily "
+        "counts are integers, so the mean/stddev come from EXACT decimal "
+        "first/second moments (order-independent at any parallelism) and "
+        "the z-scores are identical doubles on both engines; the "
+        "round-6-before-compare guard keeps a z exactly at the limit from "
+        "flipping. One day-bounded aggregate + a 1-row stats broadcast; "
+        "output is only the anomalous days",
+)
+def anomaly_days_zscore(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"))
+    dec = F.col("n").cast("decimal(18,0)")
+    s = d.agg(F.count("*").alias("k"),
+              F.sum(dec).cast("double").alias("sx"),
+              F.sum(dec * dec).cast("double").alias("sxx"))
+    m = s.select(
+        (F.col("sx") / F.col("k")).alias("mu"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k"))
+               / (F.col("k") - 1)).alias("sigma"),
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        d.crossJoin(F.broadcast(m))  # 1-row stats, not a data join
+        .select("day", F.col("n").cast("bigint").alias("n"), z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.5)
+        .orderBy("day")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
