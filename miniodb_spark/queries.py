@@ -5435,45 +5435,56 @@ def sliding_window_counts(spark, sf_dir):
 @register(
     "brand_itemset3_support",
     """
-    WITH ob AS (
+    WITH ob AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, p_brand
       FROM lineitem JOIN part ON l_partkey = p_partkey),
+    pairs AS MATERIALIZED (
+      SELECT a.l_orderkey, a.p_brand AS b1, b.p_brand AS b2
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand),
     t AS (
-      SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+      SELECT p.b1, p.b2, c.p_brand AS b3,
              CAST(count(*) AS BIGINT) AS support
-      FROM ob a
-      JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-      JOIN ob c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+      FROM pairs p JOIN ob c
+        ON p.l_orderkey = c.l_orderkey AND p.b2 < c.p_brand
       GROUP BY 1, 2, 3)
     SELECT b1, b2, b3, support
     FROM t ORDER BY support DESC, b1, b2, b3 LIMIT 10
     """,
     doc="frequent 3-itemset mining over per-order brand sets (the 3-way "
-        "extension of market_basket_lift's pair analysis). Triples are "
-        "generated by b1<b2<b3 self-joins WITHIN an order (orderkey "
-        "equi-join, so the blow-up is C(basket_size,3) per order — "
-        "bounded by order width, never cross-order), then grouped on the "
-        "C(|brands|,3) ~ 2.3k key domain. Ties broken lexicographically "
-        "for a deterministic top-10 (TakeOrderedAndProject, no global "
-        "sort)",
+        "extension of market_basket_lift's pair analysis). The Spark "
+        "plan is ONE orderkey shuffle: baskets collapse to sorted brand "
+        "arrays and the i<j<k triples are generated JVM-side with nested "
+        "array transform()s — C(basket,3) per order, bounded by order "
+        "width, with no self-join and no cross-order blow-up — then "
+        "grouped on the C(|brands|,3) ~ 2.3k key domain. Ties broken "
+        "lexicographically for a deterministic top-10 "
+        "(TakeOrderedAndProject, no global sort). The oracle CTEs are "
+        "MATERIALIZED pairwise joins: without the hint DuckDB reorders "
+        "the 3-way self-join into an inequality-only merge join "
+        "(a 550k x 550k quasi-cross at sf0.1)",
     tags=("itemset",),
 )
 def brand_itemset3_support(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    a, b, c = ob.alias("a"), ob.alias("b"), ob.alias("c")
+    # i<j<k combinations via nested transform — per-row work is
+    # C(|bs|,3), |bs| <= order width (~7), so this is flat-map cheap
+    triples = baskets.select(
+        F.explode(F.expr("""
+          flatten(flatten(transform(bs, (x1, i) ->
+            transform(slice(bs, i + 2, size(bs)), (x2, j) ->
+              transform(slice(bs, i + j + 3, size(bs)), x3 ->
+                struct(x1 AS b1, x2 AS b2, x3 AS b3))))))
+        """)).alias("c")
+    ).select("c.b1", "c.b2", "c.b3")
     t = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.p_brand") < F.col("b.p_brand")))
-        .join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-              & (F.col("b.p_brand") < F.col("c.p_brand")))
-        .groupBy(F.col("a.p_brand").alias("b1"),
-                 F.col("b.p_brand").alias("b2"),
-                 F.col("c.p_brand").alias("b3"))
+        triples.groupBy("b1", "b2", "b3")
         .agg(F.count("*").cast("bigint").alias("support"))
     )
     return t.orderBy(F.desc("support"), "b1", "b2", "b3").limit(10)
@@ -5581,6 +5592,228 @@ def neyman_allocation_quotas(spark, sf_dir):
             .alias("quota"),
         )
         .orderBy("stratum")
+    )
+
+
+@register(
+    "anova_oneway_priority",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT
+        max(CASE WHEN g = '1-URGENT' THEN n END) AS n1,
+        max(CASE WHEN g = '1-URGENT' THEN sx END) AS sx1,
+        max(CASE WHEN g = '1-URGENT' THEN sxx END) AS sxx1,
+        max(CASE WHEN g = '2-HIGH' THEN n END) AS n2,
+        max(CASE WHEN g = '2-HIGH' THEN sx END) AS sx2,
+        max(CASE WHEN g = '2-HIGH' THEN sxx END) AS sxx2,
+        max(CASE WHEN g = '3-MEDIUM' THEN n END) AS n3,
+        max(CASE WHEN g = '3-MEDIUM' THEN sx END) AS sx3,
+        max(CASE WHEN g = '3-MEDIUM' THEN sxx END) AS sxx3,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN n END) AS n4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN sx END) AS sx4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN sxx END) AS sxx4,
+        max(CASE WHEN g = '5-LOW' THEN n END) AS n5,
+        max(CASE WHEN g = '5-LOW' THEN sx END) AS sx5,
+        max(CASE WHEN g = '5-LOW' THEN sxx END) AS sxx5
+      FROM s),
+    m AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+             (sx1 * sx1 / n1 + sx2 * sx2 / n2 + sx3 * sx3 / n3
+              + sx4 * sx4 / n4 + sx5 * sx5 / n5)
+             - (sx1 + sx2 + sx3 + sx4 + sx5)
+               * (sx1 + sx2 + sx3 + sx4 + sx5)
+               / (n1 + n2 + n3 + n4 + n5) AS ssb,
+             (sxx1 + sxx2 + sxx3 + sxx4 + sxx5)
+             - (sx1 * sx1 / n1 + sx2 * sx2 / n2 + sx3 * sx3 / n3
+                + sx4 * sx4 / n4 + sx5 * sx5 / n5) AS ssw
+      FROM p)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+           round((ssb / 4) / (ssw / (nn - 5)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM m
+    """,
+    doc="one-way ANOVA F-test of order value across the 5 priority "
+        "classes (the k-group extension of welch_t_test). Per-group "
+        "moments are EXACT decimal(18,2) sums; the cross-group reduction "
+        "is pivoted into ONE row so SSB/SSW come from a fixed-order "
+        "expression tree — no engine-dependent double summation order "
+        "anywhere, so both engines derive bit-identical F and eta-squared "
+        "(round-6 guard on top). One map-side-combinable aggregate over "
+        "facts; everything after is scalar arithmetic",
+    tags=("statistics",),
+)
+def anova_oneway_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    p = s.agg(*[
+        F.max(F.when(F.col("g") == g, F.col(c))).alias(f"{c}{i + 1}")
+        for i, g in enumerate(groups) for c in ("n", "sx", "sxx")
+    ])
+    sxs = [F.col(f"sx{i}") for i in range(1, 6)]
+    nns = [F.col(f"n{i}") for i in range(1, 6)]
+    within = (sxs[0] * sxs[0] / nns[0] + sxs[1] * sxs[1] / nns[1]
+              + sxs[2] * sxs[2] / nns[2] + sxs[3] * sxs[3] / nns[3]
+              + sxs[4] * sxs[4] / nns[4])
+    sx_tot = sxs[0] + sxs[1] + sxs[2] + sxs[3] + sxs[4]
+    n_tot = nns[0] + nns[1] + nns[2] + nns[3] + nns[4]
+    sxx_tot = (F.col("sxx1") + F.col("sxx2") + F.col("sxx3")
+               + F.col("sxx4") + F.col("sxx5"))
+    m = p.select(
+        n_tot.alias("nn"),
+        (within - sx_tot * sx_tot / n_tot).alias("ssb"),
+        (sxx_tot - within).alias("ssw"),
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.round((F.col("ssb") / 4) / (F.col("ssw") / (F.col("nn") - 5)), 6)
+        .alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6)
+        .alias("eta_sq"),
+    )
+
+
+@register(
+    "spearman_rank_corr",
+    """
+    WITH s AS (
+      SELECT l_quantity AS q, l_extendedprice AS p
+      FROM lineitem WHERE l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    r AS (
+      SELECT CAST(2 * rank() OVER (ORDER BY q)
+                  + count(*) OVER (PARTITION BY q) - 1 AS BIGINT) AS x,
+             CAST(2 * rank() OVER (ORDER BY p)
+                  + count(*) OVER (PARTITION BY p) - 1 AS BIGINT) AS y
+      FROM s),
+    a AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM a
+    """,
+    doc="Spearman rank correlation between line quantity and extended "
+        "price, tie-aware (Pearson over midranks). Doubled midranks are "
+        "BIGINTs and every moment is summed in 128-bit/decimal integer "
+        "arithmetic (HUGEINT / decimal(38,0)), so the correlation inputs "
+        "are EXACT on both engines — no float accumulation anywhere "
+        "before the final division. The two rank windows are the scale "
+        "cost; their distributed path is per-value count tables + "
+        "prefix-sum ranking exactly as mann_whitney_u documents",
+    tags=("statistics",),
+)
+def spearman_rank_corr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(F.col("l_quantity").alias("q"),
+             F.col("l_extendedprice").alias("p"))
+    x = (2 * F.rank().over(Window.orderBy("q"))
+         + F.count("*").over(Window.partitionBy("q")) - 1)
+    y = (2 * F.rank().over(Window.orderBy("p"))
+         + F.count("*").over(Window.partitionBy("p")) - 1)
+    r = s.select(x.cast("decimal(20,0)").alias("x"),
+                 y.cast("decimal(20,0)").alias("y"))
+    a = r.agg(
+        F.count("*").cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")),
+            6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS total FROM d),
+    c AS (
+      SELECT day, n,
+             CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM d)
+    SELECT CAST(c.day AS TIMESTAMP) AS day, c.t AS day_index,
+           round(c.cum_n - c.t * (tot.total * 1.0 / tot.k), 6) AS cusum
+    FROM c, tot
+    ORDER BY abs(c.cum_n - c.t * (tot.total * 1.0 / tot.k)) DESC, c.day
+    LIMIT 1
+    """,
+    doc="CUSUM changepoint detection over daily event volume: the day "
+        "maximizing |cumulative deviation from the global mean rate| is "
+        "the maximum-likelihood single changepoint for a mean shift "
+        "(Page's statistic evaluated in closed form, no recursion). "
+        "cum_n and t are exact BIGINTs from a window over the day spine "
+        "(calendar-bounded, never fact-sized), the mean is one scalar "
+        "broadcast, and S_t = cum_n - t*mu is a deterministic double on "
+        "both engines, so the argmax and its round-6 value agree "
+        "bit-for-bit. Facts are touched once by the day aggregate",
+    tags=("statistics", "timeseries"),
+)
+def cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"))
+    tot = d.agg(F.count("*").cast("bigint").alias("k"),
+                F.sum("n").cast("bigint").alias("total"))
+    c = d.select(
+        "day", "n",
+        F.sum("n").over(Window.orderBy("day")).cast("bigint")
+        .alias("cum_n"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint")
+        .alias("t"),
+    )
+    s = (F.col("cum_n")
+         - F.col("t") * (F.col("total") * 1.0 / F.col("k")))
+    return (
+        c.crossJoin(F.broadcast(tot))  # 1-row scalar, not a data join
+        .orderBy(F.abs(s).desc(), "day")
+        .limit(1)
+        .select("day", F.col("t").alias("day_index"),
+                F.round(s, 6).alias("cusum"))
     )
 
 
