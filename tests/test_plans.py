@@ -677,3 +677,87 @@ def test_market_basket_no_cartesian_topk_take_ordered(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_itemset3_no_self_join_single_orderkey_shuffle(
+    spark, sf_dir, registry
+):
+    """Triples must come from per-order arrays (nested transform), NOT
+    a 3-way self-join: no sort-merge join anywhere, only the broadcast
+    part-dim join, and the top-10 is TakeOrderedAndProject."""
+    df = registry["brand_itemset3_support"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["broadcast_hash"] == 1, kinds
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_sliding_window_expand_no_join(spark, sf_dir, registry):
+    """The 4x hopping-window fan-out must be the Expand operator (a
+    per-row flat map, no join/explosion through a spine join), and the
+    only shuffles are the window aggregate + distinct-users partials."""
+    df = registry["sliding_window_counts"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Expand" in plan, plan[:2000]
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    # distinct-users partial + window agg + output range sort
+    assert plan.count("Exchange ") <= 4, plan[:3000]
+
+
+def test_mann_whitney_joins_only_scalar_broadcast(spark, sf_dir, registry):
+    """Rank stats reduce to two 1-row relations; the only 'join' is the
+    1-row tie-sum broadcast (BroadcastNestedLoopJoin of scalars). No
+    cartesian over data, no sort-merge join."""
+    df = registry["mann_whitney_u"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+
+
+def test_anova_single_fact_aggregate_no_join(spark, sf_dir, registry):
+    """One map-side-combinable grouped aggregate over facts, pivoted to
+    one row — zero joins of any kind in the plan."""
+    df = registry["anova_oneway_priority"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_spearman_moments_are_single_aggregate(spark, sf_dir, registry):
+    """After the two rank windows everything folds into ONE aggregate —
+    no join, no second pass over facts."""
+    df = registry["spearman_rank_corr"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_cusum_windows_on_day_spine_only(spark, sf_dir, registry):
+    """The cumulative window must run on the day aggregate (spine-sized),
+    the mean is one scalar broadcast (<=1 BNLJ), and the argmax is
+    TakeOrderedAndProject — facts are touched exactly once."""
+    df = registry["cusum_changepoint"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # the window runs after the day aggregate: Window appears above a
+    # HashAggregate on the day key in the plan tree, never over raw ts
+    assert "Window" in plan, plan[:2000]
+
+
+def test_neyman_single_aggregate_scalar_broadcast(spark, sf_dir, registry):
+    """One stratum aggregate + a 1-row total broadcast; no data join."""
+    df = registry["neyman_allocation_quotas"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
