@@ -66,3 +66,37 @@ def test_registry_doc_in_sync():
         "REGISTRY.md is stale — run `python tools/gen_registry_doc.py` "
         "in the same commit as the registry change"
     )
+
+
+def test_priority_order_generator_is_registry_permutation():
+    """tools/gen_priority_order.py drives the per-round driver-window
+    rotation: its output must always be a permutation of the live
+    registry with every never-driver-graded entry ahead of every graded
+    one (the driver grades the first 50)."""
+    import sys
+    sys.path.insert(0, str(DOC.parent / "tools"))
+    import gen_priority_order as g
+
+    order, never = g.new_order()
+    assert sorted(order) == sorted(get_registry())
+    never_set = set(never)
+    seen_graded = False
+    for n in order:
+        if n in never_set:
+            assert not seen_graded, (
+                f"never-graded {n} appears after a graded entry"
+            )
+        else:
+            seen_graded = True
+
+
+def test_priority_order_generator_literal_roundtrip():
+    import sys
+    sys.path.insert(0, str(DOC.parent / "tools"))
+    import gen_priority_order as g
+
+    order, _ = g.new_order()
+    lit = g.render_literal(order)
+    names = __import__("re").findall(r'"([^"]+)"', lit)
+    assert names == order
+    assert all(len(line) <= 79 for line in lit.splitlines())
