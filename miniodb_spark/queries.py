@@ -5817,6 +5817,172 @@ def cusum_changepoint(spark, sf_dir):
     )
 
 
+@register(
+    "readability_by_source",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(trim(text), '[^ ]+')) AS BIGINT)
+               AS w,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syl,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS sents
+      FROM documents WHERE text IS NOT NULL),
+    a AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS words,
+             CAST(sum(syl) AS BIGINT) AS syllables,
+             CAST(sum(sents) AS BIGINT) AS sentences
+      FROM d GROUP BY 1)
+    SELECT source, n_docs, words, syllables,
+           round(206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / words), 6)
+             AS flesch_aggregate
+    FROM a ORDER BY source
+    """,
+    doc="corpus readability per source: Flesch reading-ease computed "
+        "from AGGREGATE word/sentence/syllable totals (syllables = vowel "
+        "groups, the standard heuristic). Per-doc tallies are exact "
+        "integers from regexp counts, so the per-source sums are "
+        "order-independent and the aggregate score is a deterministic "
+        "double on both engines — deliberately NOT a mean of per-doc "
+        "doubles, which would depend on summation order. One "
+        "codegen-friendly pass over documents + an enum-keyed aggregate",
+    tags=("text",),
+)
+def readability_by_source(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.size(F.expr("regexp_extract_all(trim(text), '[^ ]+', 0)"))
+        .cast("bigint").alias("w"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("bigint").alias("syl"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")))
+        .cast("bigint").alias("sents"),
+    )
+    a = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("syl").cast("bigint").alias("syllables"),
+        F.sum("sents").cast("bigint").alias("sentences"),
+    )
+    return a.select(
+        "source", "n_docs", "words", "syllables",
+        F.round(206.835
+                - 1.015 * (F.col("words") * 1.0 / F.col("sentences"))
+                - 84.6 * (F.col("syllables") * 1.0 / F.col("words")), 6)
+        .alias("flesch_aggregate"),
+    ).orderBy("source")
+
+
+@register(
+    "brown_forsythe_test",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS g, median(o_totalprice) AS med
+      FROM orders GROUP BY 1),
+    z AS (
+      SELECT o.o_orderpriority AS g,
+             CAST(abs(o.o_totalprice - m.med) AS DECIMAL(18,6)) AS z
+      FROM orders o JOIN med m ON o.o_orderpriority = m.g),
+    s AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(CAST(z AS DECIMAL(28,6)) * z) AS DOUBLE) AS szz
+      FROM z GROUP BY 1),
+    p AS (
+      SELECT
+        max(CASE WHEN g = '1-URGENT' THEN n END) AS n1,
+        max(CASE WHEN g = '1-URGENT' THEN sz END) AS sz1,
+        max(CASE WHEN g = '1-URGENT' THEN szz END) AS szz1,
+        max(CASE WHEN g = '2-HIGH' THEN n END) AS n2,
+        max(CASE WHEN g = '2-HIGH' THEN sz END) AS sz2,
+        max(CASE WHEN g = '2-HIGH' THEN szz END) AS szz2,
+        max(CASE WHEN g = '3-MEDIUM' THEN n END) AS n3,
+        max(CASE WHEN g = '3-MEDIUM' THEN sz END) AS sz3,
+        max(CASE WHEN g = '3-MEDIUM' THEN szz END) AS szz3,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN n END) AS n4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN sz END) AS sz4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN szz END) AS szz4,
+        max(CASE WHEN g = '5-LOW' THEN n END) AS n5,
+        max(CASE WHEN g = '5-LOW' THEN sz END) AS sz5,
+        max(CASE WHEN g = '5-LOW' THEN szz END) AS szz5
+      FROM s),
+    m AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+             (sz1 * sz1 / n1 + sz2 * sz2 / n2 + sz3 * sz3 / n3
+              + sz4 * sz4 / n4 + sz5 * sz5 / n5)
+             - (sz1 + sz2 + sz3 + sz4 + sz5)
+               * (sz1 + sz2 + sz3 + sz4 + sz5)
+               / (n1 + n2 + n3 + n4 + n5) AS ssb,
+             (szz1 + szz2 + szz3 + szz4 + szz5)
+             - (sz1 * sz1 / n1 + sz2 * sz2 / n2 + sz3 * sz3 / n3
+                + sz4 * sz4 / n4 + sz5 * sz5 / n5) AS ssw
+      FROM p)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+           round((ssb / 4) / (ssw / (nn - 5)), 6) AS w_stat
+    FROM m
+    """,
+    doc="Brown-Forsythe robust variance-equality test across the 5 "
+        "priority classes: one-way ANOVA on |x - group median| "
+        "(median-centered Levene — robust to the heavy right tail where "
+        "the classical F-test on raw variances is not). Group medians "
+        "are exact interpolated percentiles (the median_by_type "
+        "precedent); |x - med| is a deterministic double whose "
+        "decimal(18,6) image is exact (inputs are 2-3 dp), so the "
+        "moment sums are order-independent; the cross-group reduction "
+        "reuses anova_oneway_priority's one-row pivot so W comes from a "
+        "fixed-order expression tree. Two fact passes (median, then "
+        "deviations) with the 5-row median table broadcast into the "
+        "second",
+    tags=("statistics",),
+)
+def brown_forsythe_test(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    z = (
+        o.join(F.broadcast(med), o.o_orderpriority == med.g)
+        .select("g",
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                .cast("decimal(18,6)").alias("z"))
+    )
+    s = z.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+    )
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    p = s.agg(*[
+        F.max(F.when(F.col("g") == g, F.col(c))).alias(f"{c}{i + 1}")
+        for i, g in enumerate(groups) for c in ("n", "sz", "szz")
+    ])
+    szs = [F.col(f"sz{i}") for i in range(1, 6)]
+    nns = [F.col(f"n{i}") for i in range(1, 6)]
+    within = (szs[0] * szs[0] / nns[0] + szs[1] * szs[1] / nns[1]
+              + szs[2] * szs[2] / nns[2] + szs[3] * szs[3] / nns[3]
+              + szs[4] * szs[4] / nns[4])
+    sz_tot = szs[0] + szs[1] + szs[2] + szs[3] + szs[4]
+    n_tot = nns[0] + nns[1] + nns[2] + nns[3] + nns[4]
+    szz_tot = (F.col("szz1") + F.col("szz2") + F.col("szz3")
+               + F.col("szz4") + F.col("szz5"))
+    m = p.select(
+        n_tot.alias("nn"),
+        (within - sz_tot * sz_tot / n_tot).alias("ssb"),
+        (szz_tot - within).alias("ssw"),
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.round((F.col("ssb") / 4) / (F.col("ssw") / (F.col("nn") - 5)), 6)
+        .alias("w_stat"),
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
