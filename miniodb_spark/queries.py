@@ -5983,6 +5983,100 @@ def brown_forsythe_test(spark, sf_dir):
     )
 
 
+@register(
+    "rbo_top_tokens_drift",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (
+      SELECT source, w, count(*) AS c FROM tok
+      WHERE w <> '' GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, w,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS r
+      FROM cnt),
+    top AS (SELECT * FROM ranked WHERE r <= 50),
+    md AS (
+      SELECT CAST(greatest(a.r, b.r) AS BIGINT) AS d0
+      FROM top a JOIN top b ON a.w = b.w
+      WHERE a.source = 'src0' AND b.source = 'src1'),
+    spine AS (
+      SELECT CAST(unnest(generate_series(1, 50)) AS BIGINT) AS d),
+    ad AS (
+      SELECT s.d,
+             CAST(count(m.d0) AS BIGINT) AS a_d
+      FROM spine s LEFT JOIN md m ON m.d0 <= s.d
+      GROUP BY 1),
+    run AS (
+      SELECT d, a_d,
+             sum(power(0.9, d) * a_d / d)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS acc
+      FROM ad)
+    SELECT CAST((SELECT max(a_d) FROM ad) AS BIGINT) AS n_common_at_50,
+           round((0.1 / 0.9) * acc, 6) AS rbo
+    FROM run WHERE d = 50
+    """,
+    doc="rank-biased overlap (RBO, p=0.9, truncated at depth 50) between "
+        "the top-token rankings of two sources — the IR-standard drift "
+        "metric for 'did the head of the distribution change', "
+        "complementing ks_drift (mass drift) and kl_divergence (full "
+        "distribution). Rankings are row_number with (count DESC, token) "
+        "tie-break so both engines rank identically; overlap@d comes "
+        "from each common token's max(rank_a, rank_b) vs a 50-row depth "
+        "spine, and the geometric accumulation runs as a SEQUENTIAL "
+        "window cumsum over the spine (ORDER BY d), so the float "
+        "addition order is pinned on both engines. Everything after the "
+        "per-source token count is top-50-bounded",
+    tags=("text", "llm"),
+)
+def rbo_top_tokens_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source",
+                F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ranked = cnt.select(
+        "source", "w",
+        F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.desc("c"), "w")).alias("r"),
+    ).filter(F.col("r") <= 50)
+    a = ranked.filter(F.col("source") == "src0").alias("a")
+    b = ranked.filter(F.col("source") == "src1").alias("b")
+    md = (
+        a.join(b, F.col("a.w") == F.col("b.w"))
+        .select(F.greatest(F.col("a.r"), F.col("b.r"))
+                .cast("bigint").alias("d0"))
+    )
+    spine = spark.range(1, 51).select(F.col("id").cast("bigint").alias("d"))
+    ad = (
+        spine.join(F.broadcast(md), F.col("d0") <= F.col("d"), "left")
+        .groupBy("d").agg(F.count("d0").cast("bigint").alias("a_d"))
+    )
+    run = ad.select(
+        "d", "a_d",
+        F.sum(F.pow(F.lit(0.9), F.col("d")) * F.col("a_d") / F.col("d"))
+        .over(Window.orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("acc"),
+    )
+    ncommon = ad.agg(F.max("a_d").cast("bigint").alias("n_common_at_50"))
+    return (
+        run.filter(F.col("d") == 50)
+        .crossJoin(F.broadcast(ncommon))  # 1-row scalar
+        .select("n_common_at_50", F.round((0.1 / 0.9) * F.col("acc"), 6)
+                .alias("rbo"))
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
