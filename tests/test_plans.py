@@ -761,3 +761,16 @@ def test_neyman_single_aggregate_scalar_broadcast(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan, plan[:2000]
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_sql_udf_inlines_to_codegen_no_python_boundary(
+    spark, sf_dir, registry
+):
+    """Spark 4 SQL scalar UDFs must inline into Catalyst: the plan is a
+    codegen aggregate over a plain Project — no BatchEvalPython /
+    ArrowEvalPython stage, which is exactly why this UDF surface is the
+    one to use at 100 TB."""
+    df = registry["sql_udf_price_bands"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Python" not in plan, plan[:2000]
+    assert plans.uses_whole_stage_codegen(df)
