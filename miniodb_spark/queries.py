@@ -6120,6 +6120,42 @@ def sql_udf_price_bands(spark, sf_dir):
     """)
 
 
+@register(
+    "lateral_topn_per_nation",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    doc="correlated LATERAL subquery with per-group ORDER BY/LIMIT: "
+        "top-3 customers by balance per nation, written the way an "
+        "analyst ports it from Postgres/DuckDB. Spark 4 decorrelates "
+        "the lateral into a join + per-key ordered limit (same physical "
+        "shape as the window_row_number_topn formulation — one "
+        "nationkey-partitioned ranking, no per-nation re-scan of "
+        "customer), so the 25x fan-out never replays the fact side. "
+        "Tie-break (balance DESC, name) makes the top-3 total-ordered "
+        "on both engines",
+    tags=("sql-surface",),
+)
+def lateral_topn_per_nation(spark, sf_dir):
+    load(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_lat_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v")
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation_lat_v n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer_lat_v c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
