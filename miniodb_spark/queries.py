@@ -6191,6 +6191,93 @@ def pipe_syntax_pricing(spark, sf_dir):
     """)
 
 
+@register(
+    "token_budget_mix",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(trim(text), '[^ ]+')) AS BIGINT)
+               AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT source, CAST(sum(toks) AS BIGINT) AS src_toks,
+             CAST(floor(sqrt(sum(toks))) AS BIGINT) AS w
+      FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM s),
+    q AS (
+      SELECT source, src_toks, w,
+             CAST((50000 * w) // wsum AS BIGINT) AS quota
+      FROM s, tot),
+    r AS (
+      SELECT d.source, d.toks, q.quota,
+             sum(d.toks) OVER (PARTITION BY d.source
+                               ORDER BY d.h, d.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run
+      FROM d JOIN q ON d.source = q.source)
+    SELECT source, CAST(max(quota) AS BIGINT) AS quota_tokens,
+           CAST(count(*) FILTER (WHERE run <= quota) AS BIGINT)
+             AS kept_docs,
+           CAST(coalesce(sum(toks) FILTER (WHERE run <= quota), 0)
+                AS BIGINT) AS kept_tokens
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="token-budget source mixing: a 50k-token training budget split "
+        "across sources proportional to sqrt(source_tokens) (multinomial "
+        "temperature sampling at T=2 — up-weights small sources), then "
+        "filled per source by deterministic md5-ordered greedy selection "
+        "until the quota. EVERY quantity is integer: weights are "
+        "floor(sqrt(n)) of exact token sums, quotas are integer "
+        "division, and the greedy fill is a per-source window cumsum "
+        "over the hash order — no float ever enters a comparison, so "
+        "both engines keep the identical doc set. Scale: one doc-level "
+        "pass, a source-keyed aggregate, and a source-partitioned "
+        "window (each partition = one source's docs; a skewed source "
+        "shards by hash range in production — same note as "
+        "epoch_shuffle_shards)",
+    tags=("llm", "sampling"),
+)
+def token_budget_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        F.size(F.expr("regexp_extract_all(trim(text), '[^ ]+', 0)"))
+        .cast("bigint").alias("toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    s = d.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("src_toks"),
+        F.floor(F.sqrt(F.sum("toks"))).cast("bigint").alias("w"),
+    )
+    tot = s.agg(F.sum("w").cast("bigint").alias("wsum"))
+    q = (
+        s.crossJoin(F.broadcast(tot))  # 1-row scalar, not a data join
+        .select("source", "src_toks", "w",
+                F.expr("(50000 * w) div wsum")
+                .cast("bigint").alias("quota"))
+    )
+    r = d.join(F.broadcast(q), "source").select(
+        "source", "toks", "quota",
+        F.sum("toks").over(
+            Window.partitionBy("source").orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run"),
+    )
+    kept = F.col("run") <= F.col("quota")
+    return (
+        r.groupBy("source")
+        .agg(F.max("quota").cast("bigint").alias("quota_tokens"),
+             F.sum(F.when(kept, 1).otherwise(0)).cast("bigint")
+             .alias("kept_docs"),
+             F.coalesce(F.sum(F.when(kept, F.col("toks"))), F.lit(0))
+             .cast("bigint").alias("kept_tokens"))
+        .orderBy("source")
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
