@@ -6278,6 +6278,112 @@ def token_budget_mix(spark, sf_dir):
     )
 
 
+@register(
+    "kruskal_wallis_test",
+    """
+    WITH s AS (
+      SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT g,
+             CAST(2 * rank() OVER (ORDER BY value)
+                  + count(*) OVER (PARTITION BY value) - 1 AS BIGINT)
+               AS mr2
+      FROM s),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mr2) AS BIGINT) AS r2
+      FROM r GROUP BY 1),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY value)),
+    p AS (
+      SELECT
+        max(CASE WHEN g = 'click' THEN n END) AS n1,
+        max(CASE WHEN g = 'click' THEN r2 END) AS r21,
+        max(CASE WHEN g = 'error' THEN n END) AS n2,
+        max(CASE WHEN g = 'error' THEN r2 END) AS r22,
+        max(CASE WHEN g = 'purchase' THEN n END) AS n3,
+        max(CASE WHEN g = 'purchase' THEN r2 END) AS r23,
+        max(CASE WHEN g = 'signup' THEN n END) AS n4,
+        max(CASE WHEN g = 'signup' THEN r2 END) AS r24,
+        max(CASE WHEN g = 'view' THEN n END) AS n5,
+        max(CASE WHEN g = 'view' THEN r2 END) AS r25
+      FROM agg),
+    m AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+             (r21 * 1.0 * r21 / (4.0 * n1)
+              + r22 * 1.0 * r22 / (4.0 * n2)
+              + r23 * 1.0 * r23 / (4.0 * n3)
+              + r24 * 1.0 * r24 / (4.0 * n4)
+              + r25 * 1.0 * r25 / (4.0 * n5)) AS sq,
+             tsum
+      FROM p, ties)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+           round((12.0 / (nn * (nn + 1.0)) * sq - 3.0 * (nn + 1))
+                 / (1.0 - tsum * 1.0 / (nn * 1.0 * nn * nn - nn)), 6)
+             AS h_stat
+    FROM m
+    """,
+    doc="Kruskal-Wallis H test of event value across the 5 event types "
+        "(the k-sample extension of mann_whitney_u; rank-based, so it "
+        "needs no normality assumption). Doubled midranks and tie "
+        "corrections are exact BIGINTs; the cross-group reduction reuses "
+        "the anova pivot so H comes from a fixed-order expression tree "
+        "over exact integers — identical doubles on both engines, "
+        "round-6 guarded. Same rank-window scale story as "
+        "mann_whitney_u/spearman (per-value count table + prefix-sum "
+        "ranking at extreme cardinality)",
+    tags=("statistics",),
+)
+def kruskal_wallis_test(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), "value")
+    mr2 = (2 * F.rank().over(Window.orderBy("value"))
+           + F.count("*").over(Window.partitionBy("value")) - 1)
+    r = s.select("g", mr2.cast("bigint").alias("mr2"))
+    agg = r.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mr2").cast("bigint").alias("r2"),
+    )
+    ties = (
+        s.groupBy("value").agg(F.count("*").cast("bigint").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+             .cast("bigint").alias("tsum"))
+    )
+    groups = ["click", "error", "purchase", "signup", "view"]
+    cols = []
+    for i, g in enumerate(groups):
+        cols.append(F.max(F.when(F.col("g") == g, F.col("n")))
+                    .alias(f"n{i + 1}"))
+        cols.append(F.max(F.when(F.col("g") == g, F.col("r2")))
+                    .alias(f"r2{i + 1}"))
+    p = agg.agg(*cols)
+    sq = (F.col("r21") * 1.0 * F.col("r21") / (4.0 * F.col("n1"))
+          + F.col("r22") * 1.0 * F.col("r22") / (4.0 * F.col("n2"))
+          + F.col("r23") * 1.0 * F.col("r23") / (4.0 * F.col("n3"))
+          + F.col("r24") * 1.0 * F.col("r24") / (4.0 * F.col("n4"))
+          + F.col("r25") * 1.0 * F.col("r25") / (4.0 * F.col("n5")))
+    nn = (F.col("n1") + F.col("n2") + F.col("n3")
+          + F.col("n4") + F.col("n5"))
+    m = (
+        p.crossJoin(F.broadcast(ties))  # 1-row scalar, not a data join
+        .select(nn.alias("nn"), sq.alias("sq"), "tsum")
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.round(
+            (12.0 / (F.col("nn") * (F.col("nn") + 1.0)) * F.col("sq")
+             - 3.0 * (F.col("nn") + 1))
+            / (1.0 - F.col("tsum") * 1.0
+               / (F.col("nn") * 1.0 * F.col("nn") * F.col("nn")
+                  - F.col("nn"))), 6).alias("h_stat"),
+    )
+
+
 # The external correctness driver samples the registry in iteration order
 # (it checks exactly the first 50 entries). Ordering policy, round by
 # round: every entry that has never had a green driver row goes inside the
