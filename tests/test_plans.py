@@ -774,3 +774,42 @@ def test_sql_udf_inlines_to_codegen_no_python_boundary(
     plan = plans.simple_plan(df)
     assert "Python" not in plan, plan[:2000]
     assert plans.uses_whole_stage_codegen(df)
+
+
+def test_lateral_decorrelates_to_window_group_limit(
+    spark, sf_dir, registry
+):
+    """The correlated LATERAL (per-nation ORDER BY/LIMIT subquery) must
+    decorrelate into the window top-n shape — WindowGroupLimit (partial
+    per-key top-k before the shuffle) + a broadcast dim join — never a
+    per-outer-row re-scan (nested loop) of customer."""
+    df = registry["lateral_topn_per_nation"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    kinds = plans.join_kinds(df)
+    assert kinds["broadcast_hash"] >= 1, kinds
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pipe_syntax_compiles_to_standard_plan(spark, sf_dir, registry):
+    """|> pipe SQL is parser-level only: the ship-date filter must still
+    reach the parquet scan as a pushed filter and the aggregate must be
+    the usual codegen partial+final pair."""
+    df = registry["pipe_syntax_pricing"].fn(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert plans.uses_whole_stage_codegen(df)
+    assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
+
+
+def test_token_budget_mix_integer_only_membership(spark, sf_dir, registry):
+    """The greedy quota fill must be a source-partitioned window over
+    integer token counts — one window, no cartesian, quota table
+    broadcast."""
+    df = registry["token_budget_mix"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
