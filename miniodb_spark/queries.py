@@ -6415,6 +6415,10 @@ _PRIORITY_ORDER = [
     # r9 additions (skyline..ks_drift) — then staleness order (last-
     # graded round ascending). Regenerated per round from the
     # CORRECTNESS_r*.json history; see round-9 verdict task 1.
+    # Round 11+: run `python tools/gen_priority_order.py --write` once
+    # the round's CORRECTNESS file lands — it recomputes never-graded-
+    # first + staleness order from the full history (mid-round
+    # additions not listed here append after the window automatically).
     "gap_fill_daily_counts", "zipf_slope_top_tokens", "user_event_entropy",
     "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
     "top_decile_revenue_share", "out_of_order_rate",
