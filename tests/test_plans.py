@@ -813,3 +813,17 @@ def test_token_budget_mix_integer_only_membership(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan, plan[:2000]
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_attribution_range_join_keeps_user_equi_key(
+    spark, sf_dir, registry
+):
+    """The 7-day touch lookback must join on the user equi-key with the
+    time bounds as residual conditions — never a cartesian or a pure
+    inequality (nested-loop) join; the per-purchase fan-in window runs
+    on the joined result, not on raw events."""
+    df = registry["linear_attribution_by_type"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
