@@ -933,6 +933,37 @@ def register_queries(register) -> None:
                                      "ivfpq_recall_ok boolean")
 
     @register(
+        "filtered_ann_recall",
+        "SELECT true AS filtered_ann_ok",
+        doc="FILTERED vector search (ANN under a metadata predicate — the "
+            "case real vector stores struggle with): top-10 by cosine "
+            "among label=3 vectors only, via PRE-filtering — the "
+            "predicate is applied to the cell-assigned serving table "
+            "before ranking, against ONE shared IVF index fit on the "
+            "full corpus (no per-predicate index). Recall@10 >= 0.4 vs "
+            "the exact filtered brute force (measured 0.5-0.6 across "
+            "fixtures at nprobe=6; post-filtering — rank first, filter "
+            "after — would silently return < k rows on selective "
+            "predicates, which is why the pre-filter order matters). "
+            "At scale the predicate prunes the same (id, cell, code) "
+            "partitions the unfiltered path reads",
+        tags=("llm", "capability"),
+    )
+    def filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x)
+              for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        rest = emb.filter(F.col("vec_id") != 0)
+        filt = rest.filter(F.col("label") == 3)  # pre-filter, shared index
+        index = IVFIndex(n_cells=16).fit(rest)
+        exact = {r["vec_id"] for r in cosine_topk(filt, qv, 10).collect()}
+        approx = {r["vec_id"]
+                  for r in ivf_topk(filt, index, qv, 10, nprobe=6).collect()}
+        recall = len(exact & approx) / max(1, len(exact))
+        return spark.createDataFrame([(recall >= 0.4,)],
+                                     "filtered_ann_ok boolean")
+
+    @register(
         "embedding_near_dup",
         "SELECT true AS near_dup_ok",
         doc="embedding near-dup structural self-check: the LSH-bucketed pair set "
