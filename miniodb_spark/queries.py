@@ -6529,73 +6529,45 @@ def linear_attribution_by_type(spark, sf_dir):
 # driver-green first — so no entry's most recent driver grade ages past
 # two rounds; the freshest greens sit at the tail, where
 # tests/test_oracle_parity.py keeps pinning them each CI run.
-# Round 9 window = the 19 entries added mid-round-8 (never
-# driver-graded), then the 24 entries last driver-green in round 6
-# (longest-ungraded), then 7 round-7 greens as backfill — exactly 50.
-# After CORRECTNESS_r09 no entry's last driver grade is older than
-# round 7. Round-10 window: the 48 round-9 additions (TPC-H suite —
-# now the full 22 shapes incl. Q2/Q11/Q12/Q13/Q21 — analytics batch,
-# containment/out-of-order, recursive EWMA, VARIANT, autocorr/weekday,
-# higher-order/null-safe, interpolation, native session_window, native
-# HLL sketch columns, iterative PageRank, weighted sampling, skyline,
-# winsorized stats — never driver-graded; the listed ones sit
-# immediately after position 50 below, the late additions
-# skyline_parts / winsorized_value_stats / gini_totalprice_by_priority /
-# benford_first_digit / chi2_priority_status / longest_daily_streak /
-# rrf_fused_selection / ks_drift_event_types at the registration tail)
-# lead, backfilled with 2 of the remaining
-# round-7 greens; the rest follow in staleness order and the 50
-# round-8 greens sit at the tail (freshest).
+# Round-11 window (generated by tools/gen_priority_order.py from the
+# CORRECTNESS_r01..r10 history): the 37 entries that have never had a
+# driver-graded row — the 20 round-10 second-session additions
+# (recursive_month_spine … filtered_ann_recall), the round-10 batch-1/2
+# analytics entries, and the registration-tail stragglers
+# (skyline_parts … audio_pcm_features) — plus the 13 stalest greens
+# (last driver-graded round 8) as backfill — exactly 50. The rest
+# follow in staleness order; the round-10-graded entries sit at the
+# tail (freshest), where tests/test_oracle_parity.py keeps pinning
+# them each CI run.
 _PRIORITY_ORDER = [
-    # Round-10 window (first 50): every entry the driver has NEVER
-    # graded — the 40 round-9 additions (TPC-H completions, PageRank,
-    # interpolation, session_window, analytics batch) plus the 8 late
-    # r9 additions (skyline..ks_drift) — then staleness order (last-
-    # graded round ascending). Regenerated per round from the
-    # CORRECTNESS_r*.json history; see round-9 verdict task 1.
-    # Round 11+: run `python tools/gen_priority_order.py --write` once
-    # the round's CORRECTNESS file lands — it recomputes never-graded-
-    # first + staleness order from the full history (mid-round
-    # additions not listed here append after the window automatically).
-    "gap_fill_daily_counts", "zipf_slope_top_tokens", "user_event_entropy",
-    "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
-    "top_decile_revenue_share", "out_of_order_rate",
-    "dedup_containment_pairs", "ewma_recursive_daily",
-    "variant_props_stats", "value_autocorr_by_type", "weekday_profile",
-    "higher_order_array_funcs", "null_safe_join_counts",
-    "q4_priority_exists", "q5_local_supplier_volume", "q7_volume_shipping",
-    "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_variety",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_brackets", "q20_promo_part_suppliers",
-    "q22_idle_high_balance", "q2_min_cost_supplier", "q11_important_parts",
-    "q12_late_priority_lines", "q13_customer_distribution",
-    "q21_waiting_suppliers", "interpolate_hourly_values",
-    "session_window_stats", "hll_sketch_columns_mergeable",
-    "pagerank_bipartite_topk", "hll_intersection_within_bound",
-    "weighted_sample_topk", "skyline_parts", "winsorized_value_stats",
-    "gini_totalprice_by_priority", "benford_first_digit",
-    "chi2_priority_status", "longest_daily_streak", "rrf_fused_selection",
-    "ks_drift_event_types",
-    # last driver-graded in round 7
-    "image_jpeg_roundtrip", "audio_pcm_features", "semantic_dedup",
-    "temperature_source_mix", "stratified_split_counts",
-    "embedding_outliers", "sequence_packing", "dedup_incremental",
-    "embedding_quantize_int8", "training_pipeline_e2e", "derived_table",
-    "agg_global", "agg_group_having", "agg_count_distinct",
-    "filter_in_between_like", "join_inner_agg", "join_left_count",
-    "sort_limit_topk", "subquery_in", "q6_forecast_revenue",
-    "date_trunc_month", "agg_rollup", "having_on_avg", "ilike_filter",
-    "agg_cube", "string_funcs", "date_parts_interval", "distinct_values",
-    "join_right", "join_full_outer", "join_cross", "join_semi",
-    "join_anti", "limit_offset", "subquery_scalar", "null_handling",
-    "set_union_all", "set_intersect_except", "string_agg_sorted",
-    "regexp_ops", "pivot_status_by_priority", "dedup_exact_groups",
-    "doc_chunking",
-    # last driver-graded in round 8
-    "knn_batch_join", "dedup_bloom_prefilter", "image_phash_near_dup",
-    "epoch_shuffle_shards", "audio_dominant_freq",
-    "bigram_logprob_quality", "quality_classifier_auc",
+    "snapshot_diff_users", "monolingual_source_audit", "histogram_equi_depth",
+    "label_class_weights", "market_basket_lift", "join_key_skew_audit",
+    "welch_t_test", "anomaly_days_zscore", "referential_integrity_audit",
+    "two_proportion_ztest", "column_profile_orders",
+    "funnel_latency_percentiles", "mutual_information_priority_status",
+    "seasonal_naive_mase", "theil_sen_monthly_trend",
+    "bootstrap_ci_daily_revenue", "recursive_month_spine", "mann_whitney_u",
+    "sliding_window_counts", "brand_itemset3_support", "ntile_decile_stats",
+    "neyman_allocation_quotas", "anova_oneway_priority", "spearman_rank_corr",
+    "cusum_changepoint", "readability_by_source", "brown_forsythe_test",
+    "rbo_top_tokens_drift", "sql_udf_price_bands", "lateral_topn_per_nation",
+    "pipe_syntax_pricing", "token_budget_mix", "kruskal_wallis_test",
+    "pk_uniqueness_audit", "linear_attribution_by_type",
+    "filtered_ann_recall", "mmr_diversified_topk", "semantic_dedup",
+    "temperature_source_mix", "stratified_split_counts", "embedding_outliers",
+    "sequence_packing", "dedup_incremental", "embedding_quantize_int8",
+    "training_pipeline_e2e", "derived_table", "agg_global",
+    "agg_group_having", "agg_count_distinct", "filter_in_between_like",
+    "join_inner_agg", "join_left_count", "sort_limit_topk", "subquery_in",
+    "q6_forecast_revenue", "date_trunc_month", "agg_rollup", "having_on_avg",
+    "ilike_filter", "agg_cube", "string_funcs", "date_parts_interval",
+    "distinct_values", "join_right", "join_full_outer", "join_cross",
+    "join_semi", "join_anti", "limit_offset", "subquery_scalar",
+    "null_handling", "set_union_all", "set_intersect_except",
+    "string_agg_sorted", "regexp_ops", "pivot_status_by_priority",
+    "dedup_exact_groups", "doc_chunking", "knn_batch_join",
+    "dedup_bloom_prefilter", "image_phash_near_dup", "epoch_shuffle_shards",
+    "audio_dominant_freq", "bigram_logprob_quality", "quality_classifier_auc",
     "contrastive_pair_mining", "image_near_dup_hamming",
     "winnow_fingerprints", "dedup_prefix_filter_jaccard",
     "char_entropy_quality", "mg_heavy_hitters_within_bound",
@@ -6606,33 +6578,50 @@ _PRIORITY_ORDER = [
     "q1_pricing_summary", "q3_shipping_priority", "join_multiway_region",
     "cte_revenue", "dedup_minhash_lsh", "embedding_pq_recall",
     "asof_join_events", "range_join_events", "hll_registry_within_bound",
-    "cms_freq_within_bound", "window_row_number_topn",
-    "window_running_sum", "window_lag_lead", "window_moving_avg",
-    "window_rank_dist", "window_first_last", "sessionize_30min",
-    "tumbling_window_counts", "json_extract_props", "json_flatten_typed",
-    "grouped_zscore", "percentiles_stddev", "approx_distinct_within_bound",
+    "cms_freq_within_bound", "window_row_number_topn", "window_running_sum",
+    "window_lag_lead", "window_moving_avg", "window_rank_dist",
+    "window_first_last", "sessionize_30min", "tumbling_window_counts",
+    "json_extract_props", "json_flatten_typed", "grouped_zscore",
+    "percentiles_stddev", "approx_distinct_within_bound",
     "approx_percentile_within_bound", "dedup_char_ngram_capped",
-    "dedup_char_ngram_jaccard",
-    # last driver-graded in round 9
-    "boilerplate_ngrams", "corr_covar_stats", "window_range_frame",
-    "funnel_conversion", "retention_cohorts", "ngram_novelty",
-    "median_by_type", "filter_clause_agg", "rolling_7d_active_users",
-    "cumulative_distinct_users", "event_transition_matrix",
-    "histogram_equi_width", "revenue_share_by_nation",
-    "unpivot_part_metrics", "levenshtein_blocked_pairs",
-    "pmi_collocations", "kl_divergence_sources", "vocab_jaccard_sources",
-    "dup_cluster_size_dist", "dedup_simhash", "embedding_near_dup",
-    "dedup_token_jaccard_capped", "multimodal_features",
+    "dedup_char_ngram_jaccard", "boilerplate_ngrams", "corr_covar_stats",
+    "window_range_frame", "funnel_conversion", "retention_cohorts",
+    "ngram_novelty", "median_by_type", "filter_clause_agg",
+    "rolling_7d_active_users", "cumulative_distinct_users",
+    "event_transition_matrix", "histogram_equi_width",
+    "revenue_share_by_nation", "unpivot_part_metrics",
+    "levenshtein_blocked_pairs", "pmi_collocations", "kl_divergence_sources",
+    "vocab_jaccard_sources", "dup_cluster_size_dist", "dedup_simhash",
+    "embedding_near_dup", "dedup_token_jaccard_capped", "multimodal_features",
     "dedup_corpus_survivors", "subquery_correlated_scalar",
     "order_nulls_last", "text_stats_by_lang", "token_counts",
     "token_counts_bpe", "doc_fingerprint", "quality_scores", "pii_detect",
     "unigram_logprob_quality", "benchmark_contamination", "text_normalize",
     "audio_wav_metadata", "image_png_metadata", "media_sniff_dispatch",
     "subquery_not_exists", "source_quota_sample", "embedding_ann_recall",
-    "embedding_ivf_recall", "multimodal_payload_stats",
-    "image_pixel_stats", "ivfpq_topk", "image_gif_pixel_stats",
-    "gopher_quality_filter", "repetition_fractions", "substring_dup_spans",
-    "bpe_train_merges",
+    "embedding_ivf_recall", "multimodal_payload_stats", "image_pixel_stats",
+    "ivfpq_topk", "image_gif_pixel_stats", "gopher_quality_filter",
+    "repetition_fractions", "substring_dup_spans", "bpe_train_merges",
+    "gap_fill_daily_counts", "zipf_slope_top_tokens", "user_event_entropy",
+    "iqr_outlier_fences", "cross_source_dup_audit", "mom_revenue_growth",
+    "top_decile_revenue_share", "out_of_order_rate",
+    "dedup_containment_pairs", "ewma_recursive_daily", "variant_props_stats",
+    "value_autocorr_by_type", "weekday_profile", "higher_order_array_funcs",
+    "null_safe_join_counts", "q4_priority_exists", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
+    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_brackets",
+    "q20_promo_part_suppliers", "q22_idle_high_balance",
+    "q2_min_cost_supplier", "q11_important_parts", "q12_late_priority_lines",
+    "q13_customer_distribution", "q21_waiting_suppliers",
+    "interpolate_hourly_values", "session_window_stats",
+    "hll_sketch_columns_mergeable", "pagerank_bipartite_topk",
+    "hll_intersection_within_bound", "weighted_sample_topk", "skyline_parts",
+    "winsorized_value_stats", "gini_totalprice_by_priority",
+    "benford_first_digit", "chi2_priority_status", "longest_daily_streak",
+    "rrf_fused_selection", "ks_drift_event_types", "image_jpeg_roundtrip",
+    "audio_pcm_features",
 ]
 
 
