@@ -101,6 +101,31 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in simple_plan(df)
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window operators with an EMPTY partition spec — the ones Spark
+    executes as a single task over their whole input ("No Partition
+    Defined for Window operation" warning). In plan text a Window line
+    carries bracket groups `[exprs], [partitionSpec], [orderSpec]`;
+    when the partition spec is empty the middle group is omitted, so
+    an empty-spec Window has exactly two top-level groups."""
+    out = []
+    for line in simple_plan(df).splitlines():
+        m = re.search(r"\bWindow(?:GroupLimit)?\s+(\[.*)$", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        groups, depth = 0, 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups <= 2:
+            out.append(line.strip())
+    return out
+
+
 def uses_whole_stage_codegen(df: DataFrame) -> bool:
     # with AQE the pre-execution plan string hides codegen stages; the
     # "codegen" explain mode compiles them without executing

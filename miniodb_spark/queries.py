@@ -5335,14 +5335,16 @@ def recursive_month_spine(spark, sf_dir):
         "2*rank + tiecount - 1 are BIGINTs, so the rank sum is "
         "order-independent at any parallelism and both engines derive "
         "identical doubles for U, z and the rank-biserial effect size "
-        "(round-6 guard on top). The only ordered relation is the "
-        "combined sample's rank window; its scale path is the per-value "
-        "count table + prefix-sum ranking (values quantize to a bounded "
-        "domain in production telemetry), same shape as ks_drift's ECDF",
+        "(round-6 guard on top). Fully distributed: the fact table "
+        "collapses to a per-value count table (one map-side-combinable "
+        "shuffle) carrying the group-1 count per value; doubled midranks "
+        "come from operators/ranks.py's bucketed prefix sum (no "
+        "single-task window), and U = f(sum(n1v * mr2)) reduces on the "
+        "domain table — ranks are never joined back to fact rows",
     tags=("statistics",),
 )
 def mann_whitney_u(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.ranks import doubled_midranks
 
     ev = load(spark, sf_dir, "events")
     s = (
@@ -5352,23 +5354,21 @@ def mann_whitney_u(spark, sf_dir):
                 F.when(F.col("event_type") == "click", 1).otherwise(2)
                 .alias("grp"))
     )
-    mr2 = (2 * F.rank().over(Window.orderBy("value"))
-           + F.count("*").over(Window.partitionBy("value")) - 1)
-    r = s.select("grp", mr2.alias("mr2"))
-    agg = r.agg(
+    pv = s.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("t"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint")
-        .alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("bigint")
-        .alias("n2"),
-        F.sum(F.when(F.col("grp") == 1, F.col("mr2")).otherwise(0))
-        .cast("bigint").alias("r1x2"),
+        .alias("n1v"),
     )
-    ties = (
-        s.groupBy("value").agg(F.count("*").cast("bigint").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-             .cast("bigint").alias("tsum"))
+    mr = doubled_midranks(pv, "value", "t")
+    agg = mr.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("n1v")).cast("bigint").alias("n2"),
+        # rank sum over group-1 rows = sum over values of n1v * mr2
+        F.sum(F.col("n1v") * F.col("mr2")).cast("bigint").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tsum"),
     )
-    u = agg.crossJoin(F.broadcast(ties)).select(  # 1-row stats, not data
+    u = agg.select(
         "n1", "n2",
         ((2 * F.col("n1") * F.col("n2")
           + F.col("n1") * (F.col("n1") + 1) - F.col("r1x2")) / 2.0)
@@ -5719,13 +5719,16 @@ def anova_oneway_priority(spark, sf_dir):
         "BIGINTs and every moment is summed in 128-bit/decimal integer "
         "arithmetic (HUGEINT / decimal(38,0)), so the correlation inputs "
         "are EXACT on both engines — no float accumulation anywhere "
-        "before the final division. The two rank windows are the scale "
-        "cost; their distributed path is per-value count tables + "
-        "prefix-sum ranking exactly as mann_whitney_u documents",
+        "before the final division. Fully distributed: facts collapse "
+        "to the (q, p) pair-count table in one shuffle; each axis's "
+        "midranks come from operators/ranks.py's bucketed prefix sum "
+        "over its own marginal count table (no single-task window), "
+        "and the moments reduce as count-weighted sums over the pair "
+        "table — ranks are never joined back to fact rows",
     tags=("statistics",),
 )
 def spearman_rank_corr(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.ranks import doubled_midranks
 
     li = load(spark, sf_dir, "lineitem")
     s = li.filter(
@@ -5733,18 +5736,27 @@ def spearman_rank_corr(spark, sf_dir):
         & F.col("l_extendedprice").isNotNull()
     ).select(F.col("l_quantity").alias("q"),
              F.col("l_extendedprice").alias("p"))
-    x = (2 * F.rank().over(Window.orderBy("q"))
-         + F.count("*").over(Window.partitionBy("q")) - 1)
-    y = (2 * F.rank().over(Window.orderBy("p"))
-         + F.count("*").over(Window.partitionBy("p")) - 1)
-    r = s.select(x.cast("decimal(20,0)").alias("x"),
-                 y.cast("decimal(20,0)").alias("y"))
+    pairs = s.groupBy("q", "p").agg(
+        F.count("*").cast("bigint").alias("c"))
+    qv = pairs.groupBy("q").agg(F.sum("c").cast("bigint").alias("t"))
+    pv = pairs.groupBy("p").agg(F.sum("c").cast("bigint").alias("t"))
+    qm = doubled_midranks(qv, "q", "t").select(
+        "q", F.col("mr2").alias("xm"))
+    pm = doubled_midranks(pv, "p", "t").select(
+        "p", F.col("mr2").alias("ym"))
+    r = (
+        pairs.join(qm, "q").join(pm, "p")
+        .select(F.col("c").cast("decimal(20,0)").alias("c"),
+                F.col("xm").cast("decimal(20,0)").alias("x"),
+                F.col("ym").cast("decimal(20,0)").alias("y"))
+    )
     a = r.agg(
-        F.count("*").cast("decimal(20,0)").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("c").cast("decimal(20,0)").alias("n"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("c") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"),
     )
     return a.select(
         F.col("n").cast("bigint").alias("n"),
@@ -6330,37 +6342,38 @@ def token_budget_mix(spark, sf_dir):
         "corrections are exact BIGINTs; the cross-group reduction reuses "
         "the anova pivot so H comes from a fixed-order expression tree "
         "over exact integers — identical doubles on both engines, "
-        "round-6 guarded. Same rank-window scale story as "
-        "mann_whitney_u/spearman (per-value count table + prefix-sum "
-        "ranking at extreme cardinality)",
+        "round-6 guarded. Fully distributed: facts collapse to a "
+        "per-value count table carrying all 5 per-group counts; "
+        "doubled midranks come from operators/ranks.py's bucketed "
+        "prefix sum (no single-task window), and each group's rank sum "
+        "is sum(n_gv * mr2) over the domain table — ranks are never "
+        "joined back to fact rows, and the tie correction rides the "
+        "same aggregate",
     tags=("statistics",),
 )
 def kruskal_wallis_test(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.ranks import doubled_midranks
 
     ev = load(spark, sf_dir, "events")
     s = ev.filter(F.col("value").isNotNull()).select(
         F.col("event_type").alias("g"), "value")
-    mr2 = (2 * F.rank().over(Window.orderBy("value"))
-           + F.count("*").over(Window.partitionBy("value")) - 1)
-    r = s.select("g", mr2.cast("bigint").alias("mr2"))
-    agg = r.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("mr2").cast("bigint").alias("r2"),
-    )
-    ties = (
-        s.groupBy("value").agg(F.count("*").cast("bigint").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-             .cast("bigint").alias("tsum"))
-    )
     groups = ["click", "error", "purchase", "signup", "view"]
+    pv = s.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("t"),
+        *[F.sum(F.when(F.col("g") == g, 1).otherwise(0)).cast("bigint")
+          .alias(f"c{i + 1}") for i, g in enumerate(groups)],
+    )
+    mr = doubled_midranks(pv, "value", "t")
     cols = []
-    for i, g in enumerate(groups):
-        cols.append(F.max(F.when(F.col("g") == g, F.col("n")))
-                    .alias(f"n{i + 1}"))
-        cols.append(F.max(F.when(F.col("g") == g, F.col("r2")))
-                    .alias(f"r2{i + 1}"))
-    p = agg.agg(*cols)
+    for i in range(1, 6):
+        cols.append(F.sum(F.col(f"c{i}")).cast("bigint").alias(f"n{i}"))
+        # group rank sum = sum over values of (group count at v) * mr2
+        cols.append(F.sum(F.col(f"c{i}") * F.col("mr2")).cast("bigint")
+                    .alias(f"r2{i}"))
+    cols.append(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tsum"))
+    p = mr.agg(*cols)
     sq = (F.col("r21") * 1.0 * F.col("r21") / (4.0 * F.col("n1"))
           + F.col("r22") * 1.0 * F.col("r22") / (4.0 * F.col("n2"))
           + F.col("r23") * 1.0 * F.col("r23") / (4.0 * F.col("n3"))
@@ -6368,10 +6381,7 @@ def kruskal_wallis_test(spark, sf_dir):
           + F.col("r25") * 1.0 * F.col("r25") / (4.0 * F.col("n5")))
     nn = (F.col("n1") + F.col("n2") + F.col("n3")
           + F.col("n4") + F.col("n5"))
-    m = (
-        p.crossJoin(F.broadcast(ties))  # 1-row scalar, not a data join
-        .select(nn.alias("nn"), sq.alias("sq"), "tsum")
-    )
+    m = p.select(nn.alias("nn"), sq.alias("sq"), "tsum")
     return m.select(
         F.col("nn").cast("bigint").alias("n"),
         F.lit(5).cast("bigint").alias("k"),

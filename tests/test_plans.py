@@ -815,6 +815,39 @@ def test_token_budget_mix_integer_only_membership(spark, sf_dir, registry):
     assert kinds["sort_merge"] == 0, kinds
 
 
+@pytest.mark.parametrize(
+    "name", ["mann_whitney_u", "spearman_rank_corr", "kruskal_wallis_test"]
+)
+def test_rank_stats_have_no_unpartitioned_window(
+    spark, sf_dir, registry, name
+):
+    """Round-10 verdict task 1: the rank statistics must never rank via
+    a global-order window (single task over the whole input). The
+    distributed path (operators/ranks.py) buckets the per-value count
+    table by literal range bounds and prefix-sums per bucket, so every
+    Window in these plans has a non-empty partition spec — and the
+    cross-bucket offsets are a CASE over a 1-row broadcast, not a tiny
+    single-task window."""
+    df = registry[name].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:2000]  # the bucketed prefix sum
+    bad = plans.unpartitioned_windows(df)
+    assert not bad, bad
+
+
+def test_unpartitioned_window_detector_not_vacuous(spark):
+    """Negative control for the rank-stat gate: the detector must flag
+    a deliberately global-order window and clear a partitioned one."""
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn("v", F.col("id") % 3)
+    bad = df.withColumn("r", F.rank().over(Window.orderBy("v")))
+    good = df.withColumn(
+        "r", F.sum("id").over(Window.partitionBy("v").orderBy("id")))
+    assert plans.unpartitioned_windows(bad)
+    assert not plans.unpartitioned_windows(good)
+
+
 def test_attribution_range_join_keeps_user_equi_key(
     spark, sf_dir, registry
 ):
