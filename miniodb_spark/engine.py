@@ -62,6 +62,21 @@ _CANONICAL = {"bigint": "long", "int": "long", "smallint": "long", "tinyint": "l
               "float": "double"}
 
 
+def _parse_type(t: str) -> T.DataType:
+    """Generation-schema type name → Spark type. The common scalar names
+    hit the map; complex types (array<...>, map<...>, struct<...>,
+    decimal(p,s)) — which the bulk DataFrame-ingest path records via
+    ``simpleString()`` — parse as DDL so they survive the round trip
+    (an embedding column must come back array<double>, not string)."""
+    dt = _TYPE_MAP.get(t)
+    if dt is not None:
+        return dt
+    try:
+        return T.StructType.fromDDL(f"`c` {t}")[0].dataType
+    except Exception:
+        return T.StringType()
+
+
 class QueryResult(NamedTuple):
     """A query's JSON payload plus its truncation flag. Truncation is a
     property of the *result* — it travels with the cache entry, so a
@@ -116,9 +131,9 @@ class Engine:
         # the reference does this through Redis; see kv.py
         from .kv import FileKV, MutationLease, TableVersionStore
 
-        versions = TableVersionStore(
-            FileKV(self.fs, fsmod.join(root, "_meta", "cache_versions"))
-        )
+        self._versions_root = fsmod.join(root, "_meta", "cache_versions")
+        versions = TableVersionStore(FileKV(self.fs, self._versions_root))
+        self.versions = versions
         # cross-driver mutation lease on the shared store root (reference
         # locks (table, id) in Redis with a 30 s TTL before Update/Delete,
         # miniodb_service.go:720-722 + pkg/lock); owner token is random
@@ -476,10 +491,21 @@ class Engine:
         if not cols:
             return None
         fields = [
-            T.StructField(name, _TYPE_MAP.get(typ, T.StringType()), True)
+            T.StructField(name, _parse_type(typ), True)
             for name, typ in cols.items()
         ]
         return T.StructType(fields)
+
+    def index_source(self, table: str):
+        """Staleness-contract handle for derived serving indexes built
+        from ``table`` (see :mod:`miniodb_spark.serving`): pass it as
+        ``source=`` to similarity's ``write_bucketed/write_ivf/
+        write_ivfpq`` so probes can detect post-build mutations via the
+        same per-table nonce the SQL result cache re-checks (reference:
+        query_cache.go:364-397 invalidates per table on every write)."""
+        from .serving import IndexSource
+
+        return IndexSource(self.versions, table, self._versions_root)
 
     def read_persisted(self, table: str) -> DataFrame | None:
         """Persisted parquet: one explicit-schema scan per generation
@@ -502,7 +528,7 @@ class Engine:
                 continue
             struct = T.StructType(
                 [
-                    T.StructField(c, _TYPE_MAP.get(t, T.StringType()), True)
+                    T.StructField(c, _parse_type(t), True)
                     for c, t in gcols.items()
                 ]
                 + [T.StructField("dt", T.StringType(), True)]
@@ -516,9 +542,9 @@ class Engine:
                 df = df.filter(~F.col("dt").isin(dts))
             cols = [
                 (
-                    F.col(c).cast(_TYPE_MAP.get(ct, T.StringType()))
+                    F.col(c).cast(_parse_type(ct))
                     if c in gcols
-                    else F.lit(None).cast(_TYPE_MAP.get(ct, T.StringType()))
+                    else F.lit(None).cast(_parse_type(ct))
                 ).alias(c)
                 for c, ct in cum.items()
             ]

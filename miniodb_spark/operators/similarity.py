@@ -103,24 +103,40 @@ def ann_topk(
 
 
 def write_bucketed(df: DataFrame, path: str, vec_col: str = "embedding",
-                   bits: int = 8, seed: int = 42) -> None:
+                   bits: int = 8, seed: int = 42, source=None) -> None:
     """Materialize the LSH-bucketed table partitioned by bucket — the
     100 TB storage layout for ANN serving: the bucket expression is
     deterministic, so probes against the written table filter on
     ``lsh_bucket`` and Spark prunes to the probed partition directories
     (no full scan; proven by
-    ``test_similarity_scale.py::test_probe_is_partition_pruned``)."""
+    ``test_similarity_scale.py::test_probe_is_partition_pruned``).
+
+    ``source`` (an :class:`miniodb_spark.serving.IndexSource`, from
+    ``engine.index_source(table)``) stamps the staleness sidecar: the
+    base table's nonce is snapshotted BEFORE the build so a racing
+    mutation makes the index stale, never silently fresh."""
+    ver = source.current() if source is not None else None
     lsh_bucketize(df, vec_col, bits, seed).write.mode("overwrite").partitionBy(
         "lsh_bucket"
     ).parquet(path)
+    if source is not None:
+        from ..serving import stamp_index
+
+        stamp_index(df.sparkSession, path, source, ver)
 
 
 def probe_bucketed(spark: SparkSession, path: str, query_vec: list[float],
                    k: int = 10, vec_col: str = "embedding",
                    id_col: str = "vec_id", bits: int = 8, seed: int = 42,
-                   probe_hamming: int = 1) -> DataFrame:
+                   probe_hamming: int = 1,
+                   on_stale: str = "raise") -> DataFrame:
     """ANN top-k against a :func:`write_bucketed` table. The bucket
-    filter is a partition filter → partition-pruned scan."""
+    filter is a partition filter → partition-pruned scan. Enforces the
+    staleness contract first (stamped indexes raise — or warn, per
+    ``on_stale`` — when the base table mutated after the build)."""
+    from ..serving import check_index
+
+    check_index(spark, path, on_stale)
     dim = len(query_vec)
     planes = hyperplanes(dim, bits, seed)
     qbits = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0)
@@ -228,22 +244,32 @@ def ivf_topk(
 
 
 def write_ivf(df: DataFrame, index: "IVFIndex", path: str,
-              vec_col: str = "embedding") -> None:
+              vec_col: str = "embedding", source=None) -> None:
     """Materialize the IVF-assigned table partitioned by cell — same
     serving trick as :func:`write_bucketed`: the assignment is
     deterministic given the trained centroids, so probes against the
-    written table prune to the nprobe cell directories."""
+    written table prune to the nprobe cell directories. ``source``
+    stamps the staleness sidecar (nonce snapshotted pre-build)."""
+    ver = source.current() if source is not None else None
     index.assign_cells(df, vec_col).write.mode("overwrite").partitionBy(
         "ivf_cell"
     ).parquet(path)
+    if source is not None:
+        from ..serving import stamp_index
+
+        stamp_index(df.sparkSession, path, source, ver)
 
 
 def probe_ivf(spark: SparkSession, path: str, index: "IVFIndex",
               query_vec: list[float], k: int = 10,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              nprobe: int = 4) -> DataFrame:
+              nprobe: int = 4, on_stale: str = "raise") -> DataFrame:
     """ANN top-k against a :func:`write_ivf` table; the cell filter is a
-    partition filter → partition-pruned scan."""
+    partition filter → partition-pruned scan. Enforces the staleness
+    contract first."""
+    from ..serving import check_index
+
+    check_index(spark, path, on_stale)
     cells = index.query_cells(query_vec, nprobe)
     df = spark.read.parquet(path).filter(F.col("ivf_cell").isin(cells))
     return cosine_topk(df, query_vec, k, vec_col, id_col)
@@ -790,21 +816,32 @@ def ivfpq_rerank_topk(
 
 
 def write_ivfpq(df: DataFrame, index: IVFPQIndex, path: str,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                source=None) -> None:
     """Materialize the IVFPQ serving copy: ONLY (id, cell, code) —
     no float vectors — partitioned by cell. At 64-dim float32 this is
     ~21× smaller than the embedding table; probes prune to nprobe
-    directories of it."""
+    directories of it. ``source`` stamps the staleness sidecar (nonce
+    snapshotted pre-build)."""
+    ver = source.current() if source is not None else None
     index.encode(df, vec_col).select(id_col, "ivf_cell", "pq_code").write.mode(
         "overwrite"
     ).partitionBy("ivf_cell").parquet(path)
+    if source is not None:
+        from ..serving import stamp_index
+
+        stamp_index(df.sparkSession, path, source, ver)
 
 
 def probe_ivfpq(spark: SparkSession, path: str, index: IVFPQIndex,
                 query_vec: list[float], k: int = 10, id_col: str = "vec_id",
-                nprobe: int = 4) -> DataFrame:
+                nprobe: int = 4, on_stale: str = "raise") -> DataFrame:
     """ADC top-k against a :func:`write_ivfpq` table; the cell filter is
-    a partition filter → directory-pruned scan of codes only."""
+    a partition filter → directory-pruned scan of codes only. Enforces
+    the staleness contract first."""
+    from ..serving import check_index
+
+    check_index(spark, path, on_stale)
     return ivfpq_topk(spark.read.parquet(path), index, query_vec, k,
                       id_col, nprobe)
 

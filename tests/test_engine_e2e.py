@@ -209,3 +209,26 @@ def test_unflushed_rows_visible_after_restart_without_write(spark, tmp_path):
     eng2 = Engine(spark, root)
     rows = json.loads(eng2.query("SELECT id FROM t ORDER BY id"))
     assert [r["id"] for r in rows] == ["acked_unflushed", "flushed"]
+
+
+def test_complex_types_survive_generation_schema_roundtrip(engine, spark):
+    """Bulk DataFrame ingest records generation-schema type names via
+    simpleString(); the explicit-schema read must parse complex names
+    (array<double>, struct<...>, decimal(p,s)) back to real types — an
+    embedding column that comes back as string breaks every derived
+    serving index (found by the round-11 staleness-contract tests)."""
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0], {"k": 1}, ts)],
+        "id string, emb array<double>, props struct<k:long>, "
+        "timestamp timestamp",
+    )
+    engine.ingest_dataframe("cx", df)
+    out = engine.read_persisted("cx")
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got["emb"] == "array<double>", got
+    assert got["props"] == "struct<k:bigint>", got
+    row = out.select("emb", "props").first()
+    assert row["emb"] == [1.0, 2.0] and row["props"]["k"] == 1
