@@ -273,13 +273,31 @@ class Catalog:
     def commit_rewrite(
         self, name: str, columns: dict[str, str],
         superseded: list[tuple[int, str]],
+        expected_gen: int | None = None,
     ) -> int:
         """Atomic commit of a rewrite: append the survivors' generation
         (always a NEW generation — its directory was invisible until this
         write) and exclude the superseded ``(gen, dt)`` partitions from
-        reads. Returns the new generation index."""
+        reads. Returns the new generation index.
+
+        The commit mutates the *on-disk* state, not a possibly-stale
+        in-memory snapshot: it re-reads the catalog file first
+        (refresh_if_changed), then applies the append+exclusions on top.
+        ``expected_gen`` is the generation index the rewrite wrote its
+        survivor directory under (next_generation_index at reserve
+        time); if the refreshed generation list no longer lines up —
+        another driver committed while our lease was stolen — the commit
+        raises instead of registering our schema under an index whose
+        directory holds someone else's data (lost-write prevention; the
+        orphan survivor dir stays unreferenced and harmless)."""
         with self._lock:
+            self.refresh_if_changed(name)
             gens = self._generations.setdefault(name, [])
+            if expected_gen is not None and len(gens) != expected_gen:
+                raise RuntimeError(
+                    f"stale rewrite commit for {name!r}: reserved gen="
+                    f"{expected_gen} but catalog now has {len(gens)} "
+                    "generations (concurrent commit — lease lost?)")
             gens.append(dict(columns))
             ex = self._excluded.setdefault(name, [])
             for g, d in superseded:

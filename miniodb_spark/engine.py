@@ -787,8 +787,18 @@ class Engine:
         is strictly cleaner and returns the same final state. The
         cross-driver (table, id) lease (reference miniodb_service.go:
         720-722) spans the whole remove→insert window; the nested
-        ``delete`` re-enters it on this thread."""
-        with self.lease.holding(f"{table}/{record_id}"), self._lock:
+        ``delete`` re-enters it on this thread.
+
+        Lock ordering: cross-driver leases are ALWAYS acquired before
+        the process-level ``self._lock``. The nested delete path takes
+        the table's ``#rewrite`` lease, so it is acquired here, up
+        front (re-entrant — delete_rows just bumps the depth). Taking
+        ``self._lock`` first would invert against merge_upsert, which
+        holds ``#rewrite`` while its flush briefly needs ``self._lock``:
+        concurrent update+merge would then stall the merge for the full
+        lease timeout and spuriously fail the update."""
+        with self.lease.holding(f"{table}/{record_id}"), \
+                self.lease.holding(f"{table}/#rewrite"), self._lock:
             removed = self.delete(table, record_id)
             self.write(table, payload, record_id=record_id, timestamp_us=timestamp_us)
         if self.events:

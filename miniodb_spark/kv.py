@@ -243,12 +243,43 @@ class MutationLease:
                 return False
             time.sleep(poll_s)
 
+    def _guard_s(self) -> float:
+        """Safety margin before expiry inside which extend/release refuse
+        to touch the marker. The refresh and release paths are
+        read-compare-then-write/delete, not the reference's atomic Lua
+        check-token-then-DEL (pkg/lock/redis_lock.go:12-18): between our
+        token read and our write, a thief that observed expiry could
+        move the marker aside and create its own — our write would then
+        clobber the thief's marker, yielding two holders. A thief only
+        acts on *expired* payloads, so refusing to write once the stamp
+        is within ``guard`` of expiry closes the race for any clock
+        agreement better than ``guard`` (same NTP assumption the class
+        already documents); a keepalive beats every ttl/3, so a healthy
+        holder sits ~2·ttl/3 from expiry at each beat — never near the
+        ttl/10 guard."""
+        return self.ttl_s / 10.0
+
+    def verify(self, key: str) -> bool:
+        """True iff this (owner, thread) still holds a live, unexpired
+        lease on ``key``. Commit points call this immediately before
+        their atomic metadata write: a rewrite whose lease was stolen
+        mid-job must abort rather than publish over the thief's work
+        (its survivor directory is unreferenced, so aborting is free)."""
+        try:
+            raw = self.kv.fs.read_bytes(self._marker(key))
+            tok, expiry = raw.decode("ascii").rsplit("|", 1)
+            return tok == self._token(key) and time.time() < float(expiry)
+        except Exception:
+            return False
+
     def extend(self, key: str, token: str | None = None) -> bool:
         """Push a held lease's expiry out by another ``ttl_s`` (the
         reference lock's Extend, pkg/lock/lock.go + redis_lock.go PEXPIRE
         path). Call before launching work that may outlast the TTL —
         e.g. a large rewrite job. No-op (False) if the lease was already
-        stolen; the subsequent release is then also a no-op, so a stolen
+        stolen *or is within the steal guard of expiry* (see _guard_s:
+        refreshing a nearly-expired marker could clobber a concurrent
+        thief); the subsequent release is then also a no-op, so a stolen
         lease is never clobbered. ``token`` lets a helper thread extend
         on the holder's behalf (tokens are per (owner, thread), so the
         keepalive daemon must present the acquiring thread's token, not
@@ -257,8 +288,11 @@ class MutationLease:
         token = token if token is not None else self._token(key)
         try:
             raw = self.kv.fs.read_bytes(marker)
-            if raw.decode("ascii").rsplit("|", 1)[0] != token:
+            cur_tok, expiry = raw.decode("ascii").rsplit("|", 1)
+            if cur_tok != token:
                 return False
+            if time.time() > float(expiry) - self._guard_s():
+                return False  # too close to expiry: a thief may be mid-steal
         except Exception:
             return False
         # write-temp+replace keeps the refresh atomic for readers; only
@@ -310,7 +344,13 @@ class MutationLease:
         marker = self._marker(key)
         try:
             raw = self.kv.fs.read_bytes(marker)
-            if raw.decode("ascii").rsplit("|", 1)[0] == self._token(key):
+            tok, expiry = raw.decode("ascii").rsplit("|", 1)
+            # same steal-guard as extend(): deleting a marker that is
+            # within the guard of expiry could remove a thief's fresh
+            # marker created between our read and our delete. Inside the
+            # guard we simply leave it — it ages out within guard seconds
+            # and the next acquirer steals it, identical to Redis expiry.
+            if tok == self._token(key) and time.time() < float(expiry) - self._guard_s():
                 self.kv.fs.remove_file(marker)
         except Exception:
             pass  # already stolen/expired — never delete another's lock

@@ -83,7 +83,14 @@ def delete_rows(
     snapshot is re-derived from the refreshed catalog before counting."""
     assert (delete_predicate is None) != (match_keys is None), \
         "exactly one of delete_predicate / match_keys"
-    with engine.lease.holding(f"{table}/#rewrite"), engine._flush_lock(table):
+    # keepalive starts the moment the lease is held, BEFORE the first
+    # Spark job (the matched-count collect below is itself a full scan
+    # that can outlast the 30 s TTL at 100 TB) — an uncovered gap here
+    # would let a second driver steal the lease mid-snapshot and both
+    # would rewrite
+    with engine.lease.holding(f"{table}/#rewrite"), \
+            engine.lease.keepalive(f"{table}/#rewrite"), \
+            engine._flush_lock(table):
         if engine.catalog.refresh_if_changed(table):
             # another driver committed while we waited: the caller's
             # snapshot (and any pre-filter baked into it) is stale.
@@ -121,23 +128,28 @@ def delete_rows(
         # directories can't accumulate
         gc_superseded(engine, table)
         new_gen = engine.catalog.next_generation_index(table)
-        # a long rewrite job must not outlive the lease TTL mid-commit:
-        # the keepalive daemon re-extends every ttl/3 for the duration
-        # of the write + commit (at 100 TB the rewrite job runs minutes;
-        # the reference lock exposes the same Extend, pkg/lock/lock.go)
-        with engine.lease.keepalive(f"{table}/#rewrite"):
-            # 1. land survivors directly in the unreferenced generation
-            #    dir
-            (
-                survivors.repartition("dt")
-                .write.mode("overwrite")
-                .option("compression", cfg.compression if cfg else "snappy")
-                .partitionBy("dt")
-                .parquet(engine._gen_dir(table, new_gen))
-            )
-            # 2. COMMIT: generation M becomes visible and the old
-            #    partitions invisible in one atomic metadata write
-            engine.catalog.commit_rewrite(table, dict(cum), affected)
+        # 1. land survivors directly in the unreferenced generation dir
+        #    (the keepalive daemon above re-extends every ttl/3 for the
+        #    duration; the reference lock exposes the same Extend,
+        #    pkg/lock/lock.go)
+        (
+            survivors.repartition("dt")
+            .write.mode("overwrite")
+            .option("compression", cfg.compression if cfg else "snappy")
+            .partitionBy("dt")
+            .parquet(engine._gen_dir(table, new_gen))
+        )
+        # 2. COMMIT: generation M becomes visible and the old partitions
+        #    invisible in one atomic metadata write — but only if we
+        #    still own the lease. A stolen lease means another driver may
+        #    have started its own rewrite; publishing over it would lose
+        #    its writes. Aborting is free: gen=M is unreferenced.
+        if not engine.lease.verify(f"{table}/#rewrite"):
+            raise RuntimeError(
+                f"mutation lease on {table!r} lost during rewrite; "
+                "aborting commit (no data was published)")
+        engine.catalog.commit_rewrite(table, dict(cum), affected,
+                                      expected_gen=new_gen)
     # 3. GC the superseded directories (safe to crash here)
     gc_superseded(engine, table)
     return int(deleted)
@@ -175,7 +187,11 @@ def upsert_dataframe(
 
     gate.validate_table_name(table)
     n_batch = batch.count()
-    with engine.lease.holding(f"{table}/#rewrite"):
+    # keepalive from the instant the lease is held: the flush + full
+    # distributed ingest below are exactly the multi-minute jobs that
+    # outlast the TTL at scale, and they must not run on a stolen lease
+    with engine.lease.holding(f"{table}/#rewrite"), \
+            engine.lease.keepalive(f"{table}/#rewrite"):
         engine.catalog.refresh_if_changed(table)
         # buffered rows of batch keys would resurrect on flush: drain the
         # buffer first so every old version is persisted and sweepable
@@ -217,7 +233,9 @@ def collapse_generations(engine, table: str) -> int:
     from . import gate
 
     gate.validate_table_name(table)
-    with engine.lease.holding(f"{table}/#rewrite"), engine._flush_lock(table):
+    with engine.lease.holding(f"{table}/#rewrite"), \
+            engine.lease.keepalive(f"{table}/#rewrite"), \
+            engine._flush_lock(table):
         engine.catalog.refresh_if_changed(table)
         live = [g for g in engine.catalog.gen_schemas(table) if g]
         if len(live) <= 1:
@@ -233,15 +251,20 @@ def collapse_generations(engine, table: str) -> int:
         cfg = engine.catalog.get_table(table)
         gc_superseded(engine, table)
         new_gen = engine.catalog.next_generation_index(table)
-        with engine.lease.keepalive(f"{table}/#rewrite"):
-            (
-                df.drop("gen").repartition("dt")
-                .write.mode("overwrite")
-                .option("compression", cfg.compression if cfg else "snappy")
-                .partitionBy("dt")
-                .parquet(engine._gen_dir(table, new_gen))
-            )
-            engine.catalog.commit_rewrite(table, dict(cum), affected)
+        (
+            df.drop("gen").repartition("dt")
+            .write.mode("overwrite")
+            .option("compression", cfg.compression if cfg else "snappy")
+            .partitionBy("dt")
+            .parquet(engine._gen_dir(table, new_gen))
+        )
+        # ownership re-check before the atomic commit (see delete_rows)
+        if not engine.lease.verify(f"{table}/#rewrite"):
+            raise RuntimeError(
+                f"mutation lease on {table!r} lost during collapse; "
+                "aborting commit (no data was published)")
+        engine.catalog.commit_rewrite(table, dict(cum), affected,
+                                      expected_gen=new_gen)
         # every pre-collapse generation is now empty: tombstone them so
         # future scans don't even stat their directories
         engine.catalog.tombstone_generations(table, list(range(new_gen)))

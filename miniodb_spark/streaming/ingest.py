@@ -139,7 +139,12 @@ def stream_upsert(
                   .filter(F.col("__rn") == 1).drop("__rn"))
         if op_col is not None:
             dels = latest.filter(F.col(op_col) == "delete").select(key_col)
-            ups = latest.filter(F.col(op_col) != "delete").drop(op_col)
+            # null-safe complement: `op != 'delete'` is NULL (not true)
+            # for a NULL op under three-valued logic, which would drop
+            # malformed feed rows on the floor — neither upserted nor
+            # deleted nor reported. NULL-op rows are treated as upserts,
+            # matching the reference's default-op behavior.
+            ups = latest.filter(~F.col(op_col).eqNullSafe("delete")).drop(op_col)
         else:
             dels, ups = None, latest
         if not ups.isEmpty():

@@ -287,3 +287,75 @@ def test_two_engines_merge_vs_delete(spark, tmp_path):
     # merge-then-delete -> r3 gone. r1 is 101 either way.
     assert got in (base | {"r1": 101, "r3": 103}, base | {"r1": 101}), got
     _assert_no_orphan_generations(a, root, "t")
+
+
+def test_lease_verify_ownership(tmp_path):
+    """verify() is the pre-commit ownership check: true only while this
+    (owner, thread) holds a live lease — false before acquire, after a
+    TTL steal, and after release (the commit path aborts a rewrite
+    whose lease was stolen instead of publishing over the thief)."""
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=0.1)
+    b = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+    assert not a.verify("k")
+    assert a.acquire("k")
+    assert a.verify("k")
+    time.sleep(0.12)  # past a's TTL
+    assert not a.verify("k"), "expired lease must fail verification"
+    assert b.acquire("k", timeout_s=1.0)
+    assert b.verify("k")
+    assert not a.verify("k"), "stolen lease must fail verification"
+    b.release("k")
+    assert not b.verify("k")
+
+
+def test_lease_extend_refuses_near_expiry(tmp_path):
+    """The steal-guard: extend() must refuse to refresh a marker within
+    ttl/10 of expiry (a thief acting on the expired stamp could be
+    mid-steal; refreshing would clobber its marker → two holders)."""
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=0.5)
+    assert a.acquire("k")
+    time.sleep(0.47)  # inside the 0.05 s guard window
+    assert not a.extend("k"), "extend inside the guard must refuse"
+    time.sleep(0.06)  # now expired
+    b = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+    assert b.acquire("k", timeout_s=1.0)
+    b.release("k")
+
+
+def test_lease_release_skips_delete_near_expiry(tmp_path):
+    """release() inside the guard window leaves the marker to age out
+    rather than risking deletion of a thief's fresh marker; a waiter
+    still gets the lease via the normal TTL steal."""
+    kv = _kv(tmp_path)
+    a = MutationLease(kv, owner="aaaa", ttl_s=0.5)
+    assert a.acquire("k")
+    marker = a._marker("k")
+    time.sleep(0.47)
+    a.release("k")  # inside guard: depth drops, marker stays
+    assert kv.fs.exists(marker), "near-expiry release must not delete"
+    b = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+    assert b.acquire("k", timeout_s=2.0), "waiter must steal after age-out"
+    b.release("k")
+
+
+def test_commit_rewrite_expected_gen_mismatch_raises(tmp_path):
+    """commit_rewrite refreshes on-disk state and refuses to publish a
+    survivor generation under an index another driver already claimed
+    (the lost-write hazard when a lease is stolen mid-rewrite)."""
+    import pytest
+    from miniodb_spark.catalog import Catalog
+
+    root = str(tmp_path / "store")
+    c1 = Catalog(root)
+    c2 = Catalog(root)
+    c1.create_table("t")
+    c1.register_flush_schema("t", {"id": "string"})
+    c2.refresh_if_changed("t")
+    reserved = c2.next_generation_index("t")  # driver 2 reserves gen=1
+    # driver 1 commits its own rewrite first (as if it stole the lease)
+    c1.commit_rewrite("t", {"id": "string"}, [(0, "2024-01-01")],
+                      expected_gen=c1.next_generation_index("t"))
+    with pytest.raises(RuntimeError, match="stale rewrite commit"):
+        c2.commit_rewrite("t", {"id": "string"}, [], expected_gen=reserved)

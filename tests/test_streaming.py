@@ -331,3 +331,36 @@ def test_stream_upsert_cdc_apply(spark, tmp_path):
     got3 = {r["id"]: r["v"] for r in
             json.loads(eng.query("SELECT id, v FROM cdc_t ORDER BY id"))}
     assert got3 == {"k1": 11, "k2": 22, "k3": 33}
+
+
+def test_stream_upsert_null_op_rows_are_upserts(spark, tmp_path):
+    """A CDC row with a NULL op must not vanish: under three-valued
+    logic `op != 'delete'` is NULL (filtered out), so a plain filter
+    would neither upsert nor delete malformed feed rows. The null-safe
+    complement treats them as upserts (the reference's default op)."""
+    import datetime
+
+    from miniodb_spark.streaming.ingest import stream_upsert
+
+    t0 = datetime.datetime(2023, 11, 14, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("k1", 1, t0, "upsert"),
+        ("k2", 2, t0, None),            # malformed feed row: NULL op
+        ("k3", 3, t0, "delete"),
+    ]
+    schema = "id string, v long, timestamp timestamp, op string"
+    src = tmp_path / "cdc"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b0"))
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.create_table("cdc_null")
+    stream = spark.readStream.schema(schema).parquet(str(src / "b0"))
+    q = stream_upsert(eng, stream, "cdc_null", op_col="op",
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["id"]: r["v"] for r in
+           json.loads(eng.query("SELECT id, v FROM cdc_null ORDER BY id"))}
+    assert got == {"k1": 1, "k2": 2}, got
