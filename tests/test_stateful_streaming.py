@@ -265,3 +265,120 @@ def test_session_finalize_skip_guard_is_the_import_not_a_stale_flag():
     src = Path(__file__).read_text()
     assert len(re.findall(
         r'pytest\.importorskip\("google\.protobuf"\)', src)) >= 2
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers: list[int] = []
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(int(t))
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = int(now_ms)
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def _feed(proc, key, ts_list, now_ms):
+    import pandas as pd
+
+    batches = iter([pd.DataFrame({"ts": ts_list})])
+    return list(proc.handleInputRows(key, batches, _FakeTimerValues(now_ms)))
+
+
+def test_session_finalizer_late_event_lowers_start_and_rearms_once():
+    """Processor-level property test of the documented late-data
+    semantics (stateful.py handleInputRows), runnable without the
+    protobuf-gated streaming runtime:
+
+    1. a cross-batch late event OLDER than the open session's start but
+       within the gap of last_ms merges in and LOWERS start_ms — the
+       emitted session start is min(ts) over everything merged, not
+       first-seen;
+    2. a batch carrying only such late (already-absorbed-range) rows
+       re-arms the idle timer exactly ONCE (old timer deleted first —
+       no timer accumulation), because any arrival is processing-time
+       activity; and the eventual timer expiry emits ONE session with
+       the merged stats and clears state — no re-open, no double emit."""
+    from miniodb_spark.streaming.stateful import _SessionFinalizer
+
+    gap_ms = 1000
+    proc = _SessionFinalizer("k", "ts", gap_ms)
+    h = _FakeHandle()
+    proc.init(h)
+
+    # batch 1 opens the session at t=5000
+    out = _feed(proc, (7,), [5000, 5400], now_ms=100_000)
+    assert out == []
+    assert h.state.get() == (5000, 5400, 2)
+    assert h.timers == [100_000 + gap_ms]
+
+    # batch 2: ONLY a late event, older than the open start but within
+    # the gap of last_ms (5400 - 4600 = 800 <= gap) -> absorbed, start
+    # lowered, session NOT closed, timer re-armed once at the new now
+    out = _feed(proc, (7,), [4600], now_ms=100_300)
+    assert out == [], "late absorbed row must not close the session"
+    assert h.state.get() == (4600, 5400, 3), "start_ms must lower to min(ts)"
+    assert h.timers == [100_300 + gap_ms], \
+        "exactly one live timer, re-armed at the late-only batch"
+
+    # timer expiry: one emitted session with merged min-start, state gone
+    fired = list(proc.handleExpiredTimer((7,), _FakeTimerValues(101_400), None))
+    assert len(fired) == 1
+    row = fired[0].iloc[0]
+    assert (row["start_ms"], row["end_ms"], row["n_events"], row["via"]) == \
+        (4600, 5400, 3, "timer")
+    assert not h.state.exists(), "expiry must clear state (no re-open)"
+    # a second expiry on the cleared key emits nothing (no double emit)
+    assert list(proc.handleExpiredTimer((7,), _FakeTimerValues(102_500), None)) == []
+
+
+def test_session_finalizer_late_event_beyond_gap_closes_prior_session():
+    """Contrast case: an event farther behind last_ms than the gap is
+    NOT late-mergeable — it closes the open session via the event-time
+    branch and opens a new one (the timer is a liveness bound, not the
+    session boundary)."""
+    from miniodb_spark.streaming.stateful import _SessionFinalizer
+
+    proc = _SessionFinalizer("k", "ts", 1000)
+    h = _FakeHandle()
+    proc.init(h)
+
+    assert _feed(proc, (7,), [5000], now_ms=100_000) == []
+    out = _feed(proc, (7,), [9000], now_ms=100_200)
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["start_ms"], row["end_ms"], row["n_events"], row["via"]) == \
+        (5000, 5000, 1, "gap")
+    assert h.state.get() == (9000, 9000, 1)
