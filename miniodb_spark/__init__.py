@@ -45,7 +45,7 @@ Package map:
   audit.py      per-RPC audit log, CRC-framed replayable JSONL (internal/audit/audit.go)
   kv.py         store-root KV: version nonces, driver heartbeat registry (Redis substitution)
   layout.py     Z-order (Morton) clustered writes for multi-column pruning
-  queries.py    the operator-inventory registry (Spark impl + DuckDB oracle pairs)
+  queries/      the operator-inventory registry (Spark impl + DuckDB oracle pairs)
   operators/    dedup (incl. Bloom-gated incremental), similarity (ANN
                 tiers + batched k-NN join), temporal joins, text analysis
                 (incl. bigram LM), trainable quality classifier, sampling

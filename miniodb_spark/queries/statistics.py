@@ -1,0 +1,1250 @@
+"""Statistical tests and late-round entries: rank statistics,
+ANOVA-family tests, drift metrics, SQL-surface showcases (UDF/lateral/pipe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+
+from .base import load, normalize_event_ts, register  # noqa: F401
+
+
+@register(
+    "mann_whitney_u",
+    """
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    r AS (
+      SELECT grp,
+             2 * rank() OVER (ORDER BY value)
+               + count(*) OVER (PARTITION BY value) - 1 AS mr2
+      FROM s),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN grp = 1 THEN mr2 ELSE 0 END) AS BIGINT)
+               AS r1x2
+      FROM r),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY value)),
+    u AS (
+      SELECT n1, n2,
+             (2 * n1 * n2 + n1 * (n1 + 1) - r1x2) / 2.0 AS u1,
+             n1 + n2 AS nn, tsum
+      FROM agg, ties)
+    SELECT n1, n2, round(u1, 1) AS u1,
+           round((u1 - n1 * n2 / 2.0)
+                 / sqrt(n1 * 1.0 * n2 / 12.0
+                        * ((nn + 1) - tsum * 1.0 / (nn * (nn - 1.0)))),
+                 6) AS z,
+           round(1 - 2.0 * u1 / (n1 * n2), 6) AS rank_biserial
+    FROM u
+    """,
+    doc="Mann-Whitney U rank-sum test (click vs error event values) with "
+        "midrank tie handling and the tie-corrected normal approximation. "
+        "All rank arithmetic is INTEGER-exact: doubled midranks "
+        "2*rank + tiecount - 1 are BIGINTs, so the rank sum is "
+        "order-independent at any parallelism and both engines derive "
+        "identical doubles for U, z and the rank-biserial effect size "
+        "(round-6 guard on top). Fully distributed: the fact table "
+        "collapses to a per-value count table (one map-side-combinable "
+        "shuffle) carrying the group-1 count per value; doubled midranks "
+        "come from operators/ranks.py's bucketed prefix sum (no "
+        "single-task window), and U = f(sum(n1v * mr2)) reduces on the "
+        "domain table — ranks are never joined back to fact rows",
+    tags=("statistics",),
+)
+def mann_whitney_u(spark, sf_dir):
+    from ..operators.ranks import doubled_midranks
+
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type").isin("click", "error")
+                  & F.col("value").isNotNull())
+        .select("value",
+                F.when(F.col("event_type") == "click", 1).otherwise(2)
+                .alias("grp"))
+    )
+    pv = s.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n1v"),
+    )
+    mr = doubled_midranks(pv, "value", "t")
+    agg = mr.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("n1v")).cast("bigint").alias("n2"),
+        # rank sum over group-1 rows = sum over values of n1v * mr2
+        F.sum(F.col("n1v") * F.col("mr2")).cast("bigint").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tsum"),
+    )
+    u = agg.select(
+        "n1", "n2",
+        ((2 * F.col("n1") * F.col("n2")
+          + F.col("n1") * (F.col("n1") + 1) - F.col("r1x2")) / 2.0)
+        .alias("u1"),
+        (F.col("n1") + F.col("n2")).alias("nn"), "tsum",
+    )
+    return u.select(
+        "n1", "n2", F.round("u1", 1).alias("u1"),
+        F.round(
+            (F.col("u1") - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(F.col("n1") * 1.0 * F.col("n2") / 12.0
+                     * ((F.col("nn") + 1)
+                        - F.col("tsum") * 1.0
+                        / (F.col("nn") * (F.col("nn") - 1.0)))),
+            6).alias("z"),
+        F.round(1 - 2.0 * F.col("u1") / (F.col("n1") * F.col("n2")), 6)
+        .alias("rank_biserial"),
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH ks(k) AS (VALUES (0), (1), (2), (3)),
+    w AS (
+      SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k)
+                            * 1800000000) AS window_start,
+             user_id
+      FROM events CROSS JOIN ks)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+    doc="sliding (hopping) event-time windows, 2h length / 30min slide: "
+        "each event lands in exactly 4 overlapping windows. Validates the "
+        "streaming sliding() helper's window() expression in batch (same "
+        "Catalyst expression either way; the streaming variant adds a "
+        "watermark). The oracle reconstructs Spark's epoch-aligned window "
+        "assignment arithmetically (bucket - k*slide in integer "
+        "microseconds), so boundaries match bit-for-bit. Explosion factor "
+        "is duration/slide = 4 — bounded by the window spec, never by "
+        "data volume — and the aggregate shuffles on (window, nothing "
+        "else) with exact integer outputs",
+    tags=("streaming", "capability"),
+)
+def sliding_window_counts(spark, sf_dir):
+    from ..streaming.windows import sliding
+
+    ev = load(spark, sf_dir, "events")
+    win = sliding(
+        ev, "ts", "2 hours", "30 minutes",
+        aggs=[F.count("*").alias("n"),
+              F.countDistinct("user_id").alias("users")],
+    )
+    return (
+        win.select(F.col("window.start").alias("window_start"),
+                   F.col("n").cast("bigint").alias("n"),
+                   F.col("users").cast("bigint").alias("users"))
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "brand_itemset3_support",
+    """
+    WITH ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    pairs AS MATERIALIZED (
+      SELECT a.l_orderkey, a.p_brand AS b1, b.p_brand AS b2
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand),
+    t AS (
+      SELECT p.b1, p.b2, c.p_brand AS b3,
+             CAST(count(*) AS BIGINT) AS support
+      FROM pairs p JOIN ob c
+        ON p.l_orderkey = c.l_orderkey AND p.b2 < c.p_brand
+      GROUP BY 1, 2, 3)
+    SELECT b1, b2, b3, support
+    FROM t ORDER BY support DESC, b1, b2, b3 LIMIT 10
+    """,
+    doc="frequent 3-itemset mining over per-order brand sets (the 3-way "
+        "extension of market_basket_lift's pair analysis). The Spark "
+        "plan is ONE orderkey shuffle: baskets collapse to sorted brand "
+        "arrays and the i<j<k triples are generated JVM-side with nested "
+        "array transform()s — C(basket,3) per order, bounded by order "
+        "width, with no self-join and no cross-order blow-up — then "
+        "grouped on the C(|brands|,3) ~ 2.3k key domain. Ties broken "
+        "lexicographically for a deterministic top-10 "
+        "(TakeOrderedAndProject, no global sort). The oracle CTEs are "
+        "MATERIALIZED pairwise joins: without the hint DuckDB reorders "
+        "the 3-way self-join into an inequality-only merge join "
+        "(a 550k x 550k quasi-cross at sf0.1)",
+    tags=("itemset",),
+)
+def brand_itemset3_support(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    # i<j<k combinations via nested transform — per-row work is
+    # C(|bs|,3), |bs| <= order width (~7), so this is flat-map cheap
+    triples = baskets.select(
+        F.explode(F.expr("""
+          flatten(flatten(transform(bs, (x1, i) ->
+            transform(slice(bs, i + 2, size(bs)), (x2, j) ->
+              transform(slice(bs, i + j + 3, size(bs)), x3 ->
+                struct(x1 AS b1, x2 AS b2, x3 AS b3))))))
+        """)).alias("c")
+    ).select("c.b1", "c.b2", "c.b3")
+    t = (
+        triples.groupBy("b1", "b2", "b3")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    return t.orderBy(F.desc("support"), "b1", "b2", "b3").limit(10)
+
+
+@register(
+    "ntile_decile_stats",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+    doc="ntile(10) decile assignment with per-decile count/min/max and "
+        "exact-decimal totals. The tiebreak (o_totalprice, o_orderkey) "
+        "makes the row order TOTAL, so both engines assign identical "
+        "deciles (ntile over a partial order is engine-dependent — the "
+        "classic porting trap this entry pins down). ntile is a global "
+        "sort by construction; this is the SQL-surface semantics entry — "
+        "the scale path for equal-mass bucketing is "
+        "histogram_equi_depth's approx-quantile width_bucket",
+    tags=("sql-surface",),
+)
+def ntile_decile_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return (
+        r.groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.min("o_totalprice").alias("lo"),
+             F.max("o_totalprice").alias("hi"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("total"))
+        .orderBy("decile")
+    )
+
+
+@register(
+    "neyman_allocation_quotas",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT stratum, n_h,
+             n_h * sqrt((sxx - sx * sx / n_h) / (n_h - 1)) AS w
+      FROM s),
+    tot AS (SELECT sum(w) AS wsum FROM d)
+    SELECT stratum, n_h,
+           round(w / n_h, 6) AS sd,
+           round(w / wsum, 6) AS share,
+           CAST(round(1000 * w / wsum, 0) AS BIGINT) AS quota
+    FROM d, tot ORDER BY stratum
+    """,
+    doc="Neyman optimal allocation for a 1000-row stratified sample: "
+        "per-stratum quota proportional to N_h * sigma_h (minimizes the "
+        "variance of the stratified mean at fixed budget — the sampling-"
+        "design step before stratified_split's hash selection). Stddevs "
+        "come from EXACT decimal first/second moments per stratum "
+        "(order-independent at any parallelism), so both engines derive "
+        "identical doubles; shares/quotas are round-6/round-0 guarded. "
+        "One stratum-keyed aggregate + a 1-row total broadcast; output "
+        "is enum-sized",
+    tags=("sampling", "statistics"),
+)
+def neyman_allocation_quotas(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    d = s.select(
+        "stratum", "n_h",
+        (F.col("n_h")
+         * F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_h"))
+                  / (F.col("n_h") - 1))).alias("w"),
+    )
+    tot = d.agg(F.sum("w").alias("wsum"))
+    return (
+        d.crossJoin(F.broadcast(tot))  # 1-row scalar, not a data join
+        .select(
+            "stratum", "n_h",
+            F.round(F.col("w") / F.col("n_h"), 6).alias("sd"),
+            F.round(F.col("w") / F.col("wsum"), 6).alias("share"),
+            F.round(1000 * F.col("w") / F.col("wsum"), 0).cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "anova_oneway_priority",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT
+        max(CASE WHEN g = '1-URGENT' THEN n END) AS n1,
+        max(CASE WHEN g = '1-URGENT' THEN sx END) AS sx1,
+        max(CASE WHEN g = '1-URGENT' THEN sxx END) AS sxx1,
+        max(CASE WHEN g = '2-HIGH' THEN n END) AS n2,
+        max(CASE WHEN g = '2-HIGH' THEN sx END) AS sx2,
+        max(CASE WHEN g = '2-HIGH' THEN sxx END) AS sxx2,
+        max(CASE WHEN g = '3-MEDIUM' THEN n END) AS n3,
+        max(CASE WHEN g = '3-MEDIUM' THEN sx END) AS sx3,
+        max(CASE WHEN g = '3-MEDIUM' THEN sxx END) AS sxx3,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN n END) AS n4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN sx END) AS sx4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN sxx END) AS sxx4,
+        max(CASE WHEN g = '5-LOW' THEN n END) AS n5,
+        max(CASE WHEN g = '5-LOW' THEN sx END) AS sx5,
+        max(CASE WHEN g = '5-LOW' THEN sxx END) AS sxx5
+      FROM s),
+    m AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+             (sx1 * sx1 / n1 + sx2 * sx2 / n2 + sx3 * sx3 / n3
+              + sx4 * sx4 / n4 + sx5 * sx5 / n5)
+             - (sx1 + sx2 + sx3 + sx4 + sx5)
+               * (sx1 + sx2 + sx3 + sx4 + sx5)
+               / (n1 + n2 + n3 + n4 + n5) AS ssb,
+             (sxx1 + sxx2 + sxx3 + sxx4 + sxx5)
+             - (sx1 * sx1 / n1 + sx2 * sx2 / n2 + sx3 * sx3 / n3
+                + sx4 * sx4 / n4 + sx5 * sx5 / n5) AS ssw
+      FROM p)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+           round((ssb / 4) / (ssw / (nn - 5)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM m
+    """,
+    doc="one-way ANOVA F-test of order value across the 5 priority "
+        "classes (the k-group extension of welch_t_test). Per-group "
+        "moments are EXACT decimal(18,2) sums; the cross-group reduction "
+        "is pivoted into ONE row so SSB/SSW come from a fixed-order "
+        "expression tree — no engine-dependent double summation order "
+        "anywhere, so both engines derive bit-identical F and eta-squared "
+        "(round-6 guard on top). One map-side-combinable aggregate over "
+        "facts; everything after is scalar arithmetic",
+    tags=("statistics",),
+)
+def anova_oneway_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    p = s.agg(*[
+        F.max(F.when(F.col("g") == g, F.col(c))).alias(f"{c}{i + 1}")
+        for i, g in enumerate(groups) for c in ("n", "sx", "sxx")
+    ])
+    sxs = [F.col(f"sx{i}") for i in range(1, 6)]
+    nns = [F.col(f"n{i}") for i in range(1, 6)]
+    within = (sxs[0] * sxs[0] / nns[0] + sxs[1] * sxs[1] / nns[1]
+              + sxs[2] * sxs[2] / nns[2] + sxs[3] * sxs[3] / nns[3]
+              + sxs[4] * sxs[4] / nns[4])
+    sx_tot = sxs[0] + sxs[1] + sxs[2] + sxs[3] + sxs[4]
+    n_tot = nns[0] + nns[1] + nns[2] + nns[3] + nns[4]
+    sxx_tot = (F.col("sxx1") + F.col("sxx2") + F.col("sxx3")
+               + F.col("sxx4") + F.col("sxx5"))
+    m = p.select(
+        n_tot.alias("nn"),
+        (within - sx_tot * sx_tot / n_tot).alias("ssb"),
+        (sxx_tot - within).alias("ssw"),
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.round((F.col("ssb") / 4) / (F.col("ssw") / (F.col("nn") - 5)), 6)
+        .alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6)
+        .alias("eta_sq"),
+    )
+
+
+@register(
+    "spearman_rank_corr",
+    """
+    WITH s AS (
+      SELECT l_quantity AS q, l_extendedprice AS p
+      FROM lineitem WHERE l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    r AS (
+      SELECT CAST(2 * rank() OVER (ORDER BY q)
+                  + count(*) OVER (PARTITION BY q) - 1 AS BIGINT) AS x,
+             CAST(2 * rank() OVER (ORDER BY p)
+                  + count(*) OVER (PARTITION BY p) - 1 AS BIGINT) AS y
+      FROM s),
+    a AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM a
+    """,
+    doc="Spearman rank correlation between line quantity and extended "
+        "price, tie-aware (Pearson over midranks). Doubled midranks are "
+        "BIGINTs and every moment is summed in 128-bit/decimal integer "
+        "arithmetic (HUGEINT / decimal(38,0)), so the correlation inputs "
+        "are EXACT on both engines — no float accumulation anywhere "
+        "before the final division. Fully distributed: facts collapse "
+        "to the (q, p) pair-count table in one shuffle; each axis's "
+        "midranks come from operators/ranks.py's bucketed prefix sum "
+        "over its own marginal count table (no single-task window), "
+        "and the moments reduce as count-weighted sums over the pair "
+        "table — ranks are never joined back to fact rows",
+    tags=("statistics",),
+)
+def spearman_rank_corr(spark, sf_dir):
+    from ..operators.ranks import doubled_midranks
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(F.col("l_quantity").alias("q"),
+             F.col("l_extendedprice").alias("p"))
+    pairs = s.groupBy("q", "p").agg(
+        F.count("*").cast("bigint").alias("c"))
+    qv = pairs.groupBy("q").agg(F.sum("c").cast("bigint").alias("t"))
+    pv = pairs.groupBy("p").agg(F.sum("c").cast("bigint").alias("t"))
+    qm = doubled_midranks(qv, "q", "t").select(
+        "q", F.col("mr2").alias("xm"))
+    pm = doubled_midranks(pv, "p", "t").select(
+        "p", F.col("mr2").alias("ym"))
+    r = (
+        pairs.join(qm, "q").join(pm, "p")
+        .select(F.col("c").cast("decimal(20,0)").alias("c"),
+                F.col("xm").cast("decimal(20,0)").alias("x"),
+                F.col("ym").cast("decimal(20,0)").alias("y"))
+    )
+    a = r.agg(
+        F.sum("c").cast("decimal(20,0)").alias("n"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("c") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")),
+            6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS total FROM d),
+    c AS (
+      SELECT day, n,
+             CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM d)
+    SELECT CAST(c.day AS TIMESTAMP) AS day, c.t AS day_index,
+           round(c.cum_n - c.t * (tot.total * 1.0 / tot.k), 6) AS cusum
+    FROM c, tot
+    ORDER BY abs(c.cum_n - c.t * (tot.total * 1.0 / tot.k)) DESC, c.day
+    LIMIT 1
+    """,
+    doc="CUSUM changepoint detection over daily event volume: the day "
+        "maximizing |cumulative deviation from the global mean rate| is "
+        "the maximum-likelihood single changepoint for a mean shift "
+        "(Page's statistic evaluated in closed form, no recursion). "
+        "cum_n and t are exact BIGINTs from a window over the day spine "
+        "(calendar-bounded, never fact-sized), the mean is one scalar "
+        "broadcast, and S_t = cum_n - t*mu is a deterministic double on "
+        "both engines, so the argmax and its round-6 value agree "
+        "bit-for-bit. Facts are touched once by the day aggregate",
+    tags=("statistics", "timeseries"),
+)
+def cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"))
+    tot = d.agg(F.count("*").cast("bigint").alias("k"),
+                F.sum("n").cast("bigint").alias("total"))
+    c = d.select(
+        "day", "n",
+        F.sum("n").over(Window.orderBy("day")).cast("bigint")
+        .alias("cum_n"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint")
+        .alias("t"),
+    )
+    s = (F.col("cum_n")
+         - F.col("t") * (F.col("total") * 1.0 / F.col("k")))
+    return (
+        c.crossJoin(F.broadcast(tot))  # 1-row scalar, not a data join
+        .orderBy(F.abs(s).desc(), "day")
+        .limit(1)
+        .select("day", F.col("t").alias("day_index"),
+                F.round(s, 6).alias("cusum"))
+    )
+
+
+@register(
+    "readability_by_source",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(trim(text), '[^ ]+')) AS BIGINT)
+               AS w,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syl,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS sents
+      FROM documents WHERE text IS NOT NULL),
+    a AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS words,
+             CAST(sum(syl) AS BIGINT) AS syllables,
+             CAST(sum(sents) AS BIGINT) AS sentences
+      FROM d GROUP BY 1)
+    SELECT source, n_docs, words, syllables,
+           round(206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / words), 6)
+             AS flesch_aggregate
+    FROM a ORDER BY source
+    """,
+    doc="corpus readability per source: Flesch reading-ease computed "
+        "from AGGREGATE word/sentence/syllable totals (syllables = vowel "
+        "groups, the standard heuristic). Per-doc tallies are exact "
+        "integers from regexp counts, so the per-source sums are "
+        "order-independent and the aggregate score is a deterministic "
+        "double on both engines — deliberately NOT a mean of per-doc "
+        "doubles, which would depend on summation order. One "
+        "codegen-friendly pass over documents + an enum-keyed aggregate",
+    tags=("text",),
+)
+def readability_by_source(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.size(F.expr("regexp_extract_all(trim(text), '[^ ]+', 0)"))
+        .cast("bigint").alias("w"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("bigint").alias("syl"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")))
+        .cast("bigint").alias("sents"),
+    )
+    a = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("syl").cast("bigint").alias("syllables"),
+        F.sum("sents").cast("bigint").alias("sentences"),
+    )
+    return a.select(
+        "source", "n_docs", "words", "syllables",
+        F.round(206.835
+                - 1.015 * (F.col("words") * 1.0 / F.col("sentences"))
+                - 84.6 * (F.col("syllables") * 1.0 / F.col("words")), 6)
+        .alias("flesch_aggregate"),
+    ).orderBy("source")
+
+
+@register(
+    "brown_forsythe_test",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS g, median(o_totalprice) AS med
+      FROM orders GROUP BY 1),
+    z AS (
+      SELECT o.o_orderpriority AS g,
+             CAST(abs(o.o_totalprice - m.med) AS DECIMAL(18,6)) AS z
+      FROM orders o JOIN med m ON o.o_orderpriority = m.g),
+    s AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(CAST(z AS DECIMAL(28,6)) * z) AS DOUBLE) AS szz
+      FROM z GROUP BY 1),
+    p AS (
+      SELECT
+        max(CASE WHEN g = '1-URGENT' THEN n END) AS n1,
+        max(CASE WHEN g = '1-URGENT' THEN sz END) AS sz1,
+        max(CASE WHEN g = '1-URGENT' THEN szz END) AS szz1,
+        max(CASE WHEN g = '2-HIGH' THEN n END) AS n2,
+        max(CASE WHEN g = '2-HIGH' THEN sz END) AS sz2,
+        max(CASE WHEN g = '2-HIGH' THEN szz END) AS szz2,
+        max(CASE WHEN g = '3-MEDIUM' THEN n END) AS n3,
+        max(CASE WHEN g = '3-MEDIUM' THEN sz END) AS sz3,
+        max(CASE WHEN g = '3-MEDIUM' THEN szz END) AS szz3,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN n END) AS n4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN sz END) AS sz4,
+        max(CASE WHEN g = '4-NOT SPECIFIED' THEN szz END) AS szz4,
+        max(CASE WHEN g = '5-LOW' THEN n END) AS n5,
+        max(CASE WHEN g = '5-LOW' THEN sz END) AS sz5,
+        max(CASE WHEN g = '5-LOW' THEN szz END) AS szz5
+      FROM s),
+    m AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+             (sz1 * sz1 / n1 + sz2 * sz2 / n2 + sz3 * sz3 / n3
+              + sz4 * sz4 / n4 + sz5 * sz5 / n5)
+             - (sz1 + sz2 + sz3 + sz4 + sz5)
+               * (sz1 + sz2 + sz3 + sz4 + sz5)
+               / (n1 + n2 + n3 + n4 + n5) AS ssb,
+             (szz1 + szz2 + szz3 + szz4 + szz5)
+             - (sz1 * sz1 / n1 + sz2 * sz2 / n2 + sz3 * sz3 / n3
+                + sz4 * sz4 / n4 + sz5 * sz5 / n5) AS ssw
+      FROM p)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+           round((ssb / 4) / (ssw / (nn - 5)), 6) AS w_stat
+    FROM m
+    """,
+    doc="Brown-Forsythe robust variance-equality test across the 5 "
+        "priority classes: one-way ANOVA on |x - group median| "
+        "(median-centered Levene — robust to the heavy right tail where "
+        "the classical F-test on raw variances is not). Group medians "
+        "are exact interpolated percentiles (the median_by_type "
+        "precedent); |x - med| is a deterministic double whose "
+        "decimal(18,6) image is exact (inputs are 2-3 dp), so the "
+        "moment sums are order-independent; the cross-group reduction "
+        "reuses anova_oneway_priority's one-row pivot so W comes from a "
+        "fixed-order expression tree. Two fact passes (median, then "
+        "deviations) with the 5-row median table broadcast into the "
+        "second",
+    tags=("statistics",),
+)
+def brown_forsythe_test(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    z = (
+        o.join(F.broadcast(med), o.o_orderpriority == med.g)
+        .select("g",
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                .cast("decimal(18,6)").alias("z"))
+    )
+    s = z.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+    )
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    p = s.agg(*[
+        F.max(F.when(F.col("g") == g, F.col(c))).alias(f"{c}{i + 1}")
+        for i, g in enumerate(groups) for c in ("n", "sz", "szz")
+    ])
+    szs = [F.col(f"sz{i}") for i in range(1, 6)]
+    nns = [F.col(f"n{i}") for i in range(1, 6)]
+    within = (szs[0] * szs[0] / nns[0] + szs[1] * szs[1] / nns[1]
+              + szs[2] * szs[2] / nns[2] + szs[3] * szs[3] / nns[3]
+              + szs[4] * szs[4] / nns[4])
+    sz_tot = szs[0] + szs[1] + szs[2] + szs[3] + szs[4]
+    n_tot = nns[0] + nns[1] + nns[2] + nns[3] + nns[4]
+    szz_tot = (F.col("szz1") + F.col("szz2") + F.col("szz3")
+               + F.col("szz4") + F.col("szz5"))
+    m = p.select(
+        n_tot.alias("nn"),
+        (within - sz_tot * sz_tot / n_tot).alias("ssb"),
+        (szz_tot - within).alias("ssw"),
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.round((F.col("ssb") / 4) / (F.col("ssw") / (F.col("nn") - 5)), 6)
+        .alias("w_stat"),
+    )
+
+
+@register(
+    "rbo_top_tokens_drift",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (
+      SELECT source, w, count(*) AS c FROM tok
+      WHERE w <> '' GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, w,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS r
+      FROM cnt),
+    top AS (SELECT * FROM ranked WHERE r <= 50),
+    md AS (
+      SELECT CAST(greatest(a.r, b.r) AS BIGINT) AS d0
+      FROM top a JOIN top b ON a.w = b.w
+      WHERE a.source = 'src0' AND b.source = 'src1'),
+    spine AS (
+      SELECT CAST(unnest(generate_series(1, 50)) AS BIGINT) AS d),
+    ad AS (
+      SELECT s.d,
+             CAST(count(m.d0) AS BIGINT) AS a_d
+      FROM spine s LEFT JOIN md m ON m.d0 <= s.d
+      GROUP BY 1),
+    run AS (
+      SELECT d, a_d,
+             sum(power(0.9, d) * a_d / d)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS acc
+      FROM ad)
+    SELECT CAST((SELECT max(a_d) FROM ad) AS BIGINT) AS n_common_at_50,
+           round((0.1 / 0.9) * acc, 6) AS rbo
+    FROM run WHERE d = 50
+    """,
+    doc="rank-biased overlap (RBO, p=0.9, truncated at depth 50) between "
+        "the top-token rankings of two sources — the IR-standard drift "
+        "metric for 'did the head of the distribution change', "
+        "complementing ks_drift (mass drift) and kl_divergence (full "
+        "distribution). Rankings are row_number with (count DESC, token) "
+        "tie-break so both engines rank identically; overlap@d comes "
+        "from each common token's max(rank_a, rank_b) vs a 50-row depth "
+        "spine, and the geometric accumulation runs as a SEQUENTIAL "
+        "window cumsum over the spine (ORDER BY d), so the float "
+        "addition order is pinned on both engines. Everything after the "
+        "per-source token count is top-50-bounded",
+    tags=("text", "llm"),
+)
+def rbo_top_tokens_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source",
+                F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ranked = cnt.select(
+        "source", "w",
+        F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.desc("c"), "w")).alias("r"),
+    ).filter(F.col("r") <= 50)
+    a = ranked.filter(F.col("source") == "src0").alias("a")
+    b = ranked.filter(F.col("source") == "src1").alias("b")
+    md = (
+        a.join(b, F.col("a.w") == F.col("b.w"))
+        .select(F.greatest(F.col("a.r"), F.col("b.r"))
+                .cast("bigint").alias("d0"))
+    )
+    spine = spark.range(1, 51).select(F.col("id").cast("bigint").alias("d"))
+    ad = (
+        spine.join(F.broadcast(md), F.col("d0") <= F.col("d"), "left")
+        .groupBy("d").agg(F.count("d0").cast("bigint").alias("a_d"))
+    )
+    run = ad.select(
+        "d", "a_d",
+        F.sum(F.pow(F.lit(0.9), F.col("d")) * F.col("a_d") / F.col("d"))
+        .over(Window.orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("acc"),
+    )
+    ncommon = ad.agg(F.max("a_d").cast("bigint").alias("n_common_at_50"))
+    return (
+        run.filter(F.col("d") == 50)
+        .crossJoin(F.broadcast(ncommon))  # 1-row scalar
+        .select("n_common_at_50", F.round((0.1 / 0.9) * F.col("acc"), 6)
+                .alias("rbo"))
+    )
+
+
+@register(
+    "sql_udf_price_bands",
+    """
+    SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+                WHEN l_extendedprice < 40000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+    FROM lineitem GROUP BY 1 ORDER BY band
+    """,
+    doc="Spark 4 SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN "
+        "expr): disc_price() and price_band() defined in SQL and used in "
+        "a grouped aggregate. The point is the UDF surface done the "
+        "scale-safe way — SQL UDFs INLINE into Catalyst (the plan is a "
+        "plain codegen Project, no BatchEvalPython/Arrow boundary, "
+        "verified by the plan gate), so unlike Python UDFs they cost "
+        "nothing at 100 TB. The oracle inlines the same expressions; "
+        "revenue sums are exact decimal(18,4)",
+    tags=("sql-surface", "udf"),
+)
+def sql_udf_price_bands(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf_v")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+      RETURNS DOUBLE RETURN p * (1 - d)
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+      RETURNS STRING RETURN CASE WHEN p < 20000 THEN 'low'
+                                 WHEN p < 40000 THEN 'mid'
+                                 ELSE 'high' END
+    """)
+    return spark.sql("""
+      SELECT price_band(l_extendedprice) AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+      FROM lineitem_sqludf_v GROUP BY 1 ORDER BY band
+    """)
+
+
+@register(
+    "lateral_topn_per_nation",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    doc="correlated LATERAL subquery with per-group ORDER BY/LIMIT: "
+        "top-3 customers by balance per nation, written the way an "
+        "analyst ports it from Postgres/DuckDB. Spark 4 decorrelates "
+        "the lateral into a join + per-key ordered limit (same physical "
+        "shape as the window_row_number_topn formulation — one "
+        "nationkey-partitioned ranking, no per-nation re-scan of "
+        "customer), so the 25x fan-out never replays the fact side. "
+        "Tie-break (balance DESC, name) makes the top-3 total-ordered "
+        "on both engines",
+    tags=("sql-surface",),
+)
+def lateral_topn_per_nation(spark, sf_dir):
+    load(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_lat_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v")
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation_lat_v n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer_lat_v c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
+
+
+@register(
+    "pipe_syntax_pricing",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Spark 4 SQL pipe syntax (|> WHERE / |> AGGREGATE / |> ORDER "
+        "BY): the q1-shaped pricing summary written as a linear pipeline "
+        "— same Catalyst plan as the standard form (filter pushdown, "
+        "partial+final agg), purely a parser-level surface, which is "
+        "exactly what the oracle (standard ANSI form) certifies. "
+        "Quantity sums are integer-valued doubles (exact); price sums "
+        "are exact decimal(18,2)",
+    tags=("sql-surface",),
+)
+def pipe_syntax_pricing(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_v")
+    return spark.sql("""
+      FROM lineitem_pipe_v
+      |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_base_price
+         GROUP BY l_returnflag
+      |> ORDER BY l_returnflag
+    """)
+
+
+@register(
+    "token_budget_mix",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(trim(text), '[^ ]+')) AS BIGINT)
+               AS toks,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT source, CAST(sum(toks) AS BIGINT) AS src_toks,
+             CAST(floor(sqrt(sum(toks))) AS BIGINT) AS w
+      FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM s),
+    q AS (
+      SELECT source, src_toks, w,
+             CAST((50000 * w) // wsum AS BIGINT) AS quota
+      FROM s, tot),
+    r AS (
+      SELECT d.source, d.toks, q.quota,
+             sum(d.toks) OVER (PARTITION BY d.source
+                               ORDER BY d.h, d.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run
+      FROM d JOIN q ON d.source = q.source)
+    SELECT source, CAST(max(quota) AS BIGINT) AS quota_tokens,
+           CAST(count(*) FILTER (WHERE run <= quota) AS BIGINT)
+             AS kept_docs,
+           CAST(coalesce(sum(toks) FILTER (WHERE run <= quota), 0)
+                AS BIGINT) AS kept_tokens
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="token-budget source mixing: a 50k-token training budget split "
+        "across sources proportional to sqrt(source_tokens) (multinomial "
+        "temperature sampling at T=2 — up-weights small sources), then "
+        "filled per source by deterministic md5-ordered greedy selection "
+        "until the quota. EVERY quantity is integer: weights are "
+        "floor(sqrt(n)) of exact token sums, quotas are integer "
+        "division, and the greedy fill is a per-source window cumsum "
+        "over the hash order — no float ever enters a comparison, so "
+        "both engines keep the identical doc set. Scale: one doc-level "
+        "pass, a source-keyed aggregate, and a source-partitioned "
+        "window (each partition = one source's docs; a skewed source "
+        "shards by hash range in production — same note as "
+        "epoch_shuffle_shards)",
+    tags=("llm", "sampling"),
+)
+def token_budget_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        F.size(F.expr("regexp_extract_all(trim(text), '[^ ]+', 0)"))
+        .cast("bigint").alias("toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    s = d.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("src_toks"),
+        F.floor(F.sqrt(F.sum("toks"))).cast("bigint").alias("w"),
+    )
+    tot = s.agg(F.sum("w").cast("bigint").alias("wsum"))
+    q = (
+        s.crossJoin(F.broadcast(tot))  # 1-row scalar, not a data join
+        .select("source", "src_toks", "w",
+                F.expr("(50000 * w) div wsum")
+                .cast("bigint").alias("quota"))
+    )
+    r = d.join(F.broadcast(q), "source").select(
+        "source", "toks", "quota",
+        F.sum("toks").over(
+            Window.partitionBy("source").orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run"),
+    )
+    kept = F.col("run") <= F.col("quota")
+    return (
+        r.groupBy("source")
+        .agg(F.max("quota").cast("bigint").alias("quota_tokens"),
+             F.sum(F.when(kept, 1).otherwise(0)).cast("bigint")
+             .alias("kept_docs"),
+             F.coalesce(F.sum(F.when(kept, F.col("toks"))), F.lit(0))
+             .cast("bigint").alias("kept_tokens"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "kruskal_wallis_test",
+    """
+    WITH s AS (
+      SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT g,
+             CAST(2 * rank() OVER (ORDER BY value)
+                  + count(*) OVER (PARTITION BY value) - 1 AS BIGINT)
+               AS mr2
+      FROM s),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mr2) AS BIGINT) AS r2
+      FROM r GROUP BY 1),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY value)),
+    p AS (
+      SELECT
+        max(CASE WHEN g = 'click' THEN n END) AS n1,
+        max(CASE WHEN g = 'click' THEN r2 END) AS r21,
+        max(CASE WHEN g = 'error' THEN n END) AS n2,
+        max(CASE WHEN g = 'error' THEN r2 END) AS r22,
+        max(CASE WHEN g = 'purchase' THEN n END) AS n3,
+        max(CASE WHEN g = 'purchase' THEN r2 END) AS r23,
+        max(CASE WHEN g = 'signup' THEN n END) AS n4,
+        max(CASE WHEN g = 'signup' THEN r2 END) AS r24,
+        max(CASE WHEN g = 'view' THEN n END) AS n5,
+        max(CASE WHEN g = 'view' THEN r2 END) AS r25
+      FROM agg),
+    m AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+             (r21 * 1.0 * r21 / (4.0 * n1)
+              + r22 * 1.0 * r22 / (4.0 * n2)
+              + r23 * 1.0 * r23 / (4.0 * n3)
+              + r24 * 1.0 * r24 / (4.0 * n4)
+              + r25 * 1.0 * r25 / (4.0 * n5)) AS sq,
+             tsum
+      FROM p, ties)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+           round((12.0 / (nn * (nn + 1.0)) * sq - 3.0 * (nn + 1))
+                 / (1.0 - tsum * 1.0 / (nn * 1.0 * nn * nn - nn)), 6)
+             AS h_stat
+    FROM m
+    """,
+    doc="Kruskal-Wallis H test of event value across the 5 event types "
+        "(the k-sample extension of mann_whitney_u; rank-based, so it "
+        "needs no normality assumption). Doubled midranks and tie "
+        "corrections are exact BIGINTs; the cross-group reduction reuses "
+        "the anova pivot so H comes from a fixed-order expression tree "
+        "over exact integers — identical doubles on both engines, "
+        "round-6 guarded. Fully distributed: facts collapse to a "
+        "per-value count table carrying all 5 per-group counts; "
+        "doubled midranks come from operators/ranks.py's bucketed "
+        "prefix sum (no single-task window), and each group's rank sum "
+        "is sum(n_gv * mr2) over the domain table — ranks are never "
+        "joined back to fact rows, and the tie correction rides the "
+        "same aggregate",
+    tags=("statistics",),
+)
+def kruskal_wallis_test(spark, sf_dir):
+    from ..operators.ranks import doubled_midranks
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"), "value")
+    groups = ["click", "error", "purchase", "signup", "view"]
+    pv = s.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("t"),
+        *[F.sum(F.when(F.col("g") == g, 1).otherwise(0)).cast("bigint")
+          .alias(f"c{i + 1}") for i, g in enumerate(groups)],
+    )
+    mr = doubled_midranks(pv, "value", "t")
+    cols = []
+    for i in range(1, 6):
+        cols.append(F.sum(F.col(f"c{i}")).cast("bigint").alias(f"n{i}"))
+        # group rank sum = sum over values of (group count at v) * mr2
+        cols.append(F.sum(F.col(f"c{i}") * F.col("mr2")).cast("bigint")
+                    .alias(f"r2{i}"))
+    cols.append(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tsum"))
+    p = mr.agg(*cols)
+    sq = (F.col("r21") * 1.0 * F.col("r21") / (4.0 * F.col("n1"))
+          + F.col("r22") * 1.0 * F.col("r22") / (4.0 * F.col("n2"))
+          + F.col("r23") * 1.0 * F.col("r23") / (4.0 * F.col("n3"))
+          + F.col("r24") * 1.0 * F.col("r24") / (4.0 * F.col("n4"))
+          + F.col("r25") * 1.0 * F.col("r25") / (4.0 * F.col("n5")))
+    nn = (F.col("n1") + F.col("n2") + F.col("n3")
+          + F.col("n4") + F.col("n5"))
+    m = p.select(nn.alias("nn"), sq.alias("sq"), "tsum")
+    return m.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.round(
+            (12.0 / (F.col("nn") * (F.col("nn") + 1.0)) * F.col("sq")
+             - 3.0 * (F.col("nn") + 1))
+            / (1.0 - F.col("tsum") * 1.0
+               / (F.col("nn") * 1.0 * F.col("nn") * F.col("nn")
+                  - F.col("nn"))), 6).alias("h_stat"),
+    )
+
+
+@register(
+    "pk_uniqueness_audit",
+    """
+    WITH u AS (
+      SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM orders
+      UNION ALL
+      SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+      UNION ALL
+      SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+      UNION ALL
+      SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+      UNION ALL
+      SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+      UNION ALL
+      SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+      UNION ALL
+      SELECT 'lineitem', count(*),
+             count(DISTINCT l_orderkey * 100 + l_linenumber) FROM lineitem)
+    SELECT table_name, n_rows, n_keys,
+           CAST(n_rows - n_keys AS BIGINT) AS dup_rows
+    FROM u ORDER BY table_name
+    """,
+    doc="primary-key uniqueness audit across every keyed table "
+        "(lineitem's composite key is folded to orderkey*100+linenumber "
+        "— linenumber < 100 by TPC-H construction). The data-quality "
+        "gate that runs before any merge/upsert trusts its keys. Each "
+        "branch is one exact distinct-count aggregate; the union is "
+        "7 single-row results, and nothing floats",
+    tags=("data-quality",),
+)
+def pk_uniqueness_audit(spark, sf_dir):
+    specs = [
+        ("orders", "o_orderkey", None),
+        ("customer", "c_custkey", None),
+        ("part", "p_partkey", None),
+        ("supplier", "s_suppkey", None),
+        ("events", "event_id", None),
+        ("documents", "doc_id", None),
+        ("lineitem", None,
+         F.col("l_orderkey") * 100 + F.col("l_linenumber")),
+    ]
+    parts = []
+    for table, key, expr in specs:
+        t = load(spark, sf_dir, table)
+        k = expr if expr is not None else F.col(key)
+        parts.append(
+            t.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(k).cast("bigint").alias("n_keys"),
+            ).select(F.lit(table).alias("table_name"), "n_rows", "n_keys")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "table_name", "n_rows", "n_keys",
+        (F.col("n_rows") - F.col("n_keys")).cast("bigint")
+        .alias("dup_rows"),
+    ).orderBy("table_name")
+
+
+@register(
+    "linear_attribution_by_type",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+    j AS (
+      SELECT p.event_id, p.value, t.event_type AS touch_type
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY),
+    w AS (
+      SELECT event_id, value,
+             coalesce(touch_type, 'unattributed') AS touch_type,
+             count(touch_type) OVER (PARTITION BY event_id) AS n
+      FROM j)
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS credited_touches,
+           CAST(sum(CAST(value / greatest(n, 1) AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_credit
+    FROM w GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="linear multi-touch attribution: each purchase's value is split "
+        "equally over the user's click/view touches in the 7 days "
+        "before it (purchases with no touches credit a synthetic "
+        "'unattributed' row, so total credit is conserved). The "
+        "event-time range join is the interval_join/asof shape — user "
+        "equi-key plus a watermark-boundable time window, so streaming "
+        "state stays rate x 7d. Per-touch credits are identical doubles "
+        "on both engines and are summed as exact decimal(18,6), so the "
+        "per-type totals can't drift with partial-sum order",
+    tags=("timeseries", "analytics"),
+)
+def linear_attribution_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    t = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("user_id").alias("t_user"),
+                F.col("ts").alias("t_ts"),
+                F.col("event_type").alias("touch_type"))
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    ).select("event_id", "value",
+             F.coalesce("touch_type", F.lit("unattributed"))
+             .alias("touch_type"),
+             F.col("touch_type").alias("raw_touch"))
+    w = j.select(
+        "event_id", "value", "touch_type",
+        F.count("raw_touch").over(Window.partitionBy("event_id"))
+        .alias("n"),
+    )
+    credit = (F.col("value") / F.greatest(F.col("n"), F.lit(1))) \
+        .cast("decimal(18,6)")
+    return (
+        w.groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("credited_touches"),
+             F.sum(credit).cast("double").alias("total_credit"))
+        .orderBy("touch_type")
+    )
+

@@ -1,0 +1,894 @@
+"""TPC-H-shaped join/agg suite: the classic decision-support
+shapes adapted to the fixture's reduced schema (SURVEY §2.4 join-heavy suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+
+from .base import load, normalize_event_ts, register  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped join/agg suite (round 9): the classic decision-support
+# shapes adapted to the fixture's reduced schema (no partsupp table, no
+# commit/receipt dates, no shipmode/container columns — substitutions
+# noted per query). Plan discipline: selective dimension filters build
+# the small side, nation/region are hard-broadcast (cardinality bounded
+# by the schema at 25/5 rows at ANY scale factor), everything else is
+# left to AQE so a 100x scale-up degrades to shuffle joins instead of
+# OOMing an executor.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (late shipment stands in for the fixture's "
+        "absent commit/receipt dates): the EXISTS decorrelates to a "
+        "LEFT SEMI hash join on l_orderkey with the date comparison as "
+        "a residual — no subquery re-execution per row",
+)
+def q4_priority_exists(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5: 6-way star join. The region filter is applied to the "
+        "nation dimension BEFORE it reaches the fact joins (classic "
+        "star-schema build-side pruning), so supplier and customer rows "
+        "outside ASIA never enter the shuffle",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == F.col("s_suppkey"))
+              & (c.c_nationkey == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 6) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: bidirectional nation-pair trade volume. Both nation "
+        "dimensions are pre-filtered to the two nations of interest and "
+        "broadcast, so supplier/customer shrink before the fact join; "
+        "the pair predicate is a residual on the already-pruned rows",
+)
+def q7_volume_shipping(spark, sf_dir):
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 market share: the most selective filter (p_type, 1/6 "
+        "of parts) prunes the fact rows first; the ASIA restriction "
+        "reaches customers through a pre-joined nation x region build "
+        "side; the share is one conditional-sum aggregate, not two "
+        "passes",
+)
+def q8_market_share(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n_asia), F.col("c_nationkey") == F.col("c_nk"))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name, o_year, round(sum(amount), 6) AS sum_profit
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (no partsupp in the fixture, so amount is "
+        "discounted revenue rather than revenue minus supply cost): "
+        "LIKE-filtered part keys prune the fact scan, supplier nation "
+        "attributes arrive via broadcast nation",
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("sum_profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item reporting: quarter + returnflag filters "
+        "before the joins, broadcast nation, TakeOrderedAndProject top-20 "
+        "with a unique tie-break (c_custkey) so both engines pick the "
+        "same rows",
+)
+def q10_returned_items(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 promo share: month filter prunes the fact scan; one "
+        "conditional-sum aggregate computes the percentage in a single "
+        "pass (the join keeps p_type, it is not pre-filtered — the "
+        "CASE needs both branches)",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                        .otherwise(F.lit(0.0))) / F.sum(vol), 6
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: the quarter revenue aggregate is "
+        "supplier-cardinality-sized; its max is a 1-row broadcast "
+        "joined back (ties preserved, as the spec requires) — no "
+        "global sort, no window over the whole aggregate",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice")
+              * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx),
+                 F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 6).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier-part links come from lineitem — the "
+        "fixture has no partsupp): filtered part keys prune the scan, "
+        "COUNT(DISTINCT) runs as Spark's two-phase exact distinct "
+        "aggregate; full ORDER BY tie-break for cross-engine stability",
+)
+def q16_part_supplier_variety(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < 0.2 * (
+        SELECT avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 small-quantity orders: the correlated scalar average "
+        "decorrelates to a per-part aggregate over the brand's parts "
+        "(computed once, broadcast back) — never a per-row subquery. "
+        "Quantities are integral doubles, so per-part averages are "
+        "bit-identical across engines and the threshold cannot flip",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    li_b = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thr = li_b.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_b.join(F.broadcast(thr),
+                  F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 6)
+             .alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 large-volume customers: the HAVING aggregate runs "
+        "once and its tiny survivor set drives broadcast joins to "
+        "orders and customer — the IN-subquery never re-scans; "
+        "integral quantities make the >300 cut exact in both engines",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("sum_qty")).filter(F.col("sum_qty") > 300)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_brackets",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 disjunctive bracket predicate: the OR spans both "
+        "join sides so it cannot push into either scan whole — the "
+        "implementation adds the derivable envelope bounds "
+        "(l_quantity 1..30, p_size 1..15) as explicit prefilters so "
+        "the scans still prune, then evaluates the disjunction post-join",
+)
+def q19_disjunctive_brackets(spark, sf_dir):
+    # envelope prefilters: implied by the OR, stated explicitly so they
+    # reach the parquet scans as PushedFilters
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30))
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 15)
+        & F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("revenue"))
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 400)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape (shipped PROMO volume stands in for the absent "
+        "partsupp availability): the HAVING aggregate produces a "
+        "supplier shortlist that LEFT SEMI joins supplier — the "
+        "subquery result is the broadcast side, supplier streams",
+)
+def q20_promo_part_suppliers(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q22_idle_high_balance",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 6) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (recently-idle stands in for never-ordered — "
+        "every sf0.01 customer has some order): scalar average arrives "
+        "as a 1-row broadcast, the NOT EXISTS is a LEFT ANTI join "
+        "against date-pruned orders",
+)
+def q22_idle_high_balance(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    # round-before-compare (repo convention, cf. iqr_outlier_fences): a
+    # distributed double avg can differ from the oracle's in the last
+    # ulp, and an unrounded threshold would let a borderline customer
+    # flip between engines
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))  # 1-row scalar, not a data join
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 6).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity)
+             AS unit_cost
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           round(unit_cost, 6) AS best_cost
+    FROM part JOIN cost ON p_partkey = l_partkey
+    JOIN eu ON l_suppkey = s_suppkey
+    WHERE p_type = 'LARGE'
+      AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (observed min unit sell price from lineitem "
+        "stands in for the absent partsupp supplycost): the correlated "
+        "per-part MIN becomes a window min over the (part, supplier) "
+        "cost aggregate — one shuffle on partkey serves both the "
+        "aggregate and the correlation, no self-join. The EUROPE "
+        "supplier dim (supplier⨝nation⨝region) is broadcast into the "
+        "lineitem scan; the double equality against the window min is "
+        "exact because the min is an element of the compared set. The "
+        "final part join is unhinted — AQE broadcasts the type-filtered "
+        "slice while it fits",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n.join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    cost = (
+        li.join(F.broadcast(eu.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("unit_cost"))
+    )
+    best = cost.withColumn(
+        "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE").select("p_partkey")
+    return (
+        best.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                F.round("unit_cost", 6).alias("best_cost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY 1)
+    SELECT l_partkey AS p_partkey, round(value, 4) AS value
+    FROM val
+    WHERE round(value, 6) > (SELECT round(sum(value) * 0.001, 6) FROM val)
+    ORDER BY value DESC, p_partkey LIMIT 200
+    """,
+    doc="TPC-H Q11 shape (shipped revenue from the two nations' "
+        "suppliers stands in for the absent partsupp stock value): "
+        "per-part aggregate once, then the HAVING-fraction threshold "
+        "arrives as a 1-row broadcast scalar — the fact table is "
+        "scanned and shuffled exactly once and the threshold pass is "
+        "a narrow filter over the already-aggregated (part, value) "
+        "rows. Supplier dim broadcast; total order under LIMIT",
+)
+def q11_important_parts(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7"))
+    sup = s.join(F.broadcast(n),
+                 s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice")
+                   * (1 - F.col("l_discount"))).alias("value"))
+    )
+    # round-before-compare on BOTH the per-part sums and the threshold
+    # (repo convention): every side of the > is a distributed double sum
+    # whose last ulp is partial-order dependent
+    thr = val.agg(F.round(F.sum("value") * 0.001, 6).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))  # 1-row scalar, not a data join
+        .filter(F.round(F.col("value"), 6) > F.col("thr"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.round("value", 4).alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q12_late_priority_lines",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE o_orderpriority IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (90-day ship lateness over shipdate/orderdate "
+        "stands in for the absent commit/receipt dates and returnflag "
+        "for shipmode): one big join shuffled on orderkey, then "
+        "conditional counts by priority class fold into a single "
+        "partial+final aggregate over a 3-key group domain — the "
+        "two FILTER counts share one pass",
+)
+def q12_late_priority_lines(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            # when/when (no otherwise) leaves NULL priorities out of BOTH
+            # counts, exactly like the SQL FILTER's three-valued IN /
+            # NOT IN — an otherwise(1) would have counted NULLs as low
+            F.sum(F.when(high, 1).when(~high, 0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).when(~high, 1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (priority exclusion stands in for the comment "
+        "LIKE filter): LEFT join keeps order-less customers, "
+        "count(o_orderkey) turns their NULL matches into 0, and the "
+        "distribution-of-counts is the classic double aggregation — "
+        "shuffle on custkey, then on the tiny c_count domain. The "
+        "excluded-priority predicate lives in the join condition, not "
+        "a WHERE (a WHERE would silently drop the NULL-extended rows)",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+               & (F.col("o_orderpriority") != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name IN ('NATION_0', 'NATION_2', 'NATION_5',
+                     'NATION_11', 'NATION_19')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (60-day ship lateness stands in for "
+        "receipt-after-commit): the correlated EXISTS / NOT EXISTS "
+        "pair is rewritten as per-order supplier counts — an order "
+        "qualifies a late line iff it has >=2 distinct suppliers "
+        "(EXISTS) and exactly 1 distinct LATE supplier (NOT EXISTS, "
+        "which must be the line's own). Both distinct counts fold "
+        "into ONE aggregate over the F-status-pruned join (counting "
+        "over the F order's own lines equals counting over all "
+        "lineitem, since the correlation key is the orderkey), so "
+        "lineitem shuffles on orderkey once for the stats and once "
+        "for the candidate join; the 5-nation supplier dim "
+        "broadcasts at the end, after the candidate set has already "
+        "collapsed",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    stats = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(
+        "NATION_0", "NATION_2", "NATION_5", "NATION_11", "NATION_19"))
+    sup = s.join(F.broadcast(n),
+                 s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    return (
+        j.filter("is_late").select("l_orderkey", "l_suppkey")
+        .join(stats.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+              "l_orderkey")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+

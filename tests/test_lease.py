@@ -97,13 +97,16 @@ def test_lease_reentrant_same_thread_exclusive_across_threads(tmp_path):
 
 
 def test_lease_extend_pushes_expiry(tmp_path):
+    # ttl 1.0 leaves ~0.4 s of slack before the ttl/10 steal-guard even
+    # under heavy CPU load (0.2 s ttl flaked when a loaded suite pushed
+    # sleep(0.12) past the guard boundary)
     kv = _kv(tmp_path)
-    a = MutationLease(kv, owner="aaaa", ttl_s=0.2)
-    b = MutationLease(kv, owner="bbbb", ttl_s=0.2)
+    a = MutationLease(kv, owner="aaaa", ttl_s=1.0)
+    b = MutationLease(kv, owner="bbbb", ttl_s=1.0)
     assert a.acquire("k")
-    time.sleep(0.12)
-    assert a.extend("k")  # fresh 0.2 s from now
-    time.sleep(0.12)  # past original expiry, inside extended one
+    time.sleep(0.5)
+    assert a.extend("k")  # fresh 1.0 s from now
+    time.sleep(0.7)  # past original expiry, inside extended one
     assert not b.acquire("k", timeout_s=0.01), "extend did not hold"
     a.release("k")
     # extend on a lock we no longer hold is a refused no-op

@@ -729,14 +729,21 @@ def test_anova_single_fact_aggregate_no_join(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
 
 
-def test_spearman_moments_are_single_aggregate(spark, sf_dir, registry):
-    """After the two rank windows everything folds into ONE aggregate —
-    no join, no second pass over facts."""
+def test_spearman_joins_are_bounded_broadcasts(spark, sf_dir, registry):
+    """Since the distributed-midrank rewrite (operators/ranks.py) the
+    two rank passes join midranks back over the per-value COUNT TABLE
+    (aggregate-sized, broadcast) and fold the moments via 1-row
+    broadcasts — so the plan's only joins are broadcast-shaped and
+    bounded: no sort-merge (no fact-sized join side), no cartesian
+    over data. The single-partition-sort hazard itself is gated by
+    test_rank_stats_have_no_unpartitioned_window."""
     df = registry["spearman_rank_corr"].fn(spark, sf_dir)
     kinds = plans.join_kinds(df)
-    assert sum(kinds.values()) == 0, kinds
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    assert kinds["broadcast_hash"] + kinds["broadcast_nested_loop"] <= 5, kinds
     plan = _final_plan(df)
-    assert "Join" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
 
 
 def test_cusum_windows_on_day_spine_only(spark, sf_dir, registry):

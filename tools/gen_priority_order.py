@@ -3,7 +3,7 @@ driver window.
 
 The external correctness driver grades exactly the FIRST 50 entries of
 ``get_registry()`` iteration order each round. Rotation policy (see the
-comment above ``_PRIORITY_ORDER`` in ``miniodb_spark/queries.py``):
+comment above ``_PRIORITY_ORDER`` in ``miniodb_spark/queries/order.py``):
 
 1. entries NEVER graded by the driver (no green row in any
    ``CORRECTNESS_r*.json``) come first, oldest-registered first;
@@ -16,10 +16,10 @@ Run from the repo root AFTER the driver has written the round's
 CORRECTNESS file:
 
     python tools/gen_priority_order.py            # print the new order
-    python tools/gen_priority_order.py --write    # rewrite queries.py
+    python tools/gen_priority_order.py --write    # rewrite queries/order.py
 
 ``--write`` replaces the list literal between the ``_PRIORITY_ORDER = [``
-line and its closing ``]`` in ``miniodb_spark/queries.py`` (the
+line and its closing ``]`` in ``miniodb_spark/queries/order.py`` (the
 explanatory comments above the list are left untouched — update them by
 hand each round). It refuses to write if the regenerated list would
 drop or invent names vs the live registry.
@@ -38,7 +38,8 @@ sys.path.insert(0, REPO)
 
 from miniodb_spark.queries import get_registry  # noqa: E402
 
-QUERIES_PY = os.path.join(REPO, "miniodb_spark", "queries.py")
+QUERIES_PY = os.path.join(REPO, "miniodb_spark", "queries", "order.py")
+GOLDEN_TXT = os.path.join(REPO, "tests", "golden_registry_order.txt")
 WINDOW = 50
 
 
@@ -110,12 +111,18 @@ def main() -> None:
         return
     src = open(QUERIES_PY).read()
     m = re.search(r"_PRIORITY_ORDER = \[\n(.*?)\n\]", src, re.S)
-    assert m, "queries.py must contain the _PRIORITY_ORDER literal"
+    assert m, "order.py must contain the _PRIORITY_ORDER literal"
     new_src = (src[: m.start()]
                + "_PRIORITY_ORDER = [\n" + render_literal(order) + "\n]"
                + src[m.end():])
     open(QUERIES_PY, "w").write(new_src)
     print(f"wrote {QUERIES_PY} ({len(order)} names)")
+    # the golden-order pin (tests/test_registry_order.py) must move with
+    # the rotation — regenerate it from the SAME order so the two can
+    # never drift apart
+    tail = [n for n in get_registry() if n not in set(order)]
+    open(GOLDEN_TXT, "w").write("\n".join(order + tail) + "\n")
+    print(f"wrote {GOLDEN_TXT}")
 
 
 if __name__ == "__main__":
