@@ -105,24 +105,32 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     """Window operators with an EMPTY partition spec — the ones Spark
     executes as a single task over their whole input ("No Partition
     Defined for Window operation" warning). In plan text a Window line
-    carries bracket groups `[exprs], [partitionSpec], [orderSpec]`;
-    when the partition spec is empty the middle group is omitted, so
-    an empty-spec Window has exactly two top-level groups."""
+    carries bracket groups `[exprs], [partitionSpec], [orderSpec]`,
+    and EITHER empty spec is omitted from the print — so two groups is
+    ambiguous: `[exprs], [orderSpec]` (global-order window, the
+    single-task hazard) vs `[exprs], [partitionSpec]` (whole-partition
+    frame with no ordering, perfectly distributed). Order specs are
+    distinguishable because every entry carries an ASC/DESC direction;
+    partition specs are bare column lists."""
     out = []
     for line in simple_plan(df).splitlines():
         m = re.search(r"\bWindow(?:GroupLimit)?\s+(\[.*)$", line)
         if not m or "WindowGroupLimit" in line:
             continue
-        groups, depth = 0, 0
-        for ch in m.group(1):
+        spans, depth, start = [], 0, None
+        for i, ch in enumerate(m.group(1)):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups <= 2:
-            out.append(line.strip())
+                if depth == 0:
+                    spans.append(m.group(1)[start:i + 1])
+        if len(spans) <= 1:
+            out.append(line.strip())  # neither partition nor order spec
+        elif len(spans) == 2 and re.search(r"\b(ASC|DESC)\b", spans[1]):
+            out.append(line.strip())  # order-only: empty partition spec
     return out
 
 

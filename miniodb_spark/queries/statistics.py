@@ -1248,3 +1248,411 @@ def linear_attribution_by_type(spark, sf_dir):
         .orderBy("touch_type")
     )
 
+
+
+@register(
+    "kendall_tau_monthly",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CAST(sign(b.n - a.n) AS BIGINT)
+               * CAST(sign(b.rev - a.rev) AS BIGINT) AS s,
+             CAST(CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS BIGINT) AS tx,
+             CAST(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS BIGINT) AS ty
+      FROM m a JOIN m b ON a.mon < b.mon),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+             CAST(sum(tx) AS BIGINT) AS tie_x,
+             CAST(sum(ty) AS BIGINT) AS tie_y
+      FROM p)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_months,
+           n_pairs, concordant, discordant,
+           round((concordant - discordant)
+                 / sqrt((n_pairs - tie_x) * 1.0 * (n_pairs - tie_y)),
+                 6) AS tau_b
+    FROM agg
+    """,
+    doc="Kendall tau-b rank correlation between monthly order count and "
+        "monthly revenue, with tie corrections. Pair enumeration is "
+        "O(months^2) — quadratic in the MONTH SPINE (80 rows -> 3,160 "
+        "pairs), never the facts: one grouped aggregate collapses "
+        "orders to the spine, the pair join is a broadcast over that "
+        "bounded table (the theil_sen shape), and concordance counts "
+        "are exact integers (revenue compared as DECIMAL) so tau_b is "
+        "identical across engines before the round-6 guard",
+    tags=("statistics",),
+)
+def kendall_tau_monthly(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    p = (
+        a.join(F.broadcast(b), F.col("a.mon") < F.col("b.mon"))
+        .select(
+            (F.signum(F.col("b.n") - F.col("a.n")).cast("bigint")
+             * F.signum(F.col("b.rev") - F.col("a.rev")).cast("bigint"))
+            .alias("s"),
+            F.when(F.col("a.n") == F.col("b.n"), 1).otherwise(0)
+            .cast("bigint").alias("tx"),
+            F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0)
+            .cast("bigint").alias("ty"),
+        )
+    )
+    agg = p.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("bigint")
+        .alias("discordant"),
+        F.sum("tx").cast("bigint").alias("tie_x"),
+        F.sum("ty").cast("bigint").alias("tie_y"),
+    )
+    n_months = m.agg(F.count("*").cast("bigint").alias("n_months"))
+    return (
+        agg.crossJoin(F.broadcast(n_months))
+        .select(
+            "n_months", "n_pairs", "concordant", "discordant",
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                / F.sqrt((F.col("n_pairs") - F.col("tie_x"))
+                         * F.lit(1.0)
+                         * (F.col("n_pairs") - F.col("tie_y"))),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+             CAST(count_if(ts <  TIMESTAMP '2024-01-16') AS BIGINT) AS na,
+             CAST(count_if(ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS nb
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, bucket, na, nb,
+             sum(na) OVER (PARTITION BY event_type) AS ta,
+             sum(nb) OVER (PARTITION BY event_type) AS tb
+      FROM c)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(na) AS BIGINT) AS n_before,
+           CAST(sum(nb) AS BIGINT) AS n_after,
+           round(sum((na * 1.0 / ta - nb * 1.0 / tb)
+                     * ln((na * 1.0 / ta + 1e-6)
+                          / (nb * 1.0 / tb + 1e-6))), 6) AS psi
+    FROM t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Population Stability Index per event type between the first "
+        "and second half of the month (fixed 2024-01-16 boundary, 10 "
+        "fixed-width value buckets, 1e-6 epsilon guard) — the standard "
+        "model-monitoring drift score. ONE conditional-count aggregate "
+        "over the facts; period totals are a window over the (type x "
+        "bucket) aggregate and the PSI sum a second tiny aggregate — "
+        "zero joins, zero fact-sized windows. Buckets empty in both "
+        "periods contribute exactly 0 and need no spine",
+    tags=("statistics", "drift"),
+)
+def psi_value_drift(spark, sf_dir):
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
+            .cast("bigint").alias("bucket"),
+        )
+        .agg(F.count_if(F.col("ts") < split).cast("bigint").alias("na"),
+             F.count_if(F.col("ts") >= split).cast("bigint").alias("nb"))
+    )
+    w = W.partitionBy("event_type")
+    t = c.withColumn("ta", F.sum("na").over(w)).withColumn(
+        "tb", F.sum("nb").over(w))
+    pa = F.col("na") * 1.0 / F.col("ta")
+    pb = F.col("nb") * 1.0 / F.col("tb")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("na").cast("bigint").alias("n_before"),
+            F.sum("nb").cast("bigint").alias("n_after"),
+            F.round(F.sum((pa - pb) * F.log((pa + 1e-6) / (pb + 1e-6))), 6)
+            .alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "kaplan_meier_user_retention",
+    """
+    WITH u AS (
+      SELECT user_id, event_type,
+             date_diff('day', min(ts)::DATE, max(ts)::DATE) AS life,
+             CASE WHEN max(ts) >= TIMESTAMP '2024-01-28' THEN 1 ELSE 0 END
+               AS censored
+      FROM events GROUP BY user_id, event_type),
+    d AS (
+      SELECT CAST(life AS BIGINT) AS t_day,
+             CAST(count(*) AS BIGINT) AS n_leave,
+             CAST(count_if(censored = 0) AS BIGINT) AS n_death
+      FROM u GROUP BY 1),
+    r AS (
+      SELECT t_day, n_death,
+             (SELECT CAST(count(*) AS BIGINT) FROM u)
+               - CAST(coalesce(sum(n_leave) OVER
+                   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+      FROM d),
+    s AS (
+      SELECT t_day, n_death, at_risk,
+             max(CASE WHEN n_death >= at_risk THEN 1 ELSE 0 END) OVER
+               (ORDER BY t_day) AS hit_zero,
+             sum(ln(nullif(1.0 - n_death * 1.0 / at_risk, 0.0))) OVER
+               (ORDER BY t_day) AS lsum
+      FROM r)
+    SELECT t_day, at_risk AS n_at_risk, n_death AS n_deaths,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(lsum), 6) END AS survival
+    FROM s
+    WHERE n_death > 0
+    ORDER BY t_day
+    """,
+    doc="Kaplan-Meier survival curve over per-(user, event-type) "
+        "engagement lifetimes (first-to-last event span in days; "
+        "subjects still active in the final 3 days are right-censored "
+        "— the per-user grain would censor everything in this fixture, "
+        "leaving a vacuous curve). Facts collapse to a subject aggregate, then "
+        "to a per-day leave/death table (<=31 rows); at-risk counts and "
+        "the log-survival prefix product are windows over that bounded "
+        "day table — the cusum day-spine shape, never a fact-sized "
+        "window. S(t)=0 when the last at-risk cohort all die is handled "
+        "via an explicit flag (Spark ln(0) is NULL, DuckDB -inf — the "
+        "CASE keeps both engines off that edge); round-6 guards the "
+        "exp/ln libm difference",
+    tags=("statistics", "survival"),
+)
+def kaplan_meier_user_retention(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+            .alias("life"),
+            F.when(F.max("ts") >= F.lit("2024-01-28 00:00:00")
+                   .cast("timestamp"), 1).otherwise(0).alias("censored"),
+        )
+    )
+    d = (
+        u.groupBy(F.col("life").cast("bigint").alias("t_day"))
+        .agg(F.count("*").cast("bigint").alias("n_leave"),
+             F.count_if(F.col("censored") == 0).cast("bigint")
+             .alias("n_death"))
+    )
+    n_total = u.agg(F.count("*").cast("bigint").alias("n_total"))
+    wprev = W.orderBy("t_day").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t_day")
+    r = (
+        d.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "at_risk",
+            (F.col("n_total")
+             - F.coalesce(F.sum("n_leave").over(wprev), F.lit(0)))
+            .cast("bigint"),
+        )
+    )
+    s = (
+        r.withColumn(
+            "hit_zero",
+            F.max(F.when(F.col("n_death") >= F.col("at_risk"), 1)
+                  .otherwise(0)).over(wcum),
+        )
+        .withColumn(
+            "lsum",
+            F.sum(F.log(F.nullif(
+                F.lit(1.0) - F.col("n_death") * 1.0 / F.col("at_risk"),
+                F.lit(0.0)))).over(wcum),
+        )
+    )
+    return (
+        s.filter(F.col("n_death") > 0)
+        .select(
+            "t_day",
+            F.col("at_risk").alias("n_at_risk"),
+            F.col("n_death").alias("n_deaths"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("lsum"), 6)).alias("survival"),
+        )
+        .orderBy("t_day")
+    )
+
+
+@register(
+    "cuped_adjusted_uplift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
+             count_if(ts <  TIMESTAMP '2024-01-16') AS na,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
+             count_if(ts >= TIMESTAMP '2024-01-16') AS nb
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id),
+    xy AS (
+      SELECT CAST(sa AS DOUBLE) / na AS x,
+             CAST(sb AS DOUBLE) / nb AS y
+      FROM u WHERE na > 0 AND nb > 0),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             covar_pop(y, x) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
+      FROM xy)
+    SELECT n_users,
+           round(cxy / vx, 6) AS theta,
+           round(vy, 6) AS var_raw,
+           round(vy - cxy * cxy / vx, 6) AS var_adjusted,
+           round(100.0 * (cxy * cxy / vx) / vy, 6) AS var_reduction_pct
+    FROM mom
+    """,
+    doc="CUPED variance reduction (Deng et al., WSDM'13): per-user "
+        "pre-period mean value (first half of the month) as the "
+        "covariate for the post-period mean; theta = cov(y,x)/var(x) "
+        "and the adjusted-metric variance var(y) - cov^2/var(x). One "
+        "grouped aggregate collapses facts to the 150-user table "
+        "(per-user means are DECIMAL-sum-over-integer-count, so x and "
+        "y are bit-identical doubles across engines); the moments are "
+        "one covar_pop/var_pop pass over that bounded table, round-6 "
+        "guarded for accumulation order. The experimentation-platform "
+        "shape: at 100 TB the covariate table is user-cardinality, not "
+        "fact-cardinality",
+    tags=("statistics", "experimentation"),
+)
+def cuped_adjusted_uplift(spark, sf_dir):
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    u = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, dec)).alias("sa"),
+            F.count_if(F.col("ts") < split).alias("na"),
+            F.sum(F.when(F.col("ts") >= split, dec)).alias("sb"),
+            F.count_if(F.col("ts") >= split).alias("nb"),
+        )
+    )
+    xy = (
+        u.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select((F.col("sa").cast("double") / F.col("na")).alias("x"),
+                (F.col("sb").cast("double") / F.col("nb")).alias("y"))
+    )
+    mom = xy.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.covar_pop("y", "x").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+    )
+    return mom.select(
+        "n_users",
+        F.round(F.col("cxy") / F.col("vx"), 6).alias("theta"),
+        F.round(F.col("vy"), 6).alias("var_raw"),
+        F.round(F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx"), 6)
+        .alias("var_adjusted"),
+        F.round(F.lit(100.0) * (F.col("cxy") * F.col("cxy") / F.col("vx"))
+                / F.col("vy"), 6).alias("var_reduction_pct"),
+    )
+
+
+@register(
+    "tukey_hsd_pairwise",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS ss
+      FROM orders GROUP BY 1),
+    msw AS (
+      SELECT (SELECT sum(CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+              FROM g)
+             / ((SELECT CAST(sum(n) AS BIGINT) FROM g)
+                - (SELECT CAST(count(*) AS BIGINT) FROM g)) AS msw)
+    SELECT a.grp AS grp_1, b.grp AS grp_2,
+           a.n AS n_1, b.n AS n_2,
+           round(CAST(a.s AS DOUBLE) / a.n
+                 - CAST(b.s AS DOUBLE) / b.n, 4) AS mean_diff,
+           round(abs(CAST(a.s AS DOUBLE) / a.n
+                     - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6)
+             AS q_stat
+    FROM g a JOIN g b ON a.grp < b.grp, msw
+    ORDER BY grp_1, grp_2
+    """,
+    doc="Tukey-Kramer HSD post-hoc pairwise comparisons after the "
+        "one-way ANOVA (anova_oneway_priority): studentized-range q "
+        "statistics for all 10 priority pairs on order totalprice. "
+        "Group sums and sums-of-squares are exact DECIMALs from ONE "
+        "fact aggregate; MS-within and the q statistics are arithmetic "
+        "over the 5-row group table (pair join = broadcast of 5 rows, "
+        "MSW a 1-row broadcast), round-6/4 guarded. The unbalanced-n "
+        "Tukey-Kramer form (per-pair 1/n_i + 1/n_j) — no equal-size "
+        "assumption",
+    tags=("statistics",),
+)
+def tukey_hsd_pairwise(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = (
+        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(dec).alias("s"),
+             F.sum(dec * dec).alias("ss"))
+    )
+    msw = g.agg(
+        (F.sum(F.col("ss").cast("double")
+               - F.col("s").cast("double") * F.col("s").cast("double")
+               / F.col("n"))
+         / (F.sum("n") - F.count("*"))).alias("msw")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    mean = lambda side: F.col(f"{side}.s").cast("double") / F.col(f"{side}.n")
+    return (
+        a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            F.col("a.grp").alias("grp_1"), F.col("b.grp").alias("grp_2"),
+            F.col("a.n").alias("n_1"), F.col("b.n").alias("n_2"),
+            F.round(mean("a") - mean("b"), 4).alias("mean_diff"),
+            F.round(
+                F.abs(mean("a") - mean("b"))
+                / F.sqrt(F.col("msw") / 2.0
+                         * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))),
+                6,
+            ).alias("q_stat"),
+        )
+        .orderBy("grp_1", "grp_2")
+    )

@@ -1,0 +1,232 @@
+"""SQL-surface aggregate showcases: GROUP BY ALL, bitwise/boolean/
+conditional aggregates, deterministic mode, and array-slice embedding
+fidelity — each a single map-side-combinable aggregate pass (the
+cheapest possible 100 TB shape: no joins, no fact-sized windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+
+from .base import load, normalize_event_ts, register  # noqa: F401
+
+
+@register(
+    "group_by_all_shorthand",
+    """
+    SELECT dayofweek(ts) AS dow, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY ALL
+    ORDER BY dow, event_type
+    """,
+    doc="GROUP BY ALL shorthand (every non-aggregate select item becomes "
+        "a grouping key — supported verbatim by Spark 4 and DuckDB): "
+        "day-of-week x event-type counts and exact decimal value totals. "
+        "Day-of-week is normalized to DuckDB's 0=Sunday convention "
+        "(Spark's dayofweek is 1-based). One map-side-combinable "
+        "aggregate; the shorthand resolves at parse time, so the plan is "
+        "identical to the explicit GROUP BY",
+    tags=("sql-surface",),
+)
+def group_by_all_shorthand(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_gba_v")
+    return spark.sql("""
+      SELECT dayofweek(ts) - 1 AS dow, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+      FROM events_gba_v
+      GROUP BY ALL
+      ORDER BY dow, event_type
+    """)
+
+
+@register(
+    "bitmap_presence_agg",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             bit_or(CAST(1 << dayofweek(ts) AS BIGINT)) AS user_bm
+      FROM events
+      GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(bit_or(user_bm) AS BIGINT)  AS any_user_bitmap,
+           CAST(bit_and(user_bm) AS BIGINT) AS all_users_bitmap,
+           CAST(bit_count(bit_and(user_bm)) AS BIGINT)
+             AS weekdays_every_user,
+           CAST(bit_xor(user_id) AS BIGINT) AS user_xor_checksum
+    FROM per_user
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Bitwise aggregate surface (bit_or / bit_and / bit_xor / "
+        "bit_count in both engines): per-user weekday-presence bitmaps "
+        "(1 << dow, DuckDB 0=Sunday convention) folded per event type "
+        "into any-user and every-user weekday masks plus an order-"
+        "invariant XOR checksum of the user set. The presence-bitmap-"
+        "then-intersect shape is the classic roaring-bitmap segmentation "
+        "pattern ('which weekdays does EVERY user of this event hit'). "
+        "Two stacked map-side-combinable aggregates — bitmaps are "
+        "8 bytes however many rows they summarize",
+    tags=("sql-surface",),
+)
+def bitmap_presence_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.bit_or(
+            # shiftleft's bit-count arg is Python-int-only in the column
+            # API; the SQL form takes a column expression
+            F.expr("CAST(shiftleft(1, dayofweek(ts) - 1) AS BIGINT)")
+        ).alias("user_bm"))
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.bit_or("user_bm").cast("bigint").alias("any_user_bitmap"),
+            F.bit_and("user_bm").cast("bigint").alias("all_users_bitmap"),
+            F.bit_count(F.bit_and("user_bm")).cast("bigint")
+            .alias("weekdays_every_user"),
+            F.bit_xor("user_id").cast("bigint").alias("user_xor_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "bool_count_if_flags",
+    """
+    SELECT event_type,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(value > 400)        AS any_extreme,
+           CAST(count_if(value > 250) AS BIGINT) AS n_over_250,
+           CAST(count_if(props IS NULL OR props = '') AS BIGINT)
+             AS n_no_props
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Boolean/conditional aggregate surface: bool_and / bool_or "
+        "(Spark's every/any under their portable names) and count_if — "
+        "the data-quality flag rollup shape (are all rows valued, did "
+        "any row spike, how many crossed a threshold). One aggregate "
+        "pass; every flag is a map-side-combinable partial",
+    tags=("sql-surface",),
+)
+def bool_count_if_flags(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+            F.bool_or(F.col("value") > 400).alias("any_extreme"),
+            F.count_if(F.col("value") > 250).cast("bigint")
+            .alias("n_over_250"),
+            F.count_if(F.col("props").isNull() | (F.col("props") == ""))
+            .cast("bigint").alias("n_no_props"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "mode_deterministic",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket) AS rk
+      FROM c)
+    SELECT event_type, bucket AS modal_bucket, n AS modal_count
+    FROM r WHERE rk = 1
+    ORDER BY event_type
+    """,
+    doc="Deterministic mode: the native mode() aggregate is tie-"
+        "nondeterministic in BOTH engines, so the modal value-bucket per "
+        "event type is derived as count-desc/bucket-asc row_number=1 — "
+        "reproducible on any engine and any partitioning. The window "
+        "runs on the (type x 10-bucket) aggregate, never the facts; "
+        "bucket ids are integer arithmetic (floor of value/50, capped)",
+    tags=("sql-surface",),
+)
+def mode_deterministic(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
+            .cast("bigint").alias("bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), "bucket")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("event_type"), F.col("bucket").alias("modal_bucket"),
+                F.col("n").alias("modal_count"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "matryoshka_cosine_fidelity",
+    """
+    WITH per_vec AS (
+      SELECT label,
+             CAST(sqrt(
+               list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
+                                CAST(embedding[1:16] AS DOUBLE[]))
+               / list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))
+             ) AS DECIMAL(18,12)) AS cos_fid
+      FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(cos_fid), 6) AS DOUBLE) AS avg_cosine_16
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Matryoshka-truncation fidelity: cosine between each 64-dim "
+        "embedding and its first-16-dim prefix (the MRL serving trick — "
+        "store one vector, serve any prefix length). cos(full, prefix) "
+        "reduces to sqrt(|prefix|^2 / |full|^2), so the whole metric is "
+        "two array self-dot-products per row — zero shuffles beyond the "
+        "10-group aggregate. Per-row doubles are bit-identical across "
+        "engines (same-order 16/64-term sums in double), pinned exact "
+        "via DECIMAL(18,12) before the group average; at 100 TB this is "
+        "a pure map pass over the vector column, payloads never shuffle",
+    tags=("sql-surface", "embedding"),
+)
+def matryoshka_cosine_fidelity(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
+    dot = lambda col: F.aggregate(
+        F.zip_with(dbl(col), dbl(col), lambda a, b: a * b),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    per_vec = emb.select(
+        "label",
+        F.sqrt(dot(F.slice("embedding", 1, 16)) / dot(F.col("embedding")))
+        .cast("decimal(18,12)").alias("cos_fid"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.round(F.avg("cos_fid"), 6).cast("double")
+             .alias("avg_cosine_16"))
+        .orderBy("label")
+    )

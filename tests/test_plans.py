@@ -867,3 +867,85 @@ def test_attribution_range_join_keeps_user_equi_key(
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "Window" in plan, plan[:2000]
+
+
+def test_surface_aggs_are_single_pass_no_join(spark, sf_dir, registry):
+    """The SQL-surface aggregate showcases (GROUP BY ALL, bitwise,
+    boolean/count_if, matryoshka fidelity) must compile to plain
+    map-side-combinable aggregates: zero joins of any kind, and for the
+    single-level ones at most the one grouping shuffle + output sort."""
+    for name in ("group_by_all_shorthand", "bool_count_if_flags",
+                 "matryoshka_cosine_fidelity"):
+        df = registry[name].fn(spark, sf_dir)
+        kinds = plans.join_kinds(df)
+        assert sum(kinds.values()) == 0, (name, kinds)
+        assert plans.num_shuffles(df) <= 2, (name, plans.simple_plan(df))
+    # bitmap_presence_agg stacks two aggregates (per-user then per-type)
+    df = registry["bitmap_presence_agg"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert plans.num_shuffles(df) <= 3, plans.simple_plan(df)
+
+
+def test_mode_window_runs_on_bucket_aggregate(spark, sf_dir, registry):
+    """Deterministic mode: the row_number window must be partitioned
+    (by event_type) and consume the (type x bucket) aggregate, never
+    the fact table — no unpartitioned window anywhere."""
+    df = registry["mode_deterministic"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    assert sum(plans.join_kinds(df).values()) == 0
+
+
+def test_kendall_pairs_join_bounded_to_month_spine(spark, sf_dir, registry):
+    """Kendall tau-b: the quadratic pair join must be a broadcast over
+    the ~80-row month aggregate (inequality join -> BNLJ of the bounded
+    spine) — never a sort-merge or shuffled-hash join of fact-sized
+    inputs."""
+    df = registry["kendall_tau_monthly"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_psi_zero_joins_partitioned_window(spark, sf_dir, registry):
+    """PSI drift: one conditional-count fact aggregate, totals via a
+    window PARTITIONED by event_type on the bucket aggregate, final
+    tiny aggregate — zero joins, no unpartitioned window."""
+    df = registry["psi_value_drift"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert not plans.unpartitioned_windows(df)
+
+
+def test_kaplan_meier_windows_on_day_table_only(spark, sf_dir, registry):
+    """KM survival: the at-risk / log-survival windows are unpartitioned
+    by construction (a cumulative product over the <=31-row day table —
+    the cusum day-spine shape), so the gate is that they consume the
+    DAY AGGREGATE, not facts: the plan's only join is the 1-row
+    n_total broadcast and facts shuffle exactly once into the user
+    aggregate."""
+    df = registry["kaplan_meier_user_retention"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    plan = plans.simple_plan(df)
+    # user agg + day agg (+ AQE coalesces); windows add sorts not
+    # fact shuffles
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_cuped_single_fact_pass(spark, sf_dir, registry):
+    """CUPED: facts collapse to the per-user covariate table in ONE
+    grouped aggregate; the moment pass is aggregate-over-aggregate —
+    zero joins, no windows at all."""
+    df = registry["cuped_adjusted_uplift"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert "Window" not in plans.simple_plan(df)
+
+
+def test_tukey_hsd_joins_bounded_broadcasts(spark, sf_dir, registry):
+    """Tukey-Kramer HSD: the pair join is a broadcast of the 5-row
+    group table and MSW a 1-row broadcast — no sort-merge or
+    shuffled-hash join anywhere."""
+    df = registry["tukey_hsd_pairwise"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
