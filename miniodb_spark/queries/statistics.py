@@ -1656,3 +1656,167 @@ def tukey_hsd_pairwise(spark, sf_dir):
         )
         .orderBy("grp_1", "grp_2")
     )
+
+
+@register(
+    "bm25_term_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('join', 'shuffle', 'broadcast')
+      GROUP BY 1, 2),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n_docs
+                                  * 1.0 / s.total_len))) AS score
+      FROM tf t JOIN df f ON t.tok = f.tok
+      JOIN dl d ON t.doc_id = d.doc_id, stats s
+      GROUP BY t.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 ranking (k1=1.2, b=0.75, Lucene's +1 idf smoothing) for "
+        "the fixed query {join, shuffle, broadcast} over the documents "
+        "table — the lexical half of a hybrid retrieval stack (RRF "
+        "fusion with the vector half is rrf_fused_selection). Term "
+        "frequencies come from one tokenize+filter pass (the IN "
+        "prunes the exploded stream to query terms before any "
+        "shuffle); document lengths and corpus stats are one aggregate "
+        "each; df and the corpus-stat row broadcast. Ranking ties "
+        "break on doc_id over the round-6 score so both engines pick "
+        "identical top-10 rows. At 100 TB: tf is (docs x 3 terms) "
+        "bounded, dl is doc-cardinality — no fact-sized join side",
+    tags=("statistics", "retrieval"),
+)
+def bm25_term_scores(spark, sf_dir):
+    K1, B = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
+                   F.sum("dl").cast("bigint").alias("total_len"))
+    tf = (
+        toks.filter(F.col("tok").isin("join", "shuffle", "broadcast"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0)
+            * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf")
+               + K1 * (1 - B + B * F.col("dl") * F.col("n_docs")
+                       * 1.0 / F.col("total_len")))
+        ).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "moment_skew_kurtosis",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v100) AS DOUBLE) AS s1,
+             CAST(sum(v100 * v100) AS DOUBLE) AS s2,
+             CAST(sum(CAST(v100 * v100 AS DECIMAL(19,0)) * v100)
+                  AS DOUBLE) AS s3,
+             CAST(sum(CAST(v100 * v100 AS DECIMAL(19,0)) * (v100 * v100))
+                  AS DOUBLE) AS s4
+      FROM v GROUP BY event_type),
+    m AS (
+      SELECT event_type, n,
+             s1 / n / 1e2 AS a1, s2 / n / 1e4 AS a2,
+             s3 / n / 1e6 AS a3, s4 / n / 1e8 AS a4
+      FROM s),
+    c AS (
+      SELECT event_type, n, a1,
+             a2 - a1 * a1 AS m2,
+             a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1 AS m3,
+             a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2
+               - 3 * a1 * a1 * a1 * a1 AS m4
+      FROM m)
+    SELECT event_type, n,
+           round(a1, 6) AS mean,
+           round(m3 / pow(m2, 1.5), 6) AS skewness_pop,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis_pop
+    FROM c
+    ORDER BY event_type
+    """,
+    doc="Population skewness and excess kurtosis per event type from "
+        "EXPLICIT power sums: the built-in skewness()/kurtosis() "
+        "aggregates disagree across engines (Spark ships population "
+        "moments, DuckDB sample-adjusted g1/g2), so the sums are exact "
+        "INTEGERS — value has a fixed 0.01 grain, so v100 = value*100 "
+        "is a bigint and sum(v100^k), k=1..4, accumulates exactly "
+        "(DECIMAL-widened where a bigint sum could overflow) in any "
+        "partition order. Only the 5-row moment algebra runs in "
+        "doubles, guarded at round-6. One map-side-combinable "
+        "aggregate over the facts",
+    tags=("statistics",),
+)
+def moment_skew_kurtosis(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    v2 = F.col("v100") * F.col("v100")
+    v2dec = v2.cast("decimal(19,0)")
+    s = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", v100.alias("v100"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v100").cast("double").alias("s1"),
+            F.sum(v2).cast("double").alias("s2"),
+            F.sum(v2dec * F.col("v100")).cast("double").alias("s3"),
+            F.sum(v2dec * v2).cast("double").alias("s4"),
+        )
+    )
+    a1 = F.col("s1") / F.col("n") / F.lit(1e2)
+    a2 = F.col("s2") / F.col("n") / F.lit(1e4)
+    a3 = F.col("s3") / F.col("n") / F.lit(1e6)
+    a4 = F.col("s4") / F.col("n") / F.lit(1e8)
+    m2 = a2 - a1 * a1
+    m3 = a3 - F.lit(3) * a1 * a2 + F.lit(2) * a1 * a1 * a1
+    m4 = (a4 - F.lit(4) * a1 * a3 + F.lit(6) * a1 * a1 * a2
+          - F.lit(3) * a1 * a1 * a1 * a1)
+    return (
+        s.select(
+            "event_type", "n",
+            F.round(a1, 6).alias("mean"),
+            F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
+            F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis_pop"),
+        )
+        .orderBy("event_type")
+    )

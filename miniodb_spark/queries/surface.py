@@ -230,3 +230,87 @@ def matryoshka_cosine_fidelity(spark, sf_dir):
              .alias("avg_cosine_16"))
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_sign_bits_hamming",
+    """
+    WITH sig AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(embedding[1:63],
+               (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS sig,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+    probe AS (
+      SELECT sig AS psig, nrm AS pnrm, emb AS pemb
+      FROM sig ORDER BY vec_id LIMIT 1),
+    h AS (
+      SELECT label,
+             CAST(bit_count(xor(sig, psig)) AS BIGINT) AS hamming,
+             CAST(list_dot_product(emb, pemb) / (nrm * pnrm)
+                  AS DECIMAL(18,12)) AS cos_probe
+      FROM sig, probe)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(hamming * 1.0), 6) AS DOUBLE) AS avg_hamming,
+           round(corr(hamming * 1.0, CAST(cos_probe AS DOUBLE)), 6)
+             AS corr_hamming_cosine
+    FROM h GROUP BY label ORDER BY label
+    """,
+    doc="Binary-embedding audit: 63-bit sign signatures (bit i set when "
+        "dim i > 0 — the 32x-compression binarization trick), Hamming "
+        "distance of every vector to a fixed probe (lowest vec_id) via "
+        "bit_count(xor), and the per-label correlation between Hamming "
+        "distance and true cosine — the quality check one runs before "
+        "switching ANN serving to binary signatures. Strictly linear: "
+        "one probe row broadcast against the corpus (no pairwise join "
+        "anywhere; the banded-Hamming JOIN path lives in "
+        "operators/multimodal.py). Per-row doubles are same-order "
+        "sums, decimal-pinned before corr; round-6 on the moments",
+    tags=("sql-surface", "embedding"),
+)
+def embedding_sign_bits_hamming(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(dbl, dbl, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    # left-fold acc*2 + bit over the REVERSED 63-dim prefix builds
+    # sum(bit_i << (i-1)) without a column-typed shift amount
+    # (shiftleft's bit-count arg is Python-int-only in the column API)
+    sig_expr = F.aggregate(
+        F.reverse(F.slice("embedding", 1, 63)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+    )
+    sig = emb.select(
+        "vec_id", "label", sig_expr.alias("sig"),
+        F.sqrt(dot).alias("nrm"), dbl.alias("emb"))
+    probe = (sig.orderBy("vec_id").limit(1)
+             .select(F.col("sig").alias("psig"), F.col("nrm").alias("pnrm"),
+                     F.col("emb").alias("pemb")))
+    h = (
+        sig.crossJoin(F.broadcast(probe))
+        .select(
+            "label",
+            F.bit_count(F.expr("sig ^ psig")).cast("bigint")
+            .alias("hamming"),
+            (F.aggregate(F.zip_with("emb", "pemb", lambda a, b: a * b),
+                         F.lit(0.0), lambda acc, x: acc + x)
+             / (F.col("nrm") * F.col("pnrm")))
+            .cast("decimal(18,12)").alias("cos_probe"),
+        )
+    )
+    return (
+        h.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg(F.col("hamming") * 1.0), 6).cast("double")
+            .alias("avg_hamming"),
+            F.round(F.corr(F.col("hamming") * 1.0,
+                           F.col("cos_probe").cast("double")), 6)
+            .alias("corr_hamming_cosine"),
+        )
+        .orderBy("label")
+    )

@@ -949,3 +949,31 @@ def test_tukey_hsd_joins_bounded_broadcasts(spark, sf_dir, registry):
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
     assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_sign_bits_single_probe_broadcast(spark, sf_dir, registry):
+    """Binary-embedding audit: strictly linear — the only join is the
+    1-row probe broadcast; no pairwise join of the corpus with itself."""
+    df = registry["embedding_sign_bits_hamming"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    assert not plans.unpartitioned_windows(df)
+
+
+def test_bm25_prunes_tokens_before_shuffle(spark, sf_dir, registry):
+    """BM25: the query-term IN filter must sit below the tf aggregate
+    (tokens pruned to 3 terms before any shuffle), and no cartesian
+    anywhere; dl/df/stats sides are doc- or term-bounded."""
+    df = registry["bm25_term_scores"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plans.has_take_ordered(df) or "TakeOrdered" in plan, plan[:1500]
+
+
+def test_moment_sums_zero_join_single_shuffle(spark, sf_dir, registry):
+    """Skew/kurtosis power sums: one grouped aggregate, zero joins,
+    moment algebra on the 5-row result."""
+    df = registry["moment_skew_kurtosis"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
