@@ -362,3 +362,43 @@ def test_commit_rewrite_expected_gen_mismatch_raises(tmp_path):
                       expected_gen=c1.next_generation_index("t"))
     with pytest.raises(RuntimeError, match="stale rewrite commit"):
         c2.commit_rewrite("t", {"id": "string"}, [], expected_gen=reserved)
+
+
+def test_rewrite_aborts_when_lease_stolen_midjob(spark, tmp_path):
+    """End-to-end abort path for the lost-lease hazard: if the rewrite
+    lease is stolen while the survivor write is in flight, the commit
+    must abort LOUDLY before publishing — the catalog keeps the
+    pre-rewrite state, every pre-delete row stays readable, and the
+    orphan survivor generation directory is never referenced. The
+    steal is simulated by failing the pre-commit ownership check
+    (lease.verify), the exact signal a real TTL steal produces."""
+    import pytest
+
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    eng = Engine(spark, root)
+    eng.create_table("t")
+    for i in range(6):
+        eng.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+    eng.flush("t")
+    gens_before = eng.catalog.gen_schemas("t")
+
+    real_verify = eng.lease.verify
+    eng.lease.verify = lambda key: False  # every ownership re-check fails
+    try:
+        with pytest.raises(RuntimeError, match="lease .* lost"):
+            eng.delete("t", "r3")
+    finally:
+        eng.lease.verify = real_verify
+
+    # catalog unchanged: no new generation, no exclusions
+    assert eng.catalog.gen_schemas("t") == gens_before
+    assert not eng.catalog.excluded_parts("t")
+    # all six rows still readable (the delete did NOT half-apply)
+    rows = json.loads(eng.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == [f"r{i}" for i in range(6)]
+    # and a retry with the lease intact completes the delete
+    assert eng.delete("t", "r3") == 1
+    rows = json.loads(eng.query("SELECT id FROM t ORDER BY id"))
+    assert [r["id"] for r in rows] == ["r0", "r1", "r2", "r4", "r5"]
