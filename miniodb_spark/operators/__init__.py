@@ -28,3 +28,4 @@ def register_all(register) -> None:
     temporal.register_queries(register)
     sampling.register_queries(register)
     pipeline.register_queries(register)
+    multimodal.register_video_queries(register)

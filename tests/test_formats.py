@@ -60,3 +60,49 @@ def test_export_respects_gate(engine):
 
     with pytest.raises(SQLGateError):
         engine.export("DROP TABLE src", "/tmp/nope")
+
+
+def test_mp4_writer_parser_roundtrip_and_robustness():
+    """ISO BMFF writer/parser: exact round-trip of brand, dimensions,
+    timescale-exact duration and mdat size; the parser skips unknown
+    boxes, survives truncation, handles 64-bit (version 1) mvhd times,
+    and rejects non-BMFF payloads."""
+    import struct
+
+    from miniodb_spark.operators.multimodal import (
+        _box, mp4_bytes, parse_mp4_boxes)
+
+    b = mp4_bytes(640, 360, 30, fps=10, seed=3)
+    info = parse_mp4_boxes(b)
+    assert (info["brand"], info["width"], info["height"]) == ("isom", 640, 360)
+    assert info["timescale"] == 1000 and info["duration_ms"] == 3000
+    assert info["mdat_bytes"] == 64 * 30
+    assert info["box_types"] == ["ftyp", "moov", "mdat"]
+
+    # unknown top-level box between moov and mdat is skipped, not fatal
+    mdat_at = b.rindex(b"mdat") - 4
+    weird = b[:mdat_at] + _box(b"free", b"\x00" * 17) + b[mdat_at:]
+    info2 = parse_mp4_boxes(weird)
+    assert info2["width"] == 640 and info2["mdat_bytes"] == 64 * 30
+    assert "free" in info2["box_types"]
+
+    # version-1 mvhd (64-bit creation/modification/duration)
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd_v1 = _box(b"mvhd", struct.pack(">I", 0x01000000)
+                   + struct.pack(">QQ", 0, 0)
+                   + struct.pack(">I", 90000) + struct.pack(">Q", 180000)
+                   + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                   + b"\x00" * 10 + matrix + b"\x00" * 24
+                   + struct.pack(">I", 2))
+    v1 = (_box(b"ftyp", b"mp42" + b"\x00" * 4 + b"mp42")
+          + _box(b"moov", mvhd_v1))
+    got = parse_mp4_boxes(v1)
+    assert got["brand"] == "mp42"
+    assert got["timescale"] == 90000 and got["duration_ms"] == 2000
+
+    # truncation and garbage are None / partial, never an exception
+    assert parse_mp4_boxes(b[:6]) is None
+    assert parse_mp4_boxes(b"\x00" * 32) is None
+    truncated = parse_mp4_boxes(b[:len(b) // 2])
+    assert truncated is not None  # ftyp intact -> best-effort parse
