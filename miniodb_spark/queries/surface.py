@@ -314,3 +314,156 @@ def embedding_sign_bits_hamming(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "percentile_cont_within_group",
+    """
+    SELECT event_type,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6)
+             AS p25,
+           round(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 6)
+             AS p50,
+           round(percentile_cont(0.90) WITHIN GROUP (ORDER BY value), 6)
+             AS p90
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Ordered-set aggregate surface: ANSI percentile_cont WITHIN "
+        "GROUP, supported verbatim by Spark 4 and DuckDB with the same "
+        "linear-interpolation semantics (unlike approx_percentile, "
+        "which is engine-specific — that path is the separate "
+        "*_within_bound entries). Exact percentiles imply a per-group "
+        "sort at scale; the approx/histogram entries document the "
+        "100 TB swap. Round-6 guards the interpolation arithmetic",
+    tags=("sql-surface",),
+)
+def percentile_cont_within_group(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_pc_v")
+    return spark.sql("""
+      SELECT event_type,
+             round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6)
+               AS p25,
+             round(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 6)
+               AS p50,
+             round(percentile_cont(0.90) WITHIN GROUP (ORDER BY value), 6)
+               AS p90
+      FROM events_pc_v WHERE value IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+
+
+@register(
+    "try_arithmetic_safety",
+    """
+    WITH base AS (
+      SELECT e.event_type, e.value,
+             t.divisor,
+             TRY_CAST(e.props AS DOUBLE) AS props_num
+      FROM events e
+      JOIN (VALUES ('click', 2), ('view', 0), ('error', 4),
+                   ('purchase', 0), ('signup', 8)) t(etype, divisor)
+        ON e.event_type = t.etype)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value / nullif(divisor, 0)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS safe_ratio_sum,
+           CAST(count_if(divisor = 0) AS BIGINT) AS n_null_division,
+           CAST(count_if(props_num IS NULL) AS BIGINT) AS n_uncastable
+    FROM base
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Error-safe arithmetic surface: division by a possibly-zero "
+        "VALUES-clause dimension and TRY_CAST of a non-numeric column, "
+        "with NULL (never an exception and never Inf) as the contract "
+        "on both engines. Spark side uses try_divide + try_cast; the "
+        "oracle spells the same semantics as x/nullif(y,0) + TRY_CAST. "
+        "The inline VALUES dimension broadcasts; one aggregate pass; "
+        "decimal ratio sums are order-invariant",
+    tags=("sql-surface",),
+)
+def try_arithmetic_safety(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_try_v")
+    return spark.sql("""
+      WITH base AS (
+        SELECT e.event_type, e.value,
+               t.divisor,
+               try_cast(e.props AS DOUBLE) AS props_num
+        FROM events_try_v e
+        JOIN VALUES ('click', 2), ('view', 0), ('error', 4),
+                    ('purchase', 0), ('signup', 8) AS t(etype, divisor)
+          ON e.event_type = t.etype)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(try_divide(value, nullif(divisor, 0))
+                                 AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS safe_ratio_sum,
+             CAST(count_if(divisor = 0) AS BIGINT) AS n_null_division,
+             CAST(count_if(props_num IS NULL) AS BIGINT) AS n_uncastable
+      FROM base
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+
+
+@register(
+    "regexp_extract_all_counts",
+    """
+    SELECT event_type,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+             AS n_numeric_tokens,
+           CAST(max(len(regexp_extract_all(props, '[a-z]+'))) AS BIGINT)
+             AS max_word_tokens
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="regexp_extract_all surface: count ALL pattern matches per row "
+        "(size of the extracted array) aggregated per event type — the "
+        "multi-match companion to the single-match regexp_ops entry. "
+        "Regex runs inside codegen on the narrow props column; one "
+        "aggregate pass, no explode (array length, not element rows)",
+    tags=("sql-surface",),
+)
+def regexp_extract_all_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)))
+            .cast("bigint").alias("n_numeric_tokens"),
+            F.max(F.size(F.regexp_extract_all("props", F.lit("[a-z]+"), 0)))
+            .cast("bigint").alias("max_word_tokens"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "star_except_projection",
+    """
+    SELECT * EXCLUDE (props, value)
+    FROM events
+    ORDER BY event_id
+    LIMIT 25
+    """,
+    doc="Column-exclusion projection shorthand: Spark's SELECT * EXCEPT "
+        "and DuckDB's SELECT * EXCLUDE are the same feature under "
+        "different keywords — project everything but the named columns "
+        "without enumerating the keep-set (the wide-table ergonomic). "
+        "Resolves at analysis time to an ordinary pruned projection, so "
+        "the scan reads only the surviving columns",
+    tags=("sql-surface",),
+)
+def star_except_projection(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_sx_v")
+    return spark.sql("""
+      SELECT * EXCEPT (props, value)
+      FROM events_sx_v
+      ORDER BY event_id
+      LIMIT 25
+    """)

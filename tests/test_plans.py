@@ -977,3 +977,22 @@ def test_moment_sums_zero_join_single_shuffle(spark, sf_dir, registry):
     df = registry["moment_skew_kurtosis"].fn(spark, sf_dir)
     assert sum(plans.join_kinds(df).values()) == 0
     assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
+
+
+def test_star_except_scan_is_pruned(spark, sf_dir, registry):
+    """SELECT * EXCEPT must resolve to a pruned projection: the scan
+    reads neither excluded column."""
+    df = registry["star_except_projection"].fn(spark, sf_dir)
+    cols = plans.scan_columns(df)
+    assert "props" not in cols and "value" not in cols, cols
+    assert "event_id" in cols
+
+
+def test_try_arithmetic_values_dim_broadcasts(spark, sf_dir, registry):
+    """The inline VALUES dimension must broadcast — no shuffle join for
+    a 5-row literal table."""
+    df = registry["try_arithmetic_safety"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    assert kinds["broadcast_hash"] >= 1, kinds
