@@ -1820,3 +1820,130 @@ def moment_skew_kurtosis(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "seasonal_decompose_additive",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             dayofweek(ts) AS dow,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT day, dow, n,
+             avg(n * 1.0) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS w
+      FROM d),
+    inner_t AS (SELECT * FROM t WHERE w = 7),
+    s AS (
+      SELECT dow,
+             avg(n - trend) AS seasonal
+      FROM inner_t GROUP BY dow)
+    SELECT strftime(i.day, '%Y-%m-%d') AS day, i.n,
+           round(i.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(i.n - i.trend - s.seasonal, 6) AS residual
+    FROM inner_t i JOIN s ON i.dow = s.dow
+    ORDER BY day
+    """,
+    doc="Classical additive seasonal decomposition of the daily event "
+        "count: 7-day centered moving-average trend (full windows only "
+        "— edge days with fewer than 7 neighbors are excluded, pinned "
+        "by the window row COUNT, not value heuristics), weekday "
+        "seasonal = mean detrended value per day-of-week, residual = "
+        "observed - trend - seasonal. Every window runs on the "
+        "~30-row day table (the cusum/KM day-spine shape; the one "
+        "unpartitioned window is spine-sized by construction); the "
+        "seasonal join is a 7-row broadcast. Day-of-week normalized "
+        "to DuckDB's 0=Sunday",
+    tags=("statistics", "timeseries"),
+)
+def seasonal_decompose_additive(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"),
+                   (F.dayofweek("ts") - 1).alias("dow"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    t = (
+        d.withColumn("trend", F.avg(F.col("n") * 1.0).over(w7))
+        .withColumn("w", F.count("*").over(w7))
+        .filter(F.col("w") == 7)
+    )
+    s = t.groupBy("dow").agg(
+        F.avg(F.col("n") - F.col("trend")).alias("seasonal"))
+    return (
+        t.join(F.broadcast(s), "dow")
+        .select(
+            # STRING day: DuckDB DATE surfaces as a pandas Timestamp in
+            # the driver compare while Spark DATE stays datetime.date —
+            # identical values, mismatched canon types
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "n",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6)
+            .alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "text_augment_char_noise",
+    """
+    WITH aug AS (
+      SELECT doc_id, source, length(text) AS n_before,
+             array_to_string(list_transform(list_filter(
+               generate_series(1, length(text)),
+               p -> substring(md5(doc_id || ':' || p), 1, 1) != '0'),
+               p -> substring(text, p, 1)), '') AS aug_text
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_before) AS BIGINT) AS chars_before,
+           CAST(sum(length(aug_text)) AS BIGINT) AS chars_after,
+           min(md5(aug_text)) AS min_aug_md5
+    FROM aug GROUP BY source ORDER BY source
+    """,
+    doc="Deterministic data augmentation (char-level deletion noise): "
+        "drop every character whose position hashes into a 1/16 md5 "
+        "band keyed on (doc_id, position) — the reproducible-noise "
+        "contract augmentation pipelines need (same corpus + seed => "
+        "same augmented corpus on ANY engine/partitioning, pinned here "
+        "by cross-engine md5 equality of the augmented text). Pure "
+        "higher-order array functions (sequence -> filter -> "
+        "per-char substring -> join): no explode, no shuffle beyond "
+        "the source rollup — a map-only pass at 100 TB. Per-char md5 "
+        "is the slow-but-exact fixture form; the production swap is "
+        "one xxhash64 per (doc, position-block)",
+    tags=("llm", "augmentation"),
+)
+def text_augment_char_noise(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    keep = F.filter(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda p: F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                           p.cast("string"))), 1, 1) != "0",
+    )
+    aug_text = F.array_join(
+        F.transform(keep, lambda p: F.expr("text").substr(p, F.lit(1))), "")
+    aug = docs.select(
+        "source", F.length("text").alias("n_before"),
+        aug_text.alias("aug_text"))
+    return (
+        aug.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_before").cast("bigint").alias("chars_before"),
+            F.sum(F.length("aug_text")).cast("bigint").alias("chars_after"),
+            F.min(F.md5("aug_text")).alias("min_aug_md5"),
+        )
+        .orderBy("source")
+    )

@@ -996,3 +996,26 @@ def test_try_arithmetic_values_dim_broadcasts(spark, sf_dir, registry):
     assert kinds["sort_merge"] == 0, kinds
     assert kinds["shuffled_hash"] == 0, kinds
     assert kinds["broadcast_hash"] >= 1, kinds
+
+
+def test_seasonal_decompose_windows_on_day_spine(spark, sf_dir, registry):
+    """The decomposition's windows must consume the ~30-row day
+    aggregate (facts shuffle once into it); the seasonal table is a
+    7-row broadcast join."""
+    df = registry["seasonal_decompose_additive"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    plan = plans.simple_plan(df)
+    assert "Window" in plan
+
+
+def test_text_augmentation_is_map_only(spark, sf_dir, registry):
+    """Augmentation must be a pure map pass: no joins, no windows; the
+    only shuffles are the source rollup + output sort."""
+    df = registry["text_augment_char_noise"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert "Window" not in plans.simple_plan(df)
+    assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
+    cols = plans.scan_columns(df)
+    assert cols <= {"doc_id", "source", "text"}, cols
