@@ -10,4 +10,11 @@ StreamQuery pagination, CDC events to Redis Streams/Kafka — SURVEY
                 with pluggable sinks (in-memory, Kafka)
 - windows.py  — the capability upgrades the reference lacks:
                 watermarked tumbling/sliding/session windows
+- stateful.py — applyInPandasWithState / transformWithState custom
+                operators (streaming dedup, running counters, heavy
+                hitters, timer-driven session finalization)
+- rollup.py   — continuous aggregate (hypertable-style rollup):
+                persisted time-bucketed mergeable aggregates updated
+                additively per micro-batch, late-data-correct,
+                replay-idempotent
 """
