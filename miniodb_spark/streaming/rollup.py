@@ -72,6 +72,37 @@ def batch_partials(batch_df: DataFrame, *, ts_col: str, value_col: str,
     )
 
 
+def merge_partials(persisted: DataFrame | None, part: DataFrame,
+                   key_cols: tuple) -> DataFrame:
+    """Additively combine a batch's partials with the persisted rollup
+    rows they touch. Only the batch's (window, key) rows participate —
+    the persisted side is reduced via a broadcast semi-join on the
+    bounded partial — so maintenance cost scales with the batch, never
+    the rollup's history. Factored out of the sink so the merge algebra
+    is property-testable without a streaming runtime."""
+    if persisted is None:
+        return part
+    old = persisted.select(
+        F.col("timestamp").alias("window_start"),
+        *[F.col(k) for k in key_cols],
+        "n", "value_sum", "value_min", "value_max",
+    ).join(
+        F.broadcast(part.select("window_start", *key_cols)),
+        ["window_start", *key_cols],
+        "left_semi",
+    )
+    return (
+        old.unionByName(part)
+        .groupBy("window_start", *key_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+
+
 def continuous_rollup(
     engine: Engine,
     stream_df: DataFrame,
@@ -102,31 +133,8 @@ def continuous_rollup(
         part = batch_partials(batch_df, ts_col=ts_col, value_col=value_col,
                               window=window, key_cols=key_cols).cache()
         try:
-            merged = part
-            persisted = engine.read_persisted(rollup_table)
-            if persisted is not None:
-                # only the touched (window, key) rows participate; the
-                # batch partial is bounded, so the semi-join side
-                # broadcasts
-                old = persisted.select(
-                    F.col("timestamp").alias("window_start"),
-                    *[F.col(k) for k in key_cols],
-                    "n", "value_sum", "value_min", "value_max",
-                ).join(
-                    F.broadcast(part.select("window_start", *key_cols)),
-                    ["window_start", *key_cols],
-                    "left_semi",
-                )
-                merged = (
-                    old.unionByName(part)
-                    .groupBy("window_start", *key_cols)
-                    .agg(
-                        F.sum("n").cast("long").alias("n"),
-                        F.sum("value_sum").alias("value_sum"),
-                        F.min("value_min").alias("value_min"),
-                        F.max("value_max").alias("value_max"),
-                    )
-                )
+            merged = merge_partials(
+                engine.read_persisted(rollup_table), part, key_cols)
             rows = merged.select(
                 rollup_id_col("window_start", key_cols).alias("id"),
                 F.unix_micros(F.col("window_start")).alias("timestamp_us"),

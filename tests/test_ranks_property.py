@@ -70,3 +70,82 @@ def test_doubled_midranks_carries_extra_columns(spark):
            for r in doubled_midranks(per_value, "value", parts=3).collect()}
     # values: 1 (t=3), 2 (t=3), 5 (t=1) -> mr2: 2*0+3+1=4, 2*3+3+1=10, 2*6+1+1=14
     assert out == {1: (3, 1, 4), 2: (3, 2, 10), 5: (1, 1, 14)}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=72),    # hour offset
+            st.sampled_from(["a", "b", "c"]),          # key
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1, max_size=60,
+    ),
+    cut=st.integers(min_value=0, max_value=60),
+)
+def test_rollup_merge_partials_equals_batch_recompute(_spark, events, cut):
+    """Continuous-rollup algebra (streaming/rollup.py::merge_partials):
+    for ANY event set and ANY split into two micro-batches — including
+    splits that send late data into already-merged windows — folding
+    the two batch partials sequentially equals the single-pass
+    aggregate of everything. (The streaming e2e test pins the sink
+    wiring; this pins the merge algebra itself.)"""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from miniodb_spark.streaming.rollup import batch_partials, merge_partials
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [(t0 + datetime.timedelta(hours=h), k, float(v))
+            for h, k, v in events]
+    schema = "ts timestamp, k string, value double"
+    cut = min(cut, len(rows))
+    b1, b2 = rows[:cut], rows[cut:]
+
+    def partial(rs):
+        if not rs:
+            return None
+        return batch_partials(_spark.createDataFrame(rs, schema),
+                              ts_col="ts", value_col="value",
+                              window="1 hour", key_cols=("k",))
+
+    state = None
+    for rs in (b1, b2):
+        p = partial(rs)
+        if p is None:
+            continue
+        if state is None:
+            state = p.collect()
+        else:
+            # re-shape accumulated state as the persisted table the sink
+            # reads back (timestamp column = window start)
+            persisted = _spark.createDataFrame(
+                [(r["window_start"], r["k"], r["n"], r["value_sum"],
+                  r["value_min"], r["value_max"]) for r in state],
+                "timestamp timestamp, k string, n long, value_sum double, "
+                "value_min double, value_max double")
+            merged = merge_partials(persisted, p, ("k",)).collect()
+            untouched = {(r["window_start"], r["k"]): r for r in state}
+            for r in merged:
+                untouched.pop((r["window_start"], r["k"]), None)
+            state = list(untouched.values()) + merged
+
+    got = {(r["window_start"], r["k"]):
+           (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+           for r in (state or [])}
+    want = {
+        (r["window_start"], r["k"]):
+            (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in batch_partials(
+            _spark.createDataFrame(rows, schema), ts_col="ts",
+            value_col="value", window="1 hour", key_cols=("k",)).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        gn, gs, glo, ghi = got[key]
+        wn, ws, wlo, whi = want[key]
+        assert (gn, glo, ghi) == (wn, wlo, whi), (key, got[key], want[key])
+        assert abs(gs - ws) < 1e-9, (key, gs, ws)
