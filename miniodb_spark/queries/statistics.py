@@ -1947,3 +1947,107 @@ def text_augment_char_noise(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tokenizer_fertility_audit",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                  AS BIGINT) AS n_subtokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_subtokens) AS BIGINT) AS total_subtokens,
+           round(sum(n_subtokens) * 1.0 / sum(n_words), 6) AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_subtokens), 6)
+             AS chars_per_token
+    FROM d GROUP BY source ORDER BY source
+    """,
+    doc="Tokenizer fertility audit per source: subtokens-per-word and "
+        "chars-per-token under the BPE-ish regex tokenization (letter "
+        "runs / digit runs / single other-chars — the brief's token-"
+        "counting recipe). Fertility is THE sizing number for a "
+        "training run (token budget = words x fertility) and the drift "
+        "alarm when a new source tokenizes pathologically. One regex-"
+        "in-codegen pass over the narrow text column, counts are "
+        "integers, one small rollup — map-only at 100 TB",
+    tags=("llm", "tokenization"),
+)
+def tokenizer_fertility_audit(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint").alias("n_subtokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_subtokens").cast("bigint").alias("total_subtokens"),
+            F.round(F.sum("n_subtokens") * 1.0 / F.sum("n_words"), 6)
+            .alias("fertility"),
+            F.round(F.sum("n_chars") * 1.0 / F.sum("n_subtokens"), 6)
+            .alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dataset_card_summary",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count_if(length(text) < 100) AS BIGINT) AS n_short,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dups,
+           round(count_if(length(text) < 100) * 100.0 / count(*), 6)
+             AS pct_short,
+           round(avg(length(text) * 1.0), 6) AS mean_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Dataset-card summary per source: the one-row-per-source audit "
+        "a corpus release ships (sizes, short-doc fraction, language "
+        "spread, exact-duplicate count via md5 fingerprints). ONE "
+        "aggregate pass — the md5 distinct is the only shuffle-heavy "
+        "term and it shuffles 16-byte fingerprints, not text; at "
+        "100 TB swap count(DISTINCT md5) for approx_count_distinct as "
+        "the column-profile entry documents. The composition target: "
+        "every number here is independently available from the "
+        "dedicated entries (multimodal_payload_stats, dedup_exact, "
+        "monolingual_source_audit) — this is the one-pass rollup of "
+        "them",
+    tags=("llm", "audit"),
+)
+def dataset_card_summary(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.count_if(F.length("text") < 100).cast("bigint")
+            .alias("n_short"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            (F.count("*") - F.countDistinct(F.md5("text"))).cast("bigint")
+            .alias("n_exact_dups"),
+            F.round(F.count_if(F.length("text") < 100) * 100.0
+                    / F.count("*"), 6).alias("pct_short"),
+            F.round(F.avg(F.length("text") * 1.0), 6).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
