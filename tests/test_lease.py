@@ -402,3 +402,58 @@ def test_rewrite_aborts_when_lease_stolen_midjob(spark, tmp_path):
     assert eng.delete("t", "r3") == 1
     rows = json.loads(eng.query("SELECT id FROM t ORDER BY id"))
     assert [r["id"] for r in rows] == ["r0", "r1", "r2", "r4", "r5"]
+
+
+def test_concurrent_update_and_merge_no_stall(spark, tmp_path):
+    """Regression for the lock-order inversion: update() holding the
+    process lock while waiting on the #rewrite lease used to stall a
+    concurrent merge for the full 30 s lease timeout and then fail the
+    update with a spurious TimeoutError. With leases ordered before
+    the process lock, both complete promptly and correctly."""
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    eng = Engine(spark, root)
+    eng.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    for i in range(8):
+        eng.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+    eng.flush("t")
+
+    import datetime
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    batch = spark.createDataFrame(
+        [("r2", 202, ts), ("r6", 606, ts)],
+        "id string, v long, timestamp timestamp")
+
+    errs: list[Exception] = []
+    gate_ = threading.Barrier(2)
+
+    def upd():
+        gate_.wait()
+        try:
+            eng.update("t", "r0", {"v": 999}, timestamp_us=T0)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def merge():
+        gate_.wait()
+        try:
+            eng.merge_upsert("t", batch)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t_start = time.time()
+    ts_ = [threading.Thread(target=upd), threading.Thread(target=merge)]
+    [t.start() for t in ts_]
+    [t.join() for t in ts_]
+    elapsed = time.time() - t_start
+    assert not errs, errs
+    assert elapsed < 25, f"update+merge stalled {elapsed:.1f}s (lease-order bug?)"
+
+    eng.flush("t")
+    rows = json.loads(eng.query("SELECT id, v FROM t ORDER BY id"))
+    got = {r["id"]: r["v"] for r in rows}
+    assert len(rows) == len(got), "duplicate ids after update+merge race"
+    assert got["r0"] == 999 and got["r2"] == 202 and got["r6"] == 606
+    assert all(got[f"r{i}"] == i for i in (1, 3, 4, 5, 7))
