@@ -467,3 +467,77 @@ def star_except_projection(spark, sf_dir):
       ORDER BY event_id
       LIMIT 25
     """)
+
+
+@register(
+    "unpivot_order_by_all",
+    """
+    SELECT * FROM (
+      SELECT o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY ALL)
+    UNPIVOT (val FOR metric IN (n_orders, n_customers))
+    ORDER BY ALL
+    """,
+    doc="Native UNPIVOT syntax + ORDER BY ALL shorthand (both parse "
+        "verbatim on Spark 4 and DuckDB): the per-status order/customer "
+        "counts rotated long — the metrics-table shape the stack()-"
+        "based unpivot_part_metrics entry builds by hand, here via the "
+        "SQL-standard relational operator. UNPIVOT resolves at analysis "
+        "time to the same expand; ORDER BY ALL totalizes the sort "
+        "without naming columns. One aggregate + one expand",
+    tags=("sql-surface",),
+)
+def unpivot_order_by_all(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_upv_v")
+    return spark.sql("""
+      SELECT * FROM (
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders_upv_v GROUP BY ALL)
+      UNPIVOT (val FOR metric IN (n_orders, n_customers))
+      ORDER BY ALL
+    """)
+
+
+@register(
+    "named_window_reuse",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(rank() OVER w AS BIGINT) AS day_rank,
+           CAST(sum(n) OVER w AS BIGINT) AS running_n
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    LIMIT 40
+    """,
+    doc="Named-window (WINDOW clause) surface: ONE window specification "
+        "shared by rank() and a running sum — the deduplication "
+        "ergonomic for multi-function analytics, identical syntax and "
+        "semantics on both engines, and one physical Window operator "
+        "since the spec is shared. Runs on the (type x day) aggregate, "
+        "partition spec never empty; day stringified for canon-type "
+        "parity (DATE dtype divergence, see seasonal_decompose)",
+    tags=("sql-surface",),
+)
+def named_window_reuse(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_nw_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events_nw_v GROUP BY 1, 2)
+      SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day, n,
+             CAST(rank() OVER w AS BIGINT) AS day_rank,
+             CAST(sum(n) OVER w AS BIGINT) AS running_n
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      ORDER BY event_type, day
+      LIMIT 40
+    """)
