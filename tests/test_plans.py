@@ -1019,3 +1019,33 @@ def test_text_augmentation_is_map_only(spark, sf_dir, registry):
     assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
     cols = plans.scan_columns(df)
     assert cols <= {"doc_id", "source", "text"}, cols
+
+
+def test_fertility_and_card_single_aggregate(spark, sf_dir, registry):
+    """Tokenizer fertility and dataset card: one aggregate pass over
+    the narrow documents scan, zero joins, no windows."""
+    for name in ("tokenizer_fertility_audit", "dataset_card_summary"):
+        df = registry[name].fn(spark, sf_dir)
+        assert sum(plans.join_kinds(df).values()) == 0, name
+        assert "Window" not in plans.simple_plan(df), name
+        cols = plans.scan_columns(df)
+        assert "embedding" not in cols, (name, cols)
+
+
+def test_unpivot_is_expand_no_join(spark, sf_dir, registry):
+    """Native UNPIVOT must compile to the same Expand the stack() form
+    uses — a projection, not a join."""
+    df = registry["unpivot_order_by_all"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Expand" in plan, plan[:2000]
+    assert sum(plans.join_kinds(df).values()) == 0
+
+
+def test_named_window_shares_one_operator(spark, sf_dir, registry):
+    """The shared WINDOW-clause spec must produce exactly ONE physical
+    Window operator for both functions (the dedup claim), partitioned
+    (never single-task)."""
+    df = registry["named_window_reuse"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plan.count("Window [") == 1, plan[:2500]
+    assert not plans.unpartitioned_windows(df)
