@@ -2445,3 +2445,57 @@ def recursive_month_spine(spark, sf_dir):
     """)
 
 
+
+
+@register(
+    "interarrival_gap_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 3)
+             AS mean_gap_s,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 3) AS p50_gap_s,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 3) AS p90_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Per-user inter-arrival time distribution attributed to the "
+        "LATER event's type — the burstiness profile behind rate "
+        "limiting and bot heuristics. Gaps are exact integer "
+        "microseconds from a lag window PARTITIONed BY user_id with a "
+        "(ts, event_id) total order (scale-safe: partitions are users, "
+        "never global); the mean divides an exact BIGINT sum, and the "
+        "percentiles are percentile_cont over integers — identical "
+        "interpolation semantics on both engines (the "
+        "percentile_cont_within_group precedent). Per-type exact "
+        "percentiles imply a per-group sort; at 100 TB swap in "
+        "approx_percentile / the equi-depth histogram entry, as those "
+        "registry entries document.",
+    tags=("analytics",),
+)
+def interarrival_gap_stats(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_iag_v")
+    return spark.sql("""
+      WITH g AS (
+        SELECT event_type,
+               unix_micros(ts) - lag(unix_micros(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events_iag_v)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 3)
+               AS mean_gap_s,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
+                   / 1e6, 3) AS p50_gap_s,
+             round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)
+                   / 1e6, 3) AS p90_gap_s
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type ORDER BY event_type
+    """)

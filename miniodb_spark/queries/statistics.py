@@ -2051,3 +2051,237 @@ def dataset_card_summary(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS s
+      FROM m a JOIN m b ON a.mon < b.mon),
+    agg AS (SELECT CAST(sum(s) AS BIGINT) AS s_stat FROM p),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT n AS n_months, s_stat,
+           round(CAST(s_stat AS DOUBLE) * 2 / (n * (n - 1)), 6) AS tau,
+           round((s_stat - sign(s_stat))
+                 / sqrt(n * (n - 1) * (2 * n + 5)
+                        / CAST(18 AS DOUBLE)), 6) AS z
+    FROM agg CROSS JOIN cnt
+    """,
+    doc="Mann-Kendall non-parametric trend test over the monthly "
+        "revenue series (Mann 1945, Kendall 1975): S = sum of pairwise "
+        "sign comparisons, tau = S normalized by the pair count, z with "
+        "the standard continuity correction. Monthly sums are exact "
+        "DECIMAL(18,2), so every sign() is deterministic and ties are "
+        "structurally impossible — the no-ties variance n(n-1)(2n+5)/18 "
+        "is exact, not an approximation. The quadratic pair join runs "
+        "on the ~80-row month AGGREGATE (theil_sen / kendall_tau "
+        "shape): Catalyst plans the inequality join as a broadcast "
+        "nested loop of the bounded spine, facts shuffle exactly once "
+        "into the month groupBy — scale-safe because months grow with "
+        "calendar time, not data volume.",
+    tags=("statistics",),
+)
+def mann_kendall_trend(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_mk_v")
+    return spark.sql("""
+      WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders_mk_v GROUP BY 1),
+      p AS (
+        SELECT CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS s
+        FROM m a JOIN m b ON a.mon < b.mon),
+      agg AS (SELECT CAST(sum(s) AS BIGINT) AS s_stat FROM p),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+      SELECT n AS n_months, s_stat,
+             round(CAST(s_stat AS DOUBLE) * 2 / (n * (n - 1)), 6) AS tau,
+             round((s_stat - sign(s_stat))
+                   / sqrt(n * (n - 1) * (2 * n + 5)
+                          / CAST(18 AS DOUBLE)), 6) AS z
+      FROM agg CROSS JOIN cnt
+    """)
+
+
+@register(
+    "durbin_watson_daily",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS dt,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    mn AS (SELECT min(dt) AS d0 FROM d),
+    b AS (SELECT CAST(date_diff('day', d0, dt) AS BIGINT) AS x, dt, rev
+          FROM d CROSS JOIN mn),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(CAST(x AS DECIMAL(18,2)) * rev) AS sxy,
+                 sum(rev) AS sy
+          FROM b),
+    fit AS (SELECT n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   sx, sy FROM s),
+    fit2 AS (SELECT n, slope,
+                    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+                      AS icept FROM fit),
+    e AS (SELECT b.x, b.dt,
+                 CAST(b.rev AS DOUBLE) - (f.icept + f.slope * b.x) AS e,
+                 f.n
+          FROM b CROSS JOIN fit2 f),
+    lagd AS (SELECT n, e,
+                    e - lag(e) OVER (ORDER BY dt) AS de
+             FROM e)
+    SELECT max(n) AS n_days,
+           round(sum(de * de) / sum(e * e), 6) AS dw
+    FROM lagd
+    """,
+    doc="Durbin-Watson first-order residual autocorrelation of daily "
+        "revenue around its OLS trend (DW~2 = uncorrelated, <2 = "
+        "positive autocorrelation). The fit is the closed-form normal "
+        "equation computed from EXACT decimal power sums (never "
+        "regr_slope's double accumulation — both engines derive the "
+        "identical slope/intercept doubles from identical decimals), "
+        "residuals and the DW ratio are then plain double expressions. "
+        "Facts shuffle once into the day aggregate; the lag window "
+        "ORDER BY dt is global but consumes the calendar-bounded DAY "
+        "TABLE (~2.4k rows — the cusum/kaplan_meier day-spine shape), "
+        "and the fit scalars ride a 1-row broadcast.",
+    tags=("statistics",),
+)
+def durbin_watson_daily(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_dw_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT o_orderdate AS dt,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders_dw_v GROUP BY 1),
+      mn AS (SELECT min(dt) AS d0 FROM d),
+      b AS (SELECT CAST(datediff(dt, d0) AS BIGINT) AS x, dt, rev
+            FROM d CROSS JOIN mn),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(x * x) AS sxx,
+                   sum(CAST(x AS DECIMAL(18,2)) * rev) AS sxy,
+                   sum(rev) AS sy
+            FROM b),
+      fit AS (SELECT n,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                     sx, sy FROM s),
+      fit2 AS (SELECT n, slope,
+                      (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+                        AS icept FROM fit),
+      e AS (SELECT b.x, b.dt,
+                   CAST(b.rev AS DOUBLE) - (f.icept + f.slope * b.x) AS e,
+                   f.n
+            FROM b CROSS JOIN fit2 f),
+      lagd AS (SELECT n, e,
+                      e - lag(e) OVER (ORDER BY dt) AS de
+               FROM e)
+      SELECT max(n) AS n_days,
+             round(sum(de * de) / sum(e * e), 6) AS dw
+      FROM lagd
+    """)
+
+
+@register(
+    "cohens_d_effect_size",
+    """
+    WITH s AS (
+      SELECT
+        CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+          AS n1,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2)) END) AS q1,
+        CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+          AS n2,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2)) END) AS q2
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)
+               AS v1,
+             (CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)
+               AS v2
+      FROM s)
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                        / (n1 + n2 - 2)), 6) AS cohens_d,
+           round((1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+                 * (m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                        / (n1 + n2 - 2)), 6) AS hedges_g
+    FROM m
+    """,
+    doc="Standardized effect size between two event populations: "
+        "Cohen's d on the pooled SD plus Hedges' small-sample "
+        "correction g = J*d, J = 1 - 3/(4N-9) (Hedges 1981) — the "
+        "companion to welch_t_test (which answers 'is there a "
+        "difference'; this answers 'how big'). ONE conditional-count "
+        "fact aggregate produces exact decimal power sums; every "
+        "downstream value is the same short sequence of double ops on "
+        "identical inputs, so parity is exact. Zero joins, single "
+        "map-side-combinable shuffle — the moment_skew_kurtosis shape.",
+    tags=("statistics",),
+)
+def cohens_d_effect_size(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_cd_v")
+    return spark.sql("""
+      WITH s AS (
+        SELECT
+          CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+            AS n1,
+          sum(CASE WHEN event_type = 'click'
+                   THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+          sum(CASE WHEN event_type = 'click'
+                   THEN CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2)) END) AS q1,
+          CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS BIGINT) AS n2,
+          sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+          sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2)) END) AS q2
+        FROM events_cd_v WHERE event_type IN ('click', 'purchase')),
+      m AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(q1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)
+                 AS v1,
+               (CAST(q2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)
+                 AS v2
+        FROM s)
+      SELECT n1, n2,
+             round(m1 - m2, 6) AS mean_diff,
+             round((m1 - m2)
+                   / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                          / (n1 + n2 - 2)), 6) AS cohens_d,
+             round((1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+                   * (m1 - m2)
+                   / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                          / (n1 + n2 - 2)), 6) AS hedges_g
+      FROM m
+    """)

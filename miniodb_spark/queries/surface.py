@@ -541,3 +541,247 @@ def named_window_reuse(spark, sf_dir):
       ORDER BY event_type, day
       LIMIT 40
     """)
+
+
+@register(
+    "set_bag_intersect_except",
+    """
+    WITH a AS (SELECT event_type FROM events
+               WHERE day(ts) <= 10 AND value > 150),
+         b AS (SELECT event_type FROM events
+               WHERE day(ts) BETWEEN 11 AND 20 AND value > 150),
+         i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+         x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT tag, event_type, n FROM (
+      SELECT 'both_min' AS tag, event_type,
+             CAST(count(*) AS BIGINT) AS n FROM i GROUP BY event_type
+      UNION ALL
+      SELECT 'first_surplus' AS tag, event_type,
+             CAST(count(*) AS BIGINT) AS n FROM x GROUP BY event_type) t
+    ORDER BY tag, event_type
+    """,
+    doc="Bag-semantics set operators: INTERSECT ALL keeps "
+        "min(multiplicity), EXCEPT ALL keeps the left surplus — the "
+        "complement of set_intersect_except's DISTINCT semantics "
+        "(exceptAll().distinct() is NOT subtract(), and this entry is "
+        "the proof: surplus multiplicities survive). Spark compiles "
+        "both to a count-compare aggregate + generate, so the only "
+        "shuffles are on the row key itself — no join of fact-sized "
+        "inputs. Reference gate bans set ops outright "
+        "(internal/security/sql_sanitizer.go); this is the capability "
+        "upgrade's bag half.",
+    tags=("sql-surface", "capability"),
+)
+def set_bag_intersect_except(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter((F.dayofmonth("ts") <= 10) & (F.col("value") > 150)).select(
+        "event_type"
+    )
+    b = ev.filter(
+        F.dayofmonth("ts").between(11, 20) & (F.col("value") > 150)
+    ).select("event_type")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("both_min").alias("tag"), "event_type", "n")
+    )
+    surplus = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("first_surplus").alias("tag"), "event_type", "n")
+    )
+    return inter.unionAll(surplus).orderBy("tag", "event_type")
+
+
+@register(
+    "array_set_ops_user_types",
+    """
+    WITH h1 AS (SELECT user_id,
+                       list_sort(list_distinct(list(event_type))) AS t1
+                FROM events WHERE day(ts) <= 15 GROUP BY user_id),
+         h2 AS (SELECT user_id,
+                       list_sort(list_distinct(list(event_type))) AS t2
+                FROM events WHERE day(ts) > 15 GROUP BY user_id)
+    SELECT h1.user_id,
+           list_sort(list_intersect(t1, t2)) AS common_types,
+           list_sort(list_filter(t1,
+                     x -> NOT list_contains(t2, x))) AS first_only_types,
+           CAST(length(list_distinct(list_concat(t1, t2))) AS BIGINT)
+             AS n_union,
+           length(list_intersect(t1, t2)) > 0 AS both_active
+    FROM h1 JOIN h2 USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="Array set algebra (array_intersect / array_except / "
+        "array_union / arrays_overlap) over per-user event-type sets "
+        "from the two halves of the month. collect_set builds the sets "
+        "map-side; the half-tables join on user_id (both pre-aggregated "
+        "to user cardinality, so the join is between shrunken inputs, "
+        "never facts); sort_array on every array output makes the "
+        "element order engine-independent. DuckDB spells the same "
+        "algebra with list_* functions and a lambda for EXCEPT.",
+    tags=("sql-surface",),
+)
+def array_set_ops_user_types(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    h1 = (
+        ev.filter(F.dayofmonth("ts") <= 15)
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("t1"))
+    )
+    h2 = (
+        ev.filter(F.dayofmonth("ts") > 15)
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("t2"))
+    )
+    return (
+        h1.join(h2, "user_id")
+        .select(
+            "user_id",
+            F.sort_array(F.array_intersect("t1", "t2")).alias("common_types"),
+            F.sort_array(F.array_except("t1", "t2")).alias("first_only_types"),
+            F.size(F.array_union("t1", "t2")).cast("long").alias("n_union"),
+            F.arrays_overlap("t1", "t2").alias("both_active"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "lag_lead_ignore_nulls",
+    """
+    SELECT user_id, event_id,
+           round(lag(v IGNORE NULLS)  OVER w, 2) AS prev_nn,
+           round(lead(v IGNORE NULLS) OVER w, 2) AS next_nn
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'view' THEN NULL
+                      ELSE value END AS v
+          FROM events WHERE user_id < 60) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="IGNORE NULLS navigation: lag/lead skip NULL-masked rows "
+        "('view' events carry no value) to reach the nearest non-null "
+        "neighbour — the gap-carry-forward idiom interpolation is built "
+        "on. Same semantics both engines; DuckDB spells the modifier "
+        "inside the call (lag(v IGNORE NULLS)), Spark after it. "
+        "Window is PARTITIONed BY user_id (never global) with a (ts, "
+        "event_id) total order so ties cannot flip rows between "
+        "engines; value is 2-dp money so round(.,2) is the identity "
+        "and parity is exact.",
+    tags=("sql-surface",),
+)
+def lag_lead_ignore_nulls(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_lin_v")
+    return spark.sql("""
+      SELECT user_id, event_id,
+             round(lag(v)  IGNORE NULLS OVER w, 2) AS prev_nn,
+             round(lead(v) IGNORE NULLS OVER w, 2) AS next_nn
+      FROM (SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'view' THEN NULL
+                        ELSE value END AS v
+            FROM events_lin_v WHERE user_id < 60) t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id
+    """)
+
+
+@register(
+    "tz_conversion_ny_hours",
+    """
+    SELECT hour(timezone('America/New_York', timezone('UTC', ts)))
+             AS ny_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN CAST(timezone('America/New_York',
+                                            timezone('UTC', ts)) AS DATE)
+                              <> CAST(ts AS DATE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted_date
+    FROM events
+    GROUP BY ny_hour
+    ORDER BY ny_hour
+    """,
+    doc="Time-zone conversion surface: the fixture's UTC instants "
+        "rendered as America/New_York wall-clock (Spark "
+        "from_utc_timestamp == DuckDB timezone(tz, timestamptz) — both "
+        "IANA-rule-driven, so DST shifts agree engine-to-engine; "
+        "January pins EST=UTC-5 and every 19:00-23:59Z event lands on "
+        "the previous NY calendar day, which n_shifted_date counts). "
+        "Pure expression work inside one map-side-combinable aggregate "
+        "— zero joins, one shuffle on the 24-row hour key. The oracle "
+        "builds the instant explicitly (timezone('UTC', ts)) so neither "
+        "engine's session-timezone default participates.",
+    tags=("sql-surface",),
+)
+def tz_conversion_ny_hours(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return (
+        ev.select(
+            F.hour(ny).alias("ny_hour"),
+            (F.to_date(ny) != F.to_date("ts")).cast("int").alias("shifted"),
+        )
+        .groupBy("ny_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("shifted").cast("long").alias("n_shifted_date"),
+        )
+        .orderBy("ny_hour")
+    )
+
+
+@register(
+    "map_hof_event_shares",
+    """
+    WITH c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY user_id, event_type),
+         t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id, c.event_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n / t.tot, 6) AS share
+    FROM c JOIN t ON c.user_id = t.user_id
+    WHERE c.n >= 5
+    ORDER BY c.user_id, c.event_type
+    """,
+    doc="Map higher-order functions (the map half of "
+        "higher_order_array_funcs): per-user event-type counts packed "
+        "with map_from_entries, thresholded with map_filter, reshaped "
+        "with transform_values (lambda referencing an outer column), "
+        "then exploded back to rows. The map machinery is Spark-side "
+        "plan surface; the exploded output is plain columns so the "
+        "oracle recomputes it relationally. Two shuffles total — "
+        "(user,type) then user, the second a near-no-op since the "
+        "first already co-locates by user hash prefix.",
+    tags=("sql-surface",),
+)
+def map_hof_event_shares(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m"),
+        F.sum("n").alias("tot"),
+    )
+    kept = m.select(
+        "user_id",
+        "tot",
+        F.map_filter("m", lambda k, v: v >= F.lit(5)).alias("mf"),
+    )
+    shaped = kept.select(
+        "user_id",
+        F.explode(
+            F.transform_values(
+                "mf",
+                lambda k, v: F.struct(
+                    v.alias("n"), F.round(v / F.col("tot"), 6).alias("share")
+                ),
+            )
+        ).alias("event_type", "stats"),
+    )
+    return shaped.select(
+        "user_id",
+        "event_type",
+        F.col("stats.n").alias("n"),
+        F.col("stats.share").alias("share"),
+    ).orderBy("user_id", "event_type")

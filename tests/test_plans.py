@@ -1049,3 +1049,97 @@ def test_named_window_shares_one_operator(spark, sf_dir, registry):
     plan = plans.simple_plan(df)
     assert plan.count("Window [") == 1, plan[:2500]
     assert not plans.unpartitioned_windows(df)
+
+
+def test_bag_set_ops_are_joinless_count_compare(spark, sf_dir, registry):
+    """INTERSECT ALL / EXCEPT ALL must compile to Spark's count-compare
+    aggregate + replicate-rows Generate — never a join of the two
+    fact-sized inputs (the pre-2.4 rewrite)."""
+    df = registry["set_bag_intersect_except"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0, plans.join_kinds(df)
+    assert "Generate" in plans.simple_plan(df)
+
+
+def test_array_set_ops_join_pre_aggregated(spark, sf_dir, registry):
+    """The half-month set tables must each aggregate BEFORE the user_id
+    join (facts never join facts), and nothing degenerates to a nested
+    loop."""
+    df = registry["array_set_ops_user_types"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["broadcast_nested_loop"] == 0, kinds
+    plan = plans.simple_plan(df)
+    # collect_set aggregates (partial+final per side) precede the join
+    assert plan.count("Aggregate") >= 2, plan[:2000]
+
+
+def test_ignore_nulls_window_is_partitioned(spark, sf_dir, registry):
+    """IGNORE NULLS navigation must ride a user-partitioned window —
+    no global-order single-task sort."""
+    df = registry["lag_lead_ignore_nulls"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    assert sum(plans.join_kinds(df).values()) == 0
+
+
+def test_tz_conversion_single_aggregate(spark, sf_dir, registry):
+    """Time-zone conversion is pure expression work: one map-side-
+    combinable aggregate on the 24-row hour key, zero joins, codegen
+    end to end."""
+    df = registry["tz_conversion_ny_hours"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert plans.num_shuffles(df) <= 2, plans.simple_plan(df)
+    assert plans.uses_whole_stage_codegen(df)
+
+
+def test_map_hof_shares_joinless_two_shuffles(spark, sf_dir, registry):
+    """The map-HOF pipeline is groupBy(user,type) -> groupBy(user) ->
+    explode: zero joins (the oracle's join is recomputation, not the
+    plan), map_filter/transform_values stay in the projection, and the
+    explode is a Generate."""
+    df = registry["map_hof_event_shares"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    plan = plans.simple_plan(df)
+    assert "Generate" in plan
+    assert plans.num_shuffles(df) <= 3, plan[:2000]
+
+
+def test_mann_kendall_pairs_join_bounded_to_month_spine(
+    spark, sf_dir, registry
+):
+    """Mann-Kendall's quadratic sign-pair join must be a broadcast
+    nested loop over the ~80-row month AGGREGATE (kendall_tau /
+    theil_sen shape) — never sort-merge/shuffled-hash of fact-sized
+    inputs, and no windows anywhere."""
+    df = registry["mann_kendall_trend"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    assert "Window" not in plans.simple_plan(df)
+
+
+def test_durbin_watson_windows_on_day_table(spark, sf_dir, registry):
+    """DW: facts shuffle once into the day aggregate; the lag window's
+    global order consumes that calendar-bounded table, and the fit
+    scalars ride 1-row broadcasts — no sort-merge/shuffled-hash join."""
+    df = registry["durbin_watson_daily"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    plan = plans.simple_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_cohens_d_single_pass_no_window(spark, sf_dir, registry):
+    """Effect size is ONE conditional aggregate over the facts — zero
+    joins, zero windows (the moment_skew_kurtosis shape)."""
+    df = registry["cohens_d_effect_size"].fn(spark, sf_dir)
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert "Window" not in plans.simple_plan(df)
+
+
+def test_interarrival_gaps_user_partitioned_window(spark, sf_dir, registry):
+    """Inter-arrival gaps: the lag window must be PARTITIONed BY
+    user_id (never global) and the whole entry is join-free; the
+    per-type percentile sort is the documented exact path."""
+    df = registry["interarrival_gap_stats"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    assert sum(plans.join_kinds(df).values()) == 0
