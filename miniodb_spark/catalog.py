@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 from dataclasses import asdict, dataclass, field
 from typing import Any
 
@@ -79,6 +80,11 @@ class Catalog:
         # table -> (mtime_ns, size) of its json at last load/persist;
         # lets refresh_if_changed detect cross-process commits with a stat
         self._sigs: dict[str, tuple | None] = {}
+        # table -> last committed catalog version (the commit-log line
+        # count); versions start at 1 with the table's first persist
+        self._versions: dict[str, int] = {}
+        self._hist_dir = os.path.join(self._dir, "_history")
+        os.makedirs(self._hist_dir, exist_ok=True)
         self._load_all()
 
     # -- config persistence (memory -> json file -> default) ------------
@@ -119,6 +125,119 @@ class Catalog:
             json.dump(doc, fh, indent=1)
         os.replace(tmp, self._path(name))
         self._sigs[name] = self._sig_of(self._path(name))
+        # commit log: every catalog flip appends the full (small) doc as
+        # one JSONL line, giving an ordered history of table states —
+        # the substrate for Engine.read_snapshot time travel and a
+        # metadata audit trail. Appends are O_APPEND-atomic for these
+        # line sizes; writers racing on one table are already serialized
+        # by the same flush locks / mutation leases that protect the
+        # catalog json itself (a duplicate version number would resolve
+        # last-line-wins, like the json it mirrors).
+        v = self._versions.get(name, self._last_history_version(name)) + 1
+        self._versions[name] = v
+        line = json.dumps(
+            {"v": v, "ts_us": int(time.time() * 1e6), "doc": doc},
+            separators=(",", ":"),
+        )
+        with open(self._hist_path(name), "a", encoding="utf-8") as fh:
+            fh.write(line + "\n")
+
+    # -- commit log (time travel / audit) --------------------------------
+
+    def _hist_path(self, name: str) -> str:
+        return os.path.join(self._hist_dir, f"{name}.jsonl")
+
+    def _last_history_version(self, name: str) -> int:
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                last = None
+                for line in fh:
+                    if line.strip():
+                        last = line
+                return json.loads(last)["v"] if last else 0
+        except FileNotFoundError:
+            return 0
+
+    def touch(self, name: str) -> int:
+        """Append a data-commit marker: re-persist the current doc AFTER
+        a write job's files are on disk, so the marker version's ts_us
+        upper-bounds those files' mtimes. Schema registration persists
+        BEFORE the job runs (the rollback protocol needs that order), so
+        the registration version deliberately does NOT include the
+        in-flight files — the post-write marker is the version whose
+        snapshot does. Returns the marker version."""
+        with self._lock:
+            if name in self._configs:
+                self._persist(name)
+            return self._versions.get(name, 0)
+
+    def current_version(self, name: str) -> int:
+        """Last committed catalog version for ``name`` (0 = never
+        persisted). Re-reads the commit log so a version committed by
+        another driver since our last persist is visible."""
+        with self._lock:
+            v = self._last_history_version(name)
+            if v:
+                self._versions[name] = v
+            return v
+
+    def history(self, name: str) -> list[dict[str, Any]]:
+        """The table's commit log, oldest first: one
+        ``{"v": int, "ts_us": int}`` per catalog flip (docs omitted —
+        use :meth:`doc_at`). Length is the number of metadata commits,
+        not data volume, so driver-side materialization is safe."""
+        out: list[dict[str, Any]] = []
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    out.append({"v": rec["v"], "ts_us": rec["ts_us"]})
+        except FileNotFoundError:
+            pass
+        return out
+
+    def record_at(self, name: str, version: int) -> dict[str, Any] | None:
+        """The full commit-log record ``{"v", "ts_us", "doc"}`` for
+        ``version`` (last-line-wins on a duplicated version number,
+        mirroring the json's last-writer semantics). None when the
+        version was never committed."""
+        found = None
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    if rec["v"] == version:
+                        found = rec
+        except FileNotFoundError:
+            return None
+        return found
+
+    def doc_at(self, name: str, version: int) -> dict[str, Any] | None:
+        rec = self.record_at(name, version)
+        return rec["doc"] if rec else None
+
+    def docs_between(
+        self, name: str, after: int, upto: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Docs for versions in (after, upto] — the window
+        read_snapshot inspects to find partitions vacuumed since a
+        snapshot's commit point."""
+        out: list[dict[str, Any]] = []
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    if rec["v"] > after and (upto is None or rec["v"] <= upto):
+                        out.append(rec["doc"])
+        except FileNotFoundError:
+            pass
+        return out
 
     def refresh_if_changed(self, name: str) -> bool:
         """Reload one table's metadata when another process changed it —
@@ -170,10 +289,12 @@ class Catalog:
             del self._configs[name]
             self._generations.pop(name, None)
             self._excluded.pop(name, None)
-            try:
-                os.remove(self._path(name))
-            except FileNotFoundError:
-                pass
+            self._versions.pop(name, None)
+            for path in (self._path(name), self._hist_path(name)):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
             return True
 
     # -- schema generations ---------------------------------------------

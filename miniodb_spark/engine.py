@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 from . import gate, schema as dyn_schema
 from .buffer import BufferRow, WriteBuffer
 from .cache import QueryResultCache
-from .catalog import Catalog, TableConfig
+from .catalog import Catalog, TableConfig, merge_type
 from .extractor import analyze_complexity, extract_tables
 from .fs import get_fs
 from . import fs as fsmod
@@ -77,6 +77,13 @@ def _parse_type(t: str) -> T.DataType:
         return T.StringType()
 
 
+class SnapshotUnavailableError(RuntimeError):
+    """A time-travel read needs a partition/generation directory that a
+    later vacuum (or collapse_generations) physically removed. The
+    snapshot's metadata still exists in the commit log; its data does
+    not — the Delta-Lake VACUUM contract."""
+
+
 class QueryResult(NamedTuple):
     """A query's JSON payload plus its truncation flag. Truncation is a
     property of the *result* — it travels with the cache entry, so a
@@ -103,6 +110,7 @@ class Engine:
         encryptor=None,
         slow_query_ms: float = 1000.0,
         max_result_rows: int = 10_000,
+        retain_history: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -147,6 +155,14 @@ class Engine:
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
         self.encryptor = encryptor  # encryption.FieldEncryptor or None
         self.slow_query_ms = slow_query_ms
+        # time travel: with retain_history=True, mutations commit their
+        # rewrites but DEFER the physical GC of superseded partitions —
+        # every catalog version in the commit log stays readable via
+        # read_snapshot until an explicit vacuum() (Delta's
+        # delta.deletedFileRetentionDuration contract, collapsed to a
+        # manual knob). Default False preserves the reclaim-immediately
+        # behavior.
+        self.retain_history = retain_history
         # driver-materialization guard: a query with neither a SQL LIMIT nor
         # a request limit is still capped here (the reference always injects
         # a request-level LIMIT, miniodb_service.go:624-626) — an unbounded
@@ -413,6 +429,10 @@ class Engine:
                 if self.fs.is_dir(gen_dir):
                     self.fs.remove_dir(gen_dir)
             raise
+        # data-commit marker: the version whose snapshot INCLUDES this
+        # batch (schema registration persisted pre-job; see
+        # Catalog.touch)
+        self.catalog.touch(table)
         return len(rows)
 
     def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp",
@@ -446,6 +466,7 @@ class Engine:
                 .partitionBy("dt")
                 .parquet(self._gen_dir(table, gen))
             )
+            self.catalog.touch(table)  # data-commit marker (snapshots)
         self.cache.invalidate_table(table)
         return gen
 
@@ -555,6 +576,147 @@ class Engine:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # -- time travel ------------------------------------------------------
+
+    def table_history(self, table: str) -> list[dict]:
+        """The table's metadata commit log, oldest first (one entry per
+        catalog flip: flush schema registrations, rewrite commits,
+        tombstones, GC clears). ``v`` values are what read_snapshot
+        accepts."""
+        return self.catalog.history(table)
+
+    def read_snapshot(self, table: str, version: int) -> DataFrame | None:
+        """The persisted table exactly as catalog ``version`` saw it —
+        the generation list and exclusion set are taken from the commit
+        log, not the current catalog, so rows later deleted/updated
+        reappear and generations later tombstoned scan again.
+
+        Requires the snapshot's directories to still exist: with
+        ``retain_history=True`` mutations defer their GC, so every
+        version back to the last vacuum()/collapse is readable; a
+        vacuumed snapshot raises :class:`SnapshotUnavailableError`
+        instead of silently returning partial data (detected by
+        replaying the exclusion/tombstone deltas committed after
+        ``version`` and stat-ing what they removed). The write buffer is
+        never part of a snapshot — versions are commit points.
+
+        Beyond the reference (its backup/restore is full-copy,
+        internal/backup/; a committed rewrite there deletes the old
+        object immediately, query.go upload-then-delete). Scan shape is
+        identical to read_persisted: explicit per-generation schemas,
+        dt partition pruning, no mergeSchema listing."""
+        rec = self.catalog.record_at(table, version)
+        if rec is None:
+            raise ValueError(
+                f"unknown snapshot version {version!r} for table "
+                f"{table!r}; table_history() lists committed versions")
+        doc, commit_ts_us = rec["doc"], int(rec["ts_us"])
+        gens = [dict(g) for g in doc.get("generations", [])]
+        excluded = {(int(g), d) for g, d in doc.get("excluded", [])}
+        if not gens:
+            return None
+        # cumulative schema as of the snapshot
+        cum: dict[str, str] = {}
+        for gen in gens:
+            for col, typ in gen.items():
+                cum[col] = merge_type(cum[col], typ) if col in cum else typ
+        if not cum:
+            return None
+        # vacuum detection: anything excluded/tombstoned AFTER this
+        # version was visible to it (unless the snapshot itself excluded
+        # it) — if such a partition's directory is gone, the snapshot is
+        # incomplete and must refuse, not under-return.
+        later = self.catalog.docs_between(table, after=version)
+        needed: set[tuple[int, str]] = set()
+        for d2 in later:
+            for g, d in d2.get("excluded", []):
+                if int(g) < len(gens) and (int(g), d) not in excluded:
+                    needed.add((int(g), d))
+        missing = [
+            (g, d)
+            for g, d in sorted(needed)
+            if not self.fs.is_dir(
+                fsmod.join(self._gen_dir(table, g), f"dt={d}"))
+        ]
+        parts: list[DataFrame] = []
+        for i, gcols in enumerate(gens):
+            if not gcols:
+                continue
+            gdir = self._gen_dir(table, i)
+            if not self.fs.is_dir(gdir):
+                # visible at the snapshot, physically removed since
+                # (collapse_generations removes whole dead gen dirs)
+                missing.append((i, "*"))
+                continue
+            # file-level watermark: a later flush may APPEND into this
+            # same generation directory (compatible schemas share a
+            # generation), so the doc alone doesn't pin membership —
+            # only files committed at or before the snapshot's commit
+            # time belong to it. Flush order is schema-registration
+            # persist → write job → data-commit marker persist
+            # (Catalog.touch), so the marker version's ts_us
+            # upper-bounds its batch's file mtimes; the incremental
+            # add-file log a la Delta is the evolution of this if
+            # object-store PUT-time skew ever bites.
+            excluded_dts = {d for g, d in excluded if g == i}
+            files: list[str] = []
+            for dd in self.fs.list_dirs(gdir, prefix="dt="):
+                dt_val = dd.rsplit("dt=", 1)[-1]
+                if dt_val in excluded_dts:
+                    continue
+                files.extend(
+                    fp
+                    for fp, mt in self.fs.list_files_mtime(
+                        dd, suffix=".parquet")
+                    if mt <= commit_ts_us
+                )
+            if not files:
+                continue
+            struct = T.StructType(
+                [
+                    T.StructField(c, _parse_type(t), True)
+                    for c, t in gcols.items()
+                ]
+                + [T.StructField("dt", T.StringType(), True)]
+            )
+            df = (
+                self.spark.read.schema(struct)
+                .option("basePath", gdir)
+                .parquet(*files)
+            )
+            cols = [
+                (
+                    F.col(c).cast(_parse_type(ct))
+                    if c in gcols
+                    else F.lit(None).cast(_parse_type(ct))
+                ).alias(c)
+                for c, ct in cum.items()
+            ]
+            parts.append(df.select(*cols, F.col("dt"), F.lit(i).alias("gen")))
+        if missing:
+            raise SnapshotUnavailableError(
+                f"snapshot v{version} of {table!r} needs vacuumed "
+                f"partitions {missing[:8]}{'…' if len(missing) > 8 else ''}; "
+                "run with retain_history=True and vacuum explicitly to "
+                "keep snapshots readable")
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def vacuum(self, table: str) -> int:
+        """Physically remove partitions superseded by committed rewrites
+        and forget their exclusions. This is the explicit GC companion
+        of ``retain_history=True``: snapshots older than the newest
+        commit stop being readable past this point (read_snapshot then
+        raises SnapshotUnavailableError rather than under-returning).
+        Returns the number of partitions reclaimed."""
+        from .mutations import gc_superseded
+
+        return gc_superseded(self, table, force=True)
 
     def read_buffer(self, table: str) -> DataFrame | None:
         """Unflushed rows as a DataFrame — the hybrid-query half that gives

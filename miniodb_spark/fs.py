@@ -65,6 +65,19 @@ class LocalFS:
             if e.is_dir() and e.name.startswith(prefix)
         )
 
+    def list_files_mtime(
+        self, path: str, suffix: str = ""
+    ) -> list[tuple[str, int]]:
+        """(path, mtime_us) for plain files under ``path`` — the
+        commit-watermark input for snapshot reads."""
+        if not os.path.isdir(path):
+            return []
+        return [
+            (e.path, e.stat().st_mtime_ns // 1000)
+            for e in os.scandir(path)
+            if e.is_file() and e.name.endswith(suffix)
+        ]
+
     def remove_file(self, path: str) -> None:
         os.remove(path)
 
@@ -157,6 +170,24 @@ class HadoopFS:
             for st in fs.listStatus(p)
             if st.isDirectory() and st.getPath().getName().startswith(prefix)
         )
+
+    def list_files_mtime(
+        self, path: str, suffix: str = ""
+    ) -> list[tuple[str, int]]:
+        """(path, mtime_us); Hadoop reports modification time in ms
+        (object stores: the PUT time), so the watermark granularity is
+        1 ms there."""
+        fs, p = self._fs(path), self._p(path)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            if st.isFile() and st.getPath().getName().endswith(suffix):
+                out.append(
+                    (st.getPath().toString(),
+                     int(st.getModificationTime()) * 1000)
+                )
+        return out
 
     def remove_file(self, path: str) -> None:
         self._fs(path).delete(self._p(path), False)

@@ -38,11 +38,20 @@ from pyspark.sql import functions as F
 from . import fs as fsmod
 
 
-def gc_superseded(engine, table: str) -> int:
+def gc_superseded(engine, table: str, force: bool = False) -> int:
     """Remove the directories of partitions a committed rewrite
     superseded, then forget the exclusions. Idempotent and crash-safe:
     every step re-checks disk state, and exclusions are only cleared
-    after the removals succeed."""
+    after the removals succeed.
+
+    With ``engine.retain_history`` set, the inline GC after each
+    mutation is DEFERRED (returns 0) so earlier catalog versions stay
+    readable via Engine.read_snapshot; ``Engine.vacuum`` passes
+    ``force=True`` to reclaim. Excluded partitions are invisible to
+    head reads either way — retention costs storage, never
+    correctness."""
+    if getattr(engine, "retain_history", False) and not force:
+        return 0
     parts = sorted(engine.catalog.excluded_parts(table))
     if not parts:
         return 0

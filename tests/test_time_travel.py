@@ -1,0 +1,155 @@
+"""Time travel (snapshot reads over the catalog commit log).
+
+Every catalog flip appends its full doc to a per-table JSONL commit
+log (catalog.py::_persist). With retain_history=True the engine defers
+the post-mutation GC, so Engine.read_snapshot(table, v) can rebuild
+the exact persisted state any version saw — deleted rows reappear,
+pre-update values return — until an explicit vacuum() reclaims the
+superseded partitions, after which stale snapshots REFUSE
+(SnapshotUnavailableError) instead of under-returning. Delta-Lake's
+time-travel/VACUUM contract, absent from the reference (its
+backup/restore is full-copy, internal/backup/)."""
+
+import json
+
+import pytest
+
+from miniodb_spark.engine import Engine, SnapshotUnavailableError
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+def rows_of(df):
+    if df is None:
+        return {}
+    return {
+        r["id"]: r.asDict() for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def retaining_engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "tt_store"), retain_history=True)
+
+
+def test_snapshot_reads_recover_each_committed_state(retaining_engine):
+    eng = retaining_engine
+    eng.write("tt", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.write("tt", {"v": 2}, record_id="b", timestamp_us=T0)
+    eng.flush("tt")
+    v1 = eng.catalog.current_version("tt")
+
+    eng.write("tt", {"v": 3}, record_id="c", timestamp_us=T0)
+    eng.flush("tt")
+    v2 = eng.catalog.current_version("tt")
+
+    eng.update("tt", "a", {"v": 10}, timestamp_us=T0)
+    eng.flush("tt")
+    v3 = eng.catalog.current_version("tt")
+
+    assert eng.delete("tt", "b") >= 1
+    eng.flush("tt")
+    v4 = eng.catalog.current_version("tt")
+    assert v1 < v2 < v3 < v4
+
+    s1 = rows_of(eng.read_snapshot("tt", v1))
+    assert set(s1) == {"a", "b"} and s1["a"]["v"] == 1
+
+    s2 = rows_of(eng.read_snapshot("tt", v2))
+    assert set(s2) == {"a", "b", "c"} and s2["a"]["v"] == 1
+
+    s3 = rows_of(eng.read_snapshot("tt", v3))
+    assert set(s3) == {"a", "b", "c"} and s3["a"]["v"] == 10
+
+    s4 = rows_of(eng.read_snapshot("tt", v4))
+    assert set(s4) == {"a", "c"} and s4["a"]["v"] == 10
+
+    # head snapshot == read_persisted
+    head = rows_of(eng.read_persisted("tt"))
+    assert s4 == head
+
+
+def test_history_is_monotonic_and_queryable(retaining_engine):
+    eng = retaining_engine
+    eng.write("h", {"x": 1}, record_id="r1", timestamp_us=T0)
+    eng.flush("h")
+    eng.write("h", {"x": 2}, record_id="r2", timestamp_us=T0)
+    eng.flush("h")
+    hist = eng.table_history("h")
+    assert hist, "commit log must exist after a flush"
+    vs = [h["v"] for h in hist]
+    assert vs == sorted(vs) and len(set(vs)) == len(vs)
+    doc = eng.catalog.doc_at("h", vs[-1])
+    assert doc and "generations" in doc
+    assert eng.catalog.doc_at("h", 10_000) is None
+    with pytest.raises(ValueError):
+        eng.read_snapshot("h", 10_000)
+
+
+def test_vacuum_invalidates_old_snapshots_but_not_head(retaining_engine):
+    eng = retaining_engine
+    eng.write("vx", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.write("vx", {"v": 2}, record_id="b", timestamp_us=T0)
+    eng.flush("vx")
+    v1 = eng.catalog.current_version("vx")
+    assert eng.delete("vx", "a") >= 1
+    eng.flush("vx")
+
+    # retention defers the GC: the superseded partition is still on disk
+    assert rows_of(eng.read_snapshot("vx", v1)).keys() == {"a", "b"}
+    assert eng.catalog.excluded_parts("vx"), "exclusions retained pre-vacuum"
+
+    reclaimed = eng.vacuum("vx")
+    assert reclaimed >= 1
+    assert not eng.catalog.excluded_parts("vx")
+
+    # stale snapshot refuses rather than silently dropping rows
+    with pytest.raises(SnapshotUnavailableError):
+        eng.read_snapshot("vx", v1)
+    # head is untouched
+    assert rows_of(eng.read_persisted("vx")).keys() == {"b"}
+
+
+def test_default_engine_gcs_inline_and_snapshots_refuse(engine):
+    eng = engine
+    eng.write("d", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.write("d", {"v": 2}, record_id="b", timestamp_us=T0)
+    eng.flush("d")
+    v1 = eng.catalog.current_version("d")
+    assert eng.delete("d", "a") >= 1
+    eng.flush("d")
+    # without retain_history the mutation GC'd inline...
+    assert not eng.catalog.excluded_parts("d")
+    # ...so the pre-delete snapshot is honestly unavailable
+    with pytest.raises(SnapshotUnavailableError):
+        eng.read_snapshot("d", v1)
+    assert rows_of(eng.read_persisted("d")).keys() == {"b"}
+
+
+def test_snapshot_excludes_buffer_and_later_generations(retaining_engine):
+    eng = retaining_engine
+    eng.write("g", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("g")
+    v1 = eng.catalog.current_version("g")
+    # unflushed buffer row + a later flushed generation
+    eng.write("g", {"v": 2}, record_id="later", timestamp_us=T0)
+    assert rows_of(eng.read_snapshot("g", v1)).keys() == {"a"}
+    eng.flush("g")
+    assert rows_of(eng.read_snapshot("g", v1)).keys() == {"a"}
+
+
+def test_commit_log_lines_are_full_docs(retaining_engine, tmp_path):
+    eng = retaining_engine
+    eng.write("log", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("log")
+    path = eng.catalog._hist_path("log")
+    with open(path, encoding="utf-8") as fh:
+        recs = [json.loads(line) for line in fh if line.strip()]
+    assert recs and all({"v", "ts_us", "doc"} <= set(r) for r in recs)
+    assert recs[-1]["doc"]["generations"], "last commit carries schema"
+    # drop_table removes the log
+    eng.delete_table("log")
+    import os
+
+    assert not os.path.exists(path)
