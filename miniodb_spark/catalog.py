@@ -220,6 +220,25 @@ class Catalog:
         rec = self.record_at(name, version)
         return rec["doc"] if rec else None
 
+    def version_as_of(self, name: str, ts_us: int) -> int | None:
+        """Largest version committed at or before ``ts_us`` (Delta's
+        TIMESTAMP AS OF resolution). None when the table had no commit
+        by then."""
+        best = None
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    if rec["ts_us"] <= ts_us and (
+                        best is None or rec["v"] >= best
+                    ):
+                        best = rec["v"]
+        except FileNotFoundError:
+            return None
+        return best
+
     def docs_between(
         self, name: str, after: int, upto: int | None = None
     ) -> list[dict[str, Any]]:

@@ -787,10 +787,22 @@ class Engine:
         return formatted_plan(self.query_df(sql, default_table=default_table))
 
     def query_df(
-        self, sql: str, limit: int | None = None, default_table: str | None = None
+        self, sql: str, limit: int | None = None,
+        default_table: str | None = None,
+        at_version: int | dict[str, int] | None = None,
+        as_of_ts_us: int | None = None,
     ) -> DataFrame:
         """QueryData minus the JSON serialization: gate → rewrites →
-        temp-view registration per referenced table → ``spark.sql``."""
+        temp-view registration per referenced table → ``spark.sql``.
+
+        Time travel: ``at_version`` pins the snapshot by catalog version
+        (an int for single-table queries, a ``{table: version}`` dict
+        for joins — versions are per-table counters, so one bare int
+        across tables would be meaningless), ``as_of_ts_us`` by wall
+        clock (each table resolves to its last version committed at or
+        before the instant — the natural multi-table form). Snapshot
+        queries never see the write buffer (versions are commit
+        points)."""
         sql = gate.validate_query(sql)
         if default_table:
             sql = gate.rewrite_legacy_from_table(sql, default_table)
@@ -798,13 +810,36 @@ class Engine:
         tables = extract_tables(sql)
         if not tables:
             raise gate.SQLGateError("no table referenced in query")
+        if at_version is not None and as_of_ts_us is not None:
+            raise ValueError("pass at_version or as_of_ts_us, not both")
+        time_travel = at_version is not None or as_of_ts_us is not None
+        if isinstance(at_version, int) and len(tables) > 1:
+            raise ValueError(
+                "at_version must be a {table: version} dict for a "
+                f"multi-table query (tables: {sorted(tables)})")
         for t in tables:
             gate.validate_table_name(t)
             # pick up metadata committed by other driver processes on the
             # same store (flush/rewrite/create/delete) before planning —
             # one os.stat when nothing changed
             self.catalog.refresh_if_changed(t)
-            df = self.read_table(t)
+            if time_travel:
+                if isinstance(at_version, dict):
+                    if t not in at_version:
+                        raise ValueError(
+                            f"at_version has no entry for table {t!r}")
+                    v = at_version[t]
+                elif at_version is not None:
+                    v = at_version
+                else:
+                    v = self.catalog.version_as_of(t, int(as_of_ts_us))
+                    if v is None:
+                        raise ValueError(
+                            f"table {t!r} has no version committed at or "
+                            f"before ts_us={as_of_ts_us}")
+                df = self.read_snapshot(t, v)
+            else:
+                df = self.read_table(t)
             if df is None:
                 if self.catalog.get_table(t) is None:
                     raise gate.SQLGateError(f"table not found: {t}")
@@ -827,15 +862,26 @@ class Engine:
         )
 
     def query(
-        self, sql: str, limit: int | None = None, default_table: str | None = None
+        self, sql: str, limit: int | None = None,
+        default_table: str | None = None,
+        at_version: int | dict[str, int] | None = None,
+        as_of_ts_us: int | None = None,
     ) -> str:
         """Full QueryData: returns the JSON array string the reference's
         API contract specifies (empty result ⇒ ``"[]"``). Callers that
-        need the truncation flag use ``query_full``."""
-        return self.query_full(sql, limit=limit, default_table=default_table).json
+        need the truncation flag use ``query_full``. ``at_version`` /
+        ``as_of_ts_us`` time-travel the referenced tables (see
+        query_df)."""
+        return self.query_full(
+            sql, limit=limit, default_table=default_table,
+            at_version=at_version, as_of_ts_us=as_of_ts_us,
+        ).json
 
     def query_full(
-        self, sql: str, limit: int | None = None, default_table: str | None = None
+        self, sql: str, limit: int | None = None,
+        default_table: str | None = None,
+        at_version: int | dict[str, int] | None = None,
+        as_of_ts_us: int | None = None,
     ) -> QueryResult:
         """Gate → execute → bounded JSON collect, via the result cache
         when the query is cache-worthy. The cached value is the whole
@@ -844,7 +890,11 @@ class Engine:
 
         checked = gate.validate_query(sql)
         tables = extract_tables(checked)
-        use_cache = analyze_complexity(checked).cacheable
+        # time-travel results must neither hit nor populate the head
+        # cache: its keys are (sql, tables) with no version dimension,
+        # so a pinned-snapshot result would masquerade as current
+        time_travel = at_version is not None or as_of_ts_us is not None
+        use_cache = analyze_complexity(checked).cacheable and not time_travel
         versions = None
         if use_cache:
             hit = self.cache.get(checked, tables)
@@ -855,7 +905,10 @@ class Engine:
             # store, not be absorbed into its recorded versions
             versions = self.cache.snapshot_versions(tables)
         t0 = _time.perf_counter()
-        df = self.query_df(checked, limit=limit, default_table=default_table)
+        df = self.query_df(
+            checked, limit=limit, default_table=default_table,
+            at_version=at_version, as_of_ts_us=as_of_ts_us,
+        )
         # cap the collect: fetch one row beyond the cap so truncation is
         # detectable; queries carrying their own LIMIT are unaffected
         # (inject_limit is a no-op then, and the cap only trims if the

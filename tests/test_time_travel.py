@@ -153,3 +153,66 @@ def test_commit_log_lines_are_full_docs(retaining_engine, tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_query_at_version_and_as_of(retaining_engine):
+    import json as _json
+    import time
+
+    eng = retaining_engine
+    eng.write("q", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("q")
+    v1 = eng.catalog.current_version("q")
+    t_between = int(time.time() * 1e6)
+    time.sleep(0.002)
+    eng.update("q", "a", {"v": 2}, timestamp_us=T0)
+    eng.flush("q")
+
+    head = _json.loads(eng.query("SELECT id, v FROM q"))
+    assert head == [{"id": "a", "v": 2}]
+    old = _json.loads(eng.query("SELECT id, v FROM q", at_version=v1))
+    assert old == [{"id": "a", "v": 1}]
+    # wall-clock resolution picks the version committed before t_between
+    asof = _json.loads(
+        eng.query("SELECT id, v FROM q", as_of_ts_us=t_between))
+    assert asof == [{"id": "a", "v": 1}]
+    with pytest.raises(ValueError):
+        eng.query("SELECT id, v FROM q", as_of_ts_us=1)  # pre-creation
+    with pytest.raises(ValueError):
+        eng.query("SELECT id, v FROM q", at_version=v1, as_of_ts_us=t_between)
+
+
+def test_time_travel_results_bypass_head_cache(retaining_engine):
+    import json as _json
+
+    eng = retaining_engine
+    eng.write("c", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("c")
+    v1 = eng.catalog.current_version("c")
+    eng.update("c", "a", {"v": 2}, timestamp_us=T0)
+    eng.flush("c")
+
+    sql = "SELECT id, v FROM c"
+    # prime the head cache, then snapshot-query the same SQL: the
+    # pinned result must neither be served from nor stored into it
+    assert _json.loads(eng.query(sql)) == [{"id": "a", "v": 2}]
+    assert _json.loads(eng.query(sql, at_version=v1)) == [{"id": "a", "v": 1}]
+    assert _json.loads(eng.query(sql)) == [{"id": "a", "v": 2}]
+
+
+def test_multi_table_at_version_requires_dict(retaining_engine):
+    import json as _json
+
+    eng = retaining_engine
+    eng.write("ta", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("ta")
+    eng.write("tb", {"w": 9}, record_id="a", timestamp_us=T0)
+    eng.flush("tb")
+    va, vb = (eng.catalog.current_version("ta"),
+              eng.catalog.current_version("tb"))
+    sql = ("SELECT ta.id AS id, ta.v AS v, tb.w AS w "
+           "FROM ta JOIN tb ON ta.id = tb.id")
+    with pytest.raises(ValueError):
+        eng.query(sql, at_version=va)  # bare int + two tables
+    out = _json.loads(eng.query(sql, at_version={"ta": va, "tb": vb}))
+    assert out == [{"id": "a", "v": 1, "w": 9}]
