@@ -107,6 +107,37 @@ class MiniODBService:
             self._counters["queries"] += 1
             return {"result_json": res.json, "truncated": res.truncated}
 
+    def query_data_at(self, sql: str,
+                      at_version: int | dict[str, int] | None = None,
+                      as_of_ts_us: int | None = None,
+                      limit: int | None = None,
+                      client_id: str = "default") -> dict:
+        """Time-travel QueryData (beyond-reference: the reference has
+        full-copy backup/restore only; see Engine.read_snapshot)."""
+        with self._rpc("query_data_at", client_id):
+            res = self.engine.query_full(
+                sql, limit=limit, at_version=at_version,
+                as_of_ts_us=as_of_ts_us,
+            )
+            self._counters["queries"] += 1
+            return {"result_json": res.json, "truncated": res.truncated}
+
+    def get_table_history(self, name: str,
+                          client_id: str = "default") -> dict:
+        """The table's metadata commit log (versions usable with
+        query_data_at / Engine.read_snapshot)."""
+        with self._rpc("get_table_history", client_id):
+            return {"table": name, "history": self.engine.table_history(name)}
+
+    def vacuum_table(self, name: str, client_id: str = "default") -> dict:
+        """Reclaim partitions superseded by committed rewrites; stale
+        snapshots refuse afterwards (SnapshotUnavailableError)."""
+        with self._rpc("vacuum_table", client_id):
+            with self._audited("vacuum", name, "", client_id) as a:
+                n = self.engine.vacuum(name)
+                a["details"] = {"reclaimed_partitions": n}
+                return {"success": True, "reclaimed_partitions": n}
+
     def update_data(self, table: str, record_id: str, payload: dict,
                     timestamp_us: int | None = None,
                     client_id: str = "default") -> dict:

@@ -55,3 +55,32 @@ def test_full_rpc_lifecycle(svc):
 
     assert svc.delete_table("users")["success"]
     assert "users" not in svc.list_tables()["tables"]
+
+
+def test_time_travel_rpcs(spark, tmp_path):
+    from miniodb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "tt_api"), retain_history=True)
+    svc = MiniODBService(eng)
+    svc.write_data("tt", {"id": "a", "timestamp": T0, "payload": {"v": 1}})
+    eng.flush("tt")
+    v1 = eng.catalog.current_version("tt")
+    svc.update_data("tt", "a", {"v": 2}, timestamp_us=T0)
+    eng.flush("tt")
+
+    hist = svc.get_table_history("tt")["history"]
+    assert [h["v"] for h in hist] == sorted(h["v"] for h in hist)
+    assert v1 in {h["v"] for h in hist}
+
+    head = json.loads(svc.query_data("SELECT v FROM tt")["result_json"])
+    assert head == [{"v": 2}]
+    old = json.loads(
+        svc.query_data_at("SELECT v FROM tt", at_version=v1)["result_json"])
+    assert old == [{"v": 1}]
+
+    vac = svc.vacuum_table("tt")
+    assert vac["success"] and vac["reclaimed_partitions"] >= 1
+    from miniodb_spark.engine import SnapshotUnavailableError
+
+    with pytest.raises(SnapshotUnavailableError):
+        svc.query_data_at("SELECT v FROM tt", at_version=v1)
