@@ -2285,3 +2285,259 @@ def cohens_d_effect_size(spark, sf_dir):
                           / (n1 + n2 - 2)), 6) AS hedges_g
       FROM m
     """)
+
+
+@register(
+    "runs_test_daily_revenue",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS dt,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    med AS (SELECT percentile_cont(0.5)
+                     WITHIN GROUP (ORDER BY CAST(rev AS DOUBLE)) AS m
+            FROM d),
+    s AS (SELECT dt,
+                 CASE WHEN CAST(rev AS DOUBLE) > m THEN 1 ELSE 0 END
+                   AS above
+          FROM d CROSS JOIN med),
+    r AS (SELECT above,
+                 CASE WHEN lag(above) OVER (ORDER BY dt) IS NULL
+                        OR lag(above) OVER (ORDER BY dt) <> above
+                      THEN 1 ELSE 0 END AS new_run
+          FROM s),
+    agg AS (SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+                   CAST(sum(above) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(above) AS BIGINT) AS n2
+            FROM r)
+    SELECT n1, n2, runs,
+           round((runs - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+                 / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                        * (2 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of daily revenue "
+        "around its median: R = number of above/below runs, z against "
+        "the exact run-count moments. The above/below coding compares "
+        "exact decimal day sums (cast to double only against the "
+        "double median, identically on both engines), runs are counted "
+        "by an integer lag-transition sum, and the z arithmetic is the "
+        "same short double sequence on exact BIGINT inputs. The lag "
+        "window ORDER BY dt is global but consumes the calendar-bounded "
+        "day table (durbin_watson/cusum shape); facts shuffle once.",
+    tags=("statistics",),
+)
+def runs_test_daily_revenue(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rt_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT o_orderdate AS dt,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders_rt_v GROUP BY 1),
+      med AS (SELECT percentile_cont(0.5)
+                       WITHIN GROUP (ORDER BY CAST(rev AS DOUBLE)) AS m
+              FROM d),
+      s AS (SELECT dt,
+                   CASE WHEN CAST(rev AS DOUBLE) > m THEN 1 ELSE 0 END
+                     AS above
+            FROM d CROSS JOIN med),
+      r AS (SELECT above,
+                   CASE WHEN lag(above) OVER (ORDER BY dt) IS NULL
+                          OR lag(above) OVER (ORDER BY dt) <> above
+                        THEN 1 ELSE 0 END AS new_run
+            FROM s),
+      agg AS (SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+                     CAST(sum(above) AS BIGINT) AS n1,
+                     CAST(count(*) - sum(above) AS BIGINT) AS n2
+              FROM r)
+      SELECT n1, n2, runs,
+             round((runs - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+                   / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                          * (2 * n1 * n2 - n1 - n2)
+                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                             * (n1 + n2 - 1))), 6) AS z
+      FROM agg
+    """)
+
+
+@register(
+    "cramers_v_dow_status",
+    """
+    WITH c AS (
+      SELECT dayofweek(o_orderdate) AS dow, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    rm AS (SELECT dow, sum(n) AS rn FROM c GROUP BY dow),
+    cm AS (SELECT st, sum(n) AS cn FROM c GROUP BY st),
+    tot AS (SELECT sum(n) AS nn,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS r,
+                   CAST(count(DISTINCT st) AS BIGINT) AS k
+            FROM c),
+    chi AS (
+      SELECT CAST(sum(CAST(c.n AS DOUBLE) * c.n * t.nn
+                      / (rm.rn * cm.cn)) AS DOUBLE)
+               - max(t.nn) AS chi2,
+             max(t.nn) AS nn, max(t.r) AS r, max(t.k) AS k
+      FROM c JOIN rm ON c.dow = rm.dow
+             JOIN cm ON c.st = cm.st
+             CROSS JOIN tot t)
+    SELECT CAST(nn AS BIGINT) AS n_total,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (nn * (least(r, k) - 1))), 6) AS cramers_v,
+           round(sqrt(chi2 / (nn * sqrt(CAST((r - 1) * (k - 1)
+                                             AS DOUBLE)))), 6)
+             AS tschuprow_t
+    FROM chi
+    """,
+    doc="Cramer's V and Tschuprow's T association strength for the "
+        "(day-of-week x order-status) contingency — the normalized "
+        "companion to chi2_priority_status's raw test statistic. Chi2 "
+        "via the sparse telescoping identity sum(n^2*N/(rm*cm)) - N "
+        "(absent cells contribute zero, so no dense cross join); "
+        "marginals are exact integer aggregates of the 21-cell table "
+        "and every join is over that bounded aggregate, never facts. "
+        "Each engine uses its own dayofweek convention — the keys are "
+        "bijective, so the contingency structure and every statistic "
+        "agree.",
+    tags=("statistics",),
+)
+def cramers_v_dow_status(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cv_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT dayofweek(o_orderdate) AS dow, o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders_cv_v GROUP BY 1, 2),
+      rm AS (SELECT dow, sum(n) AS rn FROM c GROUP BY dow),
+      cm AS (SELECT st, sum(n) AS cn FROM c GROUP BY st),
+      tot AS (SELECT sum(n) AS nn,
+                     CAST(count(DISTINCT dow) AS BIGINT) AS r,
+                     CAST(count(DISTINCT st) AS BIGINT) AS k
+              FROM c),
+      chi AS (
+        SELECT CAST(sum(CAST(c.n AS DOUBLE) * c.n * t.nn
+                        / (rm.rn * cm.cn)) AS DOUBLE)
+                 - max(t.nn) AS chi2,
+               max(t.nn) AS nn, max(t.r) AS r, max(t.k) AS k
+        FROM c JOIN rm ON c.dow = rm.dow
+               JOIN cm ON c.st = cm.st
+               CROSS JOIN tot t)
+      SELECT CAST(nn AS BIGINT) AS n_total,
+             round(chi2, 6) AS chi2,
+             round(sqrt(chi2 / (nn * (least(r, k) - 1))), 6) AS cramers_v,
+             round(sqrt(chi2 / (nn * sqrt(CAST((r - 1) * (k - 1)
+                                               AS DOUBLE)))), 6)
+               AS tschuprow_t
+      FROM chi
+    """)
+
+
+@register(
+    "jensen_shannon_halves",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN day(ts) <= 15 THEN 1 END) AS DOUBLE)
+               AS a,
+             CAST(count(CASE WHEN day(ts) > 15 THEN 1 END) AS DOUBLE)
+               AS b
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM c),
+    pq AS (SELECT a / ta AS p, b / tb AS q FROM c CROSS JOIN tot),
+    terms AS (
+      SELECT CASE WHEN p > 0
+                  THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0
+                  THEN q * log2(q / ((p + q) / 2)) ELSE 0 END AS t2
+      FROM pq)
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_types,
+           round(sum(t2) / 2, 6) AS js_bits,
+           round(sqrt(sum(t2) / 2), 6) AS js_distance
+    FROM terms
+    """,
+    doc="Jensen-Shannon divergence (bits) between the event-type "
+        "distributions of the month's two halves — the symmetric, "
+        "bounded [0,1] companion to kl_divergence_sources (KL is "
+        "asymmetric and unbounded; JS's square root is a metric, the "
+        "usual drift score). Exact integer counts from ONE conditional "
+        "aggregate; the 5-term JS sum is double arithmetic on exact "
+        "ratios, round-6 absorbing the summation order. Zero joins of "
+        "fact-sized inputs — totals ride a 1-row broadcast.",
+    tags=("statistics",),
+)
+def jensen_shannon_halves(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_js_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN day(ts) <= 15 THEN 1 END) AS DOUBLE)
+                 AS a,
+               CAST(count(CASE WHEN day(ts) > 15 THEN 1 END) AS DOUBLE)
+                 AS b
+        FROM events_js_v GROUP BY 1),
+      tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM c),
+      pq AS (SELECT a / ta AS p, b / tb AS q FROM c CROSS JOIN tot),
+      terms AS (
+        SELECT CASE WHEN p > 0
+                    THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
+             + CASE WHEN q > 0
+                    THEN q * log2(q / ((p + q) / 2)) ELSE 0 END AS t2
+        FROM pq)
+      SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_types,
+             round(sum(t2) / 2, 6) AS js_bits,
+             round(sqrt(sum(t2) / 2), 6) AS js_distance
+      FROM terms
+    """)
+
+
+@register(
+    "acf_multi_lag_daily",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1),
+    l AS (SELECT rev,
+                 lag(rev, 1)  OVER (ORDER BY dt) AS r1,
+                 lag(rev, 7)  OVER (ORDER BY dt) AS r7,
+                 lag(rev, 14) OVER (ORDER BY dt) AS r14
+          FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(rev, r1), 6)  AS acf_1,
+           round(corr(rev, r7), 6)  AS acf_7,
+           round(corr(rev, r14), 6) AS acf_14
+    FROM l
+    """,
+    doc="Autocorrelation function of daily revenue at lags 1/7/14 — "
+        "the seasonality fingerprint behind the lag-7 choice in "
+        "seasonal_naive_mase and seasonal_decompose (a weekly cycle "
+        "shows as acf_7 >> acf_1). Day revenues are exact decimal sums "
+        "cast once to double; corr() shares its Pearson definition "
+        "across engines and the inputs are identical, round-6 absorbs "
+        "accumulation order. Lag windows ORDER BY dt globally but over "
+        "the calendar-bounded day table only (durbin_watson shape); "
+        "facts shuffle once into the day aggregate.",
+    tags=("statistics",),
+)
+def acf_multi_lag_daily(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_acf_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT o_orderdate AS dt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS rev
+        FROM orders_acf_v GROUP BY 1),
+      l AS (SELECT rev,
+                   lag(rev, 1)  OVER (ORDER BY dt) AS r1,
+                   lag(rev, 7)  OVER (ORDER BY dt) AS r7,
+                   lag(rev, 14) OVER (ORDER BY dt) AS r14
+            FROM d)
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             round(corr(rev, r1), 6)  AS acf_1,
+             round(corr(rev, r7), 6)  AS acf_7,
+             round(corr(rev, r14), 6) AS acf_14
+      FROM l
+    """)

@@ -785,3 +785,79 @@ def map_hof_event_shares(spark, sf_dir):
         F.col("stats.n").alias("n"),
         F.col("stats.share").alias("share"),
     ).orderBy("user_id", "event_type")
+
+
+@register(
+    "posexplode_word_positions",
+    """
+    SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, parts[pos] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents WHERE doc_id < 20) t,
+         LATERAL (SELECT unnest(generate_series(1, len(parts))) AS pos) u
+    WHERE parts[pos] <> ''
+    ORDER BY doc_id, pos
+    """,
+    doc="Positional explode (posexplode — the ordinality-preserving "
+        "generator): tokenized words WITH their 0-based positions, the "
+        "substrate for positional n-grams / winnowing offsets. Spark's "
+        "posexplode emits (pos, col) directly; DuckDB spells the same "
+        "thing as a LATERAL generate_series index into the split array. "
+        "Positions survive the empty-token filter on both sides (filter "
+        "AFTER indexing), so gaps agree. Map-side Generate only — the "
+        "single shuffle is the final presentation sort.",
+    tags=("sql-surface",),
+)
+def posexplode_word_positions(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "grouping_id_labels",
+    """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CAST(GROUPING(o_orderstatus) * 2
+                + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY lvl, status, priority
+    """,
+    doc="GROUPING() disambiguation over ROLLUP: subtotal rows are "
+        "labeled 'ALL' and carry an explicit level id "
+        "(GROUPING(a)*2+GROUPING(b) — the portable spelling of "
+        "grouping_id, identical on both engines), so a NULL-valued "
+        "status can never be confused with the status subtotal — the "
+        "piece the agg_rollup/cube entries leave implicit. One expand "
+        "aggregate, exact decimal totals.",
+    tags=("sql-surface",),
+)
+def grouping_id_labels(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gid_v")
+    return spark.sql("""
+      SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                  ELSE o_orderpriority END AS priority,
+             CAST(GROUPING(o_orderstatus) * 2
+                  + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS total
+      FROM orders_gid_v
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY lvl, status, priority
+    """)

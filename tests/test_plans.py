@@ -1143,3 +1143,58 @@ def test_interarrival_gaps_user_partitioned_window(spark, sf_dir, registry):
     df = registry["interarrival_gap_stats"].fn(spark, sf_dir)
     assert not plans.unpartitioned_windows(df)
     assert sum(plans.join_kinds(df).values()) == 0
+
+
+def test_posexplode_is_map_side_generate(spark, sf_dir, registry):
+    """Positional explode must be a Generate straight off the pruned
+    scan — zero joins; the only exchange is the presentation sort."""
+    df = registry["posexplode_word_positions"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Generate" in plan
+    assert sum(plans.join_kinds(df).values()) == 0
+    assert plans.num_shuffles(df) <= 1, plan[:2000]
+
+
+def test_grouping_id_rollup_is_expand_aggregate(spark, sf_dir, registry):
+    """GROUPING() labeling rides the same Expand aggregate as plain
+    ROLLUP — no extra pass, no joins."""
+    df = registry["grouping_id_labels"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Expand" in plan
+    assert sum(plans.join_kinds(df).values()) == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["runs_test_daily_revenue", "acf_multi_lag_daily"]
+)
+def test_day_spine_stats_aggregate_before_window(
+    spark, sf_dir, registry, name
+):
+    """Runs test / ACF: facts must shuffle ONCE into the day aggregate
+    before any window or scalar broadcast — never a sort-merge or
+    shuffled-hash join of fact-sized inputs."""
+    df = registry[name].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    assert plans.simple_plan(df).count("HashAggregate") >= 2
+
+
+def test_cramers_v_joins_bounded_cell_table(spark, sf_dir, registry):
+    """Cramer's V: marginal joins run over the 21-cell contingency
+    aggregate (broadcast under AQE) — no fact-sized join."""
+    df = registry["cramers_v_dow_status"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_jensen_shannon_single_fact_pass(spark, sf_dir, registry):
+    """JS divergence: ONE conditional fact aggregate; everything after
+    runs on the 5-row type table with 1-row broadcasts — no windows,
+    no fact joins."""
+    df = registry["jensen_shannon_halves"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+    assert "Window" not in plans.simple_plan(df)
