@@ -2499,3 +2499,297 @@ def interarrival_gap_stats(spark, sf_dir):
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY event_type ORDER BY event_type
     """)
+
+
+@register(
+    "precision_recall_at_k",
+    """
+    WITH pop AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY count(*) DESC, event_type)
+               AS rnk
+      FROM events WHERE day(ts) <= 15 GROUP BY event_type),
+    topk AS (SELECT event_type FROM pop WHERE rnk <= 2),
+    rel AS (
+      SELECT DISTINCT user_id, event_type
+      FROM events WHERE day(ts) > 15),
+    per_u AS (
+      SELECT r.user_id,
+             count(*) AS n_rel,
+             count(t.event_type) AS n_hit
+      FROM rel r LEFT JOIN topk t ON r.event_type = t.event_type
+      GROUP BY r.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(n_hit / 2.0), 6) AS precision_at_2,
+           round(avg(CAST(n_hit AS DOUBLE) / n_rel), 6) AS recall_at_2
+    FROM per_u
+    """,
+    doc="Precision@2 / Recall@2 of a popularity recommender: train on "
+        "the month's first half (global top-2 event types, count-desc "
+        "with a type tie-break so the cut is total-ordered), test on "
+        "the second half (per-user relevant set = distinct types "
+        "actually performed). The retrieval-eval counterpart to "
+        "roc_auc_rank_eval for set-valued recommendations. Shape: "
+        "popularity window runs on the 5-row type aggregate, the "
+        "2-row recommendation set broadcasts into the user x type "
+        "DISTINCT table (one fact shuffle), per-user averages are "
+        "exact integer ratios.",
+    tags=("analytics", "eval"),
+)
+def precision_recall_at_k(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_prk_v")
+    return spark.sql("""
+      WITH pop AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY count(*) DESC, event_type)
+                 AS rnk
+        FROM events_prk_v WHERE day(ts) <= 15 GROUP BY event_type),
+      topk AS (SELECT event_type FROM pop WHERE rnk <= 2),
+      rel AS (
+        SELECT DISTINCT user_id, event_type
+        FROM events_prk_v WHERE day(ts) > 15),
+      per_u AS (
+        SELECT r.user_id,
+               count(*) AS n_rel,
+               count(t.event_type) AS n_hit
+        FROM rel r LEFT JOIN topk t ON r.event_type = t.event_type
+        GROUP BY r.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(avg(CAST(n_hit AS DOUBLE) / 2.0), 6) AS precision_at_2,
+             round(avg(CAST(n_hit AS DOUBLE) / n_rel), 6) AS recall_at_2
+      FROM per_u
+    """)
+
+
+@register(
+    "mrr_popularity_rank",
+    """
+    WITH pop AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY count(*) DESC, event_type)
+               AS rnk
+      FROM events WHERE day(ts) <= 15 GROUP BY event_type),
+    tgt AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type)
+                 AS rn
+        FROM events WHERE day(ts) > 15
+        GROUP BY user_id, event_type) u
+      WHERE rn = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(1.0 / p.rnk), 6) AS mrr
+    FROM tgt t JOIN pop p ON t.event_type = p.event_type
+    """,
+    doc="Mean reciprocal rank of each user's test-half favorite event "
+        "type within the train-half global popularity ranking — the "
+        "single-relevant-item eval (MRR) completing the retrieval "
+        "metric trio (AUC: threshold-free ranking, P/R@k: set "
+        "overlap, MRR: first-hit position). Both rankings are total "
+        "orders (count DESC, type ASC), so ranks are engine-"
+        "independent. The target window PARTITIONs BY user over the "
+        "user x type count table (scale-safe); the 5-row popularity "
+        "table broadcasts into the final join.",
+    tags=("analytics", "eval"),
+)
+def mrr_popularity_rank(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_mrr_v")
+    return spark.sql("""
+      WITH pop AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY count(*) DESC, event_type)
+                 AS rnk
+        FROM events_mrr_v WHERE day(ts) <= 15 GROUP BY event_type),
+      tgt AS (
+        SELECT user_id, event_type FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type)
+                   AS rn
+          FROM events_mrr_v WHERE day(ts) > 15
+          GROUP BY user_id, event_type) u
+        WHERE rn = 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(avg(CAST(1.0 AS DOUBLE) / p.rnk), 6) AS mrr
+      FROM tgt t JOIN pop p ON t.event_type = p.event_type
+    """)
+
+
+@register(
+    "ndcg_at_10_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             (length(text) - length(replace(text, 'spark', ''))) // 5
+               AS rel
+      FROM documents),
+    top_s AS (
+      SELECT rel, n_chars, doc_id FROM d
+      ORDER BY n_chars DESC, doc_id LIMIT 10),
+    ranked_s AS (
+      SELECT rel,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM top_s),
+    top_r AS (
+      SELECT rel, doc_id FROM d ORDER BY rel DESC, doc_id LIMIT 10),
+    ranked_r AS (
+      SELECT rel,
+             row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+      FROM top_r),
+    g AS (SELECT sum((pow(2, rel) - 1) / log2(rnk + 1)) AS dcg
+          FROM ranked_s),
+    i AS (SELECT sum((pow(2, rel) - 1) / log2(rnk + 1)) AS idcg
+          FROM ranked_r)
+    SELECT round(dcg, 6) AS dcg_at_10,
+           round(idcg, 6) AS idcg_at_10,
+           round(dcg / idcg, 6) AS ndcg_at_10
+    FROM g CROSS JOIN i
+    """,
+    doc="NDCG@10 of a document-length prior ranking against graded "
+        "term-count relevance (occurrences of 'spark', exact integer "
+        "via length-difference arithmetic) — the graded-relevance "
+        "eval that P/R@k flattens away, with the standard "
+        "(2^rel - 1) / log2(rank + 1) gain/discount. Both the scored "
+        "and ideal rankings are total orders (doc_id tie-break), so "
+        "top-10 cuts agree across engines. Scale shape: each ranking "
+        "is ORDER BY + LIMIT 10 — Spark compiles TakeOrderedAndProject "
+        "(per-partition top-10, never a global sort) — and the rank "
+        "windows run on the 10-row survivors only.",
+    tags=("analytics", "eval"),
+)
+def ndcg_at_10_docs(spark, sf_dir):
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_ndcg_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               (length(text) - length(replace(text, 'spark', ''))) div 5
+                 AS rel
+        FROM docs_ndcg_v),
+      top_s AS (
+        SELECT rel, n_chars, doc_id FROM d
+        ORDER BY n_chars DESC, doc_id LIMIT 10),
+      ranked_s AS (
+        SELECT rel,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM top_s),
+      top_r AS (
+        SELECT rel, doc_id FROM d ORDER BY rel DESC, doc_id LIMIT 10),
+      ranked_r AS (
+        SELECT rel,
+               row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+        FROM top_r),
+      g AS (SELECT sum((pow(2, rel) - 1) / log2(rnk + 1)) AS dcg
+            FROM ranked_s),
+      i AS (SELECT sum((pow(2, rel) - 1) / log2(rnk + 1)) AS idcg
+            FROM ranked_r)
+      SELECT round(dcg, 6) AS dcg_at_10,
+             round(idcg, 6) AS idcg_at_10,
+             round(dcg / idcg, 6) AS ndcg_at_10
+      FROM g CROSS JOIN i
+    """)
+
+
+@register(
+    "hhi_revenue_concentration",
+    """
+    WITH cr AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT nk,
+             CAST(rev AS DOUBLE)
+               / CAST(sum(rev) OVER (PARTITION BY nk) AS DOUBLE)
+               AS share
+      FROM cr)
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(share * share) * 10000, 4) AS hhi
+    FROM sh JOIN nation n ON sh.nk = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Herfindahl-Hirschman index of revenue concentration across "
+        "customers per nation (0..10000, antitrust convention) — the "
+        "square-sum companion to gini_totalprice_by_priority: HHI "
+        "weights the head, Gini the whole Lorenz curve. Revenue sums "
+        "are exact decimals; the share window PARTITIONs BY nation "
+        "over the customer-level aggregate (never raw orders), cast "
+        "to double only at the final ratio. One fact shuffle into "
+        "(nation, customer), nation dim broadcasts.",
+    tags=("analytics",),
+)
+def hhi_revenue_concentration(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_hhi_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_hhi_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_hhi_v")
+    return spark.sql("""
+      WITH cr AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders_hhi_v o JOIN cust_hhi_v c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      sh AS (
+        SELECT nk,
+               CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY nk) AS DOUBLE)
+                 AS share
+        FROM cr)
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             round(sum(share * share) * 10000, 4) AS hhi
+      FROM sh JOIN nation_hhi_v n ON sh.nk = n.n_nationkey
+      GROUP BY 1 ORDER BY 1
+    """)
+
+
+@register(
+    "markov_transition_entropy",
+    """
+    WITH nx AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT cur, nxt, count(*) AS n
+          FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT cur, sum(n) AS tn FROM c GROUP BY 1)
+    SELECT c.cur AS event_type,
+           CAST(min(t.tn) AS BIGINT) AS n_transitions,
+           round(-sum((CAST(n AS DOUBLE) / tn)
+                      * log2(CAST(n AS DOUBLE) / tn)), 6)
+             AS next_entropy_bits
+    FROM c JOIN t ON c.cur = t.cur
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-state entropy of the next-event distribution over the "
+        "user-ordered Markov chain — the predictability score on top "
+        "of event_transition_matrix (max log2(5)~2.32 bits = "
+        "memoryless; low = the current event pins the next). The "
+        "lead window PARTITIONs BY user_id with a (ts, event_id) "
+        "total order (scale-safe, interarrival_gap_stats shape); "
+        "transition counts collapse to <=25 rows, so every join and "
+        "the entropy sum run on state-cardinality tables.",
+    tags=("analytics",),
+)
+def markov_transition_entropy(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_mte_v")
+    return spark.sql("""
+      WITH nx AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events_mte_v),
+      c AS (SELECT cur, nxt, count(*) AS n
+            FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT cur, sum(n) AS tn FROM c GROUP BY 1)
+      SELECT c.cur AS event_type,
+             CAST(min(t.tn) AS BIGINT) AS n_transitions,
+             round(-sum((CAST(n AS DOUBLE) / tn)
+                        * log2(CAST(n AS DOUBLE) / tn)), 6)
+               AS next_entropy_bits
+      FROM c JOIN t ON c.cur = t.cur
+      GROUP BY 1 ORDER BY 1
+    """)

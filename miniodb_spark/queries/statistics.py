@@ -2541,3 +2541,227 @@ def acf_multi_lag_daily(spark, sf_dir):
              round(corr(rev, r14), 6) AS acf_14
       FROM l
     """)
+
+
+@register(
+    "roc_auc_rank_eval",
+    """
+    WITH c AS (
+      SELECT n_chars AS v, count(*) AS t,
+             count(CASE WHEN lang = 'en' THEN 1 END) AS np
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT np,
+             2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS mr2
+      FROM c),
+    s AS (
+      SELECT CAST(sum(np * mr2) AS BIGINT) AS s2,
+             (SELECT CAST(sum(np) AS BIGINT) FROM c) AS npos,
+             (SELECT CAST(sum(t) - sum(np) AS BIGINT) FROM c) AS nneg
+      FROM r)
+    SELECT npos AS n_pos, nneg AS n_neg,
+           round((s2 - npos * (npos + 1.0))
+                 / (2.0 * npos * nneg), 6) AS auc
+    FROM s
+    """,
+    doc="ROC-AUC of a document-length score against the lang='en' "
+        "label via the rank-sum identity (AUC == normalized "
+        "Mann-Whitney U) — the standard eval for quality-classifier "
+        "scores without choosing a threshold. Tie-aware doubled "
+        "midranks keep every moment an exact BIGINT until the single "
+        "final division. The Spark side runs on the distributed "
+        "midrank backbone (operators/ranks.py: per-value count table, "
+        "range-bucketed prefix sums, no empty-partition window over "
+        "facts); the oracle spells the same identity with a window "
+        "over the value-count table. Reference has no eval surface; "
+        "this is the analytics extension the classifier gate "
+        "(quality_classifier_auc) promises.",
+    tags=("statistics", "eval"),
+)
+def roc_auc_rank_eval(spark, sf_dir):
+    from ..operators.ranks import doubled_midranks
+
+    d = load(spark, sf_dir, "documents")
+    pv = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("np"),
+    )
+    r = doubled_midranks(pv, "v", "t")
+    s = r.agg(
+        F.sum(F.col("np") * F.col("mr2")).cast("bigint").alias("s2"),
+        F.sum("np").cast("bigint").alias("npos"),
+        (F.sum("t") - F.sum("np")).cast("bigint").alias("nneg"),
+    )
+    return s.select(
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        F.round(
+            (F.col("s2") - F.col("npos") * (F.col("npos") + F.lit(1.0)))
+            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "calibration_brier_bins",
+    """
+    WITH p AS (
+      SELECT 1.0 / (1.0 + exp(-(n_chars - 300) / 50.0)) AS p,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents)
+    SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_pred,
+           round(avg(y), 6) AS frac_pos,
+           round(avg((p - y) * (p - y)), 6) AS brier_bin
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+    doc="Calibration reliability table + per-bin Brier score for a "
+        "fixed logistic pseudo-probability of the lang='en' label — "
+        "the companion diagnostic to roc_auc_rank_eval (AUC measures "
+        "ranking, this measures probability calibration; a "
+        "well-calibrated bin has mean_pred ~= frac_pos). ONE "
+        "conditional aggregate pass, joinless and windowless — the "
+        "cheapest possible shape, trivially map-side-combinable at "
+        "100 TB. Fixed logistic constants keep the score a pure "
+        "per-row expression (no scalar broadcast); the only libm-"
+        "boundary bin edge (n_chars=300 -> p=0.5 exactly) is exact in "
+        "both engines because exp(0)=1 exactly.",
+    tags=("statistics", "eval"),
+)
+def calibration_brier_bins(spark, sf_dir):
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_cal_v")
+    return spark.sql("""
+      WITH p AS (
+        SELECT 1.0 / (1.0 + exp(-(n_chars - 300) / 50.0)) AS p,
+               CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM docs_cal_v)
+      SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(p), 6) AS mean_pred,
+             round(avg(y), 6) AS frac_pos,
+             round(avg((p - y) * (p - y)), 6) AS brier_bin
+      FROM p GROUP BY 1 ORDER BY 1
+    """)
+
+
+@register(
+    "wasserstein_value_drift",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS grp
+      FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+    b AS (
+      SELECT least(CAST(floor((v - lo) / (hi - lo) * 200) AS INT),
+                   199) AS bin,
+             count(CASE WHEN grp = 0 THEN 1 END) AS na,
+             count(CASE WHEN grp = 1 THEN 1 END) AS nb
+      FROM s CROSS JOIN mm GROUP BY 1),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM b),
+    e AS (
+      SELECT sum(na) OVER (ORDER BY bin) / CAST(ta AS DOUBLE) AS fa,
+             sum(nb) OVER (ORDER BY bin) / CAST(tb AS DOUBLE) AS fb
+      FROM b CROSS JOIN tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(abs(fa - fb))
+                 * (SELECT (hi - lo) / 200 FROM mm), 6) AS w1_binned
+    FROM e
+    """,
+    doc="Binned 1-Wasserstein (earth-mover) distance between the "
+        "value distributions of the month's two halves — the "
+        "magnitude-aware drift score that KS (sup of ECDF gap) and "
+        "PSI (binned likelihood ratio) miss: W1 integrates |F_a - F_b| "
+        "so a small shift of a large mass and a large shift of a "
+        "small mass both register proportionally. Same grid-ECDF "
+        "shape as ks_drift_event_types: one conditional fact "
+        "aggregate into <=200 bins, prefix-sum windows on the bin "
+        "table only, min/max and bin-width ride 1-row broadcasts. "
+        "Bin assignment is pure arithmetic (no libm), so both engines "
+        "compute bit-identical doubles.",
+    tags=("statistics", "drift"),
+)
+def wasserstein_value_drift(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_w1_v")
+    return spark.sql("""
+      WITH s AS (
+        SELECT value AS v,
+               CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS grp
+        FROM events_w1_v WHERE value IS NOT NULL),
+      mm AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+      b AS (
+        SELECT least(CAST(floor((v - lo) / (hi - lo) * 200) AS INT),
+                     199) AS bin,
+               count(CASE WHEN grp = 0 THEN 1 END) AS na,
+               count(CASE WHEN grp = 1 THEN 1 END) AS nb
+        FROM s CROSS JOIN mm GROUP BY 1),
+      tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM b),
+      e AS (
+        SELECT sum(na) OVER (ORDER BY bin) / CAST(ta AS DOUBLE) AS fa,
+               sum(nb) OVER (ORDER BY bin) / CAST(tb AS DOUBLE) AS fb
+        FROM b CROSS JOIN tot)
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             round(sum(abs(fa - fb))
+                   * (SELECT (hi - lo) / 200 FROM mm), 6) AS w1_binned
+      FROM e
+    """)
+
+
+@register(
+    "mad_robust_scale",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS p,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+               AS med
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT o.o_orderpriority AS p, m.med,
+             abs(o.o_totalprice - m.med) AS ad
+      FROM orders o JOIN m ON o.o_orderpriority = m.p)
+    SELECT p AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(med), 6) AS median_price,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY ad), 6)
+             AS mad,
+           round(1.4826 * percentile_cont(0.5)
+                   WITHIN GROUP (ORDER BY ad), 6) AS sigma_robust
+    FROM d GROUP BY p ORDER BY p
+    """,
+    doc="Median absolute deviation per order priority, with the "
+        "1.4826 consistency factor that makes MAD a robust drop-in "
+        "for stddev under normality — the outlier-immune scale "
+        "estimate behind robust z-scores (anomaly_days_zscore's "
+        "documented alternative when a single whale day wrecks the "
+        "mean/stddev). Two grouped exact percentile passes; the "
+        "5-row median table broadcasts back into the second pass. "
+        "percentile_cont shares interpolation semantics across "
+        "engines (percentile_cont_within_group precedent). At 100 TB "
+        "swap percentile_cont for approx_percentile, as "
+        "histogram_equi_depth documents.",
+    tags=("statistics",),
+)
+def mad_robust_scale(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_mad_v")
+    return spark.sql("""
+      WITH m AS (
+        SELECT o_orderpriority AS p,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS med
+        FROM orders_mad_v GROUP BY 1),
+      d AS (
+        SELECT o.o_orderpriority AS p, m.med,
+               abs(o.o_totalprice - m.med) AS ad
+        FROM orders_mad_v o JOIN m ON o.o_orderpriority = m.p)
+      SELECT p AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             round(min(med), 6) AS median_price,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY ad), 6)
+               AS mad,
+             round(1.4826 * percentile_cont(0.5)
+                     WITHIN GROUP (ORDER BY ad), 6) AS sigma_robust
+      FROM d GROUP BY p ORDER BY p
+    """)

@@ -861,3 +861,41 @@ def grouping_id_labels(spark, sf_dir):
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY lvl, status, priority
     """)
+
+
+@register(
+    "string_agg_ordered",
+    """
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           string_agg(DISTINCT n.n_name, '|' ORDER BY n.n_name)
+             AS nations_distinct
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    doc="Deterministic ordered string aggregation — the report/export "
+        "surface (string_agg ... ORDER BY in DuckDB/Postgres, "
+        "listagg WITHIN GROUP in Spark 4 / ANSI). Unordered "
+        "collect_list is non-deterministic under partitioning, so "
+        "the entry pins the ORDERED form on both engines plus the "
+        "sorted-array spelling (array_join(array_sort(collect_...))) "
+        "that works on any Spark version. Dims only — the point is "
+        "semantics, not volume; per-group lists must stay bounded at "
+        "scale regardless of engine.",
+    tags=("sql-surface",),
+)
+def string_agg_ordered(spark, sf_dir):
+    load(spark, sf_dir, "region").createOrReplaceTempView("region_sa_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_sa_v")
+    return spark.sql("""
+      SELECT r.r_name AS region,
+             CAST(count(*) AS BIGINT) AS n_nations,
+             listagg(n.n_name, ',')
+               WITHIN GROUP (ORDER BY n.n_name) AS nations_csv,
+             array_join(array_sort(collect_set(n.n_name)), '|')
+               AS nations_distinct
+      FROM region_sa_v r JOIN nation_sa_v n
+        ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name ORDER BY r.r_name
+    """)

@@ -1198,3 +1198,80 @@ def test_jensen_shannon_single_fact_pass(spark, sf_dir, registry):
     assert kinds["sort_merge"] == 0, kinds
     assert kinds["shuffled_hash"] == 0, kinds
     assert "Window" not in plans.simple_plan(df)
+
+
+def test_roc_auc_runs_on_midrank_backbone(spark, sf_dir, registry):
+    """ROC-AUC: the rank identity must ride the distributed midrank
+    backbone — no empty-partition-spec window anywhere (the oracle's
+    global rank window is the oracle's business, not the plan's)."""
+    df = registry["roc_auc_rank_eval"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+
+
+def test_calibration_bins_joinless_windowless(spark, sf_dir, registry):
+    """Calibration table: ONE conditional aggregate — no joins, no
+    windows, map-side-combinable at any scale."""
+    df = registry["calibration_brier_bins"].fn(spark, sf_dir)
+    p = plans.simple_plan(df)
+    assert "Window" not in p
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+
+
+def test_wasserstein_windows_on_bin_table(spark, sf_dir, registry):
+    """W1 drift: the ECDF prefix window consumes the <=200-row bin
+    aggregate, never fact rows — same gate shape as ks_drift. The
+    bounded global window is accepted; fact-sized joins are not."""
+    df = registry["wasserstein_value_drift"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_eval_trio_windows_are_bounded_or_partitioned(
+    spark, sf_dir, registry
+):
+    """P/R@k + MRR: popularity windows run on the 5-row type table,
+    target windows PARTITION BY user; no fact-sized sort-merge join."""
+    for name in ("precision_recall_at_k", "mrr_popularity_rank"):
+        df = registry[name].fn(spark, sf_dir)
+        kinds = plans.join_kinds(df)
+        assert kinds["sort_merge"] == 0, (name, kinds)
+
+
+def test_ndcg_rankings_are_take_ordered(spark, sf_dir, registry):
+    """NDCG@10: both ranking branches must cut with ORDER BY + LIMIT
+    (TakeOrderedAndProject / per-partition top-k), so the rank windows
+    only ever see the 10 survivors."""
+    df = registry["ndcg_at_10_docs"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p, p[:2000]
+
+
+def test_hhi_share_window_partitioned_over_cust_agg(
+    spark, sf_dir, registry
+):
+    """HHI: the share window PARTITIONs BY nation and consumes the
+    (nation, customer) aggregate, not raw orders."""
+    df = registry["hhi_revenue_concentration"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+
+
+def test_markov_entropy_user_partitioned_lead(spark, sf_dir, registry):
+    """Transition entropy: the lead window PARTITIONs BY user_id; all
+    joins run on state-cardinality tables (broadcast under AQE)."""
+    df = registry["markov_transition_entropy"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+
+
+def test_mad_median_table_broadcasts(spark, sf_dir, registry):
+    """MAD: the 5-row per-priority median table must broadcast back
+    into the deviation pass — never a fact x fact sort-merge."""
+    df = registry["mad_robust_scale"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["broadcast_hash"] >= 1, kinds
+    assert kinds["sort_merge"] == 0, kinds
