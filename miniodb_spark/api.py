@@ -122,6 +122,29 @@ class MiniODBService:
             self._counters["queries"] += 1
             return {"result_json": res.json, "truncated": res.truncated}
 
+    def get_record(self, table: str, record_id: str,
+                   client_id: str = "default") -> dict:
+        """Key-lookup fast path: zone-map file skipping opens only the
+        parquet files whose min/max bracket admits the id (plus the
+        in-memory buffer) instead of planning a full-table SQL scan.
+        Beyond-reference RPC; the reference's experimental id index
+        (internal/index) targets the same access pattern."""
+        with self._rpc("get_record", client_id):
+            df, report = self.engine.point_lookup_df(table, record_id)
+            if df is None:
+                rows = "[]"
+            else:
+                parts = df.toJSON().collect()
+                rows = "[" + ",".join(parts) + "]"
+            self._counters["queries"] += 1
+            return {
+                "success": True,
+                "rows": rows,
+                "files_total": report["files_total"],
+                "files_scanned": report["files_scanned"],
+                "files_skipped": report["files_skipped"],
+            }
+
     def get_table_history(self, name: str,
                           client_id: str = "default") -> dict:
         """The table's metadata commit log (versions usable with

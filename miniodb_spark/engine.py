@@ -150,6 +150,19 @@ class Engine:
             FileKV(self.fs, fsmod.join(root, "_meta", "locks")),
             owner=os.urandom(8).hex(),
         )
+        # file-level zone maps (min/max data-skipping sidecars per
+        # generation, shared-store like the version nonces): point
+        # lookups prune the file list driver-side instead of paying one
+        # footer GET per file — the reference's experimental id index
+        # (internal/index, //go:build experimental) re-expressed as
+        # Delta-style add-file stats. Hint-only: lookups always scan
+        # unindexed files, so a missing/stale sidecar can never be wrong.
+        from .zonemap import ZoneMapStore
+
+        self.zonemap_columns: tuple[str, ...] = ("id",)
+        self.zonemaps = ZoneMapStore(
+            self.fs, fsmod.join(root, "_meta", "zonemaps")
+        )
         self.cache = QueryResultCache(ttl_s=cache_ttl_s, version_store=versions)
         self.idgen = IDGenerator(node_id)
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
@@ -243,6 +256,7 @@ class Engine:
             path = self._table_dir(name)
             if self.fs.is_dir(path):
                 self.fs.remove_dir(path)
+            self.zonemaps.drop(name)
             return ok
 
     def _remove_wal_files(self, table: str) -> None:
@@ -433,6 +447,7 @@ class Engine:
         # batch (schema registration persisted pre-job; see
         # Catalog.touch)
         self.catalog.touch(table)
+        self._build_zonemap(table, gen)
         return len(rows)
 
     def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp",
@@ -467,6 +482,7 @@ class Engine:
                 .parquet(self._gen_dir(table, gen))
             )
             self.catalog.touch(table)  # data-commit marker (snapshots)
+            self._build_zonemap(table, gen)
         self.cache.invalidate_table(table)
         return gen
 
@@ -739,10 +755,21 @@ class Engine:
         disagree, *both* sides are cast to the widened merge type
         (long+double → double, else string) so the union never clashes
         and never truncates."""
-        from .catalog import merge_type
-
         persisted = self.read_persisted(table)
         buffered = self.read_buffer(table)
+        persisted, buffered = self._harmonize_hybrid(table, persisted, buffered)
+        if persisted is None:
+            return buffered
+        if buffered is None:
+            return persisted
+        return persisted.unionByName(buffered, allowMissingColumns=True)
+
+    def _harmonize_hybrid(self, table, persisted, buffered):
+        """Cast persisted/buffer sides to their widened merge types so a
+        hybrid union never clashes and never truncates (shared by
+        read_table and point_lookup_df)."""
+        from .catalog import merge_type
+
         if buffered is not None and persisted is not None:
             cum = self.catalog.schema_of(table)
             buf_types = {f.name: _type_name(f.dataType) for f in buffered.schema.fields}
@@ -767,11 +794,131 @@ class Engine:
                     for f in persisted.schema.fields
                 ]
             )
+        return persisted, buffered
+
+    # ------------------------------------------------------------------
+    # point lookups (zone-map file skipping)
+    # ------------------------------------------------------------------
+
+    def _gen_struct(self, table: str, gen: int) -> T.StructType | None:
+        gens = self.catalog.gen_schemas(table)
+        if gen >= len(gens) or not gens[gen]:
+            return None
+        return T.StructType(
+            [
+                T.StructField(c, _parse_type(t), True)
+                for c, t in gens[gen].items()
+            ]
+            + [T.StructField("dt", T.StringType(), True)]
+        )
+
+    def _build_zonemap(self, table: str, gen: int) -> None:
+        """Index the generation's fresh files (incremental — only files
+        the sidecar doesn't know). Best-effort: a zone-map failure must
+        never fail the write it trails; lookups scan unindexed files."""
+        if not self.zonemap_columns:
+            return
+        try:
+            struct = self._gen_struct(table, gen)
+            if struct is None:
+                return
+            self.zonemaps.build(
+                self.spark, table, gen, self._gen_dir(table, gen),
+                struct, self.zonemap_columns,
+            )
+        except Exception:  # pragma: no cover - defensive
+            pass
+
+    def point_lookup_df(
+        self, table: str, value, id_col: str = "id"
+    ) -> tuple[DataFrame | None, dict]:
+        """``SELECT * WHERE id_col = value`` that opens only the files
+        whose zone-map bracket admits the key (plus anything unindexed
+        — the hint-only contract in :mod:`miniodb_spark.zonemap`),
+        then unions the in-memory buffer, exactly like read_table.
+
+        Returns ``(df, report)``; the report counts files listed /
+        scanned / skipped per generation so tests and the dashboard can
+        see the pruning effect. Correctness contract (tested):
+        identical rows to ``read_table(table).filter(id_col = value)``
+        under flushes, appends, updates, deletes and compaction."""
+        from .zonemap import list_generation_files
+
+        gens = self.catalog.gen_schemas(table)
+        cum = self.catalog.schema_of(table)
+        report = {"files_total": 0, "files_scanned": 0,
+                  "files_skipped": 0, "gens": len(gens)}
+        parts: list[DataFrame] = []
+        excluded = self.catalog.excluded_parts(table)
+        for i, gcols in enumerate(gens):
+            if not gcols:
+                continue
+            gdir = self._gen_dir(table, i)
+            if not self.fs.is_dir(gdir):
+                continue
+            excl_dts = {d for g, d in excluded if g == i}
+            listing = [
+                (rel, dt)
+                for rel, dt in list_generation_files(self.fs, gdir)
+                if dt not in excl_dts
+            ]
+            report["files_total"] += len(listing)
+            if not listing:
+                continue
+            if id_col in gcols:
+                sel, skipped = self.zonemaps.prune(
+                    table, i, listing, id_col, value
+                )
+            else:
+                sel, skipped = [], len(listing)  # column absent: no match
+            report["files_scanned"] += len(sel)
+            report["files_skipped"] += skipped
+            if not sel:
+                continue
+            struct = self._gen_struct(table, i)
+            df = (
+                self.spark.read.option("basePath", gdir)
+                .schema(struct)
+                .parquet(*[fsmod.join(gdir, rel) for rel in sel])
+            )
+            cols = [
+                (
+                    F.col(c).cast(_parse_type(ct))
+                    if c in gcols
+                    else F.lit(None).cast(_parse_type(ct))
+                ).alias(c)
+                for c, ct in cum.items()
+            ]
+            parts.append(df.select(*cols, F.col("dt"), F.lit(i).alias("gen")))
+        persisted = None
+        if parts:
+            persisted = parts[0]
+            for p in parts[1:]:
+                persisted = persisted.unionByName(p)
+            persisted = persisted.filter(F.col(id_col).eqNullSafe(F.lit(value)))
+        buffered = self.read_buffer(table)
+        if buffered is not None and id_col in buffered.columns:
+            buffered = buffered.filter(F.col(id_col).eqNullSafe(F.lit(value)))
+        elif buffered is not None:
+            buffered = None
+        persisted, buffered = self._harmonize_hybrid(table, persisted, buffered)
         if persisted is None:
-            return buffered
+            return buffered, report
         if buffered is None:
-            return persisted
-        return persisted.unionByName(buffered, allowMissingColumns=True)
+            return persisted, report
+        return (
+            persisted.unionByName(buffered, allowMissingColumns=True),
+            report,
+        )
+
+    def point_lookup(self, table: str, value, id_col: str = "id") -> str:
+        """JSON rows for a key lookup (the GetRecord-style fast path);
+        same NDJSON-array shape as :meth:`query`."""
+        df, _report = self.point_lookup_df(table, value, id_col=id_col)
+        if df is None:
+            return "[]"
+        rows = df.toJSON().collect()
+        return "[" + ",".join(rows) + "]"
 
     # ------------------------------------------------------------------
     # query path

@@ -159,6 +159,8 @@ def delete_rows(
                 "aborting commit (no data was published)")
         engine.catalog.commit_rewrite(table, dict(cum), affected,
                                       expected_gen=new_gen)
+        # index the rewrite's fresh files (best-effort, hint-only)
+        engine._build_zonemap(table, new_gen)
     # 3. GC the superseded directories (safe to crash here)
     gc_superseded(engine, table)
     return int(deleted)
@@ -277,6 +279,9 @@ def collapse_generations(engine, table: str) -> int:
         # every pre-collapse generation is now empty: tombstone them so
         # future scans don't even stat their directories
         engine.catalog.tombstone_generations(table, list(range(new_gen)))
+        engine._build_zonemap(table, new_gen)
+        for g in range(new_gen):
+            engine.zonemaps.drop(table, g)  # sidecars of dead gens
     gc_superseded(engine, table)
     # dt-level GC leaves the gen roots behind (a parquet job drops
     # _SUCCESS there); the dead generations hold no data anymore, so

@@ -1,0 +1,218 @@
+"""File-level zone maps: a min/max data-skipping index for point
+lookups over the engine's generation layout.
+
+The reference ships an (experimental) secondary index mapping ids to
+the objects that contain them (/root/reference/internal/index,
+``//go:build experimental``) so a point read does not open every
+parquet object. Spark already gives us *row-group* skipping for free —
+parquet footer min/max statistics serve a pushed ``id = 'x'`` filter
+(plan-gated in tests/test_plans.py::test_id_pointlookup_pushdown) —
+but at 100 TB a table is tens of thousands of files, and footer
+skipping still costs one object GET per file. The zone map moves those
+min/max brackets into ONE small JSON sidecar per generation, so a
+point lookup prunes the file list driver-side and the scan opens only
+the files whose bracket admits the key: the Delta/Iceberg
+``add-file stats`` idea collapsed to the engine's own catalog scale.
+
+Design constraints, in order:
+
+1. **Never wrong.** The sidecar is an *optimization hint*, not truth.
+   At lookup time the generation directory is listed (one cheap LIST —
+   versus N footer GETs) and a file is scanned unless the sidecar
+   provably excludes it: unindexed files (crashed build, foreign
+   writer, older version) are always scanned. Files the sidecar knows
+   but the listing no longer has (GC of superseded partitions) are
+   never touched. A missing or corrupt sidecar degrades to the full
+   generation scan ``read_persisted`` would do anyway.
+2. **Amortized build.** ``build`` is incremental: it scans ONLY files
+   the sidecar has not indexed yet — one distributed aggregation over
+   the freshly written bytes, grouped by ``input_file_name()`` — and
+   runs right after each flush/ingest while the data is hot.
+   Generations are copy-on-write everywhere else (mutations commit new
+   generations), so an indexed file's stats can never go stale.
+3. **fs-agnostic.** Stats come from a Spark job, not local footer
+   reads, so the same code path works for file:// and s3a:// roots;
+   sidecars live on the *shared* store root (``_meta/zonemaps``) so
+   every driver over one object store sees them — the reference keeps
+   its index in shared Redis for the same reason.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import fs as fsmod
+
+_MARKER = "gen="
+
+
+def _rel(uri: str, gen: int) -> str:
+    """Path of a data file relative to its generation directory,
+    derived from the ``gen=N/`` segment so file://, s3a:// and bare
+    paths all normalize identically."""
+    key = f"{_MARKER}{gen}/"
+    idx = uri.find(key)
+    return uri[idx + len(key):] if idx >= 0 else uri
+
+
+def _jsonable(v: Any) -> Any:
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    # timestamps/dates/decimals: store a sortable string form; the
+    # pruner only compares same-typed values it stored itself
+    return str(v)
+
+
+def list_generation_files(fs, gen_dir: str) -> list[tuple[str, str]]:
+    """``(relative_path, dt)`` for every parquet data file in a
+    generation: one directory LIST per dt partition."""
+    out: list[tuple[str, str]] = []
+    for dt_dir in fs.list_dirs(gen_dir, prefix="dt="):
+        dt_name = dt_dir.rstrip("/").split("/")[-1]
+        dt_val = dt_name.split("=", 1)[1]
+        for path, _size in fs.list_files(
+            fsmod.join(gen_dir, dt_name), suffix=".parquet"
+        ):
+            fname = path.rstrip("/").split("/")[-1]
+            out.append((f"{dt_name}/{fname}", dt_val))
+    return out
+
+
+class ZoneMapStore:
+    """Per-generation min/max sidecars under
+    ``{store_root}/_meta/zonemaps/{table}/gen={g}.json``."""
+
+    def __init__(self, fs, root: str):
+        self.fs = fs
+        self.root = root
+
+    def _path(self, table: str, gen: int) -> str:
+        return fsmod.join(self.root, table, f"{_MARKER}{gen}.json")
+
+    def load(self, table: str, gen: int) -> dict | None:
+        path = self._path(table, gen)
+        try:
+            if not self.fs.exists(path):
+                return None
+            doc = json.loads(self.fs.read_bytes(path).decode("utf-8"))
+        except Exception:
+            return None  # corrupt sidecar == no sidecar (hint only)
+        if not isinstance(doc, dict) or "files" not in doc:
+            return None
+        return doc
+
+    def drop(self, table: str, gen: int | None = None) -> None:
+        if gen is not None:
+            path = self._path(table, gen)
+            if self.fs.exists(path):
+                self.fs.remove_file(path)
+            return
+        tdir = fsmod.join(self.root, table)
+        if self.fs.is_dir(tdir):
+            self.fs.remove_dir(tdir)
+
+    # ------------------------------------------------------------------
+    def build(
+        self,
+        spark: SparkSession,
+        table: str,
+        gen: int,
+        gen_dir: str,
+        schema: T.StructType,
+        columns: tuple[str, ...],
+    ) -> int:
+        """Index every not-yet-indexed file of the generation; returns
+        how many files were added. One Spark aggregation over only the
+        new files — per-file min/max/count, map-side-combinable."""
+        cols = [c for c in columns if c in {f.name for f in schema.fields}]
+        if not cols:
+            return 0
+        listing = list_generation_files(self.fs, gen_dir)
+        existing = self.load(table, gen) or {"columns": list(cols), "files": {}}
+        if set(existing.get("columns", [])) != set(cols):
+            existing = {"columns": list(cols), "files": {}}  # rebuild
+        new = [rel for rel, _dt in listing if rel not in existing["files"]]
+        if not new:
+            return 0
+        paths = [fsmod.join(gen_dir, rel) for rel in new]
+        df = (
+            spark.read.option("basePath", gen_dir)
+            .schema(schema)
+            .parquet(*paths)
+        )
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        rows = (
+            df.groupBy(F.input_file_name().alias("_file"))
+            .agg(*aggs)
+            .collect()  # bounded: one row per freshly written file
+        )
+        dt_of = dict(listing)
+        for r in rows:
+            rel = _rel(r["_file"], gen)
+            stats: dict[str, Any] = {
+                "dt": dt_of.get(rel),
+                "n": int(r["_n"]),
+            }
+            for c in cols:
+                stats[c] = [
+                    _jsonable(r[f"_min_{c}"]),
+                    _jsonable(r[f"_max_{c}"]),
+                ]
+            existing["files"][rel] = stats
+        payload = json.dumps(existing, sort_keys=True).encode("utf-8")
+        self.fs.makedirs(fsmod.join(self.root, table))
+        self.fs.write_bytes(self._path(table, gen), payload)
+        return len(rows)
+
+    # ------------------------------------------------------------------
+    def prune(
+        self,
+        table: str,
+        gen: int,
+        listing: list[tuple[str, str]],
+        column: str,
+        value: Any,
+    ) -> tuple[list[str], int]:
+        """Select the files of ``listing`` a ``column = value`` lookup
+        must scan. Returns ``(selected_rel_paths, n_skipped)``.
+        Unindexed files are always selected (hint-only contract); an
+        indexed file is skipped iff its [min, max] bracket excludes the
+        key or either bound is unknown-NULL-free-provable."""
+        doc = self.load(table, gen)
+        if doc is None or column not in doc.get("columns", []):
+            return [rel for rel, _dt in listing], 0
+        files = doc["files"]
+        v = _jsonable(value)
+        selected: list[str] = []
+        skipped = 0
+        for rel, _dt in listing:
+            st = files.get(rel)
+            if st is None:
+                selected.append(rel)  # unindexed: must scan
+                continue
+            lo, hi = st.get(column, (None, None))
+            if lo is None or hi is None:
+                # all-null or unknown bracket: a NULL never equals the
+                # key, but min/max also come back None for 0-row files —
+                # either way nothing here can match a non-null key
+                if v is None:
+                    selected.append(rel)
+                else:
+                    skipped += 1
+                continue
+            try:
+                admit = (lo <= v) and (v <= hi)
+            except TypeError:
+                admit = True  # cross-type comparison: stay correct
+            if admit:
+                selected.append(rel)
+            else:
+                skipped += 1
+        return selected, skipped

@@ -1,0 +1,193 @@
+"""Zone-map file skipping: point lookups must open only the files
+whose min/max bracket admits the key, while returning exactly what a
+full hybrid scan + filter returns — under flushes, appends, buffer
+rows, updates, deletes, compaction and sidecar loss.
+
+Reference analog: the experimental id index
+(/root/reference/internal/index, //go:build experimental) maps ids to
+the objects containing them; here the mapping is Delta-style add-file
+min/max stats in one sidecar per generation (miniodb_spark/zonemap.py).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+US = 1_000_000
+DAY = 86_400 * US
+T0 = 1_700_000_000 * US
+
+
+def _full_rows(engine, table, rid):
+    df = engine.read_table(table)
+    if df is None:
+        return []
+    rows = df.filter(F.col("id") == rid).collect()
+    return sorted(
+        tuple((k, r[k]) for k in sorted(r.asDict()) if k not in ("gen",))
+        for r in rows
+    )
+
+
+def _lookup_rows(engine, table, rid):
+    df, report = engine.point_lookup_df(table, rid)
+    if df is None:
+        return [], report
+    rows = df.collect()
+    return sorted(
+        tuple((k, r[k]) for k in sorted(r.asDict()) if k not in ("gen",))
+        for r in rows
+    ), report
+
+
+def _seed(engine, table, n=8, days=4):
+    # ids r000..r{n-1}, CLUSTERED by dt partition (contiguous id runs
+    # per day) so per-file [min, max] brackets are disjoint — the
+    # layout time-ordered ids naturally produce, and the one where
+    # zone maps pay off; interleaved ids degrade to scan-everything,
+    # which test_interleaved_ids_scan_everything pins separately
+    per = max(1, n // days)
+    for i in range(n):
+        engine.write(
+            table,
+            {"v": i},
+            record_id=f"r{i:03d}",
+            timestamp_us=T0 + (i // per) * DAY,
+        )
+    engine.flush(table)
+
+
+def test_lookup_matches_full_scan_and_skips_files(engine):
+    _seed(engine, "zm", n=8, days=4)
+    rows, report = _lookup_rows(engine, "zm", "r003")
+    assert rows == _full_rows(engine, "zm", "r003")
+    assert len(rows) == 1
+    assert report["files_total"] >= 4  # one file per dt at least
+    # the whole point: strictly fewer files opened than exist
+    assert report["files_scanned"] < report["files_total"]
+    assert report["files_skipped"] > 0
+
+
+def test_interleaved_ids_scan_everything_but_stay_correct(engine):
+    # worst case for min/max brackets: ids interleaved across files —
+    # every bracket admits the key, so nothing is skipped and the
+    # result still matches the full scan (never-wrong contract)
+    for i in range(8):
+        engine.write("zmw", {"v": i}, record_id=f"r{i:03d}",
+                     timestamp_us=T0 + (i % 4) * DAY)
+    engine.flush("zmw")
+    rows, report = _lookup_rows(engine, "zmw", "r003")
+    assert rows == _full_rows(engine, "zmw", "r003")
+    assert report["files_scanned"] == report["files_total"] >= 4
+
+
+def test_lookup_sees_unflushed_buffer_rows(engine):
+    _seed(engine, "zmb", n=4, days=2)
+    engine.write("zmb", {"v": 99}, record_id="hot", timestamp_us=T0)
+    rows, report = _lookup_rows(engine, "zmb", "hot")
+    assert len(rows) == 1
+    assert dict(rows[0])["v"] == 99
+    # nothing persisted matches "hot": zone maps prune every file
+    assert report["files_scanned"] == 0
+
+
+def test_lookup_after_multiple_generations(engine):
+    _seed(engine, "zmg", n=4, days=2)
+    # force a second generation via an incompatible schema change
+    engine.write("zmg", {"v": "now-a-string"}, record_id="r900",
+                 timestamp_us=T0 + 9 * DAY)
+    engine.flush("zmg")
+    assert len(engine.catalog.gen_schemas("zmg")) >= 2
+    for rid in ("r001", "r900", "absent"):
+        rows, _ = _lookup_rows(engine, "zmg", rid)
+        assert rows == _full_rows(engine, "zmg", rid), rid
+
+
+def test_lookup_reflects_update_and_delete(engine):
+    _seed(engine, "zmm", n=6, days=3)
+    engine.update("zmm", "r002", {"v": 222}, timestamp_us=T0 + 2 * DAY)
+    rows, _ = _lookup_rows(engine, "zmm", "r002")
+    assert rows == _full_rows(engine, "zmm", "r002")
+    assert len(rows) == 1 and dict(rows[0])["v"] == 222
+    engine.delete("zmm", "r004")
+    rows, _ = _lookup_rows(engine, "zmm", "r004")
+    assert rows == [] == _full_rows(engine, "zmm", "r004")
+
+
+def test_lookup_after_collapse_generations(engine):
+    _seed(engine, "zmc", n=4, days=2)
+    engine.write("zmc", {"w": 1.5}, record_id="r500",
+                 timestamp_us=T0 + 8 * DAY)
+    engine.flush("zmc")
+    engine.collapse_generations("zmc")
+    for rid in ("r001", "r500"):
+        rows, _ = _lookup_rows(engine, "zmc", rid)
+        assert rows == _full_rows(engine, "zmc", rid), rid
+
+
+def test_missing_sidecar_degrades_to_full_scan(engine):
+    _seed(engine, "zms", n=6, days=3)
+    engine.zonemaps.drop("zms")  # simulate foreign writer / lost sidecar
+    rows, report = _lookup_rows(engine, "zms", "r005")
+    assert rows == _full_rows(engine, "zms", "r005")
+    assert len(rows) == 1
+    # hint gone: every live file must be scanned, none skipped
+    assert report["files_scanned"] == report["files_total"]
+    assert report["files_skipped"] == 0
+
+
+def test_corrupt_sidecar_is_ignored(engine):
+    _seed(engine, "zmx", n=4, days=2)
+    path = engine.zonemaps._path("zmx", 0)
+    engine.fs.write_bytes(path, b"{not json")
+    rows, report = _lookup_rows(engine, "zmx", "r001")
+    assert rows == _full_rows(engine, "zmx", "r001")
+    assert report["files_scanned"] == report["files_total"]
+
+
+def test_incremental_build_appends_only_new_files(engine):
+    _seed(engine, "zmi", n=4, days=2)
+    doc1 = engine.zonemaps.load("zmi", 0)
+    assert doc1 and len(doc1["files"]) >= 2
+    # second flush appends to the same generation (same schema)
+    for i in range(4, 8):
+        engine.write("zmi", {"v": i}, record_id=f"r{i:03d}",
+                     timestamp_us=T0 + (i % 2) * DAY)
+    engine.flush("zmi")
+    doc2 = engine.zonemaps.load("zmi", 0)
+    assert set(doc1["files"]) <= set(doc2["files"])
+    assert len(doc2["files"]) > len(doc1["files"])
+    # previously indexed stats are untouched (CoW layout: no in-place
+    # rewrite of an indexed file anywhere in the engine)
+    for rel, st in doc1["files"].items():
+        assert doc2["files"][rel] == st
+    rows, report = _lookup_rows(engine, "zmi", "r006")
+    assert rows == _full_rows(engine, "zmi", "r006")
+    assert report["files_skipped"] > 0
+
+
+def test_sidecar_shape_is_bounded_json(engine):
+    _seed(engine, "zmj", n=4, days=2)
+    raw = engine.fs.read_bytes(engine.zonemaps._path("zmj", 0))
+    doc = json.loads(raw)
+    assert doc["columns"] == ["id"]
+    for rel, st in doc["files"].items():
+        assert rel.startswith("dt=")
+        assert set(st) == {"dt", "n", "id"}
+        lo, hi = st["id"]
+        assert lo <= hi
+
+
+def test_api_get_record_roundtrip(engine):
+    from miniodb_spark.api import MiniODBService
+
+    api = MiniODBService(engine)
+    _seed(engine, "zma", n=4, days=2)
+    res = api.get_record("zma", "r002")
+    assert res["success"] is True
+    rows = json.loads(res["rows"])
+    assert len(rows) == 1 and rows[0]["id"] == "r002"
+    assert res["files_scanned"] < res["files_total"]
+    miss = api.get_record("zma", "nope")
+    assert json.loads(miss["rows"]) == []
