@@ -1704,20 +1704,32 @@ def tukey_hsd_pairwise(spark, sf_dir):
     tags=("statistics", "retrieval"),
 )
 def bm25_term_scores(spark, sf_dir):
-    K1, B = 1.2, 0.75
     docs = load(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(docs)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(docs, terms=("join", "shuffle", "broadcast"),
+                 k1=1.2, b=0.75):
+    """(doc_id, score) BM25 table for a fixed term set — shared by
+    bm25_term_scores and hybrid_retrieval_rrf. tf is pruned to the
+    query terms before any shuffle; df and corpus stats broadcast."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
     stats = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
                    F.sum("dl").cast("bigint").alias("total_len"))
     tf = (
-        toks.filter(F.col("tok").isin("join", "shuffle", "broadcast"))
+        toks.filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
     df_ = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -1725,16 +1737,11 @@ def bm25_term_scores(spark, sf_dir):
         .agg(F.sum(
             F.log((F.col("n_docs") - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0)
-            * F.col("tf") * (K1 + 1.0)
+            * F.col("tf") * (k1 + 1.0)
             / (F.col("tf")
-               + K1 * (1 - B + B * F.col("dl") * F.col("n_docs")
+               + k1 * (1 - b + b * F.col("dl") * F.col("n_docs")
                        * 1.0 / F.col("total_len")))
         ).alias("score"))
-    )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
     )
 
 
@@ -2765,3 +2772,130 @@ def mad_robust_scale(spark, sf_dir):
                      WITHIN GROUP (ORDER BY ad), 6) AS sigma_robust
       FROM d GROUP BY p ORDER BY p
     """)
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('join', 'shuffle', 'broadcast')
+      GROUP BY 1, 2),
+    idf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n_docs
+                                  * 1.0 / s.total_len))) AS score
+      FROM tf t JOIN idf f ON t.tok = f.tok
+      JOIN dl d ON t.doc_id = d.doc_id, stats s
+      GROUP BY t.doc_id),
+    bm AS (
+      SELECT doc_id, round(score, 6) AS s FROM scored
+      ORDER BY s DESC, doc_id LIMIT 20),
+    bmr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+               AS br
+      FROM bm),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          CAST(q AS DOUBLE[])), 4) AS sim
+      FROM embeddings, qv WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 20),
+    csr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+               AS vr
+      FROM cs)
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + vr), 0), 6)
+             AS rrf,
+           br AS bm25_rank, vr AS cos_rank
+    FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="End-to-end hybrid search: BM25 lexical top-20 (fixed query "
+        "{join, shuffle, broadcast}) fused with brute-cosine vector "
+        "top-20 (vec_id=0 probe) by reciprocal-rank fusion "
+        "(Cormack et al. SIGIR'09, k=60) — the architecture every "
+        "RAG retrieval stack runs, assembled from this registry's own "
+        "halves (bm25_term_scores + embedding_cosine_topk). Rank "
+        "determinism across engines: both shortlists rank by the "
+        "ROUNDED score (6dp BM25 / 4dp cosine) with doc_id "
+        "tie-breaks, so float accumulation order can't swap adjacent "
+        "ranks; RRF terms 1/(60+r) are exact rationals of small "
+        "integers. Scale shape: shortlists are ORDER BY + LIMIT "
+        "(TakeOrdered); rank windows and the fusion full-outer join "
+        "touch 20-row tables only. At 100 TB the cosine half swaps "
+        "for probe_ivfpq and the BM25 half for a pruned tf table — "
+        "both documented scale paths of their registry entries.",
+    tags=("statistics", "retrieval", "eval"),
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    from ..operators.similarity import _as_double, cosine
+
+    docs = load(spark, sf_dir, "documents")
+    bm = (
+        _bm25_scored(docs)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(20)
+    )
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("s").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("br"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cs = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(_as_double("embedding"), q), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(20)
+    )
+    csr = cs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("sim").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("vr"),
+    )
+    fused = bmr.join(csr, "doc_id", "full_outer")
+    one = F.lit(1.0)
+    rrf = F.round(
+        F.coalesce(one / (F.col("br") + 60), F.lit(0.0))
+        + F.coalesce(one / (F.col("vr") + 60), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            rrf.alias("rrf"),
+            F.col("br").alias("bm25_rank"),
+            F.col("vr").alias("cos_rank"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

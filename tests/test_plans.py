@@ -1275,3 +1275,18 @@ def test_mad_median_table_broadcasts(spark, sf_dir, registry):
     kinds = plans.join_kinds(df)
     assert kinds["broadcast_hash"] >= 1, kinds
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_hybrid_rrf_shortlists_take_ordered(spark, sf_dir, registry):
+    """Hybrid RRF: both retrieval branches cut with TakeOrdered (never
+    a global sort of docs/vectors); the fusion join and rank windows
+    run on 20-row shortlists, so no fact-sized sort-merge join."""
+    df = registry["hybrid_retrieval_rrf"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    kinds = plans.join_kinds(df)
+    # exactly ONE sort-merge is allowed: the 20x20-row full-outer
+    # fusion join (Spark cannot broadcast ANY full outer join); both
+    # inputs are post-LIMIT shortlists, so the sort is 20 rows
+    assert kinds["sort_merge"] <= 1, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
