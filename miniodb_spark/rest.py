@@ -24,6 +24,7 @@ client can point at this engine and run its calls unchanged.
 | POST   /v1/tables/{name}/optimize    | optimize_table     |
 | GET    /v1/tables                    | list_tables        |
 | GET    /v1/tables/{name}             | get_table          |
+| GET    /v1/tables/{name}/records/{id}| get_record (zone-map lookup) |
 | DELETE /v1/tables/{name}             | delete_table       |
 | POST   /v1/metadata/backup           | backup_metadata    |
 | POST   /v1/metadata/restore          | restore_metadata   |
@@ -101,6 +102,8 @@ def _routes():
         ("POST", r"^/v1/tables/(?P<name>[^/]+)/optimize$", "optimize_table",
          False),
         ("GET", r"^/v1/tables$", "list_tables", False),
+        ("GET", r"^/v1/tables/(?P<name>[^/]+)/records/(?P<rid>[^/]+)$",
+         "get_record", False),
         ("GET", r"^/v1/tables/(?P<name>[^/]+)$", "get_table", False),
         ("DELETE", r"^/v1/tables/(?P<name>[^/]+)$", "delete_table", False),
         ("POST", r"^/v1/metadata/backup$", "backup_metadata", False),
@@ -302,6 +305,12 @@ def _make_handler(service, static_dir: str | None = None):
 
         def r_list_tables(self, pv, q):
             self._send(200, service.list_tables())
+
+        def r_get_record(self, pv, q):
+            # zone-map point lookup (GetRecord fast path): opens only
+            # the files whose min/max bracket admits the id
+            self._send(200, service.get_record(
+                pv["name"], pv["rid"], client_id=self.client_id))
 
         def r_get_table(self, pv, q):
             self._send(200, service.get_table(pv["name"]))

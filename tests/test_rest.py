@@ -243,3 +243,22 @@ def test_rest_bulk_merge(server):
     assert {r["id"]: r["v"] for r in rows} == {
         "m0": 0, "m1": 11, "m2": 2, "m3": 3, "new": 99}
     assert len(rows) == 5
+
+
+def test_rest_get_record_zonemap_lookup(server, engine):
+    p = server.port
+    for i in range(4):
+        _call(p, "POST", "/v1/data", {
+            "table": "zr",
+            "record": {"id": f"k{i}", "timestamp": T0 + i * 86_400 * US,
+                       "payload": {"v": i}}})
+    engine.flush("zr")
+    st, out = _call(p, "GET", "/v1/tables/zr/records/k2")
+    assert st == 200 and out["success"] is True
+    rows = json.loads(out["rows"])
+    assert len(rows) == 1 and rows[0]["id"] == "k2" and rows[0]["v"] == 2
+    assert out["files_scanned"] <= out["files_total"]
+    assert out["files_scanned"] >= 1
+    # miss returns empty rows, not an error
+    st, out = _call(p, "GET", "/v1/tables/zr/records/absent")
+    assert st == 200 and json.loads(out["rows"]) == []
