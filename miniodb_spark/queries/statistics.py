@@ -2899,3 +2899,173 @@ def hybrid_retrieval_rrf(spark, sf_dir):
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "classifier_agreement_metrics",
+    """
+    WITH c AS (
+      SELECT
+        CAST(count(CASE WHEN lang = 'en' AND n_chars > 300 THEN 1 END)
+             AS BIGINT) AS tp,
+        CAST(count(CASE WHEN lang <> 'en' AND n_chars > 300 THEN 1 END)
+             AS BIGINT) AS fp,
+        CAST(count(CASE WHEN lang = 'en' AND n_chars <= 300 THEN 1 END)
+             AS BIGINT) AS fn,
+        CAST(count(CASE WHEN lang <> 'en' AND n_chars <= 300 THEN 1 END)
+             AS BIGINT) AS tn,
+        CAST(count(*) AS BIGINT) AS n
+      FROM documents),
+    m AS (
+      SELECT n, tp, fp, fn, tn,
+             CAST(tp + tn AS DOUBLE) / n AS po,
+             (CAST(tp + fp AS DOUBLE) * (tp + fn)
+              + CAST(fn + tn AS DOUBLE) * (fp + tn))
+               / (CAST(n AS DOUBLE) * n) AS pe,
+             CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+             CAST(tp AS DOUBLE) / (tp + fn) AS rec
+      FROM c)
+    SELECT n,
+           round(po, 6) AS accuracy,
+           round(prec, 6) AS precision_pos,
+           round(rec, 6) AS recall_pos,
+           round(2 * prec * rec / (prec + rec), 6) AS f1,
+           round((po - pe) / (1 - pe), 6) AS cohens_kappa
+    FROM m
+    """,
+    doc="Thresholded-classifier evaluation card: accuracy / precision "
+        "/ recall / F1 of the n_chars>300 rule against the lang='en' "
+        "label, plus Cohen's kappa (chance-corrected agreement — the "
+        "number that exposes accuracy inflated by class imbalance). "
+        "Completes the eval family: roc_auc_rank_eval is "
+        "threshold-free, calibration_brier_bins is probability "
+        "quality, this is the confusion-matrix view of one operating "
+        "point. ONE conditional aggregate over documents — joinless, "
+        "windowless, exact integer confusion counts; every derived "
+        "metric is scalar algebra on the single stat row.",
+    tags=("statistics", "eval"),
+)
+def classifier_agreement_metrics(spark, sf_dir):
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_cam_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT
+          CAST(count(CASE WHEN lang = 'en' AND n_chars > 300 THEN 1 END)
+               AS BIGINT) AS tp,
+          CAST(count(CASE WHEN lang <> 'en' AND n_chars > 300 THEN 1 END)
+               AS BIGINT) AS fp,
+          CAST(count(CASE WHEN lang = 'en' AND n_chars <= 300 THEN 1 END)
+               AS BIGINT) AS fn,
+          CAST(count(CASE WHEN lang <> 'en' AND n_chars <= 300 THEN 1 END)
+               AS BIGINT) AS tn,
+          CAST(count(*) AS BIGINT) AS n
+        FROM docs_cam_v),
+      m AS (
+        SELECT n, tp, fp, fn, tn,
+               CAST(tp + tn AS DOUBLE) / n AS po,
+               (CAST(tp + fp AS DOUBLE) * (tp + fn)
+                + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                 / (CAST(n AS DOUBLE) * n) AS pe,
+               CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+               CAST(tp AS DOUBLE) / (tp + fn) AS rec
+        FROM c)
+      SELECT n,
+             round(po, 6) AS accuracy,
+             round(prec, 6) AS precision_pos,
+             round(rec, 6) AS recall_pos,
+             round(2 * prec * rec / (prec + rec), 6) AS f1,
+             round((po - pe) / (1 - pe), 6) AS cohens_kappa
+      FROM m
+    """)
+
+
+@register(
+    "g_test_independence",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT p, sum(n) AS rn FROM c GROUP BY 1),
+    k AS (SELECT s, sum(n) AS cn FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS tn FROM c)
+    SELECT CAST(min(t.tn) AS BIGINT) AS n,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM k) AS BIGINT) AS df,
+           round(2 * sum(c.n * ln(CAST(c.n AS DOUBLE) * t.tn
+                                  / (r.rn * k.cn))), 6) AS g_stat
+    FROM c JOIN r ON c.p = r.p JOIN k ON c.s = k.s CROSS JOIN t
+    """,
+    doc="G-test (log-likelihood ratio) of independence for order "
+        "priority x status — the companion to chi2_priority_status "
+        "that stays calibrated when expected counts are small (G is "
+        "additive across partitions of the table, chi2 is not). "
+        "Observed-count form 2*sum(O*ln(O*N/(R*C))) needs no dense "
+        "expected grid and zero cells drop out naturally; all joins "
+        "run on the 15-cell contingency aggregate, marginals and the "
+        "grand total broadcast.",
+    tags=("statistics",),
+)
+def g_test_independence(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gt_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders_gt_v GROUP BY 1, 2),
+      r AS (SELECT p, sum(n) AS rn FROM c GROUP BY 1),
+      k AS (SELECT s, sum(n) AS cn FROM c GROUP BY 1),
+      t AS (SELECT sum(n) AS tn FROM c)
+      SELECT CAST(min(t.tn) AS BIGINT) AS n,
+             CAST((SELECT count(*) - 1 FROM r)
+                  * (SELECT count(*) - 1 FROM k) AS BIGINT) AS df,
+             round(2 * sum(c.n * ln(CAST(c.n AS DOUBLE) * t.tn
+                                    / (r.rn * k.cn))), 6) AS g_stat
+      FROM c JOIN r ON c.p = r.p JOIN k ON c.s = k.s CROSS JOIN t
+    """)
+
+
+@register(
+    "poisson_dispersion_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(CAST(n AS DOUBLE)), 6) AS mean_count,
+           round(var_samp(CAST(n AS DOUBLE)), 6) AS var_count,
+           round(var_samp(CAST(n AS DOUBLE))
+                 / avg(CAST(n AS DOUBLE)), 6) AS dispersion,
+           round((count(*) - 1) * var_samp(CAST(n AS DOUBLE))
+                 / avg(CAST(n AS DOUBLE)), 6) AS chi2_stat
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    doc="Index-of-dispersion test for daily event arrivals per type: "
+        "variance/mean of day counts (Poisson => 1; >1 = bursty/"
+        "overdispersed, the signal that a negative-binomial rate model "
+        "or burst-aware rate limiting is needed) with the chi-squared "
+        "form (n-1)*s2/xbar on n_days-1 df. Counts collapse to the "
+        "calendar-bounded (type, day) table in one map-side aggregate; "
+        "moments run per type on <=31 rows. var_samp over identical "
+        "doubles agrees across engines at round-6.",
+    tags=("statistics",),
+)
+def poisson_dispersion_daily(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_pd_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events_pd_v GROUP BY 1, 2)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(avg(CAST(n AS DOUBLE)), 6) AS mean_count,
+             round(var_samp(CAST(n AS DOUBLE)), 6) AS var_count,
+             round(var_samp(CAST(n AS DOUBLE))
+                   / avg(CAST(n AS DOUBLE)), 6) AS dispersion,
+             round((count(*) - 1) * var_samp(CAST(n AS DOUBLE))
+                   / avg(CAST(n AS DOUBLE)), 6) AS chi2_stat
+      FROM d GROUP BY 1 ORDER BY 1
+    """)

@@ -899,3 +899,114 @@ def string_agg_ordered(spark, sf_dir):
         ON n.n_regionkey = r.r_regionkey
       GROUP BY r.r_name ORDER BY r.r_name
     """)
+
+
+@register(
+    "string_funcs_gauntlet2",
+    """
+    SELECT split_part(c_name, '#', 1) AS prefix,
+           CAST(count(*) AS BIGINT) AS n,
+           min(translate(c_mktsegment, 'AEIOU', 'aeiou')) AS tr_min,
+           max(lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS key_pad_max,
+           min(reverse(c_mktsegment)) AS rev_min,
+           max(repeat(left(c_mktsegment, 2), 2)) AS rep_max,
+           min(right(c_name, 3)) AS tail_min
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    doc="Second string-function gauntlet: split_part / translate / "
+        "lpad / reverse / repeat / left / right — the ETL-surface "
+        "functions the first gauntlet (string_funcs) didn't pin, each "
+        "sharing name AND semantics across Spark and DuckDB so a "
+        "reference user's expressions port verbatim. All pure "
+        "projections folded into one aggregate over customer; "
+        "whole-stage-codegen JVM expressions, zero shuffle beyond the "
+        "single group.",
+    tags=("sql-surface",),
+)
+def string_funcs_gauntlet2(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_sg2_v")
+    return spark.sql("""
+      SELECT split_part(c_name, '#', 1) AS prefix,
+             CAST(count(*) AS BIGINT) AS n,
+             min(translate(c_mktsegment, 'AEIOU', 'aeiou')) AS tr_min,
+             max(lpad(CAST(c_custkey AS STRING), 8, '0')) AS key_pad_max,
+             min(reverse(c_mktsegment)) AS rev_min,
+             max(repeat(left(c_mktsegment, 2), 2)) AS rep_max,
+             min(right(c_name, 3)) AS tail_min
+      FROM cust_sg2_v GROUP BY 1 ORDER BY 1
+    """)
+
+
+@register(
+    "date_funcs_gauntlet",
+    """
+    SELECT CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(min(last_day(o_orderdate)) AS DATE) AS VARCHAR)
+             AS first_month_end,
+           CAST(CAST(max(last_day(o_orderdate)) AS DATE) AS VARCHAR)
+             AS last_month_end,
+           CAST(max(dayofyear(o_orderdate)) AS BIGINT) AS max_doy,
+           CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+                AS BIGINT) AS span_days
+    FROM orders WHERE year(o_orderdate) = 1996
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Calendar-function gauntlet over one year of orders: quarter, "
+        "last_day (month-end snapping — billing cutoffs), dayofyear, "
+        "and day-span arithmetic (Spark datediff(end, start) == "
+        "DuckDB date_diff('day', start, end) — note the argument-order "
+        "trap this entry pins). 1996 is a leap year, so max_doy=366 "
+        "and the Feb month-end land on the 29th — the edge the "
+        "functions exist for. One filtered aggregate, 4 rows.",
+    tags=("sql-surface",),
+)
+def date_funcs_gauntlet(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_dfg_v")
+    return spark.sql("""
+      SELECT CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(min(last_day(o_orderdate)) AS DATE) AS STRING)
+               AS first_month_end,
+             CAST(CAST(max(last_day(o_orderdate)) AS DATE) AS STRING)
+               AS last_month_end,
+             CAST(max(dayofyear(o_orderdate)) AS BIGINT) AS max_doy,
+             CAST(datediff(max(o_orderdate), min(o_orderdate))
+                  AS BIGINT) AS span_days
+      FROM orders_dfg_v WHERE year(o_orderdate) = 1996
+      GROUP BY 1 ORDER BY 1
+    """)
+
+
+@register(
+    "iso_week_revenue",
+    """
+    SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="ISO-8601 week buckets (the fiscal/ops reporting calendar): "
+        "Spark weekofyear + extract(YEAROFWEEK) == DuckDB week + "
+        "isoyear, including the year-boundary weeks where the ISO year "
+        "disagrees with the calendar year (1997-01-01 falls in ISO "
+        "week 1 of 1997, but Dec 29-31 1997 belong to ISO 1998-W01 — "
+        "rows this entry deliberately contains). Exact decimal "
+        "revenue; one aggregate, ~53 rows.",
+    tags=("sql-surface",),
+)
+def iso_week_revenue(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_iso_v")
+    return spark.sql("""
+      SELECT CAST(extract(YEAROFWEEK FROM o_orderdate) AS BIGINT)
+               AS iso_year,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders_iso_v WHERE year(o_orderdate) = 1997
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """)

@@ -1290,3 +1290,27 @@ def test_hybrid_rrf_shortlists_take_ordered(spark, sf_dir, registry):
     # inputs are post-LIMIT shortlists, so the sort is 20 rows
     assert kinds["sort_merge"] <= 1, kinds
     assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_agreement_and_gtest_bounded_shapes(spark, sf_dir, registry):
+    """classifier_agreement_metrics: one joinless conditional
+    aggregate. g_test: joins only the 15-cell contingency table."""
+    df = registry["classifier_agreement_metrics"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    assert "Window" not in plans.simple_plan(df)
+    df = registry["g_test_independence"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_gauntlets_single_aggregate_no_join(spark, sf_dir, registry):
+    """The three surface gauntlets + poisson dispersion are one
+    aggregate pass each — no joins, no windows."""
+    for name in ("string_funcs_gauntlet2", "date_funcs_gauntlet",
+                 "iso_week_revenue", "poisson_dispersion_daily"):
+        df = registry[name].fn(spark, sf_dir)
+        kinds = plans.join_kinds(df)
+        assert sum(kinds.values()) == 0, (name, kinds)
+        assert "Window" not in plans.simple_plan(df), name
