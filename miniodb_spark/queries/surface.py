@@ -605,9 +605,11 @@ def set_bag_intersect_except(spark, sf_dir):
                        list_sort(list_distinct(list(event_type))) AS t2
                 FROM events WHERE day(ts) > 15 GROUP BY user_id)
     SELECT h1.user_id,
-           list_sort(list_intersect(t1, t2)) AS common_types,
-           list_sort(list_filter(t1,
-                     x -> NOT list_contains(t2, x))) AS first_only_types,
+           coalesce(array_to_string(list_sort(list_intersect(t1, t2)),
+                                    ','), '') AS common_types,
+           coalesce(array_to_string(list_sort(list_filter(t1,
+                     x -> NOT list_contains(t2, x))), ','), '')
+             AS first_only_types,
            CAST(length(list_distinct(list_concat(t1, t2))) AS BIGINT)
              AS n_union,
            length(list_intersect(t1, t2)) > 0 AS both_active
@@ -620,8 +622,12 @@ def set_bag_intersect_except(spark, sf_dir):
         "map-side; the half-tables join on user_id (both pre-aggregated "
         "to user cardinality, so the join is between shrunken inputs, "
         "never facts); sort_array on every array output makes the "
-        "element order engine-independent. DuckDB spells the same "
-        "algebra with list_* functions and a lambda for EXCEPT.",
+        "element order engine-independent, and arrays leave the query "
+        "as joined CSV strings because the driver's pandas "
+        "canonicalizer (sort_values over all columns) cannot order "
+        "raw array cells — caught by the round-11 third-session "
+        "full-registry soak. DuckDB spells the same algebra with "
+        "list_* functions and a lambda for EXCEPT.",
     tags=("sql-surface",),
 )
 def array_set_ops_user_types(spark, sf_dir):
@@ -640,8 +646,12 @@ def array_set_ops_user_types(spark, sf_dir):
         h1.join(h2, "user_id")
         .select(
             "user_id",
-            F.sort_array(F.array_intersect("t1", "t2")).alias("common_types"),
-            F.sort_array(F.array_except("t1", "t2")).alias("first_only_types"),
+            F.array_join(
+                F.sort_array(F.array_intersect("t1", "t2")), ","
+            ).alias("common_types"),
+            F.array_join(
+                F.sort_array(F.array_except("t1", "t2")), ","
+            ).alias("first_only_types"),
             F.size(F.array_union("t1", "t2")).cast("long").alias("n_union"),
             F.arrays_overlap("t1", "t2").alias("both_active"),
         )

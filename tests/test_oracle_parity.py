@@ -69,6 +69,22 @@ def _pairs():
 def test_query_matches_oracle(name, registry, duck, spark):
     spec = registry[name]
     sdf = spec.fn(spark, SF_SMOKE)
+    # the external driver canonicalizes with pandas sort_values over
+    # ALL columns, which raises on unhashable/unorderable cells —
+    # array/map/struct outputs would be a driver-side crash even when
+    # the values match (caught live by the round-11 sf0.01 soak:
+    # array_set_ops_user_types). Oracle-backed entries must emit
+    # scalar columns only; join arrays to strings at the output edge.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would "
+        "crash the driver's pandas canonicalizer"
+    )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
