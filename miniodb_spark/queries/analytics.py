@@ -2793,3 +2793,222 @@ def markov_transition_entropy(spark, sf_dir):
       FROM c JOIN t ON c.cur = t.cur
       GROUP BY 1 ORDER BY 1
     """)
+
+
+@register(
+    "diff_in_diff_revenue",
+    """
+    WITH g AS (
+      SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN month(o.o_orderdate) >= 7 THEN 1 ELSE 0 END
+               AS post,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    m AS (
+      SELECT treated, post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev) AS DOUBLE) / count(*) AS mean_rev
+      FROM g GROUP BY 1, 2),
+    w AS (
+      SELECT
+        sum(CASE WHEN treated = 1 AND post = 1 THEN mean_rev END) AS t1,
+        sum(CASE WHEN treated = 1 AND post = 0 THEN mean_rev END) AS t0,
+        sum(CASE WHEN treated = 0 AND post = 1 THEN mean_rev END) AS c1,
+        sum(CASE WHEN treated = 0 AND post = 0 THEN mean_rev END) AS c0,
+        CAST(sum(n) AS BIGINT) AS n_orders
+      FROM m)
+    SELECT n_orders,
+           round(t1 - t0, 6) AS treated_delta,
+           round(c1 - c0, 6) AS control_delta,
+           round((t1 - t0) - (c1 - c0), 6) AS did_estimate
+    FROM w
+    """,
+    doc="Difference-in-differences estimator: AUTOMOBILE-segment "
+        "customers (treated) vs the rest (control), pre/post a July 1 "
+        "cutover, on mean order value — the quasi-experimental shape "
+        "every experimentation platform reaches for when a holdout is "
+        "impossible. Cell means come from ONE grouped aggregate over "
+        "the orders x customer join (customer broadcasts under AQE); "
+        "the 4-cell DiD algebra pivots through conditional sums on a "
+        "4-row table. Exact decimal revenue sums divided once.",
+    tags=("analytics", "eval"),
+)
+def diff_in_diff_revenue(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_did_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_did_v")
+    return spark.sql("""
+      WITH g AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN month(o.o_orderdate) >= 7 THEN 1 ELSE 0 END
+                 AS post,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders_did_v o JOIN cust_did_v c
+          ON o.o_custkey = c.c_custkey),
+      m AS (
+        SELECT treated, post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev) AS DOUBLE) / count(*) AS mean_rev
+        FROM g GROUP BY 1, 2),
+      w AS (
+        SELECT
+          sum(CASE WHEN treated = 1 AND post = 1 THEN mean_rev END) AS t1,
+          sum(CASE WHEN treated = 1 AND post = 0 THEN mean_rev END) AS t0,
+          sum(CASE WHEN treated = 0 AND post = 1 THEN mean_rev END) AS c1,
+          sum(CASE WHEN treated = 0 AND post = 0 THEN mean_rev END) AS c0,
+          CAST(sum(n) AS BIGINT) AS n_orders
+        FROM m)
+      SELECT n_orders,
+             round(t1 - t0, 6) AS treated_delta,
+             round(c1 - c0, 6) AS control_delta,
+             round((t1 - t0) - (c1 - c0), 6) AS did_estimate
+      FROM w
+    """)
+
+
+@register(
+    "price_elasticity_slope",
+    """
+    WITH u AS (
+      SELECT l_returnflag,
+             ln(l_quantity) AS lq,
+             ln(l_extendedprice / l_quantity) AS lp
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(lq, lp), 6) AS elasticity,
+           round(regr_intercept(lq, lp), 6) AS intercept,
+           round(regr_r2(lq, lp), 6) AS r2
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+    doc="Log-log price elasticity of demand per return flag: the OLS "
+        "slope of ln(quantity) on ln(unit price) — the classic "
+        "econometric read of how demand responds to price, with "
+        "regr_r2 reporting how much it explains. regr_slope / "
+        "regr_intercept / regr_r2 share their Pearson-moment "
+        "definitions across engines over identical doubles (the "
+        "zipf_slope precedent); one grouped aggregate, no joins, "
+        "map-side-combinable moments.",
+    tags=("analytics",),
+)
+def price_elasticity_slope(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pe_v")
+    return spark.sql("""
+      WITH u AS (
+        SELECT l_returnflag,
+               ln(l_quantity) AS lq,
+               ln(l_extendedprice / l_quantity) AS lp
+        FROM li_pe_v WHERE l_quantity > 0 AND l_extendedprice > 0)
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             round(regr_slope(lq, lp), 6) AS elasticity,
+             round(regr_intercept(lq, lp), 6) AS intercept,
+             round(regr_r2(lq, lp), 6) AS r2
+      FROM u GROUP BY 1 ORDER BY 1
+    """)
+
+
+@register(
+    "new_vs_returning_users",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(DISTINCT CASE WHEN is_new = 1
+                                    THEN user_id END) AS BIGINT)
+             AS new_users,
+           CAST(count(DISTINCT CASE WHEN is_new = 0
+                                    THEN user_id END) AS BIGINT)
+             AS returning_users
+    FROM d GROUP BY day ORDER BY day
+    """,
+    doc="Daily new-vs-returning active users — the growth-accounting "
+        "split on every product dashboard (a flat DAU can hide "
+        "collapsing acquisition masked by retention, and vice versa). "
+        "First-seen day is one user-cardinality aggregate joined back "
+        "on user_id (user-bounded side broadcasts/buckets at scale); "
+        "the daily split is one conditional count-distinct pass. "
+        "Calendar-bounded 30-row output; dates leave as strings for "
+        "the driver canonicalizer.",
+    tags=("analytics",),
+)
+def new_vs_returning_users(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_nvr_v")
+    return spark.sql("""
+      WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        FROM events_nvr_v GROUP BY 1),
+      d AS (
+        SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+               CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events_nvr_v e JOIN f ON e.user_id = f.user_id)
+      SELECT CAST(day AS STRING) AS day,
+             CAST(count(DISTINCT CASE WHEN is_new = 1
+                                      THEN user_id END) AS BIGINT)
+               AS new_users,
+             CAST(count(DISTINCT CASE WHEN is_new = 0
+                                      THEN user_id END) AS BIGINT)
+               AS returning_users
+      FROM d GROUP BY day ORDER BY day
+    """)
+
+
+@register(
+    "nelson_aalen_hazard",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                            CAST(max(ts) AS DATE)) AS BIGINT) AS t
+      FROM events GROUP BY 1),
+    d AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM f GROUP BY 1),
+    r AS (
+      SELECT t, d,
+             sum(d) OVER (ORDER BY t DESC) AS at_risk
+      FROM d)
+    SELECT t AS day,
+           d AS events_at_t,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           round(sum(CAST(d AS DOUBLE) / at_risk)
+                   OVER (ORDER BY t), 6) AS cum_hazard
+    FROM r ORDER BY t
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator over user activity "
+        "spans (t = days between first and last event; every user "
+        "'dies' at t in this window, so at-risk is the reverse "
+        "cumulative count) — the hazard-space companion to "
+        "kaplan_meier_user_retention (H(t) = -ln S(t) asymptotically; "
+        "NA is the one that stays additive and stable when risk sets "
+        "are small). Facts collapse to user spans (one aggregate), "
+        "then to the <=31-row distinct-t table; both windows run on "
+        "that bounded table with exact integer d/at-risk.",
+    tags=("analytics", "statistics"),
+)
+def nelson_aalen_hazard(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_na_v")
+    return spark.sql("""
+      WITH f AS (
+        SELECT user_id,
+               CAST(datediff(CAST(max(ts) AS DATE),
+                             CAST(min(ts) AS DATE)) AS BIGINT) AS t
+        FROM events_na_v GROUP BY 1),
+      d AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM f GROUP BY 1),
+      r AS (
+        SELECT t, d,
+               sum(d) OVER (ORDER BY t DESC) AS at_risk
+        FROM d)
+      SELECT t AS day,
+             d AS events_at_t,
+             CAST(at_risk AS BIGINT) AS at_risk,
+             round(sum(CAST(d AS DOUBLE) / at_risk)
+                     OVER (ORDER BY t), 6) AS cum_hazard
+      FROM r ORDER BY t
+    """)

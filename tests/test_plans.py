@@ -1314,3 +1314,26 @@ def test_gauntlets_single_aggregate_no_join(spark, sf_dir, registry):
         kinds = plans.join_kinds(df)
         assert sum(kinds.values()) == 0, (name, kinds)
         assert "Window" not in plans.simple_plan(df), name
+
+
+def test_did_and_elasticity_single_pass(spark, sf_dir, registry):
+    """DiD: one grouped aggregate over the broadcast-dim join, 4-row
+    pivot after. Elasticity: joinless grouped regression moments."""
+    df = registry["diff_in_diff_revenue"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    df = registry["price_elasticity_slope"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    assert "Window" not in plans.simple_plan(df)
+
+
+def test_growth_and_hazard_bounded_windows(spark, sf_dir, registry):
+    """new_vs_returning joins only the user-cardinality first-seen
+    table; nelson_aalen windows run on the <=31-row distinct-t table
+    (bounded global window, KM/day-spine precedent)."""
+    df = registry["new_vs_returning_users"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    df = registry["nelson_aalen_hazard"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
