@@ -3069,3 +3069,73 @@ def poisson_dispersion_daily(spark, sf_dir):
                    / avg(CAST(n AS DOUBLE)), 6) AS chi2_stat
       FROM d GROUP BY 1 ORDER BY 1
     """)
+
+
+_BH_SQL = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN day(ts) <= 15 THEN 1 END)
+                  AS BIGINT) AS a,
+             CAST(count(CASE WHEN day(ts) > 15 THEN 1 END)
+                  AS BIGINT) AS b
+      FROM {events} GROUP BY 1),
+    t AS (SELECT sum(a) AS ta, sum(b) AS tb FROM c),
+    z AS (
+      SELECT event_type,
+             (CAST(a AS DOUBLE) / ta - CAST(b AS DOUBLE) / tb)
+             / sqrt((CAST(a + b AS DOUBLE) / (ta + tb))
+                    * (1 - CAST(a + b AS DOUBLE) / (ta + tb))
+                    * (CAST(1 AS DOUBLE) / ta
+                       + CAST(1 AS DOUBLE) / tb)) AS zv
+      FROM c CROSS JOIN t),
+    p1 AS (
+      SELECT event_type, zv,
+             CAST(1 AS DOUBLE) / (1 + 0.2316419 * abs(zv)) AS tt,
+             abs(zv) AS az
+      FROM z),
+    p2 AS (
+      SELECT event_type, zv,
+             2 * 0.3989422804014327 * exp(-az * az / 2) * tt
+               * (0.319381530 + tt * (-0.356563782
+                  + tt * (1.781477937 + tt * (-1.821255978
+                  + tt * 1.330274429)))) AS pval
+      FROM p1),
+    r AS (
+      SELECT event_type, zv, pval,
+             CAST(row_number() OVER (ORDER BY pval, event_type)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p2),
+    k AS (
+      SELECT coalesce(max(CASE WHEN pval <= rnk * CAST(0.10 AS DOUBLE) / m
+                               THEN rnk END), 0) AS kmax
+      FROM r)
+    SELECT event_type,
+           round(zv, 6) AS z,
+           round(pval, 6) AS p_value,
+           rnk AS p_rank,
+           round(rnk * CAST(0.10 AS DOUBLE) / m, 6) AS bh_critical,
+           rnk <= kmax AS rejected
+    FROM r CROSS JOIN k ORDER BY rnk
+"""
+
+
+@register(
+    "benjamini_hochberg_fdr",
+    _BH_SQL.format(events="events"),
+    doc="Multiple-testing correction: per-type two-proportion z-tests "
+        "(month halves) converted to two-sided p-values and run "
+        "through the Benjamini-Hochberg step-up at FDR 0.10 — the "
+        "procedure an experimentation platform applies before "
+        "declaring any of m simultaneous metrics 'moved'. The normal "
+        "CDF is Abramowitz-Stegun 26.2.17 (|err| < 7.5e-8) spelled as "
+        "PURE arithmetic + one exp(), so both engines compute "
+        "bit-identical p-values — no scipy, no engine-specific erf. "
+        "One conditional fact aggregate; ranking, the step-up max-k "
+        "scan and the reject flags all run on the m-row (=5) test "
+        "table with 1-row broadcasts.",
+    tags=("statistics", "eval"),
+)
+def benjamini_hochberg_fdr(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_bh_v")
+    return spark.sql(_BH_SQL.format(events="events_bh_v"))

@@ -1337,3 +1337,12 @@ def test_growth_and_hazard_bounded_windows(spark, sf_dir, registry):
     df = registry["nelson_aalen_hazard"].fn(spark, sf_dir)
     kinds = plans.join_kinds(df)
     assert sum(kinds.values()) == 0, kinds
+
+
+def test_bh_fdr_single_fact_pass_bounded_windows(spark, sf_dir, registry):
+    """BH FDR: one conditional fact aggregate; ranking + step-up run
+    on the m-row (=5) test table — no fact joins."""
+    df = registry["benjamini_hochberg_fdr"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert kinds["shuffled_hash"] == 0, kinds
