@@ -3012,3 +3012,95 @@ def nelson_aalen_hazard(spark, sf_dir):
                      OVER (ORDER BY t), 6) AS cum_hazard
       FROM r ORDER BY t
     """)
+
+
+@register(
+    "peak_concurrent_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                       OR lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM (SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e) x
+      GROUP BY user_id, sid),
+    pts AS (
+      SELECT CAST(s_start AS DATE) AS day, s_start AS t, 1 AS delta
+      FROM s
+      UNION ALL
+      SELECT CAST(s_start AS DATE) AS day, s_end AS t, -1 AS delta
+      FROM s),
+    sweep AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM sweep GROUP BY day ORDER BY day
+    """,
+    doc="Peak concurrent 30-minute sessions per day — the capacity "
+        "number behind connection-pool and autoscaling limits. "
+        "Sessions come from the sessionize_30min gap rule "
+        "(user-partitioned lag + running session id); each session "
+        "emits a +1/-1 boundary pair ATTRIBUTED WHOLLY TO ITS START "
+        "DAY, so every day's sweep is self-contained and the running "
+        "sum can PARTITION BY day — the deliberate approximation that "
+        "keeps the sweep distributed (a global ORDER BY t would be "
+        "the single-task killer; the rare midnight-spanning session "
+        "counts toward its start day's peak). Starts sort before ends "
+        "at identical timestamps (delta DESC), so touching sessions "
+        "count as overlapping — the conservative capacity read.",
+    tags=("analytics",),
+)
+def peak_concurrent_sessions(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_pcs_v")
+    return spark.sql("""
+      WITH e AS (
+        SELECT user_id, ts,
+               CASE WHEN unix_micros(ts)
+                         - lag(unix_micros(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 * 1000000
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events_pcs_v),
+      s AS (
+        SELECT user_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM (SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e) x
+        GROUP BY user_id, sid),
+      pts AS (
+        SELECT CAST(s_start AS DATE) AS day, s_start AS t, 1 AS delta
+        FROM s
+        UNION ALL
+        SELECT CAST(s_start AS DATE) AS day, s_end AS t, -1 AS delta
+        FROM s),
+      sweep AS (
+        SELECT day,
+               sum(delta) OVER (PARTITION BY day
+                                ORDER BY t, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM pts)
+      SELECT CAST(day AS STRING) AS day,
+             CAST(max(live) AS BIGINT) AS peak_concurrent
+      FROM sweep GROUP BY day ORDER BY day
+    """)

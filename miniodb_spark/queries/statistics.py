@@ -3139,3 +3139,66 @@ _BH_SQL = """
 def benjamini_hochberg_fdr(spark, sf_dir):
     load(spark, sf_dir, "events").createOrReplaceTempView("events_bh_v")
     return spark.sql(_BH_SQL.format(events="events_bh_v"))
+
+
+@register(
+    "mde_power_card",
+    """
+    WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+               FROM events),
+    c AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS k
+      FROM events GROUP BY 1)
+    SELECT event_type,
+           min(u.nu) AS n_users,
+           k AS converted_users,
+           round(CAST(k AS DOUBLE) / min(u.nu), 6) AS base_rate,
+           round((1.959963985 + 0.841621234)
+                 * sqrt(2 * (CAST(k AS DOUBLE) / min(u.nu))
+                        * (1 - CAST(k AS DOUBLE) / min(u.nu))
+                        / (min(u.nu) / 2.0)), 6) AS mde_abs,
+           round((1.959963985 + 0.841621234)
+                 * sqrt(2 * (CAST(k AS DOUBLE) / min(u.nu))
+                        * (1 - CAST(k AS DOUBLE) / min(u.nu))
+                        / (min(u.nu) / 2.0))
+                 / (CAST(k AS DOUBLE) / min(u.nu)), 6) AS mde_rel
+    FROM c CROSS JOIN u
+    GROUP BY event_type, k ORDER BY event_type
+    """,
+    doc="Experiment-sizing card: per event type, the minimum "
+        "detectable effect (absolute and relative) of a 50/50 split "
+        "of the current user base at alpha=0.05 two-sided / 80% power "
+        "— the go/no-go number a platform shows before any test "
+        "launches (z constants 1.959963985 and 0.841621234 are "
+        "literals, so the whole card is pure arithmetic over exact "
+        "distinct counts; companion to benjamini_hochberg_fdr, which "
+        "judges results AFTER). Two count-distinct aggregates, 1-row "
+        "user-total broadcast, no windows.",
+    tags=("statistics", "eval"),
+)
+def mde_power_card(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_mde_v")
+    return spark.sql("""
+      WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+                 FROM events_mde_v),
+      c AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS k
+        FROM events_mde_v GROUP BY 1)
+      SELECT event_type,
+             min(u.nu) AS n_users,
+             k AS converted_users,
+             round(CAST(k AS DOUBLE) / min(u.nu), 6) AS base_rate,
+             round((1.959963985 + 0.841621234)
+                   * sqrt(2 * (CAST(k AS DOUBLE) / min(u.nu))
+                          * (1 - CAST(k AS DOUBLE) / min(u.nu))
+                          / (min(u.nu) / 2.0)), 6) AS mde_abs,
+             round((1.959963985 + 0.841621234)
+                   * sqrt(2 * (CAST(k AS DOUBLE) / min(u.nu))
+                          * (1 - CAST(k AS DOUBLE) / min(u.nu))
+                          / (min(u.nu) / 2.0))
+                   / (CAST(k AS DOUBLE) / min(u.nu)), 6) AS mde_rel
+      FROM c CROSS JOIN u
+      GROUP BY event_type, k ORDER BY event_type
+    """)

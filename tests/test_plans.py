@@ -1346,3 +1346,20 @@ def test_bh_fdr_single_fact_pass_bounded_windows(spark, sf_dir, registry):
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
     assert kinds["shuffled_hash"] == 0, kinds
+
+
+def test_mde_card_no_fact_join(spark, sf_dir, registry):
+    """MDE card: two count-distinct aggregates + 1-row broadcast."""
+    df = registry["mde_power_card"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
+    assert "Window" not in plans.simple_plan(df)
+
+
+def test_peak_concurrency_sweep_is_partitioned(spark, sf_dir, registry):
+    """Concurrency sweep: every window PARTITIONs (user for
+    sessionization, day for the sweep) — no single-task global sort."""
+    df = registry["peak_concurrent_sessions"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
