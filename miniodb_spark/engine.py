@@ -987,6 +987,33 @@ class Engine:
                 df = self.read_snapshot(t, v)
             else:
                 df = self.read_table(t)
+                # zone-map file pruning on the SQL path: when the WHERE
+                # clause provably pins id = 'v' conjunctively (see
+                # gate.extract_conjunctive_eq for the soundness rules),
+                # swap the full hybrid scan for the pruned one — the
+                # SQL still re-applies every predicate, the pruned set
+                # is a superset of matching rows by construction, and
+                # any failure falls back to the full scan. This is the
+                # reference's Redis-min/max query-path pruning
+                # (BASELINE.md: file pruning −90% reads) on Spark.
+                if df is not None and len(tables) == 1:
+                    key = gate.extract_conjunctive_eq(sql)
+                    if key is not None:
+                        try:
+                            pruned, rep = self.point_lookup_df(t, key)
+                            zs = self.query_stats.setdefault(
+                                "zonemap", {"queries": 0,
+                                            "files_skipped": 0})
+                            zs["queries"] += 1
+                            zs["files_skipped"] += rep["files_skipped"]
+                            df = (
+                                pruned
+                                if pruned is not None
+                                else self.spark.createDataFrame(
+                                    [], df.schema)
+                            )
+                        except Exception:  # pragma: no cover - defensive
+                            pass
             if df is None:
                 if self.catalog.get_table(t) is None:
                     raise gate.SQLGateError(f"table not found: {t}")

@@ -172,3 +172,49 @@ def validate_table_name(name: str) -> str:
     if name.lower() in _TABLE_NAME_KEYWORDS:
         raise SQLGateError(f"table name is a reserved SQL keyword: {name!r}")
     return name
+
+
+def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
+    """The string literal ``v`` when the query's WHERE clause provably
+    constrains ``column = 'v'`` conjunctively — the sound condition for
+    file-level pruning (any single conjunct of a pure AND chain may
+    prune the scan regardless of the other conjuncts).
+
+    Deliberately conservative; returns None whenever soundness would
+    need real SQL analysis:
+
+    - the WHERE clause (text up to GROUP BY/HAVING/ORDER BY/LIMIT)
+      must contain no OR / NOT / CASE and no parentheses — this rules
+      out disjunctions, negations, subqueries and function calls whose
+      innards could re-bind the predicate;
+    - the matching conjunct must be exactly ``[alias.]column = 'lit'``
+      (or reversed) with nothing trailing the closing quote, so an
+      escaped-quote literal (``'a''b'``) can never match with a
+      truncated value and prune the wrong files.
+
+    The reference applies its Redis min/max metadata to every query's
+    file list the same way (BASELINE.md's file-pruning −90% claim);
+    this is the gate-side half of that path for the Spark engine.
+    """
+    m = re.search(
+        r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+        r"|\bLIMIT\b|$)",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    clause = m.group(1)
+    if re.search(r"\bOR\b|\bNOT\b|\bCASE\b|[()]", clause, re.IGNORECASE):
+        return None
+    pat_l = re.compile(
+        r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+        + r"\s*=\s*'([^']*)'$", re.IGNORECASE)
+    pat_r = re.compile(
+        r"^'([^']*)'\s*=\s*(?:[A-Za-z_][A-Za-z0-9_]*\.)?"
+        + re.escape(column) + r"$", re.IGNORECASE)
+    for conj in re.split(r"\bAND\b", clause, flags=re.IGNORECASE):
+        conj = conj.strip()
+        mm = pat_l.match(conj) or pat_r.match(conj)
+        if mm:
+            return mm.group(1)
+    return None

@@ -191,3 +191,44 @@ def test_api_get_record_roundtrip(engine):
     assert res["files_scanned"] < res["files_total"]
     miss = api.get_record("zma", "nope")
     assert json.loads(miss["rows"]) == []
+
+
+def test_sql_path_prunes_on_conjunctive_id_eq(engine):
+    _seed(engine, "zq", n=8, days=4)
+    out = json.loads(engine.query(
+        "SELECT id, v FROM zq WHERE id = 'r005' AND v >= 0"))
+    assert out == [{"id": "r005", "v": 5}]
+    zs = engine.query_stats.get("zonemap")
+    assert zs and zs["queries"] == 1 and zs["files_skipped"] > 0
+    # equivalent result to the unpruned path
+    full = json.loads(engine.query("SELECT id, v FROM zq WHERE v = 5"))
+    assert full == out
+
+
+def test_sql_path_does_not_prune_disjunctions(engine):
+    _seed(engine, "zqo", n=8, days=4)
+    out = json.loads(engine.query(
+        "SELECT id FROM zqo WHERE id = 'r001' OR id = 'r007' ORDER BY id"))
+    assert [r["id"] for r in out] == ["r001", "r007"]
+    assert "zonemap" not in engine.query_stats  # no pruning attempted
+
+
+def test_sql_path_escaped_quote_literal_not_pruned(engine):
+    # the id grammar forbids quotes, so an escaped-quote literal can
+    # never match stored data — what matters is that the extractor
+    # DECLINES to prune on it (a truncated 'a' prefix would skip the
+    # wrong files) and the query still answers through the full scan
+    _seed(engine, "zqe", n=4, days=2)
+    from miniodb_spark.gate import extract_conjunctive_eq
+
+    assert extract_conjunctive_eq(
+        "SELECT id FROM zqe WHERE id = 'a''b'") is None
+    out = json.loads(engine.query("SELECT id, v FROM zqe WHERE id = 'a''b'"))
+    assert out == []
+    assert "zonemap" not in engine.query_stats
+
+
+def test_sql_path_prune_misses_return_empty(engine):
+    _seed(engine, "zqm", n=4, days=2)
+    out = json.loads(engine.query("SELECT * FROM zqm WHERE id = 'nope'"))
+    assert out == []
