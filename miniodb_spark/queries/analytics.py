@@ -3104,3 +3104,74 @@ def peak_concurrent_sessions(spark, sf_dir):
              CAST(max(live) AS BIGINT) AS peak_concurrent
       FROM sweep GROUP BY day ORDER BY day
     """)
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            DATE '2001-08-01') AS BIGINT) AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS m
+      FROM orders GROUP BY 1),
+    th AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY r) AS rt,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY f) AS ft,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY m) AS mt
+      FROM c),
+    seg AS (
+      SELECT concat(CASE WHEN r <= rt THEN 'R' ELSE 'r' END,
+                    CASE WHEN f > ft THEN 'F' ELSE 'f' END,
+                    CASE WHEN m > mt THEN 'M' ELSE 'm' END) AS segment,
+             m
+      FROM c CROSS JOIN th)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(m), 2) AS total_m,
+           round(avg(m), 6) AS avg_m
+    FROM seg GROUP BY 1 ORDER BY 1
+    """,
+    doc="RFM segmentation: recency (days before the corpus horizon "
+        "2001-08-01) / frequency / monetary per customer, split at "
+        "the exact medians into 8 segments ('RFM' = recent AND "
+        "frequent AND high-value ... 'rfm' = lapsed low-value) — the "
+        "lifecycle-marketing workhorse. Thresholds are ONE 3-way "
+        "percentile row broadcast back over the customer aggregate "
+        "(no global ntile window — the scalar-broadcast shape "
+        "top_decile_revenue_share pinned); recency uses a FIXED "
+        "horizon date so the segment labels are reproducible across "
+        "runs and engines. Exact decimal monetary sums, cast once.",
+    tags=("analytics",),
+)
+def rfm_segments(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rfm_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT o_custkey,
+               CAST(datediff(DATE '2001-08-01',
+                             CAST(max(o_orderdate) AS DATE)) AS BIGINT)
+                 AS r,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS m
+        FROM orders_rfm_v GROUP BY 1),
+      th AS (
+        SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY r) AS rt,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY f) AS ft,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY m) AS mt
+        FROM c),
+      seg AS (
+        SELECT concat(CASE WHEN r <= rt THEN 'R' ELSE 'r' END,
+                      CASE WHEN f > ft THEN 'F' ELSE 'f' END,
+                      CASE WHEN m > mt THEN 'M' ELSE 'm' END) AS segment,
+               m
+        FROM c CROSS JOIN th)
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             round(sum(m), 2) AS total_m,
+             round(avg(m), 6) AS avg_m
+      FROM seg GROUP BY 1 ORDER BY 1
+    """)

@@ -1363,3 +1363,14 @@ def test_peak_concurrency_sweep_is_partitioned(spark, sf_dir, registry):
     assert not plans.unpartitioned_windows(df)
     kinds = plans.join_kinds(df)
     assert sum(kinds.values()) == 0, kinds
+
+
+def test_rfm_thresholds_broadcast_no_global_window(
+    spark, sf_dir, registry
+):
+    """RFM: median thresholds ride a 1-row broadcast over the customer
+    aggregate — no global ntile window over customers."""
+    df = registry["rfm_segments"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
