@@ -839,11 +839,14 @@ class Engine:
 
         Returns ``(df, report)``; the report counts files listed /
         scanned / skipped per generation so tests and the dashboard can
-        see the pruning effect. Correctness contract (tested):
-        identical rows to ``read_table(table).filter(id_col = value)``
-        under flushes, appends, updates, deletes and compaction."""
+        see the pruning effect. ``value`` may be a list/tuple of keys
+        (multi-get / IN-list): a file is scanned when ANY key's bracket
+        admits it. Correctness contract (tested): identical rows to
+        ``read_table(table).filter(id_col = value)`` under flushes,
+        appends, updates, deletes and compaction."""
         from .zonemap import list_generation_files
 
+        keys = list(value) if isinstance(value, (list, tuple, set)) else [value]
         gens = self.catalog.gen_schemas(table)
         cum = self.catalog.schema_of(table)
         report = {"files_total": 0, "files_scanned": 0,
@@ -866,9 +869,13 @@ class Engine:
             if not listing:
                 continue
             if id_col in gcols:
-                sel, skipped = self.zonemaps.prune(
-                    table, i, listing, id_col, value
-                )
+                hit: set[str] = set()
+                for k in keys:
+                    s, _ = self.zonemaps.prune(table, i, listing, id_col, k)
+                    hit.update(s)
+                # keep listing order for a stable scan plan
+                sel = [rel for rel, _dt in listing if rel in hit]
+                skipped = len(listing) - len(sel)
             else:
                 sel, skipped = [], len(listing)  # column absent: no match
             report["files_scanned"] += len(sel)
@@ -890,15 +897,19 @@ class Engine:
                 for c, ct in cum.items()
             ]
             parts.append(df.select(*cols, F.col("dt"), F.lit(i).alias("gen")))
+        if len(keys) == 1:
+            key_pred = F.col(id_col).eqNullSafe(F.lit(keys[0]))
+        else:
+            key_pred = F.col(id_col).isin(keys)
         persisted = None
         if parts:
             persisted = parts[0]
             for p in parts[1:]:
                 persisted = persisted.unionByName(p)
-            persisted = persisted.filter(F.col(id_col).eqNullSafe(F.lit(value)))
+            persisted = persisted.filter(key_pred)
         buffered = self.read_buffer(table)
         if buffered is not None and id_col in buffered.columns:
-            buffered = buffered.filter(F.col(id_col).eqNullSafe(F.lit(value)))
+            buffered = buffered.filter(key_pred)
         elif buffered is not None:
             buffered = None
         persisted, buffered = self._harmonize_hybrid(table, persisted, buffered)
@@ -997,7 +1008,7 @@ class Engine:
                 # reference's Redis-min/max query-path pruning
                 # (BASELINE.md: file pruning −90% reads) on Spark.
                 if df is not None and len(tables) == 1:
-                    key = gate.extract_conjunctive_eq(sql)
+                    key = gate.extract_conjunctive_keys(sql)
                     if key is not None:
                         try:
                             pruned, rep = self.point_lookup_df(t, key)

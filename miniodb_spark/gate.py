@@ -218,3 +218,102 @@ def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
         if mm:
             return mm.group(1)
     return None
+
+
+def _split_top_level_and(clause: str) -> list[str] | None:
+    """Split a WHERE clause into depth-0 AND conjuncts; None when the
+    top level contains OR / NOT / CASE (pruning unsound) or quotes are
+    unbalanced. Parentheses below depth 0 are left intact so IN-lists
+    survive; a depth-0 token check still rejects disjunctions."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = False
+    i = 0
+    up = clause.upper()
+    while i < len(clause):
+        ch = clause[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(clause) and clause[i + 1] == "'":
+                    buf.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        if depth == 0:
+            for kw in ("OR", "NOT", "CASE"):
+                if up.startswith(kw, i) and (
+                    i == 0 or not clause[i - 1].isalnum()
+                ) and (
+                    i + len(kw) >= len(clause)
+                    or not clause[i + len(kw)].isalnum()
+                ):
+                    return None
+            if up.startswith("AND", i) and (
+                i == 0 or not (clause[i - 1].isalnum() or clause[i - 1] == "_")
+            ) and (
+                i + 3 >= len(clause)
+                or not (clause[i + 3].isalnum() or clause[i + 3] == "_")
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += 3
+                continue
+        buf.append(ch)
+        i += 1
+    if in_str or depth != 0:
+        return None
+    parts.append("".join(buf))
+    return parts
+
+
+def extract_conjunctive_keys(sql: str, column: str = "id") -> list[str] | None:
+    """Literal key set when the WHERE provably constrains ``column``
+    to it conjunctively: an ``= 'v'`` conjunct (see
+    extract_conjunctive_eq) or an ``IN ('a', 'b', ...)`` conjunct of
+    plain literals. Same soundness posture — any doubt returns None."""
+    one = extract_conjunctive_eq(sql, column)
+    if one is not None:
+        return [one]
+    m = re.search(
+        r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+        r"|\bLIMIT\b|$)",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    conjs = _split_top_level_and(m.group(1))
+    if conjs is None:
+        return None
+    pat = re.compile(
+        r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+        + r"\s+IN\s*\(([^()]*)\)$", re.IGNORECASE)
+    for conj in conjs:
+        mm = pat.match(conj.strip())
+        if not mm:
+            continue
+        keys: list[str] = []
+        ok = True
+        for item in mm.group(1).split(","):
+            im = re.match(r"^\s*'([^']*)'\s*$", item)
+            if not im:
+                ok = False  # escaped quote / non-literal: decline
+                break
+            keys.append(im.group(1))
+        if ok and keys:
+            return keys
+    return None

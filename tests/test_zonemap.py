@@ -232,3 +232,16 @@ def test_sql_path_prune_misses_return_empty(engine):
     _seed(engine, "zqm", n=4, days=2)
     out = json.loads(engine.query("SELECT * FROM zqm WHERE id = 'nope'"))
     assert out == []
+
+
+def test_multi_key_lookup_and_in_list_sql(engine):
+    _seed(engine, "zin", n=8, days=4)
+    rows, report = _lookup_rows(engine, "zin", ["r001", "r006"])
+    assert [dict(r)["id"] for r in rows] == ["r001", "r006"]
+    # two keys land in two of four files
+    assert report["files_scanned"] < report["files_total"]
+    out = json.loads(engine.query(
+        "SELECT id FROM zin WHERE id IN ('r001', 'r006') ORDER BY id"))
+    assert [r["id"] for r in out] == ["r001", "r006"]
+    zs = engine.query_stats.get("zonemap")
+    assert zs and zs["queries"] == 1 and zs["files_skipped"] > 0
