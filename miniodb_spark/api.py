@@ -348,6 +348,12 @@ class MiniODBService:
                 "total_ms": round(self.engine.query_stats["total_ms"], 1),
                 "truncated": self.engine.query_stats["truncated"],
                 "slow_queries": len(self.engine.query_stats["slow"]),
+                # zone-map pruning effect on the SQL path (files the
+                # conjunctive id fast path never opened)
+                "zonemap": dict(
+                    self.engine.query_stats.get(
+                        "zonemap", {"queries": 0, "files_skipped": 0})
+                ),
             },
             "registry": self.metrics.snapshot(),
         }
