@@ -29,3 +29,4 @@ def register_all(register) -> None:
     sampling.register_queries(register)
     pipeline.register_queries(register)
     multimodal.register_video_queries(register)
+    text.register_vocab_coverage(register)

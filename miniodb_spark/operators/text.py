@@ -1775,3 +1775,96 @@ def register_queries(register) -> None:
             )
             .orderBy("cluster_size")
         )
+
+
+def register_vocab_coverage(register) -> None:
+    @register(
+        "vocab_coverage_curve",
+        """
+        WITH w AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS w
+          FROM documents),
+        c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        tot AS (SELECT sum(n) AS t, count(*) AS v FROM c),
+        r AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk
+          FROM c),
+        k AS (SELECT unnest([100, 1000, 10000]) AS k)
+        SELECT k.k AS vocab_size,
+               CAST(min(tot.v) AS BIGINT) AS n_distinct_words,
+               CAST(sum(CASE WHEN r.rnk <= k.k THEN r.n ELSE 0 END)
+                    AS BIGINT) AS covered_tokens,
+               CAST(min(tot.t) AS BIGINT) AS total_tokens,
+               round(CAST(sum(CASE WHEN r.rnk <= k.k THEN r.n ELSE 0 END)
+                          AS DOUBLE) / min(tot.t), 6) AS coverage
+        FROM r CROSS JOIN k CROSS JOIN tot
+        GROUP BY k.k ORDER BY k.k
+        """,
+        doc="Vocabulary coverage curve: the fraction of corpus tokens "
+            "covered by the top-k most frequent words for k in "
+            "{100, 1k, 10k} — the number that sizes a tokenizer "
+            "vocabulary (and explains why BPE exists: word-level "
+            "coverage saturates slowly on heavy-tailed corpora; "
+            "companion to zipf_slope_top_tokens and bpe_train). One "
+            "word-frequency shuffle; the rank window runs over the "
+            "corpus VOCABULARY (not tokens), with (count, word) "
+            "total order. At 100 TB vocabulary is still millions of "
+            "rows — swap the global rank for the k-thresholded "
+            "count-of-heavier trick (count words with n >= cutoff via "
+            "approx quantiles) as the docstringed scale path; here "
+            "the fixture vocabulary is ~2k words.",
+        tags=("llm", "capability"),
+    )
+    def vocab_coverage_curve(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        words = docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        c = words.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+        tot = c.agg(
+            F.sum("n").cast("bigint").alias("t"),
+            F.count("*").cast("bigint").alias("v"),
+        )
+        from pyspark.sql import Window as W
+
+        r = c.select(
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "w"))
+            .alias("rnk"),
+        )
+        ks = docs.sparkSession.createDataFrame(
+            [(100,), (1000,), (10000,)], "k long"
+        )
+        joined = r.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(tot))
+        return (
+            joined.groupBy("k")
+            .agg(
+                F.min("v").cast("bigint").alias("n_distinct_words"),
+                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n"))
+                      .otherwise(F.lit(0))).cast("bigint")
+                .alias("covered_tokens"),
+                F.min("t").cast("bigint").alias("total_tokens"),
+                F.round(
+                    F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n"))
+                          .otherwise(F.lit(0))).cast("double")
+                    / F.min("t"),
+                    6,
+                ).alias("coverage"),
+            )
+            .select(
+                F.col("k").alias("vocab_size"),
+                "n_distinct_words", "covered_tokens",
+                "total_tokens", "coverage",
+            )
+            .orderBy("vocab_size")
+        )
