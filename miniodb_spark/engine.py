@@ -1394,6 +1394,12 @@ class Engine:
                          zorder_by=zorder_by)
         if stats:
             self.cache.invalidate_table(table)
+            # compaction swapped files under new names inside existing
+            # generations: re-index them (incremental — only the fresh
+            # files are scanned, dead sidecar entries are dropped) so
+            # point-lookup pruning doesn't degrade to scan-everything
+            for g in range(len(self.catalog.gen_schemas(table))):
+                self._build_zonemap(table, g)
         return stats
 
     def start_auto_flush(self, poll_interval_s: float = 1.0) -> None:

@@ -136,8 +136,21 @@ class ZoneMapStore:
         existing = self.load(table, gen) or {"columns": list(cols), "files": {}}
         if set(existing.get("columns", [])) != set(cols):
             existing = {"columns": list(cols), "files": {}}  # rebuild
+        live = {rel for rel, _dt in listing}
+        dead = [rel for rel in existing["files"] if rel not in live]
+        for rel in dead:
+            # compaction swaps a partition's files under new names; the
+            # replaced entries are harmless at prune time (selection
+            # intersects the live listing) but would accumulate forever
+            del existing["files"][rel]
         new = [rel for rel, _dt in listing if rel not in existing["files"]]
         if not new:
+            if dead:
+                self.fs.makedirs(fsmod.join(self.root, table))
+                self.fs.write_bytes(
+                    self._path(table, gen),
+                    json.dumps(existing, sort_keys=True).encode("utf-8"),
+                )
             return 0
         paths = [fsmod.join(gen_dir, rel) for rel in new]
         df = (

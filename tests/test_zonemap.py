@@ -245,3 +245,28 @@ def test_multi_key_lookup_and_in_list_sql(engine):
     assert [r["id"] for r in out] == ["r001", "r006"]
     zs = engine.query_stats.get("zonemap")
     assert zs and zs["queries"] == 1 and zs["files_skipped"] > 0
+
+
+def test_compaction_reindexes_swapped_files(engine):
+    # six flushes into ONE day -> six small files in one dt dir
+    # (L0 merges at >=5 files, compaction.TIERS); two more rows on a
+    # second day stay uncompacted so pruning still has files to skip
+    for i in range(8):
+        engine.write("zcp", {"v": i}, record_id=f"r{i:03d}",
+                     timestamp_us=T0 + (0 if i < 6 else DAY))
+        engine.flush("zcp")
+    doc_before = engine.zonemaps.load("zcp", 0)
+    assert len(doc_before["files"]) >= 6
+    stats = engine.compact("zcp")
+    assert stats  # something merged
+    doc_after = engine.zonemaps.load("zcp", 0)
+    # dead entries dropped, fresh compacted files indexed
+    assert set(doc_after["files"]) != set(doc_before["files"])
+    from miniodb_spark.zonemap import list_generation_files
+
+    live = {rel for rel, _ in
+            list_generation_files(engine.fs, engine._gen_dir("zcp", 0))}
+    assert set(doc_after["files"]) == live
+    rows, report = _lookup_rows(engine, "zcp", "r001")
+    assert rows == _full_rows(engine, "zcp", "r001")
+    assert report["files_skipped"] > 0  # pruning survives compaction
