@@ -3202,3 +3202,56 @@ def mde_power_card(spark, sf_dir):
       FROM c CROSS JOIN u
       GROUP BY event_type, k ORDER BY event_type
     """)
+
+
+@register(
+    "var_cvar_tail_risk",
+    """
+    WITH v AS (
+      SELECT event_type, value AS x FROM events WHERE value IS NOT NULL),
+    th AS (
+      SELECT event_type,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY x) AS var95
+      FROM v GROUP BY 1)
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(th.var95), 6) AS var_95,
+           CAST(count(CASE WHEN v.x >= th.var95 THEN 1 END) AS BIGINT)
+             AS n_tail,
+           round(avg(CASE WHEN v.x >= th.var95 THEN v.x END), 6)
+             AS cvar_95
+    FROM v JOIN th ON v.event_type = th.event_type
+    GROUP BY v.event_type ORDER BY v.event_type
+    """,
+    doc="Tail risk per event type: 95th-percentile value-at-risk and "
+        "the conditional mean beyond it (CVaR / expected shortfall — "
+        "the coherent risk measure VaR alone isn't: VaR says where the "
+        "tail starts, CVaR says how bad it is once entered; for ops "
+        "these are the p95 latency/cost line and the mean of the "
+        "overage). Same broadcast shape as mad_robust_scale: one "
+        "grouped exact percentile, the 5-row threshold table joins "
+        "back broadcast, tail mean is a conditional aggregate. >= on "
+        "the threshold keeps the tail non-empty by construction; "
+        "approx_percentile is the documented 100 TB swap.",
+    tags=("statistics",),
+)
+def var_cvar_tail_risk(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_var_v")
+    return spark.sql("""
+      WITH v AS (
+        SELECT event_type, value AS x FROM events_var_v
+        WHERE value IS NOT NULL),
+      th AS (
+        SELECT event_type,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY x) AS var95
+        FROM v GROUP BY 1)
+      SELECT v.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(min(th.var95), 6) AS var_95,
+             CAST(count(CASE WHEN v.x >= th.var95 THEN 1 END) AS BIGINT)
+               AS n_tail,
+             round(avg(CASE WHEN v.x >= th.var95 THEN v.x END), 6)
+               AS cvar_95
+      FROM v JOIN th ON v.event_type = th.event_type
+      GROUP BY v.event_type ORDER BY v.event_type
+    """)

@@ -1374,3 +1374,12 @@ def test_rfm_thresholds_broadcast_no_global_window(
     assert not plans.unpartitioned_windows(df)
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_var_cvar_threshold_broadcasts(spark, sf_dir, registry):
+    """VaR/CVaR: the 5-row per-type threshold table broadcasts back —
+    never a fact x fact sort-merge (mad_robust_scale shape)."""
+    df = registry["var_cvar_tail_risk"].fn(spark, sf_dir)
+    kinds = plans.join_kinds(df)
+    assert kinds["broadcast_hash"] >= 1, kinds
+    assert kinds["sort_merge"] == 0, kinds
