@@ -30,3 +30,4 @@ def register_all(register) -> None:
     pipeline.register_queries(register)
     multimodal.register_video_queries(register)
     text.register_vocab_coverage(register)
+    similarity.register_norm_audit(register)

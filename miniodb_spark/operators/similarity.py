@@ -1283,3 +1283,65 @@ def register_queries(register) -> None:
         ok = bool(sims_agree and a == b and len(a) == k
                   and a[0] == int(np.argmax(np_sims)))
         return spark.createDataFrame([(ok, k)], "mmr_ok boolean, k long")
+
+
+def register_norm_audit(register) -> None:
+    @register(
+        "embedding_norm_audit",
+        """
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x)))
+                   AS nrm,
+                 len(embedding) AS dim
+          FROM embeddings)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(dim) AS BIGINT) AS min_dim,
+               CAST(max(dim) AS BIGINT) AS max_dim,
+               round(min(nrm), 4) AS min_norm,
+               round(avg(nrm), 4) AS mean_norm,
+               round(max(nrm), 4) AS max_norm,
+               CAST(count(CASE WHEN nrm < 1e-6 THEN 1 END) AS BIGINT)
+                 AS n_degenerate
+        FROM n GROUP BY label ORDER BY label
+        """,
+        doc="Embedding QA gate: per-label L2-norm distribution, "
+            "dimension consistency, and degenerate (near-zero) vector "
+            "count — the audit run before building any ANN index, "
+            "since a zero vector breaks cosine and a dimension mix "
+            "breaks everything (write_ivf/write_ivfpq assume this "
+            "passed). Norms are sequential per-vector reductions "
+            "(F.aggregate == list_sum: same left-fold order, identical "
+            "doubles); one grouped aggregate, zero shuffle beyond it; "
+            "round-4 on the norm stats absorbs the avg's partial-sum "
+            "order.",
+        tags=("llm", "capability"),
+    )
+    def embedding_norm_audit(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        nrm = F.sqrt(
+            F.aggregate(
+                _as_double("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        n = emb.select(
+            "label", nrm.alias("nrm"), F.size("embedding").alias("dim")
+        )
+        return (
+            n.groupBy("label")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.min("dim").cast("bigint").alias("min_dim"),
+                F.max("dim").cast("bigint").alias("max_dim"),
+                F.round(F.min("nrm"), 4).alias("min_norm"),
+                F.round(F.avg("nrm"), 4).alias("mean_norm"),
+                F.round(F.max("nrm"), 4).alias("max_norm"),
+                F.count(F.when(F.col("nrm") < 1e-6, 1)).cast("bigint")
+                .alias("n_degenerate"),
+            )
+            .orderBy("label")
+        )

@@ -3255,3 +3255,107 @@ def var_cvar_tail_risk(spark, sf_dir):
       FROM v JOIN th ON v.event_type = th.event_type
       GROUP BY v.event_type ORDER BY v.event_type
     """)
+
+
+@register(
+    "span_corruption_t5",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, len(w) AS n_words,
+             list_transform(generate_series(1, len(w)),
+               p -> CASE WHEN substring(md5(doc_id || '#' || p), 1, 1)
+                              = '0'
+                         THEN 1 ELSE 0 END) AS st,
+             w
+      FROM t),
+    k AS (
+      SELECT doc_id, source, n_words, st, w,
+             list_transform(generate_series(1, n_words),
+               p -> list_max(st[greatest(p - 2, 1):p])) AS msk
+      FROM m),
+    c AS (
+      SELECT source, n_words,
+             CAST(list_sum(msk) AS BIGINT) AS n_masked,
+             md5(array_to_string(list_filter(
+               list_transform(generate_series(1, n_words),
+                 p -> CASE WHEN st[p] = 1 THEN '<M>'
+                           WHEN msk[p] = 1 THEN ''
+                           ELSE w[p] END),
+               x -> x <> ''), ' ')) AS corrupted_md5
+      FROM k)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_masked) AS BIGINT) AS masked_words,
+           round(CAST(sum(n_masked) AS DOUBLE) / sum(n_words), 6)
+             AS mask_rate,
+           min(corrupted_md5) AS min_corrupted_md5
+    FROM c GROUP BY source ORDER BY source
+    """,
+    doc="T5-style span corruption prep (Raffel et al. 2020 §3.1.4): "
+        "deterministic 3-word mask spans start wherever the md5 of "
+        "(doc_id, position) lands in a 1/16 band; each start word "
+        "becomes one sentinel, span continuations drop (overlapping "
+        "spans merge under one sentinel per start — the documented "
+        "simplification of T5's numbered sentinels). Reproducibility "
+        "is the contract: same corpus => byte-identical corrupted "
+        "text on any engine/partitioning, pinned by cross-engine md5 "
+        "equality (text_augment_char_noise's contract at span "
+        "granularity). Pure higher-order array expressions, map-only "
+        "pass + one source rollup.",
+    tags=("llm", "augmentation"),
+)
+def span_corruption_t5(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    st = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.when(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("#"), p.cast("string"))), 1, 1)
+            == "0", F.lit(1)).otherwise(F.lit(0)),
+    )
+    base = docs.select(
+        "source", w.alias("w"), n.alias("n_words"), st.alias("st"))
+    msk = F.transform(
+        F.sequence(F.lit(1), F.col("n_words")),
+        lambda p: F.array_max(
+            F.slice(F.col("st"), F.greatest(p - 2, F.lit(1)),
+                    p - F.greatest(p - 2, F.lit(1)) + 1)),
+    )
+    k = base.select("source", "n_words", "st", "w", msk.alias("msk"))
+    corrupted = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_words")),
+                lambda p: F.when(F.element_at("st", p) == 1, F.lit("<M>"))
+                .when(F.element_at("msk", p) == 1, F.lit(""))
+                .otherwise(F.element_at("w", p)),
+            ),
+            lambda x: x != "",
+        ),
+        " ",
+    )
+    c = k.select(
+        "source", "n_words",
+        F.aggregate("msk", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("n_masked"),
+        F.md5(corrupted).alias("corrupted_md5"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_masked").cast("bigint").alias("masked_words"),
+            F.round(F.sum("n_masked").cast("double")
+                    / F.sum("n_words"), 6).alias("mask_rate"),
+            F.min("corrupted_md5").alias("min_corrupted_md5"),
+        )
+        .orderBy("source")
+    )

@@ -1383,3 +1383,13 @@ def test_var_cvar_threshold_broadcasts(spark, sf_dir, registry):
     kinds = plans.join_kinds(df)
     assert kinds["broadcast_hash"] >= 1, kinds
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_augmentation_and_norm_audit_map_only(spark, sf_dir, registry):
+    """span_corruption_t5 and embedding_norm_audit: pure higher-order
+    array expressions + one rollup — no joins, no windows."""
+    for name in ("span_corruption_t5", "embedding_norm_audit"):
+        df = registry[name].fn(spark, sf_dir)
+        kinds = plans.join_kinds(df)
+        assert sum(kinds.values()) == 0, (name, kinds)
+        assert "Window" not in plans.simple_plan(df), name
