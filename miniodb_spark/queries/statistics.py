@@ -3359,3 +3359,142 @@ def span_corruption_t5(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ljung_box_daily",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT rev,
+             lag(rev, 1) OVER (ORDER BY dt) AS r1,
+             lag(rev, 2) OVER (ORDER BY dt) AS r2,
+             lag(rev, 3) OVER (ORDER BY dt) AS r3,
+             lag(rev, 4) OVER (ORDER BY dt) AS r4,
+             lag(rev, 5) OVER (ORDER BY dt) AS r5,
+             lag(rev, 6) OVER (ORDER BY dt) AS r6,
+             lag(rev, 7) OVER (ORDER BY dt) AS r7
+      FROM d),
+    a AS (
+      SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n,
+             corr(rev, r1) AS c1, corr(rev, r2) AS c2,
+             corr(rev, r3) AS c3, corr(rev, r4) AS c4,
+             corr(rev, r5) AS c5, corr(rev, r6) AS c6,
+             corr(rev, r7) AS c7
+      FROM l)
+    SELECT n, CAST(7 AS BIGINT) AS lags,
+           round(n * (n + 2.0)
+                 * (c1*c1/(n-1) + c2*c2/(n-2) + c3*c3/(n-3)
+                    + c4*c4/(n-4) + c5*c5/(n-5) + c6*c6/(n-6)
+                    + c7*c7/(n-7)), 6) AS q_stat
+    FROM a
+    """,
+    doc="Ljung-Box portmanteau statistic over daily revenue (lags "
+        "1..7): Q = n(n+2) * sum(rho_k^2 / (n-k)) — the 'is there ANY "
+        "autocorrelation' omnibus test that decides whether the "
+        "acf_multi_lag_daily numbers mean anything (compare Q to "
+        "chi2(7): 14.07 at 5%). Same day-table shape as "
+        "durbin_watson: one fact shuffle into the calendar-bounded "
+        "day aggregate, lag windows + corr on that table, all seven "
+        "correlations in ONE aggregate pass. Sample-ACF purists note "
+        "corr-over-lagged-pairs is used on both engines identically, "
+        "so parity is exact even where it differs from the "
+        "fixed-mean textbook estimator.",
+    tags=("statistics",),
+)
+def ljung_box_daily(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lb_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT o_orderdate AS dt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS rev
+        FROM orders_lb_v GROUP BY 1),
+      l AS (
+        SELECT rev,
+               lag(rev, 1) OVER (ORDER BY dt) AS r1,
+               lag(rev, 2) OVER (ORDER BY dt) AS r2,
+               lag(rev, 3) OVER (ORDER BY dt) AS r3,
+               lag(rev, 4) OVER (ORDER BY dt) AS r4,
+               lag(rev, 5) OVER (ORDER BY dt) AS r5,
+               lag(rev, 6) OVER (ORDER BY dt) AS r6,
+               lag(rev, 7) OVER (ORDER BY dt) AS r7
+        FROM d),
+      a AS (
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n,
+               corr(rev, r1) AS c1, corr(rev, r2) AS c2,
+               corr(rev, r3) AS c3, corr(rev, r4) AS c4,
+               corr(rev, r5) AS c5, corr(rev, r6) AS c6,
+               corr(rev, r7) AS c7
+        FROM l)
+      SELECT n, CAST(7 AS BIGINT) AS lags,
+             round(n * (n + 2.0)
+                   * (c1*c1/(n-1) + c2*c2/(n-2) + c3*c3/(n-3)
+                      + c4*c4/(n-4) + c5*c5/(n-5) + c6*c6/(n-6)
+                      + c7*c7/(n-7)), 6) AS q_stat
+      FROM a
+    """)
+
+
+@register(
+    "cross_correlation_types",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS DOUBLE) AS a,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS DOUBLE) AS b
+      FROM events GROUP BY 1),
+    l AS (
+      SELECT a, b,
+             lag(b, 1)  OVER (ORDER BY day) AS bm1,
+             lead(b, 1) OVER (ORDER BY day) AS bp1,
+             lag(b, 2)  OVER (ORDER BY day) AS bm2,
+             lead(b, 2) OVER (ORDER BY day) AS bp2
+      FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(a, bm2), 6) AS ccf_m2,
+           round(corr(a, bm1), 6) AS ccf_m1,
+           round(corr(a, b), 6) AS ccf_0,
+           round(corr(a, bp1), 6) AS ccf_p1,
+           round(corr(a, bp2), 6) AS ccf_p2
+    FROM l
+    """,
+    doc="Cross-correlation function between daily click and purchase "
+        "counts at lags -2..+2 — the lead/lag diagnostic behind "
+        "attribution windows (clicks leading purchases shows as "
+        "ccf_p1/ccf_p2 > ccf_m1/ccf_m2). One conditional aggregate "
+        "into the 30-row day table; lag/lead windows and all five "
+        "correlations run there (durbin_watson/acf shape).",
+    tags=("statistics",),
+)
+def cross_correlation_types(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_ccf_v")
+    return spark.sql("""
+      WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS DOUBLE) AS a,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS DOUBLE) AS b
+        FROM events_ccf_v GROUP BY 1),
+      l AS (
+        SELECT a, b,
+               lag(b, 1)  OVER (ORDER BY day) AS bm1,
+               lead(b, 1) OVER (ORDER BY day) AS bp1,
+               lag(b, 2)  OVER (ORDER BY day) AS bm2,
+               lead(b, 2) OVER (ORDER BY day) AS bp2
+        FROM d)
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             round(corr(a, bm2), 6) AS ccf_m2,
+             round(corr(a, bm1), 6) AS ccf_m1,
+             round(corr(a, b), 6) AS ccf_0,
+             round(corr(a, bp1), 6) AS ccf_p1,
+             round(corr(a, bp2), 6) AS ccf_p2
+      FROM l
+    """)

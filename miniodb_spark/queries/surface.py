@@ -1020,3 +1020,34 @@ def iso_week_revenue(spark, sf_dir):
       FROM orders_iso_v WHERE year(o_orderdate) = 1997
       GROUP BY 1, 2 ORDER BY 1, 2
     """)
+
+
+@register(
+    "distinct_on_latest_event",
+    """
+    SELECT DISTINCT ON (user_id)
+           user_id, event_type AS last_type,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+    FROM events
+    ORDER BY user_id, ts DESC, event_id DESC
+    """,
+    doc="Latest event per user — the portability entry for Postgres/"
+        "DuckDB's DISTINCT ON, which Spark does not have: the "
+        "translation is the user-partitioned row_number()=1 idiom "
+        "(the same plan DISTINCT ON compiles to). (ts, event_id) DESC "
+        "makes the pick a total order, so both engines choose the "
+        "same row. One user-partitioned window over events, no joins.",
+    tags=("sql-surface",),
+)
+def distinct_on_latest_event(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_don_v")
+    return spark.sql("""
+      SELECT user_id, event_type AS last_type,
+             CAST(unix_micros(ts) AS BIGINT) AS last_ts_us
+      FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events_don_v) x
+      WHERE rn = 1
+    """)

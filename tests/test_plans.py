@@ -1393,3 +1393,15 @@ def test_augmentation_and_norm_audit_map_only(spark, sf_dir, registry):
         kinds = plans.join_kinds(df)
         assert sum(kinds.values()) == 0, (name, kinds)
         assert "Window" not in plans.simple_plan(df), name
+
+
+def test_ts_diagnostics_windows_on_day_table(spark, sf_dir, registry):
+    """Ljung-Box + CCF: lag windows consume the calendar-bounded day
+    aggregate (durbin_watson shape); DISTINCT ON translation is a
+    user-partitioned window — no unpartitioned window over facts."""
+    for name in ("ljung_box_daily", "cross_correlation_types"):
+        df = registry[name].fn(spark, sf_dir)
+        kinds = plans.join_kinds(df)
+        assert kinds["sort_merge"] == 0, (name, kinds)
+    df = registry["distinct_on_latest_event"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
