@@ -239,7 +239,14 @@ class MiniODBService:
             return {"found": False}
         from dataclasses import asdict
 
-        return {"found": True, "config": asdict(cfg)}
+        # cumulative schema (DESCRIBE surface): columns in registration
+        # order with their widened merge types — what a SELECT * yields
+        schema = self.engine.catalog.schema_of(name) or {}
+        return {
+            "found": True,
+            "config": asdict(cfg),
+            "columns": [{"name": c, "type": t} for c, t in schema.items()],
+        }
 
     def delete_table(self, name: str) -> dict:
         with self._audited("delete_table", name) as a:
