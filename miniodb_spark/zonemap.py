@@ -152,37 +152,101 @@ class ZoneMapStore:
                     json.dumps(existing, sort_keys=True).encode("utf-8"),
                 )
             return 0
-        paths = [fsmod.join(gen_dir, rel) for rel in new]
-        df = (
-            spark.read.option("basePath", gen_dir)
-            .schema(schema)
-            .parquet(*paths)
-        )
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-        rows = (
-            df.groupBy(F.input_file_name().alias("_file"))
-            .agg(*aggs)
-            .collect()  # bounded: one row per freshly written file
-        )
         dt_of = dict(listing)
-        for r in rows:
-            rel = _rel(r["_file"], gen)
-            stats: dict[str, Any] = {
-                "dt": dt_of.get(rel),
-                "n": int(r["_n"]),
-            }
-            for c in cols:
-                stats[c] = [
-                    _jsonable(r[f"_min_{c}"]),
-                    _jsonable(r[f"_max_{c}"]),
-                ]
+        # fast path: the stats already sit in the parquet FOOTERS the
+        # write just produced — for a local root read them metadata-only
+        # via pyarrow (KBs per file, no data pass). Falls back to one
+        # distributed Spark aggregation for object-store roots or any
+        # footer without trustworthy min/max.
+        footer = self._footer_stats(gen_dir, new, cols)
+        spark_needed = [rel for rel in new if rel not in footer]
+        for rel, stats in footer.items():
+            stats["dt"] = dt_of.get(rel)
             existing["files"][rel] = stats
+        if spark_needed:
+            paths = [fsmod.join(gen_dir, rel) for rel in spark_needed]
+            df = (
+                spark.read.option("basePath", gen_dir)
+                .schema(schema)
+                .parquet(*paths)
+            )
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for c in cols:
+                aggs += [F.min(c).alias(f"_min_{c}"),
+                         F.max(c).alias(f"_max_{c}")]
+            rows = (
+                df.groupBy(F.input_file_name().alias("_file"))
+                .agg(*aggs)
+                .collect()  # bounded: one row per freshly written file
+            )
+            for r in rows:
+                rel = _rel(r["_file"], gen)
+                stats: dict[str, Any] = {
+                    "dt": dt_of.get(rel),
+                    "n": int(r["_n"]),
+                }
+                for c in cols:
+                    stats[c] = [
+                        _jsonable(r[f"_min_{c}"]),
+                        _jsonable(r[f"_max_{c}"]),
+                    ]
+                existing["files"][rel] = stats
         payload = json.dumps(existing, sort_keys=True).encode("utf-8")
         self.fs.makedirs(fsmod.join(self.root, table))
         self.fs.write_bytes(self._path(table, gen), payload)
         return len(rows)
+
+    def _footer_stats(
+        self, gen_dir: str, rels: list[str], cols: tuple[str, ...]
+    ) -> dict[str, dict]:
+        """Metadata-only min/max from local parquet footers; {} entries
+        are omitted (Spark fallback indexes them). Never raises.
+
+        Truncated string statistics stay sound: the parquet spec
+        requires a truncated min <= the true min and a truncated max
+        >= the true max, so a footer bracket is always a superset of
+        the file's value range — pruning with it can skip only files
+        that provably cannot match."""
+        if "://" in gen_dir:
+            return {}  # object-store root: no local file access
+        out: dict[str, dict] = {}
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow is baked in
+            return {}
+        for rel in rels:
+            path = fsmod.join(gen_dir, rel)
+            try:
+                md = pq.ParquetFile(path).metadata
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                stats: dict[str, Any] = {"n": int(md.num_rows)}
+                ok = True
+                for c in cols:
+                    if c not in names:
+                        ok = False
+                        break
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(names[c]).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            mn = mn.decode("utf-8", "surrogateescape")
+                        if isinstance(mx, bytes):
+                            mx = mx.decode("utf-8", "surrogateescape")
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+                    if not ok:
+                        break
+                    stats[c] = [_jsonable(lo), _jsonable(hi)]
+                if ok:
+                    out[rel] = stats
+            except Exception:
+                continue  # unreadable footer: Spark path covers it
+        return out
 
     # ------------------------------------------------------------------
     def prune(
