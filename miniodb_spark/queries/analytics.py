@@ -3175,3 +3175,116 @@ def rfm_segments(spark, sf_dir):
              round(avg(m), 6) AS avg_m
       FROM seg GROUP BY 1 ORDER BY 1
     """)
+
+
+@register(
+    "scd2_user_state_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    ch AS (
+      SELECT user_id, state, ts, event_id
+      FROM o WHERE prev_state IS NULL OR prev_state <> state),
+    iv AS (
+      SELECT user_id, state,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+             CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                  AS BIGINT) AS valid_to_us
+      FROM ch)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(count(CASE WHEN valid_to_us IS NULL THEN 1 END)
+                AS BIGINT) AS n_open,
+           CAST(max(valid_to_us - valid_from_us) AS BIGINT)
+             AS longest_closed_us
+    FROM iv GROUP BY 1 ORDER BY user_id
+    """,
+    doc="Slowly-changing-dimension type 2 build: collapse each user's "
+        "event-type stream into validity intervals (a new row only "
+        "when the state CHANGES; valid_to = next change, NULL = "
+        "current) — the warehouse dimension-versioning primitive, and "
+        "the interval form session/state analytics join against. "
+        "Change detection and interval close are both user-partitioned "
+        "windows with a (ts, event_id) total order; the per-user "
+        "summary keeps the output user-cardinality for the driver "
+        "(the full interval table is the real product — same plan "
+        "minus the final rollup).",
+    tags=("analytics",),
+)
+def scd2_user_state_intervals(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_scd_v")
+    return spark.sql("""
+      WITH o AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events_scd_v),
+      ch AS (
+        SELECT user_id, state, ts, event_id
+        FROM o WHERE prev_state IS NULL OR prev_state <> state),
+      iv AS (
+        SELECT user_id, state,
+               CAST(unix_micros(ts) AS BIGINT) AS valid_from_us,
+               CAST(lead(unix_micros(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                    AS BIGINT) AS valid_to_us
+        FROM ch)
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(count(CASE WHEN valid_to_us IS NULL THEN 1 END)
+                  AS BIGINT) AS n_open,
+             CAST(max(valid_to_us - valid_from_us) AS BIGINT)
+               AS longest_closed_us
+      FROM iv GROUP BY 1 ORDER BY user_id
+    """)
+
+
+@register(
+    "freshness_sla_audit",
+    """
+    WITH h AS (SELECT max(ts) AS horizon FROM events),
+    f AS (
+      SELECT event_type,
+             max(ts) AS last_seen,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+    SELECT f.event_type,
+           f.n,
+           CAST(epoch_us(f.last_seen) AS BIGINT) AS last_seen_us,
+           CAST((epoch_us(h.horizon) - epoch_us(f.last_seen)) // 60000000
+                AS BIGINT) AS staleness_minutes,
+           epoch_us(h.horizon) - epoch_us(f.last_seen)
+             <= 7200000000 AS within_2h_sla
+    FROM f CROSS JOIN h ORDER BY f.event_type
+    """,
+    doc="Data-freshness SLA audit: per stream (event type), the last "
+        "event seen, its staleness against the corpus horizon, and a "
+        "2-hour SLA flag — the ingestion-health check every pipeline "
+        "dashboard leads with (the reference's monitoring surfaces "
+        "table write times; this is the query-side generalization). "
+        "Two aggregates and a 1-row horizon broadcast; integer "
+        "microsecond arithmetic end to end.",
+    tags=("analytics",),
+)
+def freshness_sla_audit(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_fsh_v")
+    return spark.sql("""
+      WITH h AS (SELECT max(ts) AS horizon FROM events_fsh_v),
+      f AS (
+        SELECT event_type,
+               max(ts) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events_fsh_v GROUP BY 1)
+      SELECT f.event_type,
+             f.n,
+             CAST(unix_micros(f.last_seen) AS BIGINT) AS last_seen_us,
+             CAST((unix_micros(h.horizon) - unix_micros(f.last_seen))
+                  div 60000000 AS BIGINT) AS staleness_minutes,
+             unix_micros(h.horizon) - unix_micros(f.last_seen)
+               <= 7200000000 AS within_2h_sla
+      FROM f CROSS JOIN h ORDER BY f.event_type
+    """)

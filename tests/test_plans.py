@@ -1405,3 +1405,14 @@ def test_ts_diagnostics_windows_on_day_table(spark, sf_dir, registry):
         assert kinds["sort_merge"] == 0, (name, kinds)
     df = registry["distinct_on_latest_event"].fn(spark, sf_dir)
     assert not plans.unpartitioned_windows(df)
+
+
+def test_scd2_and_freshness_shapes(spark, sf_dir, registry):
+    """SCD2: user-partitioned change/close windows only. Freshness:
+    two aggregates + 1-row horizon broadcast, windowless."""
+    df = registry["scd2_user_state_intervals"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    df = registry["freshness_sla_audit"].fn(spark, sf_dir)
+    assert "Window" not in plans.simple_plan(df)
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds
