@@ -3498,3 +3498,202 @@ def cross_correlation_types(spark, sf_dir):
              round(corr(a, bp2), 6) AS ccf_p2
       FROM l
     """)
+
+
+@register(
+    "bleu2_corpus_overlap",
+    """
+    WITH tok AS (
+      SELECT doc_id, source = 'src0' AS is_ref,
+             string_split(text, ' ') AS w
+      FROM documents WHERE source IN ('src0', 'src1')),
+    bg AS (
+      SELECT is_ref, w[i] || ' ' || w[i + 1] AS g
+      FROM (SELECT is_ref, w, unnest(generate_series(1, len(w) - 1))
+                   AS i
+            FROM tok WHERE len(w) >= 2) x),
+    cc AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+           FROM bg WHERE NOT is_ref GROUP BY 1),
+    rc AS (SELECT g, CAST(count(*) AS BIGINT) AS r
+           FROM bg WHERE is_ref GROUP BY 1),
+    lens AS (
+      SELECT CAST(sum(CASE WHEN is_ref THEN len(w) END) AS BIGINT)
+               AS ref_len,
+             CAST(sum(CASE WHEN NOT is_ref THEN len(w) END) AS BIGINT)
+               AS cand_len
+      FROM tok),
+    clip AS (
+      SELECT CAST(sum(least(cc.c, coalesce(rc.r, 0))) AS BIGINT)
+               AS clipped,
+             CAST(sum(cc.c) AS BIGINT) AS total
+      FROM cc LEFT JOIN rc ON cc.g = rc.g)
+    SELECT total AS cand_bigrams,
+           clipped AS clipped_matches,
+           round(CAST(clipped AS DOUBLE) / total, 6) AS p2,
+           round(CASE WHEN cand_len >= ref_len THEN 1.0
+                      ELSE exp(1 - CAST(ref_len AS DOUBLE) / cand_len)
+                 END, 6) AS brevity_penalty,
+           round(CASE WHEN cand_len >= ref_len THEN 1.0
+                      ELSE exp(1 - CAST(ref_len AS DOUBLE) / cand_len)
+                 END * CAST(clipped AS DOUBLE) / total, 6) AS bleu2
+    FROM clip CROSS JOIN lens
+    """,
+    doc="Corpus-level BLEU-2 (Papineni et al. 2002, bigram half): "
+        "modified precision of src1 'candidates' against the src0 "
+        "'reference' pool — clipped counts (candidate bigram credit "
+        "capped at its reference frequency) plus the brevity penalty "
+        "— the generation-eval primitive alongside the ranking "
+        "metrics. Count clipping is exact integer algebra; the one "
+        "exp() is round-6 absorbed. Bigram tables shuffle once each; "
+        "the clip join runs on vocabulary-bounded gram tables (hash "
+        "grams at 100 TB, as the dedup entries do).",
+    tags=("statistics", "eval"),
+)
+def bleu2_corpus_overlap(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select((F.col("source") == "src0").alias("is_ref"),
+                F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    bg = tok.select(
+        "is_ref",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat(
+                    F.element_at("w", i), F.lit(" "),
+                    F.element_at("w", i + 1)),
+            )
+        ).alias("g"),
+    )
+    cc = (bg.filter(~F.col("is_ref")).groupBy("g")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    rc = (bg.filter(F.col("is_ref")).groupBy("g")
+          .agg(F.count("*").cast("bigint").alias("r")))
+    lens = tok.agg(
+        F.sum(F.when(F.col("is_ref"), F.size("w"))).cast("bigint")
+        .alias("ref_len"),
+        F.sum(F.when(~F.col("is_ref"), F.size("w"))).cast("bigint")
+        .alias("cand_len"),
+    )
+    clip = (
+        cc.join(rc, "g", "left")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0))))
+            .cast("bigint").alias("clipped"),
+            F.sum("c").cast("bigint").alias("total"),
+        )
+    )
+    out = clip.crossJoin(F.broadcast(lens))
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1) - F.col("ref_len").cast("double") / F.col("cand_len"))
+    )
+    p2 = F.col("clipped").cast("double") / F.col("total")
+    return out.select(
+        F.col("total").alias("cand_bigrams"),
+        F.col("clipped").alias("clipped_matches"),
+        F.round(p2, 6).alias("p2"),
+        F.round(bp, 6).alias("brevity_penalty"),
+        F.round(bp * p2, 6).alias("bleu2"),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS k
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(count(CASE WHEN k < 5 THEN 1 END) AS BIGINT)
+             AS groups_below_5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS customers_at_risk
+    FROM g
+    """,
+    doc="k-anonymity audit over the (nation, market segment) "
+        "quasi-identifier: the smallest equivalence class, how many "
+        "classes fall below k=5, and how many customers sit in them — "
+        "the privacy pre-check before releasing joined data (a "
+        "1-member class re-identifies its customer). One grouped "
+        "count over the broadcast dim join, then a 125-row rollup.",
+    tags=("statistics", "privacy"),
+)
+def k_anonymity_audit(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_ka_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_ka_v")
+    return spark.sql("""
+      WITH g AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS k
+        FROM cust_ka_v c JOIN nation_ka_v n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(count(CASE WHEN k < 5 THEN 1 END) AS BIGINT)
+               AS groups_below_5,
+             CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS customers_at_risk
+      FROM g
+    """)
+
+
+@register(
+    "dp_noised_counts",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT event_type, n,
+             (CAST(('0x' || substring(md5('dp:' || event_type), 1, 13))
+                   AS BIGINT) + 0.5) / 4503599627370496.0 AS uni
+      FROM c)
+    SELECT event_type, n,
+           round(CASE WHEN uni < 0.5
+                      THEN ln(2 * uni)
+                      ELSE -ln(2 * (1 - uni)) END, 6) AS laplace_noise,
+           round(n + CASE WHEN uni < 0.5
+                          THEN ln(2 * uni)
+                          ELSE -ln(2 * (1 - uni)) END, 6)
+             AS noised_count
+    FROM u ORDER BY event_type
+    """,
+    doc="Differential-privacy-style noised release: per-type counts "
+        "plus Laplace(1/eps=1) noise derived from an md5 uniform via "
+        "the inverse CDF — the count-release mechanism, made "
+        "REPRODUCIBLE for testing by seeding the noise from the key "
+        "(a production release swaps the md5 uniform for a real RNG; "
+        "the query shape — one aggregate, per-row noise expression — "
+        "is identical). The 52-bit md5 slice makes the uniform exact "
+        "in double; ln() is round-6 absorbed; sensitivity 1 because "
+        "each event contributes to one count.",
+    tags=("statistics", "privacy"),
+)
+def dp_noised_counts(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_dp_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events_dp_v GROUP BY 1),
+      u AS (
+        SELECT event_type, n,
+               (conv(substring(md5(concat('dp:', event_type)), 1, 13),
+                     16, 10) + 0.5) / 4503599627370496.0 AS uni
+        FROM c)
+      SELECT event_type, n,
+             round(CASE WHEN uni < 0.5
+                        THEN ln(2 * uni)
+                        ELSE -ln(2 * (1 - uni)) END, 6) AS laplace_noise,
+             round(n + CASE WHEN uni < 0.5
+                            THEN ln(2 * uni)
+                            ELSE -ln(2 * (1 - uni)) END, 6)
+               AS noised_count
+      FROM u ORDER BY event_type
+    """)

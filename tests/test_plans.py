@@ -1416,3 +1416,14 @@ def test_scd2_and_freshness_shapes(spark, sf_dir, registry):
     assert "Window" not in plans.simple_plan(df)
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_privacy_and_bleu_bounded_shapes(spark, sf_dir, registry):
+    """k-anonymity + DP counts: one aggregate each, no windows. BLEU-2:
+    gram-table joins only, no fact-sized sort-merge beyond the
+    vocabulary-bounded clip join."""
+    for name in ("k_anonymity_audit", "dp_noised_counts"):
+        df = registry[name].fn(spark, sf_dir)
+        assert "Window" not in plans.simple_plan(df), name
+    df = registry["bleu2_corpus_overlap"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
