@@ -1007,7 +1007,22 @@ class Engine:
                 # any failure falls back to the full scan. This is the
                 # reference's Redis-min/max query-path pruning
                 # (BASELINE.md: file pruning −90% reads) on Spark.
-                if df is not None and len(tables) == 1:
+                # a self-join (FROM t a JOIN t b ...) references the
+                # view twice but the id conjunct constrains only ONE
+                # alias — pruning the shared view would drop the other
+                # alias's rows. Conservative: the table name must occur
+                # exactly once in the literal-stripped SQL (column
+                # prefixes over-count, which only declines the
+                # optimization, never breaks correctness).
+                import re as _re
+
+                single_ref = (
+                    len(tables) == 1
+                    and len(_re.findall(
+                        rf"\b{_re.escape(t)}\b",
+                        gate._strip_string_literals(sql))) == 1
+                )
+                if df is not None and single_ref:
                     key = gate.extract_conjunctive_keys(sql)
                     if key is not None:
                         try:

@@ -265,6 +265,10 @@ class ZoneMapStore:
         doc = self.load(table, gen)
         if doc is None or column not in doc.get("columns", []):
             return [rel for rel, _dt in listing], 0
+        if value is None:
+            # min/max statistics ignore NULLs, so a bracket can never
+            # prove a file holds no NULL keys — scan everything
+            return [rel for rel, _dt in listing], 0
         files = doc["files"]
         v = _jsonable(value)
         selected: list[str] = []

@@ -270,3 +270,30 @@ def test_compaction_reindexes_swapped_files(engine):
     rows, report = _lookup_rows(engine, "zcp", "r001")
     assert rows == _full_rows(engine, "zcp", "r001")
     assert report["files_skipped"] > 0  # pruning survives compaction
+
+
+def test_self_join_is_not_pruned(engine):
+    # FROM t a JOIN t b: the id conjunct constrains only alias a —
+    # pruning the shared view would drop b's rows. Must decline.
+    _seed(engine, "zsj", n=6, days=3)
+    out = json.loads(engine.query(
+        "SELECT a.id AS id_a, b.id AS id_b FROM zsj a "
+        "JOIN zsj b ON a.v = b.v WHERE a.id = 'r001'"))
+    assert out == [{"id_a": "r001", "id_b": "r001"}]
+    assert "zonemap" not in engine.query_stats
+
+
+def test_null_key_lookup_scans_everything(engine, spark):
+    # min/max stats ignore NULLs: a NULL-key lookup can never prune
+    rows = [("k1", 1_700_000_000_000_000, 1.0),
+            (None, 1_700_000_000_000_000, 2.0),
+            ("k3", 1_700_086_400_000_000, 3.0)]
+    df = spark.createDataFrame(rows, "id string, ts long, v double")
+    df = df.select(
+        "id", F.timestamp_micros(F.col("ts")).alias("timestamp"), "v")
+    engine.catalog.ensure_table("znull")
+    engine.ingest_dataframe("znull", df)
+    got, report = engine.point_lookup_df("znull", None)
+    vals = [r["v"] for r in got.collect()]
+    assert vals == [2.0]
+    assert report["files_scanned"] == report["files_total"] >= 2
