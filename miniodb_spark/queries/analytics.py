@@ -3018,7 +3018,7 @@ def nelson_aalen_hazard(spark, sf_dir):
     "peak_concurrent_sessions",
     """
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts)
                        - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                                  ORDER BY ts, event_id)
@@ -3032,7 +3032,7 @@ def nelson_aalen_hazard(spark, sf_dir):
              min(ts) AS s_start, max(ts) AS s_end
       FROM (SELECT user_id, ts,
                    sum(new_sess) OVER (PARTITION BY user_id
-                                       ORDER BY ts
+                                       ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sid
             FROM e) x
       GROUP BY user_id, sid),
@@ -3070,7 +3070,7 @@ def peak_concurrent_sessions(spark, sf_dir):
     load(spark, sf_dir, "events").createOrReplaceTempView("events_pcs_v")
     return spark.sql("""
       WITH e AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN unix_micros(ts)
                          - lag(unix_micros(ts)) OVER
                              (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3084,7 +3084,7 @@ def peak_concurrent_sessions(spark, sf_dir):
                min(ts) AS s_start, max(ts) AS s_end
         FROM (SELECT user_id, ts,
                      sum(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS sid
               FROM e) x
         GROUP BY user_id, sid),
