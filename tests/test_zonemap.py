@@ -297,3 +297,56 @@ def test_null_key_lookup_scans_everything(engine, spark):
     vals = [r["v"] for r in got.collect()]
     assert vals == [2.0]
     assert report["files_scanned"] == report["files_total"] >= 2
+
+
+def test_prune_property_superset_of_matches(tmp_path):
+    """Hypothesis-style property (deterministic exhaustive sweep): for
+    ANY bracket layout and ANY key, prune() selects a superset of the
+    files that can contain the key, and never selects a skipped file
+    twice. Pure driver-side — no Spark."""
+    import itertools
+
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.zonemap import ZoneMapStore
+
+    fs = LocalFS()
+    store = ZoneMapStore(fs, str(tmp_path / "zm"))
+    ids = ["a", "c", "e", "g", "i", "k"]
+    # every 2-file split of 6 ids into contiguous brackets
+    for cut in range(1, len(ids)):
+        doc = {"columns": ["id"], "files": {
+            "dt=d/f1.parquet": {"dt": "d", "n": cut,
+                                "id": [ids[0], ids[cut - 1]]},
+            "dt=d/f2.parquet": {"dt": "d", "n": len(ids) - cut,
+                                "id": [ids[cut], ids[-1]]},
+        }}
+        fs.makedirs(str(tmp_path / "zm" / "t"))
+        fs.write_bytes(str(tmp_path / "zm" / "t" / "gen=0.json"),
+                       __import__("json").dumps(doc).encode())
+        listing = [("dt=d/f1.parquet", "d"), ("dt=d/f2.parquet", "d")]
+        for key in ids + ["b", "z", "", None]:
+            sel, skipped = store.prune("t", 0, listing, "id", key)
+            assert len(sel) + skipped == len(listing)
+            # soundness: every file whose bracket admits the key is
+            # selected (None admits everywhere: stats ignore NULLs)
+            for rel, _dt in listing:
+                lo, hi = doc["files"][rel]["id"]
+                must = key is None or (lo <= key <= hi)
+                if must:
+                    assert rel in sel, (cut, key, rel)
+
+
+def test_zonemap_builds_on_streaming_ingest_path(engine, spark):
+    """streaming/ingest routes through Engine.ingest_dataframe, so the
+    sidecar appears without any streaming-specific plumbing."""
+    rows = [(f"s{i}", 1_700_000_000_000_000 + i, float(i))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "id string, tsl long, v double")
+    df = df.select(
+        "id", F.timestamp_micros(F.col("tsl")).alias("timestamp"), "v")
+    engine.catalog.ensure_table("zst")
+    engine.ingest_dataframe("zst", df)  # the foreachBatch body's call
+    doc = engine.zonemaps.load("zst", 0)
+    assert doc and len(doc["files"]) >= 1
+    for st in doc["files"].values():
+        assert st["id"][0] <= st["id"][1]
