@@ -280,13 +280,10 @@ class ZoneMapStore:
                 continue
             lo, hi = st.get(column, (None, None))
             if lo is None or hi is None:
-                # all-null or unknown bracket: a NULL never equals the
-                # key, but min/max also come back None for 0-row files —
-                # either way nothing here can match a non-null key
-                if v is None:
-                    selected.append(rel)
-                else:
-                    skipped += 1
+                # all-null or 0-row file: min/max ignore NULLs, so a
+                # None bracket proves the file holds no NON-NULL keys
+                # (NULL keys are handled by the early return above)
+                skipped += 1
                 continue
             try:
                 admit = (lo <= v) and (v <= hi)
