@@ -30,7 +30,12 @@ Design constraints, in order:
    runs right after each flush/ingest while the data is hot.
    Generations are copy-on-write everywhere else (mutations commit new
    generations), so an indexed file's stats can never go stale.
-3. **fs-agnostic.** Stats come from a Spark job, not local footer
+3. **Concurrency.** Two drivers flushing one table can race on the
+   sidecar's read-modify-write; last writer wins and may drop the
+   other's fresh entries. That loses HINTS only — the affected files
+   are simply unindexed until the next build re-lists them — never
+   rows, by invariant 1.
+4. **fs-agnostic.** Stats come from a Spark job, not local footer
    reads, so the same code path works for file:// and s3a:// roots;
    sidecars live on the *shared* store root (``_meta/zonemaps``) so
    every driver over one object store sees them — the reference keeps
