@@ -24,10 +24,11 @@ Design constraints, in order:
    but the listing no longer has (GC of superseded partitions) are
    never touched. A missing or corrupt sidecar degrades to the full
    generation scan ``read_persisted`` would do anyway.
-2. **Amortized build.** ``build`` is incremental: it scans ONLY files
-   the sidecar has not indexed yet — one distributed aggregation over
-   the freshly written bytes, grouped by ``input_file_name()`` — and
-   runs right after each flush/ingest while the data is hot.
+2. **Amortized build.** ``build`` is incremental: it indexes ONLY files
+   the sidecar has not seen yet — metadata-only parquet-footer reads on
+   local roots (KBs per file), one distributed aggregation grouped by
+   ``input_file_name()`` as the object-store / stats-less fallback —
+   and runs right after each flush/ingest while the data is hot.
    Generations are copy-on-write everywhere else (mutations commit new
    generations), so an indexed file's stats can never go stale.
 3. **Concurrency.** Two drivers flushing one table can race on the
@@ -132,8 +133,9 @@ class ZoneMapStore:
         columns: tuple[str, ...],
     ) -> int:
         """Index every not-yet-indexed file of the generation; returns
-        how many files were added. One Spark aggregation over only the
-        new files — per-file min/max/count, map-side-combinable."""
+        how many files were added. Footer-metadata reads where the root
+        is local; otherwise one Spark aggregation over only the new
+        files — per-file min/max/count, map-side-combinable."""
         cols = [c for c in columns if c in {f.name for f in schema.fields}]
         if not cols:
             return 0
