@@ -135,8 +135,15 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # two passes, per-query min: the first pass warms codegen/file-listing
-    # caches, the min filters transient host contention out of either pass
+    # caches, the min filters transient host contention out of either pass.
+    # A host-score sample is taken after EACH pass so the published
+    # bracket shows how host load moved across the run, not just its
+    # endpoints (round-11 verdict task: the driver's normalization
+    # inverted on a host-faster-than-anchor run; the per-pass bracket
+    # lets a reader see whether the drift happened during the query
+    # loop itself).
     passes: list[dict[str, float]] = []
+    host_score_per_pass: list[float] = []
     for _ in range(2):
         sink: dict[str, float] = {}
         for name in BENCH_QUERIES:
@@ -150,6 +157,7 @@ def main() -> None:
             sink[name] = round(time.perf_counter() - t0, 4)
             assert rows is not None
         passes.append(sink)
+        host_score_per_pass.append(_host_cpu_score())
 
     cold = passes[0]
     timings = {name: min(p[name] for p in passes) for name in passes[0]}
@@ -160,7 +168,7 @@ def main() -> None:
     # BENCH_NOTES.md). The average of the bracketing samples reflects
     # the load the queries actually ran under; both raw samples are
     # published so a reader can spot intra-run drift.
-    host_score_post = _host_cpu_score()
+    host_score_post = host_score_per_pass[-1]
     host_score = round((host_score_pre + host_score_post) / 2, 4)
     scale = ANCHOR["host_cpu_score_sec"] / host_score
     ratio_map = {
@@ -196,6 +204,50 @@ def main() -> None:
             residual_recheck[name] = round(
                 (med_t * scale / ANCHOR["queries"][name]) / median_ratio, 3
             )
+
+    # raw-first cross-round evidence (round-11 verdict task 7): the
+    # host-score normalization has twice inverted on hosts faster than
+    # the anchor (sf0.1 walls are scheduler-floor dominated, so scaling
+    # them UP by a better-than-anchor single-core score over-corrects —
+    # BENCH_NOTES.md rounds 10-11). Publish per-query RAW ratios against
+    # the last committed BENCH_rN so the judge/driver reads raw-first
+    # evidence without recomputing it: a real plan regression moves
+    # specific queries' raws; host drift moves all of them together.
+    raw_vs_prev_round: dict | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_rounds = sorted(
+        (f for f in os.listdir(here)
+         if f.startswith("BENCH_r") and f.endswith(".json")),
+    )
+    if prev_rounds:
+        prev_name = prev_rounds[-1]
+        try:
+            with open(os.path.join(here, prev_name)) as fh:
+                prev = json.load(fh)
+            # the round driver wraps bench.py's JSON line under "parsed"
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries", {})
+            per_q = {
+                n: round(timings[n] / prev_q[n], 3)
+                for n in timings
+                if prev_q.get(n)
+            }
+            rr = sorted(per_q.values())
+            raw_vs_prev_round = {
+                "prev_file": prev_name,
+                "prev_total": prev.get("value"),
+                "raw_total_ratio": (
+                    round(total / prev["value"], 4) if prev.get("value") else None
+                ),
+                "per_query_raw_ratio": per_q,
+                "median_raw_ratio": (
+                    round(rr[len(rr) // 2], 3) if rr else None
+                ),
+                "prev_host_cpu_score_sec": prev.get("host_cpu_score_sec"),
+            }
+        except (OSError, ValueError, KeyError):
+            raw_vs_prev_round = {"prev_file": prev_name, "error": "unreadable"}
 
     # TPC-H-shaped suite (round 9): tracked as a SEPARATE metric block
     # so the headline protocol stays byte-comparable with rounds 1-8.
@@ -304,6 +356,13 @@ def main() -> None:
                 # loop) behind the averaged score above
                 "host_cpu_score_pre": host_score_pre,
                 "host_cpu_score_post": host_score_post,
+                # one sample after each query pass: shows whether host
+                # load drifted DURING the run (vs just at its endpoints)
+                "host_cpu_score_per_pass": host_score_per_pass,
+                # per-query raw ratios vs the last committed BENCH_rN —
+                # the raw-first regression signal; read this BEFORE the
+                # normalized totals (see comment at computation site)
+                "raw_vs_prev_round": raw_vs_prev_round,
                 # host-speed-normalized total: comparable across rounds
                 # without forensics (see ANCHOR above)
                 "ref_score": ANCHOR["host_cpu_score_sec"],

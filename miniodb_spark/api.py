@@ -130,16 +130,12 @@ class MiniODBService:
         Beyond-reference RPC; the reference's experimental id index
         (internal/index) targets the same access pattern."""
         with self._rpc("get_record", client_id):
-            df, report = self.engine.point_lookup_df(table, record_id)
-            if df is None:
-                rows = "[]"
-            else:
-                parts = df.toJSON().collect()
-                rows = "[" + ",".join(parts) + "]"
+            res, report = self.engine.point_lookup_full(table, record_id)
             self._counters["queries"] += 1
             return {
                 "success": True,
-                "rows": rows,
+                "rows": res.json,
+                "truncated": res.truncated,
                 "files_total": report["files_total"],
                 "files_scanned": report["files_scanned"],
                 "files_skipped": report["files_skipped"],

@@ -163,6 +163,11 @@ class Engine:
         self.zonemaps = ZoneMapStore(
             self.fs, fsmod.join(root, "_meta", "zonemaps")
         )
+        # best-effort build failures are counted, never raised
+        # (see _build_zonemap); a nonzero count is the ops signal that
+        # lookups are degrading to full-generation scans
+        self.zonemap_build_errors = 0
+        self.zonemap_last_error: str | None = None
         self.cache = QueryResultCache(ttl_s=cache_ttl_s, version_store=versions)
         self.idgen = IDGenerator(node_id)
         self.events = event_publisher  # streaming.cdc.EventPublisher or None
@@ -815,7 +820,10 @@ class Engine:
     def _build_zonemap(self, table: str, gen: int) -> None:
         """Index the generation's fresh files (incremental — only files
         the sidecar doesn't know). Best-effort: a zone-map failure must
-        never fail the write it trails; lookups scan unindexed files."""
+        never fail the write it trails (lookups scan unindexed files) —
+        but it must be COUNTED and logged, not silently dropped: round
+        11's footer-path crash hid behind a blanket except here for a
+        whole round (VERDICT r11 What's-wrong #1)."""
         if not self.zonemap_columns:
             return
         try:
@@ -826,8 +834,15 @@ class Engine:
                 self.spark, table, gen, self._gen_dir(table, gen),
                 struct, self.zonemap_columns,
             )
-        except Exception:  # pragma: no cover - defensive
-            pass
+        except Exception as exc:
+            self.zonemap_build_errors += 1
+            self.zonemap_last_error = f"{table}/gen={gen}: {exc!r}"
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "zone-map build failed for %s gen=%d (lookups fall back "
+                "to full-generation scans): %r", table, gen, exc,
+            )
 
     def point_lookup_df(
         self, table: str, value, id_col: str = "id"
@@ -922,14 +937,30 @@ class Engine:
             report,
         )
 
+    def point_lookup_full(
+        self, table: str, value, id_col: str = "id"
+    ) -> tuple[QueryResult, dict]:
+        """Key lookup with the SAME ``max_result_rows`` collect cap as
+        :meth:`query_full` (one row past the cap is fetched so
+        truncation is detectable) — a hot id with millions of rows must
+        not drive an unbounded driver collect through the GetRecord
+        path (round-11 verdict task 4). Returns the capped
+        ``QueryResult`` plus the pruning report."""
+        df, report = self.point_lookup_df(table, value, id_col=id_col)
+        if df is None:
+            return QueryResult("[]", False), report
+        rows = df.limit(self.max_result_rows + 1).toJSON().collect()
+        truncated = len(rows) > self.max_result_rows
+        if truncated:
+            rows = rows[: self.max_result_rows]
+            self.query_stats["truncated"] += 1
+        return QueryResult("[" + ",".join(rows) + "]", truncated), report
+
     def point_lookup(self, table: str, value, id_col: str = "id") -> str:
         """JSON rows for a key lookup (the GetRecord-style fast path);
-        same NDJSON-array shape as :meth:`query`."""
-        df, _report = self.point_lookup_df(table, value, id_col=id_col)
-        if df is None:
-            return "[]"
-        rows = df.toJSON().collect()
-        return "[" + ",".join(rows) + "]"
+        same NDJSON-array shape and collect cap as :meth:`query`."""
+        res, _report = self.point_lookup_full(table, value, id_col=id_col)
+        return res.json
 
     # ------------------------------------------------------------------
     # query path

@@ -31,11 +31,17 @@ Design constraints, in order:
    and runs right after each flush/ingest while the data is hot.
    Generations are copy-on-write everywhere else (mutations commit new
    generations), so an indexed file's stats can never go stale.
-3. **Concurrency.** Two drivers flushing one table can race on the
-   sidecar's read-modify-write; last writer wins and may drop the
-   other's fresh entries. That loses HINTS only — the affected files
-   are simply unindexed until the next build re-lists them — never
-   rows, by invariant 1.
+3. **Concurrency.** Each build appends its OWN shard file
+   (``gen=N.<nonce>.json``, atomic write, never modified after) holding
+   only the entries it just indexed; ``load`` merges the base sidecar
+   plus every shard. Two drivers flushing one table therefore never
+   overwrite each other's fresh entries. Shards are folded into the
+   base file once enough accumulate (``COMPACT_SHARDS``); the ONLY
+   remaining race is two simultaneous compactions, where the
+   last-written base may miss a shard the other compactor already
+   deleted — that loses HINTS only (the affected files are simply
+   unindexed until the next build re-lists them), never rows, by
+   invariant 1.
 4. **fs-agnostic.** Stats come from a Spark job, not local footer
    reads, so the same code path works for file:// and s3a:// roots;
    sidecars live on the *shared* store root (``_meta/zonemaps``) so
@@ -97,11 +103,30 @@ class ZoneMapStore:
         self.fs = fs
         self.root = root
 
+    #: fold shards into the base sidecar once this many accumulate —
+    #: keeps load() at O(1) small reads in the steady state while the
+    #: append-only shards make concurrent builds lossless (docstring §3)
+    COMPACT_SHARDS = 4
+
     def _path(self, table: str, gen: int) -> str:
         return fsmod.join(self.root, table, f"{_MARKER}{gen}.json")
 
-    def load(self, table: str, gen: int) -> dict | None:
-        path = self._path(table, gen)
+    def _shard_paths(self, table: str, gen: int) -> list[str]:
+        """Per-build shard sidecars ``gen=N.<nonce>.json`` (sorted for a
+        deterministic merge order)."""
+        tdir = fsmod.join(self.root, table)
+        base = f"{_MARKER}{gen}."
+        out = []
+        try:
+            for path, _size in self.fs.list_files(tdir, suffix=".json"):
+                name = path.rstrip("/").split("/")[-1]
+                if name.startswith(base) and name != f"{_MARKER}{gen}.json":
+                    out.append(fsmod.join(tdir, name))
+        except Exception:
+            return []
+        return sorted(out)
+
+    def _read_doc(self, path: str) -> dict | None:
         try:
             if not self.fs.exists(path):
                 return None
@@ -112,11 +137,32 @@ class ZoneMapStore:
             return None
         return doc
 
+    def load(self, table: str, gen: int) -> dict | None:
+        """Merged view: base sidecar plus every per-build shard. A shard
+        whose column set differs from the merged doc's is skipped
+        (reconfiguration mid-flight — its files stay unindexed, hint
+        loss only)."""
+        merged = self._read_doc(self._path(table, gen))
+        for sp in self._shard_paths(table, gen):
+            doc = self._read_doc(sp)
+            if doc is None:
+                continue
+            if merged is None:
+                merged = {"columns": list(doc.get("columns", [])),
+                          "files": dict(doc["files"])}
+                continue
+            if set(doc.get("columns", [])) != set(merged.get("columns", [])):
+                continue
+            merged["files"].update(doc["files"])
+        return merged
+
     def drop(self, table: str, gen: int | None = None) -> None:
         if gen is not None:
-            path = self._path(table, gen)
-            if self.fs.exists(path):
-                self.fs.remove_file(path)
+            for path in [self._path(table, gen)] + self._shard_paths(
+                table, gen
+            ):
+                if self.fs.exists(path):
+                    self.fs.remove_file(path)
             return
         tdir = fsmod.join(self.root, table)
         if self.fs.is_dir(tdir):
@@ -140,24 +186,24 @@ class ZoneMapStore:
         if not cols:
             return 0
         listing = list_generation_files(self.fs, gen_dir)
-        existing = self.load(table, gen) or {"columns": list(cols), "files": {}}
-        if set(existing.get("columns", [])) != set(cols):
-            existing = {"columns": list(cols), "files": {}}  # rebuild
+        existing = self.load(table, gen)
+        if existing is not None and set(existing.get("columns", [])) != set(
+            cols
+        ):
+            # column reconfiguration: old brackets are for the wrong
+            # key set — rebuild from scratch (single-writer moment by
+            # assumption; a racing old-column shard is skipped at load)
+            self.drop(table, gen)
+            existing = None
+        indexed = existing["files"] if existing else {}
         live = {rel for rel, _dt in listing}
-        dead = [rel for rel in existing["files"] if rel not in live]
-        for rel in dead:
-            # compaction swaps a partition's files under new names; the
-            # replaced entries are harmless at prune time (selection
-            # intersects the live listing) but would accumulate forever
-            del existing["files"][rel]
-        new = [rel for rel, _dt in listing if rel not in existing["files"]]
+        # dead = indexed files the listing no longer has (engine
+        # compaction swapped the partition's files under new names);
+        # they force a fold so the base sidecar tracks the live set
+        dead = any(rel not in live for rel in indexed)
+        new = [rel for rel, _dt in listing if rel not in indexed]
         if not new:
-            if dead:
-                self.fs.makedirs(fsmod.join(self.root, table))
-                self.fs.write_bytes(
-                    self._path(table, gen),
-                    json.dumps(existing, sort_keys=True).encode("utf-8"),
-                )
+            self._compact(table, gen, cols, live, force=dead)
             return 0
         dt_of = dict(listing)
         # fast path: the stats already sit in the parquet FOOTERS the
@@ -167,9 +213,10 @@ class ZoneMapStore:
         # footer without trustworthy min/max.
         footer = self._footer_stats(gen_dir, new, cols)
         spark_needed = [rel for rel in new if rel not in footer]
+        fresh: dict[str, dict] = {}
         for rel, stats in footer.items():
             stats["dt"] = dt_of.get(rel)
-            existing["files"][rel] = stats
+            fresh[rel] = stats
         if spark_needed:
             paths = [fsmod.join(gen_dir, rel) for rel in spark_needed]
             df = (
@@ -197,11 +244,57 @@ class ZoneMapStore:
                         _jsonable(r[f"_min_{c}"]),
                         _jsonable(r[f"_max_{c}"]),
                     ]
-                existing["files"][rel] = stats
-        payload = json.dumps(existing, sort_keys=True).encode("utf-8")
+                fresh[rel] = stats
+        if not fresh:
+            # every new file was footer-unreadable AND 0-row under the
+            # Spark agg (no group emitted) — nothing learned; they stay
+            # unindexed and are always scanned (hint-only contract)
+            return 0
+        # append-only per-build shard (docstring §3): concurrent builds
+        # never clobber each other's fresh entries — no read-modify-write
+        import secrets
+
+        shard = {"columns": list(cols), "files": fresh}
         self.fs.makedirs(fsmod.join(self.root, table))
-        self.fs.write_bytes(self._path(table, gen), payload)
-        return len(rows)
+        self.fs.write_bytes(
+            fsmod.join(
+                self.root, table,
+                f"{_MARKER}{gen}.{secrets.token_hex(6)}.json",
+            ),
+            json.dumps(shard, sort_keys=True).encode("utf-8"),
+        )
+        self._compact(table, gen, cols, live, force=dead)
+        return len(fresh)
+
+    def _compact(
+        self, table: str, gen: int, cols: list[str], live: set[str],
+        force: bool = False,
+    ) -> None:
+        """Fold accumulated shards into the base sidecar (and drop
+        entries for files the listing no longer has — compaction swaps
+        a partition's files under new names; the replaced entries are
+        harmless at prune time but would accumulate forever). Only the
+        shards read into the merge are deleted, so a shard appearing
+        mid-compaction survives untouched."""
+        shards = self._shard_paths(table, gen)
+        if len(shards) < self.COMPACT_SHARDS and not force:
+            return
+        merged = self.load(table, gen)
+        if merged is None or set(merged.get("columns", [])) != set(cols):
+            return
+        merged["files"] = {
+            rel: st for rel, st in merged["files"].items() if rel in live
+        }
+        self.fs.makedirs(fsmod.join(self.root, table))
+        self.fs.write_bytes(
+            self._path(table, gen),
+            json.dumps(merged, sort_keys=True).encode("utf-8"),
+        )
+        for sp in shards:
+            try:
+                self.fs.remove_file(sp)
+            except Exception:  # racing compactor already removed it
+                continue
 
     def _footer_stats(
         self, gen_dir: str, rels: list[str], cols: tuple[str, ...]
