@@ -1808,13 +1808,14 @@ def register_vocab_coverage(register) -> None:
             "vocabulary (and explains why BPE exists: word-level "
             "coverage saturates slowly on heavy-tailed corpora; "
             "companion to zipf_slope_top_tokens and bpe_train). One "
-            "word-frequency shuffle; the rank window runs over the "
-            "corpus VOCABULARY (not tokens), with (count, word) "
-            "total order. At 100 TB vocabulary is still millions of "
-            "rows — swap the global rank for the k-thresholded "
-            "count-of-heavier trick (count words with n >= cutoff via "
-            "approx quantiles) as the docstringed scale path; here "
-            "the fixture vocabulary is ~2k words.",
+            "word-frequency shuffle; only the top-10k ranks can ever "
+            "matter (max k), so the shortlist is TakeOrderedAndProject "
+            "(per-partition top-10k, merge — the zipf_slope_top_tokens "
+            "pattern) and the rank window runs over AT MOST 10k rows "
+            "no matter the corpus size; totals come from the full "
+            "vocabulary aggregate. A web-scale vocabulary (hundreds of "
+            "millions of typo/URL/number words at 100 TB) never sorts "
+            "in one task (round-11 verdict task 2).",
         tags=("llm", "capability"),
     )
     def vocab_coverage_curve(spark, sf_dir):
@@ -1836,7 +1837,11 @@ def register_vocab_coverage(register) -> None:
         )
         from pyspark.sql import Window as W
 
-        r = c.select(
+        # shortlist FIRST (TakeOrderedAndProject — bounded at 10k rows,
+        # the largest k), then rank within the shortlist: the window
+        # input is capped by construction, never vocabulary-sized
+        top = c.orderBy(F.col("n").desc(), "w").limit(10000)
+        r = top.select(
             "n",
             F.row_number()
             .over(W.orderBy(F.col("n").desc(), "w"))

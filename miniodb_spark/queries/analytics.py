@@ -2086,13 +2086,18 @@ def column_profile_orders(spark, sf_dir):
         "first subsequent purchase, with DISCRETE p50/p90/p99 (order "
         "statistics at ceil(q*n) — integer seconds, no interpolation, "
         "so zero float-parity surface). Per-user state is two "
-        "timestamps; the rank pass runs over the user-cardinality "
-        "latency table (users << events). At 100 TB the same shape "
-        "holds — the global rank is over per-user rows only; swap in "
-        "approx_percentile if even that table outgrows a sort",
+        "timestamps. The latency table is USER-cardinality (unbounded "
+        "at 100x), so the order statistics ride the distributed "
+        "midrank backbone (operators/ranks.py): integer seconds "
+        "collapse to a per-value count table, which is range-bucketed "
+        "by literal bounds and prefix-summed per bucket — the rank at "
+        "ceil(q*n) is the value whose cumulative bracket covers it, "
+        "no unpartitioned window anywhere (round-11 verdict task 3; "
+        "exact same semantics as the row_number formulation the "
+        "oracle keeps)",
 )
 def funnel_latency_percentiles(spark, sf_dir):
-    from pyspark.sql import Window
+    from miniodb_spark.operators.ranks import doubled_midranks
 
     ev = load(spark, sf_dir, "events")
     v = (ev.filter(F.col("event_type") == "view")
@@ -2105,21 +2110,27 @@ def funnel_latency_percentiles(spark, sf_dir):
          .select(
              (F.unix_timestamp("t_purchase")
               - F.unix_timestamp("t_view")).cast("bigint").alias("lat_s")))
-    r = p.select(
-        "lat_s",
-        F.row_number().over(Window.orderBy("lat_s")).alias("rn"),
-        F.count("*").over(
-            Window.partitionBy()
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing)).alias("n"),
-    )
+    # per-value count table: integer seconds collapse users to their
+    # distinct latency domain — the only pass over the latency table
+    pv = p.groupBy("lat_s").agg(F.count("*").cast("bigint").alias("t"))
+    mr = doubled_midranks(pv, "lat_s")
+    # mr2 = 2*cum_less + t + 1  =>  cumulative bracket (cum_less,
+    # cum_less + t] of global sort positions occupied by this value
+    mr = mr.select(
+        "lat_s", "t",
+        ((F.col("mr2") - F.col("t") - 1) / 2).cast("bigint")
+        .alias("cum_less"),
+    ).withColumn("cum_upto", F.col("cum_less") + F.col("t"))
+    tot = pv.agg(F.sum("t").cast("bigint").alias("n"))
+    j = mr.crossJoin(F.broadcast(tot))  # 1-row stat, not a data join
 
     def pick(q):
+        rn = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
         return F.max(F.when(
-            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            (F.col("cum_less") < rn) & (rn <= F.col("cum_upto")),
             F.col("lat_s")))
 
-    return r.agg(
+    return j.agg(
         F.max("n").cast("bigint").alias("n_users"),
         pick(0.5).alias("p50_s"),
         pick(0.9).alias("p90_s"),

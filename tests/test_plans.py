@@ -1427,3 +1427,27 @@ def test_privacy_and_bleu_bounded_shapes(spark, sf_dir, registry):
         assert "Window" not in plans.simple_plan(df), name
     df = registry["bleu2_corpus_overlap"].fn(spark, sf_dir)
     assert not plans.unpartitioned_windows(df)
+
+
+def test_vocab_coverage_shortlist_is_take_ordered(spark, sf_dir, registry):
+    """Round-11 verdict task 2: the vocabulary rank window must run
+    over a TakeOrderedAndProject shortlist (top-10k, the largest k),
+    never over the unbounded vocabulary — a web-scale corpus has
+    hundreds of millions of distinct words."""
+    df = registry["vocab_coverage_curve"].fn(spark, sf_dir)
+    assert plans.has_take_ordered(df)
+
+
+def test_funnel_latency_has_no_unpartitioned_window(
+    spark, sf_dir, registry
+):
+    """Round-11 verdict task 3: the funnel latency order statistics
+    ride the midrank backbone — the per-value count table is bucketed
+    by literal range bounds and prefix-summed per bucket, so every
+    window has a non-empty partition spec (the latency table is
+    user-cardinality, unbounded at 100x)."""
+    df = registry["funnel_latency_percentiles"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:2000]  # the bucketed prefix sum
+    bad = plans.unpartitioned_windows(df)
+    assert not bad, bad
