@@ -114,7 +114,10 @@ class Catalog:
                 continue
             self._load_one(os.path.join(self._dir, fn))
 
-    def _persist(self, name: str) -> None:
+    def _persist(
+        self, name: str,
+        add_files: dict[int, list[str]] | None = None,
+    ) -> None:
         doc = {
             "config": asdict(self._configs[name]),
             "generations": self._generations.get(name, []),
@@ -135,10 +138,17 @@ class Catalog:
         # last-line-wins, like the json it mirrors).
         v = self._versions.get(name, self._last_history_version(name)) + 1
         self._versions[name] = v
-        line = json.dumps(
-            {"v": v, "ts_us": int(time.time() * 1e6), "doc": doc},
-            separators=(",", ":"),
-        )
+        rec: dict = {"v": v, "ts_us": int(time.time() * 1e6), "doc": doc}
+        if add_files:
+            # Delta-style add-file entries: {gen: [relpaths]} the commit
+            # ADDED — pins snapshot file membership without trusting
+            # file mtimes (object-store PUT time vs driver wall clock
+            # can skew; see Engine.read_snapshot). Recorded only on the
+            # history line, never in the current-state json: it is a
+            # per-commit delta, not table state.
+            rec["add"] = {str(g): sorted(rels)
+                          for g, rels in add_files.items() if rels}
+        line = json.dumps(rec, separators=(",", ":"))
         with open(self._hist_path(name), "a", encoding="utf-8") as fh:
             fh.write(line + "\n")
 
@@ -158,17 +168,23 @@ class Catalog:
         except FileNotFoundError:
             return 0
 
-    def touch(self, name: str) -> int:
+    def touch(
+        self, name: str,
+        add_files: dict[int, list[str]] | None = None,
+    ) -> int:
         """Append a data-commit marker: re-persist the current doc AFTER
         a write job's files are on disk, so the marker version's ts_us
         upper-bounds those files' mtimes. Schema registration persists
         BEFORE the job runs (the rollback protocol needs that order), so
         the registration version deliberately does NOT include the
         in-flight files — the post-write marker is the version whose
-        snapshot does. Returns the marker version."""
+        snapshot does. ``add_files`` ({gen: [relpaths]}) records the
+        batch's files on the commit line (Delta-style add entries) so
+        read_snapshot pins membership without trusting file mtimes.
+        Returns the marker version."""
         with self._lock:
             if name in self._configs:
-                self._persist(name)
+                self._persist(name, add_files=add_files)
             return self._versions.get(name, 0)
 
     def current_version(self, name: str) -> int:
@@ -257,6 +273,30 @@ class Catalog:
         except FileNotFoundError:
             pass
         return out
+
+    def added_files_index(self, name: str) -> dict[tuple[int, str], int]:
+        """``{(gen, relpath): first_version_that_added_it}`` over the
+        whole commit log — the Delta-style add-file index. A file
+        absent from this index predates the add-file log (or was
+        written by a path that doesn't record adds); read_snapshot
+        falls back to the mtime watermark for those. Size is one small
+        tuple per data file ever added — the same order as a generation
+        LIST, driver-side safe."""
+        idx: dict[tuple[int, str], int] = {}
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    for g, rels in (rec.get("add") or {}).items():
+                        for rel in rels:
+                            key = (int(g), rel)
+                            if key not in idx or rec["v"] < idx[key]:
+                                idx[key] = rec["v"]
+        except FileNotFoundError:
+            pass
+        return idx
 
     def refresh_if_changed(self, name: str) -> bool:
         """Reload one table's metadata when another process changed it —

@@ -424,6 +424,7 @@ class Engine:
             table, {f.name: _type_name(f.dataType) for f in batch_schema.fields}
         )
         cfg = self.catalog.get_table(table)
+        before = self._gen_file_set(table, gen)
         try:
             (
                 df.repartition("dt")
@@ -450,10 +451,25 @@ class Engine:
             raise
         # data-commit marker: the version whose snapshot INCLUDES this
         # batch (schema registration persisted pre-job; see
-        # Catalog.touch)
-        self.catalog.touch(table)
+        # Catalog.touch). The before/after listing diff is recorded as
+        # Delta-style add-file entries, so snapshot membership never
+        # trusts object-store PUT-time ordering (ADVICE r11).
+        self.catalog.touch(
+            table,
+            add_files={gen: sorted(self._gen_file_set(table, gen) - before)},
+        )
         self._build_zonemap(table, gen)
         return len(rows)
+
+    def _gen_file_set(self, table: str, gen: int) -> set[str]:
+        """Relative paths of the generation's data files (one LIST);
+        empty when the directory doesn't exist yet."""
+        from .zonemap import list_generation_files
+
+        gdir = self._gen_dir(table, gen)
+        if not self.fs.is_dir(gdir):
+            return set()
+        return {rel for rel, _dt in list_generation_files(self.fs, gdir)}
 
     def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp",
                          force_new_generation: bool = False) -> int:
@@ -479,6 +495,7 @@ class Engine:
                 {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
                 force_new=force_new_generation,
             )
+            before = self._gen_file_set(table, gen)
             (
                 out.repartition("dt")
                 .write.mode("append")
@@ -486,7 +503,10 @@ class Engine:
                 .partitionBy("dt")
                 .parquet(self._gen_dir(table, gen))
             )
-            self.catalog.touch(table)  # data-commit marker (snapshots)
+            # data-commit marker with Delta-style add-file entries
+            # (snapshot membership without mtime trust — ADVICE r11)
+            self.catalog.touch(table, add_files={
+                gen: sorted(self._gen_file_set(table, gen) - before)})
             self._build_zonemap(table, gen)
         self.cache.invalidate_table(table)
         return gen
@@ -660,6 +680,12 @@ class Engine:
             if not self.fs.is_dir(
                 fsmod.join(self._gen_dir(table, g), f"dt={d}"))
         ]
+        # Delta-style add-file index: (gen, rel) -> first version whose
+        # commit recorded the file. Primary membership source — exact
+        # regardless of store/driver clock skew; files never recorded
+        # (pre-upgrade history, foreign writers) fall back to the mtime
+        # watermark below.
+        add_idx = self.catalog.added_files_index(table)
         parts: list[DataFrame] = []
         for i, gcols in enumerate(gens):
             if not gcols:
@@ -670,28 +696,34 @@ class Engine:
                 # (collapse_generations removes whole dead gen dirs)
                 missing.append((i, "*"))
                 continue
-            # file-level watermark: a later flush may APPEND into this
+            # file-level membership: a later flush may APPEND into this
             # same generation directory (compatible schemas share a
-            # generation), so the doc alone doesn't pin membership —
-            # only files committed at or before the snapshot's commit
-            # time belong to it. Flush order is schema-registration
-            # persist → write job → data-commit marker persist
-            # (Catalog.touch), so the marker version's ts_us
-            # upper-bounds its batch's file mtimes; the incremental
-            # add-file log a la Delta is the evolution of this if
-            # object-store PUT-time skew ever bites.
+            # generation), so the doc alone doesn't pin membership.
+            # Primary source: the add-file index — a file recorded at
+            # version v belongs to snapshots >= v, exactly, with no
+            # clock involved. Fallback for unrecorded files (history
+            # predating the add log, foreign writers): the mtime
+            # watermark — flush order is schema-registration persist →
+            # write job → data-commit marker persist (Catalog.touch),
+            # so the marker's ts_us upper-bounds its batch's mtimes on
+            # a skew-free store; object-store PUT-time skew is exactly
+            # why recorded adds take precedence.
             excluded_dts = {d for g, d in excluded if g == i}
             files: list[str] = []
             for dd in self.fs.list_dirs(gdir, prefix="dt="):
                 dt_val = dd.rsplit("dt=", 1)[-1]
                 if dt_val in excluded_dts:
                     continue
-                files.extend(
-                    fp
-                    for fp, mt in self.fs.list_files_mtime(
-                        dd, suffix=".parquet")
-                    if mt <= commit_ts_us
-                )
+                for fp, mt in self.fs.list_files_mtime(
+                    dd, suffix=".parquet"
+                ):
+                    rel = f"dt={dt_val}/" + fp.rstrip("/").split("/")[-1]
+                    added_v = add_idx.get((i, rel))
+                    if added_v is not None:
+                        if added_v <= version:
+                            files.append(fp)
+                    elif mt <= commit_ts_us:
+                        files.append(fp)
             if not files:
                 continue
             struct = T.StructType(

@@ -204,7 +204,12 @@ def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
     if not m:
         return None
     clause = m.group(1)
-    if re.search(r"\bOR\b|\bNOT\b|\bCASE\b|[()]", clause, re.IGNORECASE):
+    if re.search(r"\bOR\b|\bNOT\b|\bCASE\b|\bBETWEEN\b|[()]", clause,
+                 re.IGNORECASE):
+        # BETWEEN is rejected because splitting on bare AND would slice
+        # "x BETWEEN 'a' AND 'z'" into fabricated conjuncts — a clause
+        # like "x BETWEEN 'a' AND 'z' = id" would otherwise yield the
+        # bogus conjunct "'z' = id" and prune on 'z' (unsound skip)
         return None
     pat_l = re.compile(
         r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
@@ -255,7 +260,9 @@ def _split_top_level_and(clause: str) -> list[str] | None:
             if depth < 0:
                 return None
         if depth == 0:
-            for kw in ("OR", "NOT", "CASE"):
+            # BETWEEN: its embedded AND would be split into
+            # fabricated conjuncts (see extract_conjunctive_eq)
+            for kw in ("OR", "NOT", "CASE", "BETWEEN"):
                 if up.startswith(kw, i) and (
                     i == 0 or not clause[i - 1].isalnum()
                 ) and (

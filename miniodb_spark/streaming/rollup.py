@@ -79,18 +79,26 @@ def merge_partials(persisted: DataFrame | None, part: DataFrame,
     the persisted side is reduced via a broadcast semi-join on the
     bounded partial — so maintenance cost scales with the batch, never
     the rollup's history. Factored out of the sink so the merge algebra
-    is property-testable without a streaming runtime."""
+    is property-testable without a streaming runtime.
+
+    The semi-join is NULL-SAFE per key column: ``rollup_id_col`` maps a
+    NULL key to the ``\\N`` sentinel, so a NULL-keyed group's persisted
+    row shares the id of every later NULL-keyed partial — a null-unsafe
+    semi-join would drop the persisted row from the merge and the
+    upsert would then OVERWRITE the accumulated n/sum/min/max with the
+    batch partial alone (silent data loss for the NULL bucket)."""
     if persisted is None:
         return part
+    probe = part.select("window_start", *key_cols).alias("pr")
     old = persisted.select(
         F.col("timestamp").alias("window_start"),
         *[F.col(k) for k in key_cols],
         "n", "value_sum", "value_min", "value_max",
-    ).join(
-        F.broadcast(part.select("window_start", *key_cols)),
-        ["window_start", *key_cols],
-        "left_semi",
-    )
+    ).alias("o")
+    cond = F.col("o.window_start").eqNullSafe(F.col("pr.window_start"))
+    for k in key_cols:
+        cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"pr.{k}"))
+    old = old.join(F.broadcast(probe), cond, "left_semi")
     return (
         old.unionByName(part)
         .groupBy("window_start", *key_cols)

@@ -96,3 +96,25 @@ def test_table_name_validation():
                 "_users", "select", "FROM"]:
         with pytest.raises(SQLGateError):
             validate_table_name(bad)
+
+
+def test_conjunct_extractor_declines_between():
+    """ADVICE r11: splitting a WHERE clause on bare AND slices
+    BETWEEN ... AND ... — `x BETWEEN 'a' AND 'z' = id` (which parses
+    as (x BETWEEN 'a' AND 'z') = id, a boolean comparison) must NOT
+    yield the fabricated conjunct `'z' = id` and prune on 'z'."""
+    from miniodb_spark.gate import (
+        extract_conjunctive_eq, extract_conjunctive_keys,
+    )
+
+    sql = "SELECT * FROM t WHERE x BETWEEN 'a' AND 'z' = id"
+    assert extract_conjunctive_eq(sql, "id") is None
+    assert extract_conjunctive_keys(sql, "id") is None
+    # plain BETWEEN alongside a real id conjunct: still declined
+    # (conservative posture — BETWEEN anywhere in the clause)
+    sql2 = "SELECT * FROM t WHERE v BETWEEN 'a' AND 'z' AND id = 'k1'"
+    assert extract_conjunctive_eq(sql2, "id") is None
+    assert extract_conjunctive_keys(sql2, "id") is None
+    # and the non-BETWEEN path still extracts
+    sql3 = "SELECT * FROM t WHERE v >= 3 AND id = 'k1'"
+    assert extract_conjunctive_eq(sql3, "id") == "k1"

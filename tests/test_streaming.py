@@ -467,3 +467,33 @@ def test_continuous_rollup_touches_only_batch_windows(spark, tmp_path):
     surviving = [p for p in before if os.path.exists(p)]
     assert any(os.path.getmtime(p) == before[p] for p in surviving), (
         "a single-window batch rewrote every rollup partition")
+
+
+def test_continuous_rollup_null_key_accumulates(spark, tmp_path):
+    """ADVICE r11: rollup_id_col maps a NULL key to the '\\N' sentinel,
+    so two batches of NULL-keyed rows share one rollup row id — the
+    merge semi-join must therefore be NULL-SAFE, or the second batch
+    OVERWRITES the first batch's accumulated n/sum/min/max instead of
+    adding to it."""
+    from miniodb_spark.streaming.rollup import read_rollup
+
+    eng, src, schema, mk = _rollup_env(spark, tmp_path)
+    b0 = [mk(0, 5, None, 10), mk(0, 25, None, 20), mk(0, 45, "view", 5)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append") \
+        .parquet(str(src))
+    _run_rollup(spark, eng, src, schema, tmp_path / "ckn")
+
+    # second batch: MORE NULL-keyed rows into the SAME hour-0 window
+    b1 = [mk(0, 50, None, 40)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append") \
+        .parquet(str(src))
+    _run_rollup(spark, eng, src, schema, tmp_path / "ckn")
+
+    got = {
+        r["event_type"]: (r["n"], r["value_sum"], r["value_min"],
+                          r["value_max"])
+        for r in read_rollup(eng, "agg_hourly").collect()
+    }
+    # null bucket accumulated across batches: 3 rows, sum 70, max 40
+    assert got[None] == (3, 70.0, 10.0, 40.0), got
+    assert got["view"] == (1, 5.0, 5.0, 5.0), got

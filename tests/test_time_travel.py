@@ -216,3 +216,37 @@ def test_multi_table_at_version_requires_dict(retaining_engine):
         eng.query(sql, at_version=va)  # bare int + two tables
     out = _json.loads(eng.query(sql, at_version={"ta": va, "tb": vb}))
     assert out == [{"id": "a", "v": 1, "w": 9}]
+
+
+def test_snapshot_membership_immune_to_mtime_skew(retaining_engine):
+    """ADVICE r11: on object-store roots, file mtimes are server-side
+    PUT times — clock skew vs the driver's commit-log ts could silently
+    include post-snapshot files or drop the snapshot's own batch under
+    the old mtime-watermark rule. Commits now record Delta-style
+    add-file entries, so membership is exact even when every data
+    file's mtime is nonsense."""
+    import os
+
+    eng = retaining_engine
+    eng.write("sk", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("sk")
+    v1 = eng.catalog.current_version("sk")
+    eng.write("sk", {"v": 2}, record_id="b", timestamp_us=T0)
+    eng.flush("sk")
+    v2 = eng.catalog.current_version("sk")
+
+    # sabotage every data file's mtime: batch 1 far in the FUTURE
+    # (old rule would still include it — but also anything else),
+    # batch 2 far in the PAST (old rule would wrongly pull b into v1)
+    gdir = eng._gen_dir("sk", 0)
+    for root, _dirs, files in os.walk(gdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(root, fn), (0, 0))  # epoch 1970
+
+    assert set(rows_of(eng.read_snapshot("sk", v1))) == {"a"}
+    assert set(rows_of(eng.read_snapshot("sk", v2))) == {"a", "b"}
+
+    # the add-file index records each batch at its own marker version
+    idx = eng.catalog.added_files_index("sk")
+    assert sorted(set(idx.values())) == [v1, v2]
