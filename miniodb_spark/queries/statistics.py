@@ -3697,3 +3697,510 @@ def dp_noised_counts(spark, sf_dir):
                AS noised_count
       FROM u ORDER BY event_type
     """)
+
+
+@register(
+    "embedding_participation_ratio",
+    """
+    WITH e AS (
+      SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(generate_series(1, len(embedding))) AS d
+      FROM embeddings),
+    p AS (
+      SELECT d, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      FROM e GROUP BY d),
+    v AS (
+      SELECT max(n) AS n_vec, count(*) AS n_dims,
+             sum(s2 / n - (s1 / n) * (s1 / n)) AS tv,
+             sum((s2 / n - (s1 / n) * (s1 / n))
+                 * (s2 / n - (s1 / n) * (s1 / n))) AS tv2,
+             sum((s1 / n) * (s1 / n)) AS mu2,
+             sum(s2 / n) AS msq
+      FROM p)
+    SELECT CAST(n_vec AS BIGINT) AS n_vectors,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           round(tv, 6) AS total_variance,
+           round(tv * tv / tv2, 4) AS participation_ratio,
+           round(mu2 / msq, 6) AS anisotropy
+    FROM v
+    """,
+    doc="Embedding-space geometry audit: the participation ratio "
+        "(sum var)^2 / sum var^2 of per-dimension variances — the "
+        "effective dimensionality of the representation (64 iid dims "
+        "=> ~64; a collapsed space => ~1) — plus the anisotropy score "
+        "||mean||^2 / E||x||^2, the expected random-pair cosine "
+        "(Ethayarajh 2019: contextual embeddings are anisotropic; a "
+        "high value means cosine similarities are dominated by the "
+        "common direction, and centering is needed before ANN). Scale: "
+        "posexplode is map-side and the per-dimension aggregate is "
+        "partially combined to n_dims rows per task — one shuffle of "
+        "n_dims x tasks tiny rows, then a 1-row reduction; no window, "
+        "no join. Variances ride double sums in both engines; round-6/"
+        "round-4 absorb accumulation-order noise.",
+    tags=("llm", "capability"),
+)
+def embedding_participation_ratio(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("d", "x")
+    )
+    p = e.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    var = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2
+    mean2 = (F.col("s1") / F.col("n")) ** 2
+    v = p.agg(
+        F.max("n").alias("n_vec"),
+        F.count("*").alias("n_dims"),
+        F.sum(var).alias("tv"),
+        F.sum(var * var).alias("tv2"),
+        F.sum(mean2).alias("mu2"),
+        F.sum(F.col("s2") / F.col("n")).alias("msq"),
+    )
+    return v.select(
+        F.col("n_vec").cast("bigint").alias("n_vectors"),
+        F.col("n_dims").cast("bigint").alias("n_dims"),
+        F.round("tv", 6).alias("total_variance"),
+        F.round(F.col("tv") * F.col("tv") / F.col("tv2"), 4)
+        .alias("participation_ratio"),
+        F.round(F.col("mu2") / F.col("msq"), 6).alias("anisotropy"),
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 AS half,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(generate_series(1, len(embedding))) AS d
+      FROM embeddings),
+    p AS (
+      SELECT d,
+             sum(CASE WHEN half = 0 THEN x ELSE 0 END)
+               / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ma,
+             sum(CASE WHEN half = 1 THEN x ELSE 0 END)
+               / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS mb
+      FROM e GROUP BY d),
+    s AS (
+      SELECT sum(ma * mb) AS dot, sum(ma * ma) AS na2,
+             sum(mb * mb) AS nb2,
+             sum((ma - mb) * (ma - mb)) AS dist2
+      FROM p),
+    c AS (
+      SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM embeddings)
+    SELECT c.n_a, c.n_b,
+           round(sqrt(s.dist2), 6) AS centroid_l2,
+           round(s.dot / sqrt(s.na2 * s.nb2), 6) AS centroid_cosine
+    FROM s CROSS JOIN c
+    """,
+    doc="Embedding drift gate between two corpus halves (vec_id "
+        "parity stands in for old-vs-new model snapshots): per-"
+        "dimension centroid of each half, then the L2 distance and "
+        "cosine between the two centroids — the cheap first check "
+        "before re-embedding or re-building an ANN index after a "
+        "model update (centroid_cosine ~ 1 and centroid_l2 ~ 0 mean "
+        "the space hasn't shifted; a drop means stored vectors and "
+        "fresh query vectors no longer live in the same space). "
+        "Scale: same map-side posexplode + n_dims-row conditional "
+        "aggregate as embedding_participation_ratio — the halves are "
+        "split by a CASE inside ONE aggregate, not a self-join; "
+        "1-row broadcast cross of the count row.",
+    tags=("llm", "capability"),
+)
+def embedding_centroid_drift(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("d", "x"),
+    )
+    p = e.groupBy("d").agg(
+        (F.sum(F.when(F.col("half") == 0, F.col("x")).otherwise(F.lit(0.0)))
+         / F.sum(F.when(F.col("half") == 0, F.lit(1)).otherwise(F.lit(0))))
+        .alias("ma"),
+        (F.sum(F.when(F.col("half") == 1, F.col("x")).otherwise(F.lit(0.0)))
+         / F.sum(F.when(F.col("half") == 1, F.lit(1)).otherwise(F.lit(0))))
+        .alias("mb"),
+    )
+    s = p.agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+        .alias("dist2"),
+    )
+    c = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    return s.crossJoin(F.broadcast(c)).select(
+        "n_a", "n_b",
+        F.round(F.sqrt("dist2"), 6).alias("centroid_l2"),
+        F.round(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6)
+        .alias("centroid_cosine"),
+    )
+
+
+@register(
+    "padding_waste_by_bucket",
+    """
+    WITH t AS (
+      SELECT CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT n_tok,
+             CASE WHEN n_tok < 32 THEN 0 WHEN n_tok < 64 THEN 32
+                  WHEN n_tok < 128 THEN 64 WHEN n_tok < 256 THEN 128
+                  ELSE 256 END AS bucket_lo
+      FROM t)
+    SELECT bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(*) * max(n_tok) AS BIGINT) AS padded_tokens,
+           round(100.0 * (count(*) * max(n_tok) - sum(n_tok))
+                 / (count(*) * max(n_tok)), 4) AS waste_pct
+    FROM b GROUP BY bucket_lo ORDER BY bucket_lo
+    """,
+    doc="Padding-waste audit for length-bucketed batching: documents "
+        "bucketed by token count (word tokens under the corpus "
+        "tokenization regex) into power-of-two length bins, and per "
+        "bin the fraction of a padded batch that would be PAD tokens "
+        "if every doc is padded to the bin's observed max — the "
+        "number that decides bucket boundaries for training-batch "
+        "packing (complement of sequence_packing: packing removes "
+        "padding, this measures what naive bucketing leaves on the "
+        "table). Exact integer arithmetic end to end except the "
+        "final ratio; one map pass + a 5-group aggregate, no shuffle "
+        "beyond it.",
+    tags=("llm", "capability"),
+)
+def padding_waste_by_bucket(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    ).cast("bigint")
+    b = docs.select(
+        n_tok.alias("n_tok"),
+        F.when(n_tok < 32, 0).when(n_tok < 64, 32).when(n_tok < 128, 64)
+        .when(n_tok < 256, 128).otherwise(256).cast("bigint")
+        .alias("bucket_lo"),
+    )
+    padded = F.count("*") * F.max("n_tok")
+    return (
+        b.groupBy("bucket_lo")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            padded.cast("bigint").alias("padded_tokens"),
+            F.round(
+                100.0 * (padded - F.sum("n_tok")) / padded, 4
+            ).alias("waste_pct"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+@register(
+    "triangle_count_brand_graph",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e AS (
+      SELECT DISTINCT a.b AS b1, c.b AS b2
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM e e1 JOIN e e2 ON e1.b2 = e2.b1
+      JOIN e e3 ON e3.b1 = e1.b1 AND e3.b2 = e2.b2),
+    nodes AS (SELECT count(DISTINCT b) AS n_nodes FROM ob),
+    edges AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_tri AS BIGINT) AS n_triangles,
+           round(2.0 * n_edges / n_nodes, 4) AS avg_degree
+    FROM nodes CROSS JOIN edges CROSS JOIN tri
+    """,
+    doc="Triangle count on the brand co-purchase graph (nodes = part "
+        "brands, edge = two brands in one order): the clustering "
+        "primitive next to pagerank_bipartite_topk — triangles drive "
+        "clustering coefficients and community detection. Every "
+        "triangle (a<b<c) is counted exactly once because both the "
+        "edge table and the two-hop join keep the lexicographic "
+        "orientation. Scale: the per-order pair fan-out is capped by "
+        "distinct brands per order (<= lines per order, ~7), the edge "
+        "table is bounded by the brand-vocabulary square (C(25,2) "
+        "here; vocabulary-bounded at any corpus size), and the "
+        "triangle join runs over that bounded edge table (broadcast), "
+        "never over facts.",
+    tags=("analytics", "graph"),
+)
+def triangle_count_brand_graph(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a, c = ob.alias("a"), ob.alias("c")
+    e = (
+        a.join(c, (F.col("a.o") == F.col("c.o"))
+               & (F.col("a.b") < F.col("c.b")))
+        .select(F.col("a.b").alias("b1"), F.col("c.b").alias("b2"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e1.b2") == F.col("e2.b1"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.b1") == F.col("e1.b1"))
+            & (F.col("e3.b2") == F.col("e2.b2")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    nodes = ob.agg(F.countDistinct("b").alias("n_nodes"))
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.round(2.0 * F.col("n_edges") / F.col("n_nodes"), 4)
+            .alias("avg_degree"),
+        )
+    )
+
+
+@register(
+    "jackknife_ratio_price_per_qty",
+    """
+    WITH g AS (
+      SELECT date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS a,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS b
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(a) AS s1, sum(b) AS s2,
+                 CAST(count(*) AS BIGINT) AS n FROM g),
+    l AS (
+      SELECT (t.s1 - g.a) / (t.s2 - g.b) AS loo, t.s1, t.s2, t.n
+      FROM g CROSS JOIN t),
+    s AS (SELECT avg(loo) AS ml FROM l)
+    SELECT max(l.n) AS n_groups,
+           round(max(l.s1 / l.s2), 6) AS ratio_full,
+           round((max(l.n) - 1) * (avg(l.loo) - max(l.s1 / l.s2)), 6)
+             AS jk_bias,
+           round(sqrt((max(l.n) - 1.0) / max(l.n)
+                      * sum((l.loo - s.ml) * (l.loo - s.ml))), 6) AS jk_se
+    FROM l CROSS JOIN s
+    """,
+    doc="Delete-one-group jackknife for a RATIO estimator (revenue "
+        "per unit = sum price / sum qty): leave-one-shipmonth-out "
+        "replicates give the bias and standard error the classical "
+        "formula can't (a ratio is nonlinear; for a plain mean the "
+        "jackknife collapses to stddev/sqrt(n), which is why the "
+        "entry uses a ratio). Replicates come free from the bounded "
+        "month spine: one exact-decimal grouped aggregate over facts "
+        "(sum order cannot perturb), a 1-row totals broadcast, and "
+        "the ~84-row LOO table — no resampling pass over facts, the "
+        "standard trick for grouped/clustered jackknife at scale.",
+    tags=("statistics",),
+)
+def jackknife_ratio_price_per_qty(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.date_trunc("month", "l_shipdate").alias("m")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("a"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("b"),
+    )
+    t = g.agg(
+        F.sum("a").alias("s1"), F.sum("b").alias("s2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    l = g.crossJoin(F.broadcast(t)).select(
+        ((F.col("s1") - F.col("a")) / (F.col("s2") - F.col("b")))
+        .alias("loo"),
+        "s1", "s2", "n",
+    )
+    s = l.agg(F.avg("loo").alias("ml"))
+    return l.crossJoin(F.broadcast(s)).agg(
+        F.max("n").alias("n_groups"),
+        F.round(F.max(F.col("s1") / F.col("s2")), 6).alias("ratio_full"),
+        F.round(
+            (F.max("n") - 1)
+            * (F.avg("loo") - F.max(F.col("s1") / F.col("s2"))), 6
+        ).alias("jk_bias"),
+        F.round(
+            F.sqrt(
+                (F.max("n") - 1.0) / F.max("n")
+                * F.sum((F.col("loo") - F.col("ml"))
+                        * (F.col("loo") - F.col("ml")))
+            ), 6
+        ).alias("jk_se"),
+    )
+
+
+@register(
+    "regr_funcs_gauntlet",
+    """
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+               AS x,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 1000000.0 AS y
+      FROM orders GROUP BY 1)
+    SELECT CAST(regr_count(y, x) AS BIGINT) AS n_months,
+           round(regr_avgx(y, x), 6) AS avg_x,
+           round(regr_avgy(y, x), 6) AS avg_y,
+           round(regr_sxx(y, x), 4) AS sxx,
+           round(regr_syy(y, x), 4) AS syy,
+           round(regr_sxy(y, x), 4) AS sxy,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM m
+    """,
+    doc="The full ANSI linear-regression aggregate family "
+        "(regr_count/avgx/avgy/sxx/syy/sxy/slope/intercept/r2) over "
+        "monthly revenue vs month index — completing the surface "
+        "price_elasticity_slope samples (slope/intercept/r2 only). "
+        "The regression inputs are made bit-identical across engines "
+        "first (exact DECIMAL month sums cast to double, scaled to "
+        "millions), so the regr_* aggregates see the same ~84 doubles "
+        "and rounding only has to absorb combine-order noise. One "
+        "map-side-combinable aggregate over orders, then a 9-output "
+        "aggregate over the bounded month spine.",
+    tags=("statistics", "sql-surface"),
+)
+def regr_funcs_gauntlet(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .alias("x")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double") / 1000000.0).alias("y")
+    )
+    return m.agg(
+        F.expr("regr_count(y, x)").cast("bigint").alias("n_months"),
+        F.round(F.expr("regr_avgx(y, x)"), 6).alias("avg_x"),
+        F.round(F.expr("regr_avgy(y, x)"), 6).alias("avg_y"),
+        F.round(F.expr("regr_sxx(y, x)"), 4).alias("sxx"),
+        F.round(F.expr("regr_syy(y, x)"), 4).alias("syy"),
+        F.round(F.expr("regr_sxy(y, x)"), 4).alias("sxy"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )
+
+
+@register(
+    "decile_lift_user_spend",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS buyer
+      FROM events GROUP BY user_id),
+    pv AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(buyer) AS BIGINT) AS bs
+      FROM u GROUP BY score),
+    r AS (
+      SELECT score, t, bs,
+             coalesce(sum(t) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cg,
+             sum(t) OVER () AS n
+      FROM pv),
+    d AS (
+      SELECT CAST(least(10, CAST(floor(10.0 * cg / n) AS BIGINT) + 1)
+                  AS BIGINT) AS decile,
+             t, bs FROM r),
+    o AS (SELECT sum(bs) * 1.0 / sum(t) AS orate FROM pv)
+    SELECT decile,
+           CAST(sum(t) AS BIGINT) AS n_users,
+           CAST(sum(bs) AS BIGINT) AS buyers,
+           round(sum(bs) * 1.0 / sum(t), 6) AS buy_rate,
+           round((sum(bs) * 1.0 / sum(t)) / max(o.orate), 6) AS lift
+    FROM d CROSS JOIN o GROUP BY decile ORDER BY decile
+    """,
+    doc="Decile lift / gains table: users ranked by total event value "
+        "(exact DECIMAL sums, so the ranking key is bit-identical "
+        "across engines), cut into value-boundary deciles from the "
+        "top, and per decile the purchase rate and its lift over the "
+        "base rate — the campaign-targeting readout next to "
+        "roc_auc_rank_eval (AUC summarizes the ranking; the lift "
+        "table says what acting on the top k/10 buys). Deciles ride "
+        "the distributed midrank backbone (operators/ranks.py) over "
+        "the per-value count table: a value group's decile is "
+        "floor(10 * rows_above / n) via exact integers from the "
+        "cumulative brackets — NO global ntile/row_number window "
+        "(ties share one decile, so bucket sizes flex around n/10; "
+        "value-boundary semantics, deterministic in both engines).",
+    tags=("analytics", "capability"),
+)
+def decile_lift_user_spend(spark, sf_dir):
+    from miniodb_spark.operators.ranks import doubled_midranks
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)"))
+        .cast("double").alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("buyer"),
+    )
+    pv = u.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("buyer").cast("bigint").alias("bs"),
+    )
+    mr = doubled_midranks(pv, "score")
+    tot = pv.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        (F.sum("bs") * 1.0 / F.sum("t")).alias("orate"),
+    )
+    j = mr.crossJoin(F.broadcast(tot))
+    cum_less = ((F.col("mr2") - F.col("t") - 1) / 2).cast("bigint")
+    cg = F.col("n") - (cum_less + F.col("t"))  # rows strictly above
+    d = j.select(
+        F.least(
+            F.lit(10),
+            F.floor(F.lit(10.0) * cg / F.col("n")) + 1,
+        ).cast("bigint").alias("decile"),
+        "t", "bs", "orate",
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.sum("t").cast("bigint").alias("n_users"),
+            F.sum("bs").cast("bigint").alias("buyers"),
+            F.round(F.sum("bs") * 1.0 / F.sum("t"), 6).alias("buy_rate"),
+            F.round(
+                (F.sum("bs") * 1.0 / F.sum("t")) / F.max("orate"), 6
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

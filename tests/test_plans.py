@@ -1451,3 +1451,38 @@ def test_funnel_latency_has_no_unpartitioned_window(
     assert "Window" in plan, plan[:2000]  # the bucketed prefix sum
     bad = plans.unpartitioned_windows(df)
     assert not bad, bad
+
+
+def test_embedding_geometry_audits_are_joinless_aggregates(
+    spark, sf_dir, registry
+):
+    """participation ratio / centroid drift must be map-side posexplode
+    + per-dimension aggregate — no window, no sort-merge join (the only
+    join is the 1-row stats broadcast cross)."""
+    for name in ("embedding_participation_ratio",
+                 "embedding_centroid_drift"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = plans.simple_plan(df)
+        assert "Window" not in plan, (name, plan[:2000])
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+
+
+def test_triangle_closure_joins_are_broadcast(spark, sf_dir, registry):
+    """The triangle two-hop closure runs over the vocabulary-bounded
+    edge table via broadcast hash joins — never a shuffle join of the
+    edge table against itself, and no cartesian anywhere."""
+    df = registry["triangle_count_brand_graph"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_decile_lift_has_no_unpartitioned_window(spark, sf_dir, registry):
+    """Deciles come from the midrank backbone's cumulative brackets —
+    no global ntile/row_number window over the user-cardinality score
+    table."""
+    df = registry["decile_lift_user_spend"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:2000]  # the bucketed prefix sum
+    assert not plans.unpartitioned_windows(df), plans.unpartitioned_windows(df)
