@@ -4204,3 +4204,367 @@ def decile_lift_user_spend(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "time_weighted_user_value",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value,
+             least(coalesce(
+               date_diff('second', ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)), 0), 1800) AS w
+      FROM events)
+    SELECT event_type,
+           CAST(count(CASE WHEN w > 0 THEN 1 END) AS BIGINT)
+             AS n_intervals,
+           CAST(sum(w) AS BIGINT) AS total_weight_s,
+           round(sum(value * w) / sum(w), 6) AS tw_mean,
+           round(avg(value), 6) AS plain_mean
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-weighted mean event value per type: each event's value "
+        "holds until the user's next event (capped at the 30-min "
+        "session horizon, same constant as sessionize_30min), so "
+        "values that stayed current longer weigh more — the TWAP-"
+        "style correction for irregular sampling that a plain avg "
+        "gets wrong (both reported side by side). Weights are exact "
+        "integer seconds from a USER-partitioned lead (the "
+        "interarrival_gap_stats shape — never a global sequence "
+        "window); one grouped aggregate after it. date_diff and "
+        "unix_timestamp truncate identically; the weighted mean's "
+        "float ratio rounds at 6.",
+    tags=("analytics",),
+)
+def time_weighted_user_value(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w_next = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", "value",
+        F.least(
+            F.coalesce(
+                F.unix_timestamp(F.lead("ts").over(w_next))
+                - F.unix_timestamp("ts"),
+                F.lit(0),
+            ),
+            F.lit(1800),
+        ).alias("w"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("w") > 0, 1)).cast("bigint")
+            .alias("n_intervals"),
+            F.sum("w").cast("bigint").alias("total_weight_s"),
+            F.round(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6)
+            .alias("tw_mean"),
+            F.round(F.avg("value"), 6).alias("plain_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "growth_accounting_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    cl AS (
+      SELECT d,
+             CASE WHEN lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                    IS NULL THEN 'new'
+                  WHEN lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                    = d - INTERVAL 1 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM ud),
+    day AS (
+      SELECT d,
+             CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resurrected
+      FROM cl GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS day, dau, new_users, retained,
+           resurrected,
+           CAST(coalesce(lag(dau) OVER (ORDER BY d), 0) - retained
+                AS BIGINT) AS churned
+    FROM day ORDER BY day
+    """,
+    doc="Daily growth accounting (the Social-Capital MAU framework at "
+        "day grain): every active user-day is exactly one of new / "
+        "retained (active yesterday) / resurrected (active before, "
+        "gap > 1 day), and churned(d) = DAU(d-1) - retained(d) closes "
+        "the identity DAU(d) = DAU(d-1) + new + resurrected - churned. "
+        "Classification is a USER-partitioned lag over distinct "
+        "user-days; the only date-ordered window runs on the bounded "
+        "day spine (calendar-bounded, the kaplan_meier day-table "
+        "pattern). Exact integers end to end; dates stringified for "
+        "the comparator.",
+    tags=("analytics",),
+)
+def growth_accounting_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w_u = W.partitionBy("user_id").orderBy("d")
+    cl = ud.select(
+        "d",
+        F.when(F.lag("d").over(w_u).isNull(), "new")
+        .when(F.lag("d").over(w_u) == F.date_sub(F.col("d"), 1),
+              "retained")
+        .otherwise("resurrected").alias("kind"),
+    )
+    day = cl.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("dau"),
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("bigint").alias("new_users"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("bigint").alias("retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("bigint").alias("resurrected"),
+    )
+    w_d = W.orderBy("d")  # bounded day spine (calendar, not data)
+    return day.select(
+        F.col("d").cast("string").alias("day"),
+        "dau", "new_users", "retained", "resurrected",
+        (F.coalesce(F.lag("dau").over(w_d), F.lit(0)) - F.col("retained"))
+        .cast("bigint").alias("churned"),
+    ).orderBy("day")
+
+
+@register(
+    "simpson_diversity_sources",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    sh AS (
+      SELECT lang, n,
+             n * 1.0 / sum(n) OVER (PARTITION BY lang) AS p
+      FROM c),
+    l AS (
+      SELECT lang, sum(n) AS tot, count(*) AS k,
+             sum(p * p) AS simpson
+      FROM sh GROUP BY lang)
+    SELECT lang, CAST(tot AS BIGINT) AS n_docs,
+           CAST(k AS BIGINT) AS k_sources,
+           round(simpson, 6) AS simpson_index,
+           round(1.0 / simpson, 6) AS effective_sources
+    FROM l ORDER BY lang
+    """,
+    doc="Simpson diversity of the source mix per language: sum p_i^2 "
+        "over source shares and its inverse — the 'effective number "
+        "of sources' (k iff perfectly balanced), the concentration "
+        "companion to the entropy-based mixing entries and the same "
+        "index HHI uses for revenue (hhi_revenue_concentration). A "
+        "skewed source mix inside one language is a training-data "
+        "bias the per-source counts alone hide. One grouped count "
+        "collapses facts to the (lang, source) table; shares via a "
+        "lang-partitioned window over that tiny table.",
+    tags=("llm", "analytics"),
+)
+def simpson_diversity_sources(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n"))
+    w_l = W.partitionBy("lang")
+    p = F.col("n") * 1.0 / F.sum("n").over(w_l)
+    l = c.select("lang", "n", (p * p).alias("p2")).groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("k_sources"),
+        F.sum("p2").alias("simpson"),
+    )
+    return l.select(
+        "lang", "n_docs", "k_sources",
+        F.round("simpson", 6).alias("simpson_index"),
+        F.round(1.0 / F.col("simpson"), 6).alias("effective_sources"),
+    ).orderBy("lang")
+
+
+@register(
+    "filter_waterfall_card",
+    """
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT CAST(len(ws) AS BIGINT) AS n_tok,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ws, x -> len(x))) * 1.0
+                       / len(ws) END AS mwl
+      FROM w),
+    f AS (
+      SELECT count(*) AS s0,
+             sum(CASE WHEN n_tok >= 30 THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN n_tok >= 30 AND n_tok <= 10000
+                      THEN 1 ELSE 0 END) AS s2,
+             sum(CASE WHEN n_tok >= 30 AND n_tok <= 10000
+                      AND mwl >= 3.0 AND mwl <= 10.0
+                      THEN 1 ELSE 0 END) AS s3
+      FROM g)
+    SELECT u.stage, u.label,
+           CAST(u.surviving AS BIGINT) AS surviving,
+           CAST(u.prev - u.surviving AS BIGINT) AS dropped_here,
+           round(u.surviving * 100.0 / u.corpus, 4) AS pct_of_corpus
+    FROM (
+      SELECT 0 AS stage, 'corpus' AS label, s0 AS surviving,
+             s0 AS prev, s0 AS corpus FROM f
+      UNION ALL SELECT 1, 'min_length_30', s1, s0, s0 FROM f
+      UNION ALL SELECT 2, 'max_length_10k', s2, s1, s0 FROM f
+      UNION ALL SELECT 3, 'mean_word_len_3_10', s3, s2, s0 FROM f
+    ) u ORDER BY u.stage
+    """,
+    doc="Filter-waterfall card: how many documents survive each "
+        "successive quality gate (min length -> max length -> mean-"
+        "word-length plausibility band, the Gopher rules C4/Gopher "
+        "apply in sequence) and where the corpus is lost — the "
+        "one-page readout every cleaning pipeline publishes before "
+        "training (complement of gopher_quality_filter, which scores "
+        "docs; this accounts the CUMULATIVE drop per rule). One map "
+        "pass computes all gate signals, ONE 1-row conditional "
+        "aggregate holds every stage, and the 4-stage card is an "
+        "inline union over that row — facts are read once.",
+    tags=("llm", "capability"),
+)
+def filter_waterfall_card(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    n_tok = F.size(ws).cast("bigint")
+    mwl = F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)) * 1.0 / F.size(ws)
+    )
+    g = docs.select(n_tok.alias("n_tok"), mwl.alias("mwl"))
+    pass1 = F.col("n_tok") >= 30
+    pass2 = pass1 & (F.col("n_tok") <= 10000)
+    pass3 = pass2 & (F.col("mwl") >= 3.0) & (F.col("mwl") <= 10.0)
+    f = g.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.when(pass1, 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(pass2, 1).otherwise(0)).alias("s2"),
+        F.sum(F.when(pass3, 1).otherwise(0)).alias("s3"),
+    )
+    stages = f.selectExpr(
+        "stack(4, "
+        "0L, 'corpus', s0, s0, "
+        "1L, 'min_length_30', s1, s0, "
+        "2L, 'max_length_10k', s2, s1, "
+        "3L, 'mean_word_len_3_10', s3, s2) "
+        "AS (stage, label, surviving, prev)",
+        "s0 AS corpus",
+    )
+    return stages.select(
+        "stage", "label",
+        F.col("surviving").cast("bigint").alias("surviving"),
+        (F.col("prev") - F.col("surviving")).cast("bigint")
+        .alias("dropped_here"),
+        F.round(F.col("surviving") * 100.0 / F.col("corpus"), 4)
+        .alias("pct_of_corpus"),
+    ).orderBy("stage")
+
+
+@register(
+    "pivot_multi_agg_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT) AS f_n,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE) / 1000000.0, 4) AS f_rev_m,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                AS BIGINT) AS o_n,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE) / 1000000.0, 4) AS o_rev_m,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                AS BIGINT) AS p_n,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE) / 1000000.0, 4) AS p_rev_m
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Multi-measure pivot: order COUNT and revenue (exact decimal "
+        "sums, scaled to millions) side by side per pivoted status "
+        "column — pivot_status_by_priority pivots one measure; real "
+        "dashboards want several, and Spark's pivot().agg(m1, m2) "
+        "names columns <value>_<alias>, which this entry normalizes "
+        "to a stable schema. Explicit pivot VALUES ('F','O','P') keep "
+        "the plan a single aggregate (no distinct-values pre-pass); "
+        "one shuffle, map-side combined.",
+    tags=("sql-surface",),
+)
+def pivot_multi_agg_status(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double") / 1000000.0, 4
+            ).alias("rev_m"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").cast("bigint").alias("f_n"),
+        F.col("F_rev_m").alias("f_rev_m"),
+        F.col("O_n").cast("bigint").alias("o_n"),
+        F.col("O_rev_m").alias("o_rev_m"),
+        F.col("P_n").cast("bigint").alias("p_n"),
+        F.col("P_rev_m").alias("p_rev_m"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "window_nth_value_events",
+    """
+    SELECT DISTINCT user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events,
+           round(nth_value(value, 3) OVER w, 6) AS third_value,
+           round(first_value(value) OVER w, 6) AS first_val,
+           round(last_value(value) OVER w, 6) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    doc="nth_value window function (the last ranking-family member "
+        "the registry lacked) next to first/last over the SAME named "
+        "full-partition frame: per user, the 3rd event's value in "
+        "(ts, event_id) total order — NULL for users with fewer than "
+        "3 events, which pins the no-default-frame trap (the default "
+        "RANGE frame would make nth_value grow with the current row; "
+        "the explicit unbounded frame makes it a per-user constant, "
+        "so DISTINCT collapses to one row per user). User-partitioned "
+        "window, never global.",
+    tags=("sql-surface",),
+)
+def window_nth_value_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("n_events"),
+            F.round(F.nth_value("value", 3).over(w), 6)
+            .alias("third_value"),
+            F.round(F.first("value").over(w), 6).alias("first_val"),
+            F.round(F.last("value").over(w), 6).alias("last_val"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

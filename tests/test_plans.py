@@ -1486,3 +1486,41 @@ def test_decile_lift_has_no_unpartitioned_window(spark, sf_dir, registry):
     plan = plans.simple_plan(df)
     assert "Window" in plan, plan[:2000]  # the bucketed prefix sum
     assert not plans.unpartitioned_windows(df), plans.unpartitioned_windows(df)
+
+
+def test_time_weighted_value_window_is_user_partitioned(
+    spark, sf_dir, registry
+):
+    """The hold-until-next-event weights come from a USER-partitioned
+    lead — never a global event-sequence window."""
+    df = registry["time_weighted_user_value"].fn(spark, sf_dir)
+    assert "Window" in plans.simple_plan(df)
+    assert not plans.unpartitioned_windows(df)
+
+
+def test_filter_waterfall_is_one_joinless_aggregate(
+    spark, sf_dir, registry
+):
+    """All four gate counters come from ONE conditional aggregate over
+    one scan — no join, no window, no second pass over documents."""
+    df = registry["filter_waterfall_card"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                "CartesianProduct"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def test_pivot_multi_agg_is_single_aggregate_no_distinct_pass(
+    spark, sf_dir, registry
+):
+    """Explicit pivot VALUES keep the plan join-free with no
+    distinct-values collect pre-pass: a (priority, status) aggregate,
+    the pivotfirst aggregate on priority, and the ORDER BY's range
+    exchange — three bounded shuffles, none data-joined."""
+    df = registry["pivot_multi_agg_status"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                "CartesianProduct"):
+        assert bad not in plan, (bad, plan[:2000])
+    assert "pivotfirst" in plan, plan[:2000]
+    assert plans.num_shuffles(df) <= 3, plans.num_shuffles(df)
