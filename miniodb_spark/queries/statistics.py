@@ -4568,3 +4568,318 @@ def window_nth_value_events(spark, sf_dir):
         .distinct()
         .orderBy("user_id")
     )
+
+
+@register(
+    "tokenizer_oov_rate",
+    """
+    WITH tr AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents WHERE doc_id % 2 = 0),
+    te AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents WHERE doc_id % 2 = 1),
+    v AS (
+      SELECT w FROM (SELECT w, count(*) AS n FROM tr GROUP BY w)
+      ORDER BY n DESC, w LIMIT 1000),
+    tec AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM te GROUP BY w),
+    j AS (
+      SELECT tec.n, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tec LEFT JOIN v ON tec.w = v.w),
+    trn AS (SELECT CAST(count(*) AS BIGINT) AS train_tokens FROM tr)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS vocab_size,
+           max(trn.train_tokens) AS train_tokens,
+           CAST(sum(j.n) AS BIGINT) AS test_tokens,
+           CAST(sum(CASE WHEN j.oov = 1 THEN j.n ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(sum(CASE WHEN j.oov = 1 THEN j.n ELSE 0 END) * 1.0
+                 / sum(j.n), 6) AS oov_token_rate,
+           CAST(sum(j.oov) AS BIGINT) AS oov_types,
+           round(sum(j.oov) * 1.0 / count(*), 6) AS oov_type_rate
+    FROM j CROSS JOIN trn
+    """,
+    doc="Out-of-vocabulary rate of a word tokenizer: vocabulary = top-"
+        "1000 words of the train half (doc parity split; (count, word) "
+        "total order so both engines pick identical vocabularies), "
+        "scored on the held-out half at token AND type granularity — "
+        "the number that says what a fixed word vocab misses and why "
+        "subword tokenizers (bpe_train_merges) exist; companion to "
+        "vocab_coverage_curve (in-corpus coverage) and "
+        "tokenizer_fertility_audit (subword cost). Scale: the vocab "
+        "shortlist is TakeOrderedAndProject over the train word "
+        "counts; the OOV join probes the 1000-row broadcast vocab "
+        "from the per-word test counts — facts shuffle once per half "
+        "for their word counts, nothing else.",
+    tags=("llm", "capability"),
+)
+def tokenizer_oov_rate(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = lambda df: df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda x: x != "")
+        ).alias("w")
+    )
+    tr = words(docs.filter(F.col("doc_id") % 2 == 0))
+    te = words(docs.filter(F.col("doc_id") % 2 == 1))
+    v = (
+        tr.groupBy("w").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w").limit(1000)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    tec = te.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    j = tec.join(F.broadcast(v), "w", "left").select(
+        "n", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov")
+    )
+    vs = v.agg(F.count("*").cast("bigint").alias("vocab_size"))
+    trn = tr.agg(F.count("*").cast("bigint").alias("train_tokens"))
+    oov_n = F.sum(F.when(F.col("oov") == 1, F.col("n")).otherwise(0))
+    return (
+        j.crossJoin(F.broadcast(vs)).crossJoin(F.broadcast(trn))
+        .agg(
+            F.max("vocab_size").alias("vocab_size"),
+            F.max("train_tokens").alias("train_tokens"),
+            F.sum("n").cast("bigint").alias("test_tokens"),
+            oov_n.cast("bigint").alias("oov_tokens"),
+            F.round(oov_n * 1.0 / F.sum("n"), 6).alias("oov_token_rate"),
+            F.sum("oov").cast("bigint").alias("oov_types"),
+            F.round(F.sum("oov") * 1.0 / F.count("*"), 6)
+            .alias("oov_type_rate"),
+        )
+    )
+
+
+@register(
+    "hashed_feature_collision_rate",
+    """
+    WITH w AS (
+      SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents),
+    b AS (
+      SELECT CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 4096
+               AS bucket
+      FROM w),
+    l AS (SELECT bucket, CAST(count(*) AS BIGINT) AS load FROM b
+          GROUP BY bucket)
+    SELECT CAST(sum(load) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(4096 AS BIGINT) AS n_buckets,
+           round(1.0 - count(*) * 1.0 / sum(load), 6)
+             AS collision_rate,
+           CAST(max(load) AS BIGINT) AS max_bucket_load,
+           round(sum(load) * 1.0 / count(*), 4) AS mean_used_load
+    FROM l
+    """,
+    doc="Feature-hashing (hashing-trick) collision audit: the corpus "
+        "vocabulary hashed into 4096 buckets via the first 32 md5 "
+        "bits (md5 so both engines bucket identically — Spark "
+        "xxhash64 and DuckDB hash() disagree), reporting the realized "
+        "collision rate and worst bucket load — the check run before "
+        "shipping a hashed bag-of-words featurizer, since collisions "
+        "silently merge features. Distinct-word table is vocabulary-"
+        "bounded; bucketing is a map-side expression; one 4096-group "
+        "aggregate.",
+    tags=("llm", "capability"),
+)
+def hashed_feature_collision_rate(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda x: x != "")
+        ).alias("w")
+    ).distinct()
+    b = w.select(
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+         % 4096).alias("bucket")
+    )
+    l = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("load"))
+    return l.agg(
+        F.sum("load").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("buckets_used"),
+        F.lit(4096).cast("bigint").alias("n_buckets"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("load"), 6)
+        .alias("collision_rate"),
+        F.max("load").cast("bigint").alias("max_bucket_load"),
+        F.round(F.sum("load") * 1.0 / F.count("*"), 4)
+        .alias("mean_used_load"),
+    )
+
+
+@register(
+    "nonascii_fraction_by_lang",
+    """
+    WITH d AS (
+      SELECT lang,
+             octet_length(encode(text)) AS bytes,
+             length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+               AS ascii_chars
+      FROM documents WHERE text IS NOT NULL AND text <> '')
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(1.0 - ascii_chars * 1.0 / bytes), 6)
+             AS avg_nonascii_byte_frac,
+           round(max(1.0 - ascii_chars * 1.0 / bytes), 6)
+             AS max_nonascii_byte_frac,
+           CAST(count(CASE WHEN ascii_chars * 2 < bytes THEN 1 END)
+                AS BIGINT) AS n_majority_nonascii
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc="Non-ASCII byte fraction per declared language: UTF-8 bytes "
+        "minus ASCII characters (an ASCII char is exactly one byte, "
+        "so the fraction needs no codepoint-width agreement between "
+        "engines — Spark length() counts UTF-16 units, DuckDB "
+        "codepoints, but both count ASCII identically and "
+        "octet_length is bytes in both). The sanity check behind "
+        "lang_id_heuristic: a 'zh' corpus that is 95% ASCII bytes is "
+        "mislabeled or transliterated, and an 'en' doc that is "
+        "majority non-ASCII is mojibake — both poison training mixes "
+        "silently. One map pass, one lang-grouped aggregate.",
+    tags=("llm", "capability"),
+)
+def nonascii_fraction_by_lang(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select(
+        "lang",
+        F.octet_length("text").alias("bytes"),
+        F.length(F.regexp_replace("text", "[^\\x00-\\x7F]", ""))
+        .alias("ascii_chars"),
+    )
+    frac = 1.0 - F.col("ascii_chars") * 1.0 / F.col("bytes")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg(frac), 6).alias("avg_nonascii_byte_frac"),
+            F.round(F.max(frac), 6).alias("max_nonascii_byte_frac"),
+            F.count(F.when(F.col("ascii_chars") * 2 < F.col("bytes"), 1))
+            .cast("bigint").alias("n_majority_nonascii"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "chow_test_break",
+    """
+    WITH day AS (
+      SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 1000000.0 AS y,
+             CASE WHEN o_orderdate < DATE '1995-07-01'
+                  THEN 0 ELSE 1 END AS seg
+      FROM orders GROUP BY o_orderdate),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             sum(x * 1.0) AS sx, sum(y) AS sy,
+             sum(x * 1.0 * x) AS sxx, sum(x * y) AS sxy,
+             sum(y * y) AS syy,
+             sum(CASE WHEN seg = 0 THEN x * 1.0 ELSE 0 END) AS sx1,
+             sum(CASE WHEN seg = 0 THEN y ELSE 0 END) AS sy1,
+             sum(CASE WHEN seg = 0 THEN x * 1.0 * x ELSE 0 END) AS sxx1,
+             sum(CASE WHEN seg = 0 THEN x * y ELSE 0 END) AS sxy1,
+             sum(CASE WHEN seg = 0 THEN y * y ELSE 0 END) AS syy1,
+             sum(CASE WHEN seg = 1 THEN x * 1.0 ELSE 0 END) AS sx2,
+             sum(CASE WHEN seg = 1 THEN y ELSE 0 END) AS sy2,
+             sum(CASE WHEN seg = 1 THEN x * 1.0 * x ELSE 0 END) AS sxx2,
+             sum(CASE WHEN seg = 1 THEN x * y ELSE 0 END) AS sxy2,
+             sum(CASE WHEN seg = 1 THEN y * y ELSE 0 END) AS syy2
+      FROM day),
+    r AS (
+      SELECT n, n1, n2,
+             (syy - sy * sy / n)
+               - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / (sxx - sx * sx / n) AS ssr_p,
+             (syy1 - sy1 * sy1 / n1)
+               - (sxy1 - sx1 * sy1 / n1) * (sxy1 - sx1 * sy1 / n1)
+                 / (sxx1 - sx1 * sx1 / n1) AS ssr_1,
+             (syy2 - sy2 * sy2 / n2)
+               - (sxy2 - sx2 * sy2 / n2) * (sxy2 - sx2 * sy2 / n2)
+                 / (sxx2 - sx2 * sx2 / n2) AS ssr_2
+      FROM s)
+    SELECT n AS n_days, n1 AS n_pre, n2 AS n_post,
+           round(ssr_p, 4) AS ssr_pooled,
+           round(ssr_1 + ssr_2, 4) AS ssr_split,
+           round(((ssr_p - ssr_1 - ssr_2) / 2)
+                 / ((ssr_1 + ssr_2) / (n - 4)), 4) AS chow_f
+    FROM r
+    """,
+    doc="Chow test for a structural break in the daily-revenue trend "
+        "at 1995-07-01: fit y = a + b*x pooled and per segment, "
+        "F = ((SSR_p - SSR_1 - SSR_2)/k) / ((SSR_1 + SSR_2)/(n - 2k)) "
+        "with k = 2 — the regression-based complement of "
+        "cusum_changepoint (CUSUM locates a level shift; Chow tests a "
+        "chosen break in slope AND level). All three fits come from "
+        "ONE conditional aggregate of raw power sums over the bounded "
+        "day spine (segment sums via CASE, pooled = their totals); "
+        "daily y is an exact-decimal sum scaled to millions, so both "
+        "engines regress identical inputs. Facts are read once.",
+    tags=("statistics",),
+)
+def chow_test_break(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    day = o.groupBy("o_orderdate").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double") / 1000000.0).alias("y")
+    ).select(
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("double").alias("x"),
+        "y",
+        F.when(F.col("o_orderdate") < F.lit("1995-07-01").cast("date"), 0)
+        .otherwise(1).alias("seg"),
+    )
+    def seg_sums(i):
+        c = F.col("seg") == i
+        return [
+            F.sum(F.when(c, F.col("x")).otherwise(0.0)).alias(f"sx{i+1}"),
+            F.sum(F.when(c, F.col("y")).otherwise(0.0)).alias(f"sy{i+1}"),
+            F.sum(F.when(c, F.col("x") * F.col("x")).otherwise(0.0))
+            .alias(f"sxx{i+1}"),
+            F.sum(F.when(c, F.col("x") * F.col("y")).otherwise(0.0))
+            .alias(f"sxy{i+1}"),
+            F.sum(F.when(c, F.col("y") * F.col("y")).otherwise(0.0))
+            .alias(f"syy{i+1}"),
+        ]
+    s = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("seg") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n2"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        *seg_sums(0), *seg_sums(1),
+    )
+    def ssr(sx, sy, sxx, sxy, syy, n):
+        Sxx = F.col(sxx) - F.col(sx) * F.col(sx) / F.col(n)
+        Sxy = F.col(sxy) - F.col(sx) * F.col(sy) / F.col(n)
+        Syy = F.col(syy) - F.col(sy) * F.col(sy) / F.col(n)
+        return Syy - Sxy * Sxy / Sxx
+    r = s.select(
+        "n", "n1", "n2",
+        ssr("sx", "sy", "sxx", "sxy", "syy", "n").alias("ssr_p"),
+        ssr("sx1", "sy1", "sxx1", "sxy1", "syy1", "n1").alias("ssr_1"),
+        ssr("sx2", "sy2", "sxx2", "sxy2", "syy2", "n2").alias("ssr_2"),
+    )
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        F.round("ssr_p", 4).alias("ssr_pooled"),
+        F.round(F.col("ssr_1") + F.col("ssr_2"), 4).alias("ssr_split"),
+        F.round(
+            ((F.col("ssr_p") - F.col("ssr_1") - F.col("ssr_2")) / 2)
+            / ((F.col("ssr_1") + F.col("ssr_2")) / (F.col("n") - 4)), 4
+        ).alias("chow_f"),
+    )

@@ -1524,3 +1524,25 @@ def test_pivot_multi_agg_is_single_aggregate_no_distinct_pass(
         assert bad not in plan, (bad, plan[:2000])
     assert "pivotfirst" in plan, plan[:2000]
     assert plans.num_shuffles(df) <= 3, plans.num_shuffles(df)
+
+
+def test_oov_vocab_shortlist_is_take_ordered(spark, sf_dir, registry):
+    """The OOV vocabulary must be a TakeOrderedAndProject top-1000 over
+    train word counts (broadcast-probed by the test side) — never a
+    global sort of the vocabulary."""
+    df = registry["tokenizer_oov_rate"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plans.has_take_ordered(df), plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_chow_test_is_one_conditional_aggregate(spark, sf_dir, registry):
+    """All three regression fits come from ONE conditional aggregate of
+    raw power sums over the day table — no join, no window, one fact
+    pass."""
+    df = registry["chow_test_break"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                "CartesianProduct"):
+        assert bad not in plan, (bad, plan[:2000])
