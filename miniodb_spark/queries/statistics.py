@@ -4883,3 +4883,195 @@ def chow_test_break(spark, sf_dir):
             / ((F.col("ssr_1") + F.col("ssr_2")) / (F.col("n") - 4)), 4
         ).alias("chow_f"),
     )
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+           round(p.value, 6) AS next_purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+    doc="FORWARD as-of join: each click matched to the user's NEXT "
+        "purchase at-or-after it — the mirror of asof_join_events "
+        "(backward) and the second direction pandas merge_asof ships; "
+        "attribution pipelines need both (touch -> next conversion "
+        "here, conversion -> last touch there). DuckDB expresses it "
+        "natively (ASOF LEFT JOIN with ts <= ts); Spark has no asof "
+        "operator, so the plan is the union trick reversed: tag both "
+        "streams, one USER-partitioned window ordered by (ts DESC) "
+        "takes last(purchase value, ignorenulls) over the following "
+        "side — one shuffle, no UDF, no range self-join. Ties (click "
+        "and purchase at the same ts) match, per the <= contract.",
+    tags=("sql-surface", "capability"),
+)
+def asof_join_forward(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(1).alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("pval"),
+        F.lit(0).alias("is_click"),
+    )
+    u = clicks.unionByName(purchases)
+    # ordered by (ts, is_click): at equal ts the purchase row (0) sorts
+    # BEFORE the click row (1), so a same-ts purchase is visible to the
+    # click's following-window — the <= tie contract. first(ignorenulls)
+    # over the frame starting at the current row finds the next value.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        u.withColumn(
+            "next_purchase_value",
+            F.first("pval", ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id", "user_id",
+            F.round("next_purchase_value", 6).alias("next_purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "split_leakage_exact",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END
+               AS split
+      FROM documents),
+    h AS (
+      SELECT h,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te
+      FROM d GROUP BY h),
+    t AS (
+      SELECT CAST(sum(n_tr) AS BIGINT) AS train_docs,
+             CAST(sum(n_te) AS BIGINT) AS test_docs,
+             CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_te
+                           ELSE 0 END) AS BIGINT) AS leaked_test_docs,
+             CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1
+                           ELSE 0 END) AS BIGINT) AS leaked_groups
+      FROM h)
+    SELECT train_docs, test_docs, leaked_test_docs, leaked_groups,
+           round(leaked_test_docs * 1.0 / test_docs, 6) AS leakage_rate
+    FROM t
+    """,
+    doc="Train/test split leakage (exact): test documents whose "
+        "verbatim text (md5) also appears in the train half of the "
+        "parity split — the eval-hygiene number benchmark papers "
+        "report before trusting held-out metrics (verbatim leakage "
+        "inflates them; benchmark_contamination covers the fuzzier "
+        "n-gram case against an external probe set, this is the "
+        "in-corpus exact case). One groupBy on the 16-byte md5 "
+        "fingerprint with split-conditional counts — the "
+        "dedup_exact_groups shuffle shape, text bytes never shuffle.",
+    tags=("llm", "capability"),
+)
+def split_leakage_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        F.md5("text").alias("h"),
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test")
+        .alias("split"),
+    )
+    h = d.groupBy("h").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .alias("n_tr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .alias("n_te"),
+    )
+    leak = F.col("n_tr") > 0
+    both = leak & (F.col("n_te") > 0)
+    t = h.agg(
+        F.sum("n_tr").cast("bigint").alias("train_docs"),
+        F.sum("n_te").cast("bigint").alias("test_docs"),
+        F.sum(F.when(both, F.col("n_te")).otherwise(0)).cast("bigint")
+        .alias("leaked_test_docs"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint")
+        .alias("leaked_groups"),
+    )
+    return t.select(
+        "train_docs", "test_docs", "leaked_test_docs", "leaked_groups",
+        F.round(F.col("leaked_test_docs") * 1.0 / F.col("test_docs"), 6)
+        .alias("leakage_rate"),
+    )
+
+
+@register(
+    "near_dup_threshold_sensitivity",
+    """
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS w
+      FROM documents WHERE doc_id < 200),
+    dfq AS (SELECT w, count(*) AS c FROM toks0 GROUP BY w),
+    toks AS (SELECT t.doc_id, t.w FROM toks0 t JOIN dfq USING (w)
+             WHERE c <= 60),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jac
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT t.thr,
+           CAST(count(CASE WHEN j.jac >= t.thr THEN 1 END) AS BIGINT)
+             AS n_pairs
+    FROM j CROSS JOIN (
+      SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS thr) t
+    GROUP BY t.thr ORDER BY t.thr
+    """,
+    doc="Dedup threshold sensitivity: how many near-dup pairs survive "
+        "at Jaccard >= 0.3/0.5/0.7/0.9 — the curve that picks the "
+        "production threshold (too low merges distinct docs, too high "
+        "ships duplicates; the knee is the operating point). Same "
+        "capped inverted-index pair pipeline as "
+        "dedup_token_jaccard_capped (doc-freq guard 60, fixture-cap "
+        "200 docs mirrored in the oracle); each pair's Jaccard is one "
+        "exact integer division, so band membership is identical "
+        "across engines; the 4-threshold sweep is a broadcast cross "
+        "over the bounded pair table, not four re-runs.",
+    tags=("llm", "capability"),
+)
+def near_dup_threshold_sensitivity(spark, sf_dir):
+    from miniodb_spark.operators.dedup import token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    pairs = token_jaccard_pairs(docs, threshold=0.3, max_doc_freq=60)
+    thr = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.9,)], "thr double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("jaccard") >= F.col("thr"), 1))
+            .cast("bigint").alias("n_pairs")
+        )
+        .orderBy("thr")
+    )

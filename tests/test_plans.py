@@ -1546,3 +1546,29 @@ def test_chow_test_is_one_conditional_aggregate(spark, sf_dir, registry):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window",
                 "CartesianProduct"):
         assert bad not in plan, (bad, plan[:2000])
+
+
+def test_asof_forward_is_user_partitioned_window_union(
+    spark, sf_dir, registry
+):
+    """Forward as-of must be the union + following-window trick on a
+    USER-partitioned window — no range self-join, no nested loop, no
+    global sequence window."""
+    df = registry["asof_join_forward"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert not plans.unpartitioned_windows(df)
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def test_split_leakage_is_one_hash_aggregate(spark, sf_dir, registry):
+    """Leakage counts come from ONE groupBy on the md5 fingerprint with
+    split-conditional sums — no join, text bytes never shuffle (the
+    scan projects only doc_id/text into md5)."""
+    df = registry["split_leakage_exact"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+                "CartesianProduct"):
+        assert bad not in plan, (bad, plan[:2000])
