@@ -510,3 +510,78 @@ def test_point_lookup_collect_is_capped(spark, tmp_path):
     res2, _ = eng.point_lookup_full("hot", "solo")
     assert res2.truncated is False
     assert len(json.loads(res2.json)) == 1
+
+
+def test_shard_merge_property(tmp_path):
+    """Property (hypothesis): for ANY set of shard docs written in any
+    order — including corrupt shards and shards with a mismatched
+    column set — load() returns exactly the base's files overlaid with
+    every well-formed, column-matching shard's files (later shard names
+    win on collision, matching the sorted merge order). Lost entries
+    are impossible by construction; corrupt/mismatched shards degrade
+    to hint loss only."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.zonemap import ZoneMapStore
+
+    stats = st.fixed_dictionaries(
+        {"dt": st.just("2024-01-01"), "n": st.integers(1, 9),
+         "id": st.tuples(st.just("a"), st.just("z")).map(list)}
+    )
+    shard_files = st.dictionaries(
+        st.sampled_from([f"dt=2024-01-01/f{i}.parquet" for i in range(6)]),
+        stats, min_size=0, max_size=4,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        base=st.none() | shard_files,
+        shards=st.lists(
+            st.tuples(
+                shard_files,
+                st.sampled_from(["ok", "corrupt", "wrong_cols"]),
+            ),
+            min_size=0, max_size=5,
+        ),
+    )
+    def check(base, shards):
+        import shutil
+        import json as _json
+
+        root = tmp_path / "zm_prop"
+        shutil.rmtree(root, ignore_errors=True)
+        fs = LocalFS()
+        store = ZoneMapStore(fs, str(root))
+        fs.makedirs(str(root / "t"))
+        if base is not None:
+            fs.write_bytes(
+                str(root / "t" / "gen=0.json"),
+                _json.dumps({"columns": ["id"], "files": base}).encode(),
+            )
+        expected = dict(base or {})
+        for i, (files, kind) in enumerate(shards):
+            path = str(root / "t" / f"gen=0.s{i:02d}.json")
+            if kind == "corrupt":
+                fs.write_bytes(path, b"{not json")
+            elif kind == "wrong_cols":
+                fs.write_bytes(path, _json.dumps(
+                    {"columns": ["other"], "files": files}).encode())
+            else:
+                fs.write_bytes(path, _json.dumps(
+                    {"columns": ["id"], "files": files}).encode())
+                expected.update(files)
+        doc = store.load("t", 0)
+        if base is None and not any(k == "ok" for _, k in shards):
+            # nothing well-formed with the right columns may exist;
+            # a wrong-cols shard can seed the merge (hint-only), so
+            # only assert we never fabricate 'id' hints
+            if doc is not None and doc.get("columns") == ["id"]:
+                assert doc["files"] == {}
+            return
+        assert doc is not None
+        if doc.get("columns") == ["id"]:
+            assert doc["files"] == expected, (doc, expected)
+
+    check()
