@@ -424,8 +424,11 @@ class Engine:
             table, {f.name: _type_name(f.dataType) for f in batch_schema.fields}
         )
         cfg = self.catalog.get_table(table)
-        before = self._gen_file_set(table, gen)
         try:
+            # listed INSIDE the try: a listing failure after
+            # register_flush_schema must roll back the new generation
+            # like any other write failure
+            before = self._gen_file_set(table, gen)
             (
                 df.repartition("dt")
                 .write.mode("append")

@@ -5075,3 +5075,135 @@ def near_dup_threshold_sensitivity(spark, sf_dir):
         )
         .orderBy("thr")
     )
+
+
+@register(
+    "cohort_ltv_matrix",
+    """
+    WITH first_day AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events
+      GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS age,
+             sum(CAST(e.value AS DECIMAL(18,6))) AS v
+      FROM events e JOIN first_day f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    c AS (
+      SELECT cohort,
+             CAST(age AS BIGINT) AS age,
+             CAST(sum(v) OVER (PARTITION BY cohort ORDER BY age)
+                  AS DOUBLE) AS cum_rev
+      FROM rev),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM first_day GROUP BY cohort)
+    SELECT CAST(c.cohort AS VARCHAR) AS cohort_day, c.age,
+           sz.cohort_users,
+           round(c.cum_rev, 6) AS cum_revenue,
+           round(c.cum_rev / sz.cohort_users, 6) AS ltv_per_user
+    FROM c JOIN sz USING (cohort)
+    WHERE c.age <= 14
+    ORDER BY cohort_day, age
+    """,
+    doc="Cohort LTV matrix: cumulative purchase revenue per signup "
+        "cohort (first-seen day) by account age, per-user normalized — "
+        "the revenue companion of retention_cohorts (users who stay "
+        "vs what they're worth) and the curve LTV/CAC reads off. The "
+        "cumulative sum runs in exact DECIMAL inside a COHORT-"
+        "partitioned window whose row count is bounded by the "
+        "calendar (ages per cohort), cast to double only at the "
+        "output edge; first-seen via one user aggregate, cohort sizes "
+        "broadcast. Ages capped at 14 for a stable matrix shape.",
+    tags=("analytics",),
+)
+def cohort_ltv_matrix(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("age"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    w = W.partitionBy("cohort").orderBy("age")
+    c = rev.select(
+        "cohort", F.col("age").cast("bigint").alias("age"),
+        F.sum("v").over(w).cast("double").alias("cum_rev"),
+    )
+    sz = first_day.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_users"))
+    return (
+        c.join(F.broadcast(sz), "cohort")
+        .filter(F.col("age") <= 14)
+        .select(
+            F.col("cohort").cast("string").alias("cohort_day"), "age",
+            "cohort_users",
+            F.round("cum_rev", 6).alias("cum_revenue"),
+            F.round(F.col("cum_rev") / F.col("cohort_users"), 6)
+            .alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "age")
+    )
+
+
+@register(
+    "not_in_null_trap",
+    """
+    WITH nullable_keys AS (
+      SELECT o_custkey AS k FROM orders
+      UNION ALL SELECT NULL),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_not_in
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT k FROM nullable_keys)),
+    b AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_not_exists
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM nullable_keys nk
+                        WHERE nk.k = c.c_custkey)),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM customer)
+    SELECT t.n_customers, a.n_not_in, b.n_not_exists,
+           CAST(b.n_not_exists - a.n_not_in AS BIGINT)
+             AS rows_lost_to_null_semantics
+    FROM t CROSS JOIN a CROSS JOIN b
+    """,
+    doc="The NOT IN vs NOT EXISTS NULL trap, pinned as data: against a "
+        "key list CONTAINING A NULL, `NOT IN` returns zero rows "
+        "(x <> NULL is UNKNOWN, so no row ever passes three-valued "
+        "logic) while `NOT EXISTS` returns the true anti-join count — "
+        "the classic silent-wrong-answer migration bug, and the reason "
+        "the engine's anti-joins are written as NOT EXISTS / LEFT ANTI "
+        "(q21_waiting_suppliers, join_anti). Both engines agree on the "
+        "semantics; the entry proves it by computing both counts side "
+        "by side plus the rows lost. Plan: the NOT IN compiles to a "
+        "null-aware anti-join, NOT EXISTS to a plain left anti.",
+    tags=("sql-surface",),
+)
+def not_in_null_trap(spark, sf_dir):
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"nint_{t}")
+    return spark.sql("""
+      WITH nullable_keys AS (
+        SELECT o_custkey AS k FROM nint_orders
+        UNION ALL SELECT NULL),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_not_in
+        FROM nint_customer
+        WHERE c_custkey NOT IN (SELECT k FROM nullable_keys)),
+      b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_not_exists
+        FROM nint_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nullable_keys nk
+                          WHERE nk.k = c.c_custkey)),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers
+            FROM nint_customer)
+      SELECT t.n_customers, a.n_not_in, b.n_not_exists,
+             CAST(b.n_not_exists - a.n_not_in AS BIGINT)
+               AS rows_lost_to_null_semantics
+      FROM t CROSS JOIN a CROSS JOIN b
+    """)

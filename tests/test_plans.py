@@ -1572,3 +1572,21 @@ def test_split_leakage_is_one_hash_aggregate(spark, sf_dir, registry):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window",
                 "CartesianProduct"):
         assert bad not in plan, (bad, plan[:2000])
+
+
+def test_cohort_ltv_window_is_cohort_partitioned(spark, sf_dir, registry):
+    """The LTV cumulative sum must run inside a COHORT-partitioned
+    window (bounded by calendar ages per cohort) — never a global
+    running sum."""
+    df = registry["cohort_ltv_matrix"].fn(spark, sf_dir)
+    assert "Window" in plans.simple_plan(df)
+    assert not plans.unpartitioned_windows(df)
+
+
+def test_not_in_compiles_to_null_aware_anti_join(spark, sf_dir, registry):
+    """The NOT IN half must compile to Spark's null-aware anti-join
+    (the plan artifact the entry documents) alongside the plain left
+    anti for NOT EXISTS."""
+    df = registry["not_in_null_trap"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "LeftAnti" in plan, plan[:3000]
