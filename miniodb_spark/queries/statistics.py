@@ -5207,3 +5207,122 @@ def not_in_null_trap(spark, sf_dir):
                AS rows_lost_to_null_semantics
       FROM t CROSS JOIN a CROSS JOIN b
     """)
+
+
+@register(
+    "weighted_quartiles_price",
+    """
+    WITH pv AS (
+      SELECT l_extendedprice AS p,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS t
+      FROM lineitem GROUP BY l_extendedprice),
+    r AS (
+      SELECT p, t,
+             sum(t) OVER (ORDER BY p) AS cum,
+             sum(t) OVER () AS w
+      FROM pv)
+    SELECT CAST(max(w) AS BIGINT) AS total_weight,
+           round(max(CASE WHEN cum - t < ceil(0.25 * w)
+                          AND ceil(0.25 * w) <= cum THEN p END), 2)
+             AS wp25,
+           round(max(CASE WHEN cum - t < ceil(0.50 * w)
+                          AND ceil(0.50 * w) <= cum THEN p END), 2)
+             AS wp50,
+           round(max(CASE WHEN cum - t < ceil(0.75 * w)
+                          AND ceil(0.75 * w) <= cum THEN p END), 2)
+             AS wp75
+    FROM r
+    """,
+    doc="Weighted quartiles of line price with quantity as the weight "
+        "(each unit sold counts once — the 'price of the median unit', "
+        "not the median line): discrete order statistics at "
+        "ceil(q * W) over integer cumulative weights. Third consumer "
+        "of the distributed midrank backbone (operators/ranks.py) "
+        "after funnel_latency_percentiles and decile_lift_user_spend: "
+        "weights collapse to a per-value count table with t = weight "
+        "sum, and the quartile is the value whose cumulative bracket "
+        "covers the target — no unpartitioned window over the "
+        "price-cardinality table (the oracle keeps the window "
+        "formulation; integer weight arithmetic is exact in both).",
+    tags=("statistics", "capability"),
+)
+def weighted_quartiles_price(spark, sf_dir):
+    from miniodb_spark.operators.ranks import doubled_midranks
+
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("t")
+    )
+    mr = doubled_midranks(pv, "p")
+    mr = mr.select(
+        "p", "t",
+        ((F.col("mr2") - F.col("t") - 1) / 2).cast("bigint")
+        .alias("cum_less"),
+    ).withColumn("cum", F.col("cum_less") + F.col("t"))
+    tot = pv.agg(F.sum("t").cast("bigint").alias("w"))
+    j = mr.crossJoin(F.broadcast(tot))
+
+    def pick(q):
+        target = F.ceil(F.lit(q) * F.col("w")).cast("bigint")
+        return F.round(
+            F.max(F.when(
+                (F.col("cum_less") < target) & (target <= F.col("cum")),
+                F.col("p"))), 2)
+
+    return j.agg(
+        F.max("w").cast("bigint").alias("total_weight"),
+        pick(0.25).alias("wp25"),
+        pick(0.50).alias("wp50"),
+        pick(0.75).alias("wp75"),
+    )
+
+
+@register(
+    "explode_outer_empty_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> len(x) >= 12) AS ws
+      FROM documents),
+    ex AS (
+      SELECT t.doc_id, u.w
+      FROM tok t LEFT JOIN LATERAL (SELECT unnest(t.ws) AS w) u
+        ON true)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT)
+             AS n_docs_after_outer,
+           CAST(count(DISTINCT CASE WHEN w IS NOT NULL THEN doc_id END)
+                AS BIGINT) AS n_docs_with_long_word,
+           CAST(count(CASE WHEN w IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_rows,
+           CAST(count(w) AS BIGINT) AS n_token_rows
+    FROM ex
+    """,
+    doc="explode_outer semantics pinned: exploding each document's "
+        "12+-char words keeps EMPTY documents as a NULL-token row "
+        "(plain explode silently drops them — the classic row-loss bug "
+        "when a later join re-attaches per-doc metadata and short docs "
+        "vanish from the corpus counts). DuckDB spells the same thing "
+        "LEFT JOIN LATERAL unnest. One map-side generator, one "
+        "aggregate; the distinct-doc counts prove outer == corpus and "
+        "inner == only docs owning a long word.",
+    tags=("sql-surface",),
+)
+def explode_outer_empty_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: F.length(x) >= 12,
+    )
+    ex = docs.select("doc_id", F.explode_outer(ws).alias("w"))
+    tot = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return ex.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_after_outer"),
+        F.countDistinct(F.when(F.col("w").isNotNull(), F.col("doc_id")))
+        .cast("bigint").alias("n_docs_with_long_word"),
+        F.count(F.when(F.col("w").isNull(), 1)).cast("bigint")
+        .alias("n_null_rows"),
+        F.count("w").cast("bigint").alias("n_token_rows"),
+    )

@@ -1590,3 +1590,14 @@ def test_not_in_compiles_to_null_aware_anti_join(spark, sf_dir, registry):
     df = registry["not_in_null_trap"].fn(spark, sf_dir)
     plan = plans.simple_plan(df)
     assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_weighted_quartiles_have_no_unpartitioned_window(
+    spark, sf_dir, registry
+):
+    """Weighted order statistics ride the midrank backbone over the
+    price-domain weight table — no global cumulative-weight window."""
+    df = registry["weighted_quartiles_price"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:2000]
+    assert not plans.unpartitioned_windows(df)
