@@ -5326,3 +5326,148 @@ def explode_outer_empty_docs(spark, sf_dir):
         .alias("n_null_rows"),
         F.count("w").cast("bigint").alias("n_token_rows"),
     )
+
+
+@register(
+    "attribution_model_compare",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    t AS (
+      SELECT event_id AS t_eid, user_id, ts AS t_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    j AS (
+      SELECT p.event_id, p.value,
+             coalesce(t.touch_type, 'unattributed') AS touch_type,
+             t.touch_type AS raw_touch, t.t_ts, t.t_eid
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.ts AND t.t_ts >= p.ts - INTERVAL 7 DAY),
+    w AS (
+      SELECT event_id, value, touch_type,
+             count(raw_touch) OVER (PARTITION BY event_id) AS n,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY t_ts, t_eid) AS rn_first,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY t_ts DESC, t_eid DESC)
+               AS rn_last
+      FROM j)
+    SELECT touch_type,
+           CAST(sum(CAST(value / greatest(n, 1) AS DECIMAL(18,6)))
+                AS DOUBLE) AS linear_credit,
+           CAST(sum(CASE WHEN rn_first = 1
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS first_touch_credit,
+           CAST(sum(CASE WHEN rn_last = 1
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS last_touch_credit
+    FROM w GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Attribution model shoot-out: linear, first-touch and last-"
+        "touch credit per touch type from ONE 7-day lookback join "
+        "(the linear_attribution_by_type machinery) — the side-by-side "
+        "marketers use to see how much the model choice itself moves "
+        "budget. First/last selection is a row_number over the "
+        "PER-PURCHASE touch set ((t_ts, touch event_id) total order, "
+        "so ties pick the same touch in both engines); fan-in windows "
+        "are purchase-partitioned, never global; per-model credits "
+        "sum as exact decimal(18,6). All three models conserve value "
+        "(unattributed purchases credit a synthetic row).",
+    tags=("analytics",),
+)
+def attribution_model_compare(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    t = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("user_id").alias("t_user"),
+                F.col("ts").alias("t_ts"),
+                F.col("event_id").alias("t_eid"),
+                F.col("event_type").alias("touch_type"))
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    ).select(
+        "event_id", "value",
+        F.coalesce("touch_type", F.lit("unattributed")).alias("touch_type"),
+        F.col("touch_type").alias("raw_touch"), "t_ts", "t_eid",
+    )
+    wp = W.partitionBy("event_id")
+    w = j.select(
+        "event_id", "value", "touch_type",
+        F.count("raw_touch").over(wp).alias("n"),
+        F.row_number().over(wp.orderBy("t_ts", "t_eid")).alias("rn_first"),
+        F.row_number()
+        .over(wp.orderBy(F.col("t_ts").desc(), F.col("t_eid").desc()))
+        .alias("rn_last"),
+    )
+    dec = lambda c: c.cast("decimal(18,6)")
+    return (
+        w.groupBy("touch_type")
+        .agg(
+            F.sum(dec(F.col("value") / F.greatest(F.col("n"), F.lit(1))))
+            .cast("double").alias("linear_credit"),
+            F.sum(F.when(F.col("rn_first") == 1, dec(F.col("value"))))
+            .cast("double").alias("first_touch_credit"),
+            F.sum(F.when(F.col("rn_last") == 1, dec(F.col("value"))))
+            .cast("double").alias("last_touch_credit"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "target_encoding_m_estimate",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS s
+      FROM orders GROUP BY o_orderpriority),
+    g AS (SELECT sum(s) / sum(n) AS gmean FROM c)
+    SELECT c.o_orderpriority, c.n,
+           round(c.s / c.n, 6) AS cat_mean,
+           round(g.gmean, 6) AS global_mean,
+           round((c.s + 20.0 * g.gmean) / (c.n + 20.0), 6)
+             AS encoded_m20
+    FROM c CROSS JOIN g ORDER BY c.o_orderpriority
+    """,
+    doc="Smoothed target encoding (m-estimate, m = 20): the category's "
+        "target mean shrunk toward the global mean in proportion to "
+        "its support — the leakage-resistant categorical feature "
+        "encoding (Micci-Barreca 2001) every tabular-ML pipeline "
+        "ships; rare categories collapse to the prior instead of "
+        "memorizing noise. One exact-decimal grouped aggregate; the "
+        "global mean is a 1-row broadcast over the category table.",
+    tags=("analytics", "capability"),
+)
+def target_encoding_m_estimate(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("s"),
+    )
+    g = c.agg((F.sum("s") / F.sum("n")).alias("gmean"))
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "o_orderpriority", "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("cat_mean"),
+            F.round("gmean", 6).alias("global_mean"),
+            F.round((F.col("s") + 20.0 * F.col("gmean"))
+                    / (F.col("n") + 20.0), 6).alias("encoded_m20"),
+        )
+        .orderBy("o_orderpriority")
+    )

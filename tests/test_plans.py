@@ -1601,3 +1601,17 @@ def test_weighted_quartiles_have_no_unpartitioned_window(
     plan = plans.simple_plan(df)
     assert "Window" in plan, plan[:2000]
     assert not plans.unpartitioned_windows(df)
+
+
+def test_attribution_compare_keeps_equi_key_and_local_windows(
+    spark, sf_dir, registry
+):
+    """The 7-day lookback must stay a user equi-join with time bounds
+    as residuals (no nested loop / cartesian), and every fan-in window
+    is purchase-partitioned."""
+    df = registry["attribution_model_compare"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+    assert not plans.unpartitioned_windows(df)
