@@ -358,6 +358,10 @@ class MiniODBService:
                         "zonemap", {"queries": 0, "files_skipped": 0})
                 ),
             },
+            # best-effort zone-map build failures (lookups degrade to
+            # full-generation scans) — the ops signal behind the
+            # narrowed except in Engine._build_zonemap (r11 verdict #1)
+            "zonemap_build_errors": self.engine.zonemap_build_errors,
             "registry": self.metrics.snapshot(),
         }
         if self.rate_limiter is not None:
