@@ -5041,7 +5041,7 @@ def split_leakage_exact(spark, sf_dir):
            CAST(count(CASE WHEN j.jac >= t.thr THEN 1 END) AS BIGINT)
              AS n_pairs
     FROM j CROSS JOIN (
-      SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS thr) t
+      SELECT unnest(CAST([0.3, 0.5, 0.7, 0.9] AS DOUBLE[])) AS thr) t
     GROUP BY t.thr ORDER BY t.thr
     """,
     doc="Dedup threshold sensitivity: how many near-dup pairs survive "
