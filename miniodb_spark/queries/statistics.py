@@ -5471,3 +5471,188 @@ def target_encoding_m_estimate(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "conversion_window_sensitivity",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT v.user_id,
+             date_diff('second', v.t_view, p.t_purchase) AS lat_s
+      FROM v LEFT JOIN p USING (user_id)),
+    w AS (SELECT unnest(CAST([1, 3, 7] AS BIGINT[])) AS window_days)
+    SELECT w.window_days,
+           CAST(count(*) AS BIGINT) AS n_viewers,
+           CAST(count(CASE WHEN lat.lat_s IS NOT NULL
+                      AND lat.lat_s <= w.window_days * 86400 THEN 1 END)
+                AS BIGINT) AS n_converted,
+           round(count(CASE WHEN lat.lat_s IS NOT NULL
+                       AND lat.lat_s <= w.window_days * 86400 THEN 1 END)
+                 * 1.0 / count(*), 6) AS conversion_rate
+    FROM lat CROSS JOIN w GROUP BY w.window_days ORDER BY w.window_days
+    """,
+    doc="Conversion-window sensitivity: view->purchase conversion rate "
+        "under 1/3/7-day attribution windows from ONE per-user latency "
+        "table — the sweep that shows how much the reported conversion "
+        "number is an artifact of the window choice (companion to "
+        "funnel_conversion, which fixes one window, and to "
+        "near_dup_threshold_sensitivity's sweep shape). Latencies are "
+        "exact integer seconds; the 3-window sweep is a broadcast "
+        "cross over the user-cardinality latency table, not three "
+        "re-runs; two user aggregates, no window function at all.",
+    tags=("analytics",),
+)
+def conversion_window_sensitivity(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    lat = v.join(p, "user_id", "left").select(
+        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view"))
+        .cast("bigint").alias("lat_s"))
+    w = spark.createDataFrame([(1,), (3,), (7,)], "window_days long")
+    conv = F.count(F.when(
+        F.col("lat_s").isNotNull()
+        & (F.col("lat_s") <= F.col("window_days") * 86400), 1))
+    return (
+        lat.crossJoin(F.broadcast(w))
+        .groupBy("window_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_viewers"),
+            conv.cast("bigint").alias("n_converted"),
+            F.round(conv * 1.0 / F.count("*"), 6).alias("conversion_rate"),
+        )
+        .orderBy("window_days")
+    )
+
+
+@register(
+    "srm_chi2_check",
+    """
+    WITH a AS (
+      SELECT CAST(('0x' || substring(md5('srm:' || user_id), 1, 8))
+                  AS BIGINT) % 2 AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    c AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM a),
+    s AS (
+      SELECT n_a, n_b,
+             (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0) AS chi2
+      FROM c),
+    z AS (SELECT n_a, n_b, chi2, sqrt(chi2) AS zz FROM s),
+    ph AS (
+      SELECT n_a, n_b, chi2,
+             1.0 - 0.5 * power(1.0 + 0.196854 * zz + 0.115194 * zz * zz
+                   + 0.000344 * zz * zz * zz
+                   + 0.019527 * zz * zz * zz * zz, -4) AS phi
+      FROM z)
+    SELECT n_a, n_b, round(chi2, 6) AS chi2,
+           round(2.0 * (1.0 - phi), 6) AS p_value,
+           CAST(CASE WHEN 2.0 * (1.0 - phi) < 0.001 THEN 1 ELSE 0 END
+                AS BIGINT) AS srm_flag
+    FROM ph
+    """,
+    doc="Sample-ratio-mismatch (SRM) check for a 50/50 md5 split of "
+        "users: chi-square GOF with 1 df against equal allocation, "
+        "p-value via the Abramowitz-Stegun 26.2.19 polynomial normal "
+        "CDF (chi2_1df p = 2(1 - Phi(sqrt(x))); pure arithmetic + one "
+        "power, the benjamini_hochberg_fdr trick, so both engines "
+        "agree bit-for-bit before rounding) and the p < 0.001 flag "
+        "every experimentation platform alerts on — a failed SRM "
+        "invalidates the A/B test before any metric is read. One "
+        "distinct-user pass, md5 assignment identical across engines, "
+        "1-row arithmetic.",
+    tags=("statistics",),
+)
+def srm_chi2_check(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.select("user_id").distinct().select(
+        (F.conv(F.substring(F.md5(F.concat(F.lit("srm:"),
+                                           F.col("user_id"))), 1, 8),
+                16, 10).cast("bigint") % 2).alias("arm"))
+    c = a.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_b"),
+    )
+    half = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = ((F.col("n_a") - half) * (F.col("n_a") - half) / half
+            + (F.col("n_b") - half) * (F.col("n_b") - half) / half)
+    s = c.select("n_a", "n_b", chi2.alias("chi2"),
+                 F.sqrt(chi2).alias("zz"))
+    phi = 1.0 - 0.5 * (
+        1.0 + 0.196854 * F.col("zz") + 0.115194 * F.col("zz") * F.col("zz")
+        + 0.000344 * F.col("zz") ** 3 + 0.019527 * F.col("zz") ** 4
+    ) ** (-4)
+    p = s.select("n_a", "n_b", "chi2", phi.alias("phi"))
+    return p.select(
+        "n_a", "n_b",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(2.0 * (1.0 - F.col("phi")), 6).alias("p_value"),
+        F.when(2.0 * (1.0 - F.col("phi")) < 0.001, 1).otherwise(0)
+        .cast("bigint").alias("srm_flag"),
+    )
+
+
+@register(
+    "keyset_pagination_page3",
+    """
+    WITH page AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_orderkey > (
+        SELECT max(o_orderkey) FROM (
+          SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20))
+      ORDER BY o_orderkey LIMIT 10)
+    SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM page ORDER BY o_orderkey
+    """,
+    doc="Keyset (seek) pagination: page 3 of a 10-row listing fetched "
+        "as WHERE key > last-key-of-page-2 ORDER BY key LIMIT 10 — "
+        "the scalable alternative to OFFSET (limit_offset) that "
+        "StreamQuery-style cursors should use: OFFSET n scans and "
+        "discards n rows every page (O(pages^2) total at depth), "
+        "keyset seeks straight to the boundary and the predicate "
+        "pushes into the scan. The page-2 boundary itself is a "
+        "TakeOrdered top-20 reduced to one scalar, broadcast into the "
+        "main scan's filter; both LIMITs are total-ordered by the "
+        "unique key so the pages are deterministic.",
+    tags=("sql-surface",),
+)
+def keyset_pagination_page3(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    boundary = (
+        o.select("o_orderkey").orderBy("o_orderkey").limit(20)
+        .agg(F.max("o_orderkey").alias("b"))
+    )
+    return (
+        o.join(F.broadcast(boundary))
+        .filter(F.col("o_orderkey") > F.col("b"))
+        .orderBy("o_orderkey").limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1615,3 +1615,22 @@ def test_attribution_compare_keeps_equi_key_and_local_windows(
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "Window" in plan, plan[:2000]
     assert not plans.unpartitioned_windows(df)
+
+
+def test_conversion_sweep_has_no_window_function(spark, sf_dir, registry):
+    """The 3-window sweep is a broadcast cross over the per-user
+    latency table — two user aggregates, zero window functions."""
+    df = registry["conversion_window_sensitivity"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_keyset_page_filter_reaches_scan(spark, sf_dir, registry):
+    """Keyset pagination's whole point: the boundary predicate must be
+    a broadcast-joined filter feeding TakeOrderedAndProject — no
+    offset-style global sort, no cartesian."""
+    df = registry["keyset_pagination_page3"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plans.has_take_ordered(df), plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
