@@ -5656,3 +5656,65 @@ def keyset_pagination_page3(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "dedup_token_savings",
+    """
+    WITH d AS (
+      SELECT source, md5(text) AS h,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    g AS (
+      SELECT source, h, CAST(count(*) AS BIGINT) AS copies,
+             max(n_tok) AS n_tok
+      FROM d GROUP BY source, h)
+    SELECT source,
+           CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique_docs,
+           CAST(sum(copies * n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+           CAST(sum((copies - 1) * n_tok) AS BIGINT) AS tokens_saved,
+           round(sum((copies - 1) * n_tok) * 1.0
+                 / sum(copies * n_tok), 6) AS savings_rate
+    FROM g GROUP BY source ORDER BY source
+    """,
+    doc="Exact-dedup ROI per source: tokens the corpus spends on "
+        "verbatim copies (sum over duplicate groups of (copies-1) x "
+        "doc tokens) vs what survives keep-one dedup — the number "
+        "that justifies (or kills) running the dedup stage, and the "
+        "per-source breakdown that finds the crawler producing the "
+        "copies (companion to dedup_exact_groups, which lists the "
+        "groups, and dataset_card_summary's corpus-level dup count). "
+        "One groupBy on (source, 16-byte md5) with exact integer "
+        "token arithmetic; text bytes never shuffle.",
+    tags=("llm", "capability"),
+)
+def dedup_token_savings(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                 lambda x: x != "")
+    ).cast("bigint")
+    d = docs.select("source", F.md5("text").alias("h"),
+                    n_tok.alias("n_tok"))
+    g = d.groupBy("source", "h").agg(
+        F.count("*").cast("bigint").alias("copies"),
+        F.max("n_tok").alias("n_tok"),
+    )
+    saved = F.sum((F.col("copies") - 1) * F.col("n_tok"))
+    total = F.sum(F.col("copies") * F.col("n_tok"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("copies").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_unique_docs"),
+            total.cast("bigint").alias("total_tokens"),
+            F.sum("n_tok").cast("bigint").alias("unique_tokens"),
+            saved.cast("bigint").alias("tokens_saved"),
+            F.round(saved * 1.0 / total, 6).alias("savings_rate"),
+        )
+        .orderBy("source")
+    )
