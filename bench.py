@@ -220,13 +220,27 @@ def main() -> None:
          if f.startswith("BENCH_r") and f.endswith(".json")),
     )
     if prev_rounds:
-        prev_name = prev_rounds[-1]
+        # newest round whose record is actually parseable: the driver
+        # wraps bench.py's JSON line under "parsed", but a line longer
+        # than its 2000-char tail capture leaves parsed=null with a
+        # truncated tail fragment (BENCH_r12 — r12 verdict #2). Fall
+        # back through older rounds rather than emitting null ratios.
+        prev_name, prev = prev_rounds[-1], None
+        for cand in reversed(prev_rounds):
+            try:
+                with open(os.path.join(here, cand)) as fh:
+                    doc = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if isinstance(doc.get("parsed"), dict):
+                prev_name, prev = cand, doc["parsed"]
+                break
+            if isinstance(doc.get("queries"), dict):  # unwrapped form
+                prev_name, prev = cand, doc
+                break
         try:
-            with open(os.path.join(here, prev_name)) as fh:
-                prev = json.load(fh)
-            # the round driver wraps bench.py's JSON line under "parsed"
-            if isinstance(prev.get("parsed"), dict):
-                prev = prev["parsed"]
+            if prev is None:
+                raise ValueError("no parseable BENCH_r*.json")
             prev_q = prev.get("queries", {})
             per_q = {
                 n: round(timings[n] / prev_q[n], 3)
@@ -340,10 +354,15 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Output protocol (r12 verdict #2): the FULL evidence record prints
+    # first; a compact (<1.5 kB) summary line prints LAST so the
+    # driver's 2000-char tail capture always holds one parseable JSON
+    # object. BENCH_r12.json went parsed=null exactly because the
+    # single evidence line outgrew that window.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_evidence_full",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -409,6 +428,60 @@ def main() -> None:
             }
         )
     )
+    # compact summary LAST — the line the driver parses. Keeps the
+    # ONE-JSON-line contract fields (metric/value/unit/queries/sf) plus
+    # the normalized + write headline numbers; the per-query raw-ratio
+    # evidence and TPC-H detail live in the full line above.
+    rvp = raw_vs_prev_round or {}
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "host_cpu_score_sec": host_score,
+        "ref_score": ANCHOR["host_cpu_score_sec"],
+        "normalized_total": round(
+            total * (ANCHOR["host_cpu_score_sec"] / host_score), 4
+        ),
+        "median_ratio_vs_anchor": median_ratio,
+        "raw_vs_prev": {
+            "prev_file": rvp.get("prev_file"),
+            "raw_total_ratio": rvp.get("raw_total_ratio"),
+            "median_raw_ratio": rvp.get("median_raw_ratio"),
+        },
+        "tpch_suite_total": round(sum(tpch_timings.values()), 4),
+        "cache_hit_ms": cache_hit_ms,
+        "write_rows_per_s": {
+            "bulk_ingest": bulk_rps,
+            "row_api_synced_wal": row_rps,
+            "stream_write_batch": batch_rps,
+        },
+        "write_ratio_vs_anchor": {
+            k: round(
+                rps * host_score
+                / ANCHOR["host_cpu_score_sec"]
+                / ANCHOR["write_rows_per_s"][k],
+                3,
+            )
+            for k, rps in {
+                "bulk_ingest": bulk_rps,
+                "row_api_synced_wal": row_rps,
+                "stream_write_batch": batch_rps,
+            }.items()
+        },
+        "full_line": "above",
+    }
+    line = json.dumps(compact)
+    # hard guarantee for the driver's tail window — drop detail fields
+    # (never the contract fields) if the line ever outgrows 1.5 kB
+    if len(line) > 1500:
+        for k in ("write_ratio_vs_anchor", "raw_vs_prev"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 1500:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -362,6 +362,9 @@ class MiniODBService:
             # full-generation scans) — the ops signal behind the
             # narrowed except in Engine._build_zonemap (r11 verdict #1)
             "zonemap_build_errors": self.engine.zonemap_build_errors,
+            # un-folded shard sidecars per table: folding stalls show
+            # up here before load() latency degrades (r12 verdict #5)
+            "zonemap_shards": self.engine.zonemaps.shard_counts(),
             "registry": self.metrics.snapshot(),
         }
         if self.rate_limiter is not None:

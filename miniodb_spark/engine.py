@@ -190,6 +190,17 @@ class Engine:
             "count": 0, "total_ms": 0.0, "slow": [], "truncated": 0
         }
         self._buffers: dict[str, WriteBuffer] = {}
+        # known-files cache per (table, gen): the set of data files
+        # already present before the next append commit. Lets the
+        # commit's add-file delta be computed with ONE post-write LIST
+        # instead of a before+after pair (the r12 write-path regression:
+        # repeated ingests into one generation re-listed an ever-growing
+        # directory twice per commit). Seeded lazily from the catalog's
+        # add-file index plus one LIST (so unrecorded pre-existing files
+        # are never attributed to a later commit); invalidated by every
+        # path that rewrites or removes files (mutations, compaction,
+        # collapse, vacuum, drop) — see _forget_gen_files.
+        self._gen_known_files: dict[tuple[str, int], set[str]] = {}
         self._lock = threading.RLock()
         # per-table flush serialization: two concurrent parquet append jobs
         # into the same gen dir share the FileOutputCommitter _temporary/0
@@ -262,6 +273,7 @@ class Engine:
             if self.fs.is_dir(path):
                 self.fs.remove_dir(path)
             self.zonemaps.drop(name)
+            self._forget_gen_files(name)
             return ok
 
     def _remove_wal_files(self, table: str) -> None:
@@ -425,10 +437,11 @@ class Engine:
         )
         cfg = self.catalog.get_table(table)
         try:
-            # listed INSIDE the try: a listing failure after
+            # resolved INSIDE the try: a seed-listing failure after
             # register_flush_schema must roll back the new generation
-            # like any other write failure
-            before = self._gen_file_set(table, gen)
+            # like any other write failure. Cache hit = no LIST at all;
+            # the single post-write LIST below computes the delta.
+            before = self._known_gen_files(table, gen)
             (
                 df.repartition("dt")
                 .write.mode("append")
@@ -451,28 +464,68 @@ class Engine:
                 gen_dir = self._gen_dir(table, gen)
                 if self.fs.is_dir(gen_dir):
                     self.fs.remove_dir(gen_dir)
+            self._gen_known_files.pop((table, gen), None)
             raise
         # data-commit marker: the version whose snapshot INCLUDES this
         # batch (schema registration persisted pre-job; see
-        # Catalog.touch). The before/after listing diff is recorded as
+        # Catalog.touch). The known/after listing diff is recorded as
         # Delta-style add-file entries, so snapshot membership never
-        # trusts object-store PUT-time ordering (ADVICE r11).
+        # trusts object-store PUT-time ordering (ADVICE r11). ONE LIST
+        # per commit: it also feeds the zone-map build below.
+        listing = self._gen_listing(table, gen)
+        after = {rel for rel, _dt in listing}
         self.catalog.touch(
-            table,
-            add_files={gen: sorted(self._gen_file_set(table, gen) - before)},
+            table, add_files={gen: sorted(after - before)}
         )
-        self._build_zonemap(table, gen)
+        self._gen_known_files[(table, gen)] = after
+        self._build_zonemap(table, gen, listing=listing)
         return len(rows)
 
-    def _gen_file_set(self, table: str, gen: int) -> set[str]:
-        """Relative paths of the generation's data files (one LIST);
+    def _gen_listing(self, table: str, gen: int) -> list[tuple[str, str]]:
+        """``(relpath, dt)`` of the generation's data files (one LIST);
         empty when the directory doesn't exist yet."""
         from .zonemap import list_generation_files
 
         gdir = self._gen_dir(table, gen)
         if not self.fs.is_dir(gdir):
-            return set()
-        return {rel for rel, _dt in list_generation_files(self.fs, gdir)}
+            return []
+        return list_generation_files(self.fs, gdir)
+
+    def _gen_file_set(self, table: str, gen: int) -> set[str]:
+        """Relative paths of the generation's data files (one LIST);
+        empty when the directory doesn't exist yet."""
+        return {rel for rel, _dt in self._gen_listing(table, gen)}
+
+    def _known_gen_files(self, table: str, gen: int) -> set[str]:
+        """Files already present in the generation before the commit
+        about to happen — the ``before`` side of the add-file delta,
+        WITHOUT a per-commit LIST. Cache hit: the set recorded after
+        this process's previous commit to the gen. Cache miss (first
+        commit this process, or invalidated by a rewrite path): seed
+        from the catalog's add-file index PLUS one LIST, so files that
+        predate the add-file log or came from foreign writers land in
+        ``before`` and are never attributed to this commit."""
+        key = (table, gen)
+        cached = self._gen_known_files.get(key)
+        if cached is not None:
+            return cached
+        known = {
+            rel
+            for (g, rel) in self.catalog.added_files_index(table)
+            if g == gen
+        }
+        known |= self._gen_file_set(table, gen)
+        return known
+
+    def _forget_gen_files(self, table: str) -> None:
+        """Invalidate the known-files cache for every generation of
+        ``table`` — required after any path that rewrites or removes
+        data files without a touch(add_files) commit (mutations,
+        compaction, collapse, vacuum, drop): a stale cache would let
+        the NEXT flush attribute those files to its own commit version,
+        making earlier snapshots under-return them."""
+        for key in [k for k in self._gen_known_files if k[0] == table]:
+            self._gen_known_files.pop(key, None)
 
     def ingest_dataframe(self, table: str, df: DataFrame, ts_col: str = "timestamp",
                          force_new_generation: bool = False) -> int:
@@ -498,7 +551,7 @@ class Engine:
                 {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
                 force_new=force_new_generation,
             )
-            before = self._gen_file_set(table, gen)
+            before = self._known_gen_files(table, gen)
             (
                 out.repartition("dt")
                 .write.mode("append")
@@ -507,10 +560,14 @@ class Engine:
                 .parquet(self._gen_dir(table, gen))
             )
             # data-commit marker with Delta-style add-file entries
-            # (snapshot membership without mtime trust — ADVICE r11)
+            # (snapshot membership without mtime trust — ADVICE r11).
+            # ONE LIST per commit; it also feeds the zone-map build.
+            listing = self._gen_listing(table, gen)
+            after = {rel for rel, _dt in listing}
             self.catalog.touch(table, add_files={
-                gen: sorted(self._gen_file_set(table, gen) - before)})
-            self._build_zonemap(table, gen)
+                gen: sorted(after - before)})
+            self._gen_known_files[(table, gen)] = after
+            self._build_zonemap(table, gen, listing=listing)
         self.cache.invalidate_table(table)
         return gen
 
@@ -852,13 +909,18 @@ class Engine:
             + [T.StructField("dt", T.StringType(), True)]
         )
 
-    def _build_zonemap(self, table: str, gen: int) -> None:
+    def _build_zonemap(
+        self, table: str, gen: int,
+        listing: list[tuple[str, str]] | None = None,
+    ) -> None:
         """Index the generation's fresh files (incremental — only files
-        the sidecar doesn't know). Best-effort: a zone-map failure must
-        never fail the write it trails (lookups scan unindexed files) —
-        but it must be COUNTED and logged, not silently dropped: round
-        11's footer-path crash hid behind a blanket except here for a
-        whole round (VERDICT r11 What's-wrong #1)."""
+        the sidecar doesn't know). ``listing`` lets a commit path that
+        just LISTed the generation share that listing instead of paying
+        a second one. Best-effort: a zone-map failure must never fail
+        the write it trails (lookups scan unindexed files) — but it
+        must be COUNTED and logged, not silently dropped: round 11's
+        footer-path crash hid behind a blanket except here for a whole
+        round (VERDICT r11 What's-wrong #1)."""
         if not self.zonemap_columns:
             return
         try:
@@ -867,7 +929,7 @@ class Engine:
                 return
             self.zonemaps.build(
                 self.spark, table, gen, self._gen_dir(table, gen),
-                struct, self.zonemap_columns,
+                struct, self.zonemap_columns, listing=listing,
             )
         except Exception as exc:
             self.zonemap_build_errors += 1
@@ -1456,6 +1518,7 @@ class Engine:
                         removed += 1
             if removed:
                 self.cache.invalidate_table(t)
+                self._forget_gen_files(t)
         return removed
 
     def compact(self, table: str,
@@ -1475,10 +1538,14 @@ class Engine:
                          zorder_by=zorder_by)
         if stats:
             self.cache.invalidate_table(table)
-            # compaction swapped files under new names inside existing
-            # generations: re-index them (incremental — only the fresh
-            # files are scanned, dead sidecar entries are dropped) so
-            # point-lookup pruning doesn't degrade to scan-everything
+            # compaction swapped files under NEW NAMES inside existing
+            # generations without a touch(add_files) commit: a stale
+            # known-files cache would let the next flush claim those
+            # files as its own adds — invalidate it first
+            self._forget_gen_files(table)
+            # then re-index (incremental — only the fresh files are
+            # scanned, dead sidecar entries are dropped) so point-lookup
+            # pruning doesn't degrade to scan-everything
             for g in range(len(self.catalog.gen_schemas(table))):
                 self._build_zonemap(table, g)
         return stats

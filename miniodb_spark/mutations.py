@@ -60,6 +60,9 @@ def gc_superseded(engine, table: str, force: bool = False) -> int:
         if engine.fs.is_dir(pdir):
             engine.fs.remove_dir(pdir)
     engine.catalog.clear_excluded(table, parts)
+    # physical file set changed outside a touch(add_files) commit:
+    # drop the engine's known-files cache so the next flush re-seeds
+    engine._forget_gen_files(table)
     return len(parts)
 
 

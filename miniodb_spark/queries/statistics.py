@@ -4513,13 +4513,17 @@ def pivot_multi_agg_status(spark, sf_dir):
             ).alias("rev_m"),
         )
     )
+    # Spark's pivot yields NULL for an empty (priority,status) cell
+    # while SQL count(CASE ...) yields 0 — coalesce the count columns
+    # to 0 so an absent status at a small SF can't diverge. Revenue
+    # NULLs already match (SQL sum of an empty set is NULL).
     return piv.select(
         "o_orderpriority",
-        F.col("F_n").cast("bigint").alias("f_n"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("f_n"),
         F.col("F_rev_m").alias("f_rev_m"),
-        F.col("O_n").cast("bigint").alias("o_n"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("o_n"),
         F.col("O_rev_m").alias("o_rev_m"),
-        F.col("P_n").cast("bigint").alias("p_n"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("p_n"),
         F.col("P_rev_m").alias("p_rev_m"),
     ).orderBy("o_orderpriority")
 
@@ -4908,10 +4912,12 @@ def chow_test_break(spark, sf_dir):
         "here, conversion -> last touch there). DuckDB expresses it "
         "natively (ASOF LEFT JOIN with ts <= ts); Spark has no asof "
         "operator, so the plan is the union trick reversed: tag both "
-        "streams, one USER-partitioned window ordered by (ts DESC) "
-        "takes last(purchase value, ignorenulls) over the following "
-        "side — one shuffle, no UDF, no range self-join. Ties (click "
-        "and purchase at the same ts) match, per the <= contract.",
+        "streams, one USER-partitioned window ordered by "
+        "(ts ASC, is_click DESC) takes first(purchase value, "
+        "ignorenulls) over the [currentRow, following] frame — one "
+        "shuffle, no UDF, no range self-join. Ties (click and purchase "
+        "at the same ts) match, per the <= contract: the click sorts "
+        "first at equal ts so the same-ts purchase is in its frame.",
     tags=("sql-surface", "capability"),
 )
 def asof_join_forward(spark, sf_dir):
@@ -4928,13 +4934,15 @@ def asof_join_forward(spark, sf_dir):
         F.lit(0).alias("is_click"),
     )
     u = clicks.unionByName(purchases)
-    # ordered by (ts, is_click): at equal ts the purchase row (0) sorts
-    # BEFORE the click row (1), so a same-ts purchase is visible to the
-    # click's following-window — the <= tie contract. first(ignorenulls)
-    # over the frame starting at the current row finds the next value.
+    # ordered by (ts, is_click DESC): at equal ts the click row (1)
+    # sorts BEFORE the purchase row (0), so a same-ts purchase falls
+    # INSIDE the click's [currentRow, following] frame — the <= tie
+    # contract (DuckDB's ASOF c.ts <= p.ts matches the same-ts
+    # purchase). first(ignorenulls) over the frame starting at the
+    # current row then finds the next value at-or-after the click.
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "is_click")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     return (

@@ -36,10 +36,13 @@ Design constraints, in order:
    only the entries it just indexed; ``load`` merges the base sidecar
    plus every shard. Two drivers flushing one table therefore never
    overwrite each other's fresh entries. Shards are folded into the
-   base file once enough accumulate (``COMPACT_SHARDS``); the ONLY
-   remaining race is two simultaneous compactions, where the
-   last-written base may miss a shard the other compactor already
-   deleted — that loses HINTS only (the affected files are simply
+   base file once enough accumulate (``COMPACT_SHARDS``); the fold
+   re-lists the generation AFTER snapshotting the shards to fold, so
+   a concurrent builder's files written between its shard and this
+   fold are still seen live. The remaining races — two simultaneous
+   compactions (the last-written base may miss a shard the other
+   already deleted), or a shard whose data files land after the
+   fold's re-list — lose HINTS only (the affected files are simply
    unindexed until the next build re-lists them), never rows, by
    invariant 1.
 4. **fs-agnostic.** Stats come from a Spark job, not local footer
@@ -156,6 +159,37 @@ class ZoneMapStore:
             merged["files"].update(doc["files"])
         return merged
 
+    def shard_counts(self) -> dict[str, int]:
+        """Per-table count of un-folded shard sidecars — the ops signal
+        that shard folding has stalled. Every ``load()`` re-lists and
+        re-reads the table's shards, so while COMPACT_SHARDS bounds the
+        steady state, a count well above it means builds keep dying
+        before their fold (or racing compactors keep losing the base
+        write) and point lookups are paying O(shards) small reads.
+        One LIST per table directory; tables without shards are
+        omitted."""
+        out: dict[str, int] = {}
+        try:
+            if not self.fs.is_dir(self.root):
+                return out
+            for tdir in self.fs.list_dirs(self.root):
+                table = tdir.rstrip("/").split("/")[-1]
+                n = 0
+                for path, _size in self.fs.list_files(
+                    tdir, suffix=".json"
+                ):
+                    name = path.rstrip("/").split("/")[-1]
+                    stem = name[: -len(".json")]
+                    # base sidecars are gen=N.json; shards carry a
+                    # nonce segment: gen=N.<nonce>.json
+                    if stem.startswith(_MARKER) and "." in stem:
+                        n += 1
+                if n:
+                    out[table] = n
+        except Exception:
+            return out
+        return out
+
     def drop(self, table: str, gen: int | None = None) -> None:
         if gen is not None:
             for path in [self._path(table, gen)] + self._shard_paths(
@@ -177,15 +211,20 @@ class ZoneMapStore:
         gen_dir: str,
         schema: T.StructType,
         columns: tuple[str, ...],
+        listing: list[tuple[str, str]] | None = None,
     ) -> int:
         """Index every not-yet-indexed file of the generation; returns
         how many files were added. Footer-metadata reads where the root
         is local; otherwise one Spark aggregation over only the new
-        files — per-file min/max/count, map-side-combinable."""
+        files — per-file min/max/count, map-side-combinable. A caller
+        that just LISTed the generation (the engine's commit paths do,
+        for the add-file delta) passes that ``listing`` so the build
+        costs zero additional LISTs in the steady state."""
         cols = [c for c in columns if c in {f.name for f in schema.fields}]
         if not cols:
             return 0
-        listing = list_generation_files(self.fs, gen_dir)
+        if listing is None:
+            listing = list_generation_files(self.fs, gen_dir)
         existing = self.load(table, gen)
         if existing is not None and set(existing.get("columns", [])) != set(
             cols
@@ -203,7 +242,7 @@ class ZoneMapStore:
         dead = any(rel not in live for rel in indexed)
         new = [rel for rel, _dt in listing if rel not in indexed]
         if not new:
-            self._compact(table, gen, cols, live, force=dead)
+            self._compact(table, gen, cols, gen_dir, force=dead)
             return 0
         dt_of = dict(listing)
         # fast path: the stats already sit in the parquet FOOTERS the
@@ -263,11 +302,11 @@ class ZoneMapStore:
             ),
             json.dumps(shard, sort_keys=True).encode("utf-8"),
         )
-        self._compact(table, gen, cols, live, force=dead)
+        self._compact(table, gen, cols, gen_dir, force=dead)
         return len(fresh)
 
     def _compact(
-        self, table: str, gen: int, cols: list[str], live: set[str],
+        self, table: str, gen: int, cols: list[str], gen_dir: str,
         force: bool = False,
     ) -> None:
         """Fold accumulated shards into the base sidecar (and drop
@@ -275,13 +314,22 @@ class ZoneMapStore:
         a partition's files under new names; the replaced entries are
         harmless at prune time but would accumulate forever). Only the
         shards read into the merge are deleted, so a shard appearing
-        mid-compaction survives untouched."""
+        mid-compaction survives untouched. The live set is RE-LISTED
+        here, after the shards-to-fold snapshot, so a concurrent
+        builder's shard whose data files landed after this builder's
+        own build() listing is folded WITH its files visible — its
+        fresh entries survive the live-filter instead of being dropped
+        alongside its deleted shard (the one extra LIST happens only
+        when a fold actually proceeds, every COMPACT_SHARDS builds)."""
         shards = self._shard_paths(table, gen)
         if len(shards) < self.COMPACT_SHARDS and not force:
             return
         merged = self.load(table, gen)
         if merged is None or set(merged.get("columns", [])) != set(cols):
             return
+        live = {
+            rel for rel, _dt in list_generation_files(self.fs, gen_dir)
+        }
         merged["files"] = {
             rel: st for rel, st in merged["files"].items() if rel in live
         }

@@ -120,3 +120,47 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_asof_forward_same_ts_tie(spark, registry, tmp_path):
+    """ADVICE r12 (medium): a click and a purchase at the SAME ts must
+    match (the docstring's '<=' contract, and what DuckDB's
+    ASOF 'c.ts <= p.ts' does). The shipped testdata has no exact-ts
+    ties, so the inverted tie-break shipped green for a round — this
+    synthetic fixture pins the tie case against the same oracle SQL."""
+    import duckdb as _duckdb
+
+    rows = [
+        # user 1: purchase at the exact click ts (5.0) AND a later one
+        # (7.0) — '<=' must pick the same-ts 5.0, not the later 7.0
+        (1, "2024-01-01 10:00:00", 1, "click", None, "{}"),
+        (None, "2024-01-01 10:00:00", 1, "purchase", 5.0, "{}"),
+        (None, "2024-01-01 10:00:05", 1, "purchase", 7.0, "{}"),
+        # user 2: only an EARLIER purchase — no match (NULL)
+        (2, "2024-01-01 10:00:00", 2, "click", None, "{}"),
+        (None, "2024-01-01 09:59:59", 2, "purchase", 4.0, "{}"),
+        # user 3: two later purchases — nearest-forward (3.0) wins
+        (3, "2024-01-01 10:00:00", 3, "click", None, "{}"),
+        (None, "2024-01-01 10:00:01", 3, "purchase", 3.0, "{}"),
+        (None, "2024-01-01 10:00:02", 3, "purchase", 9.0, "{}"),
+    ]
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?,?,?,?,?,?)", rows)
+    fx = str(tmp_path / "events.parquet")
+    con.execute(f"COPY ev TO '{fx}' (FORMAT PARQUET)")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{fx}')"
+    )
+
+    spec = registry["asof_join_forward"]
+    sdf = spec.fn(spark, str(tmp_path))
+    got = {r["event_id"]: r["next_purchase_value"] for r in sdf.collect()}
+    assert got == {1: 5.0, 2: None, 3: 3.0}
+
+    res = con.execute(spec.oracle)
+    oracle = {r[0]: r[2] for r in res.fetchall()}
+    assert got == oracle
