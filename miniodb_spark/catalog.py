@@ -132,11 +132,19 @@ class Catalog:
         # one JSONL line, giving an ordered history of table states —
         # the substrate for Engine.read_snapshot time travel and a
         # metadata audit trail. Appends are O_APPEND-atomic for these
-        # line sizes; writers racing on one table are already serialized
-        # by the same flush locks / mutation leases that protect the
-        # catalog json itself (a duplicate version number would resolve
-        # last-line-wins, like the json it mirrors).
-        v = self._versions.get(name, self._last_history_version(name)) + 1
+        # line sizes. The version number is max(in-memory counter,
+        # last line ON DISK) + 1 — the tail re-read (one seek-from-end,
+        # not a full-file scan) keeps versions monotone when ANOTHER
+        # driver advanced the shared history since our last persist:
+        # with the add-file index, a duplicated version number is no
+        # longer benign last-line-wins metadata — it would pin a later
+        # batch's files onto an earlier snapshot (caught by
+        # tests/test_multiprocess.py). Truly simultaneous persists to
+        # one table still require the flush-lock/lease serialization
+        # the mutation paths already use.
+        v = max(
+            self._versions.get(name, 0), self._last_history_version(name)
+        ) + 1
         self._versions[name] = v
         rec: dict = {"v": v, "ts_us": int(time.time() * 1e6), "doc": doc}
         if add_files:
@@ -158,15 +166,55 @@ class Catalog:
         return os.path.join(self._hist_dir, f"{name}.jsonl")
 
     def _last_history_version(self, name: str) -> int:
+        """Version on the history file's last line — read via one
+        seek-from-end block, not a full-file scan: _persist calls this
+        per commit, and the log grows one line per commit, so a linear
+        read here would make N commits cost O(N^2) total."""
         try:
-            with open(self._hist_path(name), encoding="utf-8") as fh:
-                last = None
-                for line in fh:
-                    if line.strip():
-                        last = line
-                return json.loads(last)["v"] if last else 0
+            with open(self._hist_path(name), "rb") as fh:
+                fh.seek(0, os.SEEK_END)
+                size = fh.tell()
+                if size == 0:
+                    return 0
+                # history lines are small (one doc + add list); 64 KiB
+                # covers any single line — double until a newline-split
+                # yields a complete last line or the whole file is read
+                block = 65536
+                while True:
+                    start = max(0, size - block)
+                    fh.seek(start)
+                    data = fh.read(size - start)
+                    lines = [
+                        ln for ln in data.split(b"\n") if ln.strip()
+                    ]
+                    if start == 0:
+                        break
+                    # the first split piece may be a partial line; a
+                    # complete last line needs >= 2 pieces (or BOF)
+                    if len(lines) >= 2:
+                        break
+                    block *= 2
+                if not lines:
+                    return 0
+                return json.loads(lines[-1].decode("utf-8"))["v"]
         except FileNotFoundError:
             return 0
+        except (ValueError, KeyError):
+            # torn/corrupt tail line: fall back to a full scan for the
+            # last parseable record
+            try:
+                with open(self._hist_path(name), encoding="utf-8") as fh:
+                    v = 0
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        try:
+                            v = max(v, int(json.loads(line)["v"]))
+                        except (ValueError, KeyError):
+                            continue
+                    return v
+            except FileNotFoundError:
+                return 0
 
     def touch(
         self, name: str,

@@ -1,0 +1,191 @@
+"""Cross-process engine e2e: two REAL processes (own Spark drivers, own
+Engine instances) sharing one store root through the on-disk catalog /
+kv / zone-map sidecars — the multi-driver deployment the reference runs
+via Redis-coordinated nodes (internal/coordinator, pkg/lock), collapsed
+here to shared-store metadata. In-process threading tests
+(test_zonemap.py::test_concurrent_builders_entries_both_survive) share
+the catalog object and CPython locks; this test shares NOTHING but the
+filesystem, so it exercises the actual cross-driver protocol:
+
+(a) both drivers' batches land in one table and are all readable;
+(b) a zone-map shard FOLD racing a concurrent builder's ingest keeps
+    every indexed entry (the builder-vs-compactor race: the fold
+    re-lists the generation after snapshotting the shards to fold, so
+    fresh files aren't dropped by the live-filter — zonemap.py §3);
+(c) read_snapshot membership is exact via the Delta-style add-file
+    index: a snapshot taken between the two ingest phases excludes the
+    later batch even though its files share the SAME generation
+    directory (no mtime/clock trust).
+
+Parquet appends themselves are staggered through file-flag barriers —
+two simultaneous append jobs into one directory share the
+FileOutputCommitter staging path by Spark's own design (the same reason
+Engine serializes flushes per table in-process); the CONCURRENT phase
+races the metadata machinery (shard build + force-fold), which is what
+this round's add-file/shard changes must survive.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys, time
+
+root, flags, who = sys.argv[1], sys.argv[2], sys.argv[3]
+
+from miniodb_spark.session import get_spark
+from miniodb_spark.engine import Engine
+from pyspark.sql import functions as F
+
+
+def wait_for(name, timeout=240):
+    p = os.path.join(flags, name)
+    t0 = time.time()
+    while not os.path.exists(p):
+        if time.time() - t0 > timeout:
+            raise SystemExit(f"timeout waiting for {name}")
+        time.sleep(0.05)
+
+
+def touch(name, body=""):
+    tmp = os.path.join(flags, name + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(body)
+    os.replace(tmp, os.path.join(flags, name))
+
+
+spark = get_spark(f"xproc-{who}", cpus=4)
+eng = Engine(spark, root)
+# keep shards un-folded so the fold happens exactly where the test
+# stages it (the force path is the same code COMPACT_SHARDS triggers)
+eng.zonemaps.COMPACT_SHARDS = 999
+
+
+def batch(prefix, n):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1000
+        ).alias("timestamp"),
+        (F.col("id") % 7).alias("k"),
+    )
+
+
+if who == "a":
+    eng.ingest_dataframe("t", batch("a", 200))
+    touch("a1", str(eng.catalog.current_version("t")))
+    wait_for("b1")
+    wait_for("go")
+    # builder side of the race: a fresh ingest (parquet files + a new
+    # shard sidecar) while the OTHER process force-folds concurrently
+    eng.catalog.refresh_if_changed("t")
+    eng.ingest_dataframe("t", batch("c", 100))
+    touch("a2", str(eng.catalog.current_version("t")))
+else:
+    wait_for("a1")
+    # pick up the other driver's registrations before writing (the
+    # serving layer's refresh_if_changed protocol)
+    eng.catalog.refresh_if_changed("t")
+    eng.ingest_dataframe("t", batch("b", 200))
+    touch("b1", str(eng.catalog.current_version("t")))
+    wait_for("go")
+    # compactor side of the race: force-fold the shared shard sidecars
+    # repeatedly while process a is mid-ingest
+    for _ in range(30):
+        try:
+            eng.zonemaps._compact(
+                "t", 0, list(eng.zonemap_columns),
+                eng._gen_dir("t", 0), force=True,
+            )
+        except Exception:
+            pass
+        time.sleep(0.05)
+    touch("b2")
+
+spark.stop()
+"""
+
+
+def test_two_process_shared_store_flush_fold_snapshot(spark, tmp_path):
+    root = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    os.makedirs(root)
+    os.makedirs(flags)
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as fh:
+        fh.write(_WORKER)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, root, flags, who],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for who in ("a", "b")
+    ]
+    try:
+        # both phase-1 ingests committed -> release the race phase
+        t0 = time.time()
+        while not (
+            os.path.exists(os.path.join(flags, "a1"))
+            and os.path.exists(os.path.join(flags, "b1"))
+        ):
+            assert time.time() - t0 < 300, "phase-1 barrier timed out"
+            assert all(p.poll() is None for p in procs), [
+                p.communicate()[0].decode()[-2000:] for p in procs
+            ]
+            time.sleep(0.1)
+        with open(os.path.join(flags, "go"), "w"):
+            pass
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode()[-2000:])
+            assert p.returncode == 0, outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    from miniodb_spark.engine import Engine
+
+    eng = Engine(spark, root)
+
+    # (a) every batch from both drivers is readable, no duplicates
+    df = eng.read_table("t")
+    assert df.count() == 500
+    ids = {r["id"] for r in df.select("id").collect()}
+    assert len(ids) == 500
+    assert sum(1 for i in ids if i.startswith("a")) == 200
+    assert sum(1 for i in ids if i.startswith("b")) == 200
+    assert sum(1 for i in ids if i.startswith("c")) == 100
+
+    # (b) the fold race lost no indexed entries: every live data file of
+    # the generation has a min/max bracket in the merged sidecar view
+    live = {rel for rel, _dt in eng._gen_listing("t", 0)}
+    merged = eng.zonemaps.load("t", 0)
+    assert merged is not None
+    assert live <= set(merged["files"]), (
+        f"fold dropped entries for {sorted(live - set(merged['files']))}"
+    )
+    # and pruned point lookups still find one row per key across batches
+    for key in ("a0", "b199", "c42"):
+        got, report = eng.point_lookup_df("t", key)
+        assert got is not None and got.count() == 1, (key, report)
+
+    # (c) snapshot membership is exact via the add-file index: the
+    # version committed after phase 1 sees batches a+b only, even though
+    # batch c's files landed later in the SAME generation directory
+    with open(os.path.join(flags, "b1")) as fh:
+        v_mid = int(fh.read().strip())
+    snap = eng.read_snapshot("t", v_mid)
+    assert snap.count() == 400
+    snap_ids = {r["id"] for r in snap.select("id").collect()}
+    assert not any(i.startswith("c") for i in snap_ids)
+    assert sum(1 for i in snap_ids if i.startswith("a")) == 200
+    assert sum(1 for i in snap_ids if i.startswith("b")) == 200

@@ -585,3 +585,70 @@ def test_shard_merge_property(tmp_path):
             assert doc["files"] == expected, (doc, expected)
 
     check()
+
+
+def test_shard_counts_metric(engine):
+    """r12 verdict #5: un-folded shard sidecars per table must be
+    visible as an ops metric (folding stalls degrade load() to
+    O(shards) small reads long before anything is *wrong*)."""
+    zm = engine.zonemaps
+    zm.COMPACT_SHARDS = 999  # hold folds so shards accumulate
+    for i in range(3):
+        engine.write("zmx", {"v": i}, record_id=f"r{i:03d}",
+                     timestamp_us=T0 + i * DAY)
+        engine.flush("zmx")  # one build (=> one shard) per flush
+    counts = zm.shard_counts()
+    assert counts.get("zmx") == 3
+    # folding drains the signal
+    zm._compact("zmx", 0, list(engine.zonemap_columns),
+                engine._gen_dir("zmx", 0), force=True)
+    assert "zmx" not in zm.shard_counts()
+    # and the API facade surfaces it next to zonemap_build_errors
+    from miniodb_spark.api import MiniODBService
+
+    svc = MiniODBService.__new__(MiniODBService)
+    svc.engine = engine
+    svc._counters = {}
+    svc.rate_limiter = None
+    from miniodb_spark.monitoring import MetricsRegistry
+
+    svc.metrics = MetricsRegistry()
+    m = svc.get_metrics()
+    assert "zonemap_shards" in m and isinstance(m["zonemap_shards"], dict)
+
+
+def test_commit_paths_list_generation_once(engine, spark, monkeypatch):
+    """r12 verdict #1: the flush/ingest commit protocol pays ONE
+    directory LIST per commit in the steady state — the before-set
+    comes from the known-files cache, and the single post-write
+    listing feeds both the add-file delta and the zone-map build.
+    Round 12 paid three (before + after + zonemap), which showed up
+    as a write-throughput drop on multi-batch ingests."""
+    import miniodb_spark.zonemap as zm_mod
+
+    calls = {"n": 0}
+    real = zm_mod.list_generation_files
+
+    def counting(fs, gen_dir):
+        calls["n"] += 1
+        return real(fs, gen_dir)
+
+    monkeypatch.setattr(zm_mod, "list_generation_files", counting)
+
+    def batch(lo):
+        return spark.range(lo, lo + 50).select(
+            F.col("id").cast("string").alias("id"),
+            F.timestamp_micros(
+                F.lit(T0) + F.col("id") * 1000
+            ).alias("timestamp"),
+            (F.col("id") % 7).alias("k"),
+        )
+
+    engine.ingest_dataframe("lone", batch(0))  # first commit seeds
+    calls["n"] = 0
+    engine.ingest_dataframe("lone", batch(50))
+    # steady state: exactly one LIST (shared by add-file delta and
+    # zone-map build; no fold is due at 2 shards < COMPACT_SHARDS)
+    assert calls["n"] == 1, calls["n"]
+    # correctness unchanged: both batches readable, membership exact
+    assert engine.read_table("lone").count() == 100
