@@ -5726,3 +5726,188 @@ def dedup_token_savings(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13: optimizer-trap depth batch — query shapes that are easy to
+# write and easy for a planner to get wrong (r12 verdict next-round #7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_under_or_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE c_custkey <= 300
+      AND (c_acctbal > CAST(9000.0 AS DOUBLE)
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > CAST(300000.0 AS DOUBLE)))
+    ORDER BY c_custkey
+    """,
+    doc="Correlated EXISTS under OR — the classic decorrelation trap: "
+        "a semi-join rewrite is WRONG here (it would drop customers "
+        "that fail the EXISTS but pass the balance test), and naive "
+        "engines fall back to a per-row subquery. Catalyst plans an "
+        "ExistenceJoin (mark join): one hash join that ATTACHES an "
+        "'exists' boolean instead of filtering, then evaluates the OR "
+        "over the mark — plan-gated in test_plans.py. Both subquery "
+        "predicates push into the scans (customer keys, order price). "
+        "At 100 TB the mark join shuffles/broadcasts exactly like the "
+        "plain semi join — no row expansion, orders side pre-filtered.",
+    tags=("sql-surface",),
+)
+def exists_under_or_customers(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_exor_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_exor_v")
+    return spark.sql("""
+      SELECT c_custkey, c_name
+      FROM customer_exor_v c
+      WHERE c_custkey <= 300
+        AND (c_acctbal > CAST(9000.0 AS DOUBLE)
+             OR EXISTS (SELECT 1 FROM orders_exor_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > CAST(300000.0 AS DOUBLE)))
+      ORDER BY c_custkey
+    """)
+
+
+@register(
+    "lateral_offset_runnerups",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2 OFFSET 1) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    doc="Correlated LATERAL with LIMIT + OFFSET: the 2nd- and "
+        "3rd-richest customer per nation (runner-up analysis skips the "
+        "winner). OFFSET inside a correlated subquery is the "
+        "decorrelation edge lateral_topn_per_nation doesn't touch — a "
+        "per-group LIMIT can ride a ranked-limit rewrite, but OFFSET "
+        "forces the planner to keep per-group ordinal positions "
+        "(row_number BETWEEN 2 AND 3 after decorrelation), which "
+        "Spark 4 handles without replaying the customer scan per "
+        "nation. Tie-break (balance DESC, name) total-orders the "
+        "window so both engines pick identical rows.",
+    tags=("sql-surface",),
+)
+def lateral_offset_runnerups(spark, sf_dir):
+    load(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_latoff_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_latoff_v")
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation_latoff_v n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer_latoff_v c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2 OFFSET 1) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
+
+
+@register(
+    "downcast_safety_audit",
+    """
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_custkey > 2147483647
+                             OR o_custkey < -2147483648 THEN 1 END)
+                AS BIGINT) AS key_int32_overflow,
+           CAST(count(CASE WHEN o_totalprice <>
+                    CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                           THEN 1 END) AS BIGINT) AS price_f32_lossy,
+           CAST(count(CASE WHEN abs(o_totalprice) >= 1e10 THEN 1 END)
+                AS BIGINT) AS price_dec12_overflow,
+           CAST(count(CASE WHEN o_totalprice <>
+                             round(o_totalprice, 2) THEN 1 END)
+                AS BIGINT) AS price_subcent_scale
+    FROM orders
+    """,
+    doc="Schema-narrowing safety audit — the numeric-overflow-edge "
+        "check a pipeline runs BEFORE downcasting a 100 TB table into "
+        "a constrained sink schema (int32 keys, float32 features, "
+        "DECIMAL(12,2) money): rows whose key exceeds int32, whose "
+        "price loses bits through a float32 round-trip (IEEE 754 "
+        "single is engine-independent, so the count is deterministic "
+        "cross-engine), whose magnitude overflows DECIMAL(12,2), and "
+        "whose scale exceeds 2 decimal digits. One map-side pass to a "
+        "1-row aggregate — no shuffle beyond the final combine; the "
+        "four conditions are pure arithmetic (no libm), so the counts "
+        "are bit-exact at any scale.",
+    tags=("llm", "capability"),
+)
+def downcast_safety_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    key = F.col("o_custkey")
+    def n(cond):
+        return F.count(F.when(cond, 1)).cast("bigint")
+    return o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        n((key > 2147483647) | (key < -2147483648))
+        .alias("key_int32_overflow"),
+        n(price != price.cast("float").cast("double"))
+        .alias("price_f32_lossy"),
+        n(F.abs(price) >= 1e10).alias("price_dec12_overflow"),
+        n(price != F.round(price, 2)).alias("price_subcent_scale"),
+    ).select(F.lit("orders").alias("tbl"), "n_rows",
+             "key_int32_overflow", "price_f32_lossy",
+             "price_dec12_overflow", "price_subcent_scale")
+
+
+@register(
+    "join_using_full_outer_coalesce",
+    """
+    WITH c AS (
+      SELECT c_custkey AS custkey, c_acctbal
+      FROM customer WHERE c_custkey <= 100),
+    o AS (
+      SELECT o_custkey AS custkey,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_custkey BETWEEN 51 AND 150
+      GROUP BY o_custkey)
+    SELECT custkey,
+           CAST(c_acctbal IS NOT NULL AS VARCHAR) AS has_customer,
+           coalesce(n_orders, 0) AS n_orders
+    FROM c FULL OUTER JOIN o USING (custkey)
+    ORDER BY custkey
+    """,
+    doc="FULL OUTER JOIN ... USING key coalescing: the SQL-standard "
+        "rule that the USING column in a full join's output is "
+        "coalesce(left.key, right.key) — a NULL key for right-only "
+        "rows is the classic porting bug when an ON-clause full join "
+        "is rewritten to USING (or vice versa). Left side: customers "
+        "1-100; right side: per-customer order counts for 51-150; the "
+        "output key must be non-NULL across all three zones "
+        "(left-only 1-50, overlap 51-100, right-only 101-150). "
+        "Broadcast-sized dims here; at scale the same shape is a "
+        "shuffle full join on the key — no expansion, one shuffle.",
+    tags=("sql-surface",),
+)
+def join_using_full_outer_coalesce(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_fouse_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_fouse_v")
+    return spark.sql("""
+      WITH c AS (
+        SELECT c_custkey AS custkey, c_acctbal
+        FROM customer_fouse_v WHERE c_custkey <= 100),
+      o AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders_fouse_v WHERE o_custkey BETWEEN 51 AND 150
+        GROUP BY o_custkey)
+      SELECT custkey,
+             CAST(c_acctbal IS NOT NULL AS STRING) AS has_customer,
+             coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders
+      FROM c FULL OUTER JOIN o USING (custkey)
+      ORDER BY custkey
+    """)

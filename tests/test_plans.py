@@ -1634,3 +1634,57 @@ def test_keyset_page_filter_reaches_scan(spark, sf_dir, registry):
     plan = plans.simple_plan(df)
     assert plans.has_take_ordered(df), plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_exists_under_or_plans_existence_join(spark, sf_dir, registry):
+    """EXISTS under OR must compile to Catalyst's ExistenceJoin (mark
+    join) — a semi-join here would silently DROP rows that fail the
+    subquery but pass the balance disjunct; a per-row subquery would
+    be the non-distributed fallback. The order-price predicate must
+    still reach the orders scan."""
+    df = registry["exists_under_or_customers"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "ExistenceJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert any("o_totalprice" in p for p in plans.pushed_filters(df)), (
+        plans.pushed_filters(df)
+    )
+
+
+def test_lateral_offset_decorrelates_to_ranked_filter(
+    spark, sf_dir, registry
+):
+    """LATERAL ... LIMIT 2 OFFSET 1 must decorrelate into one
+    nationkey-partitioned ranking over customer (row_number BETWEEN
+    2 AND 3 after rewrite) — no per-nation re-scan, no cartesian."""
+    df = registry["lateral_offset_runnerups"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Window" in plan, plan[:3000]
+    assert not plans.unpartitioned_windows(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_downcast_audit_is_single_pass_aggregate(spark, sf_dir, registry):
+    """The narrowing audit is one map-side pass to a 1-row aggregate:
+    no join, no window, only the final-combine exchange; the scan
+    reads just the two audited columns."""
+    df = registry["downcast_safety_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    cols = plans.scan_columns(df)
+    assert cols <= {"o_custkey", "o_totalprice"}, cols
+
+
+def test_full_outer_using_no_expansion(spark, sf_dir, registry):
+    """USING-key full join: one FullOuter hash join over the two
+    pre-filtered sides, key filters pushed to both scans, no
+    cartesian/nested-loop fallback."""
+    df = registry["join_using_full_outer_coalesce"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "FullOuter" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plans.pushed_filters(df)
+    assert any("c_custkey" in p for p in pushed), pushed
+    assert any("o_custkey" in p for p in pushed), pushed
