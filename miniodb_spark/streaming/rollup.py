@@ -30,17 +30,27 @@ Design:
   rides :meth:`Engine.merge_upsert` (generation-based CoW), so a batch
   spanning W windows x K keys rewrites at most the partitions holding
   those W*K rows, never the whole rollup.
-- **Effectively-once.** Same batch-registry contract as
-  ``stream_ingest``: committed batch_ids are recorded in the engine
-  catalog and checkpoint replays are skipped, so a restart never
-  double-adds a batch. The residual window is the documented
-  crash-between-commit-and-marker single batch.
+- **Exactly-once across restarts.** Two layers. (1) Same
+  batch-registry contract as ``stream_ingest``: committed batch_ids
+  are recorded in the engine catalog and checkpoint replays are
+  skipped. (2) The residual window that contract leaves — a crash
+  AFTER the rollup upsert committed but BEFORE the batch marker — is
+  closed by stamping every rollup row with ``last_batch_id``: a
+  replayed merge sees the persisted row already carries this batch
+  (``last_batch_id >= batch_id``) and keeps it VERBATIM instead of
+  re-adding the partial, while still re-upserting it so a
+  crash-mid-upsert's un-swept older row version gets cleaned. Replays
+  therefore converge to the same state from ANY crash point
+  (property-tested over random crash schedules in
+  tests/test_ranks_property.py). Assumes one stream per rollup table
+  (the default ``stream_id`` enforces that naming).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..engine import Engine
 
@@ -73,7 +83,8 @@ def batch_partials(batch_df: DataFrame, *, ts_col: str, value_col: str,
 
 
 def merge_partials(persisted: DataFrame | None, part: DataFrame,
-                   key_cols: tuple) -> DataFrame:
+                   key_cols: tuple,
+                   batch_id: int | None = None) -> DataFrame:
     """Additively combine a batch's partials with the persisted rollup
     rows they touch. Only the batch's (window, key) rows participate —
     the persisted side is reduced via a broadcast semi-join on the
@@ -86,21 +97,64 @@ def merge_partials(persisted: DataFrame | None, part: DataFrame,
     row shares the id of every later NULL-keyed partial — a null-unsafe
     semi-join would drop the persisted row from the merge and the
     upsert would then OVERWRITE the accumulated n/sum/min/max with the
-    batch partial alone (silent data loss for the NULL bucket)."""
+    batch partial alone (silent data loss for the NULL bucket).
+
+    With ``batch_id`` set (the sink always sets it), the merge is
+    IDEMPOTENT under replay: persisted rows stamped with
+    ``last_batch_id >= batch_id`` already contain this batch — they
+    pass through verbatim (their partial is excluded) instead of
+    double-adding, closing the crash-after-upsert-before-marker
+    window. A crash MID-upsert can leave two row versions of one id
+    visible (ingest committed, old-version sweep not yet): the dedupe
+    below keeps the max-``last_batch_id`` version, and the pass-through
+    rows are still re-upserted so the replay's sweep removes the stale
+    older version. Rows written before this column existed read as
+    ``last_batch_id = -1`` (always mergeable)."""
     if persisted is None:
-        return part
+        return part.withColumn(
+            "last_batch_id",
+            F.lit(-1 if batch_id is None else batch_id).cast("long"))
     probe = part.select("window_start", *key_cols).alias("pr")
+    if "last_batch_id" in persisted.columns:
+        lb = F.col("last_batch_id").cast("long")
+    else:  # pre-upgrade rollup table
+        lb = F.lit(-1).cast("long")
     old = persisted.select(
         F.col("timestamp").alias("window_start"),
         *[F.col(k) for k in key_cols],
         "n", "value_sum", "value_min", "value_max",
+        lb.alias("last_batch_id"),
     ).alias("o")
     cond = F.col("o.window_start").eqNullSafe(F.col("pr.window_start"))
     for k in key_cols:
         cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"pr.{k}"))
     old = old.join(F.broadcast(probe), cond, "left_semi")
-    return (
-        old.unionByName(part)
+    # crash-mid-upsert can leave two versions of one (window, key) row
+    # visible (fresh generation committed, old version not yet swept):
+    # keep the newest stamp only — it strictly contains the older one
+    w = W.partitionBy("window_start", *key_cols).orderBy(
+        F.col("last_batch_id").desc())
+    old = (
+        old.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    if batch_id is None:
+        applied = old.limit(0)
+        todo_old = old
+    else:
+        applied = old.filter(F.col("last_batch_id") >= batch_id)
+        todo_old = old.filter(F.col("last_batch_id") < batch_id)
+    todo_old = todo_old.drop("last_batch_id")
+    # partials whose row already carries this batch are dropped — the
+    # anti-join is null-safe for the same reason the semi-join is
+    akeys = applied.select("window_start", *key_cols).alias("ap")
+    pcond = F.col("p.window_start").eqNullSafe(F.col("ap.window_start"))
+    for k in key_cols:
+        pcond = pcond & F.col(f"p.{k}").eqNullSafe(F.col(f"ap.{k}"))
+    part_todo = part.alias("p").join(
+        F.broadcast(akeys), pcond, "left_anti")
+    merged = (
+        todo_old.unionByName(part_todo)
         .groupBy("window_start", *key_cols)
         .agg(
             F.sum("n").cast("long").alias("n"),
@@ -108,7 +162,62 @@ def merge_partials(persisted: DataFrame | None, part: DataFrame,
             F.min("value_min").alias("value_min"),
             F.max("value_max").alias("value_max"),
         )
+        .withColumn(
+            "last_batch_id",
+            F.lit(-1 if batch_id is None else batch_id).cast("long"))
     )
+    return merged.unionByName(applied)
+
+
+def apply_rollup_batch(
+    engine: Engine,
+    rollup_table: str,
+    batch_df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    window: str,
+    key_cols: tuple,
+    batch_id: int,
+    stream_id: str,
+) -> bool:
+    """The foreachBatch body, exposed as a plain function so
+    restart-recovery tests can drive it with injected crash points
+    (the streaming runtime replays a batch with the SAME batch_id
+    after any failure — this function must converge from every crash
+    position: before the upsert, mid-upsert between the merged
+    ingest and the old-version sweep, or after the upsert but before
+    the batch marker). Returns True when the batch was applied, False
+    when the marker says it already was."""
+    if batch_id <= engine.catalog.last_committed_batch(stream_id):
+        return False
+    if batch_df.isEmpty():
+        engine.catalog.commit_stream_batch(stream_id, batch_id)
+        return False
+    part = batch_partials(batch_df, ts_col=ts_col, value_col=value_col,
+                          window=window, key_cols=key_cols).cache()
+    try:
+        merged = merge_partials(
+            engine.read_persisted(rollup_table), part, key_cols,
+            batch_id=batch_id)
+        rows = merged.select(
+            rollup_id_col("window_start", key_cols).alias("id"),
+            F.unix_micros(F.col("window_start")).alias("timestamp_us"),
+            "window_start", *key_cols,
+            "n", "value_sum", "value_min", "value_max",
+            "last_batch_id",
+        )
+        upsert = rows.select(
+            "id",
+            F.timestamp_micros(F.col("timestamp_us")).alias("timestamp"),
+            *key_cols, "n", "value_sum", "value_min", "value_max",
+            "last_batch_id",
+        )
+        engine.merge_upsert(rollup_table, upsert, key_col="id")
+        engine.catalog.commit_stream_batch(stream_id, batch_id)
+    finally:
+        part.unpersist()
+    return True
 
 
 def continuous_rollup(
@@ -133,31 +242,11 @@ def continuous_rollup(
     key_cols = tuple(key_cols)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= engine.catalog.last_committed_batch(sid):
-            return
-        if batch_df.isEmpty():
-            engine.catalog.commit_stream_batch(sid, batch_id)
-            return
-        part = batch_partials(batch_df, ts_col=ts_col, value_col=value_col,
-                              window=window, key_cols=key_cols).cache()
-        try:
-            merged = merge_partials(
-                engine.read_persisted(rollup_table), part, key_cols)
-            rows = merged.select(
-                rollup_id_col("window_start", key_cols).alias("id"),
-                F.unix_micros(F.col("window_start")).alias("timestamp_us"),
-                "window_start", *key_cols,
-                "n", "value_sum", "value_min", "value_max",
-            )
-            upsert = rows.select(
-                "id",
-                F.timestamp_micros(F.col("timestamp_us")).alias("timestamp"),
-                *key_cols, "n", "value_sum", "value_min", "value_max",
-            )
-            engine.merge_upsert(rollup_table, upsert, key_col="id")
-            engine.catalog.commit_stream_batch(sid, batch_id)
-        finally:
-            part.unpersist()
+        apply_rollup_batch(
+            engine, rollup_table, batch_df, ts_col=ts_col,
+            value_col=value_col, window=window, key_cols=key_cols,
+            batch_id=batch_id, stream_id=sid,
+        )
 
     writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
     if checkpoint_dir:

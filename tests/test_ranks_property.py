@@ -149,3 +149,111 @@ def test_rollup_merge_partials_equals_batch_recompute(_spark, events, cut):
         wn, ws, wlo, whi = want[key]
         assert (gn, glo, ghi) == (wn, wlo, whi), (key, got[key], want[key])
         assert abs(gs - ws) < 1e-9, (key, gs, ws)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),   # hour
+                    st.sampled_from(["a", "b", None]),       # key (+NULL)
+                    st.integers(min_value=-9, max_value=9),  # value
+                ),
+                min_size=0, max_size=5,
+            ),
+            st.sampled_from(["ok", "after_upsert", "mid_upsert"]),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_rollup_restart_recovery_any_crash_point(_spark, batches):
+    """Restart-recovery property (r12 verdict #7): for ANY batch
+    sequence and ANY crash schedule — a crash after the rollup upsert
+    committed but before the batch marker, or MID-upsert between the
+    merged ingest and the old-version sweep — replaying the crashed
+    batch (what Structured Streaming does, same batch_id) converges to
+    exactly the single-pass aggregate of all events. This is the
+    last_batch_id stamp's contract: without it, every after_upsert
+    crash double-adds its batch on replay."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from miniodb_spark import mutations as mut
+    from miniodb_spark.engine import Engine
+    from miniodb_spark.streaming.rollup import (
+        apply_rollup_batch, batch_partials, read_rollup,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    schema = "ts timestamp, k string, value double"
+
+    def df_of(rows):
+        return _spark.createDataFrame(
+            [(t0 + datetime.timedelta(hours=h), k, float(v))
+             for h, k, v in rows], schema)
+
+    store = tempfile.mkdtemp(prefix="rollup_prop_")
+    real_commit = type(None)
+    try:
+        eng = Engine(_spark, store)
+        eng.create_table("agg_p")
+        all_rows = []
+        for bid, (rows, crash) in enumerate(batches):
+            all_rows.extend(rows)
+            bdf = df_of(rows)
+            kw = dict(ts_col="ts", value_col="value", window="1 hour",
+                      key_cols=("k",), batch_id=bid, stream_id="rp")
+            if crash == "after_upsert" and rows:
+                # upsert lands, marker write dies -> replay same batch
+                real = eng.catalog.commit_stream_batch
+                eng.catalog.commit_stream_batch = lambda *a: (
+                    (_ for _ in ()).throw(RuntimeError("crash")))
+                try:
+                    with pytest.raises(RuntimeError):
+                        apply_rollup_batch(eng, "agg_p", bdf, **kw)
+                finally:
+                    eng.catalog.commit_stream_batch = real
+                apply_rollup_batch(eng, "agg_p", df_of(rows), **kw)
+            elif crash == "mid_upsert" and rows:
+                # merged generation ingested, old-version sweep dies ->
+                # two visible versions of touched ids until the replay
+                real_dr = mut.delete_rows
+                def dying(*a, **k):
+                    raise RuntimeError("crash mid-upsert")
+                mut.delete_rows = dying
+                try:
+                    with pytest.raises(RuntimeError):
+                        apply_rollup_batch(eng, "agg_p", bdf, **kw)
+                finally:
+                    mut.delete_rows = real_dr
+                apply_rollup_batch(eng, "agg_p", df_of(rows), **kw)
+            else:
+                apply_rollup_batch(eng, "agg_p", bdf, **kw)
+            # a spurious extra replay (marker already written) is a no-op
+            assert apply_rollup_batch(eng, "agg_p", df_of(rows), **kw) \
+                is False
+
+        got_df = read_rollup(eng, "agg_p", key_cols=("k",))
+        got = {} if got_df is None else {
+            (r["window_start"], r["k"]):
+                (r["n"], r["value_sum"], r["value_min"], r["value_max"])
+            for r in got_df.collect()
+        }
+        if all_rows:
+            want = {
+                (r["window_start"], r["k"]):
+                    (r["n"], r["value_sum"], r["value_min"],
+                     r["value_max"])
+                for r in batch_partials(
+                    df_of(all_rows), ts_col="ts", value_col="value",
+                    window="1 hour", key_cols=("k",)).collect()
+            }
+        else:
+            want = {}
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
