@@ -393,16 +393,38 @@ class Engine:
 
         One ``createDataFrame`` per (table, inferred-schema) batch →
         append write partitioned by ``dt``; then merge the batch columns
-        into the catalog's cumulative schema."""
+        into the catalog's cumulative schema.
+
+        Cross-driver safety: the whole drain→write→commit runs under
+        the table's shared-store ``#rewrite`` lease (same lock the
+        mutation paths hold — re-entrant when a mutation's own flush
+        triggers this). Two DRIVERS appending into one generation
+        directory would otherwise share the FileOutputCommitter
+        staging path, where one job's commit destroys the other's task
+        files — the cross-process twin of the in-process _flush_lock
+        hazard. The lease also serializes a flush against a concurrent
+        collapse/rewrite from another driver, which could tombstone
+        the very generation the flush is appending into. Lock order:
+        lease before process locks, as everywhere (see update())."""
         tables = [table] if table else list(self._buffers)
         total = 0
         for t in tables:
             buf = self._buffers.get(t)
             if buf is None or buf.count == 0:
                 continue
-            with self._flush_lock(t):
+            with self.lease.holding(f"{t}/#rewrite", timeout_s=120.0), \
+                    self.lease.keepalive(f"{t}/#rewrite"), \
+                    self._flush_lock(t):
                 if buf.count == 0:  # a racing flush already drained it
                     continue
+                # pick up generations another driver registered since
+                # our last look — absorb into ITS generation instead of
+                # forking a duplicate index (safe: we hold the lease).
+                # When something DID change, the other driver also
+                # changed the file set: reseed the known-files cache so
+                # its files are never attributed to our commit.
+                if self.catalog.refresh_if_changed(t):
+                    self._forget_gen_files(t)
                 batches, drained_seq = buf.drain()
                 flushed: list[str] = []
                 try:
@@ -541,11 +563,18 @@ class Engine:
             out = out.withColumn("table_name", F.lit(table))
         out = out.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
         cfg = self.catalog.get_table(table)
-        with self._flush_lock(table):
-            # register under the flush lock: every generation-creating
-            # path (flush, ingest, rewrite commit) serializes here, so a
+        with self.lease.holding(f"{table}/#rewrite", timeout_s=120.0), \
+                self.lease.keepalive(f"{table}/#rewrite"), \
+                self._flush_lock(table):
+            # register under the cross-driver lease + flush lock: every
+            # generation-creating path (flush, ingest, rewrite commit)
+            # serializes here — in-process via the lock, across drivers
+            # via the lease (two drivers' append jobs into one gen dir
+            # share the committer staging path; see flush()) — so a
             # rewrite's reserved generation index can't be claimed by a
             # racing ingest
+            if self.catalog.refresh_if_changed(table):
+                self._forget_gen_files(table)
             gen = self.catalog.register_flush_schema(
                 table,
                 {f.name: _type_name(f.dataType) for f in out.schema.fields if f.name != "dt"},
@@ -1534,20 +1563,27 @@ class Engine:
 
         if self.catalog.get_table(table) is None:
             raise ValueError(f"no such table: {table}")
-        stats = _compact(self.spark, self._table_dir(table), fs=self.fs,
-                         zorder_by=zorder_by)
-        if stats:
-            self.cache.invalidate_table(table)
-            # compaction swapped files under NEW NAMES inside existing
-            # generations without a touch(add_files) commit: a stale
-            # known-files cache would let the next flush claim those
-            # files as its own adds — invalidate it first
-            self._forget_gen_files(table)
-            # then re-index (incremental — only the fresh files are
-            # scanned, dead sidecar entries are dropped) so point-lookup
-            # pruning doesn't degrade to scan-everything
-            for g in range(len(self.catalog.gen_schemas(table))):
-                self._build_zonemap(table, g)
+        # compaction swaps a generation's files in place — exclude
+        # concurrent cross-driver flushes/rewrites for the duration
+        with self.lease.holding(f"{table}/#rewrite", timeout_s=120.0), \
+                self.lease.keepalive(f"{table}/#rewrite"):
+            stats = _compact(self.spark, self._table_dir(table),
+                             fs=self.fs, zorder_by=zorder_by)
+            if stats:
+                self.cache.invalidate_table(table)
+                # compaction swapped files under NEW NAMES inside
+                # existing generations without a touch(add_files)
+                # commit: a stale known-files cache would let the next
+                # flush claim those files as its own adds — invalidate
+                # it before the lease drops (a flush is excluded until
+                # then, in-process and cross-driver alike)
+                self._forget_gen_files(table)
+                # then re-index (incremental — only the fresh files are
+                # scanned, dead sidecar entries are dropped) so
+                # point-lookup pruning doesn't degrade to
+                # scan-everything
+                for g in range(len(self.catalog.gen_schemas(table))):
+                    self._build_zonemap(table, g)
         return stats
 
     def start_auto_flush(self, poll_interval_s: float = 1.0) -> None:

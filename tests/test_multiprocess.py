@@ -17,12 +17,14 @@ filesystem, so it exercises the actual cross-driver protocol:
     later batch even though its files share the SAME generation
     directory (no mtime/clock trust).
 
-Parquet appends themselves are staggered through file-flag barriers —
-two simultaneous append jobs into one directory share the
-FileOutputCommitter staging path by Spark's own design (the same reason
-Engine serializes flushes per table in-process); the CONCURRENT phase
-races the metadata machinery (shard build + force-fold), which is what
-this round's add-file/shard changes must survive.
+The first test staggers its parquet appends through file-flag barriers
+so the mid-point catalog version is deterministic for the snapshot
+assertion; its CONCURRENT phase races the metadata machinery (shard
+build + force-fold). The second test fires UN-staggered simultaneous
+ingests from both drivers — the cross-driver #rewrite lease must
+serialize the append jobs (two concurrent jobs into one directory
+share the FileOutputCommitter staging path, where one job's commit
+destroys the other's task files).
 """
 
 import os
@@ -189,3 +191,92 @@ def test_two_process_shared_store_flush_fold_snapshot(spark, tmp_path):
     assert not any(i.startswith("c") for i in snap_ids)
     assert sum(1 for i in snap_ids if i.startswith("a")) == 200
     assert sum(1 for i in snap_ids if i.startswith("b")) == 200
+
+
+_CONCURRENT_WORKER = r"""
+import os, sys, time
+
+root, flags, who = sys.argv[1], sys.argv[2], sys.argv[3]
+
+from miniodb_spark.session import get_spark
+from miniodb_spark.engine import Engine
+from pyspark.sql import functions as F
+
+spark = get_spark(f"cproc-{who}", cpus=4)
+eng = Engine(spark, root)
+
+# rendezvous so both drivers fire their ingests at the same instant
+me = os.path.join(flags, f"ready_{who}")
+open(me, "w").close()
+other = os.path.join(flags, "ready_b" if who == "a" else "ready_a")
+t0 = time.time()
+while not os.path.exists(other):
+    if time.time() - t0 > 240:
+        raise SystemExit("rendezvous timeout")
+    time.sleep(0.02)
+
+for i in range(3):
+    batch = spark.range(100).select(
+        F.concat(F.lit(who), F.lit(i), F.lit("_"),
+                 F.col("id").cast("string")).alias("id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1000
+        ).alias("timestamp"),
+        (F.col("id") % 7).alias("k"),
+    )
+    eng.ingest_dataframe("t", batch)
+
+spark.stop()
+"""
+
+
+def test_two_process_concurrent_ingests_all_rows_survive(spark, tmp_path):
+    """UN-staggered cross-driver writes: both processes fire 3 ingests
+    each into the same table at the same instant. The shared-store
+    #rewrite lease must serialize the parquet append jobs (two
+    concurrent jobs into one generation directory share the
+    FileOutputCommitter staging path — one job's commit would destroy
+    the other's task files) and the catalog registrations, so all 600
+    rows from both drivers survive with exact add-file membership."""
+    root = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    os.makedirs(root)
+    os.makedirs(flags)
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as fh:
+        fh.write(_CONCURRENT_WORKER)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, root, flags, who],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for who in ("a", "b")
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode()[-2000:])
+        assert all(p.returncode == 0 for p in procs), outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    from miniodb_spark.engine import Engine
+
+    eng = Engine(spark, root)
+    df = eng.read_table("t")
+    assert df.count() == 600, outs
+    ids = {r["id"] for r in df.select("id").collect()}
+    assert len(ids) == 600
+    for who in ("a", "b"):
+        for i in range(3):
+            assert sum(1 for x in ids if x.startswith(f"{who}{i}_")) == 100
+    # every file is pinned by the add-file index: a snapshot at the
+    # latest version must see exactly the full row set (no mtime trust)
+    v = eng.catalog.current_version("t")
+    assert eng.read_snapshot("t", v).count() == 600
