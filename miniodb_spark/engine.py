@@ -985,9 +985,60 @@ class Engine:
         admits it. Correctness contract (tested): identical rows to
         ``read_table(table).filter(id_col = value)`` under flushes,
         appends, updates, deletes and compaction."""
+        keys = list(value) if isinstance(value, (list, tuple, set)) else [value]
+
+        def select_fn(i, listing):
+            hit: set[str] = set()
+            for k in keys:
+                s, _ = self.zonemaps.prune(table, i, listing, id_col, k)
+                hit.update(s)
+            # keep listing order for a stable scan plan
+            return [rel for rel, _dt in listing if rel in hit]
+
+        if len(keys) == 1:
+            key_pred = F.col(id_col).eqNullSafe(F.lit(keys[0]))
+        else:
+            key_pred = F.col(id_col).isin(keys)
+        return self._pruned_hybrid_scan(table, id_col, select_fn, key_pred)
+
+    def range_lookup_df(
+        self, table: str, lo=None, hi=None, lo_incl: bool = True,
+        hi_incl: bool = True, id_col: str = "id",
+    ) -> tuple[DataFrame | None, dict]:
+        """``SELECT * WHERE id_col [>|>=] lo AND id_col [<|<=] hi``
+        opening only the files whose zone-map [min, max] bracket
+        intersects the range — the key-range twin of
+        :meth:`point_lookup_df` (keyset pagination ``id > 'cursor'``,
+        time-ordered key slices). Same hint-only superset contract and
+        the same hybrid buffer union; the residual predicate re-filters
+        whatever the brackets admit. A range predicate never matches a
+        NULL key (SQL three-valued logic), matching prune_range's
+        skip-all-null-files rule."""
+        def select_fn(i, listing):
+            sel, _ = self.zonemaps.prune_range(
+                table, i, listing, id_col,
+                lo=lo, hi=hi, lo_incl=lo_incl, hi_incl=hi_incl)
+            return sel
+
+        pred = F.lit(True)
+        if lo is not None:
+            c = F.col(id_col)
+            pred = pred & (c >= F.lit(lo) if lo_incl else c > F.lit(lo))
+        if hi is not None:
+            c = F.col(id_col)
+            pred = pred & (c <= F.lit(hi) if hi_incl else c < F.lit(hi))
+        return self._pruned_hybrid_scan(table, id_col, select_fn, pred)
+
+    def _pruned_hybrid_scan(
+        self, table: str, id_col: str, select_fn, key_pred,
+    ) -> tuple[DataFrame | None, dict]:
+        """Shared scan builder behind point/range lookups: per
+        generation, ``select_fn(gen, listing)`` picks the files to
+        open (a superset of matches by the zone-map contract), the
+        residual ``key_pred`` re-filters rows, and the in-memory
+        buffer unions in exactly like read_table."""
         from .zonemap import list_generation_files
 
-        keys = list(value) if isinstance(value, (list, tuple, set)) else [value]
         gens = self.catalog.gen_schemas(table)
         cum = self.catalog.schema_of(table)
         report = {"files_total": 0, "files_scanned": 0,
@@ -1010,12 +1061,7 @@ class Engine:
             if not listing:
                 continue
             if id_col in gcols:
-                hit: set[str] = set()
-                for k in keys:
-                    s, _ = self.zonemaps.prune(table, i, listing, id_col, k)
-                    hit.update(s)
-                # keep listing order for a stable scan plan
-                sel = [rel for rel, _dt in listing if rel in hit]
+                sel = select_fn(i, listing)
                 skipped = len(listing) - len(sel)
             else:
                 sel, skipped = [], len(listing)  # column absent: no match
@@ -1038,10 +1084,6 @@ class Engine:
                 for c, ct in cum.items()
             ]
             parts.append(df.select(*cols, F.col("dt"), F.lit(i).alias("gen")))
-        if len(keys) == 1:
-            key_pred = F.col(id_col).eqNullSafe(F.lit(keys[0]))
-        else:
-            key_pred = F.col(id_col).isin(keys)
         persisted = None
         if parts:
             persisted = parts[0]
@@ -1181,9 +1223,17 @@ class Engine:
                 )
                 if df is not None and single_ref:
                     key = gate.extract_conjunctive_keys(sql)
-                    if key is not None:
+                    rng = None if key is not None else \
+                        gate.extract_conjunctive_range(sql)
+                    if key is not None or rng is not None:
                         try:
-                            pruned, rep = self.point_lookup_df(t, key)
+                            if key is not None:
+                                pruned, rep = self.point_lookup_df(t, key)
+                            else:
+                                lo, lo_i, hi, hi_i = rng
+                                pruned, rep = self.range_lookup_df(
+                                    t, lo=lo, hi=hi,
+                                    lo_incl=lo_i, hi_incl=hi_i)
                             zs = self.query_stats.setdefault(
                                 "zonemap", {"queries": 0,
                                             "files_skipped": 0})

@@ -225,6 +225,67 @@ def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
     return None
 
 
+def extract_conjunctive_range(
+    sql: str, column: str = "id"
+) -> tuple[str | None, bool, str | None, bool] | None:
+    """``(lo, lo_inclusive, hi, hi_inclusive)`` when the WHERE clause
+    provably bounds ``column`` conjunctively by string-literal
+    comparisons (``>``, ``>=``, ``<``, ``<=``; equality is
+    extract_conjunctive_eq's job). Bounds may be one-sided (None).
+    Multiple conjuncts intersect (the tightest bound wins). Soundness
+    posture identical to extract_conjunctive_eq — any doubt (OR / NOT
+    / CASE / parentheses / BETWEEN, whose embedded AND the splitter
+    would slice into fabricated conjuncts) returns None; conjuncts
+    that don't mention ``column`` are ignored, which only loosens the
+    extracted range (pruning with a looser range is still a superset
+    of matching files). Returns None when no comparison conjunct on
+    ``column`` exists."""
+    m = re.search(
+        r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+        r"|\bLIMIT\b|$)",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    conjs = _split_top_level_and(m.group(1))
+    if conjs is None:
+        return None
+    ident = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+    pat_l = re.compile(
+        rf"^{ident}\s*(>=|<=|>|<)\s*'([^']*)'$", re.IGNORECASE)
+    pat_r = re.compile(
+        rf"^'([^']*)'\s*(>=|<=|>|<)\s*{ident}$", re.IGNORECASE)
+    flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}
+    lo: str | None = None
+    hi: str | None = None
+    lo_incl = hi_incl = True
+    found = False
+    for conj in conjs:
+        conj = conj.strip()
+        mm = pat_l.match(conj)
+        if mm:
+            op, lit = mm.group(1), mm.group(2)
+        else:
+            mm = pat_r.match(conj)
+            if not mm:
+                continue
+            lit, op = mm.group(1), flip[mm.group(2)]
+        found = True
+        if op in (">", ">="):
+            incl = op == ">="
+            if lo is None or lit > lo:
+                lo, lo_incl = lit, incl
+            elif lit == lo:  # equal bounds: exclusive is tighter
+                lo_incl = lo_incl and incl
+        else:
+            incl = op == "<="
+            if hi is None or lit < hi:
+                hi, hi_incl = lit, incl
+            elif lit == hi:
+                hi_incl = hi_incl and incl
+    return (lo, lo_incl, hi, hi_incl) if found else None
+
+
 def _split_top_level_and(clause: str) -> list[str] | None:
     """Split a WHERE clause into depth-0 AND conjuncts; None when the
     top level contains OR / NOT / CASE (pruning unsound) or quotes are

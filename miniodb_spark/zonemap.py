@@ -442,3 +442,61 @@ class ZoneMapStore:
             else:
                 skipped += 1
         return selected, skipped
+
+    def prune_range(
+        self,
+        table: str,
+        gen: int,
+        listing: list[tuple[str, str]],
+        column: str,
+        lo: Any = None,
+        hi: Any = None,
+        lo_incl: bool = True,
+        hi_incl: bool = True,
+    ) -> tuple[list[str], int]:
+        """Files a range predicate on ``column`` must scan — the
+        key-range twin of :meth:`prune` (``id > 'cursor'`` keyset
+        pagination, time-slice scans). A file is skipped iff its
+        [min, max] bracket provably misses the half-open/closed range:
+        ``max < lo`` (or ``== lo`` when exclusive) / ``min > hi`` (or
+        ``== hi`` when exclusive). Range comparisons never match NULL
+        keys, so an all-null file (None bracket) is skipped — unlike
+        :meth:`prune`'s NULL-key early return, there is no NULL value
+        to look for. Unindexed files are always scanned (hint-only
+        contract)."""
+        doc = self.load(table, gen)
+        if doc is None or column not in doc.get("columns", []):
+            return [rel for rel, _dt in listing], 0
+        if lo is None and hi is None:
+            return [rel for rel, _dt in listing], 0
+        files = doc["files"]
+        vlo = _jsonable(lo) if lo is not None else None
+        vhi = _jsonable(hi) if hi is not None else None
+        selected: list[str] = []
+        skipped = 0
+        for rel, _dt in listing:
+            st = files.get(rel)
+            if st is None:
+                selected.append(rel)  # unindexed: must scan
+                continue
+            fmin, fmax = st.get(column, (None, None))
+            if fmin is None or fmax is None:
+                skipped += 1  # no non-NULL keys; range can't match NULL
+                continue
+            try:
+                admit = True
+                if vlo is not None and (
+                    fmax < vlo or (fmax == vlo and not lo_incl)
+                ):
+                    admit = False
+                if admit and vhi is not None and (
+                    fmin > vhi or (fmin == vhi and not hi_incl)
+                ):
+                    admit = False
+            except TypeError:
+                admit = True  # cross-type comparison: stay correct
+            if admit:
+                selected.append(rel)
+            else:
+                skipped += 1
+        return selected, skipped

@@ -652,3 +652,127 @@ def test_commit_paths_list_generation_once(engine, spark, monkeypatch):
     assert calls["n"] == 1, calls["n"]
     # correctness unchanged: both batches readable, membership exact
     assert engine.read_table("lone").count() == 100
+
+
+def test_extract_conjunctive_range_unit():
+    """gate.extract_conjunctive_range soundness: literal comparisons
+    extract with the right inclusivity, bounds tighten across
+    conjuncts, flipped literal-first forms normalize, and every
+    unsound shape (OR / BETWEEN / parens / non-literal) declines."""
+    from miniodb_spark.gate import extract_conjunctive_range as ex
+
+    assert ex("SELECT * FROM t WHERE id >= 'a'") == ("a", True, None, True)
+    assert ex("SELECT * FROM t WHERE id > 'a' AND id <= 'm'") == \
+        ("a", False, "m", True)
+    assert ex("SELECT * FROM t WHERE 'a' <= id AND 'm' > id") == \
+        ("a", True, "m", False)
+    # tightening: max lo wins; equal literals -> exclusive wins
+    assert ex("SELECT * FROM t WHERE id > 'a' AND id >= 'c'") == \
+        ("c", True, None, True)
+    assert ex("SELECT * FROM t WHERE id >= 'c' AND id > 'c'") == \
+        ("c", False, None, True)
+    # unrelated conjuncts are ignored, not disqualifying
+    assert ex("SELECT * FROM t WHERE id > 'a' AND v = 3") == \
+        ("a", False, None, True)
+    # unsound shapes decline
+    assert ex("SELECT * FROM t WHERE id > 'a' OR v = 3") is None
+    assert ex("SELECT * FROM t WHERE id BETWEEN 'a' AND 'm'") is None
+    assert ex("SELECT * FROM t WHERE (id > 'a')") is None
+    assert ex("SELECT * FROM t WHERE id > v") is None
+    assert ex("SELECT * FROM t WHERE v > 'a'") is None
+    assert ex("SELECT * FROM t") is None
+
+
+def test_prune_range_property_superset_of_matches(tmp_path):
+    """Range twin of the prune() superset property: for ANY bracket
+    layout and ANY (lo, hi, inclusivity), prune_range selects every
+    file whose bracket intersects the range."""
+    import itertools
+    import json as _json
+
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.zonemap import ZoneMapStore
+
+    fs = LocalFS()
+    store = ZoneMapStore(fs, str(tmp_path / "zm"))
+    ids = ["a", "c", "e", "g", "i", "k"]
+    bounds = [None, "", "a", "b", "e", "k", "z"]
+    for cut in range(1, len(ids)):
+        doc = {"columns": ["id"], "files": {
+            "dt=d/f1.parquet": {"dt": "d", "n": cut,
+                                "id": [ids[0], ids[cut - 1]]},
+            "dt=d/f2.parquet": {"dt": "d", "n": len(ids) - cut,
+                                "id": [ids[cut], ids[-1]]},
+        }}
+        fs.makedirs(str(tmp_path / "zm" / "t"))
+        fs.write_bytes(str(tmp_path / "zm" / "t" / "gen=0.json"),
+                       _json.dumps(doc).encode())
+        listing = [("dt=d/f1.parquet", "d"), ("dt=d/f2.parquet", "d")]
+        for lo, hi, lo_i, hi_i in itertools.product(
+            bounds, bounds, (True, False), (True, False)
+        ):
+            sel, skipped = store.prune_range(
+                "t", 0, listing, "id", lo=lo, hi=hi,
+                lo_incl=lo_i, hi_incl=hi_i)
+            assert len(sel) + skipped == len(listing)
+            for rel, _dt in listing:
+                fmin, fmax = doc["files"][rel]["id"]
+                # does any indexed id in [fmin, fmax] satisfy the range?
+                within = [
+                    v for v in ids
+                    if fmin <= v <= fmax
+                    and (lo is None or (v >= lo if lo_i else v > lo))
+                    and (hi is None or (v <= hi if hi_i else v < hi))
+                ]
+                if within:
+                    assert rel in sel, (cut, lo, hi, lo_i, hi_i, rel)
+
+
+def test_range_lookup_matches_full_scan_and_skips(engine):
+    """range_lookup_df returns exactly what a full hybrid scan +
+    filter returns, while skipping files whose bracket misses the
+    range (clustered seed layout)."""
+    _seed(engine, "zrange", n=8, days=4)
+    df, report = engine.range_lookup_df(
+        "zrange", lo="r002", hi="r005", lo_incl=True, hi_incl=True)
+    got = sorted(r["id"] for r in df.select("id").collect())
+    full = engine.read_table("zrange").filter(
+        (F.col("id") >= "r002") & (F.col("id") <= "r005"))
+    want = sorted(r["id"] for r in full.select("id").collect())
+    assert got == want == ["r002", "r003", "r004", "r005"]
+    assert report["files_skipped"] > 0, report
+    # exclusive bounds drop the endpoints
+    df2, _ = engine.range_lookup_df(
+        "zrange", lo="r002", hi="r005", lo_incl=False, hi_incl=False)
+    assert sorted(r["id"] for r in df2.select("id").collect()) == \
+        ["r003", "r004"]
+    # one-sided: everything at or after r006
+    df3, rep3 = engine.range_lookup_df("zrange", lo="r006")
+    assert sorted(r["id"] for r in df3.select("id").collect()) == \
+        ["r006", "r007"]
+    assert rep3["files_skipped"] > 0, rep3
+
+
+def test_sql_path_prunes_on_range_conjuncts(engine):
+    """The SQL gate routes a provable id-range WHERE through
+    range_lookup_df: same rows as the full scan, zonemap stats count
+    the skips."""
+    import json as _json
+
+    _seed(engine, "zsqlr", n=8, days=4)
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id, v FROM zsqlr WHERE id >= 'r004' AND id < 'r006' "
+        "ORDER BY id"))
+    assert [r["id"] for r in out] == ["r004", "r005"]
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1
+    assert zs["files_skipped"] > before.get("files_skipped", 0)
+    # buffered (unflushed) rows still surface through the hybrid union
+    engine.write("zsqlr", {"v": 99}, record_id="r0045",
+                 timestamp_us=T0)
+    out2 = _json.loads(engine.query(
+        "SELECT id FROM zsqlr WHERE id >= 'r004' AND id < 'r006' "
+        "ORDER BY id"))
+    assert [r["id"] for r in out2] == ["r004", "r0045", "r005"]
