@@ -5911,3 +5911,71 @@ def join_using_full_outer_coalesce(spark, sf_dir):
       FROM c FULL OUTER JOIN o USING (custkey)
       ORDER BY custkey
     """)
+
+
+@register(
+    "try_cast_decimal_parse_audit",
+    """
+    WITH s AS (
+      SELECT o_orderkey % 6 AS variant,
+             CASE o_orderkey % 6
+               WHEN 0 THEN printf('%.2f', o_totalprice)
+               WHEN 1 THEN printf('%.3fe1', o_totalprice / 10)
+               WHEN 2 THEN 'N/A'
+               WHEN 3 THEN ''
+               WHEN 4 THEN printf('%.2f', o_totalprice * 1e9)
+               ELSE '-' || printf('%.2f', o_totalprice)
+             END AS raw
+      FROM orders)
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(TRY_CAST(raw AS DECIMAL(12,2))) AS BIGINT)
+             AS n_parsed,
+           round(CAST(sum(TRY_CAST(raw AS DECIMAL(12,2))) AS DOUBLE),
+                 2) AS parsed_sum
+    FROM s GROUP BY variant ORDER BY variant
+    """,
+    doc="TRY_CAST string->DECIMAL(12,2) parse audit — the decimal "
+        "overflow-edge entry (r12 verdict #7): six deterministic "
+        "formatting variants of the price column (plain %.2f, exponent "
+        "notation, junk token, empty string, a x1e9 value whose integer "
+        "digits overflow precision 12, and signed) are parsed with "
+        "error-safe casts; the audit reports parse yield and the exact "
+        "sum of what parsed, per variant. Pins the agreeing edges "
+        "cross-engine: exponent literals parse, junk/empty -> NULL, "
+        "integer-digit overflow -> NULL (not an error), scale-reduce "
+        "rounds half-away-from-zero. The ONE divergent edge is "
+        "deliberately excluded and documented: a value whose ROUNDING "
+        "carries it over the precision boundary ('99.995' -> "
+        "DECIMAL(4,2)) is NULL in Spark but 100.00 in DuckDB — schema "
+        "authors must leave one integer digit of rounding headroom. "
+        "One map-side pass, 6-group aggregate; the strings are derived, "
+        "never shuffled wide.",
+    tags=("sql-surface", "capability"),
+)
+def try_cast_decimal_parse_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    variant = (F.col("o_orderkey") % 6).alias("variant")
+    price = F.col("o_totalprice")
+    raw = (
+        F.when(F.col("o_orderkey") % 6 == 0,
+               F.format_string("%.2f", price))
+        .when(F.col("o_orderkey") % 6 == 1,
+              F.format_string("%.3fe1", price / 10))
+        .when(F.col("o_orderkey") % 6 == 2, F.lit("N/A"))
+        .when(F.col("o_orderkey") % 6 == 3, F.lit(""))
+        .when(F.col("o_orderkey") % 6 == 4,
+              F.format_string("%.2f", price * 1e9))
+        .otherwise(F.concat(F.lit("-"),
+                            F.format_string("%.2f", price)))
+    )
+    parsed = F.expr("TRY_CAST(raw AS DECIMAL(12,2))")
+    return (
+        o.select(variant, raw.alias("raw"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(parsed).cast("bigint").alias("n_parsed"),
+            F.round(F.sum(parsed).cast("double"), 2).alias("parsed_sum"),
+        )
+        .orderBy("variant")
+    )

@@ -1688,3 +1688,14 @@ def test_full_outer_using_no_expansion(spark, sf_dir, registry):
     pushed = plans.pushed_filters(df)
     assert any("c_custkey" in p for p in pushed), pushed
     assert any("o_custkey" in p for p in pushed), pushed
+
+
+def test_try_cast_audit_is_single_pass(spark, sf_dir, registry):
+    """The parse audit is one map-side pass to a 6-group aggregate —
+    no join, no window; the scan reads only the two source columns."""
+    df = registry["try_cast_decimal_parse_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    cols = plans.scan_columns(df)
+    assert cols <= {"o_orderkey", "o_totalprice"}, cols
