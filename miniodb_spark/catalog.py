@@ -117,6 +117,7 @@ class Catalog:
     def _persist(
         self, name: str,
         add_files: dict[int, list[str]] | None = None,
+        remove_files: dict[int, list[str]] | None = None,
     ) -> None:
         doc = {
             "config": asdict(self._configs[name]),
@@ -156,6 +157,14 @@ class Catalog:
             # per-commit delta, not table state.
             rec["add"] = {str(g): sorted(rels)
                           for g, rels in add_files.items() if rels}
+        if remove_files:
+            # Delta-style remove-file entries: files this commit
+            # physically REPLACED (compaction swaps). A file is alive
+            # for snapshots in [added_version, removed_version);
+            # read_snapshot refuses versions that still need a removed
+            # file and uses the replacement adds for later versions.
+            rec["rm"] = {str(g): sorted(rels)
+                         for g, rels in remove_files.items() if rels}
         line = json.dumps(rec, separators=(",", ":"))
         with open(self._hist_path(name), "a", encoding="utf-8") as fh:
             fh.write(line + "\n")
@@ -219,6 +228,7 @@ class Catalog:
     def touch(
         self, name: str,
         add_files: dict[int, list[str]] | None = None,
+        remove_files: dict[int, list[str]] | None = None,
     ) -> int:
         """Append a data-commit marker: re-persist the current doc AFTER
         a write job's files are on disk, so the marker version's ts_us
@@ -232,7 +242,8 @@ class Catalog:
         Returns the marker version."""
         with self._lock:
             if name in self._configs:
-                self._persist(name, add_files=add_files)
+                self._persist(name, add_files=add_files,
+                              remove_files=remove_files)
             return self._versions.get(name, 0)
 
     def current_version(self, name: str) -> int:
@@ -338,6 +349,27 @@ class Catalog:
                         continue
                     rec = json.loads(line)
                     for g, rels in (rec.get("add") or {}).items():
+                        for rel in rels:
+                            key = (int(g), rel)
+                            if key not in idx or rec["v"] < idx[key]:
+                                idx[key] = rec["v"]
+        except FileNotFoundError:
+            pass
+        return idx
+
+    def removed_files_index(self, name: str) -> dict[tuple[int, str], int]:
+        """``{(gen, relpath): first_version_that_removed_it}`` — the
+        remove-file twin of :meth:`added_files_index` (compaction
+        swaps record removals). A file is alive for snapshot versions
+        in [added, removed)."""
+        idx: dict[tuple[int, str], int] = {}
+        try:
+            with open(self._hist_path(name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    for g, rels in (rec.get("rm") or {}).items():
                         for rel in rels:
                             key = (int(g), rel)
                             if key not in idx or rec["v"] < idx[key]:

@@ -775,6 +775,7 @@ class Engine:
         # (pre-upgrade history, foreign writers) fall back to the mtime
         # watermark below.
         add_idx = self.catalog.added_files_index(table)
+        rm_idx = self.catalog.removed_files_index(table)
         parts: list[DataFrame] = []
         for i, gcols in enumerate(gens):
             if not gcols:
@@ -799,6 +800,7 @@ class Engine:
             # why recorded adds take precedence.
             excluded_dts = {d for g, d in excluded if g == i}
             files: list[str] = []
+            present: set[str] = set()
             for dd in self.fs.list_dirs(gdir, prefix="dt="):
                 dt_val = dd.rsplit("dt=", 1)[-1]
                 if dt_val in excluded_dts:
@@ -807,12 +809,44 @@ class Engine:
                     dd, suffix=".parquet"
                 ):
                     rel = f"dt={dt_val}/" + fp.rstrip("/").split("/")[-1]
+                    present.add(rel)
                     added_v = add_idx.get((i, rel))
+                    rm_v = rm_idx.get((i, rel))
+                    if rm_v is not None and rm_v <= version:
+                        # removed (compacted away) at or before this
+                        # version yet still listed: mid-swap crash
+                        # leftovers — its rows live in the recorded
+                        # replacement files
+                        continue
                     if added_v is not None:
                         if added_v <= version:
                             files.append(fp)
                     elif mt <= commit_ts_us:
                         files.append(fp)
+            # file-level loss detection: a file that is ALIVE at this
+            # version per the add/remove log (added <= v, not removed
+            # <= v) but absent from the listing was swapped or deleted
+            # OUTSIDE the exclusion protocol — a forced compaction
+            # (its outputs merge post-snapshot appends, so v's exact
+            # file set is unrecoverable), retention's dt-dir drop, or
+            # a foreign writer. REFUSE (the same never-under-return
+            # posture as the vacuum check) instead of silently
+            # returning partial rows. Caught live in round 13:
+            # read_snapshot returned None after a compaction. A
+            # RECORDED compaction swap is not a loss: its removed
+            # files have rm_v <= the later versions that no longer
+            # need them, and its output files carry add entries.
+            lost = {
+                rel
+                for (g, rel), ver in add_idx.items()
+                if g == i and ver <= version
+                and rm_idx.get((i, rel), version + 1) > version
+                and rel.split("/", 1)[0][len("dt="):] not in excluded_dts
+                and rel not in present
+            }
+            if lost:
+                missing.append((i, sorted(lost)[0]))
+                continue
             if not files:
                 continue
             struct = T.StructType(
@@ -838,10 +872,13 @@ class Engine:
             parts.append(df.select(*cols, F.col("dt"), F.lit(i).alias("gen")))
         if missing:
             raise SnapshotUnavailableError(
-                f"snapshot v{version} of {table!r} needs vacuumed "
-                f"partitions {missing[:8]}{'…' if len(missing) > 8 else ''}; "
-                "run with retain_history=True and vacuum explicitly to "
-                "keep snapshots readable")
+                f"snapshot v{version} of {table!r} needs partitions/"
+                f"files no longer on disk "
+                f"{missing[:8]}{'…' if len(missing) > 8 else ''} "
+                "(vacuumed, compacted away, or retention-dropped); run "
+                "with retain_history=True — which also defers "
+                "compaction — and vacuum explicitly to keep snapshots "
+                "readable")
         if not parts:
             return None
         out = parts[0]
@@ -1601,31 +1638,65 @@ class Engine:
         return removed
 
     def compact(self, table: str,
-                zorder_by: list[str] | None = None) -> list[dict]:
+                zorder_by: list[str] | None = None,
+                force: bool = False) -> list[dict]:
         """Run tiered compaction over one table's partitions (reference
         compaction manager; exposed here as the maintenance entry point
         the service schedules). ``zorder_by`` Morton-clusters rewritten
         partitions (the OPTIMIZE-ZORDER analog). Rewriting files changes
         what a cached result was computed from, so the table's cache
         entries (and the cross-process version nonce) are invalidated
-        whenever any plan executed."""
+        whenever any plan executed.
+
+        With ``retain_history=True`` compaction is DEFERRED (returns
+        []) unless ``force``: a compacted output file merges rows from
+        every input — including appends committed AFTER an old
+        snapshot — so the snapshot's exact file set becomes
+        unrecoverable and read_snapshot would refuse it (the file-level
+        loss check). Same contract as gc_superseded: retention costs
+        storage, never correctness; vacuum() first to give up history,
+        then compact."""
         from .compaction import compact_table as _compact
 
         if self.catalog.get_table(table) is None:
             raise ValueError(f"no such table: {table}")
+        if self.retain_history and not force:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "compaction of %r deferred: retain_history is set and "
+                "compacting would make old snapshots unreadable "
+                "(pass force=True after vacuum() to override)", table)
+            return []
         # compaction swaps a generation's files in place — exclude
         # concurrent cross-driver flushes/rewrites for the duration
         with self.lease.holding(f"{table}/#rewrite", timeout_s=120.0), \
                 self.lease.keepalive(f"{table}/#rewrite"):
+            n_gens = len(self.catalog.gen_schemas(table))
+            before = {g: self._gen_file_set(table, g)
+                      for g in range(n_gens)}
             stats = _compact(self.spark, self._table_dir(table),
                              fs=self.fs, zorder_by=zorder_by)
             if stats:
+                # record the swap as a COMMIT (Delta-style add+remove
+                # entries): snapshots after this version use the
+                # compacted outputs with no mtime trust, snapshots
+                # before it refuse exactly (their file set merged into
+                # the outputs and is unrecoverable) instead of
+                # silently under-returning
+                after = {g: self._gen_file_set(table, g)
+                         for g in range(n_gens)}
+                self.catalog.touch(
+                    table,
+                    add_files={g: sorted(after[g] - before[g])
+                               for g in range(n_gens)},
+                    remove_files={g: sorted(before[g] - after[g])
+                                  for g in range(n_gens)},
+                )
                 self.cache.invalidate_table(table)
-                # compaction swapped files under NEW NAMES inside
-                # existing generations without a touch(add_files)
-                # commit: a stale known-files cache would let the next
-                # flush claim those files as its own adds — invalidate
-                # it before the lease drops (a flush is excluded until
+                # a stale known-files cache would let the next flush
+                # claim the swapped files as its own adds — invalidate
+                # before the lease drops (a flush is excluded until
                 # then, in-process and cross-driver alike)
                 self._forget_gen_files(table)
                 # then re-index (incremental — only the fresh files are

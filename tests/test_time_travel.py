@@ -18,6 +18,7 @@ from miniodb_spark.engine import Engine, SnapshotUnavailableError
 
 US = 1_000_000
 T0 = 1_700_000_000 * US
+DAY = 86_400 * US
 
 
 def rows_of(df):
@@ -250,3 +251,46 @@ def test_snapshot_membership_immune_to_mtime_skew(retaining_engine):
     # the add-file index records each batch at its own marker version
     idx = eng.catalog.added_files_index("sk")
     assert sorted(set(idx.values())) == [v1, v2]
+
+
+def test_compaction_is_deferred_under_retain_history(retaining_engine):
+    """retain_history's contract ('every version stays readable until
+    an explicit vacuum') extends to compaction: a compacted output
+    merges rows from every input, so an old snapshot's exact file set
+    would become unrecoverable — compact() defers instead (round-13
+    fix: it used to proceed, and read_snapshot then silently returned
+    None for pre-compaction versions)."""
+    eng = retaining_engine
+    for i in range(6):
+        eng.write("cmd", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+        eng.flush("cmd")
+    v = eng.catalog.current_version("cmd")
+    assert eng.compact("cmd") == []
+    assert eng.read_snapshot("cmd", v).count() == 6
+
+
+def test_forced_compaction_is_a_recorded_swap(retaining_engine):
+    """compact(force=True) commits Delta-style add+remove entries:
+    pre-compaction snapshots REFUSE with SnapshotUnavailableError
+    (never a silent partial/None result), while the compaction commit
+    version and everything after reads exactly — including a
+    post-compaction flush whose snapshot must combine the compacted
+    outputs with its own adds."""
+    eng = retaining_engine
+    for i in range(6):
+        eng.write("cmf", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+        eng.flush("cmf")
+    v_pre = eng.catalog.current_version("cmf")
+    stats = eng.compact("cmf", force=True)
+    assert stats, "fixture must trigger a compaction"
+    v_compact = eng.catalog.current_version("cmf")
+    assert v_compact > v_pre, "compaction must commit a version"
+    with pytest.raises(SnapshotUnavailableError):
+        eng.read_snapshot("cmf", v_pre)
+    assert eng.read_snapshot("cmf", v_compact).count() == 6
+    eng.write("cmf", {"v": 99}, record_id="r99", timestamp_us=T0 + DAY)
+    eng.flush("cmf")
+    v_post = eng.catalog.current_version("cmf")
+    assert eng.read_snapshot("cmf", v_post).count() == 7
+    assert eng.read_snapshot("cmf", v_compact).count() == 6
+    assert eng.read_table("cmf").count() == 7
