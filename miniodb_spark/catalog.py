@@ -534,6 +534,7 @@ class Catalog:
         self, name: str, columns: dict[str, str],
         superseded: list[tuple[int, str]],
         expected_gen: int | None = None,
+        add_files: dict[int, list[str]] | None = None,
     ) -> int:
         """Atomic commit of a rewrite: append the survivors' generation
         (always a NEW generation — its directory was invisible until this
@@ -563,7 +564,11 @@ class Catalog:
             for g, d in superseded:
                 if [int(g), d] not in ex:
                     ex.append([int(g), d])
-            self._persist(name)
+            # record the survivor generation's files (Delta-style add
+            # entries) so snapshot membership — and the loss check a
+            # later compaction swap relies on — covers rewrite output
+            # exactly, not via the mtime fallback
+            self._persist(name, add_files=add_files)
             return len(gens) - 1
 
     def excluded_parts(self, name: str) -> set[tuple[int, str]]:

@@ -844,6 +844,21 @@ class Engine:
                 and rel.split("/", 1)[0][len("dt="):] not in excluded_dts
                 and rel not in present
             }
+            # conservative twin for files the add log never saw (history
+            # predating it, foreign writers): a recorded REMOVAL proves
+            # the file existed until rm_v, but its creation version is
+            # unknown — treat it as needed by every earlier version.
+            # Over-refusal is possible for versions that predate the
+            # file, but refusal is never a wrong answer; the silent
+            # alternative is returning partial rows.
+            lost |= {
+                rel
+                for (g, rel), rm_v in rm_idx.items()
+                if g == i and rm_v > version
+                and (i, rel) not in add_idx
+                and rel.split("/", 1)[0][len("dt="):] not in excluded_dts
+                and rel not in present
+            }
             if lost:
                 missing.append((i, sorted(lost)[0]))
                 continue

@@ -160,8 +160,10 @@ def delete_rows(
             raise RuntimeError(
                 f"mutation lease on {table!r} lost during rewrite; "
                 "aborting commit (no data was published)")
-        engine.catalog.commit_rewrite(table, dict(cum), affected,
-                                      expected_gen=new_gen)
+        survivor_files = sorted(engine._gen_file_set(table, new_gen))
+        engine.catalog.commit_rewrite(
+            table, dict(cum), affected, expected_gen=new_gen,
+            add_files={new_gen: survivor_files})
         # index the rewrite's fresh files (best-effort, hint-only)
         engine._build_zonemap(table, new_gen)
     # 3. GC the superseded directories (safe to crash here)
@@ -277,8 +279,10 @@ def collapse_generations(engine, table: str) -> int:
             raise RuntimeError(
                 f"mutation lease on {table!r} lost during collapse; "
                 "aborting commit (no data was published)")
-        engine.catalog.commit_rewrite(table, dict(cum), affected,
-                                      expected_gen=new_gen)
+        survivor_files = sorted(engine._gen_file_set(table, new_gen))
+        engine.catalog.commit_rewrite(
+            table, dict(cum), affected, expected_gen=new_gen,
+            add_files={new_gen: survivor_files})
         # every pre-collapse generation is now empty: tombstone them so
         # future scans don't even stat their directories
         engine.catalog.tombstone_generations(table, list(range(new_gen)))

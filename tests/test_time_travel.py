@@ -294,3 +294,114 @@ def test_forced_compaction_is_a_recorded_swap(retaining_engine):
     assert eng.read_snapshot("cmf", v_post).count() == 7
     assert eng.read_snapshot("cmf", v_compact).count() == 6
     assert eng.read_table("cmf").count() == 7
+
+
+def test_snapshot_model_random_ops_every_version_exact(retaining_engine):
+    """Generative check of the whole add/remove-file snapshot protocol
+    (round-13 rework): a random interleaving of writes, flushes,
+    updates, deletes and one forced compaction, with the expected
+    PERSISTED state captured at every commit point. Every captured
+    version must either reproduce its exact row set or — for versions
+    older than the forced compaction — refuse with
+    SnapshotUnavailableError. Covers: add-file membership across
+    appends into one generation, mutation rewrites with deferred GC,
+    update's delete-now/insert-at-next-flush split, and the recorded
+    compaction swap."""
+    import random
+
+    eng = retaining_engine
+    rng = random.Random(1303)
+    persisted: dict[str, int] = {}
+    buffered: dict[str, int] = {}
+    captures: dict[int, dict[str, int]] = {}
+    ids = [f"r{i:02d}" for i in range(12)]
+
+    def capture():
+        v = eng.catalog.current_version("sm")
+        if v in captures:
+            assert captures[v] == dict(persisted), (
+                f"state changed without a commit at v{v}")
+        captures[v] = dict(persisted)
+
+    v_compact = None
+    for step in range(60):
+        op = rng.random()
+        rid = rng.choice(ids)
+        if op < 0.45:
+            # write is append-semantics (a duplicate id would be two
+            # rows, like the reference's WriteData); model fresh ids
+            # only and route re-inserts through update
+            if rid not in persisted and rid not in buffered:
+                val = rng.randrange(1000)
+                eng.write("sm", {"v": val}, record_id=rid,
+                          timestamp_us=T0)
+                buffered[rid] = val
+        elif op < 0.6:
+            if rid in persisted or rid in buffered:
+                val = rng.randrange(1000)
+                eng.update("sm", rid, {"v": val}, timestamp_us=T0)
+                persisted.pop(rid, None)
+                buffered[rid] = val
+                capture()
+        elif op < 0.7:
+            if rid in persisted or rid in buffered:
+                eng.delete("sm", rid)
+                persisted.pop(rid, None)
+                buffered.pop(rid, None)
+                capture()
+        else:
+            eng.flush("sm")
+            persisted.update(buffered)
+            buffered.clear()
+            capture()
+    # deterministic compaction trigger: enough single-row flushes into
+    # the one dt partition to cross the tier threshold
+    for i in range(8):
+        val = 9000 + i
+        eng.write("sm", {"v": val}, record_id=f"c{i:02d}",
+                  timestamp_us=T0)
+        buffered[f"c{i:02d}"] = val
+        eng.flush("sm")
+        persisted.update(buffered)
+        buffered.clear()
+        capture()
+    stats = eng.compact("sm", force=True)
+    assert stats, "compaction must trigger after 8 single-row flushes"
+    v_compact = eng.catalog.current_version("sm")
+    capture()
+    # a couple of post-compaction commits to check the exact side
+    for i in range(2):
+        val = 9500 + i
+        eng.write("sm", {"v": val}, record_id=f"p{i:02d}",
+                  timestamp_us=T0)
+        buffered[f"p{i:02d}"] = val
+        eng.flush("sm")
+        persisted.update(buffered)
+        buffered.clear()
+        capture()
+
+    # THE invariant: every version is either exactly reproducible or
+    # explicitly refused — never a silently wrong row set. Versions at
+    # or after the compaction commit must never refuse; versions
+    # before it refuse iff they still need a compacted-away file (a
+    # version whose files all live in un-compacted generations or
+    # still-on-disk superseded partitions stays readable).
+    checked_exact = checked_refused = 0
+    for v, want in sorted(captures.items()):
+        try:
+            df = eng.read_snapshot("sm", v)
+        except SnapshotUnavailableError:
+            assert v < v_compact, (
+                f"v{v} >= compaction commit v{v_compact} must not refuse")
+            checked_refused += 1
+            continue
+        got = {} if df is None else {
+            r["id"]: r["v"] for r in df.select("id", "v").collect()}
+        assert got == want, (v, got, want)
+        checked_exact += 1
+    assert checked_exact >= 2 and checked_refused >= 1, (
+        checked_exact, checked_refused)
+    # head unaffected throughout
+    got_head = {r["id"]: r["v"] for r in
+                eng.read_table("sm").select("id", "v").collect()}
+    assert got_head == persisted
