@@ -5979,3 +5979,290 @@ def try_cast_decimal_parse_audit(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "user_journey_paths_topk",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
+    """,
+    doc="Top user-journey path prefixes: each user's first 8 events "
+        "(ordered by ts with event_id as the unique tie-break) collapse "
+        "to an ordered 'view>click>purchase' path string; paths are "
+        "ranked by how many users share them — the sequence-level view "
+        "of behavior that the pairwise entries (event_transition_matrix, "
+        "markov_transition_entropy) cannot give, and the standard "
+        "journey-analysis card in product analytics. Scale shape: ONE "
+        "user_id shuffle serves both the ranking window and the "
+        "per-user path fold (same partitioning, Catalyst reuses the "
+        "exchange); the path GROUP BY partial-aggregates map-side and "
+        "its output is at most one row per distinct 8-prefix; top-10 is "
+        "TakeOrderedAndProject, never a global sort. The 8-event cap "
+        "bounds both the window state and the path string length, so no "
+        "power-user skews a partition. Total order under the LIMIT: "
+        "(n_users DESC, path ASC) with path unique after grouping.",
+    tags=("analytics",),
+)
+def user_journey_paths_topk(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first8 = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+    )
+    # array_sort on struct(rn, ...) orders by the unique per-user rn,
+    # making collect_list's nondeterministic arrival order irrelevant
+    paths = first8.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "hash_bucket_balance_audit",
+    """
+    WITH b AS (
+      SELECT strpos('0123456789abcdef',
+                    substring(md5(CAST(l_orderkey AS VARCHAR)), 32, 1)) - 1
+               AS bucket
+      FROM lineitem),
+    per AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(min(n) AS BIGINT) AS min_bucket,
+           round(max(n) * 1.0 / avg(n), 6) AS skew_ratio,
+           round(stddev_pop(n) / avg(n), 6) AS cv
+    FROM per
+    """,
+    doc="Hash-partition balance audit: rows-per-bucket distribution "
+        "when the fact table is hash-distributed on its key (16 "
+        "buckets via the last md5 hex digit — engine-portable, no "
+        "engine-specific hash). Reports max/mean skew ratio and the "
+        "coefficient of variation — the go/no-go numbers for choosing "
+        "a bucketing/distribution key before a 100 TB backfill, the "
+        "planning-side complement of join_key_skew_audit (which "
+        "audits observed join-key frequencies). Scale shape: the "
+        "bucket derivation is a map-side expression; the first "
+        "aggregate partial-combines to <=16 groups per task; the "
+        "second is a 16-row reduction. The scan reads exactly one "
+        "column. Both engines agree on md5 hex, so the bucket "
+        "assignment itself is cross-engine deterministic.",
+    tags=("capability", "scale-audit"),
+)
+def hash_bucket_balance_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr(
+            "locate(substring(md5(CAST(l_orderkey AS STRING)), 32, 1),"
+            " '0123456789abcdef') - 1"
+        ).alias("bucket")
+    )
+    per = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.min("n").cast("bigint").alias("min_bucket"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+        F.round(F.stddev_pop("n") / F.avg("n"), 6).alias("cv"),
+    )
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS pval,
+             1 AS is_click
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, value, 0
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT user_id, ts, event_id, is_click,
+        last_value(CASE WHEN is_click = 0 THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_click
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+        last_value(pval IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_click
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bval,
+        first_value(CASE WHEN is_click = 0 THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_click
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts,
+        first_value(pval IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_click
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fval
+      FROM u)
+    SELECT event_id, user_id,
+      round(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                 epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+            THEN bval ELSE fval END, 6) AS nearest_purchase_value,
+      CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+           WHEN bts IS NOT NULL AND (fts IS NULL OR
+                epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+           THEN 'back' ELSE 'fwd' END AS direction,
+      CAST(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+           THEN epoch_us(ts) - epoch_us(bts)
+           ELSE epoch_us(fts) - epoch_us(ts) END AS BIGINT) AS delta_us
+    FROM w WHERE is_click = 1 ORDER BY event_id
+    """,
+    doc="NEAREST as-of join — the third direction, completing the "
+        "family (asof_join_events backward, asof_join_forward forward; "
+        "pandas calls this merge_asof direction='nearest'): each click "
+        "matches the user's purchase with the smallest |delta-ts|, tie "
+        "broken toward the EARLIER purchase (a same-ts purchase is a "
+        "backward match with delta 0 — pinned by ordering purchases "
+        "before clicks at equal ts, the mirror of the forward entry's "
+        "r12-ADVICE tie fix). Neither engine has a native nearest asof "
+        "operator, so BOTH sides build it the same way from ANSI "
+        "windows: one user-partitioned pass computing last/first "
+        "IGNORE NULLS over the preceding/following frames, then a CASE "
+        "picks the closer side — making the oracle a true independent "
+        "check of the tie and null contracts (click with no purchase "
+        "either side returns NULL value/direction/delta). Scale shape: "
+        "ONE user_id shuffle serves both window directions (same "
+        "partitioning and sort; Spark evaluates both frames in one "
+        "Window node pair without re-exchanging); no join, no row "
+        "expansion; output-edge ORDER BY is the result contract.",
+    tags=("sql-surface", "capability"),
+)
+def asof_join_nearest(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(1).alias("is_click"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("pval"),
+        F.lit(0).alias("is_click"),
+    )
+    u = (
+        clicks.unionByName(purch)
+        .withColumn("ts_us", F.unix_micros("ts"))
+        # purchase rows carry their own ts so last/first(ignorenulls)
+        # returns the matched purchase's timestamp alongside its value
+        .withColumn("pts", F.when(F.col("is_click") == 0, F.col("ts_us")))
+    )
+    # purchases (0) sort before clicks (1) at equal ts: a same-ts
+    # purchase lands in the click's PRECEDING frame -> delta-0 backward
+    # match, which the <=-tie CASE then always prefers
+    ob = [F.col("ts_us").asc(), F.col("is_click").asc()]
+    wb = (
+        W.partitionBy("user_id").orderBy(*ob)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id").orderBy(*ob)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    r = (
+        u.withColumn("bts", F.last("pts", ignorenulls=True).over(wb))
+        .withColumn("bval", F.last("pval", ignorenulls=True).over(wb))
+        .withColumn("fts", F.first("pts", ignorenulls=True).over(wf))
+        .withColumn("fval", F.first("pval", ignorenulls=True).over(wf))
+        .filter(F.col("is_click") == 1)
+    )
+    back = F.col("ts_us") - F.col("bts")
+    fwd = F.col("fts") - F.col("ts_us")
+    use_back = F.col("bts").isNotNull() & (
+        F.col("fts").isNull() | (back <= fwd)
+    )
+    return r.select(
+        "event_id", "user_id",
+        F.round(
+            F.when(use_back, F.col("bval")).otherwise(F.col("fval")), 6
+        ).alias("nearest_purchase_value"),
+        F.when(
+            F.col("bts").isNull() & F.col("fts").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(use_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+        F.when(use_back, back).otherwise(fwd).cast("bigint").alias(
+            "delta_us"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "rolling_median_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT day, round(rev, 4) AS daily_rev,
+           round(median(rev) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+                 4) AS med7_rev
+    FROM daily ORDER BY day
+    """,
+    doc="Trailing 7-calendar-day rolling MEDIAN of daily revenue — the "
+        "robust (outlier-resistant) smoother ops dashboards pair with "
+        "the moving average (window_moving_avg covers the mean; the "
+        "median is NOT decomposable, so it needs a different plan). "
+        "DuckDB expresses it as a median window over a date RANGE "
+        "frame; Spark has no exact-median window function, so the plan "
+        "reconstructs the calendar frame explicitly: collapse facts to "
+        "the daily spine first (one shuffle; the spine is "
+        "calendar-bounded — tens of thousands of rows no matter how "
+        "many petabytes of facts feed it), then a BROADCAST self-join "
+        "pairs each day with its <=7 trailing days and an exact "
+        "percentile(0.5) aggregates per anchor day. O(7 x |days|) "
+        "joined rows total, zero fact-table re-scan, no unpartitioned "
+        "window over facts. Spark's exact percentile interpolates "
+        "exactly like DuckDB's median on DOUBLE. Calendar (RANGE) "
+        "semantics, not ROWS: a gap day shortens the window on both "
+        "sides identically.",
+    tags=("analytics",),
+)
+def rolling_median_7d_revenue(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    right = F.broadcast(
+        daily.select(F.col("day").alias("d2"), F.col("rev").alias("rev2"))
+    )
+    j = daily.join(
+        right,
+        (F.col("d2") <= F.col("day"))
+        & (F.col("d2") >= F.date_sub(F.col("day"), 6)),
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.round(F.max("rev"), 4).alias("daily_rev"),
+            F.round(F.percentile("rev2", 0.5), 4).alias("med7_rev"),
+        )
+        .orderBy("day")
+    )

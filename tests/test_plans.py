@@ -1699,3 +1699,53 @@ def test_try_cast_audit_is_single_pass(spark, sf_dir, registry):
     assert "Window" not in plan, plan[:2000]
     cols = plans.scan_columns(df)
     assert cols <= {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_journey_paths_single_user_exchange(spark, sf_dir, registry):
+    """The ranking window and the per-user path fold must share ONE
+    user_id exchange (Catalyst reuses the window's partitioning for
+    the groupBy); the top-10 is TakeOrderedAndProject, and no window
+    runs unpartitioned."""
+    df = registry["user_journey_paths_topk"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plans.has_take_ordered(df), plan[:2000]
+    assert not plans.unpartitioned_windows(df)
+    # one exchange for user_id (window + per-user fold share it), one
+    # for the path groupBy; TakeOrdered adds no full-sort exchange
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
+
+
+def test_hash_balance_audit_single_pass(spark, sf_dir, registry):
+    """Bucket derivation is map-side; the per-bucket aggregate partial
+    combines to <=16 groups; no join, no window; scan reads exactly
+    the key column."""
+    df = registry["hash_bucket_balance_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"l_orderkey"}, plans.scan_columns(df)
+
+
+def test_asof_nearest_one_partitioned_window_pass(spark, sf_dir, registry):
+    """Both asof directions (preceding-last, following-first) must ride
+    the SAME user_id partitioning — one exchange, two frame passes, no
+    join, no row expansion, no unpartitioned window."""
+    df = registry["asof_join_nearest"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan.replace("SortMergeJoin", "Join@"), plan[:3000]
+    assert not plans.unpartitioned_windows(df)
+    # union -> one user_id exchange (+ the output-contract sort)
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
+
+
+def test_rolling_median_spine_broadcast(spark, sf_dir, registry):
+    """The 7-day frame reconstruction must broadcast the daily spine
+    (calendar-bounded), never shuffle-join or re-scan facts; no window
+    over facts at all."""
+    df = registry["rolling_median_7d_revenue"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
