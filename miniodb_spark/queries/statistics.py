@@ -6266,3 +6266,149 @@ def rolling_median_7d_revenue(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "having_above_global_avg",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 4 * (SELECT avg(o_totalprice) FROM orders)
+    ORDER BY spend DESC, o_custkey LIMIT 20
+    """,
+    doc="Scalar subquery inside HAVING — the grouped-side twin of "
+        "subquery_scalar (which filters fact rows in WHERE): customers "
+        "whose total spend exceeds 4x the global mean order price. The "
+        "optimizer trap: the scalar must be evaluated ONCE and applied "
+        "to post-aggregation groups, not re-evaluated per group and "
+        "not pushed below the aggregate. Spark's plan is the repo's "
+        "1-row-broadcast pattern made explicit: the global avg is a "
+        "separate 1-row aggregate broadcast-crossed into the grouped "
+        "table, then a plain filter. Scale shape: two independent "
+        "single-pass aggregates over orders (both map-side "
+        "combinable), a 1-row broadcast, TakeOrderedAndProject for "
+        "the top-20 — no re-scan, no correlated execution. Total "
+        "order under the LIMIT: (spend DESC, o_custkey ASC).",
+    tags=("sql-surface",),
+)
+def having_above_global_avg(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend_raw"))
+    thr = o.agg((4 * F.avg("o_totalprice")).alias("thr"))
+    return (
+        g.join(F.broadcast(thr))
+        .filter(F.col("spend_raw") > F.col("thr"))
+        .select("o_custkey", F.round("spend_raw", 2).alias("spend"))
+        .orderBy(F.desc("spend"), "o_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "quantile_normalize_doc_length",
+    """
+    WITH d AS (
+      SELECT source, lang,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+               AS pr
+      FROM documents)
+    SELECT source, lang, round(avg(pr), 6) AS mean_pr,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="Quantile normalization across heterogeneous corpus sources: "
+        "each document's length becomes its within-source percentile, "
+        "making 'does lang X skew long?' comparable across sources "
+        "whose absolute length scales differ wildly (web crawl vs "
+        "books) — the normalization step mixture-weighting pipelines "
+        "apply before cross-source curriculum decisions; the pure-SQL, "
+        "exactly-oracled complement of grouped_zscore (the documented "
+        "pandas-UDF showcase). The oracle ranks every document row "
+        "with percent_rank; the Spark plan NEVER ranks fact rows — "
+        "the rank-statistics backbone rule (operators/ranks.py): facts "
+        "collapse once to a per-(source, lang, n_chars) count table, "
+        "ranks derive from cumulative counts over the per-(source, "
+        "n_chars) DOMAIN table (window partitioned by source over "
+        "distinct values, ~|domain| rows, never facts), and the mean "
+        "percentile per (source, lang) is the count-weighted sum — "
+        "tie semantics identical to percent_rank by the identity "
+        "pr(v) = |rows < v| / (n - 1). Scale: one fact pass, "
+        "domain-bounded window, broadcast source totals; largest task "
+        "O(distinct lengths per source).",
+    tags=("llm-pipeline", "analytics"),
+)
+def quantile_normalize_doc_length(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ct = docs.groupBy("source", "lang", "n_chars").agg(
+        F.count("*").alias("t")
+    )
+    sv = ct.groupBy("source", "n_chars").agg(F.sum("t").alias("tv"))
+    w = W.partitionBy("source").orderBy("n_chars")
+    sv = (
+        sv.withColumn("cumle", F.sum("tv").over(w))
+        .withColumn("cum_less", F.col("cumle") - F.col("tv"))
+    )
+    n_src = sv.groupBy("source").agg(F.sum("tv").alias("n_src"))
+    pr = (
+        sv.join(F.broadcast(n_src), "source")
+        .select(
+            "source", "n_chars",
+            F.when(F.col("n_src") == 1, F.lit(0.0))
+            .otherwise(F.col("cum_less") / (F.col("n_src") - 1))
+            .alias("pr"),
+        )
+    )
+    return (
+        ct.join(pr, ["source", "n_chars"])
+        .groupBy("source", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("t") * F.col("pr")) / F.sum("t"), 6
+            ).alias("mean_pr"),
+            F.sum("t").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "float_group_key_edges",
+    """
+    WITH s AS (
+      SELECT CASE l_orderkey % 4
+               WHEN 0 THEN -0.0 * l_quantity
+               WHEN 1 THEN 0.0
+               WHEN 2 THEN 'NaN'::DOUBLE
+               ELSE 1.5 END AS k
+      FROM lineitem)
+    SELECT k, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY k ORDER BY k
+    """,
+    doc="Floating-point GROUP BY key edges — the semantics any exact "
+        "dedup or groupBy on a float column silently depends on: "
+        "(a) -0.0 normalizes into the 0.0 group (IEEE equality, one "
+        "group, NOT two hash buckets), (b) NaN groups with NaN (one "
+        "group, though NaN != NaN in comparisons), (c) NaN sorts "
+        "GREATEST in ORDER BY. Spark and DuckDB agree on all three — "
+        "this entry pins that agreement so a future engine/version "
+        "drift surfaces as a driver mismatch instead of a silent "
+        "dedup-cardinality change (the md5-based exact-dedup entries "
+        "hash the STRING form, where '-0.0' and '0.0' differ — this "
+        "entry documents why numeric-key grouping behaves otherwise). "
+        "Scale: map-side key derivation, partial agg to <=4 groups.",
+    tags=("sql-surface", "capability"),
+)
+def float_group_key_edges(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    key = (
+        F.when(F.col("l_orderkey") % 4 == 0,
+               F.lit(-0.0) * F.col("l_quantity"))
+        .when(F.col("l_orderkey") % 4 == 1, F.lit(0.0))
+        .when(F.col("l_orderkey") % 4 == 2, F.lit(float("nan")))
+        .otherwise(F.lit(1.5))
+    )
+    return (
+        li.select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("k")
+    )

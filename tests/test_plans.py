@@ -1749,3 +1749,36 @@ def test_rolling_median_spine_broadcast(spark, sf_dir, registry):
     )
     assert "Window" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_having_scalar_is_one_row_broadcast(spark, sf_dir, registry):
+    """The HAVING scalar must be ONE 1-row aggregate broadcast into the
+    grouped table — no correlated re-evaluation, no re-scan joins
+    beyond the broadcast cross; top-20 via TakeOrderedAndProject."""
+    df = registry["having_above_global_avg"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plans.has_take_ordered(df), plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert plans.scan_columns(df) <= {"o_custkey", "o_totalprice"}
+
+
+def test_quantile_normalize_never_windows_facts(spark, sf_dir, registry):
+    """The backbone rule: percent_rank derives from the domain-bounded
+    count table; the only window partitions by source over DISTINCT
+    length values, never fact rows; source totals broadcast."""
+    df = registry["quantile_normalize_doc_length"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert not plans.unpartitioned_windows(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    cols = plans.scan_columns(df)
+    assert cols <= {"source", "lang", "n_chars"}, cols
+
+
+def test_float_group_key_single_pass(spark, sf_dir, registry):
+    """Map-side key derivation, partial agg to <=4 groups — no join,
+    no window; the scan reads only the two deriving columns."""
+    df = registry["float_group_key_edges"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) <= {"l_orderkey", "l_quantity"}
