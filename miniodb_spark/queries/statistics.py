@@ -6218,7 +6218,7 @@ def asof_join_nearest(spark, sf_dir):
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              sum(value) AS rev
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
-    SELECT day, round(rev, 4) AS daily_rev,
+    SELECT CAST(day AS TIMESTAMP) AS day, round(rev, 4) AS daily_rev,
            round(median(rev) OVER (ORDER BY day
                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
                  4) AS med7_rev
@@ -6263,6 +6263,14 @@ def rolling_median_7d_revenue(spark, sf_dir):
         .agg(
             F.round(F.max("rev"), 4).alias("daily_rev"),
             F.round(F.percentile("rev2", 0.5), 4).alias("med7_rev"),
+        )
+        # TIMESTAMP output on both sides: the driver compares pandas
+        # frames, where a Spark date and a DuckDB DATE (datetime64)
+        # canonicalize differently (repo convention, see
+        # gap_fill_daily_counts)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "daily_rev", "med7_rev",
         )
         .orderBy("day")
     )
