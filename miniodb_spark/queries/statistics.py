@@ -6420,3 +6420,136 @@ def float_group_key_edges(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("k")
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    """
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS fp
+      FROM documents),
+    r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fp)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_dropped
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Quality-policy survivor selection for exact dedup: within each "
+        "verbatim-duplicate group (md5 of whitespace/case-normalized "
+        "text) KEEP THE BEST copy — longest n_chars, doc_id as the "
+        "deterministic tie-break — instead of the min-id convention the "
+        "other dedup entries use. The policy knob matters in practice: "
+        "duplicate crawls often differ in truncation, and keep-first "
+        "silently prefers whichever shard enumerated first; keep-best "
+        "preserves the most complete copy. Reports per source how many "
+        "docs survive and how many characters of redundant text the "
+        "policy drops (the ROI view dedup_token_savings gives for "
+        "keep-one, here under the quality policy). Scale shape: one "
+        "fingerprint shuffle; the ranking window partitions by fp "
+        "(group size = duplicate multiplicity, never corpus size); the "
+        "per-source rollup partial-aggregates map-side; text bytes "
+        "never shuffle (only the 16-byte fp and n_chars move).",
+    tags=("llm-pipeline",),
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    w = W.partitionBy("fp").orderBy(
+        F.desc("n_chars"), F.col("doc_id").asc()
+    )
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_survivors"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "share_of_parent_hierarchy",
+    """
+    WITH rev AS (
+      SELECT r_name, n_name,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name, round(rev, 2) AS nation_rev,
+           round(rev / sum(rev) OVER (PARTITION BY r_name), 6)
+             AS share_of_region,
+           round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (),
+                 6) AS region_share_of_total
+    FROM rev ORDER BY r_name, n_name
+    """,
+    doc="Nested share-of-parent reporting: each nation's revenue share "
+        "WITHIN its region and each region's share of the grand total, "
+        "in one result — the two-level ratio card every BI rollup "
+        "renders (revenue_share_by_nation covers the single-level "
+        "share). The oracle uses a bare `OVER ()` for the grand total; "
+        "the Spark plan does NOT — the global sum is the repo's 1-row "
+        "broadcast-cross pattern, and the only window partitions by "
+        "r_name over the dims-bounded (region, nation) aggregate "
+        "(25 rows at any SF; |regions| x |nations| forever). Scale "
+        "shape: facts reduce through the broadcast-dim star join and "
+        "ONE partial-combinable aggregate before any ratio math; no "
+        "unpartitioned window anywhere (plan-gated), no second fact "
+        "pass for the total.",
+    tags=("analytics", "sql-surface"),
+)
+def share_of_parent_hierarchy(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    wr = W.partitionBy("r_name")
+    return (
+        rev.join(F.broadcast(tot))
+        .select(
+            "r_name", "n_name",
+            F.round("rev", 2).alias("nation_rev"),
+            F.round(F.col("rev") / F.sum("rev").over(wr), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.sum("rev").over(wr) / F.col("tot"), 6).alias(
+                "region_share_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -1782,3 +1782,26 @@ def test_float_group_key_single_pass(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plans.scan_columns(df) <= {"l_orderkey", "l_quantity"}
+
+
+def test_dedup_keep_best_no_text_shuffle(spark, sf_dir, registry):
+    """Only the 16-byte fingerprint and n_chars may cross the shuffle:
+    the ranking window partitions by fp; the text column must not
+    appear in any exchange input (it is consumed map-side by md5)."""
+    df = registry["dedup_keep_best_quality"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert not plans.unpartitioned_windows(df)
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_share_of_parent_no_global_window(spark, sf_dir, registry):
+    """The grand total must be a 1-row broadcast cross, NOT an
+    unpartitioned window; dims broadcast in the star join; the only
+    window partitions by r_name over the bounded aggregate."""
+    df = registry["share_of_parent_hierarchy"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert not plans.unpartitioned_windows(df), plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
