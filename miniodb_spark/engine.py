@@ -1474,7 +1474,36 @@ class Engine:
         with self.lease.holding(f"{table}/{record_id}"), \
                 self.lease.holding(f"{table}/#rewrite"), self._lock:
             removed = self.delete(table, record_id)
-            self.write(table, payload, record_id=record_id, timestamp_us=timestamp_us)
+            # The re-insert lands PERSISTED, never buffered. A buffered
+            # row is local to THIS driver: another driver's update of
+            # the same id deletes only what it can see (shared-store
+            # persisted files + its own buffer), so a buffered
+            # re-insert here would survive that delete and both
+            # drivers' flushes would land their own copy — duplicate
+            # ids from a cross-driver update-update, even unraced.
+            # Persisting under the held (table, id) + #rewrite leases
+            # makes the new version visible to every driver's
+            # delete/update the moment the leases release, and makes
+            # update durable at return (strictly stronger than the
+            # reference's buffer-then-flush, same final state).
+            cfg = self.catalog.ensure_table(table)
+            rid = resolve_id(
+                record_id, cfg.id_strategy, cfg.auto_generate_id,
+                self.idgen, cfg.id_prefix, cfg.max_id_length,
+            )
+            if timestamp_us is None:
+                import time as _time
+
+                timestamp_us = int(_time.time() * 1_000_000)
+            if self.encryptor:
+                payload = self.encryptor.encrypt_payload(payload)
+            row = {"id": rid, "timestamp": timestamp_us,
+                   "table_name": table, "fields": payload}
+            schema, name_map = dyn_schema.infer_batch_schema([row])
+            df = self.spark.createDataFrame(
+                [dyn_schema.to_row_tuple(row, schema, name_map)], schema
+            )
+            self.ingest_dataframe(table, df)
         if self.events:
             self.events.publish("update", table, [record_id])
         return removed

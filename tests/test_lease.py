@@ -118,10 +118,11 @@ def test_lease_extend_pushes_expiry(tmp_path):
 def test_two_engines_same_id_update_delete_serialize(spark, tmp_path):
     """VERDICT r9 task 2 acceptance: two engines on one store root run a
     concurrent update (A) and delete (B) of the SAME id. The (table, id)
-    lease serializes them, so whichever order wins, the final state is
-    the update's row (B's delete only sees the persisted side; A's
-    re-insert lands via A's buffer) — never a duplicate, never a lost
-    sibling row, and never an orphaned or double-claimed generation."""
+    lease serializes them, so the final state is one of the two serial
+    outcomes — update-then-delete (row gone) or delete-then-update (the
+    update's row, durably persisted at return) — never a duplicate,
+    never a lost sibling row, and never an orphaned or double-claimed
+    generation."""
     from miniodb_spark.catalog import TableConfig
     from miniodb_spark.engine import Engine
 
@@ -159,7 +160,11 @@ def test_two_engines_same_id_update_delete_serialize(spark, tmp_path):
     rows = json.loads(a.query("SELECT id, v FROM t ORDER BY id"))
     got = {r["id"]: r["v"] for r in rows}
     assert len(rows) == len(got), "duplicate ids after concurrent mutation"
-    assert got.pop("r05") == 555, "update lost"
+    # both serial orders are valid: delete-then-update leaves the
+    # updated row; update-then-delete removes it (the update is durable
+    # at return, so a later delete CAN see and remove it — the
+    # cross-driver visibility the round-13 durable-update fix added)
+    assert got.pop("r05", 555) == 555, "torn r05 state"
     assert got == {f"r{i:02d}": i for i in range(12) if i != 5}, \
         "sibling rows corrupted by racing rewrites"
     _assert_no_orphan_generations(a, root, "t")
@@ -457,3 +462,44 @@ def test_concurrent_update_and_merge_no_stall(spark, tmp_path):
     assert len(rows) == len(got), "duplicate ids after update+merge race"
     assert got["r0"] == 999 and got["r2"] == 202 and got["r6"] == 606
     assert all(got[f"r{i}"] == i for i in (1, 3, 4, 5, 7))
+
+
+def test_two_engines_update_update_no_duplicate(spark, tmp_path):
+    """Cross-driver update-update of the SAME id (round-13 fix): before
+    durable update, each driver's re-insert parked in its OWN buffer —
+    invisible to the other driver's sweep — so both flushes landed a
+    copy and the table held duplicate ids even WITHOUT a race. Now the
+    re-insert persists under the held leases, so the second update
+    sees and removes the first's row: exactly one copy, last writer
+    wins."""
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)
+    a.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    for i in range(5):
+        a.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+    a.flush("t")
+
+    a.update("t", "r2", {"v": 100}, timestamp_us=T0)
+    b.catalog.refresh_if_changed("t")
+    b.update("t", "r2", {"v": 200}, timestamp_us=T0)
+    a.flush("t")
+    b.flush("t")
+
+    rows = json.loads(a.query("SELECT id, v FROM t ORDER BY id"))
+    got = {}
+    for r in rows:
+        assert r["id"] not in got, f"duplicate id {r['id']}: {rows}"
+        got[r["id"]] = r["v"]
+    assert got["r2"] == 200, "second update must win"
+    assert {k: v for k, v in got.items() if k != "r2"} == {
+        f"r{i}": i for i in range(5) if i != 2
+    }
+    # update is durable at return: a third driver sees it with no flush
+    c = Engine(spark, root)
+    c.update("t", "r4", {"v": 444}, timestamp_us=T0)
+    rows = json.loads(a.query("SELECT v FROM t WHERE id = 'r4'"))
+    assert [r["v"] for r in rows] == [444]

@@ -280,3 +280,112 @@ def test_two_process_concurrent_ingests_all_rows_survive(spark, tmp_path):
     # latest version must see exactly the full row set (no mtime trust)
     v = eng.catalog.current_version("t")
     assert eng.read_snapshot("t", v).count() == 600
+
+
+_MUTATION_WORKER = r"""
+import os, sys, time
+
+root, flags, who = sys.argv[1], sys.argv[2], sys.argv[3]
+
+from miniodb_spark.session import get_spark
+from miniodb_spark.engine import Engine
+
+spark = get_spark(f"mproc-{who}", cpus=4)
+eng = Engine(spark, root)
+
+# rendezvous: fire the mutation storms at the same instant
+open(os.path.join(flags, f"ready_{who}"), "w").close()
+other = os.path.join(flags, "ready_b" if who == "a" else "ready_a")
+t0 = time.time()
+while not os.path.exists(other):
+    if time.time() - t0 > 240:
+        raise SystemExit("rendezvous timeout")
+    time.sleep(0.02)
+
+eng.catalog.refresh_if_changed("t")
+T0 = 1_700_000_000_000_000
+if who == "a":
+    for i in (0, 1, 2, 3, 4, 5):            # updates; 3-5 contested
+        eng.update("t", f"r{i:02d}", {"v": 1000 + i}, timestamp_us=T0)
+    for i in (8, 9):                          # deletes; 9 contested
+        eng.delete("t", f"r{i:02d}")
+else:
+    for i in (3, 4, 5, 6, 7):                 # updates; 3-5 contested
+        eng.update("t", f"r{i:02d}", {"v": 2000 + i}, timestamp_us=T0)
+    eng.update("t", "r09", {"v": 2009}, timestamp_us=T0)  # vs a's delete
+
+spark.stop()
+"""
+
+
+def test_two_process_mutation_storm_no_duplicates(spark, tmp_path):
+    """Cross-PROCESS mutation race (the durable-update fix e2e): two
+    real drivers update/delete overlapping ids through the shared
+    store. Serial-order invariants that must hold whatever interleaving
+    the leases pick: never two rows for one id; uncontested updates
+    land exactly their writer's value; contested update-updates land
+    exactly one of the two written values; a delete racing an update
+    leaves either nothing or the update's row; untouched rows survive
+    byte-identical."""
+    import json
+
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    os.makedirs(root)
+    os.makedirs(flags)
+
+    seed = Engine(spark, root)
+    T0 = 1_700_000_000_000_000
+    seed.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    for i in range(12):
+        seed.write("t", {"v": i}, record_id=f"r{i:02d}", timestamp_us=T0)
+    seed.flush("t")
+
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as fh:
+        fh.write(_MUTATION_WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, root, flags, who],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for who in ("a", "b")
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode()[-2000:])
+        assert all(p.returncode == 0 for p in procs), outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    check = Engine(spark, root)
+    rows = json.loads(check.query("SELECT id, v FROM t ORDER BY id"))
+    got = {}
+    for r in rows:
+        assert r["id"] not in got, f"duplicate id {r['id']}: {rows}"
+        got[r["id"]] = r["v"]
+
+    # uncontested updates: exactly the writer's value
+    for i in (0, 1, 2):
+        assert got[f"r{i:02d}"] == 1000 + i, (got, outs)
+    for i in (6, 7):
+        assert got[f"r{i:02d}"] == 2000 + i, (got, outs)
+    # contested update-update: one of the two values, never the seed
+    for i in (3, 4, 5):
+        assert got[f"r{i:02d}"] in (1000 + i, 2000 + i), (got, outs)
+    # uncontested delete
+    assert "r08" not in got, (got, outs)
+    # delete vs update: gone (update-then-delete) or the update's value
+    assert got.get("r09", 2009) == 2009, (got, outs)
+    # untouched
+    for i in (10, 11):
+        assert got[f"r{i:02d}"] == i, (got, outs)

@@ -305,8 +305,9 @@ def test_snapshot_model_random_ops_every_version_exact(retaining_engine):
     older than the forced compaction — refuse with
     SnapshotUnavailableError. Covers: add-file membership across
     appends into one generation, mutation rewrites with deferred GC,
-    update's delete-now/insert-at-next-flush split, and the recorded
-    compaction swap."""
+    update's single-commit delete+persist (durable at return — the
+    cross-driver update-update fix), and the recorded compaction
+    swap."""
     import random
 
     eng = retaining_engine
@@ -340,8 +341,11 @@ def test_snapshot_model_random_ops_every_version_exact(retaining_engine):
             if rid in persisted or rid in buffered:
                 val = rng.randrange(1000)
                 eng.update("sm", rid, {"v": val}, timestamp_us=T0)
-                persisted.pop(rid, None)
-                buffered[rid] = val
+                # durable update: the new version is PERSISTED at
+                # return (never parked in the buffer — the cross-driver
+                # update-update duplicate fix), own-buffer copy removed
+                persisted[rid] = val
+                buffered.pop(rid, None)
                 capture()
         elif op < 0.7:
             if rid in persisted or rid in buffered:
