@@ -6553,3 +6553,137 @@ def share_of_parent_hierarchy(spark, sf_dir):
         )
         .orderBy("r_name", "n_name")
     )
+
+
+@register(
+    "topk_with_ties_per_group",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity DESC) AS rnk
+      FROM lineitem)
+    SELECT l_returnflag, rnk, l_quantity,
+           CAST(count(*) AS BIGINT) AS n_tied
+    FROM r WHERE rnk <= 3
+    GROUP BY l_returnflag, rnk, l_quantity
+    ORDER BY l_returnflag, rnk, l_quantity
+    """,
+    doc="Top-N WITH TIES per group — the FETCH FIRST 3 ROWS WITH TIES "
+        "semantics: RANK() <= 3 keeps EVERY row tied at the boundary "
+        "value, where the row_number formulation "
+        "(window_row_number_topn) cuts an arbitrary subset of the tie "
+        "class — the classic silent-wrongness bug when porting Top-N "
+        "reports between engines. Reported as (rank, value, tie-class "
+        "size) so the output is deterministic regardless of tie "
+        "multiplicity. Scale shape: one returnflag-partitioned window "
+        "(the group-key partitioning every per-group rank rides), the "
+        "rank filter applies before the tiny tie-class aggregate; "
+        "2-column scan.",
+    tags=("sql-surface",),
+)
+def topk_with_ties_per_group(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return (
+        li.select("l_returnflag", "l_quantity")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("l_returnflag", "rnk", "l_quantity")
+        .agg(F.count("*").cast("bigint").alias("n_tied"))
+        .orderBy("l_returnflag", "rnk", "l_quantity")
+    )
+
+
+@register(
+    "interval_union_coverage",
+    """
+    WITH sp AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events WHERE event_type = 'view'),
+    f AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM sp),
+    g AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS new_island
+      FROM f),
+    h AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                   CURRENT ROW) AS island
+      FROM g),
+    i AS (
+      SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+      FROM h GROUP BY user_id, island)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(is_e - is_s) AS BIGINT) AS covered_us
+    FROM i GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Interval UNION per user (merge overlapping spans): each view "
+        "event claims [ts, ts + value seconds]; overlapping claims "
+        "merge into islands and the user's true covered time is the "
+        "sum of island lengths — double-count-free watch-time, the "
+        "gaps-and-islands MERGE variant (sessionize_30min SPLITS by "
+        "gap; this coalesces by overlap, the other half of the "
+        "pattern). Implementation both engines share: running "
+        "max-of-end over the user's span order; a span whose start "
+        "exceeds every previous end opens a new island; island id is "
+        "the running flag sum. Exact integer microsecond arithmetic "
+        "end to end — span ends use floor(value*1e6) explicitly "
+        "because Spark's double->bigint CAST truncates while DuckDB's "
+        "rounds (a cross-engine trap this entry pins away). Scale "
+        "shape: ONE user_id exchange serves all three window passes "
+        "and the island aggregate (same partitioning, same sort); no "
+        "join; per-user state is one running max.",
+    tags=("analytics", "sql-surface"),
+)
+def interval_union_coverage(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    sp = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1_000_000).cast("bigint")
+        ).alias("e"),
+    )
+    wo = W.partitionBy("user_id").orderBy("s", "e")
+    wprev = wo.rowsBetween(W.unboundedPreceding, -1)
+    flagged = sp.withColumn(
+        "prev_max_e", F.max("e").over(wprev)
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull()
+            | (F.col("s") > F.col("prev_max_e")),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("is_e") - F.col("is_s"))
+            .cast("bigint")
+            .alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )

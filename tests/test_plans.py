@@ -1805,3 +1805,21 @@ def test_share_of_parent_no_global_window(spark, sf_dir, registry):
     assert not plans.unpartitioned_windows(df), plan[:3000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_topk_ties_partitioned_window_narrow_scan(spark, sf_dir, registry):
+    """The rank rides the group-key partitioning (never a global
+    window); the scan reads exactly the two involved columns."""
+    df = registry["topk_with_ties_per_group"].fn(spark, sf_dir)
+    assert not plans.unpartitioned_windows(df)
+    assert plans.scan_columns(df) == {"l_returnflag", "l_quantity"}
+
+
+def test_interval_union_one_user_exchange(spark, sf_dir, registry):
+    """All three window passes and the island aggregate must share ONE
+    user_id exchange (same partitioning + sort); no join anywhere."""
+    df = registry["interval_union_coverage"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert not plans.unpartitioned_windows(df)
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
