@@ -1452,6 +1452,72 @@ class Engine:
             self.events.publish("delete", table, [record_id])
         return removed
 
+    _ARRAY_ELEM_TYPES = {
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "bigint": T.LongType(), "int": T.IntegerType(),
+        "smallint": T.ShortType(), "tinyint": T.ByteType(),
+        "string": T.StringType(), "boolean": T.BooleanType(),
+    }
+
+    def _typed_row_df(self, table: str, rid: str, timestamp_us: int,
+                      payload: dict[str, Any]) -> DataFrame:
+        """One-row DataFrame for the durable-update re-insert, shaped
+        like the flush path (sanitized names, first-seen scalar typing,
+        JSON-stringified nested values — the reference's
+        concurrent_buffer.go:576-592 semantics) EXCEPT that a list
+        payload whose column is already ``array<elem>`` in the table's
+        cumulative schema stays a real typed array. Stringifying it
+        would merge the column type to string for the whole table
+        (catalog merge_type falls back to string on any disagreement)
+        and poison typed consumers — an embedding column updated
+        through the row API must remain probe-able by the ANN serving
+        indexes (test_serving_staleness.py pins this)."""
+        def _elem(v, et):
+            if v is None:
+                return None
+            try:
+                if isinstance(et, (T.DoubleType, T.FloatType)):
+                    return float(v)
+                if isinstance(et, (T.LongType, T.IntegerType,
+                                   T.ShortType, T.ByteType)):
+                    return int(v)
+                if isinstance(et, T.BooleanType):
+                    return bool(v)
+            except (TypeError, ValueError):
+                return None
+            return str(v)
+
+        cum = self.catalog.schema_of(table)
+        name_map = dyn_schema.resolve_field_names(list(payload.keys()))
+        struct = [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("timestamp", T.TimestampType(), False),
+            T.StructField("table_name", T.StringType(), False),
+        ]
+        vals: list[Any] = [
+            str(rid), dyn_schema.micros_to_datetime(timestamp_us), table,
+        ]
+        for key in sorted(payload.keys()):
+            col, val = name_map[key], payload[key]
+            cumt = cum.get(col, "") or ""
+            et = (
+                self._ARRAY_ELEM_TYPES.get(cumt[6:-1])
+                if cumt.startswith("array<") else None
+            )
+            if et is not None and isinstance(val, (list, tuple)):
+                struct.append(T.StructField(col, T.ArrayType(et), True))
+                vals.append([_elem(v, et) for v in val])
+                continue
+            dtype = (
+                dyn_schema.infer_spark_type(val)
+                if val is not None else T.StringType()
+            )
+            struct.append(T.StructField(col, dtype, True))
+            vals.append(dyn_schema.coerce_value(val, dtype))
+        return self.spark.createDataFrame(
+            [tuple(vals)], T.StructType(struct)
+        )
+
     def update(self, table: str, record_id: str, payload: dict[str, Any],
                timestamp_us: int | None = None) -> int:
         """UpdateData: remove old version (buffer + persisted), insert the
@@ -1497,12 +1563,7 @@ class Engine:
                 timestamp_us = int(_time.time() * 1_000_000)
             if self.encryptor:
                 payload = self.encryptor.encrypt_payload(payload)
-            row = {"id": rid, "timestamp": timestamp_us,
-                   "table_name": table, "fields": payload}
-            schema, name_map = dyn_schema.infer_batch_schema([row])
-            df = self.spark.createDataFrame(
-                [dyn_schema.to_row_tuple(row, schema, name_map)], schema
-            )
+            df = self._typed_row_df(table, rid, timestamp_us, payload)
             self.ingest_dataframe(table, df)
         if self.events:
             self.events.publish("update", table, [record_id])

@@ -141,3 +141,26 @@ def test_cross_engine_staleness_visible(vec_engine, tmp_path, spark):
                  timestamp_us=T0 + US)
     with pytest.raises(StaleServingIndexError):
         sim.probe_bucketed(spark, path, _vec(1), k=3, bits=4)
+
+
+def test_row_api_update_keeps_embedding_typed(vec_engine):
+    """Round-13 regression: a row-API update of an embedding row must
+    land PERSISTED as a real array<double> — not a JSON string. The
+    durable-update re-insert goes through the flush-path shaping, whose
+    default stringifies lists; one string-typed generation would merge
+    the cumulative column type to string and poison every typed
+    consumer (ANN fit/probe). Also pins the upgrade durable update
+    brings: the rebuild corpus INCLUDES the just-updated vector (the
+    old buffered re-insert was invisible to read_persisted, so a
+    rebuild silently trained without it)."""
+    import pyspark.sql.types as T
+
+    vec_engine.update("vecs", "v2", {"vec_id": 2, "embedding": _vec(77)},
+                      timestamp_us=T0 + US)
+    df = vec_engine.read_persisted("vecs")
+    dt = df.schema["embedding"].dataType
+    assert isinstance(dt, T.ArrayType) and isinstance(
+        dt.elementType, T.DoubleType
+    ), dt
+    got = df.filter(F.col("id") == "v2").select("embedding").collect()
+    assert len(got) == 1 and got[0][0] == _vec(77)
