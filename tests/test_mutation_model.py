@@ -212,3 +212,74 @@ def test_randomized_mutations_with_merges_match_model(engine, spark):
     got = {r["id"]: {"v": r["v"]} for r in rows}
     assert len(rows) == len(got), "duplicate ids after merge-mixed soak"
     assert got == model
+
+
+def test_two_driver_randomized_mutations_match_model(engine, spark):
+    """Two-driver randomized mutation soak (round-13 durable-update
+    semantics): two Engine instances over one store root interleave
+    writes, flushes, updates and deletes under a shared model. The one
+    documented visibility rule the op generator respects: a plain
+    write() is buffered in its OWN driver, so the model only routes a
+    mutation of an id through the OTHER driver once the owning buffer
+    flushed (the reference gets this for free by routing each id to one
+    node; flushes here make ownership transferable). Updates/deletes
+    are durable at return, so they may bounce between drivers freely.
+    Final persisted state must equal the model exactly — in particular,
+    never two rows for one id."""
+    import random
+
+    from miniodb_spark.engine import Engine
+
+    rng = random.Random(1313)
+    engine.create_table("mm", TableConfig(name="mm", buffer_size=10_000))
+    other = Engine(spark, engine.root)
+    drivers = [engine, other]
+
+    model: dict[str, dict] = {}
+    buffered_by: dict[str, int] = {}  # id -> driver index holding it
+    ids = [f"id{i:03d}" for i in range(24)]
+
+    for step in range(120):
+        op = rng.random()
+        rid = rng.choice(ids)
+        d = rng.randrange(2)
+        eng = drivers[d]
+        ts = T0 + rng.randrange(3) * DAY
+        if op < 0.40:
+            if rid not in model:
+                payload = {"v": rng.randrange(1000)}
+                eng.write("mm", payload, record_id=rid, timestamp_us=ts)
+                model[rid] = payload
+                buffered_by[rid] = d
+        elif op < 0.55:
+            drivers[d].flush("mm")
+            buffered_by = {
+                k: v for k, v in buffered_by.items() if v != d
+            }
+        elif op < 0.8:
+            # mutate only through a driver that can SEE the row: any
+            # driver once flushed, else the owning driver
+            if rid in model:
+                owner = buffered_by.get(rid, d)
+                payload = {"v": rng.randrange(1000)}
+                drivers[owner].update("mm", rid, payload,
+                                      timestamp_us=ts)
+                model[rid] = payload
+                # durable at return: persisted, no longer buffer-owned
+                buffered_by.pop(rid, None)
+        else:
+            if rid in model:
+                owner = buffered_by.get(rid, d)
+                n = drivers[owner].delete("mm", rid)
+                assert n >= 1, f"step {step}: delete {rid} lost"
+                del model[rid]
+                buffered_by.pop(rid, None)
+
+    for eng in drivers:
+        eng.flush("mm")
+    rows = json.loads(engine.query("SELECT id, v FROM mm ORDER BY id"))
+    got: dict[str, int] = {}
+    for r in rows:
+        assert r["id"] not in got, f"duplicate id {r['id']}"
+        got[r["id"]] = r["v"]
+    assert got == {k: v["v"] for k, v in model.items()}
