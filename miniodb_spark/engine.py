@@ -1520,38 +1520,37 @@ class Engine:
 
     def update(self, table: str, record_id: str, payload: dict[str, Any],
                timestamp_us: int | None = None) -> int:
-        """UpdateData: remove old version (buffer + persisted), insert the
-        new one. The reference inserts first and tolerates transient
-        duplicates on partial failure (miniodb_service.go:737-741); under
-        a single in-process lock we can do remove→insert atomically, which
-        is strictly cleaner and returns the same final state. The
-        cross-driver (table, id) lease (reference miniodb_service.go:
-        720-722) spans the whole remove→insert window; the nested
-        ``delete`` re-enters it on this thread.
+        """UpdateData: insert the new version, then sweep the old ones —
+        the reference's order (miniodb_service.go:737-741), kept
+        deliberately: a crash between the two commits leaves a transient
+        DUPLICATE (the retried update or any later mutation of the id
+        sweeps it), never a LOST record. The reverse order would lose
+        the row if the process died after the delete commit.
+
+        The new version lands PERSISTED, never buffered. A buffered
+        re-insert is local to THIS driver: another driver's update of
+        the same id can only sweep what it can see (shared-store files
+        + its own buffer), so both drivers' flushes would land their
+        own copy — duplicate ids from a cross-driver update-update,
+        even unraced. Persisting under the held (table, id) + #rewrite
+        leases makes the new version visible to every driver the moment
+        the leases release, and makes update durable at return
+        (strictly stronger than the reference's buffer-then-flush).
+        The fresh row takes its own generation so "older versions" is
+        expressible as a generation filter — the merge_upsert protocol
+        at single-row grain; the extra generation folds in
+        collapse_generations/compaction like any other.
 
         Lock ordering: cross-driver leases are ALWAYS acquired before
-        the process-level ``self._lock``. The nested delete path takes
-        the table's ``#rewrite`` lease, so it is acquired here, up
-        front (re-entrant — delete_rows just bumps the depth). Taking
+        the process-level ``self._lock`` (re-entered by
+        ingest_dataframe and delete_rows on this thread). Taking
         ``self._lock`` first would invert against merge_upsert, which
         holds ``#rewrite`` while its flush briefly needs ``self._lock``:
         concurrent update+merge would then stall the merge for the full
         lease timeout and spuriously fail the update."""
         with self.lease.holding(f"{table}/{record_id}"), \
-                self.lease.holding(f"{table}/#rewrite"), self._lock:
-            removed = self.delete(table, record_id)
-            # The re-insert lands PERSISTED, never buffered. A buffered
-            # row is local to THIS driver: another driver's update of
-            # the same id deletes only what it can see (shared-store
-            # persisted files + its own buffer), so a buffered
-            # re-insert here would survive that delete and both
-            # drivers' flushes would land their own copy — duplicate
-            # ids from a cross-driver update-update, even unraced.
-            # Persisting under the held (table, id) + #rewrite leases
-            # makes the new version visible to every driver's
-            # delete/update the moment the leases release, and makes
-            # update durable at return (strictly stronger than the
-            # reference's buffer-then-flush, same final state).
+                self.lease.holding(f"{table}/#rewrite"), \
+                self.lease.keepalive(f"{table}/#rewrite"), self._lock:
             cfg = self.catalog.ensure_table(table)
             rid = resolve_id(
                 record_id, cfg.id_strategy, cfg.auto_generate_id,
@@ -1564,7 +1563,28 @@ class Engine:
             if self.encryptor:
                 payload = self.encryptor.encrypt_payload(payload)
             df = self._typed_row_df(table, rid, timestamp_us, payload)
-            self.ingest_dataframe(table, df)
+            # 1. INSERT FIRST (own generation, unreferenced by the
+            #    sweep's filter)
+            fresh_gen = self.ingest_dataframe(
+                table, df, force_new_generation=True
+            )
+            # 2. sweep older versions: this driver's buffer copy plus
+            #    every persisted copy outside the fresh generation.
+            #    We hold #rewrite re-entrantly around snapshot + call,
+            #    so delete_rows cannot see a mid-call catalog move and
+            #    the gen pre-filter stays valid.
+            removed = 0
+            buf = self._buffers.get(table)
+            if buf is not None:
+                removed += buf.remove(table, rid)
+            persisted = self.read_persisted(table)
+            if persisted is not None:
+                removed += delete_rows(
+                    self, table,
+                    persisted.filter(F.col("gen") != fresh_gen),
+                    F.col("id") == rid,
+                )
+        self.cache.invalidate_table(table)
         if self.events:
             self.events.publish("update", table, [record_id])
         return removed

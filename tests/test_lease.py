@@ -503,3 +503,42 @@ def test_two_engines_update_update_no_duplicate(spark, tmp_path):
     c.update("t", "r4", {"v": 444}, timestamp_us=T0)
     rows = json.loads(a.query("SELECT v FROM t WHERE id = 'r4'"))
     assert [r["v"] for r in rows] == [444]
+
+
+def test_update_crash_before_sweep_duplicates_never_loses(
+    spark, tmp_path, monkeypatch
+):
+    """Insert-first crash contract (reference miniodb_service.go:
+    737-741): a failure between update's insert commit and its
+    old-version sweep must leave a transient DUPLICATE — both versions
+    visible — never a lost record; a retried update converges to
+    exactly the new row."""
+    import pytest as _pytest
+
+    import miniodb_spark.engine as eng_mod
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    eng.write("t", {"v": 1}, record_id="r1", timestamp_us=T0)
+    eng.flush("t")
+
+    real = eng_mod.delete_rows
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before sweep")
+
+    monkeypatch.setattr(eng_mod, "delete_rows", boom)
+    with _pytest.raises(RuntimeError):
+        eng.update("t", "r1", {"v": 2}, timestamp_us=T0)
+
+    rows = json.loads(eng.query("SELECT id, v FROM t ORDER BY v"))
+    assert [r["v"] for r in rows if r["id"] == "r1"] == [1, 2], (
+        "crash between commits must leave both versions, not zero")
+
+    monkeypatch.setattr(eng_mod, "delete_rows", real)
+    eng.update("t", "r1", {"v": 3}, timestamp_us=T0)
+    rows = json.loads(eng.query("SELECT id, v FROM t"))
+    assert [r["v"] for r in rows if r["id"] == "r1"] == [3], (
+        "retried update must sweep BOTH leaked versions")
