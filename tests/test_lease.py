@@ -542,3 +542,62 @@ def test_update_crash_before_sweep_duplicates_never_loses(
     rows = json.loads(eng.query("SELECT id, v FROM t"))
     assert [r["v"] for r in rows if r["id"] == "r1"] == [3], (
         "retried update must sweep BOTH leaked versions")
+
+
+def test_two_engines_merge_vs_update_same_key(spark, tmp_path):
+    """A bulk merge on engine A races a row-API update on engine B for
+    a key INSIDE the merge batch (both paths are insert-first and
+    persisted-through as of round 13). The #rewrite lease serializes
+    the two insert+sweep windows; the result must be one of the two
+    serial histories — exactly one r2 row holding either the merge's or
+    the update's value, never both, never zero, siblings untouched."""
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)
+    a.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    for i in range(6):
+        a.write("t", {"v": i}, record_id=f"r{i}", timestamp_us=T0)
+    a.flush("t")
+
+    import datetime
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    batch = a.spark.createDataFrame(
+        [("r2", 202, ts), ("r4", 404, ts)],
+        "id string, v long, timestamp timestamp")
+
+    errs: list[Exception] = []
+    gate_ = threading.Barrier(2)
+
+    def merge():
+        gate_.wait()
+        try:
+            a.merge_upsert("t", batch)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def upd():
+        gate_.wait()
+        try:
+            b.update("t", "r2", {"v": 999}, timestamp_us=T0)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts_ = [threading.Thread(target=merge), threading.Thread(target=upd)]
+    [t.start() for t in ts_]
+    [t.join() for t in ts_]
+    assert not errs, errs
+
+    rows = json.loads(a.query("SELECT id, v FROM t ORDER BY id"))
+    got = {}
+    for r in rows:
+        assert r["id"] not in got, f"duplicate id {r['id']}: {rows}"
+        got[r["id"]] = r["v"]
+    base = {f"r{i}": i for i in range(6) if i not in (2, 4)}
+    assert got in (
+        base | {"r2": 999, "r4": 404},   # merge then update
+        base | {"r2": 202, "r4": 404},   # update then merge
+    ), got
+    _assert_no_orphan_generations(a, root, "t")
