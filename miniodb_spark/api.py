@@ -365,6 +365,10 @@ class MiniODBService:
             # un-folded shard sidecars per table: folding stalls show
             # up here before load() latency degrades (r12 verdict #5)
             "zonemap_shards": self.engine.zonemaps.shard_counts(),
+            # mutation-lease contention: full-timeout acquire waits that
+            # holding() retried instead of surfacing TimeoutError — the
+            # leading indicator of a loaded host (r13 verdict #1)
+            "lease_busy_retries": self.engine.lease.busy_retries,
             "registry": self.metrics.snapshot(),
         }
         if self.rate_limiter is not None:

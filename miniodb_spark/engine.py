@@ -111,7 +111,15 @@ class Engine:
         slow_query_ms: float = 1000.0,
         max_result_rows: int = 10_000,
         retain_history: bool = False,
+        lease_busy_retries: int = 3,
     ):
+        # retry budget for cross-driver mutation leases: each retry is
+        # another full ttl_s wait with jittered backoff (kv.holding),
+        # so the default gives update/delete ~4×30 s of load-
+        # proportional patience before surfacing lease-busy. The
+        # reference surfaces the failure after ONE wait
+        # (miniodb_service.go:720-722); see kv.MutationLease.holding.
+        self.lease_busy_retries = lease_busy_retries
         self.spark = spark
         self.root = root
         # data-path file ops go through the fs abstraction so mutations /
@@ -1438,7 +1446,9 @@ class Engine:
         miniodb_service.go:867-1007, query/query.go:1252-1413 rewrites
         per *file*; partition-level rewrite is the Spark-shaped unit)."""
         gate.validate_table_name(table)
-        with self.lease.holding(f"{table}/{record_id}"):
+        with self.lease.holding(f"{table}/{record_id}",
+                                retries=self.lease_busy_retries), \
+                self.lease.keepalive(f"{table}/{record_id}"):
             self.catalog.refresh_if_changed(table)
             removed = 0
             buf = self._buffers.get(table)
@@ -1547,10 +1557,26 @@ class Engine:
         ``self._lock`` first would invert against merge_upsert, which
         holds ``#rewrite`` while its flush briefly needs ``self._lock``:
         concurrent update+merge would then stall the merge for the full
-        lease timeout and spuriously fail the update."""
-        with self.lease.holding(f"{table}/{record_id}"), \
-                self.lease.holding(f"{table}/#rewrite"), \
+        lease timeout and spuriously fail the update.
+
+        The keepalive on the (table, id) lease is load-protection, not
+        decoration: with lease_busy_retries > 0 the ``#rewrite`` wait
+        below can legitimately exceed the id lease's TTL on a busy
+        host, and an aged-out id lease would let a concurrent mutation
+        of the same id interleave with ours."""
+        gate.validate_table_name(table)
+        with self.lease.holding(f"{table}/{record_id}",
+                                retries=self.lease_busy_retries), \
+                self.lease.keepalive(f"{table}/{record_id}"), \
+                self.lease.holding(f"{table}/#rewrite",
+                                   retries=self.lease_busy_retries), \
                 self.lease.keepalive(f"{table}/#rewrite"), self._lock:
+            # refresh under the held leases (race-free): the cumulative
+            # schema read by _typed_row_df must include columns ingested
+            # by OTHER drivers, or a list payload for a foreign
+            # array<T> column is JSON-stringified and merge_type
+            # poisons the whole column to string (ADVICE r13).
+            self.catalog.refresh_if_changed(table)
             cfg = self.catalog.ensure_table(table)
             rid = resolve_id(
                 record_id, cfg.id_strategy, cfg.auto_generate_id,
@@ -1579,10 +1605,14 @@ class Engine:
                 removed += buf.remove(table, rid)
             persisted = self.read_persisted(table)
             if persisted is not None:
+                # fresh-generation exclusion lives IN the predicate, not
+                # a df pre-filter: if delete_rows ever re-derives its
+                # snapshot (stolen-lease + foreign-commit path), a
+                # re-derived df would lack a pre-filter and the sweep
+                # would eat the just-inserted version too (ADVICE r13).
                 removed += delete_rows(
-                    self, table,
-                    persisted.filter(F.col("gen") != fresh_gen),
-                    F.col("id") == rid,
+                    self, table, persisted,
+                    (F.col("id") == rid) & (F.col("gen") != fresh_gen),
                 )
         self.cache.invalidate_table(table)
         if self.events:

@@ -191,6 +191,11 @@ class MutationLease:
         self.ttl_s = ttl_s
         self._depth: dict[tuple[int, str], int] = {}
         self._mu = threading.Lock()
+        # monitoring counter: number of full-timeout acquire waits that
+        # were retried by holding() rather than surfaced as TimeoutError.
+        # Exposed through Engine.get_metrics so a deployment can see
+        # lease contention building before it turns into busy errors.
+        self.busy_retries = 0
 
     def _marker(self, key: str) -> str:
         return _fs.join(self.kv.root, "lease." + _safe(key))
@@ -355,17 +360,43 @@ class MutationLease:
         except Exception:
             pass  # already stolen/expired — never delete another's lock
 
-    def holding(self, key: str, timeout_s: float | None = None):
+    def holding(self, key: str, timeout_s: float | None = None,
+                retries: int = 0, backoff_s: float = 0.5):
         """``with lease.holding(f"{table}/{id}"): ...`` — raises
         TimeoutError if the lease cannot be acquired, mirroring the
         reference's lock-failed audit + error return path
-        (miniodb_service.go:723-731)."""
+        (miniodb_service.go:723-731).
+
+        ``retries`` > 0 makes the wait budget load-proportional: each
+        failed full-``timeout_s`` wait is followed by a jittered
+        exponential backoff (``backoff_s``·2^attempt, capped at
+        ``ttl_s``) and another full wait, up to ``retries`` extra
+        rounds — total budget ≈ (retries+1)·ttl_s plus backoffs. The
+        reference gives up after ONE lock wait and returns the failure
+        to the caller (miniodb_service.go:720-722); we beat that
+        because our row-API update holds ``#rewrite`` across two
+        catalog commits plus a rewrite, so on a loaded host a single
+        30 s wait is routinely not enough (round-13 storm-test
+        finding). The jitter desynchronizes a thundering herd of
+        waiters; every retry still goes through acquire()'s
+        steal-on-expiry path, so a crashed holder never consumes more
+        than one round."""
         import contextlib
+        import random
 
         @contextlib.contextmanager
         def _cm():
-            if not self.acquire(key, timeout_s=timeout_s):
-                raise TimeoutError(f"mutation lease busy: {key}")
+            attempt = 0
+            while not self.acquire(key, timeout_s=timeout_s):
+                if attempt >= retries:
+                    raise TimeoutError(
+                        f"mutation lease busy: {key} "
+                        f"(after {attempt + 1} full waits)")
+                with self._mu:
+                    self.busy_retries += 1
+                delay = min(backoff_s * (2 ** attempt), self.ttl_s)
+                time.sleep(delay * (0.5 + random.random()))
+                attempt += 1
             try:
                 yield
             finally:

@@ -100,7 +100,8 @@ def delete_rows(
     # that can outlast the 30 s TTL at 100 TB) — an uncovered gap here
     # would let a second driver steal the lease mid-snapshot and both
     # would rewrite
-    with engine.lease.holding(f"{table}/#rewrite"), \
+    with engine.lease.holding(f"{table}/#rewrite",
+                              retries=engine.lease_busy_retries), \
             engine.lease.keepalive(f"{table}/#rewrite"), \
             engine._flush_lock(table):
         if engine.catalog.refresh_if_changed(table):
@@ -206,7 +207,8 @@ def upsert_dataframe(
     # keepalive from the instant the lease is held: the flush + full
     # distributed ingest below are exactly the multi-minute jobs that
     # outlast the TTL at scale, and they must not run on a stolen lease
-    with engine.lease.holding(f"{table}/#rewrite"), \
+    with engine.lease.holding(f"{table}/#rewrite",
+                              retries=engine.lease_busy_retries), \
             engine.lease.keepalive(f"{table}/#rewrite"):
         engine.catalog.refresh_if_changed(table)
         # buffered rows of batch keys would resurrect on flush: drain the
@@ -249,7 +251,8 @@ def collapse_generations(engine, table: str) -> int:
     from . import gate
 
     gate.validate_table_name(table)
-    with engine.lease.holding(f"{table}/#rewrite"), \
+    with engine.lease.holding(f"{table}/#rewrite",
+                              retries=engine.lease_busy_retries), \
             engine.lease.keepalive(f"{table}/#rewrite"), \
             engine._flush_lock(table):
         engine.catalog.refresh_if_changed(table)

@@ -12,6 +12,24 @@ SF_CORRECT = os.environ.get("SPARK_GRAFT_CORRECT_DIR", "/root/testdata/sf0.01")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running gates (bench regression at sf0.1)")
+    config.addinivalue_line(
+        "markers",
+        "storm: contended-host soaks — cross-process tests run under a "
+        "deliberate background CPU load, asserting invariants (no loss, "
+        "no duplicates, bounded retries) rather than wall-clock success. "
+        "Opt-in: run with `-m storm` (r13 verdict #4).")
+
+
+def pytest_collection_modifyitems(config, items):
+    # storm tests saturate the host on purpose: never run them as part
+    # of the default suite — only when explicitly selected via -m
+    expr = config.getoption("-m") or ""
+    if "storm" in expr:
+        return
+    skip = pytest.mark.skip(reason="storm soak: opt-in via -m storm")
+    for item in items:
+        if "storm" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -136,11 +136,18 @@ def test_two_engines_same_id_update_delete_serialize(spark, tmp_path):
 
     errs: list[Exception] = []
     gate_ = threading.Barrier(2)
+    # the (table, id) lease serializes the two ops, so they never
+    # overlap: completion order IS serialization order, and it picks
+    # the unique legal final state (ADVICE r13: the old
+    # `got.pop("r05", 555) == 555` passed vacuously if the update's
+    # row was silently lost in the delete-then-update order)
+    done_order: list[str] = []
 
     def upd():
         gate_.wait()
         try:
             a.update("t", "r05", {"v": 555}, timestamp_us=T0)
+            done_order.append("update")
         except Exception as e:  # pragma: no cover - failure detail
             errs.append(e)
 
@@ -148,6 +155,7 @@ def test_two_engines_same_id_update_delete_serialize(spark, tmp_path):
         gate_.wait()
         try:
             b.delete("t", "r05")
+            done_order.append("delete")
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
@@ -155,16 +163,21 @@ def test_two_engines_same_id_update_delete_serialize(spark, tmp_path):
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert not errs, errs
+    assert sorted(done_order) == ["delete", "update"]
 
     a.flush("t")
     rows = json.loads(a.query("SELECT id, v FROM t ORDER BY id"))
     got = {r["id"]: r["v"] for r in rows}
     assert len(rows) == len(got), "duplicate ids after concurrent mutation"
-    # both serial orders are valid: delete-then-update leaves the
-    # updated row; update-then-delete removes it (the update is durable
-    # at return, so a later delete CAN see and remove it — the
-    # cross-driver visibility the round-13 durable-update fix added)
-    assert got.pop("r05", 555) == 555, "torn r05 state"
+    if done_order[-1] == "update":
+        # delete-then-update: the update's durably-persisted row MUST
+        # survive — absence here is exactly the lost-update regression
+        assert got.pop("r05", None) == 555, f"update lost: {got.get('r05')}"
+    else:
+        # update-then-delete: the update is durable at return, so the
+        # later delete sees and removes it — r05 must be gone
+        assert "r05" not in got, "delete ran second but r05 survived"
+        got.pop("r05", None)
     assert got == {f"r{i:02d}": i for i in range(12) if i != 5}, \
         "sibling rows corrupted by racing rewrites"
     _assert_no_orphan_generations(a, root, "t")
@@ -484,7 +497,9 @@ def test_two_engines_update_update_no_duplicate(spark, tmp_path):
     a.flush("t")
 
     a.update("t", "r2", {"v": 100}, timestamp_us=T0)
-    b.catalog.refresh_if_changed("t")
+    # deliberately NO b.catalog.refresh_if_changed here: update() must
+    # refresh under its own held leases (ADVICE r13 — an explicit
+    # refresh in the test masked a stale-catalog type-poisoning path)
     b.update("t", "r2", {"v": 200}, timestamp_us=T0)
     a.flush("t")
     b.flush("t")
@@ -601,3 +616,120 @@ def test_two_engines_merge_vs_update_same_key(spark, tmp_path):
         base | {"r2": 202, "r4": 404},   # update then merge
     ), got
     _assert_no_orphan_generations(a, root, "t")
+
+
+def test_holding_retry_budget_and_counter(tmp_path):
+    """holding(retries=N) makes the wait budget load-proportional
+    (r13 verdict #1): after each failed full-timeout acquire it backs
+    off (jittered exponential) and waits again, up to N extra rounds,
+    bumping the busy_retries monitoring counter — and only THEN raises
+    the reference's lock-failed error (miniodb_service.go:720-722).
+    Budget pin: retries=2 means exactly 3 full waits, counter +2."""
+    import pytest as _pytest
+
+    kv = _kv(tmp_path)
+    holder = MutationLease(kv, owner="aaaa", ttl_s=30.0)
+    waiter = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+    assert holder.acquire("k")
+    try:
+        t0 = time.monotonic()
+        with _pytest.raises(TimeoutError, match="after 3 full waits"):
+            with waiter.holding("k", timeout_s=0.15, retries=2,
+                                backoff_s=0.05):
+                raise AssertionError("must not acquire a held lease")
+        elapsed = time.monotonic() - t0
+        # 3 waits of 0.15 s + 2 backoffs (0.05·[0.5,1.5] + 0.1·[0.5,1.5])
+        assert 0.45 <= elapsed < 5.0, elapsed
+        assert waiter.busy_retries == 2
+        assert holder.busy_retries == 0
+    finally:
+        holder.release("k")
+
+
+def test_holding_retry_succeeds_when_holder_releases(tmp_path):
+    """A retried wait that finds the lease free proceeds normally: the
+    contended-host scenario where the first 'mutation lease busy' is
+    transient. The body runs exactly once and the lease round-trips."""
+    kv = _kv(tmp_path)
+    holder = MutationLease(kv, owner="aaaa", ttl_s=30.0)
+    waiter = MutationLease(kv, owner="bbbb", ttl_s=30.0)
+
+    # acquire + release on ONE thread: lease tokens are per
+    # (owner, thread), so a cross-thread release is a refused no-op
+    held = threading.Event()
+
+    def hold_briefly():
+        assert holder.acquire("k")
+        held.set()
+        time.sleep(0.4)
+        holder.release("k")
+
+    t = threading.Thread(target=hold_briefly)
+    t.start()
+    assert held.wait(5.0)
+    ran = []
+    with waiter.holding("k", timeout_s=0.1, retries=6, backoff_s=0.05):
+        ran.append(True)
+    t.join()
+    assert ran == [True]
+    assert waiter.busy_retries >= 1, "first wait should have been busy"
+    # released cleanly: immediately re-acquirable by anyone
+    assert holder.acquire("k", timeout_s=0.2)
+    holder.release("k")
+
+
+def test_update_invalid_table_name_no_side_effects(spark, tmp_path):
+    """ADVICE r13: update() must validate the table name BEFORE any
+    side effect. Previously the durable-update path called
+    catalog.ensure_table (persisting <name>.json unvalidated) and took
+    leases on the raw name before ingest's validation finally raised —
+    creating a durable catalog entry for an unqueryable (write-only)
+    table."""
+    import pytest as _pytest
+
+    from miniodb_spark.engine import Engine
+    from miniodb_spark.gate import SQLGateError
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    with _pytest.raises(SQLGateError):
+        eng.update("bad-name!", "r1", {"v": 1}, timestamp_us=T0)
+    assert eng.catalog.get_table("bad-name!") is None, \
+        "invalid name persisted a catalog entry"
+    locks_dir = tmp_path / "store" / "_meta" / "locks"
+    if locks_dir.exists():
+        leftovers = [p.name for p in locks_dir.iterdir()
+                     if "bad" in p.name]
+        assert not leftovers, leftovers
+
+
+def test_update_stale_catalog_keeps_array_type(spark, tmp_path):
+    """ADVICE r13 (medium): a driver whose catalog predates another
+    driver's array<double> column must NOT JSON-stringify a list
+    payload for that column — update() now refreshes the catalog under
+    the held leases, so the cumulative schema used by _typed_row_df is
+    current and the embedding column stays a real typed array (a
+    single stringified row would merge_type-poison the whole column to
+    string for every consumer)."""
+    import datetime
+
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)  # constructed now: catalog snapshot is empty
+    a.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    ts = datetime.datetime.fromtimestamp(T0 / US, datetime.timezone.utc)
+    a.ingest_dataframe("t", spark.createDataFrame(
+        [("r1", ts, [1.0, 2.0]), ("r2", ts, [3.0, 4.0])],
+        "id string, timestamp timestamp, emb array<double>"))
+
+    # b's catalog is stale (no refresh here — update() must do it)
+    b.update("t", "r1", {"emb": [9.0, 8.0]}, timestamp_us=T0)
+
+    a.catalog.refresh_if_changed("t")
+    assert a.catalog.schema_of("t").get("emb") == "array<double>", \
+        a.catalog.schema_of("t")
+    rows = json.loads(a.query("SELECT id, emb FROM t ORDER BY id"))
+    got = {r["id"]: r["emb"] for r in rows}
+    assert got == {"r1": [9.0, 8.0], "r2": [3.0, 4.0]}, got

@@ -32,6 +32,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
@@ -304,29 +306,56 @@ while not os.path.exists(other):
 
 eng.catalog.refresh_if_changed("t")
 T0 = 1_700_000_000_000_000
+
+
+def with_retry(op, what):
+    # pin the INVARIANTS, not scheduler luck (r13 verdict: the storm
+    # failed on a saturated host because one lease wait timed out).
+    # Engine-level holding() already retries full lease waits with
+    # backoff; this outer loop additionally absorbs a stolen-lease
+    # abort (RuntimeError 'lease ... lost during rewrite') and a
+    # budget-exhausted TimeoutError, both clean no-data-published
+    # failures that a real client would retry. Bounded: 5 attempts.
+    for attempt in range(5):
+        try:
+            return op()
+        except (TimeoutError, RuntimeError) as e:
+            if "lease" not in str(e):
+                raise
+            print(f"RETRY {who} {what} attempt={attempt + 1}: {e}",
+                  flush=True)
+            time.sleep(0.5 * (attempt + 1))
+    raise SystemExit(f"op {what} exhausted 5 attempts")
+
+
 if who == "a":
     for i in (0, 1, 2, 3, 4, 5):            # updates; 3-5 contested
-        eng.update("t", f"r{i:02d}", {"v": 1000 + i}, timestamp_us=T0)
+        with_retry(lambda: eng.update(
+            "t", f"r{i:02d}", {"v": 1000 + i}, timestamp_us=T0), f"u{i}")
     for i in (8, 9):                          # deletes; 9 contested
-        eng.delete("t", f"r{i:02d}")
+        with_retry(lambda: eng.delete("t", f"r{i:02d}"), f"d{i}")
 else:
     for i in (3, 4, 5, 6, 7):                 # updates; 3-5 contested
-        eng.update("t", f"r{i:02d}", {"v": 2000 + i}, timestamp_us=T0)
-    eng.update("t", "r09", {"v": 2009}, timestamp_us=T0)  # vs a's delete
+        with_retry(lambda: eng.update(
+            "t", f"r{i:02d}", {"v": 2000 + i}, timestamp_us=T0), f"u{i}")
+    with_retry(lambda: eng.update(                 # vs a's delete
+        "t", "r09", {"v": 2009}, timestamp_us=T0), "u9")
 
+print(f"BUSY_RETRIES {who} {eng.lease.busy_retries}", flush=True)
 spark.stop()
 """
 
 
-def test_two_process_mutation_storm_no_duplicates(spark, tmp_path):
-    """Cross-PROCESS mutation race (the durable-update fix e2e): two
-    real drivers update/delete overlapping ids through the shared
-    store. Serial-order invariants that must hold whatever interleaving
-    the leases pick: never two rows for one id; uncontested updates
-    land exactly their writer's value; contested update-updates land
-    exactly one of the two written values; a delete racing an update
-    leaves either nothing or the update's row; untouched rows survive
-    byte-identical."""
+def _run_mutation_storm(spark, tmp_path, timeout_s=420):
+    """Shared body for the idle-host and contended-host storm tests:
+    seed 12 rows, fire the two-driver mutation storm, then assert the
+    serial-order invariants that must hold whatever interleaving the
+    leases pick: never two rows for one id; uncontested updates land
+    exactly their writer's value; contested update-updates land exactly
+    one of the two written values; a delete racing an update leaves
+    either nothing or the update's row; untouched rows survive
+    byte-identical. Returns the workers' combined output (for the
+    contended variant's bounded-retry assertions)."""
     import json
 
     from miniodb_spark.catalog import TableConfig
@@ -359,8 +388,8 @@ def test_two_process_mutation_storm_no_duplicates(spark, tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
-            outs.append(out.decode()[-2000:])
+            out, _ = p.communicate(timeout=timeout_s)
+            outs.append(out.decode()[-4000:])
         assert all(p.returncode == 0 for p in procs), outs
     finally:
         for p in procs:
@@ -389,3 +418,51 @@ def test_two_process_mutation_storm_no_duplicates(spark, tmp_path):
     # untouched
     for i in (10, 11):
         assert got[f"r{i:02d}"] == i, (got, outs)
+    return "\n".join(outs)
+
+
+def test_two_process_mutation_storm_no_duplicates(spark, tmp_path):
+    """Cross-PROCESS mutation race (the durable-update fix e2e) on an
+    otherwise-idle host. See _run_mutation_storm for the invariants."""
+    _run_mutation_storm(spark, tmp_path)
+
+
+@pytest.mark.storm
+def test_mutation_storm_under_cpu_load(spark, tmp_path):
+    """Contended-host soak (r13 verdict #4): the same two-driver storm
+    while a deliberate background CPU load saturates the box — the
+    regime where round 13's single flake appeared (`mutation lease
+    busy` after one fixed 30 s wait). With holding()'s bounded
+    retry-with-backoff plus the workers' own bounded op-retry, the
+    invariants must hold and every retry must stay within budget; the
+    test asserts the INVARIANTS (no loss, no duplicates, bounded
+    retries), never wall-clock success. Opt-in via `-m storm`."""
+    import multiprocessing
+
+    burn_script = str(tmp_path / "burner.py")
+    with open(burn_script, "w") as fh:
+        fh.write(
+            "import sys, time\n"
+            "deadline = time.time() + float(sys.argv[1])\n"
+            "x = 0\n"
+            "while time.time() < deadline:\n"
+            "    x = (x * 1103515245 + 12345) % (2**31)\n"
+        )
+    n_burn = max(4, (multiprocessing.cpu_count() or 8) // 2)
+    burners = [
+        subprocess.Popen([sys.executable, burn_script, "900"],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        for _ in range(n_burn)
+    ]
+    try:
+        out = _run_mutation_storm(spark, tmp_path, timeout_s=900)
+    finally:
+        for b in burners:
+            b.kill()
+    # bounded retries: the workers print one RETRY line per whole-op
+    # retry and a BUSY_RETRIES count per driver; the budget is 5
+    # attempts per op (worker exits nonzero beyond that, which the
+    # helper already turns into a failure). Here we just pin that the
+    # retry machinery's output is present and parseable.
+    assert "BUSY_RETRIES a" in out and "BUSY_RETRIES b" in out, out
