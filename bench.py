@@ -354,6 +354,33 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Write-path ratios vs the round-6 anchor, RAW-FIRST (r13 verdict
+    # #2): write_raw_ratio_vs_anchor = this round's rows/s ÷ the anchor
+    # host's rows/s, no host correction — the PRIMARY band signal.
+    # Writes are IO-bound, so multiplying by (host_score/anchor_score)
+    # — a CPU-only score — systematically deflates them on CPU-fast
+    # hosts (r12/r13's row_api 0.518 "regression" was exactly this
+    # artifact: same code measured in-band mid-session). The
+    # normalized ratio stays as a SECONDARY cross-host indicator; the
+    # historical-band verdict in BENCH_NOTES reads the raw number.
+    write_rps = {
+        "bulk_ingest": bulk_rps,
+        "row_api_synced_wal": row_rps,
+        "stream_write_batch": batch_rps,
+    }
+    write_raw_ratio = {
+        k: round(rps / ANCHOR["write_rows_per_s"][k], 3)
+        for k, rps in write_rps.items()
+    }
+    write_norm_ratio = {
+        k: round(
+            rps * host_score
+            / ANCHOR["host_cpu_score_sec"]
+            / ANCHOR["write_rows_per_s"][k],
+            3,
+        )
+        for k, rps in write_rps.items()
+    }
     # Output protocol (r12 verdict #2): the FULL evidence record prints
     # first; a compact (<1.5 kB) summary line prints LAST so the
     # driver's 2000-char tail capture always holds one parseable JSON
@@ -402,29 +429,16 @@ def main() -> None:
                 "tpch_suite_total": round(sum(tpch_timings.values()), 4),
                 "tpch_queries": tpch_timings,
                 "cache_hit_ms": cache_hit_ms,
-                "write_rows_per_s": {
-                    "bulk_ingest": bulk_rps,
-                    "row_api_synced_wal": row_rps,
-                    "stream_write_batch": batch_rps,
-                },
-                # host-normalized write ratios vs the round-6 anchor:
-                # throughput is inverse time, so a slower host (higher
-                # score) multiplies raw rows/s back UP. ~1.0 = parity
-                # with the anchor host; < 1 = slower after host
-                # correction.
-                "write_ratio_vs_anchor": {
-                    k: round(
-                        rps * host_score
-                        / ANCHOR["host_cpu_score_sec"]
-                        / ANCHOR["write_rows_per_s"][k],
-                        3,
-                    )
-                    for k, rps in {
-                        "bulk_ingest": bulk_rps,
-                        "row_api_synced_wal": row_rps,
-                        "stream_write_batch": batch_rps,
-                    }.items()
-                },
+                "write_rows_per_s": dict(write_rps),
+                # PRIMARY write band signal: raw rows/s ÷ anchor raw
+                # rows/s (no host correction — see computation site)
+                "write_raw_ratio_vs_anchor": write_raw_ratio,
+                # SECONDARY: host-normalized write ratios vs the
+                # round-6 anchor — throughput is inverse time, so a
+                # slower host (higher score) multiplies raw rows/s
+                # back UP. Known to deflate IO-bound writes on
+                # CPU-fast hosts; never the band verdict by itself.
+                "write_ratio_vs_anchor": write_norm_ratio,
             }
         )
     )
@@ -452,31 +466,20 @@ def main() -> None:
         },
         "tpch_suite_total": round(sum(tpch_timings.values()), 4),
         "cache_hit_ms": cache_hit_ms,
-        "write_rows_per_s": {
-            "bulk_ingest": bulk_rps,
-            "row_api_synced_wal": row_rps,
-            "stream_write_batch": batch_rps,
-        },
-        "write_ratio_vs_anchor": {
-            k: round(
-                rps * host_score
-                / ANCHOR["host_cpu_score_sec"]
-                / ANCHOR["write_rows_per_s"][k],
-                3,
-            )
-            for k, rps in {
-                "bulk_ingest": bulk_rps,
-                "row_api_synced_wal": row_rps,
-                "stream_write_batch": batch_rps,
-            }.items()
-        },
+        "write_rows_per_s": dict(write_rps),
+        # raw-first (PRIMARY band signal), normalized second
+        "write_raw_ratio_vs_anchor": write_raw_ratio,
+        "write_ratio_vs_anchor": write_norm_ratio,
         "full_line": "above",
     }
     line = json.dumps(compact)
     # hard guarantee for the driver's tail window — drop detail fields
-    # (never the contract fields) if the line ever outgrows 1.5 kB
+    # (never the contract fields) if the line ever outgrows 1.5 kB;
+    # the normalized write ratio goes first (the raw ratio is the
+    # primary band signal and survives longest)
     if len(line) > 1500:
-        for k in ("write_ratio_vs_anchor", "raw_vs_prev"):
+        for k in ("write_ratio_vs_anchor", "raw_vs_prev",
+                  "write_raw_ratio_vs_anchor"):
             compact.pop(k, None)
             line = json.dumps(compact)
             if len(line) <= 1500:
