@@ -99,6 +99,27 @@ def _type_name(dt: T.DataType) -> str:
     return _CANONICAL.get(s, s)
 
 
+def _parse_ts_literal(lit: str | None):
+    """A quoted SQL literal as a tz-naive datetime, or None when typed
+    timestamp semantics can't be guaranteed — the decline-on-doubt gate
+    for zone-map timestamp pruning. Rejects tz-aware forms (the engine
+    stores naive-UTC brackets under session timeZone=UTC; an offset
+    literal would need tz arithmetic the string bracket can't express)
+    and anything ``datetime.fromisoformat`` won't take, which is a
+    strict subset of what Spark's string→timestamp cast accepts — so a
+    declined parse can only mean a skipped optimization, never a file
+    skipped on a mis-typed comparison."""
+    if lit is None:
+        return None
+    import datetime as _dt
+
+    try:
+        parsed = _dt.datetime.fromisoformat(lit)
+    except (ValueError, TypeError):
+        return None
+    return None if parsed.tzinfo is not None else parsed
+
+
 class Engine:
     def __init__(
         self,
@@ -167,7 +188,14 @@ class Engine:
         # unindexed files, so a missing/stale sidecar can never be wrong.
         from .zonemap import ZoneMapStore
 
-        self.zonemap_columns: tuple[str, ...] = ("id",)
+        # id brackets serve point lookups / keyset cursors; timestamp
+        # brackets add INTRA-DAY file skipping for time-slice queries
+        # (dt= partition dirs already prune at day grain) — the
+        # reference's time-partition pruning analog
+        # (file_pruning.go:349-594). Existing sidecars built with the
+        # old column set self-heal: build() detects the
+        # reconfiguration and rebuilds the generation's index.
+        self.zonemap_columns: tuple[str, ...] = ("id", "timestamp")
         self.zonemaps = ZoneMapStore(
             self.fs, fsmod.join(root, "_meta", "zonemaps")
         )
@@ -1285,6 +1313,24 @@ class Engine:
                     key = gate.extract_conjunctive_keys(sql)
                     rng = None if key is not None else \
                         gate.extract_conjunctive_range(sql)
+                    rng_col = "id"
+                    if key is None and rng is None:
+                        # timestamp range with TYPED comparison: the
+                        # quoted literal must parse as a (tz-naive)
+                        # ISO timestamp, else decline — a string
+                        # bracket must never be compared against a
+                        # non-timestamp literal (r13 verdict #5)
+                        ts_rng = gate.extract_conjunctive_range(
+                            sql, column="timestamp",
+                            typed_literal_prefixes=("TIMESTAMP",))
+                        if ts_rng is not None:
+                            lo, lo_i, hi, hi_i = ts_rng
+                            plo = _parse_ts_literal(lo)
+                            phi = _parse_ts_literal(hi)
+                            if (lo is None) == (plo is None) and \
+                                    (hi is None) == (phi is None):
+                                rng = (plo, lo_i, phi, hi_i)
+                                rng_col = "timestamp"
                     if key is not None or rng is not None:
                         try:
                             if key is not None:
@@ -1293,7 +1339,8 @@ class Engine:
                                 lo, lo_i, hi, hi_i = rng
                                 pruned, rep = self.range_lookup_df(
                                     t, lo=lo, hi=hi,
-                                    lo_incl=lo_i, hi_incl=hi_i)
+                                    lo_incl=lo_i, hi_incl=hi_i,
+                                    id_col=rng_col)
                             zs = self.query_stats.setdefault(
                                 "zonemap", {"queries": 0,
                                             "files_skipped": 0})

@@ -226,7 +226,8 @@ def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
 
 
 def extract_conjunctive_range(
-    sql: str, column: str = "id"
+    sql: str, column: str = "id",
+    typed_literal_prefixes: tuple[str, ...] = (),
 ) -> tuple[str | None, bool, str | None, bool] | None:
     """``(lo, lo_inclusive, hi, hi_inclusive)`` when the WHERE clause
     provably bounds ``column`` conjunctively by string-literal
@@ -239,7 +240,16 @@ def extract_conjunctive_range(
     that don't mention ``column`` are ignored, which only loosens the
     extracted range (pruning with a looser range is still a superset
     of matching files). Returns None when no comparison conjunct on
-    ``column`` exists."""
+    ``column`` exists.
+
+    ``typed_literal_prefixes`` additionally admits ANSI typed literals
+    — e.g. ``("TIMESTAMP", "DATE")`` matches
+    ``timestamp >= TIMESTAMP '2024-01-01'`` — returning the quoted
+    text; the CALLER owns interpreting it with typed semantics (the
+    engine's timestamp path parses it to a datetime and declines the
+    prune when the parse fails, so no lexicographic comparison against
+    a non-timestamp string can ever skip a file). The reference's
+    time-partition pruning analog: file_pruning.go:349-594."""
     m = re.search(
         r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
         r"|\bLIMIT\b|$)",
@@ -251,10 +261,17 @@ def extract_conjunctive_range(
     if conjs is None:
         return None
     ident = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+    prefix = ""
+    if typed_literal_prefixes:
+        prefix = (
+            r"(?:(?:" + "|".join(
+                re.escape(p) for p in typed_literal_prefixes
+            ) + r")\s+)?"
+        )
     pat_l = re.compile(
-        rf"^{ident}\s*(>=|<=|>|<)\s*'([^']*)'$", re.IGNORECASE)
+        rf"^{ident}\s*(>=|<=|>|<)\s*{prefix}'([^']*)'$", re.IGNORECASE)
     pat_r = re.compile(
-        rf"^'([^']*)'\s*(>=|<=|>|<)\s*{ident}$", re.IGNORECASE)
+        rf"^{prefix}'([^']*)'\s*(>=|<=|>|<)\s*{ident}$", re.IGNORECASE)
     flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}
     lo: str | None = None
     hi: str | None = None

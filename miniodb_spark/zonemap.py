@@ -78,8 +78,23 @@ def _rel(uri: str, gen: int) -> str:
 def _jsonable(v: Any) -> Any:
     if v is None or isinstance(v, (str, int, float, bool)):
         return v
-    # timestamps/dates/decimals: store a sortable string form; the
-    # pruner only compares same-typed values it stored itself
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # canonical naive-UTC "YYYY-MM-DD HH:MM:SS[.ffffff]" — the
+        # session runs with spark.sql.session.timeZone=UTC (session.py),
+        # so Spark-collected datetimes are naive UTC, while pyarrow
+        # footer statistics for isAdjustedToUTC timestamps come back
+        # tz-AWARE; without normalization the aware form's "+00:00"
+        # suffix breaks lexicographic ordering against naive strings of
+        # the same instant (an unsound skip at an equal-instant bound).
+        # The format is prefix-ordered: a ".ffffff" suffix only ever
+        # increases the value, so string compare == typed compare.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    # dates/decimals: store a sortable string form; the pruner only
+    # compares same-typed values it stored itself
     return str(v)
 
 

@@ -185,13 +185,17 @@ def test_sidecar_shape_is_bounded_json(engine):
     seen_files = 0
     for path in paths:
         doc = json.loads(engine.fs.read_bytes(path))
-        assert doc["columns"] == ["id"]
+        assert doc["columns"] == ["id", "timestamp"]
         for rel, st in doc["files"].items():
             seen_files += 1
             assert rel.startswith("dt=")
-            assert set(st) == {"dt", "n", "id"}
+            assert set(st) == {"dt", "n", "id", "timestamp"}
             lo, hi = st["id"]
             assert lo <= hi
+            tlo, thi = st["timestamp"]
+            # canonical naive-UTC sortable string (zonemap._jsonable)
+            assert isinstance(tlo, str) and isinstance(thi, str)
+            assert tlo <= thi and "+" not in tlo and "+" not in thi
     assert seen_files >= 2
 
 
@@ -776,3 +780,157 @@ def test_sql_path_prunes_on_range_conjuncts(engine):
         "SELECT id FROM zsqlr WHERE id >= 'r004' AND id < 'r006' "
         "ORDER BY id"))
     assert [r["id"] for r in out2] == ["r004", "r0045", "r005"]
+
+
+# --- timestamp range pruning (r13 verdict #5) ------------------------------
+
+def _seed_intraday(engine, table):
+    """Two flushes into the SAME dt partition: a morning file
+    (06:00-08:00) and an evening file (18:00-20:00) — the intra-day
+    layout where dt= pruning is powerless and only the timestamp
+    bracket can skip."""
+    import datetime as dt
+
+    day0 = int(dt.datetime(
+        2024, 1, 2, tzinfo=dt.timezone.utc).timestamp()) * US
+    for h in (6, 7, 8):
+        engine.write(table, {"v": h}, record_id=f"m{h:02d}",
+                     timestamp_us=day0 + h * 3600 * US)
+    engine.flush(table)
+    for h in (18, 19, 20):
+        engine.write(table, {"v": h}, record_id=f"e{h:02d}",
+                     timestamp_us=day0 + h * 3600 * US)
+    engine.flush(table)
+
+
+def test_ts_range_lookup_skips_intraday_files(engine):
+    """range_lookup_df on the timestamp column skips the intra-day
+    file whose [min, max] bracket misses the slice, and returns
+    exactly what the full scan + filter returns (typed comparison:
+    the bound is a datetime, the bracket a canonical naive-UTC
+    string)."""
+    import datetime as dt
+
+    _seed_intraday(engine, "zts")
+    noon = dt.datetime(2024, 1, 2, 12, 0, 0)
+    df, report = engine.range_lookup_df(
+        "zts", lo=noon, id_col="timestamp")
+    got = sorted(r["id"] for r in df.select("id").collect())
+    assert got == ["e18", "e19", "e20"], got
+    assert report["files_skipped"] >= 1, report
+    # the other side: everything before noon skips the evening file
+    df2, rep2 = engine.range_lookup_df(
+        "zts", hi=noon, hi_incl=False, id_col="timestamp")
+    assert sorted(r["id"] for r in df2.select("id").collect()) == \
+        ["m06", "m07", "m08"]
+    assert rep2["files_skipped"] >= 1, rep2
+
+
+def test_sql_path_prunes_on_timestamp_conjuncts(engine):
+    """The SQL gate routes a provable timestamp-range WHERE through
+    the zone map with TYPED literal parsing: plain and
+    TIMESTAMP-prefixed literals prune (files_skipped pinned, the
+    keyset-test analog for time slices); a tz-offset literal declines
+    the prune but still answers correctly."""
+    import json as _json
+
+    _seed_intraday(engine, "ztsq")
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id, v FROM ztsq "
+        "WHERE timestamp >= '2024-01-02 12:00:00' ORDER BY id"))
+    assert [r["id"] for r in out] == ["e18", "e19", "e20"]
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1
+    assert zs["files_skipped"] > before.get("files_skipped", 0), zs
+
+    # ANSI typed literal form, bounded both sides
+    out2 = _json.loads(engine.query(
+        "SELECT id FROM ztsq "
+        "WHERE timestamp >= TIMESTAMP '2024-01-02 12:00:00' "
+        "AND timestamp < TIMESTAMP '2024-01-02 19:30:00' ORDER BY id"))
+    assert [r["id"] for r in out2] == ["e18", "e19"]
+    assert engine.query_stats["zonemap"]["queries"] == \
+        before.get("queries", 0) + 2
+
+    # decline-on-doubt: tz-aware literal → no prune, correct answer
+    # through the ordinary full-scan path
+    q_before = engine.query_stats["zonemap"]["queries"]
+    out3 = _json.loads(engine.query(
+        "SELECT id FROM ztsq "
+        "WHERE timestamp >= '2024-01-02 12:00:00+00:00' ORDER BY id"))
+    assert [r["id"] for r in out3] == ["e18", "e19", "e20"]
+    assert engine.query_stats["zonemap"]["queries"] == q_before
+
+    # buffered (unflushed) rows still surface through the hybrid union
+    import datetime as dt
+
+    ts_us = int(dt.datetime(
+        2024, 1, 2, 13, 0, 0, tzinfo=dt.timezone.utc).timestamp()) * US
+    engine.write("ztsq", {"v": 13}, record_id="b13", timestamp_us=ts_us)
+    out4 = _json.loads(engine.query(
+        "SELECT id FROM ztsq "
+        "WHERE timestamp >= '2024-01-02 12:00:00' ORDER BY id"))
+    assert [r["id"] for r in out4] == ["b13", "e18", "e19", "e20"]
+
+
+def test_ts_range_matches_full_scan_property(engine):
+    """Superset contract for timestamp pruning under mutations: after
+    an update and a delete, the pruned time-slice still equals the
+    full scan + filter."""
+    import datetime as dt
+
+    _seed_intraday(engine, "ztsm")
+    engine.update("ztsm", "e19", {"v": 99}, timestamp_us=int(
+        dt.datetime(2024, 1, 2, 19, tzinfo=dt.timezone.utc).timestamp()
+    ) * US)
+    engine.delete("ztsm", "m07")
+    noon = dt.datetime(2024, 1, 2, 12, 0, 0)
+    df, _ = engine.range_lookup_df("ztsm", lo=noon, id_col="timestamp")
+    got = sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+    from pyspark.sql import functions as F  # noqa: N812
+    full = engine.read_table("ztsm").filter(F.col("timestamp") >= F.lit(noon))
+    want = sorted((r["id"], r["v"]) for r in full.select("id", "v").collect())
+    assert got == want, (got, want)
+    assert got == [("e18", 18), ("e19", 99), ("e20", 20)], got
+
+
+def test_parse_ts_literal_and_typed_prefix_unit():
+    """Unit edges: fromisoformat subset, tz-aware decline, typed
+    TIMESTAMP prefix extraction, and the zone map's canonical
+    naive-UTC string form (aware and naive same-instant datetimes
+    encode identically, so footer-path and Spark-path brackets
+    agree)."""
+    import datetime as dt
+
+    from miniodb_spark.engine import _parse_ts_literal
+    from miniodb_spark.gate import extract_conjunctive_range
+    from miniodb_spark.zonemap import _jsonable
+
+    assert _parse_ts_literal("2024-01-02") == dt.datetime(2024, 1, 2)
+    assert _parse_ts_literal("2024-01-02 06:30:00.5") == \
+        dt.datetime(2024, 1, 2, 6, 30, 0, 500000)
+    assert _parse_ts_literal("2024-01-02T06:30:00") == \
+        dt.datetime(2024, 1, 2, 6, 30)
+    assert _parse_ts_literal(None) is None
+    assert _parse_ts_literal("") is None
+    assert _parse_ts_literal("not-a-ts") is None
+    assert _parse_ts_literal("2024-01-02 00:00:00+02:00") is None
+
+    rng = extract_conjunctive_range(
+        "SELECT * FROM t WHERE timestamp >= TIMESTAMP '2024-01-02' "
+        "AND timestamp < '2024-01-03'",
+        column="timestamp", typed_literal_prefixes=("TIMESTAMP",))
+    assert rng == ("2024-01-02", True, "2024-01-03", False)
+    # without the prefix allowance the typed literal must NOT match
+    assert extract_conjunctive_range(
+        "SELECT * FROM t WHERE timestamp >= TIMESTAMP '2024-01-02'",
+        column="timestamp") is None
+
+    naive = dt.datetime(2024, 1, 2, 6, 0, 0)
+    aware = dt.datetime(2024, 1, 2, 6, 0, 0, tzinfo=dt.timezone.utc)
+    assert _jsonable(naive) == _jsonable(aware) == "2024-01-02 06:00:00"
+    shifted = dt.datetime(2024, 1, 2, 8, 0, 0,
+                          tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert _jsonable(shifted) == "2024-01-02 06:00:00"
