@@ -6687,3 +6687,228 @@ def interval_union_coverage(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "interval_month_end_clamp_audit",
+    """
+    WITH d AS (
+      SELECT o_orderdate AS d0,
+             o_orderdate + INTERVAL 1 MONTH AS m1,
+             (o_orderdate + INTERVAL 1 MONTH) - INTERVAL 1 MONTH AS rt,
+             o_orderdate + INTERVAL 1 YEAR AS y1
+      FROM orders)
+    SELECT day(d0) AS dom, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN day(m1) <> day(d0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamp_1mo,
+           CAST(sum(CASE WHEN rt <> d0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_noninvertible,
+           CAST(sum(CASE WHEN day(y1) <> day(d0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamp_1yr
+    FROM d GROUP BY dom ORDER BY dom
+    """,
+    doc="INTERVAL month/year arithmetic month-end-clamp audit (r13 "
+        "verdict #7 interval-edge batch): per day-of-month, how many "
+        "+1 MONTH results clamp to a shorter month's end (day 29/30/31 "
+        "into February &co), how many round-trips (+1 MONTH then "
+        "-1 MONTH) are NOT the identity — the subtle data-pipeline trap "
+        "where a 'shift and shift back' date normalization silently "
+        "moves month-end timestamps — and how many +1 YEAR results "
+        "clamp (exactly the Feb 29 leap rows; fixture spans 1995-2001 "
+        "with leap years 1996/2000). Pins that Spark and DuckDB share "
+        "the clamp-to-month-end convention at every edge. One map-side "
+        "pass over one column to a 31-group aggregate: partials "
+        "combine, nothing but (dom, 4 counters) shuffles at any scale.",
+    tags=("sql-surface", "capability"),
+)
+def interval_month_end_clamp_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    d0 = F.col("o_orderdate")
+    m1 = F.expr("o_orderdate + INTERVAL 1 MONTH")
+    rt = F.expr("(o_orderdate + INTERVAL 1 MONTH) - INTERVAL 1 MONTH")
+    y1 = F.expr("o_orderdate + INTERVAL 1 YEAR")
+    clamp = lambda x: F.when(
+        F.dayofmonth(x) != F.dayofmonth(d0), 1).otherwise(0)
+    return (
+        o.select(
+            F.dayofmonth(d0).alias("dom"),
+            clamp(m1).alias("c1"),
+            F.when(rt != d0, 1).otherwise(0).alias("ni"),
+            clamp(y1).alias("cy"),
+        )
+        .groupBy("dom")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c1").cast("bigint").alias("n_clamp_1mo"),
+            F.sum("ni").cast("bigint").alias("n_noninvertible"),
+            F.sum("cy").cast("bigint").alias("n_clamp_1yr"),
+        )
+        .orderBy("dom")
+    )
+
+
+@register(
+    "try_to_timestamp_parse_audit",
+    """
+    WITH s AS (
+      SELECT event_id % 6 AS variant,
+        CASE event_id % 6
+          WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+          WHEN 1 THEN strftime(ts, '%Y-%m-%d')
+          WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+          WHEN 3 THEN substr(strftime(ts, '%Y-%m-%d %H:%M:%S'), 1, 5)
+                      || '13'
+                      || substr(strftime(ts, '%Y-%m-%d %H:%M:%S'), 8)
+          WHEN 4 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || ' junk'
+          ELSE '  ' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '  '
+        END AS raw
+      FROM events)
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(TRY_CAST(raw AS TIMESTAMP)) AS BIGINT) AS n_parsed,
+           min(TRY_CAST(raw AS TIMESTAMP)) AS min_parsed,
+           max(TRY_CAST(raw AS TIMESTAMP)) AS max_parsed
+    FROM s GROUP BY variant ORDER BY variant
+    """,
+    doc="TRY_CAST string->TIMESTAMP parse audit — the timestamp twin "
+        "of try_cast_decimal_parse_audit (r13 verdict #7): six "
+        "deterministic re-renderings of the event time (full ISO, "
+        "date-only, 'T'-separated, month corrupted to 13, trailing "
+        "junk token, whitespace-padded) are parsed with error-safe "
+        "casts; the audit reports parse yield and the min/max of what "
+        "parsed, per variant. Pins the agreeing edges cross-engine: "
+        "date-only and 'T' forms parse, surrounding whitespace is "
+        "trimmed, month-13 and trailing-junk -> NULL (not an error). "
+        "The ONE divergent edge is deliberately excluded and "
+        "documented: a minute-only literal ('... 06:30') parses in "
+        "Spark but is NULL in DuckDB — pipelines must render seconds. "
+        "One map-side pass over (event_id, ts) to a 6-group aggregate; "
+        "the derived strings never shuffle.",
+    tags=("sql-surface", "capability"),
+)
+def try_to_timestamp_parse_audit(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    v = F.col("event_id") % 6
+    raw = (
+        F.when(v == 0, iso)
+        .when(v == 1, F.date_format("ts", "yyyy-MM-dd"))
+        .when(v == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(v == 3, F.concat(F.substring(iso, 1, 5), F.lit("13"),
+                               F.substring(iso, 8, 12)))
+        .when(v == 4, F.concat(iso, F.lit(" junk")))
+        .otherwise(F.concat(F.lit("  "), iso, F.lit("  ")))
+    )
+    parsed = F.expr("TRY_CAST(raw AS TIMESTAMP)")
+    return (
+        ev.select(v.alias("variant"), raw.alias("raw"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(parsed).cast("bigint").alias("n_parsed"),
+            F.min(parsed).alias("min_parsed"),
+            F.max(parsed).alias("max_parsed"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "iso_week_year_boundary_audit",
+    """
+    WITH w AS (
+      SELECT o_orderdate AS d FROM orders
+      WHERE (month(o_orderdate) = 1 AND day(o_orderdate) <= 7)
+         OR (month(o_orderdate) = 12 AND day(o_orderdate) >= 25))
+    SELECT CAST(isoyear(d) AS INTEGER) AS iso_year,
+           CAST(weekofyear(d) AS INTEGER) AS iso_week,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(d AS DATE)) AS BIGINT) AS n_days,
+           CAST(min(d) AS TIMESTAMP) AS first_d,
+           CAST(max(d) AS TIMESTAMP) AS last_d
+    FROM w GROUP BY iso_year, iso_week ORDER BY iso_year, iso_week
+    """,
+    doc="ISO week-numbering year-boundary audit: rows within a week of "
+        "New Year are attributed to (isoyear, isoweek) — the calendar "
+        "edge where Jan 1 can belong to week 52/53 of the PREVIOUS iso "
+        "year (1995-01-01 -> 1994-W52) and Dec 29-31 to week 1 of the "
+        "NEXT (1997-12-29 -> 1998-W01). Pins that Spark's "
+        "extract(YEAROFWEEK)/weekofyear and DuckDB's isoyear/weekofyear "
+        "share full ISO-8601 semantics across all seven year boundaries "
+        "in the fixture — the correctness precondition for any weekly "
+        "rollup joining across engines. Filter is map-side on one "
+        "column; the aggregate has at most ~2 groups per boundary.",
+    tags=("sql-surface", "capability"),
+)
+def iso_week_year_boundary_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    w = o.filter(
+        ((F.month(d) == 1) & (F.dayofmonth(d) <= 7))
+        | ((F.month(d) == 12) & (F.dayofmonth(d) >= 25))
+    )
+    return (
+        w.select(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+            .cast("int").alias("iso_year"),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            d.alias("d"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct(F.col("d").cast("date"))
+            .cast("bigint").alias("n_days"),
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+@register(
+    "calendar_truncation_grid",
+    """
+    WITH q AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+               AS quarter,
+             date_trunc('week', o_orderdate) AS wk
+      FROM orders)
+    SELECT quarter, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT wk) AS BIGINT) AS n_week_starts,
+           CAST(min(wk) AS TIMESTAMP) AS first_week,
+           CAST(last_day(CAST(quarter AS DATE)) AS TIMESTAMP)
+             AS q_month1_end
+    FROM q GROUP BY quarter ORDER BY quarter
+    """,
+    doc="Calendar truncation consistency grid: per quarter bucket, the "
+        "count of distinct ISO week starts it spans and the first week "
+        "start (which usually lies in the PREVIOUS quarter — Monday "
+        "truncation crosses the quarter boundary), plus last_day of the "
+        "quarter's first month (pinning last_day on the Feb-of-leap-year "
+        "quarters: 1996-02-29 / 2000-02-29). Pins date_trunc "
+        "week/quarter and last_day agreement between engines — the trio "
+        "every calendar-rollup dashboard composes. Single pass, 27 "
+        "quarter groups; count(DISTINCT week) partial-aggregates on "
+        "(quarter, week) pairs bounded by ~14 weeks per quarter.",
+    tags=("sql-surface", "capability"),
+)
+def calendar_truncation_grid(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    q = F.date_trunc("quarter", F.col("o_orderdate"))
+    wk = F.date_trunc("week", F.col("o_orderdate"))
+    return (
+        o.select(q.alias("quarter"), wk.alias("wk"))
+        .groupBy("quarter")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("wk").cast("bigint").alias("n_week_starts"),
+            F.min("wk").alias("first_week"),
+        )
+        .withColumn(
+            "q_month1_end",
+            F.last_day(F.col("quarter").cast("date")).cast("timestamp"),
+        )
+        .select("quarter", "n", "n_week_starts", "first_week",
+                "q_month1_end")
+        .orderBy("quarter")
+    )

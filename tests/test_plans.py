@@ -1823,3 +1823,49 @@ def test_interval_union_one_user_exchange(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
     assert not plans.unpartitioned_windows(df)
     assert plans.num_shuffles(df) <= 2, plan[:3000]
+
+
+def test_interval_clamp_audit_single_pass(spark, sf_dir, registry):
+    """Month-end clamp audit: pure map-side interval arithmetic into a
+    31-group aggregate — no join, no window; the scan reads exactly the
+    date column."""
+    df = registry["interval_month_end_clamp_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"o_orderdate"}, plans.scan_columns(df)
+
+
+def test_ts_parse_audit_single_pass(spark, sf_dir, registry):
+    """TRY_CAST timestamp audit: one map-side pass to a 6-group
+    aggregate; derived strings never shuffle wide (only the 6-group
+    partials move)."""
+    df = registry["try_to_timestamp_parse_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"event_id", "ts"}, plans.scan_columns(df)
+
+
+def test_iso_week_audit_filter_pushed(spark, sf_dir, registry):
+    """Year-boundary audit: the month/day window filter evaluates
+    map-side against the single scanned column before the tiny
+    (iso_year, iso_week) aggregate."""
+    df = registry["iso_week_year_boundary_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"o_orderdate"}, plans.scan_columns(df)
+    # the boundary-window predicate exists pre-aggregate (Filter node)
+    assert "Filter" in plan, plan[:2000]
+
+
+def test_calendar_grid_single_agg(spark, sf_dir, registry):
+    """Truncation grid: one aggregate over (quarter, week) with the
+    distinct-count riding the same grouping (Expand is fine — it's
+    bounded by ~14 weeks/quarter); no join, no window."""
+    df = registry["calendar_truncation_grid"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"o_orderdate"}, plans.scan_columns(df)
