@@ -6912,3 +6912,162 @@ def calendar_truncation_grid(spark, sf_dir):
                 "q_month1_end")
         .orderBy("quarter")
     )
+
+
+@register(
+    "integer_division_modulo_sign_audit",
+    """
+    WITH s AS (
+      SELECT (l_orderkey % 97) - 48 AS a,
+             CASE l_linenumber % 3
+               WHEN 0 THEN 7 WHEN 1 THEN -7 ELSE 13 END AS b
+      FROM lineitem)
+    SELECT b, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a // b) AS BIGINT) AS sum_div,
+           CAST(sum(a % b) AS BIGINT) AS sum_mod,
+           CAST(sum(CASE WHEN a % b <> 0 AND sign(a % b) <> sign(a)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mod_sign_flip,
+           CAST(sum(CASE WHEN (a // b) * b + (a % b) <> a
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_identity_broken
+    FROM s GROUP BY b ORDER BY b
+    """,
+    doc="Integer division / modulo sign-convention audit over signed "
+        "operands (both negative dividends and negative divisors): "
+        "pins that Spark's `div`/`%` and DuckDB's `//`/`%` share "
+        "C-style truncate-toward-zero division with dividend-signed "
+        "remainder — n_mod_sign_flip is structurally 0 under that "
+        "convention (a floor-mod engine would count every "
+        "negative-dividend row) and the Euclidean identity "
+        "(a div b)*b + a%b = a holds for every row. The silent "
+        "corruption class this guards: bucketing signed keys with % "
+        "produces NEGATIVE buckets under both engines — pipelines "
+        "must pmod/abs first, and this entry is the cross-engine "
+        "proof the audit assumption holds. One map-side pass, 3 "
+        "divisor groups.",
+    tags=("sql-surface", "capability"),
+)
+def integer_division_modulo_sign_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 97 - 48).alias("a")
+    b = (
+        F.when(F.col("l_linenumber") % 3 == 0, 7)
+        .when(F.col("l_linenumber") % 3 == 1, -7)
+        .otherwise(13)
+    ).alias("b")
+    s = li.select(a, b)
+    dv = F.expr("a div b")
+    md = F.col("a") % F.col("b")
+    return (
+        s.groupBy("b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dv).cast("bigint").alias("sum_div"),
+            F.sum(md).cast("bigint").alias("sum_mod"),
+            F.sum(
+                F.when(
+                    (md != 0) & (F.signum(md) != F.signum(F.col("a"))), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_mod_sign_flip"),
+            F.sum(
+                F.when(dv * F.col("b") + md != F.col("a"), 1).otherwise(0)
+            ).cast("bigint").alias("n_identity_broken"),
+        )
+        .orderBy("b")
+    )
+
+
+@register(
+    "round_half_boundary_audit",
+    """
+    WITH s AS (
+      SELECT (l_orderkey % 9) - 4 AS a FROM lineitem)
+    SELECT a, CAST(count(*) AS BIGINT) AS n,
+           round(a + CAST(0.5 AS DOUBLE)) AS r_half_up,
+           round(a - CAST(0.5 AS DOUBLE)) AS r_half_down,
+           round(a + CAST(0.25 AS DOUBLE), 1) AS r_q1,
+           round(a + CAST(0.75 AS DOUBLE), 1) AS r_q3
+    FROM s GROUP BY a ORDER BY a
+    """,
+    doc="round() half-boundary audit on EXACTLY representable "
+        "fractions (quarters — the only doubles where the .5 tie is "
+        "real rather than a representation artifact): for integer a in "
+        "[-4, 4], both engines round a±0.5 away from zero (2.5 -> 3, "
+        "-2.5 -> -3: HALF_UP on magnitude, NOT banker's rounding) and "
+        "the scaled quarters a+0.25/a+0.75 at one decimal place the "
+        "same way. The divergence this would catch: an engine "
+        "switching DOUBLE rounding to IEEE half-even (numpy/C default) "
+        "breaks every *.5 revenue threshold cross-engine. Values "
+        "derived from exact quarters only — a 0.05-style literal "
+        "whose double is off-tie would pin representation, not "
+        "rounding. Map-side to a 9-group aggregate; the rounded "
+        "columns are functions of the group key.",
+    tags=("sql-surface", "capability"),
+)
+def round_half_boundary_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.select((F.col("l_orderkey") % 9 - 4).alias("a"))
+    half = F.lit(0.5).cast("double")
+    q1 = F.lit(0.25).cast("double")
+    q3 = F.lit(0.75).cast("double")
+    return (
+        s.groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("r_half_up", F.round(F.col("a") + half, 0))
+        .withColumn("r_half_down", F.round(F.col("a") - half, 0))
+        .withColumn("r_q1", F.round(F.col("a") + q1, 1))
+        .withColumn("r_q3", F.round(F.col("a") + q3, 1))
+        .select("a", "n", "r_half_up", "r_half_down", "r_q1", "r_q3")
+        .orderBy("a")
+    )
+
+
+@register(
+    "epoch_micros_span_audit",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(1700000000 +
+                 CAST(sum(epoch_us(ts) - 1700000000000000) AS DOUBLE)
+                 / count(*) / 1000000, 3) AS mean_epoch_s,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+             AS span_us
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Epoch-microsecond instant arithmetic parity: per event type, "
+        "the mean wall-clock instant (exact int64 sum of epoch micros, "
+        "ONE double rounding at the division) and the exact micro-"
+        "second span. Pins that DuckDB's epoch_us equals Spark's "
+        "unix_micros after the NTZ->instant normalization every "
+        "time-keyed entry rides (base.normalize_event_ts; UTC session "
+        "makes the wall clocks identical) — the parity precondition "
+        "for sessionization, watermarks and as-of joins. The exact-"
+        "int-sum formulation (not avg(double)) removes accumulation-"
+        "order nondeterminism from the oracle compare; micros are "
+        "REBASED to a 2023-11 epoch before summing because a raw "
+        "int64 micro-sum overflows past ~5k rows per group under "
+        "ANSI Spark (caught at sf0.1) — the residual sum stays exact "
+        "to ~2M rows/group, and beyond that the same rebase composes "
+        "with per-partition partial means. Map-side to a 5-group "
+        "aggregate.",
+    tags=("sql-surface", "capability"),
+)
+def epoch_micros_span_audit(spark, sf_dir):
+    ev = normalize_event_ts(load(spark, sf_dir, "events"))
+    us = F.unix_micros(F.col("ts"))
+    base = 1_700_000_000_000_000
+    return (
+        ev.select("event_type", us.alias("us"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.lit(1_700_000_000)
+                + F.sum(F.col("us") - F.lit(base)).cast("double")
+                / F.count("*") / F.lit(1000000),
+                3,
+            ).alias("mean_epoch_s"),
+            (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -1869,3 +1869,38 @@ def test_calendar_grid_single_agg(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plans.scan_columns(df) == {"o_orderdate"}, plans.scan_columns(df)
+
+
+def test_division_sign_audit_single_pass(spark, sf_dir, registry):
+    """Sign-convention audit: map-side derivation into a 3-group
+    aggregate; no join, no window; scan reads exactly the two
+    deriving columns."""
+    df = registry["integer_division_modulo_sign_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"l_orderkey", "l_linenumber"}, \
+        plans.scan_columns(df)
+
+
+def test_round_boundary_audit_single_pass(spark, sf_dir, registry):
+    """Half-boundary audit: 9-group aggregate; the rounded columns are
+    post-aggregate functions of the group key (no per-row rounding
+    shuffles)."""
+    df = registry["round_half_boundary_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"l_orderkey"}, plans.scan_columns(df)
+
+
+def test_epoch_audit_single_pass(spark, sf_dir, registry):
+    """Instant-arithmetic parity audit: rebased int64 micro-sums in a
+    5-group aggregate; no join, no window; scan reads (ts, event_type)
+    only."""
+    df = registry["epoch_micros_span_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) <= {"ts", "event_type"}, \
+        plans.scan_columns(df)
