@@ -7071,3 +7071,184 @@ def epoch_micros_span_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "like_escape_wildcard_audit",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS prio,
+             o_orderpriority ||
+             CASE o_orderkey % 4
+               WHEN 0 THEN '100%' WHEN 1 THEN '1_0'
+               WHEN 2 THEN '1x0' ELSE '10%x' END AS s
+      FROM orders)
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN s LIKE '%100!%%' ESCAPE '!'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_pct,
+           CAST(sum(CASE WHEN s LIKE '%1!_0' ESCAPE '!'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_us,
+           CAST(sum(CASE WHEN s LIKE '%1_0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_wild_us,
+           CAST(sum(CASE WHEN s LIKE '%!%%' ESCAPE '!'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_any_pct
+    FROM s GROUP BY prio ORDER BY prio
+    """,
+    doc="LIKE wildcard-escape audit: strings carrying literal '%' and "
+        "'_' are matched with an explicit ESCAPE '!' clause — escaped "
+        "'!%'/'!_' match only the literal characters while the bare "
+        "'_' pattern matches any byte ('%1_0' catches both '1_0' and "
+        "'1x0'). The '!' escape character is chosen deliberately: a "
+        "backslash escape would be REWRITTEN by Spark's string-literal "
+        "parser before LIKE ever sees it while DuckDB passes it "
+        "through verbatim — the one place the same oracle text would "
+        "mean different patterns — so portable SQL must pick a "
+        "non-backslash escape (documented divergence, excluded by "
+        "construction). Map-side regex-free matching into a 5-group "
+        "aggregate.",
+    tags=("sql-surface", "capability"),
+)
+def like_escape_wildcard_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    s = F.concat(
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("100%"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("1_0"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("1x0"))
+        .otherwise(F.lit("10%x")),
+    )
+    d = o.select(F.col("o_orderpriority").alias("prio"), s.alias("s"))
+    like = lambda pat: F.expr(f"s LIKE '{pat}' ESCAPE '!'")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return (
+        d.groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            cnt(like("%100!%%")).alias("n_lit_pct"),
+            cnt(like("%1!_0")).alias("n_lit_us"),
+            cnt(F.col("s").like("%1_0")).alias("n_wild_us"),
+            cnt(like("%!%%")).alias("n_any_pct"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
+    "null_ordering_explicit_audit",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC NULLS FIRST,
+                                         event_id) AS rn_nf,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC NULLS LAST,
+                                         event_id) AS rn_nl
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           min(CASE WHEN rn_nf = 1 THEN
+                 CASE WHEN value IS NULL THEN 'NULL'
+                      ELSE printf('%.3f', value) END END)
+             AS first_nulls_first,
+           min(CASE WHEN rn_nl = 1 THEN
+                 CASE WHEN value IS NULL THEN 'NULL'
+                      ELSE printf('%.3f', value) END END)
+             AS first_nulls_last
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Explicit NULL-ordering audit: the first row of each event "
+        "type under ASC NULLS FIRST vs ASC NULLS LAST window orders "
+        "(unique event_id tie-break). Pins that the EXPLICIT forms "
+        "agree cross-engine — they must, because the DEFAULTS diverge "
+        "(Spark ASC implies NULLS FIRST, DuckDB implies NULLS LAST), "
+        "the classic silent-drift edge when porting ranking SQL: every "
+        "registry window that orders a nullable key spells its null "
+        "placement out, and this entry is the proof both engines honor "
+        "it. The NULL label is gated by an explicit IS NULL check, not "
+        "printf-of-NULL (Spark format_string renders a null argument "
+        "as text while DuckDB printf propagates NULL — a second "
+        "documented divergence, excluded by construction). One "
+        "event_type exchange shared by both window passes and the "
+        "aggregate.",
+    tags=("sql-surface", "capability"),
+)
+def null_ordering_explicit_audit(spark, sf_dir):
+    ev = normalize_event_ts(load(spark, sf_dir, "events"))
+    wnf = W.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id")
+    wnl = W.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id")
+    fmt = F.when(F.col("value").isNull(), F.lit("NULL")).otherwise(
+        F.format_string("%.3f", F.col("value")))
+    r = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(wnf).alias("rn_nf"),
+        F.row_number().over(wnl).alias("rn_nl"),
+        fmt.alias("fmt"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null"),
+            F.min(F.when(F.col("rn_nf") == 1, F.col("fmt")))
+            .alias("first_nulls_first"),
+            F.min(F.when(F.col("rn_nl") == 1, F.col("fmt")))
+            .alias("first_nulls_last"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "binary_collation_rank_audit",
+    """
+    WITH s AS (
+      SELECT CASE l_orderkey % 10
+               WHEN 0 THEN ' lead'   WHEN 1 THEN '0digit'
+               WHEN 2 THEN 'APPLE'   WHEN 3 THEN 'Apple'
+               WHEN 4 THEN 'B'       WHEN 5 THEN 'Z'
+               WHEN 6 THEN 'a'       WHEN 7 THEN 'app'
+               WHEN 8 THEN 'apple'   ELSE chr(233) || 'accent'
+             END AS tok
+      FROM lineitem)
+    SELECT tok, CAST(ascii(tok) AS INTEGER) AS first_cp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY tok ORDER BY tok
+    """,
+    doc="Binary (codepoint) collation audit: ten tokens spanning "
+        "space < digits < uppercase < lowercase < tilde-range < "
+        "multi-byte (chr(233), U+00E9) are emitted in engine sort "
+        "order — the ROW ORDER is the assertion, since the driver "
+        "hashes rows in result order. Pins that Spark's UTF8_BINARY "
+        "default and DuckDB's binary default agree byte-for-byte "
+        "('APPLE' < 'Apple' < 'a...', prefixes first, accents after "
+        "ASCII) — the stability contract behind keyset-pagination "
+        "cursors and the zone map's string brackets: a locale-aware "
+        "collation on either side would silently reorder pages and "
+        "unsound-skip files. ascii() doubles as the codepoint witness. "
+        "Map-side CASE into a 10-group aggregate.",
+    tags=("sql-surface", "capability"),
+)
+def binary_collation_rank_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey") % 10
+    tok = (
+        F.when(k == 0, " lead").when(k == 1, "0digit")
+        .when(k == 2, "APPLE").when(k == 3, "Apple")
+        .when(k == 4, "B").when(k == 5, "Z")
+        .when(k == 6, "a").when(k == 7, "app")
+        .when(k == 8, "apple")
+        .otherwise(F.concat(F.expr("chr(233)"), F.lit("accent")))
+    )
+    return (
+        li.select(tok.alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("first_cp", F.ascii("tok").cast("int"))
+        .select("tok", "first_cp", "n")
+        .orderBy("tok")
+    )

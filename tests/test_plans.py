@@ -1904,3 +1904,35 @@ def test_epoch_audit_single_pass(spark, sf_dir, registry):
     assert "Window" not in plan, plan[:2000]
     assert plans.scan_columns(df) <= {"ts", "event_type"}, \
         plans.scan_columns(df)
+
+
+def test_like_escape_audit_single_pass(spark, sf_dir, registry):
+    """LIKE escape audit: StartsWith/Contains/LikeSimple matching
+    map-side into a 5-group aggregate; no join, no window."""
+    df = registry["like_escape_wildcard_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"o_orderkey", "o_orderpriority"}, \
+        plans.scan_columns(df)
+
+
+def test_null_ordering_audit_one_exchange(spark, sf_dir, registry):
+    """Both null-placement window passes and the aggregate share the
+    event_type partitioning — one exchange; no unpartitioned window."""
+    df = registry["null_ordering_explicit_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert not plans.unpartitioned_windows(df)
+    # one event_type exchange (windows + agg) + the output-order sort
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
+
+
+def test_collation_audit_single_pass(spark, sf_dir, registry):
+    """Collation audit: CASE projection to a 10-group aggregate; the
+    output sort is the assertion, everything else map-side."""
+    df = registry["binary_collation_rank_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == {"l_orderkey"}, plans.scan_columns(df)
