@@ -1101,8 +1101,42 @@ class Engine:
         the same hybrid buffer union; the residual predicate re-filters
         whatever the brackets admit. A range predicate never matches a
         NULL key (SQL three-valued logic), matching prune_range's
-        skip-all-null-files rule."""
+        skip-all-null-files rule.
+
+        For the ``timestamp`` column the listing is first pruned at
+        DAY grain by the ``dt=`` directory name itself — sound because
+        the write paths derive dt as date_format(timestamp) under the
+        UTC session (engine.py flush/ingest; mutations preserve the
+        partition value), so a file in an out-of-range day provably
+        holds no in-range rows EVEN UNINDEXED. This is the reference's
+        time-partition pruning (file_pruning.go:349-594) at directory
+        grain; the zone-map brackets then add intra-day skipping.
+        Unrecognized dt strings (NULL-timestamp partitions etc.) are
+        conservatively kept — but a NULL timestamp can never match a
+        range, so the residual filter drops those rows anyway."""
+        import datetime as _dtm
+
+        dt_lo = dt_hi = None
+        if id_col == "timestamp":
+            if isinstance(lo, _dtm.datetime):
+                dt_lo = lo.date().isoformat()
+            if isinstance(hi, _dtm.datetime):
+                dt_hi = hi.date().isoformat()
+        _DT_RE = __import__("re").compile(r"^\d{4}-\d{2}-\d{2}$")
+
+        def _day_admits(dt: str) -> bool:
+            if not _DT_RE.match(dt):
+                return True  # unrecognized partition: must scan
+            if dt_lo is not None and dt < dt_lo:
+                return False
+            if dt_hi is not None and dt > dt_hi:
+                return False
+            return True
+
         def select_fn(i, listing):
+            if dt_lo is not None or dt_hi is not None:
+                listing = [(rel, dt) for rel, dt in listing
+                           if _day_admits(dt)]
             sel, _ = self.zonemaps.prune_range(
                 table, i, listing, id_col,
                 lo=lo, hi=hi, lo_incl=lo_incl, hi_incl=hi_incl)

@@ -934,3 +934,39 @@ def test_parse_ts_literal_and_typed_prefix_unit():
     shifted = dt.datetime(2024, 1, 2, 8, 0, 0,
                           tzinfo=dt.timezone(dt.timedelta(hours=2)))
     assert _jsonable(shifted) == "2024-01-02 06:00:00"
+
+
+def test_ts_range_day_grain_prunes_unindexed(engine):
+    """Directory-grain time pruning: a timestamp range skips whole
+    out-of-range dt= partitions BY NAME, even with no zone-map sidecar
+    at all (dt is derived from timestamp under the UTC session, so an
+    out-of-range day provably holds no in-range rows)."""
+    import datetime as dt
+
+    day1 = int(dt.datetime(
+        2024, 1, 2, tzinfo=dt.timezone.utc).timestamp()) * US
+    day2 = int(dt.datetime(
+        2024, 1, 5, tzinfo=dt.timezone.utc).timestamp()) * US
+    for h in (6, 18):
+        engine.write("ztsd", {"v": h}, record_id=f"a{h}",
+                     timestamp_us=day1 + h * 3600 * US)
+        engine.write("ztsd", {"v": h}, record_id=f"b{h}",
+                     timestamp_us=day2 + h * 3600 * US)
+    engine.flush("ztsd")
+    # remove every sidecar: only the directory names can prune now
+    engine.zonemaps.drop("ztsd")
+    df, report = engine.range_lookup_df(
+        "ztsd",
+        lo=dt.datetime(2024, 1, 5, 0, 0, 0),
+        hi=dt.datetime(2024, 1, 5, 23, 0, 0),
+        id_col="timestamp")
+    got = sorted(r["id"] for r in df.select("id").collect())
+    assert got == ["b18", "b6"], got
+    assert report["files_skipped"] >= 1, report
+    # the same range through SQL still answers identically
+    import json as _json
+
+    out = _json.loads(engine.query(
+        "SELECT id FROM ztsd WHERE timestamp >= '2024-01-05 00:00:00' "
+        "AND timestamp <= '2024-01-05 23:00:00' ORDER BY id"))
+    assert [r["id"] for r in out] == ["b18", "b6"]
