@@ -733,3 +733,88 @@ def test_update_stale_catalog_keeps_array_type(spark, tmp_path):
     rows = json.loads(a.query("SELECT id, emb FROM t ORDER BY id"))
     got = {r["id"]: r["emb"] for r in rows}
     assert got == {"r1": [9.0, 8.0], "r2": [3.0, 4.0]}, got
+
+
+def test_update_id_lease_survives_long_rewrite_wait(spark, tmp_path):
+    """Round-14 retry design: with lease_busy_retries > 0, update()'s
+    wait for a foreign #rewrite hold can exceed the (table, id)
+    lease's TTL — the id-lease keepalive must keep it alive for the
+    whole wait, or a concurrent mutation of the same id could
+    interleave. Engine A runs with a 1 s TTL while engine B holds
+    #rewrite for ~2.5 s: A's update must ride its retry budget to
+    success, and a third owner must NOT be able to steal the id lease
+    mid-wait."""
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+    from miniodb_spark.fs import LocalFS
+    from miniodb_spark.kv import FileKV, MutationLease
+
+    root = str(tmp_path / "store")
+    a = Engine(spark, root)
+    b = Engine(spark, root)
+    a.create_table("t", TableConfig(name="t", buffer_size=10_000))
+    a.write("t", {"v": 1}, record_id="r1", timestamp_us=T0)
+    a.flush("t")
+
+    # short TTL on A: without the keepalive, its id lease would age
+    # out during the multi-second #rewrite wait below
+    a.lease.ttl_s = 1.0
+
+    held = threading.Event()
+    rewrite_live = threading.Event()
+
+    def hold_rewrite():
+        assert b.lease.acquire("t/#rewrite", timeout_s=5.0)
+        rewrite_live.set()
+        held.set()
+        time.sleep(2.5)
+        # clear BEFORE releasing: the thief only probes while #rewrite
+        # is provably still held, i.e. while a.update is provably
+        # still waiting and holding the id lease — probing after the
+        # release would race update's own legitimate lease release
+        rewrite_live.clear()
+        b.lease.release("t/#rewrite")
+
+    holder = threading.Thread(target=hold_rewrite)
+    holder.start()
+    assert held.wait(10.0)
+
+    stolen = []
+
+    def try_steal():
+        # a third owner probes the id lease while A is mid-wait; a
+        # live keepalive means every probe fails
+        thief = MutationLease(
+            FileKV(LocalFS(), str(tmp_path / "store" / "_meta" / "locks")),
+            owner="thief", ttl_s=1.0)
+        while rewrite_live.is_set():
+            if thief.acquire("t/r1", timeout_s=0.05):
+                if rewrite_live.is_set():
+                    stolen.append(True)
+                thief.release("t/r1")
+                return
+            time.sleep(0.1)
+
+    # start probing only once update() actually HOLDS the id lease —
+    # an earlier probe would legitimately acquire the still-free lease
+    # and record a phantom steal
+    marker = a.lease._marker("t/r1")
+
+    def start_thief_when_held():
+        t0 = time.monotonic()
+        while not a.lease.kv.fs.exists(marker):
+            if time.monotonic() - t0 > 10 or not rewrite_live.is_set():
+                return
+            time.sleep(0.02)
+        try_steal()
+
+    thief_t = threading.Thread(target=start_thief_when_held)
+    thief_t.start()
+    try:
+        a.update("t", "r1", {"v": 2}, timestamp_us=T0)
+    finally:
+        holder.join()
+        thief_t.join()
+    assert not stolen, "id lease was stolen during the #rewrite wait"
+    rows = json.loads(a.query("SELECT id, v FROM t"))
+    assert [(r["id"], r["v"]) for r in rows] == [("r1", 2)]
