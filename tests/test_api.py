@@ -52,6 +52,9 @@ def test_full_rpc_lifecycle(svc):
     assert svc.get_status()["uptime_s"] >= 0
     m = svc.get_metrics()
     assert m["writes"] == 7 and m["queries"] == 3  # stream_query bypasses the counter
+    # lease-contention leading indicator (r13 verdict #1): present and
+    # zero on an uncontended engine
+    assert m["lease_busy_retries"] == 0
 
     assert svc.delete_table("users")["success"]
     assert "users" not in svc.list_tables()["tables"]

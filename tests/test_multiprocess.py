@@ -466,3 +466,71 @@ def test_mutation_storm_under_cpu_load(spark, tmp_path):
     # helper already turns into a failure). Here we just pin that the
     # retry machinery's output is present and parseable.
     assert "BUSY_RETRIES a" in out and "BUSY_RETRIES b" in out, out
+
+
+@pytest.mark.storm
+def test_concurrent_ingest_under_cpu_load(spark, tmp_path):
+    """Contended-host variant of the un-staggered two-driver ingest
+    (r13 verdict #4 second data point): the #rewrite-serialized
+    parquet appends must keep all 600 rows with exact add-file
+    membership while the box is deliberately saturated — the regime
+    where FileOutputCommitter staging races and lease waits stretch.
+    Opt-in via `-m storm`."""
+    import multiprocessing
+
+    burn_script = str(tmp_path / "burner.py")
+    with open(burn_script, "w") as fh:
+        fh.write(
+            "import sys, time\n"
+            "deadline = time.time() + float(sys.argv[1])\n"
+            "x = 0\n"
+            "while time.time() < deadline:\n"
+            "    x = (x * 1103515245 + 12345) % (2**31)\n"
+        )
+    n_burn = max(4, (multiprocessing.cpu_count() or 8) // 2)
+    burners = [
+        subprocess.Popen([sys.executable, burn_script, "900"],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        for _ in range(n_burn)
+    ]
+    try:
+        root = str(tmp_path / "store")
+        flags = str(tmp_path / "flags")
+        os.makedirs(root)
+        os.makedirs(flags)
+        script = str(tmp_path / "worker.py")
+        with open(script, "w") as fh:
+            fh.write(_CONCURRENT_WORKER)
+        env = dict(os.environ, PYTHONPATH=REPO)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, root, flags, who],
+                cwd=str(tmp_path), env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for who in ("a", "b")
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                outs.append(out.decode()[-2000:])
+            assert all(p.returncode == 0 for p in procs), outs
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+
+        from miniodb_spark.engine import Engine
+
+        eng = Engine(spark, root)
+        df = eng.read_table("t")
+        assert df.count() == 600, outs
+        ids = {r["id"] for r in df.select("id").collect()}
+        assert len(ids) == 600
+        v = eng.catalog.current_version("t")
+        assert eng.read_snapshot("t", v).count() == 600
+    finally:
+        for b in burners:
+            b.kill()
