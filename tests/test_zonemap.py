@@ -970,3 +970,41 @@ def test_ts_range_day_grain_prunes_unindexed(engine):
         "SELECT id FROM ztsd WHERE timestamp >= '2024-01-05 00:00:00' "
         "AND timestamp <= '2024-01-05 23:00:00' ORDER BY id"))
     assert [r["id"] for r in out] == ["b18", "b6"]
+
+
+def test_sidecar_column_reconfig_self_heals(engine):
+    """Upgrade path for the round-14 column change: a sidecar built by
+    an OLDER engine (columns=["id"] only) must be dropped and rebuilt
+    with the current column set on the next build touch — and until
+    then, timestamp pruning declines (hint-only) rather than
+    mis-pruning."""
+    import datetime as dt
+
+    _seed_intraday(engine, "zrc")
+    # simulate the pre-upgrade sidecar: rewrite the merged doc with an
+    # id-only column set (what a round-13 engine would have left)
+    doc = engine.zonemaps.load("zrc", 0)
+    assert doc is not None and "timestamp" in doc["columns"]
+    old = {"columns": ["id"],
+           "files": {rel: {k: v for k, v in st.items()
+                           if k != "timestamp"}
+                     for rel, st in doc["files"].items()}}
+    import json as _json
+
+    engine.zonemaps.drop("zrc", 0)
+    engine.fs.write_bytes(engine.zonemaps._path("zrc", 0),
+                          _json.dumps(old).encode())
+    # old sidecar: ts pruning must decline (scan all), stay correct
+    noon = dt.datetime(2024, 1, 2, 12, 0, 0)
+    df, rep = engine.range_lookup_df("zrc", lo=noon, id_col="timestamp")
+    assert sorted(r["id"] for r in df.select("id").collect()) == \
+        ["e18", "e19", "e20"]
+    assert rep["files_skipped"] == 0, rep  # id-only brackets can't skip
+    # next build touch detects the reconfiguration and rebuilds
+    engine._build_zonemap("zrc", 0)
+    doc2 = engine.zonemaps.load("zrc", 0)
+    assert set(doc2["columns"]) == {"id", "timestamp"}, doc2["columns"]
+    df2, rep2 = engine.range_lookup_df("zrc", lo=noon, id_col="timestamp")
+    assert sorted(r["id"] for r in df2.select("id").collect()) == \
+        ["e18", "e19", "e20"]
+    assert rep2["files_skipped"] >= 1, rep2
