@@ -235,8 +235,12 @@ def extract_conjunctive_range(
     extract_conjunctive_eq's job). Bounds may be one-sided (None).
     Multiple conjuncts intersect (the tightest bound wins). Soundness
     posture identical to extract_conjunctive_eq — any doubt (OR / NOT
-    / CASE / parentheses / BETWEEN, whose embedded AND the splitter
-    would slice into fabricated conjuncts) returns None; conjuncts
+    / CASE / parentheses) returns None; the one BETWEEN shape that is
+    provably a range, ``<ident> BETWEEN '<lit>' AND '<lit>'``, is
+    expanded to its >=/<= pair first (_rewrite_between, token-level so
+    string literals are never touched) and every other BETWEEN still
+    declines (its embedded AND would otherwise be sliced into
+    fabricated conjuncts); conjuncts
     that don't mention ``column`` are ignored, which only loosens the
     extracted range (pruning with a looser range is still a superset
     of matching files). Returns None when no comparison conjunct on
@@ -257,7 +261,12 @@ def extract_conjunctive_range(
     )
     if not m:
         return None
-    conjs = _split_top_level_and(m.group(1))
+    # BETWEEN time/key slices are the common range syntax: expand the
+    # provable <ident> BETWEEN '<lit>' AND '<lit>' spans first (see
+    # _rewrite_between for the soundness argument); any OTHER BETWEEN
+    # shape survives the rewrite and still declines at the splitter.
+    conjs = _split_top_level_and(
+        _rewrite_between(m.group(1), typed_literal_prefixes))
     if conjs is None:
         return None
     ident = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
@@ -301,6 +310,74 @@ def extract_conjunctive_range(
             elif lit == hi:
                 hi_incl = hi_incl and incl
     return (lo, lo_incl, hi, hi_incl) if found else None
+
+
+_BETWEEN_TOKEN_RE = re.compile(
+    r"'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_.$]*|\s+|."
+)
+_BETWEEN_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*$")
+_BETWEEN_KEYWORDS = {"AND", "OR", "NOT", "CASE", "BETWEEN", "WHEN",
+                     "THEN", "ELSE", "END", "IN", "LIKE", "IS", "NULL"}
+
+
+def _rewrite_between(clause: str,
+                     typed_prefixes: tuple[str, ...] = ()) -> str:
+    """Rewrite every ``<ident> BETWEEN '<lit>' AND '<lit>'`` span into
+    ``<ident> >= '<lit>' AND <ident> <= '<lit>'`` — the faithful ANSI
+    expansion (BETWEEN binds tighter than AND/OR, and the emitted AND
+    binds tighter than any surrounding OR, so the flat rewrite keeps
+    the parse shape at every depth). Token-level, not regex-over-text:
+    string literals are atomic tokens, so a BETWEEN *inside* a quoted
+    literal can never be rewritten and literal contents can never be
+    corrupted (the unsound-prune trap a text regex would have).
+
+    Only the exact token shape fires; everything else is left alone —
+    a leftover BETWEEN (``NOT BETWEEN``, function operands, numeric
+    literals) still hits _split_top_level_and's reject, so the decline
+    posture is unchanged. A ``NOT`` preceding a rewritten span is
+    harmless: at depth 0 the remaining NOT declines the whole clause,
+    and inside parentheses the conjunct stays un-split and is ignored
+    (ignoring only loosens the extracted range)."""
+    toks = _BETWEEN_TOKEN_RE.findall(clause)
+    if "".join(toks) != clause:
+        return clause  # scanner lost bytes (unbalanced quote): leave as-is
+    prefixes = {p.upper() for p in typed_prefixes}
+    n = len(toks)
+
+    def nxt(j: int) -> int:
+        while j < n and toks[j].isspace():
+            j += 1
+        return j
+
+    out: list[str] = []
+    i = 0
+    while i < n:
+        t = toks[i]
+        if (_BETWEEN_IDENT_RE.fullmatch(t)
+                and t.upper() not in _BETWEEN_KEYWORDS):
+            j = nxt(i + 1)
+            if j < n and toks[j].upper() == "BETWEEN":
+                k = nxt(j + 1)
+                pre1 = ""
+                if k < n and toks[k].upper() in prefixes:
+                    pre1, k = toks[k] + " ", nxt(k + 1)
+                if k < n and toks[k].startswith("'"):
+                    lo_lit = toks[k]
+                    m = nxt(k + 1)
+                    if m < n and toks[m].upper() == "AND":
+                        p2 = nxt(m + 1)
+                        pre2 = ""
+                        if p2 < n and toks[p2].upper() in prefixes:
+                            pre2, p2 = toks[p2] + " ", nxt(p2 + 1)
+                        if p2 < n and toks[p2].startswith("'"):
+                            out.append(
+                                f"{t} >= {pre1}{lo_lit} AND "
+                                f"{t} <= {pre2}{toks[p2]}")
+                            i = p2 + 1
+                            continue
+        out.append(t)
+        i += 1
+    return "".join(out)
 
 
 def _split_top_level_and(clause: str) -> list[str] | None:

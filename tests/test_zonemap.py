@@ -680,7 +680,11 @@ def test_extract_conjunctive_range_unit():
         ("a", False, None, True)
     # unsound shapes decline
     assert ex("SELECT * FROM t WHERE id > 'a' OR v = 3") is None
-    assert ex("SELECT * FROM t WHERE id BETWEEN 'a' AND 'm'") is None
+    # BETWEEN now rewrites to the inclusive range (round 14); the
+    # unsound variants (NOT / numeric) still decline — pinned in
+    # test_rewrite_between_unit
+    assert ex("SELECT * FROM t WHERE id BETWEEN 'a' AND 'm'") == \
+        ("a", True, "m", True)
     assert ex("SELECT * FROM t WHERE (id > 'a')") is None
     assert ex("SELECT * FROM t WHERE id > v") is None
     assert ex("SELECT * FROM t WHERE v > 'a'") is None
@@ -1008,3 +1012,74 @@ def test_sidecar_column_reconfig_self_heals(engine):
     assert sorted(r["id"] for r in df2.select("id").collect()) == \
         ["e18", "e19", "e20"]
     assert rep2["files_skipped"] >= 1, rep2
+
+
+def test_rewrite_between_unit():
+    """Token-level BETWEEN expansion: fires only on the provable
+    <ident> BETWEEN '<lit>' AND '<lit>' shape; string literals are
+    atomic so embedded BETWEEN text is untouchable; every other shape
+    survives verbatim (and therefore still declines downstream)."""
+    from miniodb_spark.gate import _rewrite_between, \
+        extract_conjunctive_range
+
+    assert _rewrite_between("x BETWEEN 'a' AND 'b'") == \
+        "x >= 'a' AND x <= 'b'"
+    assert _rewrite_between("t.ts BETWEEN 'a' AND 'b' AND y = 'c'") == \
+        "t.ts >= 'a' AND t.ts <= 'b' AND y = 'c'"
+    # typed prefixes carried through per-bound
+    assert _rewrite_between(
+        "ts BETWEEN TIMESTAMP 'a' AND TIMESTAMP 'b'",
+        typed_prefixes=("TIMESTAMP",)) == \
+        "ts >= TIMESTAMP 'a' AND ts <= TIMESTAMP 'b'"
+    # BETWEEN inside a string literal: untouched
+    s = "name = 'x BETWEEN ''a'' AND ''b''' AND id >= 'k'"
+    assert _rewrite_between(s) == s
+    # non-literal operands / NOT BETWEEN / numeric: untouched
+    for frag in ("x BETWEEN lo AND 'b'", "x NOT BETWEEN 'a' AND 'b'",
+                 "x BETWEEN 1 AND 2", "f(x) BETWEEN 'a' AND 'b'"):
+        assert _rewrite_between(frag) == frag, frag
+
+    # end-to-end extraction: BETWEEN now yields the inclusive range
+    assert extract_conjunctive_range(
+        "SELECT * FROM t WHERE id BETWEEN 'c' AND 'f'") == \
+        ("c", True, "f", True)
+    # intersected with an explicit conjunct
+    assert extract_conjunctive_range(
+        "SELECT * FROM t WHERE id BETWEEN 'c' AND 'f' AND id < 'e'") == \
+        ("c", True, "e", False)
+    # NOT BETWEEN still declines the whole clause
+    assert extract_conjunctive_range(
+        "SELECT * FROM t WHERE id NOT BETWEEN 'c' AND 'f'") is None
+    # numeric BETWEEN still declines (leftover keyword at the splitter)
+    assert extract_conjunctive_range(
+        "SELECT * FROM t WHERE id BETWEEN 1 AND 2") is None
+    # timestamp form with typed literals
+    assert extract_conjunctive_range(
+        "SELECT * FROM t WHERE timestamp BETWEEN "
+        "TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-05'",
+        column="timestamp", typed_literal_prefixes=("TIMESTAMP",)) == \
+        ("2024-01-02", True, "2024-01-05", True)
+
+
+def test_sql_path_prunes_on_between(engine):
+    """BETWEEN is the standard time-slice syntax: both the id and the
+    timestamp forms must route through the pruned scan now."""
+    import json as _json
+
+    _seed_intraday(engine, "zbet")
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id FROM zbet WHERE timestamp BETWEEN "
+        "'2024-01-02 12:00:00' AND '2024-01-02 23:00:00' ORDER BY id"))
+    assert [r["id"] for r in out] == ["e18", "e19", "e20"]
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1
+    assert zs["files_skipped"] > before.get("files_skipped", 0), zs
+    # id BETWEEN prunes through the same path
+    out2 = _json.loads(engine.query(
+        "SELECT id FROM zbet WHERE id BETWEEN 'e18' AND 'e19' "
+        "ORDER BY id"))
+    assert [r["id"] for r in out2] == ["e18", "e19"]
+    assert engine.query_stats["zonemap"]["queries"] == \
+        before.get("queries", 0) + 2
