@@ -1114,15 +1114,37 @@ class Engine:
         Unrecognized dt strings (NULL-timestamp partitions etc.) are
         conservatively kept — but a NULL timestamp can never match a
         range, so the residual filter drops those rows anyway."""
+        return self.multi_range_lookup_df(
+            table, {id_col: (lo, lo_incl, hi, hi_incl)})
+
+    def multi_range_lookup_df(
+        self, table: str,
+        ranges: dict[str, tuple],
+    ) -> tuple[DataFrame | None, dict]:
+        """Conjunction of range predicates over several columns —
+        ``{col: (lo, lo_incl, hi, hi_incl)}`` — pruning with EVERY
+        column's zone-map brackets intersected (a file survives only
+        if every range's bracket admits it). The shape this serves at
+        scale: keyset pagination inside a time window
+        (``id > cursor AND timestamp BETWEEN ...``) — the id bracket
+        alone admits every file of the cursor's lexicographic tail,
+        the time bracket alone admits every file of the window; the
+        intersection opens just their overlap. The ``timestamp``
+        range additionally drops whole out-of-range ``dt=`` day
+        directories by NAME before any sidecar is consulted (see
+        range_lookup_df)."""
         import datetime as _dtm
+        import re as _re
 
         dt_lo = dt_hi = None
-        if id_col == "timestamp":
-            if isinstance(lo, _dtm.datetime):
-                dt_lo = lo.date().isoformat()
-            if isinstance(hi, _dtm.datetime):
-                dt_hi = hi.date().isoformat()
-        _DT_RE = __import__("re").compile(r"^\d{4}-\d{2}-\d{2}$")
+        ts_rng = ranges.get("timestamp")
+        if ts_rng is not None:
+            t_lo, _, t_hi, _ = ts_rng
+            if isinstance(t_lo, _dtm.datetime):
+                dt_lo = t_lo.date().isoformat()
+            if isinstance(t_hi, _dtm.datetime):
+                dt_hi = t_hi.date().isoformat()
+        _DT_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
         def _day_admits(dt: str) -> bool:
             if not _DT_RE.match(dt):
@@ -1137,28 +1159,39 @@ class Engine:
             if dt_lo is not None or dt_hi is not None:
                 listing = [(rel, dt) for rel, dt in listing
                            if _day_admits(dt)]
-            sel, _ = self.zonemaps.prune_range(
-                table, i, listing, id_col,
-                lo=lo, hi=hi, lo_incl=lo_incl, hi_incl=hi_incl)
-            return sel
+            for col, (lo, lo_i, hi, hi_i) in ranges.items():
+                if not listing:
+                    break
+                sel, _ = self.zonemaps.prune_range(
+                    table, i, listing, col,
+                    lo=lo, hi=hi, lo_incl=lo_i, hi_incl=hi_i)
+                keep = set(sel)
+                listing = [(rel, dt) for rel, dt in listing
+                           if rel in keep]
+            return [rel for rel, _dt in listing]
 
         pred = F.lit(True)
-        if lo is not None:
-            c = F.col(id_col)
-            pred = pred & (c >= F.lit(lo) if lo_incl else c > F.lit(lo))
-        if hi is not None:
-            c = F.col(id_col)
-            pred = pred & (c <= F.lit(hi) if hi_incl else c < F.lit(hi))
-        return self._pruned_hybrid_scan(table, id_col, select_fn, pred)
+        for col, (lo, lo_i, hi, hi_i) in ranges.items():
+            c = F.col(col)
+            if lo is not None:
+                pred = pred & (c >= F.lit(lo) if lo_i else c > F.lit(lo))
+            if hi is not None:
+                pred = pred & (c <= F.lit(hi) if hi_i else c < F.lit(hi))
+        return self._pruned_hybrid_scan(
+            table, tuple(ranges.keys()), select_fn, pred)
 
     def _pruned_hybrid_scan(
-        self, table: str, id_col: str, select_fn, key_pred,
+        self, table: str, id_col, select_fn, key_pred,
     ) -> tuple[DataFrame | None, dict]:
         """Shared scan builder behind point/range lookups: per
         generation, ``select_fn(gen, listing)`` picks the files to
         open (a superset of matches by the zone-map contract), the
         residual ``key_pred`` re-filters rows, and the in-memory
-        buffer unions in exactly like read_table."""
+        buffer unions in exactly like read_table. ``id_col`` may be a
+        tuple of columns (multi-column range lookups): a generation or
+        buffer lacking ANY of them holds only NULLs there, which no
+        equality/range predicate matches — skipped wholesale."""
+        req = (id_col,) if isinstance(id_col, str) else tuple(id_col)
         from .zonemap import list_generation_files
 
         gens = self.catalog.gen_schemas(table)
@@ -1182,7 +1215,7 @@ class Engine:
             report["files_total"] += len(listing)
             if not listing:
                 continue
-            if id_col in gcols:
+            if all(c in gcols for c in req):
                 sel = select_fn(i, listing)
                 skipped = len(listing) - len(sel)
             else:
@@ -1213,7 +1246,9 @@ class Engine:
                 persisted = persisted.unionByName(p)
             persisted = persisted.filter(key_pred)
         buffered = self.read_buffer(table)
-        if buffered is not None and id_col in buffered.columns:
+        if buffered is not None and all(
+            c in buffered.columns for c in req
+        ):
             buffered = buffered.filter(key_pred)
         elif buffered is not None:
             buffered = None
@@ -1345,15 +1380,18 @@ class Engine:
                 )
                 if df is not None and single_ref:
                     key = gate.extract_conjunctive_keys(sql)
-                    rng = None if key is not None else \
-                        gate.extract_conjunctive_range(sql)
-                    rng_col = "id"
-                    if key is None and rng is None:
+                    ranges: dict[str, tuple] = {}
+                    if key is None:
+                        id_rng = gate.extract_conjunctive_range(sql)
+                        if id_rng is not None:
+                            ranges["id"] = id_rng
                         # timestamp range with TYPED comparison: the
                         # quoted literal must parse as a (tz-naive)
                         # ISO timestamp, else decline — a string
                         # bracket must never be compared against a
-                        # non-timestamp literal (r13 verdict #5)
+                        # non-timestamp literal (r13 verdict #5).
+                        # Both ranges at once intersect their prunes
+                        # (keyset cursor inside a time window).
                         ts_rng = gate.extract_conjunctive_range(
                             sql, column="timestamp",
                             typed_literal_prefixes=("TIMESTAMP",))
@@ -1363,18 +1401,15 @@ class Engine:
                             phi = _parse_ts_literal(hi)
                             if (lo is None) == (plo is None) and \
                                     (hi is None) == (phi is None):
-                                rng = (plo, lo_i, phi, hi_i)
-                                rng_col = "timestamp"
-                    if key is not None or rng is not None:
+                                ranges["timestamp"] = (
+                                    plo, lo_i, phi, hi_i)
+                    if key is not None or ranges:
                         try:
                             if key is not None:
                                 pruned, rep = self.point_lookup_df(t, key)
                             else:
-                                lo, lo_i, hi, hi_i = rng
-                                pruned, rep = self.range_lookup_df(
-                                    t, lo=lo, hi=hi,
-                                    lo_incl=lo_i, hi_incl=hi_i,
-                                    id_col=rng_col)
+                                pruned, rep = self.multi_range_lookup_df(
+                                    t, ranges)
                             zs = self.query_stats.setdefault(
                                 "zonemap", {"queries": 0,
                                             "files_skipped": 0})

@@ -1083,3 +1083,55 @@ def test_sql_path_prunes_on_between(engine):
     assert [r["id"] for r in out2] == ["e18", "e19"]
     assert engine.query_stats["zonemap"]["queries"] == \
         before.get("queries", 0) + 2
+
+
+def test_multi_range_intersects_id_and_timestamp(engine):
+    """Keyset cursor inside a time window: the id bracket and the
+    timestamp bracket intersect — files admitted by one but not the
+    other are skipped, and the result equals the full scan + filter.
+    Layout: ids clustered per flush, two flushes per day across two
+    days (4 files; each range alone admits 2, the intersection 1)."""
+    import datetime as dt
+
+    import json as _json
+
+    days = [int(dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc)
+                .timestamp()) * US for d in (2, 5)]
+    n = 0
+    for di, day in enumerate(days):
+        for half, hours in enumerate(((6, 7), (18, 19))):
+            for h in hours:
+                engine.write(
+                    "zmr", {"v": n},
+                    record_id=f"r{di}{half}{h:02d}",
+                    timestamp_us=day + h * 3600 * US)
+                n += 1
+            engine.flush("zmr")  # one file per (day, half)
+
+    lo_id, hi_id = "r10", "r11z"          # day-2 files only
+    noon5 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    df, rep = engine.multi_range_lookup_df("zmr", {
+        "id": (lo_id, True, hi_id, True),
+        "timestamp": (noon5, True, None, True),
+    })
+    got = sorted(r["id"] for r in df.select("id").collect())
+    full = engine.read_table("zmr").filter(
+        (F.col("id") >= lo_id) & (F.col("id") <= hi_id)
+        & (F.col("timestamp") >= F.lit(noon5)))
+    want = sorted(r["id"] for r in full.select("id").collect())
+    assert got == want == ["r1118", "r1119"], (got, want)
+    # id range admits 2 files (day-2 halves), ts range admits 2 files
+    # (evening halves of both days); the intersection opens exactly 1
+    assert rep["files_scanned"] == 1, rep
+    assert rep["files_skipped"] == 3, rep
+
+    # SQL path composes both conjuncts through one pruned scan
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id FROM zmr WHERE id >= 'r10' AND id <= 'r11z' "
+        "AND timestamp >= '2024-01-05 12:00:00' ORDER BY id"))
+    assert [r["id"] for r in out] == ["r1118", "r1119"]
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1
+    assert zs["files_skipped"] >= before.get("files_skipped", 0) + 3, zs
