@@ -7252,3 +7252,64 @@ def binary_collation_rank_audit(spark, sf_dir):
         .select("tok", "first_cp", "n")
         .orderBy("tok")
     )
+
+
+@register(
+    "between_bounds_semantics_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf, l_quantity AS q,
+             CASE WHEN l_linenumber % 5 = 0 THEN NULL
+                  ELSE l_quantity END AS qn
+      FROM lineitem)
+    SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN q BETWEEN 10 AND 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_between,
+           CAST(sum(CASE WHEN q >= 10 AND q <= 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_explicit,
+           CAST(sum(CASE WHEN q BETWEEN 20 AND 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+           CAST(sum(CASE WHEN qn BETWEEN 10 AND 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_in,
+           CAST(sum(CASE WHEN qn NOT BETWEEN 10 AND 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_out,
+           CAST(sum(CASE WHEN (qn BETWEEN 10 AND 20) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+    FROM s GROUP BY rf ORDER BY rf
+    """,
+    doc="BETWEEN predicate semantics audit — the cross-engine contract "
+        "behind the gate's BETWEEN->range rewrite (round 14): both ends "
+        "INCLUSIVE (n_between == n_explicit per group), reversed bounds "
+        "are an empty range, never auto-swapped (n_reversed == 0), and "
+        "a NULL operand makes the predicate UNKNOWN under three-valued "
+        "logic — excluded from both the BETWEEN and NOT BETWEEN counts, "
+        "so n_null_in + n_null_out + n_unknown == n per group. The "
+        "pipeline trap pinned: filtering with NOT BETWEEN does NOT "
+        "return the NULL rows, the dual of not_in_null_trap. One "
+        "map-side pass to a 3-group aggregate.",
+    tags=("sql-surface", "capability"),
+)
+def between_bounds_semantics_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_linenumber") % 5 == 0, None)
+        .otherwise(F.col("l_quantity")).alias("qn"),
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    return (
+        s.groupBy("rf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            cnt(F.expr("q BETWEEN 10 AND 20")).alias("n_between"),
+            cnt((F.col("q") >= 10) & (F.col("q") <= 20))
+            .alias("n_explicit"),
+            cnt(F.expr("q BETWEEN 20 AND 10")).alias("n_reversed"),
+            cnt(F.expr("qn BETWEEN 10 AND 20")).alias("n_null_in"),
+            cnt(F.expr("qn NOT BETWEEN 10 AND 20")).alias("n_null_out"),
+            cnt(F.expr("(qn BETWEEN 10 AND 20) IS NULL"))
+            .alias("n_unknown"),
+        )
+        .orderBy("rf")
+    )

@@ -1936,3 +1936,15 @@ def test_collation_audit_single_pass(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plans.scan_columns(df) == {"l_orderkey"}, plans.scan_columns(df)
+
+
+def test_between_semantics_audit_single_pass(spark, sf_dir, registry):
+    """BETWEEN audit: map-side predicate trio to a 3-group aggregate;
+    no join, no window; scan reads exactly the three source columns."""
+    df = registry["between_bounds_semantics_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.scan_columns(df) == \
+        {"l_returnflag", "l_quantity", "l_linenumber"}, \
+        plans.scan_columns(df)

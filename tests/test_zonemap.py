@@ -898,6 +898,13 @@ def test_ts_range_matches_full_scan_property(engine):
     want = sorted((r["id"], r["v"]) for r in full.select("id", "v").collect())
     assert got == want, (got, want)
     assert got == [("e18", 18), ("e19", 99), ("e20", 20)], got
+    # compaction swaps the partition's files under new names inside
+    # the same generation and re-indexes: the time slice must still
+    # equal the full scan afterwards
+    engine.compact("ztsm")
+    df2, _ = engine.range_lookup_df("ztsm", lo=noon, id_col="timestamp")
+    got2 = sorted((r["id"], r["v"]) for r in df2.select("id", "v").collect())
+    assert got2 == [("e18", 18), ("e19", 99), ("e20", 20)], got2
 
 
 def test_parse_ts_literal_and_typed_prefix_unit():
