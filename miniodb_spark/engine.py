@@ -99,6 +99,34 @@ def _type_name(dt: T.DataType) -> str:
     return _CANONICAL.get(s, s)
 
 
+_DT_DIR_RE = __import__("re").compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _filter_listing_by_day(listing, ts_range):
+    """Drop (rel, dt) entries whose dt= DAY provably misses a
+    timestamp range — sound because every write path derives dt as
+    date_format(timestamp) under the UTC session, so an out-of-range
+    day holds no in-range rows even unindexed. Unrecognized dt strings
+    are kept (must scan); a NULL timestamp can never match a range, so
+    the residual filter drops those rows regardless."""
+    import datetime as _dtm
+
+    lo, _, hi, _ = ts_range
+    dt_lo = lo.date().isoformat() if isinstance(lo, _dtm.datetime) else None
+    dt_hi = hi.date().isoformat() if isinstance(hi, _dtm.datetime) else None
+    if dt_lo is None and dt_hi is None:
+        return listing
+    out = []
+    for rel, dt in listing:
+        if _DT_DIR_RE.match(dt):
+            if dt_lo is not None and dt < dt_lo:
+                continue
+            if dt_hi is not None and dt > dt_hi:
+                continue
+        out.append((rel, dt))
+    return out
+
+
 def _parse_ts_literal(lit: str | None):
     """A quoted SQL literal as a tz-naive datetime, or None when typed
     timestamp semantics can't be guaranteed — the decline-on-doubt gate
@@ -1059,7 +1087,8 @@ class Engine:
             )
 
     def point_lookup_df(
-        self, table: str, value, id_col: str = "id"
+        self, table: str, value, id_col: str = "id",
+        ts_range: tuple | None = None,
     ) -> tuple[DataFrame | None, dict]:
         """``SELECT * WHERE id_col = value`` that opens only the files
         whose zone-map bracket admits the key (plus anything unindexed
@@ -1072,10 +1101,27 @@ class Engine:
         (multi-get / IN-list): a file is scanned when ANY key's bracket
         admits it. Correctness contract (tested): identical rows to
         ``read_table(table).filter(id_col = value)`` under flushes,
-        appends, updates, deletes and compaction."""
+        appends, updates, deletes and compaction.
+
+        ``ts_range`` — ``(lo, lo_incl, hi, hi_incl)`` datetimes —
+        composes a time window into the same scan: day-grain ``dt=``
+        directory pruning + timestamp bracket intersection on top of
+        the key brackets ("fetch THESE ids within last week"). At
+        scale the key brackets alone admit every file whose id range
+        straddles a key; the window removes every other day's files
+        before a single key bracket is consulted."""
         keys = list(value) if isinstance(value, (list, tuple, set)) else [value]
 
         def select_fn(i, listing):
+            if ts_range is not None:
+                listing = _filter_listing_by_day(listing, ts_range)
+                t_lo, t_li, t_hi, t_hi_i = ts_range
+                sel, _ = self.zonemaps.prune_range(
+                    table, i, listing, "timestamp",
+                    lo=t_lo, hi=t_hi, lo_incl=t_li, hi_incl=t_hi_i)
+                keep = set(sel)
+                listing = [(rel, dt) for rel, dt in listing
+                           if rel in keep]
             hit: set[str] = set()
             for k in keys:
                 s, _ = self.zonemaps.prune(table, i, listing, id_col, k)
@@ -1087,7 +1133,18 @@ class Engine:
             key_pred = F.col(id_col).eqNullSafe(F.lit(keys[0]))
         else:
             key_pred = F.col(id_col).isin(keys)
-        return self._pruned_hybrid_scan(table, id_col, select_fn, key_pred)
+        required = (id_col,)
+        if ts_range is not None:
+            t_lo, t_li, t_hi, t_hi_i = ts_range
+            c = F.col("timestamp")
+            if t_lo is not None:
+                key_pred = key_pred & (
+                    c >= F.lit(t_lo) if t_li else c > F.lit(t_lo))
+            if t_hi is not None:
+                key_pred = key_pred & (
+                    c <= F.lit(t_hi) if t_hi_i else c < F.lit(t_hi))
+            required = (id_col, "timestamp")
+        return self._pruned_hybrid_scan(table, required, select_fn, key_pred)
 
     def range_lookup_df(
         self, table: str, lo=None, hi=None, lo_incl: bool = True,
@@ -1133,32 +1190,11 @@ class Engine:
         range additionally drops whole out-of-range ``dt=`` day
         directories by NAME before any sidecar is consulted (see
         range_lookup_df)."""
-        import datetime as _dtm
-        import re as _re
-
-        dt_lo = dt_hi = None
         ts_rng = ranges.get("timestamp")
-        if ts_rng is not None:
-            t_lo, _, t_hi, _ = ts_rng
-            if isinstance(t_lo, _dtm.datetime):
-                dt_lo = t_lo.date().isoformat()
-            if isinstance(t_hi, _dtm.datetime):
-                dt_hi = t_hi.date().isoformat()
-        _DT_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
-
-        def _day_admits(dt: str) -> bool:
-            if not _DT_RE.match(dt):
-                return True  # unrecognized partition: must scan
-            if dt_lo is not None and dt < dt_lo:
-                return False
-            if dt_hi is not None and dt > dt_hi:
-                return False
-            return True
 
         def select_fn(i, listing):
-            if dt_lo is not None or dt_hi is not None:
-                listing = [(rel, dt) for rel, dt in listing
-                           if _day_admits(dt)]
+            if ts_rng is not None:
+                listing = _filter_listing_by_day(listing, ts_rng)
             for col, (lo, lo_i, hi, hi_i) in ranges.items():
                 if not listing:
                     break
@@ -1380,33 +1416,36 @@ class Engine:
                 )
                 if df is not None and single_ref:
                     key = gate.extract_conjunctive_keys(sql)
+                    # timestamp range with TYPED comparison: the
+                    # quoted literal must parse as a (tz-naive) ISO
+                    # timestamp, else decline — a string bracket must
+                    # never be compared against a non-timestamp
+                    # literal (r13 verdict #5). The window composes
+                    # with BOTH key lookups ("these ids, last week")
+                    # and id ranges (keyset cursor inside a window).
+                    ts_parsed: tuple | None = None
+                    ts_rng = gate.extract_conjunctive_range(
+                        sql, column="timestamp",
+                        typed_literal_prefixes=("TIMESTAMP",))
+                    if ts_rng is not None:
+                        lo, lo_i, hi, hi_i = ts_rng
+                        plo = _parse_ts_literal(lo)
+                        phi = _parse_ts_literal(hi)
+                        if (lo is None) == (plo is None) and \
+                                (hi is None) == (phi is None):
+                            ts_parsed = (plo, lo_i, phi, hi_i)
                     ranges: dict[str, tuple] = {}
                     if key is None:
                         id_rng = gate.extract_conjunctive_range(sql)
                         if id_rng is not None:
                             ranges["id"] = id_rng
-                        # timestamp range with TYPED comparison: the
-                        # quoted literal must parse as a (tz-naive)
-                        # ISO timestamp, else decline — a string
-                        # bracket must never be compared against a
-                        # non-timestamp literal (r13 verdict #5).
-                        # Both ranges at once intersect their prunes
-                        # (keyset cursor inside a time window).
-                        ts_rng = gate.extract_conjunctive_range(
-                            sql, column="timestamp",
-                            typed_literal_prefixes=("TIMESTAMP",))
-                        if ts_rng is not None:
-                            lo, lo_i, hi, hi_i = ts_rng
-                            plo = _parse_ts_literal(lo)
-                            phi = _parse_ts_literal(hi)
-                            if (lo is None) == (plo is None) and \
-                                    (hi is None) == (phi is None):
-                                ranges["timestamp"] = (
-                                    plo, lo_i, phi, hi_i)
+                        if ts_parsed is not None:
+                            ranges["timestamp"] = ts_parsed
                     if key is not None or ranges:
                         try:
                             if key is not None:
-                                pruned, rep = self.point_lookup_df(t, key)
+                                pruned, rep = self.point_lookup_df(
+                                    t, key, ts_range=ts_parsed)
                             else:
                                 pruned, rep = self.multi_range_lookup_df(
                                     t, ranges)

@@ -1142,3 +1142,45 @@ def test_multi_range_intersects_id_and_timestamp(engine):
     zs = engine.query_stats["zonemap"]
     assert zs["queries"] == before.get("queries", 0) + 1
     assert zs["files_skipped"] >= before.get("files_skipped", 0) + 3, zs
+
+
+def test_point_lookup_composes_time_window(engine):
+    """'Fetch THESE ids within the window': interleaved ids make every
+    key bracket admit every file, so only the time window can skip —
+    the key × timestamp composition must prune the other day's files
+    and still equal the full scan + filter."""
+    import datetime as dt
+
+    import json as _json
+
+    days = [int(dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc)
+                .timestamp()) * US for d in (2, 5)]
+    for di, day in enumerate(days):
+        for i in range(4):  # same id set lands in BOTH days
+            engine.write("zkw", {"v": di * 10 + i}, record_id=f"k{i}",
+                         timestamp_us=day + i * 3600 * US)
+        engine.flush("zkw")
+
+    jan5 = dt.datetime(2024, 1, 5, 0, 0, 0)
+    df, rep = engine.point_lookup_df(
+        "zkw", ["k1", "k3"], ts_range=(jan5, True, None, True))
+    got = sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+    assert got == [("k1", 11), ("k3", 13)], got
+    # the day-2 file is skipped even though its id brackets admit both
+    # keys; without the window the same lookup scans both files
+    assert rep["files_skipped"] >= 1, rep
+    df0, rep0 = engine.point_lookup_df("zkw", ["k1", "k3"])
+    assert df0.count() == 4
+    assert rep0["files_scanned"] > rep["files_scanned"], (rep0, rep)
+
+    # SQL path: IN-list + timestamp conjunct compose through one scan
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id, v FROM zkw WHERE id IN ('k1', 'k3') "
+        "AND timestamp >= '2024-01-05 00:00:00' ORDER BY id"))
+    assert [(r["id"], r["v"]) for r in out] == [["k1", 11], ["k3", 13]] \
+        or [(r["id"], r["v"]) for r in out] == [("k1", 11), ("k3", 13)]
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1
+    assert zs["files_skipped"] > before.get("files_skipped", 0), zs
