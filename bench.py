@@ -372,6 +372,20 @@ def main() -> None:
         k: round(rps / ANCHOR["write_rows_per_s"][k], 3)
         for k, rps in write_rps.items()
     }
+    # historical raw bands (BENCH_NOTES round 14: computed from the
+    # post-anchor era BENCH_r07–r13 records, ±10% reading tolerance) —
+    # the in/below/above verdict ships in the record itself so no
+    # cross-referencing is needed to read the write path's health
+    RAW_BANDS = {
+        "bulk_ingest": (0.64, 1.10),
+        "row_api_synced_wal": (0.54, 1.10),
+        "stream_write_batch": (0.67, 1.00),
+    }
+    write_raw_band = {
+        k: ("in" if RAW_BANDS[k][0] <= r <= RAW_BANDS[k][1]
+            else "below" if r < RAW_BANDS[k][0] else "above")
+        for k, r in write_raw_ratio.items()
+    }
     write_norm_ratio = {
         k: round(
             rps * host_score
@@ -433,6 +447,7 @@ def main() -> None:
                 # PRIMARY write band signal: raw rows/s ÷ anchor raw
                 # rows/s (no host correction — see computation site)
                 "write_raw_ratio_vs_anchor": write_raw_ratio,
+                "write_raw_band": dict(write_raw_band),
                 # SECONDARY: host-normalized write ratios vs the
                 # round-6 anchor — throughput is inverse time, so a
                 # slower host (higher score) multiplies raw rows/s
@@ -467,8 +482,9 @@ def main() -> None:
         "tpch_suite_total": round(sum(tpch_timings.values()), 4),
         "cache_hit_ms": cache_hit_ms,
         "write_rows_per_s": dict(write_rps),
-        # raw-first (PRIMARY band signal), normalized second
+        # raw-first (PRIMARY band signal + its verdict), normalized second
         "write_raw_ratio_vs_anchor": write_raw_ratio,
+        "write_raw_band": dict(write_raw_band),
         "write_ratio_vs_anchor": write_norm_ratio,
         "full_line": "above",
     }
@@ -479,7 +495,7 @@ def main() -> None:
     # primary band signal and survives longest)
     if len(line) > 1500:
         for k in ("write_ratio_vs_anchor", "raw_vs_prev",
-                  "write_raw_ratio_vs_anchor"):
+                  "write_raw_band", "write_raw_ratio_vs_anchor"):
             compact.pop(k, None)
             line = json.dumps(compact)
             if len(line) <= 1500:
