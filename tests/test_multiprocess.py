@@ -534,3 +534,35 @@ def test_concurrent_ingest_under_cpu_load(spark, tmp_path):
     finally:
         for b in burners:
             b.kill()
+
+
+@pytest.mark.storm
+def test_flush_fold_snapshot_under_cpu_load(spark, tmp_path):
+    """Contended-host variant of the staggered flush/fold/snapshot
+    e2e (third storm scenario): the zone-map fold racing a concurrent
+    builder, and exact snapshot membership, must hold while the box
+    is saturated — the regime where the fold's re-list and the
+    builder's shard write interleave slowest. Opt-in via `-m storm`."""
+    import multiprocessing
+
+    burn_script = str(tmp_path / "burner.py")
+    with open(burn_script, "w") as fh:
+        fh.write(
+            "import sys, time\n"
+            "deadline = time.time() + float(sys.argv[1])\n"
+            "x = 0\n"
+            "while time.time() < deadline:\n"
+            "    x = (x * 1103515245 + 12345) % (2**31)\n"
+        )
+    n_burn = max(4, (multiprocessing.cpu_count() or 8) // 2)
+    burners = [
+        subprocess.Popen([sys.executable, burn_script, "900"],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        for _ in range(n_burn)
+    ]
+    try:
+        test_two_process_shared_store_flush_fold_snapshot(spark, tmp_path)
+    finally:
+        for b in burners:
+            b.kill()
