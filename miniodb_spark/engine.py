@@ -127,17 +127,26 @@ def _filter_listing_by_day(listing, ts_range):
     return out
 
 
+_TS_LIT_RE = __import__("re").compile(
+    r"^\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d{1,6})?)?)?$")
+
+
 def _parse_ts_literal(lit: str | None):
     """A quoted SQL literal as a tz-naive datetime, or None when typed
     timestamp semantics can't be guaranteed — the decline-on-doubt gate
     for zone-map timestamp pruning. Rejects tz-aware forms (the engine
     stores naive-UTC brackets under session timeZone=UTC; an offset
-    literal would need tz arithmetic the string bracket can't express)
-    and anything ``datetime.fromisoformat`` won't take, which is a
-    strict subset of what Spark's string→timestamp cast accepts — so a
-    declined parse can only mean a skipped optimization, never a file
-    skipped on a mis-typed comparison."""
-    if lit is None:
+    literal would need tz arithmetic the string bracket can't express).
+
+    The shape gate (_TS_LIT_RE) admits only the dashed forms whose
+    Spark string→timestamp cast provably agrees with
+    ``datetime.fromisoformat``: ``YYYY-MM-DD`` optionally followed by
+    ``[ T]HH:MM[:SS[.ffffff]]``. Python ≥3.11 fromisoformat also takes
+    compact forms Spark casts to NULL (``'20240101'``,
+    ``'2024-01-01T10'``) — those must decline HERE so the documented
+    invariant ("a declined parse only skips an optimization") holds
+    without leaning on the outer SQL's re-filter (r14 ADVICE, low)."""
+    if lit is None or not _TS_LIT_RE.match(lit):
         return None
     import datetime as _dt
 
@@ -1110,6 +1119,13 @@ class Engine:
         scale the key brackets alone admit every file whose id range
         straddles a key; the window removes every other day's files
         before a single key bracket is consulted."""
+        if ts_range is not None and ts_range[0] is None \
+                and ts_range[2] is None:
+            # a both-bounds-None window is vacuous: treating it as a
+            # real window would add 'timestamp' to required and skip
+            # generations that lack the column entirely, dropping their
+            # id-matching rows (r14 ADVICE, low) — normalize it away
+            ts_range = None
         keys = list(value) if isinstance(value, (list, tuple, set)) else [value]
 
         def select_fn(i, listing):
@@ -1436,7 +1452,16 @@ class Engine:
                             ts_parsed = (plo, lo_i, phi, hi_i)
                     ranges: dict[str, tuple] = {}
                     if key is None:
-                        id_rng = gate.extract_conjunctive_range(sql)
+                        # typed prefixes here too: without them a
+                        # coexisting `timestamp BETWEEN TIMESTAMP '..'
+                        # AND TIMESTAMP '..'` stays unrewritten and its
+                        # embedded AND makes the splitter decline the
+                        # WHOLE clause, losing the provable id range
+                        # (r14 ADVICE, low). _rewrite_between is
+                        # extraction-only and column-agnostic, so this
+                        # cannot affect id soundness.
+                        id_rng = gate.extract_conjunctive_range(
+                            sql, typed_literal_prefixes=("TIMESTAMP",))
                         if id_rng is not None:
                             ranges["id"] = id_rng
                         if ts_parsed is not None:

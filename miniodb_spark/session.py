@@ -11,10 +11,35 @@ submitter; AQE coalesces the rest).
 from __future__ import annotations
 
 import os
+import time as _time
 
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _pin_process_utc() -> None:
+    """Pin the PYTHON PROCESS timezone to UTC (r14 ADVICE, high).
+
+    ``spark.sql.session.timeZone=UTC`` only governs SQL semantics on
+    the JVM side; Python<->JVM timestamp conversion goes through
+    ``TimestampType.toInternal``/``fromInternal``, which use
+    ``time.mktime`` / ``datetime.fromtimestamp`` — i.e. the PROCESS
+    timezone. On a non-UTC host a naive ``F.lit(datetime)`` residual
+    bound (engine.point_lookup_df) or a collected zone-map min/max
+    (zonemap.build's Spark-agg fallback) would denote a different
+    instant than the same ISO string cast under the UTC session —
+    west-of-UTC hosts get TIGHTER residual filters that silently drop
+    matching rows, and unsound file-skip brackets. Pinning TZ before
+    the JVM starts makes naive-datetime == naive-UTC everywhere, which
+    is the invariant the whole pruning layer documents."""
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        if hasattr(_time, "tzset"):  # POSIX; no-op concept on Windows
+            _time.tzset()
+
+
+_pin_process_utc()
 
 
 def get_spark(
@@ -22,6 +47,7 @@ def get_spark(
     cpus: str | int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _pin_process_utc()  # idempotent; guards callers that reset TZ
     cpus = str(cpus or _DEFAULT_CPUS)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -33,6 +59,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        # Executors inherit the JVM default TZ from this flag on a real
+        # cluster (client-mode driver JVM flags can't be set from
+        # SparkConf — the driver default TZ is pinned post-launch via
+        # java.util.TimeZone.setDefault below; in local mode that one
+        # JVM is also the "executor").
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
         # Arrow for createDataFrame/toPandas/pandas_udf exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet scan efficiency: pushdown is on by default; make it
@@ -52,4 +84,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # Client/local mode: the driver JVM is already up, so
+        # -Duser.timezone can't reach it via conf — set the default
+        # directly (idempotent; affects only non-session-tz legacy
+        # paths, the SQL layer is governed by session.timeZone above).
+        jvm = spark.sparkContext._jvm
+        jvm.java.util.TimeZone.setDefault(
+            jvm.java.util.TimeZone.getTimeZone("UTC"))
+    except Exception:  # pragma: no cover - py4j internals shift
+        pass
     return spark

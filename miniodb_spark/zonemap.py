@@ -82,7 +82,12 @@ def _jsonable(v: Any) -> Any:
 
     if isinstance(v, _dt.datetime):
         # canonical naive-UTC "YYYY-MM-DD HH:MM:SS[.ffffff]" — the
-        # session runs with spark.sql.session.timeZone=UTC (session.py),
+        # session runs with spark.sql.session.timeZone=UTC AND the
+        # Python process TZ is pinned to UTC (session._pin_process_utc:
+        # TimestampType.fromInternal goes through the PROCESS-local
+        # datetime.fromtimestamp, so session.timeZone alone would leave
+        # collected datetimes local-tz naive on a non-UTC host — the
+        # r14 ADVICE-high unsound-bracket bug),
         # so Spark-collected datetimes are naive UTC, while pyarrow
         # footer statistics for isAdjustedToUTC timestamps come back
         # tz-AWARE; without normalization the aware form's "+00:00"

@@ -879,6 +879,65 @@ def test_sql_path_prunes_on_timestamp_conjuncts(engine):
     assert [r["id"] for r in out4] == ["b13", "e18", "e19", "e20"]
 
 
+def test_sql_path_id_between_with_typed_ts_between(engine):
+    """r14 ADVICE (low): `id BETWEEN 'a' AND 'b' AND timestamp BETWEEN
+    TIMESTAMP '..' AND TIMESTAMP '..'` — the id extraction must pass
+    the typed-literal prefixes too, else the unrewritten typed BETWEEN
+    makes the conjunct splitter decline the WHOLE clause and the
+    provable id range (plus its pruning) is silently lost. Pins that
+    the composed ranges reach the zone map (queries+1, files_skipped
+    up) and the answer matches the full scan."""
+    import datetime as dt
+    import json as _json
+
+    day0 = int(dt.datetime(
+        2024, 1, 2, tzinfo=dt.timezone.utc).timestamp()) * US
+    # three flushed files with disjoint id brackets, same day
+    for lo in (0, 3, 6):
+        for i in range(lo, lo + 3):
+            engine.write("zidts", {"v": i}, record_id=f"r{i:03d}",
+                         timestamp_us=day0 + i * 3600 * US)
+        engine.flush("zidts")
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id, v FROM zidts "
+        "WHERE id BETWEEN 'r003' AND 'r005' "
+        "AND timestamp BETWEEN TIMESTAMP '2024-01-02 03:00:00' "
+        "AND TIMESTAMP '2024-01-02 04:30:00' ORDER BY id"))
+    assert [r["id"] for r in out] == ["r003", "r004"], out
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1, zs
+    assert zs["files_skipped"] > before.get("files_skipped", 0), zs
+
+
+def test_point_lookup_vacuous_ts_range_normalized(engine):
+    """r14 ADVICE (low): a caller-supplied both-bounds-None ts_range
+    must behave exactly like ts_range=None — it must NOT add
+    'timestamp' to the required columns (which would skip generations
+    lacking the column wholesale and drop their id-matching rows)."""
+    engine.write("zvac", {"v": 1}, record_id="k1", timestamp_us=T0)
+    engine.flush("zvac")
+    captured = {}
+    orig = engine._pruned_hybrid_scan
+
+    def spy(table, id_col, select_fn, key_pred):
+        captured["req"] = (id_col,) if isinstance(id_col, str) \
+            else tuple(id_col)
+        return orig(table, id_col, select_fn, key_pred)
+
+    engine._pruned_hybrid_scan = spy
+    try:
+        df, rep = engine.point_lookup_df(
+            "zvac", "k1", ts_range=(None, True, None, True))
+    finally:
+        engine._pruned_hybrid_scan = orig
+    assert captured["req"] == ("id",), captured
+    assert [r["id"] for r in df.select("id").collect()] == ["k1"]
+    df2, rep2 = engine.point_lookup_df("zvac", "k1", ts_range=None)
+    assert rep == rep2, (rep, rep2)
+
+
 def test_ts_range_matches_full_scan_property(engine):
     """Superset contract for timestamp pruning under mutations: after
     an update and a delete, the pruned time-slice still equals the
@@ -928,6 +987,14 @@ def test_parse_ts_literal_and_typed_prefix_unit():
     assert _parse_ts_literal("") is None
     assert _parse_ts_literal("not-a-ts") is None
     assert _parse_ts_literal("2024-01-02 00:00:00+02:00") is None
+    # Python >=3.11 fromisoformat accepts compact ISO forms that
+    # Spark's string->timestamp cast returns NULL for — the shape gate
+    # must decline them so the "declined parse == skipped optimization
+    # only" invariant holds on its own (r14 ADVICE, low)
+    assert _parse_ts_literal("20240101") is None
+    assert _parse_ts_literal("2024-01-01T10") is None
+    assert _parse_ts_literal("2024-W01-1") is None
+    assert _parse_ts_literal("2024-01-01 10") is None
 
     rng = extract_conjunctive_range(
         "SELECT * FROM t WHERE timestamp >= TIMESTAMP '2024-01-02' "
