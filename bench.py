@@ -123,11 +123,71 @@ def _host_cpu_score() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _host_io_score() -> dict[str, float]:
+    """Deterministic IO micro-probe (seconds; lower = faster host) —
+    the IO twin of _host_cpu_score (r14 verdict #2).
+
+    Both write-band flags of rounds 13-14 were adjudicated via
+    BENCH_NOTES forensics ("page-cache churn after the full suite");
+    this makes the record self-adjudicating: the write paths are
+    IO-bound (WAL fsyncs, parquet commits), so a below-band write
+    throughput on a run whose io probe is also slow is host state, not
+    code. Two components, both on the same tmpdir the bench stores use:
+
+    - ``seq``: 32 MiB sequential write in 256 KiB chunks, fsync every
+      8 MiB + at close — the parquet-flush shape;
+    - ``fsync``: 50 × (4 KiB append + fsync) — the synced-WAL shape
+      behind row_api_synced_wal.
+    """
+    import tempfile
+
+    buf = b"\x5a" * (256 * 1024)
+    fd, path = tempfile.mkstemp(prefix="bench_io_probe_")
+    try:
+        t0 = time.perf_counter()
+        written = 0
+        for _ in range(128):  # 128 * 256 KiB = 32 MiB
+            written += os.write(fd, buf)
+            if written % (8 * 1024 * 1024) == 0:
+                os.fsync(fd)
+        os.fsync(fd)
+        seq = time.perf_counter() - t0
+        small = b"\x5a" * 4096
+        t0 = time.perf_counter()
+        for _ in range(50):
+            os.write(fd, small)
+            os.fsync(fd)
+        fsync = time.perf_counter() - t0
+    finally:
+        os.close(fd)
+        os.unlink(path)
+    return {
+        "seq_32mib_sec": round(seq, 4),
+        "fsync_50x4k_sec": round(fsync, 4),
+        "total_sec": round(seq + fsync, 4),
+    }
+
+
+# Historical raw-first READ band (r14 verdict #1, the mirror of r13's
+# write fix): median per-query RAW ratio vs the anchor's RAW walls
+# across the post-anchor era records BENCH_r07-r14 spanned
+# [1.06, 1.65] (r07 1.094, r08 1.062, r09 1.174, r10 1.516, r11 1.652,
+# r13 1.397, r14 1.202 — r12's record was unparseable). With the same
+# ±10% reading tolerance the write bands use: a raw median inside this
+# band is historical-normal host spread, NOT a regression — r14's
+# official normalized 1.55 read as a regression while its raw median
+# was 1.202, squarely in-band. Ratios are seconds-based: ABOVE the band
+# is the suspicious direction (slower than any recorded host), below is
+# a fast host.
+READ_RAW_BAND = (0.95, 1.80)
+
+
 def main() -> None:
     from miniodb_spark.queries import get_registry
     from miniodb_spark.session import get_spark
 
     host_score_pre = _host_cpu_score()
+    host_io = _host_io_score()
     spark = get_spark("miniodb_spark_bench")
     registry = get_registry()
 
@@ -177,6 +237,23 @@ def main() -> None:
     }
     ratios = sorted(ratio_map.values())
     median_ratio = round(ratios[len(ratios) // 2], 4) if ratios else None
+
+    # RAW-FIRST read-side headline (r14 verdict #1): per-query raw wall
+    # ÷ the anchor's raw wall, no host correction — the PRIMARY read
+    # band signal, exactly mirroring the r13/r14 write-path fix. The
+    # normalized median above stays as the SECONDARY cross-host
+    # indicator (it has twice over-corrected on hosts faster than the
+    # anchor; see READ_RAW_BAND derivation).
+    read_raw_ratio = {
+        n: round(timings[n] / ANCHOR["queries"][n], 3)
+        for n in timings if n in ANCHOR["queries"]
+    }
+    rrr = sorted(read_raw_ratio.values())
+    median_read_raw = round(rrr[len(rrr) // 2], 3) if rrr else None
+    read_raw_band = (
+        "in" if READ_RAW_BAND[0] <= median_read_raw <= READ_RAW_BAND[1]
+        else "below" if median_read_raw < READ_RAW_BAND[0] else "above"
+    ) if median_read_raw is not None else None
 
     # Residual re-check (round 9): the two-pass protocol yields ONE
     # effective warm sample per query, and controlled repeats on
@@ -386,6 +463,25 @@ def main() -> None:
             else "below" if r < RAW_BANDS[k][0] else "above")
         for k, r in write_raw_ratio.items()
     }
+    # self-adjudicating out-of-band verdicts (r14 verdict #2): an
+    # out-of-band write throughput CITES the run's io probe so the
+    # reader can separate host IO state from code without BENCH_NOTES
+    # forensics — the write paths are fsync/commit-bound, so a slow
+    # probe (io=slow vs the in-record nominal) explains a below-band
+    # run; a below-band run on a FAST probe is the real code signal.
+    # measured idle on the round-15 host: 0.077-0.091 s across reps
+    # (BENCH_NOTES round-15 section); future rounds re-anchor from the
+    # archived host_io_score values like the CPU score did
+    IO_NOMINAL_SEC = 0.09
+    io_state = (
+        "slow" if host_io["total_sec"] > 2 * IO_NOMINAL_SEC
+        else "fast" if host_io["total_sec"] < 0.5 * IO_NOMINAL_SEC
+        else "nominal"
+    )
+    write_band_io_context = {
+        k: f"{v};io={io_state}@{host_io['total_sec']}s"
+        for k, v in write_raw_band.items() if v != "in"
+    }
     write_norm_ratio = {
         k: round(
             rps * host_score
@@ -416,6 +512,17 @@ def main() -> None:
                 # loop) behind the averaged score above
                 "host_cpu_score_pre": host_score_pre,
                 "host_cpu_score_post": host_score_post,
+                # IO micro-probe (seq-write + fsync components) taken
+                # before the session started: the write-band verdicts
+                # condition on it (see write_band_io_context)
+                "host_io_score": host_io,
+                "host_io_score_sec": host_io["total_sec"],
+                # PRIMARY read band signal: raw per-query walls vs the
+                # anchor's raw walls, no host correction
+                "read_raw_ratio_vs_anchor": read_raw_ratio,
+                "median_read_raw_ratio": median_read_raw,
+                "read_raw_band": read_raw_band,
+                "read_raw_band_range": list(READ_RAW_BAND),
                 # one sample after each query pass: shows whether host
                 # load drifted DURING the run (vs just at its endpoints)
                 "host_cpu_score_per_pass": host_score_per_pass,
@@ -448,6 +555,7 @@ def main() -> None:
                 # rows/s (no host correction — see computation site)
                 "write_raw_ratio_vs_anchor": write_raw_ratio,
                 "write_raw_band": dict(write_raw_band),
+                "write_band_io_context": write_band_io_context,
                 # SECONDARY: host-normalized write ratios vs the
                 # round-6 anchor — throughput is inverse time, so a
                 # slower host (higher score) multiplies raw rows/s
@@ -474,6 +582,11 @@ def main() -> None:
             total * (ANCHOR["host_cpu_score_sec"] / host_score), 4
         ),
         "median_ratio_vs_anchor": median_ratio,
+        # raw-first read headline (PRIMARY band signal + its verdict);
+        # the normalized median above is the secondary indicator
+        "median_read_raw_ratio": median_read_raw,
+        "read_raw_band": read_raw_band,
+        "host_io_score_sec": host_io["total_sec"],
         "raw_vs_prev": {
             "prev_file": rvp.get("prev_file"),
             "raw_total_ratio": rvp.get("raw_total_ratio"),
@@ -488,14 +601,19 @@ def main() -> None:
         "write_ratio_vs_anchor": write_norm_ratio,
         "full_line": "above",
     }
+    if write_band_io_context:
+        compact["write_band_io_context"] = write_band_io_context
     line = json.dumps(compact)
     # hard guarantee for the driver's tail window — drop detail fields
     # (never the contract fields) if the line ever outgrows 1.5 kB;
     # the normalized write ratio goes first (the raw ratio is the
     # primary band signal and survives longest)
     if len(line) > 1500:
+        # drop order: normalized (secondary) first; the raw-first band
+        # verdicts and their io citation survive longest
         for k in ("write_ratio_vs_anchor", "raw_vs_prev",
-                  "write_raw_band", "write_raw_ratio_vs_anchor"):
+                  "write_raw_ratio_vs_anchor", "write_raw_band",
+                  "write_band_io_context"):
             compact.pop(k, None)
             line = json.dumps(compact)
             if len(line) <= 1500:

@@ -79,3 +79,35 @@ def test_bench_json_contract():
     assert set(bench_mod.ANCHOR["queries"]) == set(bench_mod.BENCH_QUERIES)
     score = bench_mod._host_cpu_score()
     assert 0.001 < score < 10  # sane on any host this century
+
+
+def test_host_io_score_probe():
+    """r14 verdict #2: the IO twin of the CPU score — fixed-size,
+    deterministic, components + total, sane bounds, and it must leave
+    no probe file behind."""
+    import glob
+    import tempfile
+
+    before = set(glob.glob(
+        os.path.join(tempfile.gettempdir(), "bench_io_probe_*")))
+    io = bench_mod._host_io_score()
+    after = set(glob.glob(
+        os.path.join(tempfile.gettempdir(), "bench_io_probe_*")))
+    assert after == before  # probe cleans up
+    assert set(io) == {"seq_32mib_sec", "fsync_50x4k_sec", "total_sec"}
+    assert 0.0005 < io["total_sec"] < 60
+    assert abs(io["total_sec"] -
+               (io["seq_32mib_sec"] + io["fsync_50x4k_sec"])) < 0.01
+
+
+def test_read_raw_band_definition():
+    """r14 verdict #1: the raw-first read band must bracket every
+    post-anchor-era historical median (r07-r14 spanned [1.06, 1.65])
+    with the +-10% reading tolerance, and the anchor itself (1.0) must
+    be in-band — so a same-code run on any historically observed host
+    reads as 'in', never as a regression."""
+    lo, hi = bench_mod.READ_RAW_BAND
+    assert lo <= 1.0 <= hi
+    for historical_median in (1.094, 1.062, 1.174, 1.516, 1.652,
+                              1.397, 1.202):
+        assert lo <= historical_median <= hi, historical_median
