@@ -51,6 +51,13 @@ class TableConfig:
     # parquet codec: snappy (default) | zstd | gzip | lz4 | uncompressed
     # (reference storage/parquet_writer.go:112-127, snappy on the flush path)
     compression: str = "snappy"
+    # extra zone-map columns beyond the engine defaults (id, timestamp):
+    # lets a numeric payload column carry min/max file-skipping brackets
+    # — the reference's configurable multi-column index
+    # (query/file_pruning.go:107-255 prunes on any indexed column's
+    # stored min/max). Sidecars self-heal when this changes (the
+    # column-set reconfiguration rebuild in zonemap.build).
+    zonemap_columns: list[str] = field(default_factory=list)
     properties: dict[str, str] = field(default_factory=dict)
 
 

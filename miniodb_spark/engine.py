@@ -1063,6 +1063,18 @@ class Engine:
             + [T.StructField("dt", T.StringType(), True)]
         )
 
+    def _zonemap_cols_for(self, table: str) -> tuple[str, ...]:
+        """Engine defaults (id, timestamp) plus the table's configured
+        extra columns (TableConfig.zonemap_columns) — the reference's
+        per-table multi-column index config. Order-stable and deduped
+        so the sidecar's column-set signature doesn't churn."""
+        cols = list(self.zonemap_columns)
+        cfg = self.catalog.get_table(table)
+        for c in (getattr(cfg, "zonemap_columns", None) or ()):
+            if c not in cols:
+                cols.append(c)
+        return tuple(cols)
+
     def _build_zonemap(
         self, table: str, gen: int,
         listing: list[tuple[str, str]] | None = None,
@@ -1075,7 +1087,8 @@ class Engine:
         must be COUNTED and logged, not silently dropped: round 11's
         footer-path crash hid behind a blanket except here for a whole
         round (VERDICT r11 What's-wrong #1)."""
-        if not self.zonemap_columns:
+        cols = self._zonemap_cols_for(table)
+        if not cols:
             return
         try:
             struct = self._gen_struct(table, gen)
@@ -1083,7 +1096,7 @@ class Engine:
                 return
             self.zonemaps.build(
                 self.spark, table, gen, self._gen_dir(table, gen),
-                struct, self.zonemap_columns, listing=listing,
+                struct, cols, listing=listing,
             )
         except Exception as exc:
             self.zonemap_build_errors += 1
@@ -1466,6 +1479,38 @@ class Engine:
                             ranges["id"] = id_rng
                         if ts_parsed is not None:
                             ranges["timestamp"] = ts_parsed
+                        # numeric-literal conjuncts on the table's
+                        # EXTRA indexed columns (TableConfig.
+                        # zonemap_columns) — the reference's numeric
+                        # min/max pruning (file_pruning.go:107-255).
+                        # Typed int/float bounds; the pruner admits
+                        # any non-comparable bracket (TypeError ⇒
+                        # scan), so a mis-typed column only loses the
+                        # optimization.
+                        for zc in self._zonemap_cols_for(t):
+                            if zc in ("id", "timestamp"):
+                                continue
+                            nrng = gate.extract_conjunctive_numeric_range(
+                                sql, column=zc)
+                            if nrng is None and (
+                                self.catalog.schema_of(t) or {}
+                            ).get(zc) == "string":
+                                # quoted-literal ranges on an extra
+                                # column prune exactly like the id
+                                # path — but ONLY when the cumulative
+                                # type is string, so the SQL compares
+                                # strings binarily (any non-string
+                                # type would CAST the literal, and a
+                                # lexicographic bracket check against
+                                # e.g. '2024-1-2' on a timestamp
+                                # column is an unsound skip).
+                                # Generations whose physical type
+                                # differs hold non-string brackets:
+                                # those TypeError into a scan.
+                                nrng = gate.extract_conjunctive_range(
+                                    sql, column=zc)
+                            if nrng is not None:
+                                ranges[zc] = nrng
                     if key is not None or ranges:
                         try:
                             if key is not None:

@@ -312,9 +312,117 @@ def extract_conjunctive_range(
     return (lo, lo_incl, hi, hi_incl) if found else None
 
 
+# Two's-complement doubles lose integer exactness past 2**53: Spark
+# widens an int literal to double when the column is float/double, and
+# the widened literal can round AWAY from the exact int a typed Python
+# comparison would use — a file whose double max sits between the
+# rounded and exact literal would be pruned while Spark's own predicate
+# still matches its rows. The gate can't see column types, so any
+# integer at or past the exactness cliff declines outright.
+_NUM_EXACT_MAX = 2 ** 53
+
+
+def extract_conjunctive_numeric_range(
+    sql: str, column: str,
+    typed_literal_prefixes: tuple[str, ...] = ("TIMESTAMP",),
+) -> tuple[int | float | None, bool, int | float | None, bool] | None:
+    """``(lo, lo_inclusive, hi, hi_inclusive)`` as Python int/float
+    when the WHERE clause provably bounds ``column`` conjunctively by
+    UNQUOTED numeric-literal comparisons (``>``, ``>=``, ``<``,
+    ``<=``) — the numeric twin of :func:`extract_conjunctive_range`
+    (reference: query/file_pruning.go:107-157,159-255 prunes files on
+    any ``col {=,<,<=,>,>=} int-literal`` against stored min/max).
+    Soundness posture identical: OR / NOT / CASE / parentheses / any
+    other BETWEEN shape declines; conjuncts not mentioning ``column``
+    are ignored (only loosens the range); ``col BETWEEN 1 AND 5`` is
+    expanded by _rewrite_between first.
+
+    Literal grammar is deliberately narrow — optional sign, digits,
+    optional ``.digits`` — so the Python value provably denotes the
+    same point Spark's parser gives the literal: a plain int is exact
+    on both sides (|v| < 2**53 enforced, see _NUM_EXACT_MAX), and a
+    plain decimal's ``float()`` equals Spark's decimal→double cast
+    (IEEE-754 nearest). Exponents / hex / NaN / Infinity decline. The
+    CALLER still owns bracket-type soundness: the zone-map pruner
+    admits any file whose stored bracket isn't numerically comparable
+    (TypeError ⇒ scan), so a mis-typed column degrades to a no-op
+    prune, never a wrong skip."""
+    m = re.search(
+        r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b"
+        r"|\bLIMIT\b|$)",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    # typed prefixes serve COEXISTING quoted BETWEENs (`timestamp
+    # BETWEEN TIMESTAMP '..' AND TIMESTAMP '..'` alongside the numeric
+    # conjunct): unexpanded, their embedded AND would decline the whole
+    # clause — the exact failure mode r14's ADVICE #4 pinned for the
+    # id path. _rewrite_between is extraction-only and column-agnostic.
+    conjs = _split_top_level_and(
+        _rewrite_between(m.group(1), typed_literal_prefixes))
+    if conjs is None:
+        return None
+    ident = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+    num = r"([+-]?\d+(?:\.\d+)?)"
+    pat_l = re.compile(
+        rf"^{ident}\s*(>=|<=|>|<)\s*{num}$", re.IGNORECASE)
+    pat_r = re.compile(
+        rf"^{num}\s*(>=|<=|>|<)\s*{ident}$", re.IGNORECASE)
+    flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}
+
+    def parse(lit: str) -> int | float | None:
+        if "." in lit:
+            return float(lit)
+        v = int(lit)
+        return v if abs(v) < _NUM_EXACT_MAX else None
+
+    lo: int | float | None = None
+    hi: int | float | None = None
+    lo_incl = hi_incl = True
+    found = False
+    for conj in conjs:
+        conj = conj.strip()
+        mm = pat_l.match(conj)
+        if mm:
+            op, lit = mm.group(1), mm.group(2)
+        else:
+            mm = pat_r.match(conj)
+            if not mm:
+                continue
+            lit, op = mm.group(1), flip[mm.group(2)]
+        val = parse(lit)
+        if val is None:
+            # a conjunct ON the column that we cannot soundly express
+            # declines the whole extraction: ignoring it would loosen
+            # the range (safe), but the 2**53 cliff means the literal's
+            # Spark meaning itself is in doubt — decline-on-doubt
+            return None
+        found = True
+        if op in (">", ">="):
+            incl = op == ">="
+            if lo is None or val > lo:
+                lo, lo_incl = val, incl
+            elif val == lo:
+                lo_incl = lo_incl and incl
+        else:
+            incl = op == "<="
+            if hi is None or val < hi:
+                hi, hi_incl = val, incl
+            elif val == hi:
+                hi_incl = hi_incl and incl
+    return (lo, lo_incl, hi, hi_incl) if found else None
+
+
 _BETWEEN_TOKEN_RE = re.compile(
-    r"'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_.$]*|\s+|."
+    r"'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_.$]*|\d+(?:\.\d+)?|\s+|."
 )
+# unquoted numeric literal accepted as a BETWEEN operand / range bound:
+# plain integers and plain decimals ONLY — exponents, hex, leading-dot
+# and signed forms decline (a '-' tokenizes separately, so a negative
+# BETWEEN operand simply never matches the rewrite shape; the
+# comparison extractors accept an explicit sign themselves)
+_NUM_TOK_RE = re.compile(r"\d+(?:\.\d+)?")
 _BETWEEN_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*$")
 _BETWEEN_KEYWORDS = {"AND", "OR", "NOT", "CASE", "BETWEEN", "WHEN",
                      "THEN", "ELSE", "END", "IN", "LIKE", "IS", "NULL"}
@@ -322,8 +430,10 @@ _BETWEEN_KEYWORDS = {"AND", "OR", "NOT", "CASE", "BETWEEN", "WHEN",
 
 def _rewrite_between(clause: str,
                      typed_prefixes: tuple[str, ...] = ()) -> str:
-    """Rewrite every ``<ident> BETWEEN '<lit>' AND '<lit>'`` span into
-    ``<ident> >= '<lit>' AND <ident> <= '<lit>'`` — the faithful ANSI
+    """Rewrite every ``<ident> BETWEEN <lit> AND <lit>`` span — where
+    each ``<lit>`` is a quoted string literal or an unquoted plain
+    numeric literal (_NUM_TOK_RE) — into
+    ``<ident> >= <lit> AND <ident> <= <lit>``, the faithful ANSI
     expansion (BETWEEN binds tighter than AND/OR, and the emitted AND
     binds tighter than any surrounding OR, so the flat rewrite keeps
     the parse shape at every depth). Token-level, not regex-over-text:
@@ -332,9 +442,9 @@ def _rewrite_between(clause: str,
     corrupted (the unsound-prune trap a text regex would have).
 
     Only the exact token shape fires; everything else is left alone —
-    a leftover BETWEEN (``NOT BETWEEN``, function operands, numeric
-    literals) still hits _split_top_level_and's reject, so the decline
-    posture is unchanged. A ``NOT`` preceding a rewritten span is
+    a leftover BETWEEN (``NOT BETWEEN``, function operands, signed or
+    exponent-form numerics) still hits _split_top_level_and's reject,
+    so the decline posture is unchanged. A ``NOT`` preceding a rewritten span is
     harmless: at depth 0 the remaining NOT declines the whole clause,
     and inside parentheses the conjunct stays un-split and is ignored
     (ignoring only loosens the extracted range)."""
@@ -361,7 +471,8 @@ def _rewrite_between(clause: str,
                 pre1 = ""
                 if k < n and toks[k].upper() in prefixes:
                     pre1, k = toks[k] + " ", nxt(k + 1)
-                if k < n and toks[k].startswith("'"):
+                if k < n and (toks[k].startswith("'")
+                              or _NUM_TOK_RE.fullmatch(toks[k])):
                     lo_lit = toks[k]
                     m = nxt(k + 1)
                     if m < n and toks[m].upper() == "AND":
@@ -369,7 +480,8 @@ def _rewrite_between(clause: str,
                         pre2 = ""
                         if p2 < n and toks[p2].upper() in prefixes:
                             pre2, p2 = toks[p2] + " ", nxt(p2 + 1)
-                        if p2 < n and toks[p2].startswith("'"):
+                        if p2 < n and (toks[p2].startswith("'")
+                                       or _NUM_TOK_RE.fullmatch(toks[p2])):
                             out.append(
                                 f"{t} >= {pre1}{lo_lit} AND "
                                 f"{t} <= {pre2}{toks[p2]}")

@@ -75,6 +75,19 @@ def _rel(uri: str, gen: int) -> str:
     return uri[idx + len(key):] if idx >= 0 else uri
 
 
+def _bracket_finite(*vals: Any) -> bool:
+    """NaN/Inf min-max guard for numeric zone-map columns: a NaN
+    bracket is untrustworthy (parquet/Spark NaN ordering differs from
+    Python's, and NaN breaks strict-JSON sidecars), so a file whose
+    stats contain a non-finite float stays UNINDEXED — always scanned
+    under the hint-only contract, never mis-skipped."""
+    import math
+
+    return all(
+        not (isinstance(v, float) and not math.isfinite(v)) for v in vals
+    )
+
+
 def _jsonable(v: Any) -> Any:
     if v is None or isinstance(v, (str, int, float, bool)):
         return v
@@ -298,12 +311,18 @@ class ZoneMapStore:
                     "dt": dt_of.get(rel),
                     "n": int(r["_n"]),
                 }
+                usable = True
                 for c in cols:
+                    if not _bracket_finite(r[f"_min_{c}"],
+                                           r[f"_max_{c}"]):
+                        usable = False  # NaN bracket: leave unindexed
+                        break
                     stats[c] = [
                         _jsonable(r[f"_min_{c}"]),
                         _jsonable(r[f"_max_{c}"]),
                     ]
-                fresh[rel] = stats
+                if usable:
+                    fresh[rel] = stats
         if not fresh:
             # every new file was footer-unreadable AND 0-row under the
             # Spark agg (no group emitted) — nothing learned; they stay
@@ -394,6 +413,20 @@ class ZoneMapStore:
                     if c not in names:
                         ok = False
                         break
+                    # FLOAT/DOUBLE columns never take the footer path:
+                    # parquet stats EXCLUDE NaN (measured: a file
+                    # holding [10.0, NaN, 3.0] footers as [3, 10]),
+                    # but Spark orders NaN GREATER than every number —
+                    # `w > 50` matches the NaN row — so a footer
+                    # bracket could skip a file Spark would return
+                    # rows from. The Spark-agg fallback is NaN-sound:
+                    # its max() propagates NaN, which _bracket_finite
+                    # turns into "leave unindexed, always scan".
+                    if md.schema.column(names[c]).physical_type in (
+                        "FLOAT", "DOUBLE",
+                    ):
+                        ok = False
+                        break
                     lo = hi = None
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(names[c]).statistics
@@ -407,6 +440,8 @@ class ZoneMapStore:
                             mx = mx.decode("utf-8", "surrogateescape")
                         lo = mn if lo is None or mn < lo else lo
                         hi = mx if hi is None or mx > hi else hi
+                    if ok and not _bracket_finite(lo, hi):
+                        ok = False
                     if not ok:
                         break
                     stats[c] = [_jsonable(lo), _jsonable(hi)]

@@ -118,3 +118,48 @@ def test_conjunct_extractor_declines_between():
     # and the non-BETWEEN path still extracts
     sql3 = "SELECT * FROM t WHERE v >= 3 AND id = 'k1'"
     assert extract_conjunctive_eq(sql3, "id") == "k1"
+
+
+def test_extract_conjunctive_numeric_range():
+    """Numeric-literal range extraction (r14 verdict #3): ints/floats,
+    flipped operand sides, tightest-bound intersection, numeric
+    BETWEEN expansion, coexistence with typed timestamp BETWEEN, and
+    the decline-on-doubt edges (OR, exponents, >=2**53 ints)."""
+    from miniodb_spark.gate import extract_conjunctive_numeric_range as ex
+
+    assert ex("SELECT * FROM t WHERE v > 5", "v") == (5, False, None, True)
+    assert ex("SELECT * FROM t WHERE v >= 5 AND v < 10.5", "v") == \
+        (5, True, 10.5, False)
+    got = ex("SELECT * FROM t WHERE 3 <= v AND 9 > v", "v")
+    assert got == (3, True, 9, False)
+    # tightest bound wins; equal bounds keep the exclusive one
+    assert ex("SELECT * FROM t WHERE v > 2 AND v >= 2", "v") == \
+        (2, False, None, True)
+    assert ex("SELECT * FROM t WHERE v > 1 AND v > 4", "v") == \
+        (4, False, None, True)
+    # numeric BETWEEN expands (token-level rewrite)
+    assert ex("SELECT * FROM t WHERE v BETWEEN 3 AND 7", "v") == \
+        (3, True, 7, True)
+    assert ex("SELECT * FROM t WHERE v BETWEEN 0.5 AND 1.5 AND k > 2",
+              "v") == (0.5, True, 1.5, True)
+    # coexisting quoted/typed BETWEEN must not poison the split
+    assert ex(
+        "SELECT * FROM t WHERE v BETWEEN 3 AND 7 "
+        "AND timestamp BETWEEN TIMESTAMP '2024-01-01' "
+        "AND TIMESTAMP '2024-01-02'", "v") == (3, True, 7, True)
+    # value types are typed, not strings
+    lo, _, hi, _ = ex("SELECT * FROM t WHERE v >= 5 AND v < 10.5", "v")
+    assert isinstance(lo, int) and isinstance(hi, float)
+    # declines: disjunction, NOT, exponent form, 2**53 cliff, quoted
+    assert ex("SELECT * FROM t WHERE v > 5 OR v < 2", "v") is None
+    assert ex("SELECT * FROM t WHERE NOT v > 5", "v") is None
+    assert ex("SELECT * FROM t WHERE v > 1e3", "v") is None
+    assert ex(f"SELECT * FROM t WHERE v > {2**53}", "v") is None
+    assert ex(f"SELECT * FROM t WHERE v > {2**53 - 1}", "v") == \
+        (2**53 - 1, False, None, True)
+    assert ex("SELECT * FROM t WHERE v > '5'", "v") is None
+    assert ex("SELECT * FROM t WHERE w > 5", "v") is None
+    # negative literal: sign is accepted by the comparison pattern
+    assert ex("SELECT * FROM t WHERE v >= -4", "v") == (-4, True, None, True)
+    # ...but a negative BETWEEN operand declines (sign tokenizes apart)
+    assert ex("SELECT * FROM t WHERE v BETWEEN -4 AND 4", "v") is None
