@@ -542,6 +542,7 @@ class Catalog:
         superseded: list[tuple[int, str]],
         expected_gen: int | None = None,
         add_files: dict[int, list[str]] | None = None,
+        remove_files: dict[int, list[str]] | None = None,
     ) -> int:
         """Atomic commit of a rewrite: append the survivors' generation
         (always a NEW generation — its directory was invisible until this
@@ -574,8 +575,17 @@ class Catalog:
             # record the survivor generation's files (Delta-style add
             # entries) so snapshot membership — and the loss check a
             # later compaction swap relies on — covers rewrite output
-            # exactly, not via the mtime fallback
-            self._persist(name, add_files=add_files)
+            # exactly, not via the mtime fallback. remove_files records
+            # the SUPERSEDED partitions' files as rm entries AT THIS
+            # VERSION: the doc-level exclusion alone cannot carry that
+            # fact forward, because gc_superseded's clear_excluded
+            # persists a LATER version whose doc no longer excludes the
+            # partition — without rm entries the add-file index then
+            # counts the GC'd files as alive and read_snapshot refuses
+            # every version at or past the clear (round-15 find: a
+            # single delete() broke read_snapshot(current_version)).
+            self._persist(name, add_files=add_files,
+                          remove_files=remove_files)
             return len(gens) - 1
 
     def excluded_parts(self, name: str) -> set[tuple[int, str]]:

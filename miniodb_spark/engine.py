@@ -2006,13 +2006,36 @@ class Engine:
                 - timedelta(days=cfg.retention_days)
             ).strftime("%Y-%m-%d")
             tdir = self._table_dir(t)
+            # Delta-style rm entries for the dropped files, recorded as
+            # ONE commit after the drops: without them the add-file
+            # index counts retention-dropped files as alive and
+            # read_snapshot refuses every later version (same
+            # round-15 fix as the rewrite paths' remove_files)
+            dead: dict[int, list[str]] = {}
+            n_table = 0
             for gen_dir in self.fs.list_dirs(tdir, prefix="gen="):
+                gname = gen_dir.rstrip("/").rsplit("/", 1)[-1]
+                try:
+                    gidx = int(gname[len("gen="):])
+                except ValueError:  # pragma: no cover - foreign dir
+                    gidx = None
                 for part_dir in self.fs.list_dirs(gen_dir, prefix="dt="):
                     part = part_dir.rstrip("/").rsplit("/", 1)[-1]
                     if part[len("dt=") :] < cutoff:
+                        if gidx is not None:
+                            rels = [
+                                f"{part}/" + fp.rstrip("/").rsplit("/", 1)[-1]
+                                for fp, _sz in self.fs.list_files(
+                                    part_dir, suffix=".parquet")
+                            ]
+                            if rels:
+                                dead.setdefault(gidx, []).extend(
+                                    sorted(rels))
                         self.fs.remove_dir(part_dir)
                         removed += 1
-            if removed:
+                        n_table += 1
+            if n_table:
+                self.catalog.touch(t, remove_files=dead or None)
                 self.cache.invalidate_table(t)
                 self._forget_gen_files(t)
         return removed

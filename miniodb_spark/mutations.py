@@ -66,6 +66,34 @@ def gc_superseded(engine, table: str, force: bool = False) -> int:
     return len(parts)
 
 
+def _superseded_files(
+    engine, table: str, affected: list[tuple[int, str]],
+) -> dict[int, list[str]]:
+    """Relative paths of every data file in the superseded ``(gen,
+    dt)`` partitions — the Delta-style ``rm`` entries a rewrite commit
+    must record. The doc-level exclusion only protects snapshots until
+    gc_superseded's clear_excluded persists a later version without
+    it; the rm entry is the durable "dead as of version v" fact that
+    keeps read_snapshot exact at every later version (a file is alive
+    for versions in [added, removed)). One LIST per affected
+    generation, taken under the held #rewrite lease BEFORE GC removes
+    the directories. Double-recording a file an earlier compaction
+    already rm'd is harmless: removed_files_index keeps the FIRST
+    removal version."""
+    dts_by_gen: dict[int, set[str]] = {}
+    for g, d in affected:
+        dts_by_gen.setdefault(int(g), set()).add(d)
+    out: dict[int, list[str]] = {}
+    for g, dts in dts_by_gen.items():
+        rels = [
+            rel for rel in engine._gen_file_set(table, g)
+            if rel.split("/", 1)[0][len("dt="):] in dts
+        ]
+        if rels:
+            out[g] = sorted(rels)
+    return out
+
+
 def delete_rows(
     engine,
     table: str,
@@ -164,7 +192,8 @@ def delete_rows(
         survivor_files = sorted(engine._gen_file_set(table, new_gen))
         engine.catalog.commit_rewrite(
             table, dict(cum), affected, expected_gen=new_gen,
-            add_files={new_gen: survivor_files})
+            add_files={new_gen: survivor_files},
+            remove_files=_superseded_files(engine, table, affected))
         # index the rewrite's fresh files (best-effort, hint-only)
         engine._build_zonemap(table, new_gen)
     # 3. GC the superseded directories (safe to crash here)
@@ -283,9 +312,19 @@ def collapse_generations(engine, table: str) -> int:
                 f"mutation lease on {table!r} lost during collapse; "
                 "aborting commit (no data was published)")
         survivor_files = sorted(engine._gen_file_set(table, new_gen))
+        # collapse physically removes the WHOLE dead-gen directories
+        # below, not just the affected dt partitions — record rm
+        # entries for every file still sitting in gens 0..new_gen-1 so
+        # snapshots at/after this commit never count them as alive
+        dead_files: dict[int, list[str]] = {}
+        for g in range(new_gen):
+            rels = sorted(engine._gen_file_set(table, g))
+            if rels:
+                dead_files[g] = rels
         engine.catalog.commit_rewrite(
             table, dict(cum), affected, expected_gen=new_gen,
-            add_files={new_gen: survivor_files})
+            add_files={new_gen: survivor_files},
+            remove_files=dead_files)
         # every pre-collapse generation is now empty: tombstone them so
         # future scans don't even stat their directories
         engine.catalog.tombstone_generations(table, list(range(new_gen)))

@@ -566,3 +566,181 @@ def test_flush_fold_snapshot_under_cpu_load(spark, tmp_path):
     finally:
         for b in burners:
             b.kill()
+
+
+# --- fourth storm scenario (r14 verdict #5): compaction vs mutations -------
+
+_COMPACT_STORM_WORKER = r"""
+import os, sys, time
+
+root, flags, who = sys.argv[1], sys.argv[2], sys.argv[3]
+
+from miniodb_spark.session import get_spark
+from miniodb_spark.engine import Engine
+
+spark = get_spark(f"cstorm-{who}", cpus=4)
+eng = Engine(spark, root)
+
+open(os.path.join(flags, f"ready_{who}"), "w").close()
+other = os.path.join(flags, "ready_b" if who == "a" else "ready_a")
+t0 = time.time()
+while not os.path.exists(other):
+    if time.time() - t0 > 240:
+        raise SystemExit("rendezvous timeout")
+    time.sleep(0.02)
+
+eng.catalog.refresh_if_changed("t")
+T0 = 1_700_000_000_000_000
+
+
+def with_retry(op, what):
+    for attempt in range(5):
+        try:
+            return op()
+        except (TimeoutError, RuntimeError) as e:
+            if "lease" not in str(e):
+                raise
+            print(f"RETRY {who} {what} attempt={attempt + 1}: {e}",
+                  flush=True)
+            time.sleep(0.5 * (attempt + 1))
+    raise SystemExit(f"op {what} exhausted 5 attempts")
+
+
+if who == "a":
+    # the mutator: updates in gen0, deletes, updates in gen1
+    for i in range(10):
+        with_retry(lambda: eng.update(
+            "t", f"r{i:02d}", {"v": 1000 + i}, timestamp_us=T0), f"u{i}")
+    for i in (30, 31, 32, 33):
+        with_retry(lambda: eng.delete("t", f"r{i:02d}"), f"d{i}")
+    for i in range(40, 45):
+        with_retry(lambda: eng.update(
+            "t", f"r{i:02d}", {"v": 3000.5 + i}, timestamp_us=T0), f"g{i}")
+else:
+    # the compactor: the OTHER writer of record — tiered compaction
+    # and generation collapse racing the mutation storm. Between
+    # passes, pin the loss/duplicate bracket: count can only move
+    # DOWN (a's deletes), never up, and never below seeds - deletes.
+    for it in range(3):
+        with_retry(lambda: eng.compact("t"), f"c{it}")
+        with_retry(lambda: eng.collapse_generations("t"), f"g{it}")
+        eng.catalog.refresh_if_changed("t")
+        eng.cache.invalidate_table("t")
+        n = eng.read_table("t").count()
+        assert 60 - 4 <= n <= 60, f"count bracket violated: {n}"
+        print(f"COMPACT_PASS {it} n={n}", flush=True)
+
+print(f"BUSY_RETRIES {who} {eng.lease.busy_retries}", flush=True)
+spark.stop()
+"""
+
+
+@pytest.mark.storm
+def test_compaction_vs_mutation_storm_under_cpu_load(spark, tmp_path):
+    """Fourth storm scenario (r14 verdict #5): tiered compaction +
+    generation collapse from one driver racing an update/delete storm
+    from another, under deliberate CPU saturation. Compaction swaps a
+    partition's files in place under the #rewrite lease — the regime
+    where a lost-update or a double-apply would surface as a
+    duplicate id, a resurrected delete, or a dropped row. Asserts the
+    serial-order invariants plus exact add-file snapshot membership;
+    never wall-clock success. Opt-in via `-m storm`."""
+    import json
+    import multiprocessing
+
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    burn_script = str(tmp_path / "burner.py")
+    with open(burn_script, "w") as fh:
+        fh.write(
+            "import sys, time\n"
+            "deadline = time.time() + float(sys.argv[1])\n"
+            "x = 0\n"
+            "while time.time() < deadline:\n"
+            "    x = (x * 1103515245 + 12345) % (2**31)\n"
+        )
+    n_burn = max(4, (multiprocessing.cpu_count() or 8) // 2)
+    burners = [
+        subprocess.Popen([sys.executable, burn_script, "900"],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        for _ in range(n_burn)
+    ]
+    try:
+        root = str(tmp_path / "store")
+        flags = str(tmp_path / "flags")
+        os.makedirs(root)
+        os.makedirs(flags)
+        T0 = 1_700_000_000_000_000
+
+        # seed: 4 small gen0 flushes (compaction work) + 2 gen1
+        # flushes (double v -> type conflict -> collapse work)
+        seed = Engine(spark, root)
+        seed.create_table("t", TableConfig(name="t", buffer_size=10_000))
+        for f in range(4):
+            for i in range(f * 10, f * 10 + 10):
+                seed.write("t", {"v": i}, record_id=f"r{i:02d}",
+                           timestamp_us=T0 + i)
+            seed.flush("t")
+        for f in range(2):
+            for i in range(40 + f * 10, 50 + f * 10):
+                seed.write("t", {"v": i + 0.5}, record_id=f"r{i:02d}",
+                           timestamp_us=T0 + i)
+            seed.flush("t")
+        assert len(seed.catalog.gen_schemas("t")) == 2
+
+        script = str(tmp_path / "worker.py")
+        with open(script, "w") as fh:
+            fh.write(_COMPACT_STORM_WORKER)
+        env = dict(os.environ, PYTHONPATH=REPO)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, root, flags, who],
+                cwd=str(tmp_path), env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for who in ("a", "b")
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                outs.append(out.decode()[-4000:])
+            assert all(p.returncode == 0 for p in procs), outs
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        joined = "\n".join(outs)
+        assert "COMPACT_PASS 2" in joined, joined
+
+        check = Engine(spark, root)
+        rows = json.loads(check.query("SELECT id, v FROM t ORDER BY id"))
+        got = {}
+        for r in rows:
+            assert r["id"] not in got, f"duplicate id {r['id']}"
+            got[r["id"]] = r["v"]
+        # zero loss: 60 seeds - 4 deletes
+        assert len(got) == 56, (len(got), joined)
+        # every mutation applied exactly once, through any compaction
+        for i in range(10):
+            assert got[f"r{i:02d}"] == 1000 + i, (got, joined)
+        for i in (30, 31, 32, 33):
+            assert f"r{i:02d}" not in got, (got, joined)
+        for i in range(40, 45):
+            assert got[f"r{i:02d}"] == 3000.5 + i, (got, joined)
+        # untouched rows byte-identical (gen0 ints, gen1 floats)
+        for i in range(10, 30):
+            assert got[f"r{i:02d}"] == i, (got, joined)
+        for i in range(45, 60):
+            assert got[f"r{i:02d}"] == i + 0.5, (got, joined)
+        # exact add-file snapshot membership at the latest version
+        v = check.catalog.current_version("t")
+        snap = check.read_snapshot("t", v)
+        assert snap.count() == 56
+        snap_ids = {r["id"] for r in snap.select("id").collect()}
+        assert snap_ids == set(got), (snap_ids ^ set(got), joined)
+    finally:
+        for b in burners:
+            b.kill()

@@ -498,3 +498,77 @@ def test_snapshot_consistency_brackets_mutation_storm(spark, tmp_path):
         for k, r in sv.items():
             assert r["v"] in legal[k], (v, k, r["v"])
         assert len(sv) == len({k for k in sv}), f"dup ids at v{v}"
+
+
+def test_snapshot_at_latest_survives_mutations_without_retention(engine):
+    """Round-15 regression: with DEFAULT retain_history=False, the
+    LATEST version's snapshot must stay readable through delete /
+    update / compact / collapse — the rewrite paths now record
+    Delta-style rm entries at commit, so the add-file index never
+    counts a GC'd superseded file as alive. (Before the fix, a single
+    delete() made read_snapshot(current_version) refuse: the GC's
+    clear_excluded persisted a later version whose doc no longer
+    excluded the swept partition.) Old pre-mutation versions still
+    refuse — history is genuinely not retained."""
+    eng = engine
+    for i in range(8):
+        eng.write("nr", {"v": i}, record_id=f"r{i}", timestamp_us=T0 + i)
+    eng.flush("nr")
+    v_seed = eng.catalog.current_version("nr")
+
+    def snap_equals_live():
+        v = eng.catalog.current_version("nr")
+        snap = {r["id"]: r["v"] for r in
+                eng.read_snapshot("nr", v).select("id", "v").collect()}
+        live = {r["id"]: r["v"] for r in
+                eng.read_table("nr").select("id", "v").collect()}
+        assert snap == live, (snap, live)
+        return snap
+
+    eng.delete("nr", "r3")
+    got = snap_equals_live()
+    assert "r3" not in got and len(got) == 7
+    eng.update("nr", "r1", {"v": 100}, timestamp_us=T0)
+    got = snap_equals_live()
+    assert got["r1"] == 100
+    eng.compact("nr")
+    snap_equals_live()
+    eng.write("nr", {"v": 1.5}, record_id="r9", timestamp_us=T0)  # gen 2
+    eng.flush("nr")
+    eng.collapse_generations("nr")
+    got = snap_equals_live()
+    assert len(got) == 8
+    # post-collapse mutation: the storm-failure shape, single-process
+    eng.update("nr", "r5", {"v": 500}, timestamp_us=T0)
+    got = snap_equals_live()
+    assert got["r5"] == 500
+    # the seed version predates the mutations and its files are gone:
+    # refusal (never a silent partial read) is still the contract
+    with pytest.raises(SnapshotUnavailableError):
+        eng.read_snapshot("nr", v_seed).count()
+
+
+def test_snapshot_at_latest_survives_retention_drop(spark, tmp_path):
+    """Retention's dt-directory drop now records rm entries in one
+    commit: snapshots at the post-retention version read exactly the
+    surviving partitions instead of refusing."""
+    from miniodb_spark.catalog import TableConfig
+
+    eng = Engine(spark, str(tmp_path / "ret_store"))
+    eng.create_table("rt", TableConfig(name="rt", retention_days=30))
+    import datetime as dt
+
+    now = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    old = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    fresh = dt.datetime(2024, 2, 20, tzinfo=dt.timezone.utc)
+    for i, when in enumerate((old, old, fresh, fresh)):
+        eng.write("rt", {"v": i}, record_id=f"r{i}",
+                  timestamp_us=int(when.timestamp()) * US)
+    eng.flush("rt")
+    n = eng.enforce_retention("rt", now_us=int(now.timestamp()) * US)
+    assert n == 1  # one old dt partition dropped
+    v = eng.catalog.current_version("rt")
+    snap_ids = {r["id"] for r in
+                eng.read_snapshot("rt", v).select("id").collect()}
+    assert snap_ids == {"r2", "r3"}
+    assert eng.read_table("rt").count() == 2
