@@ -1443,8 +1443,23 @@ class Engine:
                         rf"\b{_re.escape(t)}\b",
                         gate._strip_string_literals(sql))) == 1
                 )
-                if df is not None and single_ref:
-                    key = gate.extract_conjunctive_keys(sql)
+                # MULTI-table (r14 verdict #8): a plain single-SELECT
+                # join where only one side has the conjunct is
+                # provably prunable — but only with QUALIFIED
+                # attribution (alias.col / table.col; an unqualified
+                # `id` is ambiguous across the join) and only when
+                # the single WHERE is provably the outer filter. See
+                # gate.extract_join_pruning_bindings for the full
+                # soundness argument (covers LEFT/FULL null-extension).
+                qual: tuple[str, ...] | None = None
+                eligible = single_ref
+                if not eligible and len(tables) > 1:
+                    binds = gate.extract_join_pruning_bindings(sql)
+                    if binds is not None and t in binds:
+                        qual, eligible = binds[t], True
+                if df is not None and eligible:
+                    key = gate.extract_conjunctive_keys(
+                        sql, qualifier=qual)
                     # timestamp range with TYPED comparison: the
                     # quoted literal must parse as a (tz-naive) ISO
                     # timestamp, else decline — a string bracket must
@@ -1455,7 +1470,8 @@ class Engine:
                     ts_parsed: tuple | None = None
                     ts_rng = gate.extract_conjunctive_range(
                         sql, column="timestamp",
-                        typed_literal_prefixes=("TIMESTAMP",))
+                        typed_literal_prefixes=("TIMESTAMP",),
+                        qualifier=qual)
                     if ts_rng is not None:
                         lo, lo_i, hi, hi_i = ts_rng
                         plo = _parse_ts_literal(lo)
@@ -1474,7 +1490,8 @@ class Engine:
                         # extraction-only and column-agnostic, so this
                         # cannot affect id soundness.
                         id_rng = gate.extract_conjunctive_range(
-                            sql, typed_literal_prefixes=("TIMESTAMP",))
+                            sql, typed_literal_prefixes=("TIMESTAMP",),
+                            qualifier=qual)
                         if id_rng is not None:
                             ranges["id"] = id_rng
                         if ts_parsed is not None:
@@ -1491,7 +1508,7 @@ class Engine:
                             if zc in ("id", "timestamp"):
                                 continue
                             nrng = gate.extract_conjunctive_numeric_range(
-                                sql, column=zc)
+                                sql, column=zc, qualifier=qual)
                             if nrng is None and (
                                 self.catalog.schema_of(t) or {}
                             ).get(zc) == "string":
@@ -1508,7 +1525,7 @@ class Engine:
                                 # differs hold non-string brackets:
                                 # those TypeError into a scan.
                                 nrng = gate.extract_conjunctive_range(
-                                    sql, column=zc)
+                                    sql, column=zc, qualifier=qual)
                             if nrng is not None:
                                 ranges[zc] = nrng
                     if key is not None or ranges:

@@ -174,7 +174,116 @@ def validate_table_name(name: str) -> str:
     return name
 
 
-def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
+def _qual_prefix(qualifier: tuple[str, ...] | None) -> str:
+    """Identifier-prefix regex for the conjunct extractors. ``None``
+    (single-table path) keeps the historical behavior: any alias
+    prefix is OPTIONAL, because every column in a single-table query
+    resolves to that table. A qualifier tuple (multi-table path) makes
+    a prefix from the set MANDATORY: an unqualified ``id`` in a join
+    is ambiguous (both sides carry one), and a conjunct on the OTHER
+    table must never prune this one."""
+    if qualifier is None:
+        return r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?"
+    alts = "|".join(re.escape(q) for q in qualifier)
+    return rf"(?:{alts})\."
+
+
+_BINDING_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_BINDING_STOP_WORDS = frozenset(
+    """on where group order limit having join inner left right full cross
+    natural union using lateral as semi anti offset""".split()
+)
+
+
+def extract_join_pruning_bindings(
+    sql: str,
+) -> dict[str, tuple[str, ...]] | None:
+    """``{table: accepted_qualifiers}`` when the statement is a plain
+    single-SELECT join whose WHERE conjuncts can be soundly attributed
+    to individual tables — the eligibility gate for MULTI-table
+    zone-map pruning (r14 verdict #8: a join where only one side has
+    the conjunct is provably prunable). None declines.
+
+    Soundness posture (decline-on-doubt, like every extractor here):
+
+    - exactly ONE ``SELECT`` in the literal-stripped SQL — no
+      subqueries, CTEs or laterals, so the single WHERE (if any) is
+      provably the OUTER filter over the join result. That is what
+      makes pruning sound for EVERY join type: a result row surviving
+      ``t.id >= 'x'`` has a non-NULL t-side satisfying it (in the
+      pruned superset by construction), and a t-row failing the
+      conjunct can only produce result rows that the WHERE itself
+      drops — matched rows fail the comparison directly, and the
+      null-extended rows a LEFT/FULL join would emit instead fail it
+      as NULL. Re-running the full SQL over the pruned views therefore
+      returns exactly the original result.
+    - at most one ``WHERE``;
+    - the FROM segment (FROM → WHERE/GROUP/ORDER/LIMIT/HAVING/end)
+      holds no parentheses and no commas: plain ``FROM t [a] [JOIN u
+      [b] ON ...]*`` shapes only;
+    - every table bound exactly once (self-joins decline: a conjunct
+      constrains ONE alias, pruning the shared view would drop the
+      other alias's rows), and no alias collides with another binding.
+
+    A table's accepted qualifiers are its alias (if bound) plus its
+    own name — Spark accepts either form."""
+    stripped = _strip_string_literals(sql)
+    if len(re.findall(r"\bSELECT\b", stripped, re.IGNORECASE)) != 1:
+        return None
+    if len(re.findall(r"\bWHERE\b", stripped, re.IGNORECASE)) > 1:
+        return None
+    m = re.search(
+        r"\bFROM\b(.*?)(?:\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b"
+        r"|\bORDER\s+BY\b|\bLIMIT\b|$)",
+        stripped, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    seg = m.group(1)
+    if "(" in seg or ")" in seg or "," in seg:
+        return None
+    out: dict[str, tuple[str, ...]] = {}
+    used_quals: set[str] = set()
+    # token walk (a binding regex would CONSUME a following JOIN
+    # keyword as an alias candidate and skip the next binding): seg
+    # starts right after the FROM keyword, so re-anchor it. A stray
+    # "from"/"join" token inside an ON condition (a column literally
+    # named join) can only produce a duplicate/collision — declined —
+    # or a spurious non-table entry the engine never looks up.
+    toks = _BINDING_IDENT_RE.findall("FROM " + seg)
+    i = 0
+    n = len(toks)
+    while i < n:
+        if toks[i].upper() not in ("FROM", "JOIN"):
+            i += 1
+            continue
+        if i + 1 >= n:
+            return None  # dangling FROM/JOIN: malformed, decline
+        table = toks[i + 1]
+        if table.lower() in _BINDING_STOP_WORDS:
+            return None  # malformed FROM shape: decline everything
+        j = i + 2
+        alias = None
+        if j < n and toks[j].upper() == "AS" and j + 1 < n:
+            j += 1
+        if j < n and toks[j].lower() not in _BINDING_STOP_WORDS:
+            alias, j = toks[j], j + 1
+        if table in out:
+            return None  # self-join
+        quals = (alias, table) if alias else (table,)
+        for q in quals:
+            if q.lower() in used_quals:
+                return None  # qualifier collision: attribution unsafe
+            used_quals.add(q.lower())
+        out[table] = tuple(quals)
+        i = j
+    return out or None
+
+
+def extract_conjunctive_eq(
+    sql: str, column: str = "id",
+    qualifier: tuple[str, ...] | None = None,
+) -> str | None:
     """The string literal ``v`` when the query's WHERE clause provably
     constrains ``column = 'v'`` conjunctively — the sound condition for
     file-level pruning (any single conjunct of a pure AND chain may
@@ -211,11 +320,12 @@ def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
         # like "x BETWEEN 'a' AND 'z' = id" would otherwise yield the
         # bogus conjunct "'z' = id" and prune on 'z' (unsound skip)
         return None
+    pre = _qual_prefix(qualifier)
     pat_l = re.compile(
-        r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+        "^" + pre + re.escape(column)
         + r"\s*=\s*'([^']*)'$", re.IGNORECASE)
     pat_r = re.compile(
-        r"^'([^']*)'\s*=\s*(?:[A-Za-z_][A-Za-z0-9_]*\.)?"
+        r"^'([^']*)'\s*=\s*" + pre
         + re.escape(column) + r"$", re.IGNORECASE)
     for conj in re.split(r"\bAND\b", clause, flags=re.IGNORECASE):
         conj = conj.strip()
@@ -228,6 +338,7 @@ def extract_conjunctive_eq(sql: str, column: str = "id") -> str | None:
 def extract_conjunctive_range(
     sql: str, column: str = "id",
     typed_literal_prefixes: tuple[str, ...] = (),
+    qualifier: tuple[str, ...] | None = None,
 ) -> tuple[str | None, bool, str | None, bool] | None:
     """``(lo, lo_inclusive, hi, hi_inclusive)`` when the WHERE clause
     provably bounds ``column`` conjunctively by string-literal
@@ -269,7 +380,7 @@ def extract_conjunctive_range(
         _rewrite_between(m.group(1), typed_literal_prefixes))
     if conjs is None:
         return None
-    ident = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+    ident = _qual_prefix(qualifier) + re.escape(column)
     prefix = ""
     if typed_literal_prefixes:
         prefix = (
@@ -325,6 +436,7 @@ _NUM_EXACT_MAX = 2 ** 53
 def extract_conjunctive_numeric_range(
     sql: str, column: str,
     typed_literal_prefixes: tuple[str, ...] = ("TIMESTAMP",),
+    qualifier: tuple[str, ...] | None = None,
 ) -> tuple[int | float | None, bool, int | float | None, bool] | None:
     """``(lo, lo_inclusive, hi, hi_inclusive)`` as Python int/float
     when the WHERE clause provably bounds ``column`` conjunctively by
@@ -363,7 +475,7 @@ def extract_conjunctive_numeric_range(
         _rewrite_between(m.group(1), typed_literal_prefixes))
     if conjs is None:
         return None
-    ident = r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+    ident = _qual_prefix(qualifier) + re.escape(column)
     num = r"([+-]?\d+(?:\.\d+)?)"
     pat_l = re.compile(
         rf"^{ident}\s*(>=|<=|>|<)\s*{num}$", re.IGNORECASE)
@@ -555,12 +667,15 @@ def _split_top_level_and(clause: str) -> list[str] | None:
     return parts
 
 
-def extract_conjunctive_keys(sql: str, column: str = "id") -> list[str] | None:
+def extract_conjunctive_keys(
+    sql: str, column: str = "id",
+    qualifier: tuple[str, ...] | None = None,
+) -> list[str] | None:
     """Literal key set when the WHERE provably constrains ``column``
     to it conjunctively: an ``= 'v'`` conjunct (see
     extract_conjunctive_eq) or an ``IN ('a', 'b', ...)`` conjunct of
     plain literals. Same soundness posture — any doubt returns None."""
-    one = extract_conjunctive_eq(sql, column)
+    one = extract_conjunctive_eq(sql, column, qualifier=qualifier)
     if one is not None:
         return [one]
     m = re.search(
@@ -574,7 +689,7 @@ def extract_conjunctive_keys(sql: str, column: str = "id") -> list[str] | None:
     if conjs is None:
         return None
     pat = re.compile(
-        r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?" + re.escape(column)
+        "^" + _qual_prefix(qualifier) + re.escape(column)
         + r"\s+IN\s*\(([^()]*)\)$", re.IGNORECASE)
     for conj in conjs:
         mm = pat.match(conj.strip())

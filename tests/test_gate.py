@@ -163,3 +163,58 @@ def test_extract_conjunctive_numeric_range():
     assert ex("SELECT * FROM t WHERE v >= -4", "v") == (-4, True, None, True)
     # ...but a negative BETWEEN operand declines (sign tokenizes apart)
     assert ex("SELECT * FROM t WHERE v BETWEEN -4 AND 4", "v") is None
+
+
+def test_extract_join_pruning_bindings():
+    """Eligibility gate for multi-table pruning: plain single-SELECT
+    joins bind table->qualifiers; subqueries / CTEs / self-joins /
+    comma-joins / alias collisions decline."""
+    from miniodb_spark.gate import extract_join_pruning_bindings as ex
+
+    assert ex("SELECT * FROM t a JOIN u b ON a.k = b.k "
+              "WHERE a.id >= 'x'") == {"t": ("a", "t"), "u": ("b", "u")}
+    assert ex("SELECT * FROM t JOIN u ON t.k = u.k") == \
+        {"t": ("t",), "u": ("u",)}
+    assert ex("SELECT * FROM t AS a LEFT JOIN u AS b ON a.k = b.k "
+              "GROUP BY a.k") == {"t": ("a", "t"), "u": ("b", "u")}
+    assert ex("SELECT * FROM t a CROSS JOIN u b") == \
+        {"t": ("a", "t"), "u": ("b", "u")}
+    # declines
+    assert ex("SELECT * FROM t a JOIN t b ON a.k = b.k") is None
+    assert ex("SELECT * FROM t, u WHERE t.k = u.k") is None
+    assert ex("SELECT * FROM t a JOIN (SELECT * FROM u) b ON a.k = b.k") \
+        is None
+    assert ex("WITH c AS (SELECT 1 AS k) SELECT * FROM t JOIN c "
+              "ON t.k = c.k") is None
+    assert ex("SELECT * FROM t u JOIN u ON u.k = u.k") is None  # collision
+    assert ex("SELECT * FROM t WHERE id = 'a' AND v IN "
+              "(SELECT v FROM u)") is None
+
+
+def test_qualified_conjunct_extraction():
+    """With a qualifier tuple the prefix is MANDATORY and restricted:
+    unqualified or other-alias conjuncts must not match."""
+    from miniodb_spark.gate import (
+        extract_conjunctive_keys, extract_conjunctive_numeric_range,
+        extract_conjunctive_range,
+    )
+
+    sql = ("SELECT * FROM t a JOIN u b ON a.k = b.k "
+           "WHERE a.id >= 'r1' AND b.id = 'z9' AND a.v > 5")
+    assert extract_conjunctive_range(sql, qualifier=("a", "t")) == \
+        ("r1", True, None, True)
+    assert extract_conjunctive_keys(sql, qualifier=("b", "u")) == ["z9"]
+    # the other side's conjunct never leaks across
+    assert extract_conjunctive_keys(sql, qualifier=("a", "t")) is None
+    assert extract_conjunctive_range(sql, qualifier=("b", "u")) is None
+    assert extract_conjunctive_numeric_range(
+        sql, "v", qualifier=("a", "t")) == (5, False, None, True)
+    assert extract_conjunctive_numeric_range(
+        sql, "v", qualifier=("b", "u")) is None
+    # unqualified conjuncts are ignored under a mandatory qualifier
+    sql2 = "SELECT * FROM t a JOIN u b ON a.k = b.k WHERE id >= 'r1'"
+    assert extract_conjunctive_range(sql2, qualifier=("a", "t")) is None
+    # table-name qualification works when no alias is bound
+    sql3 = "SELECT * FROM t JOIN u ON t.k = u.k WHERE t.id BETWEEN 'a' AND 'c'"
+    assert extract_conjunctive_range(sql3, qualifier=("t",)) == \
+        ("a", True, "c", True)

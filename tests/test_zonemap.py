@@ -1407,3 +1407,68 @@ def test_numeric_pruning_nan_file_stays_unindexed(engine):
     assert all(lo == lo and hi == hi for lo, hi in rel_brackets)
     # exactly one file (the clean one) is indexed on w
     assert len(rel_brackets) == 1 and rel_brackets[0] == [0.5, 2.5]
+
+
+def test_multi_table_join_pruning_sql_path(engine):
+    """r14 verdict #8: a plain two-table join where only ONE side has
+    the provable conjunct prunes that side's scan (files_skipped
+    pinned) with QUALIFIED attribution — the other side's conjunct
+    must never leak across, and the join answer matches the full
+    scan. Covers alias form, table-name form, LEFT-join preserved-side
+    semantics, and the self-join decline."""
+    import json as _json
+
+    # facts: three flushed files with disjoint id brackets
+    for lo, grp in ((0, "a"), (3, "b"), (6, "c")):
+        for i in range(lo, lo + 3):
+            engine.write("zjf", {"k": i % 3, "v": i},
+                         record_id=f"f{i:03d}", timestamp_us=T0)
+        engine.flush("zjf")
+    # dim: one small file
+    for k in range(3):
+        engine.write("zjd", {"label": f"L{k}", "k": k},
+                     record_id=f"d{k}", timestamp_us=T0)
+    engine.flush("zjd")
+
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT f.id, d.label FROM zjf f JOIN zjd d ON f.k = d.k "
+        "WHERE f.id >= 'f006' ORDER BY f.id"))
+    assert [r["id"] for r in out] == ["f006", "f007", "f008"], out
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1, zs
+    assert zs["files_skipped"] >= before.get("files_skipped", 0) + 2, zs
+
+    # table-name qualification, no alias
+    out2 = _json.loads(engine.query(
+        "SELECT zjf.id FROM zjf JOIN zjd ON zjf.k = zjd.k "
+        "WHERE zjf.id = 'f004'"))
+    assert [r["id"] for r in out2] == ["f004"]
+    assert engine.query_stats["zonemap"]["queries"] == \
+        before.get("queries", 0) + 2
+
+    # LEFT join with the conjunct on the PRESERVED side still matches
+    # the unpruned answer (null-extension argument in the gate doc)
+    out3 = _json.loads(engine.query(
+        "SELECT f.id, d.label FROM zjf f LEFT JOIN zjd d ON f.k = d.k "
+        "WHERE f.id BETWEEN 'f003' AND 'f005' ORDER BY f.id"))
+    assert [(r["id"], r.get("label")) for r in out3] == \
+        [("f003", "L0"), ("f004", "L1"), ("f005", "L2")], out3
+
+    # conjunct on the dim side must not prune the fact side: answer
+    # correctness is the contract (every fact file scanned or not,
+    # results identical to the full scan)
+    out4 = _json.loads(engine.query(
+        "SELECT f.id FROM zjf f JOIN zjd d ON f.k = d.k "
+        "WHERE d.id = 'd1' ORDER BY f.id"))
+    assert [r["id"] for r in out4] == \
+        [f"f{i:03d}" for i in range(9) if i % 3 == 1], out4
+
+    # self-join: declines (no zonemap query), correct rows
+    q_before = engine.query_stats["zonemap"]["queries"]
+    out5 = _json.loads(engine.query(
+        "SELECT a.id FROM zjf a JOIN zjf b ON a.k = b.k "
+        "WHERE a.id = 'f000' ORDER BY a.id"))
+    assert len(out5) == 3  # f000 pairs with f000/f003/f006 (k=0)
+    assert engine.query_stats["zonemap"]["queries"] == q_before
