@@ -7313,3 +7313,119 @@ def between_bounds_semantics_audit(spark, sf_dir):
         )
         .orderBy("rf")
     )
+
+
+@register(
+    "decimal_exact_sum_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf,
+             CAST(l_extendedprice AS DECIMAL(14,2)) AS p,
+             CAST(l_discount AS DECIMAL(4,2)) AS d
+      FROM lineitem)
+    SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p) AS DOUBLE) AS sum_p,
+           CAST(sum(p * (CAST(1.00 AS DECIMAL(4,2)) - d)) AS DOUBLE)
+             AS sum_net,
+           CAST(min(p) AS DOUBLE) AS min_p,
+           CAST(max(p) AS DOUBLE) AS max_p
+    FROM s GROUP BY rf ORDER BY rf
+    """,
+    doc="Exact decimal aggregation parity (reference stores prices as "
+        "parquet DOUBLE and aggregates in float — "
+        "storage/parquet_writer.go value path; this pins the engine's "
+        "EXACT alternative): prices cast to DECIMAL(14,2) (lossless — "
+        "the fixture doubles carry two decimal places, and the target "
+        "scale >= source scale means no rounding can occur on either "
+        "engine), discount factor (1.00 - d) and the product kept in "
+        "exact decimal (scale 4), summed with NO float drift, and only "
+        "the FINAL one-row-per-group values cast to DOUBLE (lossless "
+        "below 2**53 in units of 1e-4: sf1's ~6e9 total is 6e13 "
+        "ten-thousandths, three orders under the cliff; the sum order "
+        "never matters because decimal addition is associative — the "
+        "float-sum q1 variant's partial-aggregation tolerance is "
+        "exactly what this entry does NOT need). Spark's ANSI decimal "
+        "widening (sum of DECIMAL(20,4) -> DECIMAL(30,4)) never "
+        "overflows here. Map-side partial aggregation to 3 groups.",
+    tags=("sql-surface", "capability"),
+)
+def decimal_exact_sum_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "l_returnflag AS rf",
+        "CAST(l_extendedprice AS DECIMAL(14,2)) AS p",
+        "CAST(l_discount AS DECIMAL(4,2)) AS d",
+    )
+    return (
+        s.groupBy("rf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("p").cast("double").alias("sum_p"),
+            F.sum(F.expr("p * (CAST(1.00 AS DECIMAL(4,2)) - d)"))
+            .cast("double").alias("sum_net"),
+            F.min("p").cast("double").alias("min_p"),
+            F.max("p").cast("double").alias("max_p"),
+        )
+        .orderBy("rf")
+    )
+
+
+@register(
+    "decimal_rescale_halfup_audit",
+    """
+    WITH s AS (
+      SELECT CAST((l_orderkey % 19) - 9 AS DECIMAL(10,0)) AS k,
+             CASE l_linenumber % 4
+               WHEN 0 THEN CAST(0.05 AS DECIMAL(10,2))
+               WHEN 1 THEN CAST(0.25 AS DECIMAL(10,2))
+               WHEN 2 THEN CAST(0.55 AS DECIMAL(10,2))
+               ELSE CAST(0.75 AS DECIMAL(10,2)) END AS f
+      FROM lineitem),
+    v AS (
+      SELECT k + (CASE WHEN k < 0 THEN -f ELSE f END) AS q FROM s)
+    SELECT CAST(q AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(q, 1) AS DOUBLE) AS r1,
+           CAST(round(q, 0) AS DOUBLE) AS r0
+    FROM v GROUP BY q ORDER BY q
+    """,
+    doc="Decimal RESCALE rounding audit — and a documented cross-"
+        "engine divergence the oracle must encode, not mirror: "
+        "Spark's decimal(p,2) -> decimal(p,1)/(p,0) CAST rounds "
+        "HALF_UP away from zero (probed: 2.25 -> 2.3, -2.25 -> -2.3, "
+        "2.35 -> 2.4), but DuckDB's OWN decimal-to-decimal cast "
+        "TRUNCATES ties and everything else toward zero (probed: "
+        "2.25 -> 2.2, 2.35 -> 2.3) — so the oracle computes the "
+        "ground truth with DuckDB's round(q, n), which IS half-away "
+        "on decimals, while the Spark side runs the actual CAST. "
+        "Operand construction keeps every tie REAL: integer k in "
+        "[-9, 9] plus exact decimal fractions {.05, .25, .55, .75} "
+        "applied away from zero, all exactly representable at scale "
+        "2 — no double-representation artifacts anywhere (group key "
+        "cast to DOUBLE only for output, after grouping on the exact "
+        "decimal). The corruption class pinned: a pipeline porting "
+        "price-band CASTs between the engines silently shifts every "
+        "*.x5 boundary row one band down on DuckDB. Map-side pass to "
+        "a 76-group aggregate, rounded columns are functions of the "
+        "group key.",
+    tags=("sql-surface", "capability"),
+)
+def decimal_rescale_halfup_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "CAST((l_orderkey % 19) - 9 AS DECIMAL(10,0)) AS k",
+        "CASE l_linenumber % 4 "
+        "WHEN 0 THEN CAST(0.05 AS DECIMAL(10,2)) "
+        "WHEN 1 THEN CAST(0.25 AS DECIMAL(10,2)) "
+        "WHEN 2 THEN CAST(0.55 AS DECIMAL(10,2)) "
+        "ELSE CAST(0.75 AS DECIMAL(10,2)) END AS f",
+    ).selectExpr("k + (CASE WHEN k < 0 THEN -f ELSE f END) AS q")
+    return (
+        s.groupBy("q")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .selectExpr(
+            "CAST(q AS DOUBLE) AS q", "n",
+            "CAST(CAST(q AS DECIMAL(12,1)) AS DOUBLE) AS r1",
+            "CAST(CAST(q AS DECIMAL(12,0)) AS DOUBLE) AS r0",
+        )
+        .orderBy("q")
+    )
