@@ -320,9 +320,13 @@ def test_q17_threshold_join_broadcasts(spark, sf_dir, registry):
 
 
 def test_gap_fill_spine_broadcasts(spark, sf_dir, registry):
-    """The day x type spine is bounded (retention window x enum); it
-    must be the broadcast side of the left join against the aggregated
-    daily counts — the counts never shuffle to meet a spine."""
+    """Both join sides are days x types bounded, but the broadcast
+    hint must sit on the AGGREGATED counts side: the spine is the
+    PRESERVED side of the left join, and a preserved side can never be
+    the hash-join build side — a hint there is silently ignored
+    (HintErrorLogger) and the join degrades to sort-merge (r14 verdict
+    #6, fixed round 15). The gate pins that the broadcast actually
+    lands."""
     df = registry["gap_fill_daily_counts"].fn(spark, sf_dir)
     plan = _final_plan(df)
     assert "BroadcastHashJoin" in plan
@@ -1948,3 +1952,32 @@ def test_between_semantics_audit_single_pass(spark, sf_dir, registry):
     assert plans.scan_columns(df) == \
         {"l_returnflag", "l_quantity", "l_linenumber"}, \
         plans.scan_columns(df)
+
+
+# --- round-15 decimal-semantics batch ---------------------------------------
+
+
+def test_decimal_exact_sum_partial_aggregation(spark, sf_dir, registry):
+    """Exact decimal sums must still run as partial/final hash
+    aggregation (Spark sums decimals natively JVM-side — no UDF, no
+    single-point collect): one agg exchange + the output sort, no
+    joins, and the decimal arithmetic stays whole-stage-codegen
+    eligible."""
+    df = registry["decimal_exact_sum_audit"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "HashAggregate" in plan, plan[:2000]
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    assert plan.count("Exchange ") <= 2, plan[:3000]
+
+
+def test_decimal_rescale_audit_map_side_shape(spark, sf_dir, registry):
+    """The tie-value construction is a pure projection; the only
+    shuffles are the 76-group aggregate and the output sort, and the
+    rescale CASTs are computed from the group key post-aggregate (no
+    second pass over the fact table)."""
+    df = registry["decimal_rescale_halfup_audit"].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    kinds = plans.join_kinds(df)
+    assert sum(kinds.values()) == 0, kinds
+    assert plan.count("Exchange ") <= 2, plan[:3000]
