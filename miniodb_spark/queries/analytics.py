@@ -683,8 +683,12 @@ def interpolate_hourly_values(spark, sf_dir):
         F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
     types = ev.select("event_type").distinct()
     spine = (
-        F.broadcast(hours.crossJoin(types))  # bounded spine, not data
-        .join(hourly, ["hour", "event_type"], "left")
+        hours.crossJoin(types)  # bounded spine, not data
+        # broadcast the AGGREGATED side: the spine is the preserved
+        # side of the left join and can never be the hash-join build
+        # side — a hint there is silently ignored (r14 verdict #6);
+        # hourly is hours x types bounded, same as the spine
+        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
     )
     w_prev = (W.partitionBy("event_type").orderBy("hour")
               .rowsBetween(W.unboundedPreceding, W.currentRow))

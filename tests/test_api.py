@@ -87,3 +87,41 @@ def test_time_travel_rpcs(spark, tmp_path):
 
     with pytest.raises(SnapshotUnavailableError):
         svc.query_data_at("SELECT v FROM tt", at_version=v1)
+
+
+def test_create_table_with_zonemap_columns_via_api(spark, tmp_path):
+    """External surface for the round-15 configurable index: a REST/
+    gRPC-shaped create_table config dict carries zonemap_columns into
+    TableConfig, it round-trips through the catalog json (visible to a
+    second engine on the same root), and the numeric SQL path actually
+    prunes on the configured column."""
+    import json as _json
+
+    from miniodb_spark.api import MiniODBService
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "api_store")
+    eng = Engine(spark, root)
+    svc = MiniODBService(eng)
+    out = svc.create_table("cfg", config={
+        "buffer_size": 10_000, "zonemap_columns": ["v"]})
+    assert out["success"] is True
+    got = svc.get_table("cfg")
+    assert got["config"]["zonemap_columns"] == ["v"]
+    T0 = 1_700_000_000_000_000
+    for base in (0, 1000):
+        for i in range(5):
+            eng.write("cfg", {"v": base + i}, record_id=f"r{base + i}",
+                      timestamp_us=T0)
+        eng.flush("cfg")
+    before = dict(eng.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    rows = _json.loads(eng.query(
+        "SELECT id FROM cfg WHERE v >= 1000 ORDER BY id"))
+    assert len(rows) == 5
+    zs = eng.query_stats["zonemap"]
+    assert zs["files_skipped"] > before.get("files_skipped", 0), zs
+    # second engine on the same root sees the config (shared-store json)
+    eng2 = Engine(spark, root)
+    cfg2 = eng2.catalog.get_table("cfg")
+    assert list(getattr(cfg2, "zonemap_columns", [])) == ["v"]
