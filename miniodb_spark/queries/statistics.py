@@ -7429,3 +7429,185 @@ def decimal_rescale_halfup_audit(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+@register(
+    "string_integer_cast_grammar_audit",
+    """
+    WITH s AS (
+      SELECT o_orderkey % 7 AS variant,
+             CASE o_orderkey % 7
+               WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+               WHEN 1 THEN '  ' || CAST(o_orderkey AS VARCHAR) || ' '
+               WHEN 2 THEN '+' || CAST(o_orderkey AS VARCHAR)
+               WHEN 3 THEN printf('%.1f', o_totalprice)
+               WHEN 4 THEN CAST(o_orderkey AS VARCHAR) || 'e2'
+               WHEN 5 THEN printf('0x%x', o_orderkey)
+               ELSE CAST(o_orderkey AS VARCHAR) || '00000000000000000000'
+             END AS raw
+      FROM orders),
+    p AS (
+      SELECT variant, raw,
+             CASE WHEN regexp_matches(raw, '^\\s*[+-]?[0-9]+\\s*$')
+                  THEN TRY_CAST(raw AS BIGINT) END AS v
+      FROM s)
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(v) AS BIGINT) AS n_parsed,
+           CAST(sum(v) AS BIGINT) AS sum_parsed
+    FROM p GROUP BY variant ORDER BY variant
+    """,
+    doc="TRY_CAST string->BIGINT grammar audit — a probed, documented "
+        "divergence the oracle must ENCODE, not mirror: Spark's "
+        "integral cast accepts ONLY (whitespace-trimmed, optionally "
+        "signed) digit runs, while DuckDB's integer cast also parses "
+        "fractional strings WITH ROUNDING ('2.5' -> 3, '25.0' -> 25), "
+        "hex ('0x1A' -> 26) and exponent forms ('1e2' -> 100) — so a "
+        "raw TRY_CAST oracle would disagree on three of the seven "
+        "variants, and the oracle instead gates DuckDB's cast behind "
+        "Spark's grammar (regexp '^\\s*[+-]?digits\\s*$'). Variants: "
+        "plain digits, padded, explicit plus (all parse on both), "
+        "fractional / exponent / hex (Spark NULL; the corruption class "
+        "pinned — an id column of '123.0'-style strings silently "
+        "becomes data on one engine and NULLs on the other), and a "
+        "27-digit run that passes the grammar but overflows int64 "
+        "(TRY_CAST -> NULL on BOTH engines, the overflow edge through "
+        "the same gate). One map-side pass, 7-group aggregate.",
+    tags=("sql-surface", "capability"),
+)
+def string_integer_cast_grammar_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    raw = (
+        F.when(k % 7 == 0, ks)
+        .when(k % 7 == 1, F.concat(F.lit("  "), ks, F.lit(" ")))
+        .when(k % 7 == 2, F.concat(F.lit("+"), ks))
+        .when(k % 7 == 3, F.format_string("%.1f", F.col("o_totalprice")))
+        .when(k % 7 == 4, F.concat(ks, F.lit("e2")))
+        .when(k % 7 == 5, F.format_string("0x%x", k))
+        .otherwise(F.concat(ks, F.lit("00000000000000000000")))
+    )
+    s = o.select((k % 7).alias("variant"), raw.alias("raw"))
+    v = F.expr("TRY_CAST(raw AS BIGINT)")
+    return (
+        s.groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(v).cast("bigint").alias("n_parsed"),
+            F.sum(v).cast("bigint").alias("sum_parsed"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "string_null_position_edges_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             nullif(l_linestatus, 'F') AS lsn
+      FROM lineitem)
+    SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(rf || '|' || lsn) AS BIGINT) AS n_concat_notnull,
+           min(rf || '|' || ls) AS min_concat3,
+           min(substr(rf || ls, 1, 2)) AS sub0,
+           min(substr(rf || ls, -1, 1)) AS subneg,
+           min(substr(rf || ls, -7, 3)) AS subfar
+    FROM s GROUP BY rf ORDER BY rf
+    """,
+    doc="concat-NULL and substr-position edge audit — two probed "
+        "divergences the oracle must ENCODE: (1) Spark's concat() "
+        "NULL-PROPAGATES (concat('a', NULL, 'b') IS NULL) while "
+        "DuckDB's concat() SKIPS NULLs ('ab') — the oracle therefore "
+        "uses `||`, which null-propagates on BOTH engines, to express "
+        "Spark's concat; n_concat_notnull counts rows whose nullif-ed "
+        "middle operand survived. The corruption class: a key built "
+        "with concat(col_a, sep, col_b) silently keeps rows with NULL "
+        "parts on DuckDB and drops them on Spark. (2) substr at "
+        "position 0: Spark treats 0 as 1 with the SAME length "
+        "(substr('ABCDE',0,2)='AB') while DuckDB spends one length "
+        "unit reaching position 1 ('A') — the Spark side runs the raw "
+        "position-0 call and the oracle encodes position 1. Negative "
+        "and past-the-start positions agree (subneg/subfar pin the "
+        "agreement so a regression in EITHER engine's clamping "
+        "surfaces). One map-side pass, 3 returnflag groups; every "
+        "output is a function of tiny per-group min/count state.",
+    tags=("sql-surface", "capability"),
+)
+def string_null_position_edges_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.expr("nullif(l_linestatus, 'F')").alias("lsn"),
+    )
+    both = F.concat(F.col("rf"), F.col("ls"))
+    return (
+        s.groupBy("rf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.concat(F.col("rf"), F.lit("|"), F.col("lsn")))
+            .cast("bigint").alias("n_concat_notnull"),
+            F.min(F.concat(F.col("rf"), F.lit("|"), F.col("ls")))
+            .alias("min_concat3"),
+            F.min(F.expr("substr(concat(rf, ls), 0, 2)")).alias("sub0"),
+            F.min(F.substring(both, -1, 1)).alias("subneg"),
+            F.min(F.substring(both, -7, 3)).alias("subfar"),
+        )
+        .orderBy("rf")
+    )
+
+
+@register(
+    "math_domain_edges_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf,
+             CAST(l_quantity AS DOUBLE) - 25.0 AS x
+      FROM lineitem)
+    SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN x > 0 THEN ln(x) END) AS BIGINT)
+             AS n_ln_defined,
+           round(sum(CASE WHEN x > 0 THEN ln(x) END), 3) AS sum_ln,
+           CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sqrt_nan,
+           CAST(max(CASE WHEN x < 0 THEN 1 ELSE 0 END) = 1 AS BOOLEAN)
+             AS sum_sqrt_is_nan
+    FROM s GROUP BY rf ORDER BY rf
+    """,
+    doc="Math domain-edge audit — Spark's TRI-STATE out-of-domain "
+        "behavior, probed: the log family returns NULL (ln(0), "
+        "ln(-1), log10(-2) are NULL even under ANSI), the algebraic "
+        "family returns NaN (sqrt(-1), asin(2) are NaN), and DuckDB "
+        "ERRORS on both (OutOfRangeException) — so the oracle encodes "
+        "Spark's semantics behind CASE domain gates while the Spark "
+        "side runs the RAW functions: count(ln(x)) counts only x>0 "
+        "rows (NULLs drop from count/sum), sum(sqrt(x)) over any "
+        "negative operand is NaN (NaN is COUNTED non-null and "
+        "poisons sums — the opposite hazard of the log family, "
+        "pinned by sum_sqrt_is_nan via isnan()). The corruption "
+        "class: a feature pipeline computing log/sqrt transforms "
+        "ships silently shrunken aggregates on Spark and crashes on "
+        "DuckDB; the gates here are the portable form. sum_ln is "
+        "order-insensitive at 3 decimals (~5e4 magnitude vs ~1e-12 "
+        "summation drift). One map-side pass, 3 groups.",
+    tags=("sql-surface", "capability"),
+)
+def math_domain_edges_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("rf"),
+        (F.col("l_quantity").cast("double") - 25.0).alias("x"),
+    )
+    return (
+        s.groupBy("rf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.ln(F.col("x"))).cast("bigint").alias("n_ln_defined"),
+            F.round(F.sum(F.ln(F.col("x"))), 3).alias("sum_ln"),
+            F.sum(F.when(F.isnan(F.sqrt(F.col("x"))), 1).otherwise(0))
+            .cast("bigint").alias("n_sqrt_nan"),
+            F.isnan(F.sum(F.sqrt(F.col("x")))).alias("sum_sqrt_is_nan"),
+        )
+        .orderBy("rf")
+    )
