@@ -1472,3 +1472,41 @@ def test_multi_table_join_pruning_sql_path(engine):
         "WHERE a.id = 'f000' ORDER BY a.id"))
     assert len(out5) == 3  # f000 pairs with f000/f003/f006 (k=0)
     assert engine.query_stats["zonemap"]["queries"] == q_before
+
+
+def test_multi_table_join_prunes_timestamp_window(engine):
+    """Join-side TIME pruning: a qualified typed-timestamp conjunct on
+    the fact side of a join drops the out-of-window intra-day files
+    (files_skipped pinned) and answers exactly like the full scan."""
+    import datetime as dt
+    import json as _json
+
+    day0 = int(dt.datetime(
+        2024, 1, 2, tzinfo=dt.timezone.utc).timestamp()) * US
+    for hours in ((6, 7, 8), (18, 19, 20)):
+        for h in hours:
+            engine.write("zjt", {"k": h % 3, "v": h},
+                         record_id=f"t{h:02d}",
+                         timestamp_us=day0 + h * 3600 * US)
+        engine.flush("zjt")
+    for k in range(3):
+        engine.write("zjl", {"label": f"L{k}", "k": k},
+                     record_id=f"d{k}", timestamp_us=day0)
+    engine.flush("zjl")
+
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT f.id, d.label FROM zjt f JOIN zjl d ON f.k = d.k "
+        "WHERE f.timestamp >= TIMESTAMP '2024-01-02 12:00:00' "
+        "ORDER BY f.id"))
+    assert [r["id"] for r in out] == ["t18", "t19", "t20"], out
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1, zs
+    assert zs["files_skipped"] > before.get("files_skipped", 0), zs
+    # composed: qualified id range AND window on the same side
+    out2 = _json.loads(engine.query(
+        "SELECT f.id FROM zjt f JOIN zjl d ON f.k = d.k "
+        "WHERE f.id >= 't19' AND f.timestamp >= '2024-01-02 12:00:00' "
+        "ORDER BY f.id"))
+    assert [r["id"] for r in out2] == ["t19", "t20"], out2
