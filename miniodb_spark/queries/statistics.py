@@ -7611,3 +7611,76 @@ def math_domain_edges_audit(spark, sf_dir):
         )
         .orderBy("rf")
     )
+
+
+@register(
+    "array_sort_null_placement_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf,
+             [CAST(l_quantity AS BIGINT) % 10,
+              CAST(l_partkey AS BIGINT) % 10,
+              CASE WHEN l_linenumber % 2 = 0
+                   THEN CAST(l_orderkey AS BIGINT) % 10 END] AS arr
+      FROM lineitem),
+    v AS (
+      SELECT rf,
+             list_sort(arr, 'ASC', 'NULLS FIRST') AS sa,
+             list_sort(arr, 'DESC', 'NULLS LAST') AS sd
+      FROM s)
+    SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN sa[1] IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_asc_head_null,
+           CAST(sum(CASE WHEN sd[3] IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_desc_tail_null,
+           CAST(sum(sa[3]) AS BIGINT) AS sum_asc_last,
+           CAST(sum(sd[1]) AS BIGINT) AS sum_desc_head
+    FROM v GROUP BY rf ORDER BY rf
+    """,
+    doc="Array-sort NULL-placement audit — a probed divergence the "
+        "oracle must ENCODE: Spark's sort_array puts NULLs FIRST "
+        "ascending and LAST descending (SQL NULLS-smallest "
+        "convention), while DuckDB's list_sort DEFAULTS to NULLS LAST "
+        "ascending — so the oracle spells the placement explicitly "
+        "(list_sort(arr, 'ASC', 'NULLS FIRST') / ('DESC', 'NULLS "
+        "LAST')) while the Spark side runs bare sort_array(arr) / "
+        "sort_array(arr, false). Per row a 3-element array carries "
+        "one conditional NULL; the audit pins head/tail NULL counts "
+        "under both directions (exactly the even-linenumber rows) and "
+        "the element sums at the non-NULL ends (1-based indexing on "
+        "both engines, try_element_at on Spark <-> [] on DuckDB, "
+        "index 0 avoided — Spark raises INVALID_INDEX_OF_ZERO even "
+        "under try_element_at). The corruption class: any "
+        "'smallest/largest element' feature computed as "
+        "sorted_arr[1]/[n] silently flips between a value and NULL "
+        "when ported. One map-side pass, 3 returnflag groups.",
+    tags=("sql-surface", "capability"),
+)
+def array_sort_null_placement_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "l_returnflag AS rf",
+        "array(CAST(l_quantity AS BIGINT) % 10, "
+        "CAST(l_partkey AS BIGINT) % 10, "
+        "CASE WHEN l_linenumber % 2 = 0 "
+        "THEN CAST(l_orderkey AS BIGINT) % 10 END) AS arr",
+    ).selectExpr(
+        "rf",
+        "sort_array(arr) AS sa",
+        "sort_array(arr, false) AS sd",
+    )
+    return (
+        s.groupBy("rf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.expr("try_element_at(sa, 1)").isNull(), 1)
+                  .otherwise(0)).cast("bigint").alias("n_asc_head_null"),
+            F.sum(F.when(F.expr("try_element_at(sd, 3)").isNull(), 1)
+                  .otherwise(0)).cast("bigint").alias("n_desc_tail_null"),
+            F.sum(F.expr("try_element_at(sa, 3)")).cast("bigint")
+            .alias("sum_asc_last"),
+            F.sum(F.expr("try_element_at(sd, 1)")).cast("bigint")
+            .alias("sum_desc_head"),
+        )
+        .orderBy("rf")
+    )
