@@ -125,3 +125,79 @@ def test_cms_lower_bound_property(n, seed):
     cms.add_hashes(h, counts)
     idx = int(rng.randint(0, n))
     assert cms.query_hash(int(h[idx])) >= int(counts[idx])
+
+
+# --- round-15: numeric range extraction soundness ---------------------------
+
+_num_lit = st.one_of(
+    st.integers(min_value=-(2**53) + 1, max_value=2**53 - 1),
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False)
+    .map(lambda f: round(f, 3)),
+)
+
+
+def _fmt(v):
+    """Render a literal the way the gate's grammar admits: plain
+    digits / plain decimal, optional sign — never exponents."""
+    if isinstance(v, int):
+        return str(v)
+    s = f"{v:.3f}".rstrip("0")
+    return s + "0" if s.endswith(".") else s
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from([">", ">=", "<", "<="]), _num_lit,
+              st.booleans()),
+    min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_numeric_range_extraction_is_exact_intersection(conjs):
+    """Soundness property for extract_conjunctive_numeric_range: for a
+    random pure-AND chain of numeric comparisons on one column (random
+    operand side per conjunct), the extracted (lo, hi) interval admits
+    a value x IFF every original conjunct admits x — checked on a
+    probe set around each literal. Any discrepancy would be either an
+    unsound prune (interval rejects a satisfying x) or a phantom
+    bound."""
+    from miniodb_spark.gate import extract_conjunctive_numeric_range
+
+    parts = []
+    for op, lit, flipped in conjs:
+        txt = _fmt(lit)
+        if flipped:
+            flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}
+            parts.append(f"{txt} {flip[op]} v")
+        else:
+            parts.append(f"v {op} {txt}")
+    sql = "SELECT v FROM t WHERE " + " AND ".join(parts)
+    got = extract_conjunctive_numeric_range(sql, "v")
+    assert got is not None, sql
+    lo, lo_i, hi, hi_i = got
+
+    def interval_admits(x):
+        if lo is not None and (x < lo or (x == lo and not lo_i)):
+            return False
+        if hi is not None and (x > hi or (x == hi and not hi_i)):
+            return False
+        return True
+
+    def conjuncts_admit(x):
+        for op, lit, _f in conjs:
+            if op == ">" and not x > lit:
+                return False
+            if op == ">=" and not x >= lit:
+                return False
+            if op == "<" and not x < lit:
+                return False
+            if op == "<=" and not x <= lit:
+                return False
+        return True
+
+    probes = set()
+    for _op, lit, _f in conjs:
+        # exact literal value as parsed (float literals re-parse)
+        v = lit if isinstance(lit, int) else float(_fmt(lit))
+        probes.update((v, v - 1, v + 1, v - 0.0005, v + 0.0005))
+    for x in probes:
+        assert interval_admits(x) == conjuncts_admit(x), (
+            sql, got, x)
