@@ -7684,3 +7684,56 @@ def array_sort_null_placement_audit(spark, sf_dir):
         )
         .orderBy("rf")
     )
+
+
+@register(
+    "regex_engine_capability_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             l_returnflag || l_linestatus || l_returnflag AS tri
+      FROM lineitem)
+    SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN substr(tri, 1, 1) = substr(tri, 2, 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_doubled,
+           min(substr(tri, 2, 1)) AS mid_char,
+           CAST(sum(CASE WHEN substr(tri, 1, 2) = 'AF'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lookahead
+    FROM s GROUP BY rf, ls ORDER BY rf, ls
+    """,
+    doc="Regex ENGINE capability audit — Spark's regexp_* is Java "
+        "java.util.regex (backreferences, lookahead, lookbehind all "
+        "work) while DuckDB's is RE2, which has NONE of them (probed: "
+        "a backreference errors 'invalid escape sequence', a lookahead "
+        "silently NO-MATCHES — the nastier failure mode, wrong counts "
+        "with no error). The oracle therefore computes the ground "
+        "truth with PLAIN STRING OPS over a constructed 3-char string "
+        "(rf||ls||rf) where each feature's answer is decidable "
+        "exactly: `^(.)\\\\1` (backref: first two chars equal), "
+        "`(?<=.)(.)`  (lookbehind capture: the middle char), "
+        "`^A(?=F)` (lookahead: prefix 'AF'). The Spark side runs the "
+        "REAL patterns. The corruption class: porting a dedup or PII "
+        "rule that uses lookarounds to an RE2 engine silently turns "
+        "every match into a non-match — counts shrink, nothing "
+        "errors. One map-side pass, <=6 (rf, ls) groups.",
+    tags=("sql-surface", "capability"),
+)
+def regex_engine_capability_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "l_returnflag AS rf", "l_linestatus AS ls",
+        "concat(l_returnflag, l_linestatus, l_returnflag) AS tri",
+    )
+    return (
+        s.groupBy("rf", "ls")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.expr(r"rlike(tri, '^(.)\\1')"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_doubled"),
+            F.min(F.expr(r"regexp_extract(tri, '(?<=.)(.)', 1)"))
+            .alias("mid_char"),
+            F.sum(F.when(F.expr(r"rlike(tri, '^A(?=F)')"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_lookahead"),
+        )
+        .orderBy("rf", "ls")
+    )
