@@ -7737,3 +7737,62 @@ def regex_engine_capability_audit(spark, sf_dir):
         )
         .orderBy("rf", "ls")
     )
+
+
+@register(
+    "unicode_case_mapping_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             'Straße-' || l_returnflag AS gs,
+             'İzmir-' || l_linestatus AS ts
+      FROM lineitem)
+    SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+           min(upper(replace(gs, 'ß', 'ss'))) AS upper_sharp_s,
+           CAST(min(length(upper(replace(gs, 'ß', 'ss')))) AS BIGINT)
+             AS len_upper,
+           min(lower(replace(ts, 'İ', 'i' || chr(775)))) AS lower_dotted_i,
+           CAST(min(length('🎉-' || rf)) AS BIGINT) AS len_cp,
+           min(reverse(reverse(gs))) AS rev_roundtrip
+    FROM s GROUP BY rf, ls ORDER BY rf, ls
+    """,
+    doc="Unicode case-mapping audit — Spark's upper/lower is Java's "
+        "FULL case mapping while DuckDB's is not, probed on the two "
+        "canonical traps: upper('Straße') = 'STRASSE' (sharp-s "
+        "EXPANDS to SS, length grows 6->7) on Spark vs 'STRAẞE' "
+        "(U+1E9E capital sharp s, length 6) on DuckDB; "
+        "lower('İstanbul') = 'i\\u0307stanbul' (dotted capital I "
+        "lowers to i + COMBINING DOT ABOVE) on Spark vs plain "
+        "'istanbul' on DuckDB. The oracle ENCODES Java's mapping with "
+        "explicit replaces (ß->ss before upper; İ->i+chr(775) before "
+        "lower) while the Spark side runs the RAW functions — so the "
+        "audit fails if either engine moves its mapping. Parity "
+        "columns pin what DOES agree: codepoint length semantics "
+        "(non-BMP emoji counts 1) and reverse round-trip on combining "
+        "sequences. The corruption class: dedup keys built with "
+        "upper()/lower() normalize DIFFERENTLY across engines for "
+        "German/Turkish text — same input, different key, silent "
+        "split of a duplicate group. One map-side pass, <=6 groups.",
+    tags=("sql-surface", "capability", "text"),
+)
+def unicode_case_mapping_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "l_returnflag AS rf", "l_linestatus AS ls",
+        "concat('Straße-', l_returnflag) AS gs",
+        "concat('İzmir-', l_linestatus) AS ts",
+    )
+    return (
+        s.groupBy("rf", "ls")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(F.upper(F.col("gs"))).alias("upper_sharp_s"),
+            F.min(F.length(F.upper(F.col("gs")))).cast("bigint")
+            .alias("len_upper"),
+            F.min(F.lower(F.col("ts"))).alias("lower_dotted_i"),
+            F.min(F.length(F.concat(F.lit("🎉-"), F.col("rf"))))
+            .cast("bigint").alias("len_cp"),
+            F.min(F.reverse(F.reverse(F.col("gs")))).alias("rev_roundtrip"),
+        )
+        .orderBy("rf", "ls")
+    )
