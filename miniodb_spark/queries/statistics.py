@@ -7796,3 +7796,77 @@ def unicode_case_mapping_audit(spark, sf_dir):
         )
         .orderBy("rf", "ls")
     )
+
+
+@register(
+    "json_path_extraction_edges_audit",
+    """
+    WITH s AS (
+      SELECT o_orderkey % 6 AS variant,
+             CASE o_orderkey % 6
+               WHEN 0 THEN '{"k": ' || CAST(o_orderkey AS VARCHAR) || '}'
+               WHEN 1 THEN '{"k": ' || CAST(o_orderkey AS VARCHAR)
+                           || ', "k": ' || CAST(o_orderkey + 1 AS VARCHAR)
+                           || '}'
+               WHEN 2 THEN 'oops ' || CAST(o_orderkey AS VARCHAR)
+               WHEN 3 THEN '{"k": ' || CAST(o_orderkey AS VARCHAR)
+                           || '.50}'
+               WHEN 4 THEN '{"k": true}'
+               ELSE '{"x": ' || CAST(o_orderkey AS VARCHAR) || '}'
+             END AS raw
+      FROM orders),
+    p AS (
+      SELECT variant,
+             CASE WHEN json_valid(raw)
+                  THEN json_extract_string(raw, '$.k') END AS v
+      FROM s)
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(v) AS BIGINT) AS n_extracted,
+           min(v) AS min_v, max(v) AS max_v
+    FROM p GROUP BY variant ORDER BY variant
+    """,
+    doc="JSON path-extraction edge audit over six deterministic "
+        "payload shapes: plain scalar, DUPLICATE key (both engines "
+        "take the FIRST — probed, not assumed), malformed document, "
+        "trailing-zero number ('12345.50' normalizes to '12345.5' on "
+        "both), boolean rendering ('true'), and a missing key. The "
+        "ONE divergence the oracle must encode: Spark's "
+        "get_json_object returns NULL for malformed JSON while "
+        "DuckDB's json_extract_string ERRORS — the oracle gates "
+        "behind json_valid(). Everything else is a parity PIN (a "
+        "regression in either engine's duplicate-key choice or number "
+        "normalization surfaces as a hash mismatch). The corruption "
+        "class: an events pipeline extracting properties from "
+        "occasionally-corrupt payloads crashes outright on one engine "
+        "and silently yields NULLs on the other; json_valid gating is "
+        "the portable form. One map-side pass, 6 variant groups; "
+        "min/max of the extracted string are the only reduced state.",
+    tags=("sql-surface", "capability"),
+)
+def json_path_extraction_edges_audit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    raw = (
+        F.when(k % 6 == 0, F.concat(F.lit('{"k": '), ks, F.lit("}")))
+        .when(k % 6 == 1, F.concat(
+            F.lit('{"k": '), ks, F.lit(', "k": '),
+            (k + 1).cast("string"), F.lit("}")))
+        .when(k % 6 == 2, F.concat(F.lit("oops "), ks))
+        .when(k % 6 == 3, F.concat(F.lit('{"k": '), ks, F.lit(".50}")))
+        .when(k % 6 == 4, F.lit('{"k": true}'))
+        .otherwise(F.concat(F.lit('{"x": '), ks, F.lit("}")))
+    )
+    v = F.get_json_object(F.col("raw"), "$.k")
+    return (
+        o.select((k % 6).alias("variant"), raw.alias("raw"))
+        .select("variant", v.alias("v"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("v").cast("bigint").alias("n_extracted"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("variant")
+    )
