@@ -32,6 +32,36 @@ _JOIN_RE = re.compile(
     re.IGNORECASE,
 )
 _CTE_NAME_RE = re.compile(r"(?:\bwith\s+|,\s*)([a-zA-Z_][\w$]*)\s+as\s*\(", re.IGNORECASE)
+# comma-list continuation of a FROM clause: after `FROM t [AS] [alias]`,
+# each `, u [AS] [alias]` names another base table (the classic TPC-H
+# implicit-join phrasing; reference table_extractor.go handles the same
+# comma lists). Scanned iteratively from each FROM match: an alias is
+# consumed only when it is not a keyword, and the scan stops at the
+# first token that is neither an alias nor a comma — so WHERE/GROUP/
+# ORDER terminate it and IN-list commas (inside parens, behind a
+# keyword) can never be reached.
+_FROM_ALIAS_RE = re.compile(r"\s+(?:as\s+)?([a-zA-Z_][\w$]*)", re.IGNORECASE)
+_FROM_COMMA_RE = re.compile(
+    r"\s*,\s*((?:\"[^\"]+\"|[a-zA-Z_][\w$]*)"
+    r"(?:\.(?:\"[^\"]+\"|[a-zA-Z_][\w$]*))?)",
+    re.IGNORECASE,
+)
+
+
+def _from_comma_tables(sql: str) -> list[str]:
+    out: list[str] = []
+    for m in _FROM_RE.finditer(sql):
+        pos = m.end()
+        while True:
+            am = _FROM_ALIAS_RE.match(sql, pos)
+            if am and am.group(1).lower() not in _SQL_KEYWORDS:
+                pos = am.end()
+            cm = _FROM_COMMA_RE.match(sql, pos)
+            if not cm:
+                break
+            out.append(cm.group(1))
+            pos = cm.end()
+    return out
 _COMMENT_LINE_RE = re.compile(r"--[^\n]*")
 _COMMENT_BLOCK_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
 
@@ -46,19 +76,30 @@ def _normalize_ident(raw: str) -> str:
 
 
 def extract_tables(sql: str) -> list[str]:
-    """All base-table names referenced by FROM/JOIN clauses (subqueries
-    included, since the regexes match their inner FROMs too). CTE names
-    are excluded. Order = first appearance; deduplicated."""
+    """All base-table names referenced by FROM/JOIN clauses — including
+    comma lists (``FROM a, b`` — round-15 fix: previously only the
+    first comma-list member was captured, so the classic TPC-H
+    implicit-join phrasing failed view registration outright) —
+    subqueries included, since the regexes match their inner FROMs
+    too. CTE names are excluded. Order = first appearance;
+    deduplicated."""
     sql = _strip_comments(sql)
     cte_names = {m.group(1).lower() for m in _CTE_NAME_RE.finditer(sql)}
     seen: list[str] = []
-    for regex in (_FROM_RE, _JOIN_RE):
-        for m in regex.finditer(sql):
-            name = _normalize_ident(m.group(1))
-            if name in cte_names or name in _SQL_KEYWORDS:
-                continue
-            if name not in seen:
-                seen.append(name)
+
+    def add(raw: str) -> None:
+        name = _normalize_ident(raw)
+        if name in cte_names or name in _SQL_KEYWORDS:
+            return
+        if name not in seen:
+            seen.append(name)
+
+    for m in _FROM_RE.finditer(sql):
+        add(m.group(1))
+    for raw in _from_comma_tables(sql):
+        add(raw)
+    for m in _JOIN_RE.finditer(sql):
+        add(m.group(1))
     return seen
 
 

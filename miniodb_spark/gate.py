@@ -188,7 +188,7 @@ def _qual_prefix(qualifier: tuple[str, ...] | None) -> str:
     return rf"(?:{alts})\."
 
 
-_BINDING_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_BINDING_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|,")
 _BINDING_STOP_WORDS = frozenset(
     """on where group order limit having join inner left right full cross
     natural union using lateral as semi anti offset""".split()
@@ -219,8 +219,12 @@ def extract_join_pruning_bindings(
       returns exactly the original result.
     - at most one ``WHERE``;
     - the FROM segment (FROM → WHERE/GROUP/ORDER/LIMIT/HAVING/end)
-      holds no parentheses and no commas: plain ``FROM t [a] [JOIN u
-      [b] ON ...]*`` shapes only;
+      holds no parentheses: plain ``FROM t [a] [JOIN u [b] ON ...]*``
+      shapes, plus the classic comma form ``FROM t [a], u [b], ...``
+      (a comma binds exactly like JOIN — it is an implicit cross join
+      whose filtering lives in the same single WHERE, so the
+      outer-filter argument below is unchanged; TPC-H's native
+      phrasing);
     - every table bound exactly once (self-joins decline: a conjunct
       constrains ONE alias, pruning the shared view would drop the
       other alias's rows), and no alias collides with another binding.
@@ -240,7 +244,7 @@ def extract_join_pruning_bindings(
     if not m:
         return None
     seg = m.group(1)
-    if "(" in seg or ")" in seg or "," in seg:
+    if "(" in seg or ")" in seg:
         return None
     out: dict[str, tuple[str, ...]] = {}
     used_quals: set[str] = set()
@@ -254,19 +258,20 @@ def extract_join_pruning_bindings(
     i = 0
     n = len(toks)
     while i < n:
-        if toks[i].upper() not in ("FROM", "JOIN"):
+        if toks[i].upper() not in ("FROM", "JOIN", ","):
             i += 1
             continue
         if i + 1 >= n:
-            return None  # dangling FROM/JOIN: malformed, decline
+            return None  # dangling FROM/JOIN/comma: malformed, decline
         table = toks[i + 1]
-        if table.lower() in _BINDING_STOP_WORDS:
+        if table == "," or table.lower() in _BINDING_STOP_WORDS:
             return None  # malformed FROM shape: decline everything
         j = i + 2
         alias = None
         if j < n and toks[j].upper() == "AS" and j + 1 < n:
             j += 1
-        if j < n and toks[j].lower() not in _BINDING_STOP_WORDS:
+        if j < n and toks[j] != "," and \
+                toks[j].lower() not in _BINDING_STOP_WORDS:
             alias, j = toks[j], j + 1
         if table in out:
             return None  # self-join

@@ -44,3 +44,23 @@ def test_complexity_and_cacheability():
     assert simple.level == "simple" and not simple.cacheable
     medium = analyze_complexity("SELECT a, sum(x) FROM t GROUP BY a ORDER BY a")
     assert medium.level in ("medium", "complex") and medium.cacheable
+
+
+def test_extract_tables_comma_lists():
+    """Round-15 fix: comma-separated FROM lists (TPC-H's implicit-join
+    phrasing) must register every member, with and without aliases,
+    while IN-list commas and CTE names stay excluded."""
+    assert extract_tables("SELECT * FROM a, b WHERE a.k = b.k") == \
+        ["a", "b"]
+    assert extract_tables(
+        "SELECT * FROM customer c, orders o, lineitem l "
+        "WHERE c.c_custkey = o.o_custkey") == \
+        ["customer", "orders", "lineitem"]
+    assert extract_tables("SELECT * FROM a x, b AS y, c") == \
+        ["a", "b", "c"]
+    assert extract_tables(
+        "SELECT * FROM a WHERE k IN (1, 2) AND v = 3") == ["a"]
+    assert extract_tables(
+        "WITH w AS (SELECT 1 AS k) SELECT * FROM a, w") == ["a"]
+    assert extract_tables(
+        "SELECT * FROM a, b JOIN c ON b.k = c.k") == ["a", "b", "c"]

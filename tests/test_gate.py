@@ -179,9 +179,14 @@ def test_extract_join_pruning_bindings():
               "GROUP BY a.k") == {"t": ("a", "t"), "u": ("b", "u")}
     assert ex("SELECT * FROM t a CROSS JOIN u b") == \
         {"t": ("a", "t"), "u": ("b", "u")}
+    # comma (implicit cross join — TPC-H's native phrasing) binds
+    assert ex("SELECT * FROM t, u WHERE t.k = u.k") == \
+        {"t": ("t",), "u": ("u",)}
+    assert ex("SELECT * FROM t a, u b, r c WHERE a.k = b.k") == \
+        {"t": ("a", "t"), "u": ("b", "u"), "r": ("c", "r")}
     # declines
     assert ex("SELECT * FROM t a JOIN t b ON a.k = b.k") is None
-    assert ex("SELECT * FROM t, u WHERE t.k = u.k") is None
+    assert ex("SELECT * FROM t a, t b WHERE a.k = b.k") is None
     assert ex("SELECT * FROM t a JOIN (SELECT * FROM u) b ON a.k = b.k") \
         is None
     assert ex("WITH c AS (SELECT 1 AS k) SELECT * FROM t JOIN c "

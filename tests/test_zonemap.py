@@ -1510,3 +1510,39 @@ def test_multi_table_join_prunes_timestamp_window(engine):
         "WHERE f.id >= 't19' AND f.timestamp >= '2024-01-02 12:00:00' "
         "ORDER BY f.id"))
     assert [r["id"] for r in out2] == ["t19", "t20"], out2
+
+
+def test_comma_join_pruning_sql_path(engine):
+    """TPC-H's native comma-join phrasing prunes exactly like the JOIN
+    form (a comma is an implicit cross join whose filtering lives in
+    the single WHERE): qualified fact-side conjunct skips files, and a
+    comma self-join still declines."""
+    import json as _json
+
+    for lo in (0, 3, 6):
+        for i in range(lo, lo + 3):
+            engine.write("zcf", {"k": i % 3, "v": i},
+                         record_id=f"c{i:03d}", timestamp_us=T0)
+        engine.flush("zcf")
+    for k in range(3):
+        engine.write("zcd", {"label": f"L{k}", "k": k},
+                     record_id=f"d{k}", timestamp_us=T0)
+    engine.flush("zcd")
+
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT f.id, d.label FROM zcf f, zcd d "
+        "WHERE f.k = d.k AND f.id >= 'c006' ORDER BY f.id"))
+    assert [r["id"] for r in out] == ["c006", "c007", "c008"], out
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1, zs
+    assert zs["files_skipped"] >= before.get("files_skipped", 0) + 2, zs
+
+    # comma self-join declines (no zonemap query), correct rows
+    q_before = engine.query_stats["zonemap"]["queries"]
+    out2 = _json.loads(engine.query(
+        "SELECT a.id FROM zcf a, zcf b "
+        "WHERE a.k = b.k AND a.id = 'c000' ORDER BY a.id"))
+    assert len(out2) == 3
+    assert engine.query_stats["zonemap"]["queries"] == q_before
