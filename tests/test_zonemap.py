@@ -1546,3 +1546,31 @@ def test_comma_join_pruning_sql_path(engine):
         "WHERE a.k = b.k AND a.id = 'c000' ORDER BY a.id"))
     assert len(out2) == 3
     assert engine.query_stats["zonemap"]["queries"] == q_before
+
+
+def test_join_pruning_both_sides_simultaneously(engine):
+    """Each table in a join is pruned INDEPENDENTLY: qualified
+    conjuncts on BOTH sides each drive their own zone-map pass
+    (queries +2) and the combined answer matches the full scan."""
+    import json as _json
+
+    for lo, table in ((0, "zbf"), (0, "zbd")):
+        for base in (0, 100):
+            for i in range(base, base + 3):
+                engine.write(table, {"k": i % 3, "v": i},
+                             record_id=f"{table[-1]}{i:03d}",
+                             timestamp_us=T0)
+            engine.flush(table)
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT f.id AS fid, d.id AS did FROM zbf f JOIN zbd d "
+        "ON f.k = d.k "
+        "WHERE f.id >= 'f100' AND d.id BETWEEN 'd100' AND 'd102' "
+        "ORDER BY fid, did"))
+    # f100..f102 (k 1,2,0) x d100..d102 (k 1,2,0): k matches pair them
+    assert [(r["fid"], r["did"]) for r in out] == [
+        ("f100", "d100"), ("f101", "d101"), ("f102", "d102")], out
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 2, zs
+    assert zs["files_skipped"] >= before.get("files_skipped", 0) + 2, zs
