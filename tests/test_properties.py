@@ -201,3 +201,42 @@ def test_numeric_range_extraction_is_exact_intersection(conjs):
     for x in probes:
         assert interval_admits(x) == conjuncts_admit(x), (
             sql, got, x)
+
+
+_SOUP = st.text(
+    alphabet=st.sampled_from(list("WHERE LIMIT AND OR ORDER BY GROUP "
+                                  "BETWEEN v id > < = ' 0123456789.x")),
+    max_size=60)
+
+
+@given(_SOUP, _SOUP)
+@settings(max_examples=300, deadline=None)
+def test_literal_soup_never_fabricates_a_bound(a, b):
+    """r15 verdict #1 property: for a query with NO WHERE clause,
+    SELECT-list string literals containing arbitrary keyword soup
+    (WHERE / LIMIT / comparison fragments / stray quotes, '' escaped)
+    must never make any extractor fabricate a constraint."""
+    from miniodb_spark.gate import (
+        extract_conjunctive_eq, extract_conjunctive_keys,
+        extract_conjunctive_numeric_range, extract_conjunctive_range,
+    )
+
+    la, lb = a.replace("'", "''"), b.replace("'", "''")
+    sql = f"SELECT '{la}', '{lb}' FROM t"
+    assert extract_conjunctive_eq(sql, "id") is None, sql
+    assert extract_conjunctive_keys(sql, "id") is None, sql
+    assert extract_conjunctive_range(sql, "id") is None, sql
+    assert extract_conjunctive_numeric_range(sql, "v") is None, sql
+
+
+@given(_SOUP)
+@settings(max_examples=300, deadline=None)
+def test_literal_soup_never_shifts_a_real_bound(a):
+    """Companion property: with a REAL clause present, a keyword-soup
+    literal in the SELECT list must never change the extraction."""
+    from miniodb_spark.gate import extract_conjunctive_numeric_range
+
+    lit = a.replace("'", "''")
+    sql = f"SELECT '{lit}' FROM t WHERE v >= 7 AND v < 9"
+    assert extract_conjunctive_numeric_range(sql, "v") == \
+        (7, True, 9, False), sql

@@ -1313,6 +1313,44 @@ def test_numeric_zonemap_pruning_sql_path(engine):
     assert len(out4) == 11 and out4[-1]["id"] == "r2000"
 
 
+def test_numeric_equality_pruning_sql_path(engine):
+    """`WHERE v = <lit>` prunes as the degenerate range [v, v] (r15
+    verdict #4; reference file_pruning.go:107-157 prunes equality
+    against stored min/max): only the one bracket-admitting file
+    opens, the reversed literal-first form prunes identically, and a
+    contradictory conjunction yields an empty result with every file
+    skipped (no row can satisfy it, so skipping all is sound)."""
+    import json as _json
+
+    _seed_numeric(engine, "zeq")
+    before = dict(engine.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    out = _json.loads(engine.query(
+        "SELECT id, v FROM zeq WHERE v = 105"))
+    assert [(r["id"], r["v"]) for r in out] == [("r0105", 105)]
+    zs = engine.query_stats["zonemap"]
+    assert zs["queries"] == before.get("queries", 0) + 1
+    assert zs["files_skipped"] == before.get("files_skipped", 0) + 2, zs
+
+    # reversed operand order routes through the same degenerate range
+    out2 = _json.loads(engine.query(
+        "SELECT count(*) AS n FROM zeq WHERE 1000 = v"))
+    assert out2[0]["n"] == 1
+    assert engine.query_stats["zonemap"]["queries"] == \
+        before.get("queries", 0) + 2
+
+    # equality intersected with a range: still one file
+    out3 = _json.loads(engine.query(
+        "SELECT count(*) AS n FROM zeq WHERE v = 9 AND v < 500"))
+    assert out3[0]["n"] == 1
+
+    # contradictory conjunction: empty range, all files skipped,
+    # empty result (not an error)
+    out4 = _json.loads(engine.query(
+        "SELECT id FROM zeq WHERE v = 105 AND v > 200"))
+    assert out4 == []
+
+
 def test_numeric_pruning_matches_full_scan_after_mutations(engine):
     """Superset contract under update/delete/compaction — the pruned
     numeric slice equals read_table + filter throughout."""
