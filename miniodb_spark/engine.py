@@ -2024,12 +2024,16 @@ class Engine:
             ).strftime("%Y-%m-%d")
             tdir = self._table_dir(t)
             # Delta-style rm entries for the dropped files, recorded as
-            # ONE commit after the drops: without them the add-file
-            # index counts retention-dropped files as alive and
-            # read_snapshot refuses every later version (same
-            # round-15 fix as the rewrite paths' remove_files)
+            # ONE commit BEFORE the physical drops (r15 ADVICE): a
+            # crash between remove_dir and a trailing touch would leave
+            # add-indexed files with no rm record and no way to re-list
+            # them, so read_snapshot at every version from their add
+            # onward would refuse via the loss check with no self-heal.
+            # The reversed order is crash-safe: a pre-recorded rm for a
+            # still-present file is already handled as a mid-swap
+            # leftover by read_snapshot's rm_v <= version skip.
             dead: dict[int, list[str]] = {}
-            n_table = 0
+            doomed: list[str] = []
             for gen_dir in self.fs.list_dirs(tdir, prefix="gen="):
                 gname = gen_dir.rstrip("/").rsplit("/", 1)[-1]
                 try:
@@ -2048,11 +2052,12 @@ class Engine:
                             if rels:
                                 dead.setdefault(gidx, []).extend(
                                     sorted(rels))
-                        self.fs.remove_dir(part_dir)
-                        removed += 1
-                        n_table += 1
-            if n_table:
+                        doomed.append(part_dir)
+            if doomed:
                 self.catalog.touch(t, remove_files=dead or None)
+                for part_dir in doomed:
+                    self.fs.remove_dir(part_dir)
+                removed += len(doomed)
                 self.cache.invalidate_table(t)
                 self._forget_gen_files(t)
         return removed

@@ -6,6 +6,19 @@ filter pushdown + predicate-level pruning, Arrow for any Python
 exchange, and a shuffle-partition count that tracks the local core
 count during tests (on a real cluster this is overridden by the
 submitter; AQE coalesces the rest).
+
+.. warning:: **Importing this module pins the host process timezone to
+   UTC** (``os.environ["TZ"] = "UTC"`` + ``time.tzset()``) — an
+   application embedding this library will see ``datetime.now()``,
+   logging timestamps, and every other local-time API switch to UTC.
+   This is deliberate and load-bearing: Python<->JVM timestamp
+   conversion uses the PROCESS timezone, and the pruning layer's
+   soundness proof requires naive-datetime == naive-UTC (see
+   :func:`_pin_process_utc`). Set ``MINIODB_SPARK_NO_TZ_PIN=1`` before
+   import to opt out — the pin then still happens, but only inside
+   :func:`get_spark` (before the JVM launches), never at import time.
+   Do NOT opt out AND create sessions from a non-UTC process by other
+   means: non-UTC residual bounds silently drop matching rows.
 """
 
 from __future__ import annotations
@@ -16,6 +29,9 @@ import time as _time
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Appended (never replaced) to any caller-supplied executor JVM options.
+_EXEC_TZ_FLAG = "-Duser.timezone=UTC"
 
 
 def _pin_process_utc() -> None:
@@ -39,7 +55,25 @@ def _pin_process_utc() -> None:
             _time.tzset()
 
 
-_pin_process_utc()
+# Import-time pin (see module docstring). MINIODB_SPARK_NO_TZ_PIN defers
+# it to get_spark(), which runs it anyway before the JVM launches — the
+# opt-out spares embedders the import side effect, never the invariant.
+if not os.environ.get("MINIODB_SPARK_NO_TZ_PIN"):
+    _pin_process_utc()
+
+
+def _merged_extra_conf(extra_conf: dict | None) -> dict:
+    """Caller overrides applied AFTER the factory defaults — except
+    ``spark.executor.extraJavaOptions``, where the UTC pin is MERGED
+    into (appended to) the caller's value instead of being replaced
+    (r15 ADVICE): a caller passing GC flags on a real cluster would
+    otherwise silently reintroduce the non-UTC executor
+    unsound-bracket bug the flag exists to prevent."""
+    out = dict(extra_conf or {})
+    k = "spark.executor.extraJavaOptions"
+    if k in out and _EXEC_TZ_FLAG not in str(out[k]):
+        out[k] = f"{out[k]} {_EXEC_TZ_FLAG}"
+    return out
 
 
 def get_spark(
@@ -64,7 +98,7 @@ def get_spark(
         # SparkConf — the driver default TZ is pinned post-launch via
         # java.util.TimeZone.setDefault below; in local mode that one
         # JVM is also the "executor").
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", _EXEC_TZ_FLAG)
         # Arrow for createDataFrame/toPandas/pandas_udf exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet scan efficiency: pushdown is on by default; make it
@@ -80,7 +114,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in _merged_extra_conf(extra_conf).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

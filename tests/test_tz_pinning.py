@@ -113,3 +113,49 @@ def test_non_utc_host_pins_to_utc_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "TZPIN_OK" in proc.stdout, proc.stdout[-2000:]
+
+
+def test_executor_tz_flag_merges_with_caller_java_options():
+    """r15 ADVICE: a caller-supplied spark.executor.extraJavaOptions
+    (e.g. GC flags) must not silently REPLACE the executor TZ pin —
+    the factory appends the flag to the caller's string."""
+    from miniodb_spark.session import _EXEC_TZ_FLAG, _merged_extra_conf
+
+    got = _merged_extra_conf(
+        {"spark.executor.extraJavaOptions": "-XX:+UseG1GC"})
+    assert got["spark.executor.extraJavaOptions"] == \
+        f"-XX:+UseG1GC {_EXEC_TZ_FLAG}"
+    # already present: not duplicated
+    val = f"-XX:+UseG1GC {_EXEC_TZ_FLAG}"
+    assert _merged_extra_conf(
+        {"spark.executor.extraJavaOptions": val}
+    )["spark.executor.extraJavaOptions"] == val
+    # unrelated keys pass through untouched; None is fine
+    assert _merged_extra_conf({"spark.foo": "1"}) == {"spark.foo": "1"}
+    assert _merged_extra_conf(None) == {}
+
+
+def test_tz_pin_import_optout_defers_to_get_spark(tmp_path):
+    """MINIODB_SPARK_NO_TZ_PIN defers the process-TZ pin from import
+    time to get_spark(): importing the module leaves the embedder's
+    TZ alone, and the pin still lands before any JVM would launch."""
+    script = tmp_path / "optout.py"
+    script.write_text(
+        "import os, time\n"
+        "import miniodb_spark.session as s\n"
+        "assert os.environ.get('TZ') == 'America/New_York', "
+        "'import must not pin under the opt-out'\n"
+        "s._pin_process_utc()\n"  # what get_spark runs first
+        "assert os.environ['TZ'] == 'UTC'\n"
+        "print('OPTOUT_OK')\n"
+    )
+    env = dict(os.environ)
+    env["TZ"] = "America/New_York"
+    env["MINIODB_SPARK_NO_TZ_PIN"] = "1"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OPTOUT_OK" in proc.stdout
