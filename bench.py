@@ -389,10 +389,18 @@ def main() -> None:
         (F.col("id") % 97).alias("k"),
         F.rand(7).alias("v"),
     )
+    # Same-phase IO probes (r15 verdict #3): the start-of-run probe
+    # failed to explain an official below-band bulk number (probe
+    # nominal@0.09 s, bulk 0.626 below the 0.65 floor), so the band
+    # verdict now cites a probe taken IMMEDIATELY before the
+    # measurement it adjudicates — host IO state at the write's own
+    # moment, not at session start.
+    io_pre_bulk = _host_io_score()
     t0 = time.perf_counter()
     eng.ingest_dataframe("bulk", bulk)
     bulk_rps = int(n_bulk / (time.perf_counter() - t0))
 
+    io_pre_row = _host_io_score()
     n_rows = 2000
     t0 = time.perf_counter()
     for i in range(n_rows):
@@ -478,13 +486,29 @@ def main() -> None:
     # a 2x cutoff would have labeled that io state "nominal" and left
     # the dip unexplained, so "slow" starts at 1.5x.
     IO_NOMINAL_SEC = 0.09
-    io_state = (
-        "slow" if host_io["total_sec"] > 1.5 * IO_NOMINAL_SEC
-        else "fast" if host_io["total_sec"] < 0.67 * IO_NOMINAL_SEC
-        else "nominal"
-    )
+
+    def _io_state(total_sec: float) -> str:
+        return (
+            "slow" if total_sec > 1.5 * IO_NOMINAL_SEC
+            else "fast" if total_sec < 0.67 * IO_NOMINAL_SEC
+            else "nominal"
+        )
+
+    io_state = _io_state(host_io["total_sec"])
+    # per-phase probe attribution: bulk cites the probe taken right
+    # before ingest_dataframe; row/stream cite the one taken right
+    # before the row loop (they run back-to-back). The start-of-run
+    # probe rides along as io_start so drift across the session is
+    # visible in the same string.
+    phase_probe = {
+        "bulk_ingest": io_pre_bulk,
+        "row_api_synced_wal": io_pre_row,
+        "stream_write_batch": io_pre_row,
+    }
     write_band_io_context = {
-        k: f"{v};io={io_state}@{host_io['total_sec']}s"
+        k: (f"{v};io={_io_state(phase_probe[k]['total_sec'])}"
+            f"@{phase_probe[k]['total_sec']}s"
+            f";io_start={io_state}@{host_io['total_sec']}s")
         for k, v in write_raw_band.items() if v != "in"
     }
     write_norm_ratio = {
@@ -522,6 +546,11 @@ def main() -> None:
                 # condition on it (see write_band_io_context)
                 "host_io_score": host_io,
                 "host_io_score_sec": host_io["total_sec"],
+                # same-phase probes (r15 verdict #3): taken immediately
+                # before the bulk ingest and the row/stream loop — the
+                # samples write_band_io_context actually cites
+                "host_io_score_pre_bulk": io_pre_bulk,
+                "host_io_score_pre_row": io_pre_row,
                 # PRIMARY read band signal: raw per-query walls vs the
                 # anchor's raw walls, no host correction
                 "read_raw_ratio_vs_anchor": read_raw_ratio,

@@ -39,6 +39,7 @@ from . import tpch  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import statistics  # noqa: E402,F401
 from . import surface  # noqa: E402,F401
+from . import enginepath  # noqa: E402,F401
 from .order import _PRIORITY_ORDER  # noqa: E402
 
 

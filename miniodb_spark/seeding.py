@@ -1,0 +1,111 @@
+"""Deterministic fixture→Engine ingest for the engine-path registry
+entries (``queries/enginepath.py``).
+
+Those entries grade the ENGINE's SQL path (gate → extractor → zone-map
+pruning → temp views → ``spark.sql``) against DuckDB oracles over the
+same testdata, so they must first materialize a small Engine store from
+the fixture tables. That ingest lives here, outside ``queries/``,
+because it is write-side plumbing with a driver-side materialization:
+the row-based WriteData API takes Python dicts, so each seeding
+collects a FIXED slice of a fixture table — ≤90 events rows (LIMIT
+before any driver transfer) or the constant-size TPC-H region (5) and
+nation (25) tables. The bound is structural, the same class as the
+engine's own sketch-/shortlist-bounded collects; query modules stay
+collect-free.
+
+Stores are cached per (SparkSession, sf_dir), so the 2–3 entries that
+share a seeding pay for it once per driver run. Timestamps are fixed
+constants — reseeding is bit-identical."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import TableConfig
+from .engine import Engine
+from .queries.base import load
+
+T0_US = 1_700_000_000_000_000  # 2023-11-14 UTC, inside one dt partition
+
+_CACHE: dict[tuple, Engine] = {}
+
+
+def numeric_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``evz`` (zonemap_columns=["v"]): the first 90
+    events by event_id, v = floor(value) as BIGINT, written in three
+    v-sorted flushes so the three files carry disjoint-ish v brackets —
+    a numeric point or range conjunct provably skips files."""
+    key = (id(spark), sf_dir, "evz")
+    eng = _CACHE.get(key)
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(90)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["v"], r["event_id"]))
+    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_evz_"))
+    eng.create_table("evz", TableConfig(name="evz", zonemap_columns=["v"]))
+    for start in range(0, len(rows), 30):
+        eng.write_batch("evz", [
+            {
+                "id": f"e{r['event_id']:06d}",
+                "timestamp_us": T0_US + start + i,
+                "payload": {"v": r["v"]},
+            }
+            for i, r in enumerate(rows[start:start + 30])
+        ])
+        eng.flush("evz")
+    _CACHE[key] = eng
+    return eng
+
+
+def comma_join_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with ``reg_cj`` (5 regions, record_id = r_name with spaces
+    underscored (the id grammar is [A-Za-z][A-Za-z0-9_]*), one flush
+    per ~2 regions so the id zone maps have multiple brackets) and
+    ``nat_cj`` (25 nations, one flush) — the comma-join + multi-table
+    qualified-pruning fixture."""
+    key = (id(spark), sf_dir, "cj")
+    eng = _CACHE.get(key)
+    if eng is not None:
+        return eng
+    regions = sorted(
+        load(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name").collect(),
+        key=lambda r: r["r_name"])
+    nations = sorted(
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect(),
+        key=lambda r: r["n_name"])
+    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_cj_"))
+    for start in range(0, len(regions), 2):
+        eng.write_batch("reg_cj", [
+            {
+                "id": r["r_name"].replace(" ", "_"),
+                "timestamp_us": T0_US + start + i,
+                "payload": {"r_regionkey": r["r_regionkey"],
+                            "r_name": r["r_name"]},
+            }
+            for i, r in enumerate(regions[start:start + 2])
+        ])
+        eng.flush("reg_cj")
+    eng.write_batch("nat_cj", [
+        {
+            "id": n["n_name"].replace(" ", "_"),
+            "timestamp_us": T0_US + i,
+            "payload": {"n_nationkey": n["n_nationkey"],
+                        "n_name": n["n_name"],
+                        "n_regionkey": n["n_regionkey"]},
+        }
+        for i, n in enumerate(nations)
+    ])
+    eng.flush("nat_cj")
+    _CACHE[key] = eng
+    return eng

@@ -1981,3 +1981,41 @@ def test_decimal_rescale_audit_map_side_shape(spark, sf_dir, registry):
     kinds = plans.join_kinds(df)
     assert sum(kinds.values()) == 0, kinds
     assert plan.count("Exchange ") <= 2, plan[:3000]
+
+
+def test_engine_numeric_prune_entries_skip_files(spark, sf_dir, registry):
+    """The engine-path numeric entries must PRUNE, not just answer:
+    the equality conjunct (degenerate [7, 7] range) and the
+    [50, 150) range each skip at least one of the three v-bracketed
+    files through the SQL path's zone-map hook."""
+    from miniodb_spark.seeding import numeric_prune_store
+
+    eng = numeric_prune_store(spark, sf_dir)
+    b = dict(eng.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    registry["engine_numeric_eq_prune_sql"].fn(spark, sf_dir)
+    zs = dict(eng.query_stats["zonemap"])
+    assert zs["queries"] == b.get("queries", 0) + 1
+    assert zs["files_skipped"] >= b.get("files_skipped", 0) + 1, zs
+    registry["engine_numeric_range_prune_sql"].fn(spark, sf_dir)
+    zs2 = eng.query_stats["zonemap"]
+    assert zs2["queries"] == zs["queries"] + 1
+    assert zs2["files_skipped"] >= zs["files_skipped"] + 1, zs2
+
+
+def test_engine_comma_join_pruned_plan(spark, sf_dir, registry):
+    """Comma-join entry: the qualified id conjunct prunes exactly the
+    one region file whose bracket sits below 'EUROPE' (region is a
+    constant-size table, so the skip count is exact), and the join
+    itself broadcasts — never a sort-merge over two tiny sides."""
+    from miniodb_spark.seeding import comma_join_store
+
+    eng = comma_join_store(spark, sf_dir)
+    b = dict(eng.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    df = registry["engine_comma_join_pruned"].fn(spark, sf_dir)
+    zs = eng.query_stats["zonemap"]
+    assert zs["queries"] == b.get("queries", 0) + 1
+    assert zs["files_skipped"] == b.get("files_skipped", 0) + 1, zs
+    kinds = plans.join_kinds(df)
+    assert kinds["sort_merge"] == 0, kinds

@@ -19,9 +19,17 @@ GOLDEN = Path(__file__).with_name("golden_registry_order.txt")
 def test_registry_order_matches_golden():
     got = list(get_registry())
     want = GOLDEN.read_text().splitlines()
-    # new entries may append past the golden tail (they register after
-    # the pinned prefix); the pinned prefix itself must match exactly
-    assert got[: len(want)] == want, (
+    # TWO-SIDED (r15 verdict #2): the old prefix-only check let new
+    # entries append past the golden tail, which silently defeated the
+    # per-addition rotation rule — round 15's nine audits shipped with
+    # zero external grades because the stale golden head-50 was what
+    # the driver actually ran. An uncommitted rotation now fails here.
+    assert len(got) == len(want), (
+        f"registry has {len(got)} entries but the golden file pins "
+        f"{len(want)} — run tools/gen_priority_order.py --write after "
+        "ANY registry addition and commit the rotation"
+    )
+    assert got == want, (
         "registry order drifted from tests/golden_registry_order.txt — "
         "if intentional (rotation), regenerate the golden file"
     )
