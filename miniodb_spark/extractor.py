@@ -70,6 +70,23 @@ def _strip_comments(sql: str) -> str:
     return _COMMENT_BLOCK_RE.sub(" ", _COMMENT_LINE_RE.sub(" ", sql))
 
 
+def _scan_text(sql: str) -> str:
+    """Literal-blanked, comment-stripped text for every regex scan
+    here (r16, same class as gate._where_clause): string literals are
+    real SQL tokens in gated queries, so they are removed FIRST — a
+    literal containing ``FROM ghost`` must not fabricate a table
+    reference (the engine would then fail the whole query with "table
+    not found"), and one containing ``--`` must not let the comment
+    stripper truncate the rest of its line (losing the real FROM:
+    "no table referenced"). Comments are stripped second; they cannot
+    appear in gated SQL at all (the gate rejects them on
+    literal-stripped text), so the order only matters for the
+    best-effort ungated callers (cache keying of arbitrary text)."""
+    from .gate import _strip_string_literals
+
+    return _strip_comments(_strip_string_literals(sql))
+
+
 def _normalize_ident(raw: str) -> str:
     parts = [p.strip().strip('"') for p in raw.split(".")]
     return parts[-1].lower()
@@ -82,8 +99,9 @@ def extract_tables(sql: str) -> list[str]:
     implicit-join phrasing failed view registration outright) —
     subqueries included, since the regexes match their inner FROMs
     too. CTE names are excluded. Order = first appearance;
-    deduplicated."""
-    sql = _strip_comments(sql)
+    deduplicated. Scans run on literal-blanked text (_scan_text) so
+    literal content can neither fabricate nor hide a reference."""
+    sql = _scan_text(sql)
     cte_names = {m.group(1).lower() for m in _CTE_NAME_RE.finditer(sql)}
     seen: list[str] = []
 
@@ -117,7 +135,7 @@ _WINDOW_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
 def classify_query(sql: str) -> str:
     """select / count / aggregation / group_by / join / union / cte / window
     (reference table_extractor.go:290-329 string heuristics)."""
-    s = _strip_comments(sql)
+    s = _scan_text(sql)
     if _CTE_RE.match(s):
         return "cte"
     if _UNION_RE.search(s):
@@ -146,7 +164,7 @@ def analyze_complexity(sql: str) -> Complexity:
     """Score joins/subqueries/grouping/ordering/CTEs/table count/agg
     functions → complexity level; cache only medium+ SELECT-family
     queries (reference table_extractor.go:332-410)."""
-    s = _strip_comments(sql)
+    s = _scan_text(sql)
     score = 0
     score += 2 * len(_JOIN_KW_RE.findall(s))
     score += 2 * len(_SUBQUERY_RE.findall(s))

@@ -232,3 +232,24 @@ def test_complex_types_survive_generation_schema_roundtrip(engine, spark):
     assert got["props"] == "struct<k:bigint>", got
     row = out.select("emb", "props").first()
     assert row["emb"] == [1.0, 2.0] and row["props"]["k"] == 1
+
+
+def test_query_with_keyword_bearing_literals(engine):
+    """r16 end-to-end pin for the extractor/gate literal-blanking: a
+    legitimate query whose string literals contain FROM/JOIN/comment
+    tokens must answer normally — previously `'... FROM ghost'`
+    fabricated a table reference (SQLGateError: table not found) and
+    `'a -- b'` truncated the line at the comment stripper (no table
+    referenced)."""
+    _seed_users(engine)
+    out = json.loads(engine.query(
+        "SELECT 'copied FROM ghost' AS note, id FROM users "
+        "WHERE id = 'user-001'"))
+    assert out == [{"note": "copied FROM ghost", "id": "user-001"}]
+    out2 = json.loads(engine.query(
+        "SELECT 'a -- b' AS x, count(*) AS n FROM users"))
+    assert out2[0]["x"] == "a -- b" and out2[0]["n"] >= 1
+    out3 = json.loads(engine.query(
+        "SELECT id FROM users WHERE id = 'user-001' "
+        "AND 'JOIN x' = 'JOIN x'"))
+    assert [r["id"] for r in out3] == ["user-001"]

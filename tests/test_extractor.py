@@ -64,3 +64,26 @@ def test_extract_tables_comma_lists():
         "WITH w AS (SELECT 1 AS k) SELECT * FROM a, w") == ["a"]
     assert extract_tables(
         "SELECT * FROM a, b JOIN c ON b.k = c.k") == ["a", "b", "c"]
+
+
+def test_literal_content_neither_fabricates_nor_hides_tables():
+    """r16: scans run on literal-blanked text. A string literal
+    containing `FROM ghost` must not fabricate a table reference (the
+    engine fails the whole query with "table not found" for one), a
+    literal containing `--` must not let the comment stripper truncate
+    the rest of its line (losing the real FROM), and keyword soup in
+    literals must not skew classification or complexity."""
+    assert extract_tables(
+        "SELECT 'data FROM ghost' AS note, id FROM users") == ["users"]
+    assert extract_tables("SELECT 'a -- b' AS x FROM users") == ["users"]
+    assert extract_tables(
+        "SELECT 'x /* y */ z' AS x, id FROM users") == ["users"]
+    assert extract_tables(
+        "SELECT * FROM t WHERE note = 'JOIN the club'") == ["t"]
+    assert classify_query("SELECT 'x UNION y' FROM t") == "select"
+    assert classify_query("SELECT 'a JOIN b' FROM t") == "select"
+    assert analyze_complexity(
+        "SELECT 'join join (select' FROM t").score == 0
+    # escaped quotes stay atomic
+    assert extract_tables(
+        "SELECT 'it''s FROM nowhere' FROM users") == ["users"]
