@@ -217,8 +217,22 @@ _FROM_TABLE_RE = re.compile(r"\bfrom\s+table\b", re.IGNORECASE)
 
 def rewrite_legacy_from_table(sql: str, default_table: str) -> str:
     """``FROM table`` (the literal word) → the caller's default table
-    (reference miniodb_service.go:663-681)."""
-    return _FROM_TABLE_RE.sub(f"FROM {default_table}", sql)
+    (reference miniodb_service.go:663-681). Matches are located on
+    literal-blanked text and spliced into the raw SQL by position
+    (r16): a string literal containing ``FROM table`` must never be
+    rewritten — that silently corrupted the literal's VALUE in query
+    results."""
+    blank = _blank_string_literals(sql)
+    if blank is None:  # unterminated literal: let the parser reject it
+        return sql
+    out: list[str] = []
+    last = 0
+    for m in _FROM_TABLE_RE.finditer(blank):
+        out.append(sql[last:m.start()])
+        out.append(f"FROM {default_table}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def inject_limit(sql: str, limit: int | None) -> str:

@@ -78,6 +78,18 @@ def test_legacy_from_table_rewrite():
         rewrite_legacy_from_table("SELECT * FROM tables", "users")
         == "SELECT * FROM tables"
     )
+    # never inside a string literal (r16: the rewrite previously
+    # corrupted the literal's VALUE in results)
+    assert (
+        rewrite_legacy_from_table(
+            "SELECT 'copied FROM table' AS x FROM table", "users")
+        == "SELECT 'copied FROM table' AS x FROM users"
+    )
+    assert (
+        rewrite_legacy_from_table(
+            "SELECT 'FROM table' AS x FROM t", "users")
+        == "SELECT 'FROM table' AS x FROM t"
+    )
 
 
 def test_inject_limit():
