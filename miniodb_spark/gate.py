@@ -274,7 +274,13 @@ def _qual_prefix(qualifier: tuple[str, ...] | None) -> str:
     """Identifier-prefix regex for the conjunct extractors. ``None``
     (single-table path) keeps the historical behavior: any alias
     prefix is OPTIONAL, because every column in a single-table query
-    resolves to that table. A qualifier tuple (multi-table path) makes
+    resolves to that table. (Accepting ANY prefix is sound only
+    because engine tables are provably flat — nested payload values
+    JSON-encode to strings at ingest (schema.py), so a dotted
+    ``s.id`` can never be a struct-field access that shadows the
+    table's id column; with no struct columns such a query fails
+    Spark analysis outright instead of mis-answering over a pruned
+    scan.) A qualifier tuple (multi-table path) makes
     a prefix from the set MANDATORY: an unqualified ``id`` in a join
     is ambiguous (both sides carry one), and a conjunct on the OTHER
     table must never prune this one."""

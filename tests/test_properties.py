@@ -240,3 +240,17 @@ def test_literal_soup_never_shifts_a_real_bound(a):
     sql = f"SELECT '{lit}' FROM t WHERE v >= 7 AND v < 9"
     assert extract_conjunctive_numeric_range(sql, "v") == \
         (7, True, 9, False), sql
+
+
+@given(_SOUP)
+@settings(max_examples=200, deadline=None)
+def test_legacy_rewrite_never_touches_literals(a):
+    """rewrite_legacy_from_table rewrites the real `FROM table` and
+    ONLY it — literal content (including 'FROM table' inside a
+    string, with '' escapes) survives byte-identical."""
+    from miniodb_spark.gate import rewrite_legacy_from_table
+
+    lit = ("FROM table " + a).replace("'", "''")
+    sql = f"SELECT '{lit}' AS x FROM table"
+    out = rewrite_legacy_from_table(sql, "users")
+    assert out == f"SELECT '{lit}' AS x FROM users", (sql, out)
