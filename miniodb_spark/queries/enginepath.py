@@ -3,7 +3,7 @@
 against DuckDB oracles, not just the DataFrame surface.
 
 Every other registry module queries the fixture parquet directly;
-these three first seed a small Engine store from the same fixtures
+these first seed a small Engine store from the same fixtures
 (miniodb_spark.seeding — deterministic, bounded, cached per session)
 and then answer through ``Engine.query_df``, so the round-15/16
 machinery — numeric equality/range file pruning on configured
@@ -100,3 +100,37 @@ def engine_comma_join_pruned(spark, sf_dir):
         "FROM nat_cj n, reg_cj r "
         "WHERE n.n_regionkey = r.r_regionkey AND r.id >= 'EUROPE' "
         "GROUP BY r.r_name ORDER BY r_name")
+
+
+@register(
+    "engine_mutation_parity",
+    """
+    WITH s AS (SELECT event_id,
+                      CAST(CASE WHEN event_id = 3 THEN 999
+                           ELSE floor(value) END AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 60)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(DISTINCT v) AS BIGINT) AS dv
+    FROM s WHERE event_id NOT IN (10, 20, 30, 40, 50)
+    """,
+    doc="Engine mutation path externally graded for the first time "
+        "(UpdateData/DeleteData were tests-only evidence through r15): "
+        "60 fixture rows ingested, one durable insert-first UPDATE "
+        "(e000003 -> v=999) and five per-file-rewrite DELETEs, then an "
+        "aggregate over the surviving state through the SQL path. The "
+        "oracle re-derives the end state from the raw fixture with "
+        "CASE + NOT IN — any lost row, surviving tombstone, or "
+        "duplicate from the rewrite protocol breaks count, sum, or "
+        "distinct-count. Mutations run once per session inside the "
+        "cached seeding (miniodb_spark/seeding.py)",
+    tags=("engine-path", "mutation"),
+)
+def engine_mutation_parity(spark, sf_dir):
+    from ..seeding import mutation_store
+
+    eng = mutation_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM emut")

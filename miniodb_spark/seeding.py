@@ -109,3 +109,40 @@ def comma_join_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.flush("nat_cj")
     _CACHE[key] = eng
     return eng
+
+
+def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``emut``: the first 60 events (event_id 0..59
+    at every SF — the fixture's ids are dense from 0), v =
+    floor(value) as BIGINT, flushed once, then mutated through the
+    DURABLE paths — update of e000003 to v=999 (insert-first rewrite
+    sweep) and deletes of e0000{10,20,30,40,50} (per-file rewrite with
+    rm entries). The mutations live HERE so the per-session cache
+    applies them exactly once; the oracle re-derives the end state
+    from the raw fixture with a CASE + NOT IN."""
+    key = (id(spark), sf_dir, "emut")
+    eng = _CACHE.get(key)
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(60)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_emut_"))
+    eng.write_batch("emut", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"v": r["v"]},
+        }
+        for i, r in enumerate(rows)
+    ])
+    eng.flush("emut")
+    eng.update("emut", "e000003", {"v": 999}, timestamp_us=T0_US + 3)
+    for k in (10, 20, 30, 40, 50):
+        eng.delete("emut", f"e{k:06d}")
+    _CACHE[key] = eng
+    return eng

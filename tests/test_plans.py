@@ -2019,3 +2019,26 @@ def test_engine_comma_join_pruned_plan(spark, sf_dir, registry):
     assert zs["files_skipped"] == b.get("files_skipped", 0) + 1, zs
     kinds = plans.join_kinds(df)
     assert kinds["sort_merge"] == 0, kinds
+
+
+def test_engine_mutation_parity_state(spark, sf_dir, registry):
+    """Mutation-parity entry: the surviving state has no duplicate ids
+    (the insert-first update swept the old version; deletes left no
+    tombstone rows), the updated record carries the new value, and the
+    aggregate plan is a single partial/final pass — no join, no
+    window."""
+    from miniodb_spark.seeding import mutation_store
+
+    df = registry["engine_mutation_parity"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    eng = mutation_store(spark, sf_dir)
+    rows = eng.query_df(
+        "SELECT id, v FROM emut ORDER BY id").collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 55
+    by_id = {r["id"]: r["v"] for r in rows}
+    assert by_id["e000003"] == 999
+    for k in (10, 20, 30, 40, 50):
+        assert f"e{k:06d}" not in by_id
