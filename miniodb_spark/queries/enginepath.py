@@ -134,3 +134,36 @@ def engine_mutation_parity(spark, sf_dir):
         "SELECT CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(v) AS BIGINT) AS sv, "
         "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM emut")
+
+
+@register(
+    "engine_time_travel_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 60)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(DISTINCT v) AS BIGINT) AS dv
+    FROM s
+    """,
+    doc="Time travel externally graded for the first time "
+        "(read_snapshot + the rm-entry protocol were tests-only "
+        "evidence through r15): the same store as "
+        "engine_mutation_parity, queried AT the pre-mutation catalog "
+        "version (at_version) AFTER the update/delete rewrites ran — "
+        "the oracle is simply the plain un-mutated fixture slice. A "
+        "snapshot that leaked the new update generation, lost a "
+        "rewritten file, or replayed a delete breaks "
+        "count/sum/distinct-count. retain_history keeps v0's files "
+        "alive across rewrites (vacuum is the explicit opt-out)",
+    tags=("engine-path", "time-travel"),
+)
+def engine_time_travel_parity(spark, sf_dir):
+    from ..seeding import mutation_store
+
+    eng = mutation_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM emut",
+        at_version=eng.seed_versions["emut"])

@@ -119,7 +119,11 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
     sweep) and deletes of e0000{10,20,30,40,50} (per-file rewrite with
     rm entries). The mutations live HERE so the per-session cache
     applies them exactly once; the oracle re-derives the end state
-    from the raw fixture with a CASE + NOT IN."""
+    from the raw fixture with a CASE + NOT IN. The pre-mutation
+    catalog version is kept on ``eng.seed_versions["emut"]`` so the
+    time-travel entry can read the v0 snapshot; the store is built
+    with retain_history=True to keep that snapshot's files alive
+    across the rewrites."""
     key = (id(spark), sf_dir, "emut")
     eng = _CACHE.get(key)
     if eng is not None:
@@ -131,7 +135,11 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
         .select("event_id", F.floor("value").cast("long").alias("v"))
         .collect()
     )
-    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_emut_"))
+    # retain_history: the pre-mutation snapshot must stay readable —
+    # engine_time_travel_parity queries at_version=v0 after the
+    # update/delete rewrites (rewrites otherwise GC superseded files)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_emut_"),
+                 retain_history=True)
     eng.write_batch("emut", [
         {
             "id": f"e{r['event_id']:06d}",
@@ -141,6 +149,8 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
         for i, r in enumerate(rows)
     ])
     eng.flush("emut")
+    # pre-mutation snapshot version, consumed by the time-travel entry
+    eng.seed_versions = {"emut": eng.catalog.current_version("emut")}
     eng.update("emut", "e000003", {"v": 999}, timestamp_us=T0_US + 3)
     for k in (10, 20, 30, 40, 50):
         eng.delete("emut", f"e{k:06d}")

@@ -2042,3 +2042,24 @@ def test_engine_mutation_parity_state(spark, sf_dir, registry):
     assert by_id["e000003"] == 999
     for k in (10, 20, 30, 40, 50):
         assert f"e{k:06d}" not in by_id
+
+
+def test_engine_time_travel_parity_state(spark, sf_dir, registry):
+    """Time-travel entry: the v0 snapshot (queried AFTER the rewrites)
+    holds all 60 original rows — the updated id carries its ORIGINAL
+    value, the deleted ids are present — while the current-state entry
+    sees the mutated 55. One store serves both (cached seeding)."""
+    from miniodb_spark.seeding import mutation_store
+
+    eng = mutation_store(spark, sf_dir)
+    r0 = registry["engine_time_travel_parity"].fn(spark, sf_dir).collect()[0]
+    rm = registry["engine_mutation_parity"].fn(spark, sf_dir).collect()[0]
+    assert r0["n"] == 60 and rm["n"] == 55
+    rows = eng.query_df(
+        "SELECT id, v FROM emut",
+        at_version=eng.seed_versions["emut"]).collect()
+    by_id = {r["id"]: r["v"] for r in rows}
+    assert len(by_id) == 60
+    assert by_id["e000003"] != 999  # fixture v is floor(value) <= ~500
+    for k in (10, 20, 30, 40, 50):
+        assert f"e{k:06d}" in by_id
