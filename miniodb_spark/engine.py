@@ -37,6 +37,7 @@ from typing import Any, NamedTuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 from . import gate, schema as dyn_schema
 from .buffer import BufferRow, WriteBuffer
@@ -944,11 +945,27 @@ class Engine:
                 ]
                 + [T.StructField("dt", T.StringType(), True)]
             )
-            df = (
-                self.spark.read.schema(struct)
-                .option("basePath", gdir)
-                .parquet(*files)
-            )
+            try:
+                df = (
+                    self.spark.read.schema(struct)
+                    .option("basePath", gdir)
+                    .parquet(*files)
+                )
+            except AnalysisException as e:
+                # TOCTOU (r16, storm-found): a file that passed the
+                # membership check above can be retention-dropped /
+                # vacuumed by ANOTHER driver before this eager path
+                # resolution — surface it as the one retryable
+                # refusal type the snapshot contract documents, not a
+                # raw PATH_NOT_FOUND. (A deletion after this point
+                # still fails loudly at action time via Spark's own
+                # missing-file error; laziness puts that beyond this
+                # method's reach. Retry at a re-refreshed version is
+                # the protocol either way.)
+                raise SnapshotUnavailableError(
+                    f"snapshot v{version} of {table!r}: a listed file "
+                    f"vanished mid-read (concurrent retention/vacuum): "
+                    f"{e}") from e
             cols = [
                 (
                     F.col(c).cast(_parse_type(ct))
@@ -2023,43 +2040,58 @@ class Engine:
                 - timedelta(days=cfg.retention_days)
             ).strftime("%Y-%m-%d")
             tdir = self._table_dir(t)
-            # Delta-style rm entries for the dropped files, recorded as
-            # ONE commit BEFORE the physical drops (r15 ADVICE): a
-            # crash between remove_dir and a trailing touch would leave
-            # add-indexed files with no rm record and no way to re-list
-            # them, so read_snapshot at every version from their add
-            # onward would refuse via the loss check with no self-heal.
-            # The reversed order is crash-safe: a pre-recorded rm for a
-            # still-present file is already handled as a mid-swap
-            # leftover by read_snapshot's rm_v <= version skip.
-            dead: dict[int, list[str]] = {}
-            doomed: list[str] = []
-            for gen_dir in self.fs.list_dirs(tdir, prefix="gen="):
-                gname = gen_dir.rstrip("/").rsplit("/", 1)[-1]
-                try:
-                    gidx = int(gname[len("gen="):])
-                except ValueError:  # pragma: no cover - foreign dir
-                    gidx = None
-                for part_dir in self.fs.list_dirs(gen_dir, prefix="dt="):
-                    part = part_dir.rstrip("/").rsplit("/", 1)[-1]
-                    if part[len("dt=") :] < cutoff:
-                        if gidx is not None:
-                            rels = [
-                                f"{part}/" + fp.rstrip("/").rsplit("/", 1)[-1]
-                                for fp, _sz in self.fs.list_files(
-                                    part_dir, suffix=".parquet")
-                            ]
-                            if rels:
-                                dead.setdefault(gidx, []).extend(
-                                    sorted(rels))
-                        doomed.append(part_dir)
-            if doomed:
-                self.catalog.touch(t, remove_files=dead or None)
-                for part_dir in doomed:
-                    self.fs.remove_dir(part_dir)
-                removed += len(doomed)
-                self.cache.invalidate_table(t)
-                self._forget_gen_files(t)
+            # The whole list -> rm-commit -> drop runs under the
+            # table's shared-store #rewrite lease (r16): without it, a
+            # concurrent flush (late-arriving data into a pre-cutoff
+            # dt partition) could append file F between our listing
+            # and remove_dir — F would then be add-indexed, have no rm
+            # record, and be physically gone, so read_snapshot refuses
+            # every later version with no self-heal. The lease
+            # serializes retention against flush/update/compaction
+            # exactly like every other rewrite.
+            with self.lease.holding(f"{t}/#rewrite", timeout_s=120.0), \
+                    self.lease.keepalive(f"{t}/#rewrite"):
+                # Delta-style rm entries for the dropped files,
+                # recorded as ONE commit BEFORE the physical drops
+                # (r15 ADVICE): a crash between remove_dir and a
+                # trailing touch would leave add-indexed files with no
+                # rm record and no way to re-list them, so
+                # read_snapshot at every version from their add onward
+                # would refuse via the loss check with no self-heal.
+                # The reversed order is crash-safe: a pre-recorded rm
+                # for a still-present file is already handled as a
+                # mid-swap leftover by read_snapshot's rm_v <= version
+                # skip.
+                dead: dict[int, list[str]] = {}
+                doomed: list[str] = []
+                for gen_dir in self.fs.list_dirs(tdir, prefix="gen="):
+                    gname = gen_dir.rstrip("/").rsplit("/", 1)[-1]
+                    try:
+                        gidx = int(gname[len("gen="):])
+                    except ValueError:  # pragma: no cover - foreign dir
+                        gidx = None
+                    for part_dir in self.fs.list_dirs(gen_dir,
+                                                      prefix="dt="):
+                        part = part_dir.rstrip("/").rsplit("/", 1)[-1]
+                        if part[len("dt=") :] < cutoff:
+                            if gidx is not None:
+                                rels = [
+                                    f"{part}/"
+                                    + fp.rstrip("/").rsplit("/", 1)[-1]
+                                    for fp, _sz in self.fs.list_files(
+                                        part_dir, suffix=".parquet")
+                                ]
+                                if rels:
+                                    dead.setdefault(gidx, []).extend(
+                                        sorted(rels))
+                            doomed.append(part_dir)
+                if doomed:
+                    self.catalog.touch(t, remove_files=dead or None)
+                    for part_dir in doomed:
+                        self.fs.remove_dir(part_dir)
+                    removed += len(doomed)
+                    self.cache.invalidate_table(t)
+                    self._forget_gen_files(t)
         return removed
 
     def compact(self, table: str,

@@ -744,3 +744,156 @@ def test_compaction_vs_mutation_storm_under_cpu_load(spark, tmp_path):
     finally:
         for b in burners:
             b.kill()
+
+
+_RETENTION_STORM_WORKER = r"""
+import os, sys, time
+
+root, flags, who = sys.argv[1], sys.argv[2], sys.argv[3]
+
+from miniodb_spark.session import get_spark
+from miniodb_spark.engine import Engine
+
+spark = get_spark(f"rstorm-{who}", cpus=4)
+eng = Engine(spark, root)
+
+open(os.path.join(flags, f"ready_{who}"), "w").close()
+other = os.path.join(flags, "ready_b" if who == "a" else "ready_a")
+t0 = time.time()
+while not os.path.exists(other):
+    if time.time() - t0 > 240:
+        raise SystemExit("rendezvous timeout")
+    time.sleep(0.02)
+
+eng.catalog.refresh_if_changed("t")
+US = 1_000_000
+DAY = 86_400 * US
+T_NOW = 1_700_000_000 * US
+
+if who == "a":
+    # late writer + snapshot reader: every round flushes a batch that
+    # MIXES pre-cutoff (late-arriving, 6 days back) and current rows,
+    # then reads the freshest snapshot. Without retention holding the
+    # #rewrite lease, the reaper's list->remove window could delete a
+    # just-flushed late file with an add entry and no rm record,
+    # making EVERY later snapshot refuse with no self-heal — this
+    # reader would exhaust its retries.
+    for r in range(8):
+        for i in range(3):
+            eng.write("t", {"v": r * 10 + i},
+                      record_id=f"old_{r}_{i}",
+                      timestamp_us=T_NOW - 6 * DAY + r * 3600 * US + i)
+            eng.write("t", {"v": r * 10 + i},
+                      record_id=f"cur_{r}_{i}",
+                      timestamp_us=T_NOW - 3600 * US + r * 1000 + i)
+        eng.flush("t")
+        n = None
+        for attempt in range(6):
+            # a refusal here is the CONTRACT, not a bug, when the
+            # reaper committed a retention drop between our version
+            # refresh and the read (that older snapshot's files are
+            # genuinely gone); re-refresh and retry. What must never
+            # happen is refusal that persists at the freshest version.
+            eng.catalog.refresh_if_changed("t")
+            v = eng.catalog.current_version("t")
+            try:
+                n = eng.read_snapshot("t", v).count()
+                break
+            except Exception as e:
+                # SnapshotUnavailableError for drops caught at build
+                # time (incl. the eager-open TOCTOU this storm found,
+                # now mapped to it); Spark's own missing-file error
+                # when the drop lands after the lazy plan was built.
+                # Both are the retry-at-fresh-version contract.
+                print(f"SNAPREFUSE {r} attempt={attempt + 1}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                time.sleep(0.3)
+        if n is None:
+            raise SystemExit(f"round {r}: snapshot read exhausted retries")
+        # the current-day rows written so far must all be visible
+        assert n >= (r + 1) * 3, f"round {r}: snapshot n={n}"
+        print(f"READ_PASS {r} v={v} n={n}", flush=True)
+else:
+    # the reaper: retention sweeps racing the late writer
+    for it in range(8):
+        removed = eng.enforce_retention(table="t", now_us=T_NOW)
+        print(f"REAP_PASS {it} removed={removed}", flush=True)
+        time.sleep(0.2)
+
+print(f"BUSY_RETRIES {who} {eng.lease.busy_retries}", flush=True)
+spark.stop()
+"""
+
+
+@pytest.mark.storm
+def test_retention_vs_late_writer_storm(spark, tmp_path):
+    """Fifth storm scenario (r16): retention sweeps from one driver
+    racing a late-data writer + snapshot reader from another.
+    Retention now runs its list -> rm-commit -> drop under the
+    table's #rewrite lease; without it, a flush landing a pre-cutoff
+    file between the reaper's listing and remove_dir leaves the file
+    add-indexed, un-rm'd, and physically gone — every later snapshot
+    refuses with no self-heal. Asserts: the reader always reaches a
+    readable freshest snapshot (bounded retries), no current-day row
+    is ever lost or duplicated, and a final sweep leaves EXACTLY the
+    in-retention rows. Opt-in via `-m storm`."""
+    import json
+
+    from miniodb_spark.catalog import TableConfig
+    from miniodb_spark.engine import Engine
+
+    root = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    os.makedirs(root)
+    os.makedirs(flags)
+    US = 1_000_000
+    DAY = 86_400 * US
+    T_NOW = 1_700_000_000 * US
+
+    seed = Engine(spark, root)
+    seed.create_table("t", TableConfig(name="t", retention_days=3,
+                                       buffer_size=10_000))
+    # pre-seed: some already-expired days plus one in-retention day
+    for d in (8, 7, 2):
+        for i in range(4):
+            seed.write("t", {"v": d * 100 + i}, record_id=f"seed_{d}_{i}",
+                       timestamp_us=T_NOW - d * DAY + i)
+    seed.flush("t")
+
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as fh:
+        fh.write(_RETENTION_STORM_WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, root, flags, who],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for who in ("a", "b")
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode()[-4000:])
+        assert all(p.returncode == 0 for p in procs), outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    joined = "\n".join(outs)
+    assert "READ_PASS 7" in joined, joined
+    assert "REAP_PASS 7" in joined, joined
+
+    check = Engine(spark, root)
+    check.enforce_retention(table="t", now_us=T_NOW)
+    rows = json.loads(check.query("SELECT id FROM t ORDER BY id"))
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate ids after the storm"
+    want = {f"cur_{r}_{i}" for r in range(8) for i in range(3)}
+    want |= {f"seed_2_{i}" for i in range(4)}
+    assert set(ids) == want, (sorted(set(ids) ^ want))
+    # the freshest snapshot stays readable after everything
+    v = check.catalog.current_version("t")
+    assert check.read_snapshot("t", v).count() == len(want)
