@@ -997,10 +997,17 @@ class Engine:
         of ``retain_history=True``: snapshots older than the newest
         commit stop being readable past this point (read_snapshot then
         raises SnapshotUnavailableError rather than under-returning).
-        Returns the number of partitions reclaimed."""
+        Returns the number of partitions reclaimed.
+
+        Runs under the table's #rewrite lease (r16, same reasoning as
+        enforce_retention): the inline post-mutation GC already holds
+        it, but this standalone entry raced concurrent flushes in the
+        list -> remove window otherwise."""
         from .mutations import gc_superseded
 
-        return gc_superseded(self, table, force=True)
+        with self.lease.holding(f"{table}/#rewrite", timeout_s=120.0), \
+                self.lease.keepalive(f"{table}/#rewrite"):
+            return gc_superseded(self, table, force=True)
 
     def read_buffer(self, table: str) -> DataFrame | None:
         """Unflushed rows as a DataFrame — the hybrid-query half that gives
