@@ -7870,3 +7870,62 @@ def json_path_extraction_edges_audit(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "numeric_int_cast_semantics_audit",
+    """
+    WITH s AS (SELECT event_type,
+      CAST(trunc(value - 245.0) AS INTEGER) AS xi,
+      CAST(trunc(floor(value) + 0.5) AS INTEGER) AS hi,
+      CAST(trunc(CAST(floor(value) + 0.5 AS DECIMAL(12,1)))
+           AS INTEGER) AS hd
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xi) AS BIGINT) AS sxi,
+           CAST(sum(hi) AS BIGINT) AS shi,
+           CAST(sum(hd) AS BIGINT) AS shd,
+           CAST(min(xi) AS BIGINT) AS mnxi,
+           CAST(max(xi) AS BIGINT) AS mxxi
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Numeric->INT CAST semantics audit (r16 probed divergence): "
+        "Spark's CAST of a non-integral numeric to an integer type "
+        "TRUNCATES toward zero for BOTH decimal and double "
+        "(CAST(-3.5 AS INT) = -3, CAST(2.5E0 AS INT) = 2), while "
+        "DuckDB ROUNDS — half-away-from-zero for DECIMAL "
+        "(CAST(-3.5 AS INTEGER) = -4) and half-to-even for DOUBLE "
+        "(CAST(2.5E0) = 2 but CAST(-3.5E0) = -4). The corruption "
+        "class: any cross-engine pipeline that buckets or ids rows "
+        "via an int cast drifts by +-1 on every half and on every "
+        "negative fractional value — silently, since both casts "
+        "succeed. The oracle ENCODES Spark's semantics with "
+        "trunc()-then-cast (integral values cast exactly in both "
+        "engines); the Spark side runs the REAL casts on three probe "
+        "columns derived from the fixture: a signed fractional "
+        "(value - 245), an exact double half (floor(value) + 0.5), "
+        "and the same half as DECIMAL(12,1). One map-side pass into "
+        "per-event_type aggregates. ANSI note: Spark 4's ANSI CAST "
+        "still truncates fractions (only overflow/malformed throw).",
+    tags=("sql-surface", "capability"),
+)
+def numeric_int_cast_semantics_audit(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    s = ev.selectExpr(
+        "event_type",
+        "CAST(value - 245.0E0 AS INT) AS xi",
+        "CAST(floor(value) + 0.5E0 AS INT) AS hi",
+        "CAST(CAST(floor(value) + 0.5E0 AS DECIMAL(12,1)) AS INT) AS hd",
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("xi").cast("bigint").alias("sxi"),
+            F.sum("hi").cast("bigint").alias("shi"),
+            F.sum("hd").cast("bigint").alias("shd"),
+            F.min("xi").cast("bigint").alias("mnxi"),
+            F.max("xi").cast("bigint").alias("mxxi"),
+        )
+        .orderBy("event_type")
+    )

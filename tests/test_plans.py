@@ -2063,3 +2063,14 @@ def test_engine_time_travel_parity_state(spark, sf_dir, registry):
     assert by_id["e000003"] != 999  # fixture v is floor(value) <= ~500
     for k in (10, 20, 30, 40, 50):
         assert f"e{k:06d}" in by_id
+
+
+def test_int_cast_audit_single_pass(spark, sf_dir, registry):
+    """Cast-semantics audit: pure map-side projections into a
+    per-event_type aggregate — no join, no window, one exchange plus
+    the output sort."""
+    df = registry["numeric_int_cast_semantics_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
