@@ -7929,3 +7929,58 @@ def numeric_int_cast_semantics_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "concat_null_substr_edge_audit",
+    """
+    WITH s AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      'k' || nullif(l_returnflag, 'A') || l_linestatus AS key,
+      l_returnflag || l_linestatus || l_returnflag AS tri
+      FROM lineitem)
+    SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_keys,
+           min(key) AS min_key,
+           min(substr(tri, 1, 2)) AS zero_start,
+           min('') AS neg_len
+    FROM s GROUP BY rf, ls ORDER BY rf, ls
+    """,
+    doc="concat-NULL and substr-edge audit (r16 probed divergences): "
+        "(1) Spark's concat() is NULL-propagating — concat('a', NULL, "
+        "'b') is NULL — while DuckDB's concat() SKIPS NULLs and "
+        "returns 'ab'; in key construction this is the difference "
+        "between a row dropping out of a join (NULL key) and it "
+        "silently colliding under a shortened key. The Spark side "
+        "builds keys with the real concat() over a NULLIF-derived "
+        "column; the oracle encodes Spark's semantics with the || "
+        "operator, which propagates NULL in both engines. "
+        "(2) substr with start 0: Spark treats 0 as 1 and returns "
+        "LENGTH chars (substring('AFA',0,2)='AF'); DuckDB counts "
+        "position 0 against the length and returns length-1 chars "
+        "(substr('hello',0,3)='he') — encoded as substr(tri,1,2). "
+        "(3) substr with negative length: Spark returns '' while "
+        "DuckDB counts backwards from the start position "
+        "(substr('hello',2,-1)='h') — encoded as the constant ''. "
+        "One map-side pass into <=6 (rf, ls) groups.",
+    tags=("sql-surface", "capability"),
+)
+def concat_null_substr_edge_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "l_returnflag AS rf", "l_linestatus AS ls",
+        "concat('k', nullif(l_returnflag, 'A'), l_linestatus) AS key",
+        "concat(l_returnflag, l_linestatus, l_returnflag) AS tri",
+    )
+    return (
+        s.groupBy("rf", "ls")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("key").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null_keys"),
+            F.min("key").alias("min_key"),
+            F.min(F.expr("substring(tri, 0, 2)")).alias("zero_start"),
+            F.min(F.expr("substring(tri, 2, -1)")).alias("neg_len"),
+        )
+        .orderBy("rf", "ls")
+    )

@@ -2074,3 +2074,13 @@ def test_int_cast_audit_single_pass(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plans.num_shuffles(df) <= 2, plan[:3000]
+
+
+def test_concat_substr_audit_single_pass(spark, sf_dir, registry):
+    """concat-NULL / substr-edge audit: map-side projections into <=6
+    (rf, ls) groups — no join, no window."""
+    df = registry["concat_null_substr_edge_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
