@@ -505,10 +505,27 @@ def main() -> None:
         "row_api_synced_wal": io_pre_row,
         "stream_write_batch": io_pre_row,
     }
+    def _io_cite(probe: dict) -> str:
+        # carry the x-nominal RATIO, not just the binary state: a
+        # probe at 1.4x nominal is "nominal" by cutoff but materially
+        # elevated — readers adjudicating a below-band write need to
+        # see that, not re-derive it (r16, first gray-zone sighting)
+        r = probe["total_sec"] / IO_NOMINAL_SEC
+        return (f"io={_io_state(probe['total_sec'])}"
+                f"({r:.2f}x)@{probe['total_sec']}s")
+
+    # the CPU score rides along too: bulk ingest is a Spark JVM write
+    # job, so its wall tracks host CPU state at least as much as raw
+    # fs latency — round-16 evidence: two same-code post-soak runs had
+    # bulk below band with near-nominal fs probes while the CPU score
+    # sat ~30% over the same session's idle sample (and the idle run
+    # had every band in). Ratio is vs the round-6 anchor score.
+    cpu_ratio = host_score / ANCHOR["host_cpu_score_sec"]
     write_band_io_context = {
-        k: (f"{v};io={_io_state(phase_probe[k]['total_sec'])}"
-            f"@{phase_probe[k]['total_sec']}s"
-            f";io_start={io_state}@{host_io['total_sec']}s")
+        k: (f"{v};{_io_cite(phase_probe[k])}"
+            f";io_start={io_state}({host_io['total_sec'] / IO_NOMINAL_SEC:.2f}x)"
+            f"@{host_io['total_sec']}s"
+            f";cpu={cpu_ratio:.2f}x_anchor@{host_score}s")
         for k, v in write_raw_band.items() if v != "in"
     }
     write_norm_ratio = {
