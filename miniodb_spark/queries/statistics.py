@@ -7984,3 +7984,58 @@ def concat_null_substr_edge_audit(spark, sf_dir):
         )
         .orderBy("rf", "ls")
     )
+
+
+@register(
+    "timestamp_diff_semantics_audit",
+    """
+    WITH s AS (SELECT event_type,
+      CAST(floor(epoch(TIMESTAMP '2025-06-15 12:34:56' - ts) / 86400)
+           AS BIGINT) AS ed,
+      CAST(date_diff('day', CAST(ts AS DATE), DATE '2025-06-15')
+           AS BIGINT) AS bd
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ed) AS BIGINT) AS sed,
+           CAST(sum(bd) AS BIGINT) AS sbd,
+           CAST(sum(CASE WHEN ed <> bd THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Temporal-diff semantics audit (r16 probed divergence): "
+        "Spark's timestampdiff(DAY, a, b) counts ELAPSED full 24 h "
+        "periods (23:00 -> next-day 01:00 is 0 days) while DuckDB's "
+        "date_diff('day', a, b) counts calendar-BOUNDARY crossings "
+        "(the same pair is 1 day) — probed on both engines, same for "
+        "HOUR. The corruption class: a 'document age in days' or "
+        "retention-window filter computed cross-engine drifts by one "
+        "near every midnight, shifting rows across bucket and cutoff "
+        "edges silently. The Spark side runs the REAL timestampdiff "
+        "plus the boundary form (datediff over dates, which both "
+        "engines agree on); the oracle encodes elapsed semantics as "
+        "floor(epoch-delta / 86400) — exact here since every fixture "
+        "ts precedes the fixed reference instant. n_gap counts rows "
+        "where the two answers differ: the off-by-one population "
+        "itself is cross-checked, not just the sums. One map-side "
+        "pass into per-event_type aggregates.",
+    tags=("sql-surface", "capability"),
+)
+def timestamp_diff_semantics_audit(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    s = ev.selectExpr(
+        "event_type",
+        "CAST(timestampdiff(DAY, ts, TIMESTAMP '2025-06-15 12:34:56')"
+        " AS BIGINT) AS ed",
+        "CAST(datediff(DATE '2025-06-15', to_date(ts)) AS BIGINT) AS bd",
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ed").cast("bigint").alias("sed"),
+            F.sum("bd").cast("bigint").alias("sbd"),
+            F.sum(F.when(F.col("ed") != F.col("bd"), 1).otherwise(0))
+            .cast("bigint").alias("n_gap"),
+        )
+        .orderBy("event_type")
+    )

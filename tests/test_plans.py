@@ -2084,3 +2084,17 @@ def test_concat_substr_audit_single_pass(spark, sf_dir, registry):
     assert "Join" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plans.num_shuffles(df) <= 2, plan[:3000]
+
+
+def test_timestamp_diff_audit_single_pass(spark, sf_dir, registry):
+    """Temporal-diff audit: map-side projections into per-event_type
+    aggregates — no join, no window, and the off-by-one population is
+    nonempty (the divergence is real in this fixture: some events sit
+    between the reference's midnight and its time-of-day)."""
+    df = registry["timestamp_diff_semantics_audit"].fn(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plans.num_shuffles(df) <= 2, plan[:3000]
+    rows = df.collect()
+    assert sum(r["n_gap"] for r in rows) > 0, rows
