@@ -962,6 +962,23 @@ class Engine:
                 # missing-file error; laziness puts that beyond this
                 # method's reach. Retry at a re-refreshed version is
                 # the protocol either way.)
+                # r17 (r16 ADVICE): only MISSING-PATH conditions map to
+                # the retryable type — a corrupt footer / permission /
+                # schema AnalysisException is not transient, and
+                # labeling it "vanished mid-read" sends the storm
+                # reader's retry loop into futile spins over a real
+                # fault. Spark 4 raises PATH_NOT_FOUND for this case
+                # (error class) with FileNotFoundException underneath.
+                klass = ""
+                try:
+                    klass = e.getCondition() or ""
+                except Exception:
+                    pass
+                msg = str(e)
+                if not ("PATH_NOT_FOUND" in klass
+                        or "PATH_NOT_FOUND" in msg
+                        or "FileNotFoundException" in msg):
+                    raise
                 raise SnapshotUnavailableError(
                     f"snapshot v{version} of {table!r}: a listed file "
                     f"vanished mid-read (concurrent retention/vacuum): "

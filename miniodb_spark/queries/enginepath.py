@@ -167,3 +167,66 @@ def engine_time_travel_parity(spark, sf_dir):
         "CAST(sum(v) AS BIGINT) AS sv, "
         "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM emut",
         at_version=eng.seed_versions["emut"])
+
+
+@register(
+    "engine_dq_literal_constants",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 90)
+    SELECT 'x WHERE v > 999 AND pad' AS a, 'y LIMIT z' AS b,
+           'e' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS id, v
+    FROM s ORDER BY id
+    """,
+    doc="r16 verdict #1 pinned EXTERNALLY: the judge's exact spoof "
+        "query — double-quoted SELECT-list constants carrying WHERE/"
+        "LIMIT keyword soup — through the engine's full SQL path over "
+        "the zonemap-configured evz store. Under the pinned dialect "
+        "(session.py: doubleQuotedIdentifiers=false) the constants "
+        "are STRING LITERALS; before the r17 lexer fix "
+        "(gate._literal_content_spans) they fabricated a v > 999 "
+        "bound and this query returned 0 of 90 rows with 3 files "
+        "skipped. The oracle spells the same constants single-quoted "
+        "(DuckDB parses dq as identifiers — the dialect divergence "
+        "that made this class invisible to oracle grading until now)",
+    tags=("engine-path", "sql-surface", "audit"),
+)
+def engine_dq_literal_constants(spark, sf_dir):
+    from ..seeding import numeric_prune_store
+
+    eng = numeric_prune_store(spark, sf_dir)
+    return eng.query_df(
+        'SELECT "x WHERE v > 999 AND pad" AS a, "y LIMIT z" AS b, '
+        "id, v FROM evz ORDER BY id")
+
+
+@register(
+    "engine_literal_sibling_still_prunes",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 90)
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+           'it''s' AS tag
+    FROM s WHERE v >= 50 AND v < 150
+      AND 'decoy AND v > 999 AND pad' <> 'x'
+    """,
+    doc="Companion: a literal-soup SIBLING conjunct (its content is "
+        "a constant comparison Spark folds to true) must neither "
+        "poison the clause split (_split_top_level_and now slices "
+        "raw text by literal-blanked positions) nor stop the REAL "
+        "v-bounds from pruning; and the backslash-escaped tag "
+        "constant ('it\\'s' on the Spark side) pins "
+        "escapedStringLiterals=false semantics against the oracle's "
+        "ANSI '' doubling — same value, different spelling, any "
+        "lexer drift breaks the hash",
+    tags=("engine-path", "sql-surface", "audit"),
+)
+def engine_literal_sibling_still_prunes(spark, sf_dir):
+    from ..seeding import numeric_prune_store
+
+    eng = numeric_prune_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, 'it\\'s' AS tag "
+        "FROM evz WHERE v >= 50 AND v < 150 "
+        "AND 'decoy AND v > 999 AND pad' <> 'x'")

@@ -19,6 +19,8 @@ constants — reseeding is bit-identical."""
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -30,7 +32,38 @@ from .queries.base import load
 
 T0_US = 1_700_000_000_000_000  # 2023-11-14 UTC, inside one dt partition
 
-_CACHE: dict[tuple, Engine] = {}
+# (applicationId, sf_dir, tag) → (session, engine). The session object
+# rides IN the entry (r16 ADVICE: keying by id(spark) alone collides
+# once the id is reused after GC — a later session could be handed an
+# Engine bound to a STOPPED one); applicationId is the stable key and
+# the identity check below catches the impossible-but-cheap case of a
+# distinct live session reporting the same id.
+_CACHE: dict[tuple, tuple[SparkSession, Engine]] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, tag)
+
+
+def _cache_get(spark: SparkSession, sf_dir: str, tag: str) -> Engine | None:
+    ent = _CACHE.get(_cache_key(spark, sf_dir, tag))
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    return None
+
+
+def _cache_put(spark: SparkSession, sf_dir: str, tag: str,
+               eng: Engine) -> None:
+    _CACHE[_cache_key(spark, sf_dir, tag)] = (spark, eng)
+
+
+def _seed_dir(prefix: str) -> str:
+    """mkdtemp + exit-time cleanup (r16 ADVICE: the seed stores were
+    never reclaimed; one driver run leaks a handful of small dirs,
+    but a long-lived test box accretes them)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def numeric_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
@@ -38,8 +71,7 @@ def numeric_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
     events by event_id, v = floor(value) as BIGINT, written in three
     v-sorted flushes so the three files carry disjoint-ish v brackets —
     a numeric point or range conjunct provably skips files."""
-    key = (id(spark), sf_dir, "evz")
-    eng = _CACHE.get(key)
+    eng = _cache_get(spark, sf_dir, "evz")
     if eng is not None:
         return eng
     rows = (
@@ -50,7 +82,7 @@ def numeric_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
         .collect()
     )
     rows.sort(key=lambda r: (r["v"], r["event_id"]))
-    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_evz_"))
+    eng = Engine(spark, _seed_dir("miniodb_seed_evz_"))
     eng.create_table("evz", TableConfig(name="evz", zonemap_columns=["v"]))
     for start in range(0, len(rows), 30):
         eng.write_batch("evz", [
@@ -62,7 +94,7 @@ def numeric_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
             for i, r in enumerate(rows[start:start + 30])
         ])
         eng.flush("evz")
-    _CACHE[key] = eng
+    _cache_put(spark, sf_dir, "evz", eng)
     return eng
 
 
@@ -72,8 +104,7 @@ def comma_join_store(spark: SparkSession, sf_dir: str) -> Engine:
     per ~2 regions so the id zone maps have multiple brackets) and
     ``nat_cj`` (25 nations, one flush) — the comma-join + multi-table
     qualified-pruning fixture."""
-    key = (id(spark), sf_dir, "cj")
-    eng = _CACHE.get(key)
+    eng = _cache_get(spark, sf_dir, "cj")
     if eng is not None:
         return eng
     regions = sorted(
@@ -84,7 +115,7 @@ def comma_join_store(spark: SparkSession, sf_dir: str) -> Engine:
         load(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey").collect(),
         key=lambda r: r["n_name"])
-    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_cj_"))
+    eng = Engine(spark, _seed_dir("miniodb_seed_cj_"))
     for start in range(0, len(regions), 2):
         eng.write_batch("reg_cj", [
             {
@@ -107,7 +138,7 @@ def comma_join_store(spark: SparkSession, sf_dir: str) -> Engine:
         for i, n in enumerate(nations)
     ])
     eng.flush("nat_cj")
-    _CACHE[key] = eng
+    _cache_put(spark, sf_dir, "cj", eng)
     return eng
 
 
@@ -124,8 +155,7 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
     time-travel entry can read the v0 snapshot; the store is built
     with retain_history=True to keep that snapshot's files alive
     across the rewrites."""
-    key = (id(spark), sf_dir, "emut")
-    eng = _CACHE.get(key)
+    eng = _cache_get(spark, sf_dir, "emut")
     if eng is not None:
         return eng
     rows = (
@@ -138,7 +168,7 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
     # retain_history: the pre-mutation snapshot must stay readable —
     # engine_time_travel_parity queries at_version=v0 after the
     # update/delete rewrites (rewrites otherwise GC superseded files)
-    eng = Engine(spark, tempfile.mkdtemp(prefix="miniodb_seed_emut_"),
+    eng = Engine(spark, _seed_dir("miniodb_seed_emut_"),
                  retain_history=True)
     eng.write_batch("emut", [
         {
@@ -154,5 +184,5 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.update("emut", "e000003", {"v": 999}, timestamp_us=T0_US + 3)
     for k in (10, 20, 30, 40, 50):
         eng.delete("emut", f"e{k:06d}")
-    _CACHE[key] = eng
+    _cache_put(spark, sf_dir, "emut", eng)
     return eng

@@ -101,6 +101,15 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", _EXEC_TZ_FLAG)
         # Arrow for createDataFrame/toPandas/pandas_udf exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dialect pin (r16 verdict #1): the SQL gate's literal lexer
+        # (gate._literal_content_spans) models EXACTLY this dialect —
+        # "..." is a STRING LITERAL (not an identifier) and backslash
+        # escapes are live inside literals. doubleQuotedIdentifiers is
+        # pinned here; escapedStringLiterals (a deprecated knob whose
+        # builder-set triggers a WARN per session) is ASSERTED after
+        # creation below — either flag flipping would re-open the
+        # literal-spoof class the lexer closes.
+        .config("spark.sql.ansi.doubleQuotedIdentifiers", "false")
         # Parquet scan efficiency: pushdown is on by default; make it
         # explicit because the reference's whole pruning layer depends on it.
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -118,6 +127,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Dialect assertion (see the doubleQuotedIdentifiers pin above):
+    # the gate's soundness proof is conditional on this lexing mode —
+    # refuse to hand out a session whose parser disagrees with it.
+    for key, want in (
+        ("spark.sql.parser.escapedStringLiterals", "false"),
+        ("spark.sql.ansi.doubleQuotedIdentifiers", "false"),
+    ):
+        got = str(spark.conf.get(key, want)).lower()
+        if got != want:
+            raise RuntimeError(
+                f"{key}={got}: the SQL gate's literal lexer models "
+                f"{key}={want}; running with a divergent parser "
+                "dialect re-opens the literal-spoof class "
+                "(gate._literal_content_spans). Unset the override.")
     try:
         # Client/local mode: the driver JVM is already up, so
         # -Duser.timezone can't reach it via conf — set the default

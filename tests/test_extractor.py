@@ -25,7 +25,12 @@ def test_cte_names_excluded():
 
 
 def test_quoted_and_qualified():
-    assert extract_tables('SELECT * FROM "MyTable"') == ["mytable"]
+    # Under the pinned dialect (session.py: doubleQuotedIdentifiers=
+    # false) "MyTable" after FROM is a STRING LITERAL — Spark rejects
+    # the statement with PARSE_SYNTAX_ERROR (probed) — so the
+    # extractor must see no table there (r17; previously this
+    # asserted the pre-dialect-fix behavior ["mytable"]).
+    assert extract_tables('SELECT * FROM "MyTable"') == []
     assert extract_tables("SELECT * FROM db.schema_tbl") == ["schema_tbl"]
 
 

@@ -254,3 +254,103 @@ def test_legacy_rewrite_never_touches_literals(a):
     sql = f"SELECT '{lit}' AS x FROM table"
     out = rewrite_legacy_from_table(sql, "users")
     assert out == f"SELECT '{lit}' AS x FROM users", (sql, out)
+
+
+_SOUPQ = st.text(
+    alphabet=st.sampled_from(list("WHERE LIMIT AND OR ORDER BY GROUP "
+                                  "BETWEEN v id > < = ' \" \\ 0123456789.x")),
+    max_size=60)
+
+
+def _dq(s: str) -> str:
+    """Valid double-quoted-literal content under the pinned dialect
+    (backslash escapes live, '""' doubles)."""
+    return s.replace("\\", "\\\\").replace('"', '""')
+
+
+def _sq_bs(s: str) -> str:
+    """Single-quoted-literal content using BACKSLASH escaping (the
+    dialect's other escape flavor) instead of '' doubling."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+@given(_SOUPQ, _SOUPQ)
+@settings(max_examples=300, deadline=None)
+def test_dq_literal_soup_never_fabricates_a_bound(a, b):
+    """r16 verdict #1 property: the r15 no-WHERE soup property, one
+    quote flavor over — DOUBLE-quoted SELECT-list literals (string
+    literals under the pinned dialect) must never make any extractor
+    fabricate a constraint, whatever keyword soup (now including
+    stray quotes of both flavors and backslashes) they contain."""
+    from miniodb_spark.gate import (
+        extract_conjunctive_eq, extract_conjunctive_keys,
+        extract_conjunctive_numeric_range, extract_conjunctive_range,
+    )
+
+    sql = f'SELECT "{_dq(a)}", "{_dq(b)}" FROM t'
+    assert extract_conjunctive_eq(sql, "id") is None, sql
+    assert extract_conjunctive_keys(sql, "id") is None, sql
+    assert extract_conjunctive_range(sql, "id") is None, sql
+    assert extract_conjunctive_numeric_range(sql, "v") is None, sql
+
+
+@given(_SOUPQ)
+@settings(max_examples=300, deadline=None)
+def test_dq_literal_soup_never_shifts_a_real_bound(a):
+    """Companion: with a REAL clause present, dq-literal soup in the
+    SELECT list must never change the extraction — and the same soup
+    inside a dq literal IN the clause (a sibling conjunct on another
+    column) must not either (the r16 in-clause spoof)."""
+    from miniodb_spark.gate import extract_conjunctive_numeric_range
+
+    lit = _dq(a)
+    sql = f'SELECT "{lit}" FROM t WHERE v >= 7 AND v < 9'
+    assert extract_conjunctive_numeric_range(sql, "v") == \
+        (7, True, 9, False), sql
+    sql2 = f'SELECT v FROM t WHERE v >= 7 AND x = "{lit}" AND v < 9'
+    assert extract_conjunctive_numeric_range(sql2, "v") == \
+        (7, True, 9, False), sql2
+
+
+@given(_SOUPQ, _SOUPQ)
+@settings(max_examples=300, deadline=None)
+def test_backslash_escaped_soup_never_fabricates_a_bound(a, b):
+    """Escape-flavor property: single-quoted literals using BACKSLASH
+    quote escaping (``'a\\'b'`` — live under the pinned dialect,
+    escapedStringLiterals=false) must never fabricate a constraint.
+    A lexer modeling only '' doubling would terminate the literal at
+    the escaped quote and hand its content to the scanners."""
+    from miniodb_spark.gate import (
+        extract_conjunctive_eq, extract_conjunctive_numeric_range,
+    )
+
+    sql = f"SELECT '{_sq_bs(a)}', '{_sq_bs(b)}' FROM t"
+    assert extract_conjunctive_eq(sql, "id") is None, sql
+    assert extract_conjunctive_numeric_range(sql, "v") is None, sql
+
+
+@given(_SOUPQ)
+@settings(max_examples=200, deadline=None)
+def test_legacy_rewrite_never_touches_dq_literals(a):
+    """rewrite_legacy_from_table: 'FROM table' inside a DOUBLE-quoted
+    literal survives byte-identical (the r16 ADVICE low repro:
+    SELECT "copy FROM table x" FROM events was corrupted)."""
+    from miniodb_spark.gate import rewrite_legacy_from_table
+
+    lit = _dq("FROM table " + a)
+    sql = f'SELECT "{lit}" AS x FROM table'
+    out = rewrite_legacy_from_table(sql, "users")
+    assert out == f'SELECT "{lit}" AS x FROM users', (sql, out)
+
+
+@given(_SOUPQ)
+@settings(max_examples=200, deadline=None)
+def test_extract_tables_dq_literal_never_fabricates(a):
+    """extractor._scan_text twin: a double-quoted literal containing
+    'FROM ghost' soup must neither fabricate a table reference nor
+    hide the real one (r16 verdict: extract_tables('SELECT "x FROM
+    ghost" FROM real_t') returned ['ghost', 'real_t'])."""
+    from miniodb_spark.extractor import extract_tables
+
+    sql = f'SELECT "{_dq("FROM ghost " + a)}" FROM real_t'
+    assert extract_tables(sql) == ["real_t"], sql

@@ -572,3 +572,48 @@ def test_snapshot_at_latest_survives_retention_drop(spark, tmp_path):
                 eng.read_snapshot("rt", v).select("id").collect()}
     assert snap_ids == {"r2", "r3"}
     assert eng.read_table("rt").count() == 2
+
+
+def test_eager_open_maps_only_missing_path_to_retryable(
+        retaining_engine, monkeypatch):
+    """r16 ADVICE (engine.py eager-open TOCTOU handler): ONLY
+    missing-path AnalysisExceptions map to the retryable
+    SnapshotUnavailableError — a corrupt-footer / permission / schema
+    AnalysisException is not transient, and relabeling it "a listed
+    file vanished mid-read" would spin the storm reader's retry loop
+    over a real fault forever."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.readwriter import DataFrameReader
+
+    eng = retaining_engine
+    eng.write("nar", {"v": 1}, record_id="a", timestamp_us=T0)
+    eng.flush("nar")
+    v1 = eng.catalog.current_version("nar")
+    assert eng.read_snapshot("nar", v1).count() == 1
+
+    real_parquet = DataFrameReader.parquet
+
+    def raising(msg):
+        def _fake(self, *paths):
+            raise AnalysisException(msg)
+        return _fake
+
+    # missing-path flavors → retryable refusal
+    for msg in (
+        "[PATH_NOT_FOUND] Path does not exist: file:/x/p.parquet.",
+        "java.io.FileNotFoundException: /x/p.parquet no longer exists",
+    ):
+        monkeypatch.setattr(DataFrameReader, "parquet", raising(msg))
+        with pytest.raises(SnapshotUnavailableError):
+            eng.read_snapshot("nar", v1)
+
+    # any other analysis failure → surfaces as-is (NOT retryable)
+    monkeypatch.setattr(
+        DataFrameReader, "parquet",
+        raising("[CANNOT_READ_FILE_FOOTER] Could not read footer"))
+    with pytest.raises(AnalysisException):
+        eng.read_snapshot("nar", v1)
+
+    # restored reader still works
+    monkeypatch.setattr(DataFrameReader, "parquet", real_parquet)
+    assert eng.read_snapshot("nar", v1).count() == 1
