@@ -8039,3 +8039,117 @@ def timestamp_diff_semantics_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cast_suffix_grammar_audit",
+    """
+    WITH s AS (SELECT
+      CAST(o_orderkey % 100 AS DOUBLE) AS sd,
+      CAST(NULL AS DOUBLE) AS us,
+      CAST(NULL AS BIGINT) AS fr,
+      o_orderpriority AS pri
+      FROM orders)
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(sd) AS DOUBLE) AS sum_sd,
+           CAST(count(us) AS BIGINT) AS n_us,
+           CAST(count(fr) AS BIGINT) AS n_fr,
+           CAST(min(sd) AS DOUBLE) AS mn_sd,
+           CAST(max(sd) AS DOUBLE) AS mx_sd
+    FROM s GROUP BY pri ORDER BY pri
+    """,
+    doc="String->number CAST grammar audit (r17 probed divergences): "
+        "(1) Spark's string->DOUBLE cast accepts JAVA float-literal "
+        "SUFFIXES — try_cast('1d'), '1F', '1.5e2d' all parse (the "
+        "digits with the suffix stripped) — while DuckDB returns "
+        "NULL for every one of them; (2) DuckDB accepts underscore "
+        "digit separators ('1_000' -> 1000.0) and hex ints ('0x10' "
+        "-> 16) that Spark rejects; (3) a FRACTIONAL string cast to "
+        "an integer type is NULL in Spark (try_cast('1.9' AS "
+        "BIGINT)) but ROUNDS in DuckDB (-> 2). A cross-engine "
+        "ingest that trusts 'the same cast' therefore silently "
+        "drops or invents rows depending on which side parsed the "
+        "string. The Spark side runs the REAL try_casts on strings "
+        "derived from o_orderkey ('<k>d' suffix probe, '<k>_5' "
+        "underscore probe, '<k>.9' fractional-int probe); the "
+        "oracle ENCODES Spark's grammar: the suffix probe is the "
+        "plain numeric value, the other two are NULL columns. "
+        "count(us)/count(fr) pin the all-NULL population (0 per "
+        "group on both sides only if Spark really rejects every "
+        "row). One map-side pass into <=5 priority groups.",
+    tags=("sql-surface", "capability"),
+)
+def cast_suffix_grammar_audit(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "try_cast(concat(CAST(o_orderkey % 100 AS STRING), 'd') "
+        "AS DOUBLE) AS sd",
+        "try_cast(concat(CAST(o_orderkey % 100 AS STRING), '_5') "
+        "AS DOUBLE) AS us",
+        "try_cast(concat(CAST(o_orderkey % 100 AS STRING), '.9') "
+        "AS BIGINT) AS fr",
+        "o_orderpriority AS pri",
+    )
+    return (
+        s.groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("sd").cast("double").alias("sum_sd"),
+            F.count("us").cast("bigint").alias("n_us"),
+            F.count("fr").cast("bigint").alias("n_fr"),
+            F.min("sd").cast("double").alias("mn_sd"),
+            F.max("sd").cast("double").alias("mx_sd"),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "initcap_word_boundary_audit",
+    """
+    WITH s AS (SELECT p_brand,
+      array_to_string(list_transform(str_split(lower(p_name), ' '),
+        y -> upper(y[1]) || y[2:]), ' ') AS cap_sp,
+      upper((replace(p_name, ' ', '-'))[1])
+        || lower((replace(p_name, ' ', '-'))[2:]) AS cap_hy
+      FROM part)
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           min(cap_sp) AS mn_cap, max(cap_sp) AS mx_cap,
+           min(cap_hy) AS mn_hy,
+           CAST(sum(length(cap_sp)) AS BIGINT) AS len_sum
+    FROM s GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="initcap word-boundary audit (r17 probed divergence): Spark's "
+        "initcap() lowercases everything, then capitalizes ONLY "
+        "after WHITESPACE — hyphens/underscores are not boundaries "
+        "('foo-bar baz_qux' -> 'Foo-bar Baz_qux') — and DuckDB has "
+        "no initcap() at all, so any port reaches for an emulation "
+        "whose boundary set silently differs (most SQL initcaps, "
+        "e.g. Oracle/Postgres, capitalize after EVERY non-alnum: "
+        "'Foo-Bar'). The Spark side runs the real initcap over "
+        "p_name (space-separated probe; initcap(upper(..)) pins the "
+        "lowercase-the-rest rule) and over a hyphenated derivation "
+        "(only the FIRST letter capitalizes); the oracle encodes "
+        "Spark's whitespace-only rule with str_split/list_transform "
+        "and a first-char upper for the hyphen probe. Map-side pass "
+        "into ~25 brand groups.",
+    tags=("sql-surface", "capability"),
+)
+def initcap_word_boundary_audit(spark, sf_dir):
+    pt = load(spark, sf_dir, "part")
+    s = pt.selectExpr(
+        "p_brand",
+        "initcap(upper(p_name)) AS cap_sp",
+        "initcap(replace(p_name, ' ', '-')) AS cap_hy",
+    )
+    return (
+        s.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cap_sp").alias("mn_cap"),
+            F.max("cap_sp").alias("mx_cap"),
+            F.min("cap_hy").alias("mn_hy"),
+            F.sum(F.length("cap_sp")).cast("bigint").alias("len_sum"),
+        )
+        .orderBy("p_brand")
+    )
