@@ -230,3 +230,81 @@ def engine_literal_sibling_still_prunes(spark, sf_dir):
         "CAST(sum(v) AS BIGINT) AS sv, 'it\\'s' AS tag "
         "FROM evz WHERE v >= 50 AND v < 150 "
         "AND 'decoy AND v > 999 AND pad' <> 'x'")
+
+
+@register(
+    "engine_backup_restore_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 40)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(DISTINCT v) AS BIGINT) AS dv,
+           true AS mutated_before_restore
+    FROM s
+    """,
+    doc="Backup/restore externally graded (SURVEY #53's backup "
+        "component was tests-only evidence through r16): 40 fixture "
+        "rows ingested and flushed, create_data_backup (object "
+        "copies via the fs abstraction + manifest-last sentinel), "
+        "then the store is CORRUPTED through the durable mutation "
+        "paths (one insert-first update, two per-file-rewrite "
+        "deletes), then restore_data_backup copies the objects back "
+        "and re-imports the catalog metadata. The post-restore "
+        "aggregate must equal the plain PRE-mutation fixture slice; "
+        "mutated_before_restore pins (from the seeding's own "
+        "pre-restore count) that the corruption really applied, so "
+        "the parity can't pass vacuously. Reference analog: "
+        "internal/backup/ full-copy restore",
+    tags=("engine-path", "backup"),
+)
+def engine_backup_restore_parity(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..seeding import backup_restore_store
+
+    eng = backup_restore_store(spark, sf_dir)
+    df = eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM ebak")
+    return df.withColumn(
+        "mutated_before_restore",
+        F.lit(bool(eng.seed_flags["ebak_mutated"])))
+
+
+@register(
+    "engine_compaction_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 60)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS d,
+           true AS files_reduced
+    FROM s
+    """,
+    doc="Tiered compaction externally graded (SURVEY #14 was "
+        "tests-only evidence through r16): 60 fixture rows written "
+        "as six 10-row flushes (six L0 files), compact(force=True) "
+        "merges them, and the post-compaction aggregate through the "
+        "SQL path must reproduce the fixture slice exactly — a "
+        "lossy merge breaks n/sv, a duplicating one breaks d. "
+        "files_reduced pins (from the seeding's glob count) that "
+        "the physical file count actually dropped, so the parity "
+        "can't pass on a silent no-op. Reference analog: "
+        "internal/compaction tiered manager",
+    tags=("engine-path", "compaction"),
+)
+def engine_compaction_parity(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..seeding import compaction_store
+
+    eng = compaction_store(spark, sf_dir)
+    df = eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(DISTINCT id) AS BIGINT) AS d FROM ecmp")
+    return df.withColumn(
+        "files_reduced", F.lit(bool(eng.seed_flags["ecmp_compacted"])))

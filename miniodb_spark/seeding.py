@@ -186,3 +186,92 @@ def mutation_store(spark: SparkSession, sf_dir: str) -> Engine:
         eng.delete("emut", f"e{k:06d}")
     _cache_put(spark, sf_dir, "emut", eng)
     return eng
+
+
+def backup_restore_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``ebak``: the first 40 events (v =
+    floor(value) as BIGINT), flushed once, DATA-BACKED-UP
+    (BackupManager.create_data_backup — object copies + catalog
+    manifest), then corrupted through the durable mutation paths
+    (update e000003 -> v=999, deletes of e000005/e000007), then
+    RESTORED from the backup. The post-restore state must equal the
+    pre-mutation fixture slice — graded externally by
+    ``engine_backup_restore_parity``. ``eng.seed_flags['ebak_mutated']``
+    records that the corruption really diverged the store before the
+    restore (guards against a restore that trivially 'passes' because
+    the mutations never applied)."""
+    eng = _cache_get(spark, sf_dir, "ebak")
+    if eng is not None:
+        return eng
+    from .backup import BackupManager
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(40)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_ebak_"))
+    eng.write_batch("ebak", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"v": r["v"]},
+        }
+        for i, r in enumerate(rows)
+    ])
+    eng.flush("ebak")
+    bm = BackupManager(eng.catalog, engine=eng)
+    info = bm.create_data_backup(["ebak"])
+    eng.update("ebak", "e000003", {"v": 999}, timestamp_us=T0_US + 3)
+    eng.delete("ebak", "e000005")
+    eng.delete("ebak", "e000007")
+    mutated_n = eng.query_df(
+        "SELECT count(*) AS n FROM ebak").collect()[0]["n"]
+    bm.restore_data_backup(info["object_name"], ["ebak"])
+    eng.seed_flags = {"ebak_mutated": int(mutated_n) == len(rows) - 2}
+    _cache_put(spark, sf_dir, "ebak", eng)
+    return eng
+
+
+def compaction_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``ecmp``: the first 60 events written as SIX
+    10-row flushes (six L0 generations), then tiered compaction
+    (``compact(force=True)``) — graded externally by
+    ``engine_compaction_parity``: the merged output must reproduce
+    the fixture slice exactly (lossless rewrite), and
+    ``eng.seed_flags['ecmp_compacted']`` records that the physical
+    file count actually dropped (the entry fails if compaction
+    silently no-opped)."""
+    eng = _cache_get(spark, sf_dir, "ecmp")
+    if eng is not None:
+        return eng
+    import glob
+    import os
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(60)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_ecmp_"))
+    for start in range(0, len(rows), 10):
+        eng.write_batch("ecmp", [
+            {
+                "id": f"e{r['event_id']:06d}",
+                "timestamp_us": T0_US + start + i,
+                "payload": {"v": r["v"]},
+            }
+            for i, r in enumerate(rows[start:start + 10])
+        ])
+        eng.flush("ecmp")
+    pat = os.path.join(eng.root, "ecmp", "**", "*.parquet")
+    before = len(glob.glob(pat, recursive=True))
+    eng.compact("ecmp", force=True)
+    after = len(glob.glob(pat, recursive=True))
+    eng.seed_flags = {"ecmp_compacted": after < before}
+    _cache_put(spark, sf_dir, "ecmp", eng)
+    return eng
