@@ -308,3 +308,52 @@ def engine_compaction_parity(spark, sf_dir):
         "CAST(count(DISTINCT id) AS BIGINT) AS d FROM ecmp")
     return df.withColumn(
         "files_reduced", F.lit(bool(eng.seed_flags["ecmp_compacted"])))
+
+
+@register(
+    "engine_cdc_event_stream",
+    """
+    WITH ids AS (SELECT event_id,
+                        row_number() OVER (ORDER BY event_id) - 1 AS rn
+                 FROM events ORDER BY event_id LIMIT 30),
+    fid AS (SELECT rn,
+                   'e' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS id
+            FROM ids)
+    SELECT 1 AS seq, 'insert' AS event_type, CAST(1 AS BIGINT) AS n_records,
+           (SELECT id FROM fid WHERE rn = 0) AS first_id
+    UNION ALL SELECT 2, 'insert', 1, (SELECT id FROM fid WHERE rn = 1)
+    UNION ALL SELECT 3, 'insert', 1, (SELECT id FROM fid WHERE rn = 2)
+    UNION ALL SELECT 4, 'batch', 20, (SELECT id FROM fid WHERE rn = 10)
+    UNION ALL SELECT 5, 'update', 1, (SELECT id FROM fid WHERE rn = 1)
+    UNION ALL SELECT 6, 'delete', 1, (SELECT id FROM fid WHERE rn = 2)
+    ORDER BY seq
+    """,
+    doc="CDC/subscription events externally graded (SURVEY #16/#46 "
+        "were tests-only evidence through r16): a fixed mutation "
+        "script — three WriteData inserts, one 20-row StreamWrite "
+        "batch, one durable update, one delete — drives the real "
+        "EventPublisher, and the event log's deterministic "
+        "projection (sequence, type, record count, first record id) "
+        "must match the oracle's re-derivation of the same script "
+        "over the fixture ids. event_id/timestamp_us are excluded "
+        "by design (uuid/wall-clock, reference "
+        "kafka_subscriber.go:331-470); the event SHAPE, ordering, "
+        "and record attribution are the graded contract. The ≤6-row "
+        "createDataFrame is protocol output, not a data collect",
+    tags=("engine-path", "cdc", "streaming"),
+)
+def engine_cdc_event_stream(spark, sf_dir):
+    from pyspark.sql import types as T  # noqa: N812
+
+    from ..seeding import cdc_store
+
+    eng = cdc_store(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("first_id", T.StringType()),
+    ])
+    return spark.createDataFrame(
+        [(s, t, int(n), f) for s, t, n, f in eng.seed_cdc], schema
+    ).orderBy("seq")

@@ -275,3 +275,49 @@ def compaction_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.seed_flags = {"ecmp_compacted": after < before}
     _cache_put(spark, sf_dir, "ecmp", eng)
     return eng
+
+
+def cdc_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``ecdc`` wired to an InMemorySink
+    EventPublisher, driven through a FIXED mutation script: three
+    single writes, one 20-row batch, flush, one update, one delete.
+    The resulting CDC event log's deterministic projection —
+    (sequence, event_type, record count, first record id) — is
+    stashed on ``eng.seed_cdc`` for ``engine_cdc_event_stream`` to
+    grade externally (event_id/timestamp are intentionally excluded:
+    they are uuid/wall-clock by design, reference
+    kafka_subscriber.go:331-470). The batch ids come from the fixture
+    slice (event_id dense 0..N-1 at every SF, offset +10)."""
+    eng = _cache_get(spark, sf_dir, "ecdc")
+    if eng is not None:
+        return eng
+    from .streaming.cdc import EventPublisher, InMemorySink
+
+    ids = [
+        r["event_id"]
+        for r in load(spark, sf_dir, "events")
+        .orderBy("event_id").limit(30).select("event_id").collect()
+    ]
+    pub = EventPublisher([InMemorySink()])
+    eng = Engine(spark, _seed_dir("miniodb_seed_ecdc_"),
+                 event_publisher=pub)
+    for i in ids[:3]:
+        eng.write("ecdc", {"v": int(i)}, record_id=f"e{i:06d}",
+                  timestamp_us=T0_US + int(i))
+    eng.write_batch("ecdc", [
+        {"id": f"e{i:06d}", "timestamp_us": T0_US + int(i),
+         "payload": {"v": int(i)}}
+        for i in ids[10:30]
+    ])
+    eng.flush("ecdc")
+    eng.update("ecdc", f"e{ids[1]:06d}", {"v": 99},
+               timestamp_us=T0_US + int(ids[1]))
+    eng.delete("ecdc", f"e{ids[2]:06d}")
+    eng.seed_cdc = [
+        (seq, ev.event_type, len(ev.records),
+         ev.records[0] if ev.records else None)
+        for seq, ev in enumerate(
+            pub.memory_sink.all_events("ecdc"), 1)
+    ]
+    _cache_put(spark, sf_dir, "ecdc", eng)
+    return eng
