@@ -8153,3 +8153,55 @@ def initcap_word_boundary_audit(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "sequence_format_semantics_audit",
+    """
+    WITH s AS (SELECT o_orderkey, o_orderdate,
+      list_aggr(generate_series(CAST(o_orderkey % 5 + 3 AS BIGINT),
+                                1, -1), 'sum') AS desc_sum,
+      CAST(len(generate_series(CAST(o_orderkey % 5 + 3 AS BIGINT),
+                               1, -1)) AS INTEGER) AS desc_len,
+      CASE WHEN length(strftime(o_orderdate, '%-j')) = 1
+           THEN '0' || strftime(o_orderdate, '%-j')
+           ELSE strftime(o_orderdate, '%-j') END AS doy
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(desc_sum) AS BIGINT) AS sum_desc,
+           CAST(sum(desc_len) AS BIGINT) AS len_desc,
+           min(doy) AS mn_doy, max(doy) AS mx_doy
+    FROM s
+    """,
+    doc="Sequence-direction + format-padding audit (r17 probed "
+        "divergences): (1) Spark's sequence(hi, lo) with NO step "
+        "infers a DESCENDING step and returns [hi..lo], while "
+        "DuckDB's generate_series(hi, lo) returns EMPTY — a "
+        "cross-engine backfill that enumerates 'days back from N' "
+        "silently produces zero rows on one side; the oracle "
+        "encodes Spark's inference with an explicit -1 step. "
+        "(2) date_format pattern 'DD' (Java day-of-year) does NOT "
+        "zero-pad to 3 ('65'), while strftime '%j' does ('065') — "
+        "string-keyed joins on the formatted value drop every "
+        "pre-day-100 row; Java 'DD' still pads to a MINIMUM of two "
+        "digits ('01' for Jan 1 — probed), so the oracle encodes "
+        "Spark as non-padded '%-j' re-padded to width 2. Aggregated "
+        "over sequence sums/lengths and min/max day-of-year "
+        "strings; one map-side pass",
+    tags=("sql-surface", "capability"),
+)
+def sequence_format_semantics_audit(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "aggregate(sequence(o_orderkey % 5 + 3, 1), 0L, "
+        "(a, x) -> a + x) AS desc_sum",
+        "size(sequence(o_orderkey % 5 + 3, 1)) AS desc_len",
+        "date_format(o_orderdate, 'DD') AS doy",
+    )
+    return s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("desc_sum").cast("bigint").alias("sum_desc"),
+        F.sum("desc_len").cast("bigint").alias("len_desc"),
+        F.min("doy").alias("mn_doy"),
+        F.max("doy").alias("mx_doy"),
+    )
