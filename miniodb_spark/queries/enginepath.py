@@ -357,3 +357,86 @@ def engine_cdc_event_stream(spark, sf_dir):
     return spark.createDataFrame(
         [(s, t, int(n), f) for s, t, n, f in eng.seed_cdc], schema
     ).orderBy("seq")
+
+
+@register(
+    "engine_cleanup_empty_ids",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 30)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(3 AS BIGINT) AS cleaned_n
+    FROM s
+    """,
+    doc="CleanupEmptyIDRecords externally graded (SURVEY #43 was "
+        "tests-only evidence through r16): 30 fixture rows plus "
+        "three '_'-placeholder rows ingested and flushed; the "
+        "cleanup sweep (reference miniodb_service.go:1051-1084) must "
+        "delete EXACTLY the placeholders through the per-file-rewrite "
+        "path — the surviving aggregate equals the plain fixture "
+        "slice (a sweep that over-deletes breaks n/sv, one that "
+        "under-deletes leaves a 100000+ v in sv) and cleaned_n pins "
+        "the sweep's own return count against the oracle constant",
+    tags=("engine-path", "mutation"),
+)
+def engine_cleanup_empty_ids(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..seeding import cleanup_store
+
+    eng = cleanup_store(spark, sf_dir)
+    df = eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv FROM ecln")
+    return df.withColumn(
+        "cleaned_n",
+        F.lit(int(eng.seed_flags["ecln_cleaned"])).cast("bigint"))
+
+
+@register(
+    "engine_cache_hit_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 90)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           true AS served_from_cache
+    FROM s WHERE v >= 50
+    """,
+    doc="Query-result cache externally graded (SURVEY #51's "
+        "correctness was tests-only evidence through r16; its "
+        "latency is bench-pinned): the same aggregate runs TWICE "
+        "through the engine SQL path on the evz store — the second "
+        "execution must be a cache HIT (hit counter advances, "
+        "served_from_cache pins it) and the JSON the cache hands "
+        "back — parsed, not re-queried — must match the oracle's "
+        "fixture re-derivation; a cache serving stale or "
+        "wrongly-keyed bytes would hash-mismatch here. The ≤1-row "
+        "createDataFrame is the cache's own protocol output. Store "
+        "shared with engine_numeric_eq_prune_sql (seeding cached "
+        "per session)",
+    tags=("engine-path", "cache"),
+)
+def engine_cache_hit_parity(spark, sf_dir):
+    import json as _json
+
+    from pyspark.sql import types as T  # noqa: N812
+
+    from ..seeding import numeric_prune_store
+
+    eng = numeric_prune_store(spark, sf_dir)
+    sql = ("SELECT CAST(count(*) AS BIGINT) AS n, "
+           "CAST(sum(v) AS BIGINT) AS sv FROM evz WHERE v >= 50")
+    eng.query(sql)  # prime (or reuse) the cache entry
+    hits_before = eng.cache.hits
+    served = eng.query(sql)  # the JSON the CACHE hands back
+    hit = eng.cache.hits > hits_before
+    rows = _json.loads(served)
+    schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.LongType()),
+        T.StructField("served_from_cache", T.BooleanType()),
+    ])
+    return spark.createDataFrame(
+        [(int(r["n"]), int(r["sv"]), bool(hit)) for r in rows], schema)

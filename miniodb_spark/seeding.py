@@ -321,3 +321,40 @@ def cdc_store(spark: SparkSession, sf_dir: str) -> Engine:
     ]
     _cache_put(spark, sf_dir, "ecdc", eng)
     return eng
+
+
+def cleanup_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``ecln``: 30 fixture rows plus THREE
+    placeholder-id rows ('_' — the reference's empty-id marker,
+    miniodb_service.go:1051-1084), flushed, then
+    ``cleanup_empty_id_records`` sweeps the placeholders through the
+    per-file-rewrite delete path. ``eng.seed_flags['ecln_cleaned']``
+    records the sweep's return count for the grading entry."""
+    eng = _cache_get(spark, sf_dir, "ecln")
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(30)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_ecln_"))
+    eng.write_batch("ecln", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"v": r["v"]},
+        }
+        for i, r in enumerate(rows)
+    ] + [
+        {"id": "_", "timestamp_us": T0_US + 1000 + j,
+         "payload": {"v": 100000 + j}}
+        for j in range(3)
+    ])
+    eng.flush("ecln")
+    cleaned = eng.cleanup_empty_id_records("ecln")
+    eng.seed_flags = {"ecln_cleaned": int(cleaned)}
+    _cache_put(spark, sf_dir, "ecln", eng)
+    return eng
