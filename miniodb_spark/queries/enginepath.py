@@ -440,3 +440,125 @@ def engine_cache_hit_parity(spark, sf_dir):
     ])
     return spark.createDataFrame(
         [(int(r["n"]), int(r["sv"]), bool(hit)) for r in rows], schema)
+
+
+@register(
+    "engine_bulk_merge_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 50)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_id < 10 THEN v + 1000 ELSE v END)
+                AS BIGINT) AS sv,
+           CAST(20 AS BIGINT) AS n_inserted,
+           CAST(10 AS BIGINT) AS n_replaced
+    FROM s
+    """,
+    doc="Bulk MERGE (SCD1 upsert) externally graded (SURVEY #44 was "
+        "tests-only evidence through r16): 40 fixture rows flushed, "
+        "then one merge_records batch replaces the first 10 ids with "
+        "v+1000 and inserts 10 new ids carrying fixture rows "
+        "40..49's values — the distributed single-commit "
+        "generalization of per-record update "
+        "(mutations.upsert_dataframe). The end-state aggregate must "
+        "equal the oracle's CASE re-derivation over the first 50 "
+        "fixture rows (a surviving old version inflates n, a lost "
+        "insert deflates it, a mis-keyed replace breaks sv), and "
+        "the merge's own (inserted, replaced) return is pinned "
+        "against the oracle constants",
+    tags=("engine-path", "mutation"),
+)
+def engine_bulk_merge_parity(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..seeding import merge_store
+
+    eng = merge_store(spark, sf_dir)
+    ins, rep = eng.seed_flags["emrg"]
+    df = eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv FROM emrg")
+    return (df
+            .withColumn("n_inserted", F.lit(int(ins)).cast("bigint"))
+            .withColumn("n_replaced", F.lit(int(rep)).cast("bigint")))
+
+
+@register(
+    "engine_schema_evolution_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v,
+                      CASE WHEN event_id >= 10
+                           THEN CAST(event_id AS DOUBLE) END AS w
+               FROM events ORDER BY event_id LIMIT 20)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(sum(w) AS DOUBLE) AS sw,
+           CAST(count(w) AS BIGINT) AS nw
+    FROM s
+    """,
+    doc="Dynamic-schema flush + cross-generation union externally "
+        "graded (SURVEY #13 was tests-only evidence through r16): "
+        "two flushes with EVOLVING payload schema — rows 0..9 carry "
+        "{v} only, rows 10..19 add a double column w — and the SQL "
+        "path must union the generations with typed NULL back-fill "
+        "(count(w)=10 pins exactly the second flush's rows carrying "
+        "values; a read that dropped the older generation breaks n, "
+        "one that zero-filled instead of NULL-filled breaks nw). "
+        "Oracle re-derives w as a CASE over the fixture ids",
+    tags=("engine-path", "sql-surface"),
+)
+def engine_schema_evolution_parity(spark, sf_dir):
+    from ..seeding import schema_evolution_store
+
+    eng = schema_evolution_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(sum(w) AS DOUBLE) AS sw, "
+        "CAST(count(w) AS BIGINT) AS nw FROM egen")
+
+
+@register(
+    "engine_stream_query_pages",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v,
+               'e' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS id
+               FROM events ORDER BY event_id LIMIT 90),
+    r AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM s)
+    SELECT CAST((rn - 1) // 17 AS BIGINT) AS page, id, v
+    FROM r ORDER BY id
+    """,
+    doc="StreamQuery pagination externally graded (SURVEY #36 was "
+        "tests-only evidence through r16): the evz store's 90 rows "
+        "pulled through stream_query (toLocalIterator, integer "
+        "cursor, batch_size=17 -> 6 pages) with each row tagged by "
+        "the page it arrived on; the oracle re-derives the exact "
+        "page assignment from row_number over the same ORDER BY. A "
+        "duplicated, dropped, or re-ordered row across page "
+        "boundaries — the classic offset-pagination corruption — "
+        "breaks the hash. The 90-row createDataFrame is the "
+        "pagination protocol's own output, bounded by the store",
+    tags=("engine-path", "sql-surface"),
+)
+def engine_stream_query_pages(spark, sf_dir):
+    from pyspark.sql import types as T  # noqa: N812
+
+    from ..seeding import numeric_prune_store
+
+    eng = numeric_prune_store(spark, sf_dir)
+    out = []
+    cursor, page = 0, 0
+    while True:
+        batch, cursor, more = eng.stream_query(
+            "SELECT id, v FROM evz ORDER BY id",
+            batch_size=17, cursor=cursor)
+        out.extend((page, r["id"], int(r["v"])) for r in batch)
+        page += 1
+        if not more:
+            break
+    schema = T.StructType([
+        T.StructField("page", T.LongType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    return spark.createDataFrame(out, schema).orderBy("id")

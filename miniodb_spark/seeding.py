@@ -358,3 +358,83 @@ def cleanup_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.seed_flags = {"ecln_cleaned": int(cleaned)}
     _cache_put(spark, sf_dir, "ecln", eng)
     return eng
+
+
+def merge_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``emrg``: the first 40 events flushed, then
+    one ``merge_records`` batch (the bulk MERGE / SCD1 path,
+    mutations.upsert_dataframe) that REPLACES the first 10 ids with
+    v+1000 and INSERTS 10 new ids carrying fixture rows 40..49's
+    values — graded by ``engine_bulk_merge_parity``.
+    ``eng.seed_flags['emrg']`` keeps the (inserted, replaced) return."""
+    eng = _cache_get(spark, sf_dir, "emrg")
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_emrg_"))
+    eng.write_batch("emrg", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"v": r["v"]},
+        }
+        for i, r in enumerate(rows[:40])
+    ])
+    eng.flush("emrg")
+    ins, rep = eng.merge_records("emrg", [
+        {"id": f"e{r['event_id']:06d}", "timestamp_us": T0_US + 100 + i,
+         "payload": {"v": r["v"] + 1000}}
+        for i, r in enumerate(rows[:10])
+    ] + [
+        {"id": f"n{r['event_id']:06d}", "timestamp_us": T0_US + 200 + i,
+         "payload": {"v": r["v"]}}
+        for i, r in enumerate(rows[40:50])
+    ])
+    eng.seed_flags = {"emrg": (int(ins), int(rep))}
+    _cache_put(spark, sf_dir, "emrg", eng)
+    return eng
+
+
+def schema_evolution_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``egen``: two flushes with EVOLVING payload
+    schema — rows 0..9 carry {v} only, rows 10..19 add a new double
+    column {v, w} — so the read path must union the generations with
+    typed NULL back-fill (SURVEY #13 dynamic-schema flush sink).
+    Graded by ``engine_schema_evolution_parity``."""
+    eng = _cache_get(spark, sf_dir, "egen")
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(20)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_egen_"))
+    eng.write_batch("egen", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"v": r["v"]},
+        }
+        for i, r in enumerate(rows[:10])
+    ])
+    eng.flush("egen")
+    eng.write_batch("egen", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + 50 + i,
+            "payload": {"v": r["v"], "w": float(r["event_id"])},
+        }
+        for i, r in enumerate(rows[10:20])
+    ])
+    eng.flush("egen")
+    _cache_put(spark, sf_dir, "egen", eng)
+    return eng
