@@ -562,3 +562,36 @@ def engine_stream_query_pages(spark, sf_dir):
         T.StructField("v", T.LongType()),
     ])
     return spark.createDataFrame(out, schema).orderBy("id")
+
+
+@register(
+    "engine_wal_replay_parity",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 30)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(DISTINCT v) AS BIGINT) AS dv
+    FROM s
+    """,
+    doc="WAL durability + boot replay + hybrid scan externally graded "
+        "(SURVEY #39/#47's crash-recovery path and #10's "
+        "buffer-union were tests-only evidence through r16): the "
+        "seeding flushes 20 fixture rows, buffers 10 more WITHOUT "
+        "flushing, then hands the entry a FRESH Engine on the same "
+        "root — a restart. The replayed engine's aggregate must "
+        "cover all 30 rows: lost WAL entries deflate n, replayed "
+        "duplicates inflate it, and a hybrid scan that misses the "
+        "buffer side drops exactly the 10 tail values from sv/dv. "
+        "Reference analog: the WAL replay half of "
+        "internal/buffer (CRC'd records, atomic truncate-upto)",
+    tags=("engine-path", "wal", "mutation"),
+)
+def engine_wal_replay_parity(spark, sf_dir):
+    from ..seeding import wal_replay_store
+
+    eng = wal_replay_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM ewal")

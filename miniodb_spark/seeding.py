@@ -438,3 +438,42 @@ def schema_evolution_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.flush("egen")
     _cache_put(spark, sf_dir, "egen", eng)
     return eng
+
+
+def wal_replay_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """SECOND Engine instance on a root whose first engine flushed 20
+    fixture rows and then buffered 10 MORE without flushing — the
+    restart-shaped fixture for ``engine_wal_replay_parity``: the
+    returned engine never saw the writes, so the 10 unflushed rows
+    exist only through WAL boot replay, and the query path must
+    union them with the 20 persisted ones (hybrid scan)."""
+    eng = _cache_get(spark, sf_dir, "ewal")
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(30)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    root = _seed_dir("miniodb_seed_ewal_")
+    first = Engine(spark, root)
+    first.write_batch("ewal", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"v": r["v"]},
+        }
+        for i, r in enumerate(rows[:20])
+    ])
+    first.flush("ewal")
+    for i, r in enumerate(rows[20:30]):
+        first.write("ewal", {"v": r["v"]},
+                    record_id=f"e{r['event_id']:06d}",
+                    timestamp_us=T0_US + 100 + i)
+    # NO flush — the tail 10 live only in buffer + WAL. The "restart":
+    # a fresh Engine on the same root replays the WAL at boot.
+    eng = Engine(spark, root)
+    _cache_put(spark, sf_dir, "ewal", eng)
+    return eng
