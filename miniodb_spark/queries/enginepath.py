@@ -595,3 +595,91 @@ def engine_wal_replay_parity(spark, sf_dir):
         "SELECT CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(v) AS BIGINT) AS sv, "
         "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM ewal")
+
+
+@register(
+    "engine_stream_idempotent_ingest",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 40)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(0 AS BIGINT) AS last_batch
+    FROM s
+    """,
+    doc="StreamWrite exactly-once externally graded (SURVEY #45's "
+        "idempotent batch-commit was tests-only evidence through "
+        "r16): stream_ingest (foreachBatch + availableNow) runs "
+        "TWICE over the same 40-row fixture slice, the second time "
+        "with a FRESH checkpoint and the same stream_id — the replay "
+        "delivers the identical data as batch_id 0 again and the "
+        "catalog's commit registry must skip it. A duplicated ingest "
+        "doubles n/sv against the oracle's single fixture slice; "
+        "last_batch pins the registry cursor at 0 (one committed "
+        "batch, not two). This is the crash-shaped case Structured "
+        "Streaming's own checkpoint cannot cover",
+    tags=("engine-path", "streaming"),
+)
+def engine_stream_idempotent_ingest(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..seeding import stream_replay_store
+
+    eng = stream_replay_store(spark, sf_dir)
+    df = eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv FROM esw")
+    return df.withColumn(
+        "last_batch",
+        F.lit(int(eng.seed_flags["esw_last_batch"])).cast("bigint"))
+
+
+@register(
+    "engine_rest_query_mirror",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 90)
+    SELECT 'e' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS id, v
+    FROM s WHERE v >= 50 ORDER BY id
+    """,
+    doc="REST /v1 mirror externally graded (SURVEY #54's REST surface "
+        "was live-HTTP tests-only evidence through r16): a real "
+        "RestServer over the evz store answers POST /v1/query over "
+        "loopback HTTP, and the rows decoded from the wire "
+        "(result_json, the reference's JSON result shape with "
+        "'[]'-empty semantics) must match the oracle's fixture "
+        "re-derivation — the full service stack (HTTP framing -> "
+        "MiniODBService.query_data -> gate -> engine SQL path -> "
+        "JSON encode) in one graded pass. The bounded "
+        "createDataFrame is the wire protocol's own output",
+    tags=("engine-path", "rest", "sql-surface"),
+)
+def engine_rest_query_mirror(spark, sf_dir):
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import types as T  # noqa: N812
+
+    from ..api import MiniODBService
+    from ..rest import RestServer
+    from ..seeding import numeric_prune_store
+
+    eng = numeric_prune_store(spark, sf_dir)
+    srv = RestServer(MiniODBService(eng)).serve_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/query", method="POST",
+            data=_json.dumps({
+                "sql": "SELECT id, v FROM evz WHERE v >= 50 ORDER BY id",
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = _json.loads(urllib.request.urlopen(req, timeout=120).read())
+        rows = _json.loads(resp["result_json"])
+    finally:
+        srv.shutdown()
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    return spark.createDataFrame(
+        [(r["id"], int(r["v"])) for r in rows], schema).orderBy("id")

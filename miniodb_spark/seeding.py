@@ -477,3 +477,55 @@ def wal_replay_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng = Engine(spark, root)
     _cache_put(spark, sf_dir, "ewal", eng)
     return eng
+
+
+def stream_replay_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine whose table ``esw`` was filled by stream_ingest
+    (foreachBatch + availableNow) run TWICE over the same 40-row
+    fixture-slice source — the second run with a FRESH checkpoint and
+    the same stream_id, so the same data re-arrives as batch_id 0 and
+    the catalog's commit registry must skip it (StreamWrite's
+    exactly-once contract surviving checkpoint loss, SURVEY #45).
+    Graded by ``engine_stream_idempotent_ingest``."""
+    eng = _cache_get(spark, sf_dir, "esw")
+    if eng is not None:
+        return eng
+    from pyspark.sql import functions as SF
+
+    from .streaming.ingest import stream_ingest
+
+    src_dir = _seed_dir("miniodb_seed_esw_src_")
+    (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(40)
+        .select(
+            SF.concat(SF.lit("e"), SF.lpad(
+                SF.col("event_id").cast("string"), 6, "0")).alias("id"),
+            SF.lit(T0_US).cast("long").alias("ts_us"),
+            SF.floor("value").cast("long").alias("v"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite").parquet(src_dir)
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_esw_"))
+    schema = "id string, ts_us long, v long"
+
+    def run(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .withColumn("ts", SF.timestamp_micros(SF.col("ts_us")))
+            .drop("ts_us")
+        )
+        q = stream_ingest(eng, sdf, "esw", ts_col="ts",
+                          checkpoint_dir=ckpt, stream_id="esw1")
+        q.awaitTermination(120)
+
+    run(_seed_dir("miniodb_seed_esw_ck1_"))
+    # checkpoint loss: same data re-arrives as batch_id 0 under the
+    # same stream_id — the commit registry must skip it
+    run(_seed_dir("miniodb_seed_esw_ck2_"))
+    eng.seed_flags = {
+        "esw_last_batch": int(eng.catalog.last_committed_batch("esw1"))}
+    _cache_put(spark, sf_dir, "esw", eng)
+    return eng
