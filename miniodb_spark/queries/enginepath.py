@@ -683,3 +683,68 @@ def engine_rest_query_mirror(spark, sf_dir):
     ])
     return spark.createDataFrame(
         [(r["id"], int(r["v"])) for r in rows], schema).orderBy("id")
+
+
+@register(
+    "stream_tumbling_watermark_parity",
+    """
+    WITH s AS (SELECT ts, event_type, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 200)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv
+    FROM s GROUP BY 1, 2 ORDER BY ws, event_type
+    """,
+    doc="Structured-Streaming windowed aggregation externally graded "
+        "(SURVEY #48's STREAM path was tests-only evidence through "
+        "r16; the batch window entries share the Catalyst "
+        "expressions but not the streaming runtime): a real "
+        "readStream over a 200-row fixture slice runs "
+        "streaming.windows.tumbling (1-hour event-time windows, "
+        "30-minute watermark) through a memory sink with "
+        "availableNow, and the emitted (window_start, event_type) "
+        "aggregates must match the oracle's date_trunc GROUP BY — "
+        "the stream-relational results ARE the batch results when "
+        "no data is late past the watermark (one drained batch). "
+        "Memory-sink table cached per session",
+    tags=("engine-path", "streaming", "windows"),
+)
+def stream_tumbling_watermark_parity(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..queries.base import load, normalize_event_ts
+    from ..streaming.windows import tumbling
+
+    import hashlib
+
+    # memory-sink table keyed by sf_dir: one cached stream run per
+    # (session, scale factor) — mirrors the seeding-cache contract
+    name = "strm_win_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not any(t.name == name for t in spark.catalog.listTables()):
+        src = tempfile.mkdtemp(prefix="miniodb_seed_swin_")
+        (
+            load(spark, sf_dir, "events")
+            .orderBy("event_id").limit(200)
+            .select("event_id", "ts", "event_type", "value")
+            .coalesce(1).write.mode("overwrite").parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        sdf = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(src))
+        win = tumbling(
+            sdf, "ts", "1 hour", group_cols=["event_type"],
+            aggs=[F.count("*").cast("bigint").alias("n"),
+                  F.sum(F.floor("value").cast("long")).alias("sv")],
+            watermark="30 minutes")
+        q = (
+            win.selectExpr("window.start AS ws", "event_type", "n", "sv")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    return spark.sql(
+        f"SELECT ws, event_type, n, sv FROM {name} "
+        "ORDER BY ws, event_type")
