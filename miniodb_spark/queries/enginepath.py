@@ -748,3 +748,36 @@ def stream_tumbling_watermark_parity(spark, sf_dir):
     return spark.sql(
         f"SELECT ws, event_type, n, sv FROM {name} "
         "ORDER BY ws, event_type")
+
+
+@register(
+    "engine_buffer_tombstone_replay",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v,
+                      row_number() OVER (ORDER BY event_id) - 1 AS rn
+               FROM events ORDER BY event_id LIMIT 30)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(DISTINCT v) AS BIGINT) AS dv
+    FROM s WHERE rn NOT IN (3, 5, 7, 11, 13)
+    """,
+    doc="Buffer remove + WAL tombstone replay externally graded "
+        "(SURVEY #42 was hypothesis-property evidence through r16): "
+        "30 fixture rows buffered WITHOUT flushing, 5 deleted while "
+        "still buffered (tombstones appended to the WAL), then a "
+        "FRESH Engine on the same root replays the log and flushes. "
+        "The persisted state must carry exactly the 25 survivors — "
+        "a replay that loses tombstones resurrects the 5 deleted "
+        "values into sv/dv, one that over-applies them deflates n. "
+        "Reference analog: the remove half of internal/buffer's "
+        "WAL record types",
+    tags=("engine-path", "wal", "mutation"),
+)
+def engine_buffer_tombstone_replay(spark, sf_dir):
+    from ..seeding import tombstone_replay_store
+
+    eng = tombstone_replay_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sv, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM etom")

@@ -529,3 +529,35 @@ def stream_replay_store(spark: SparkSession, sf_dir: str) -> Engine:
         "esw_last_batch": int(eng.catalog.last_committed_batch("esw1"))}
     _cache_put(spark, sf_dir, "esw", eng)
     return eng
+
+
+def tombstone_replay_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """SECOND Engine on a root whose first engine buffered 30 fixture
+    rows WITHOUT flushing and then deleted 5 of them while still
+    buffered (WAL tombstones, SURVEY #42) — the restart-shaped
+    fixture for ``engine_buffer_tombstone_replay``: the returned
+    engine replays writes AND tombstones from the WAL, then flushes,
+    so the persisted state must carry exactly the 25 survivors."""
+    eng = _cache_get(spark, sf_dir, "etom")
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(30)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    root = _seed_dir("miniodb_seed_etom_")
+    first = Engine(spark, root)
+    for i, r in enumerate(rows):
+        first.write("etom", {"v": r["v"]},
+                    record_id=f"e{r['event_id']:06d}",
+                    timestamp_us=T0_US + i)
+    for k in (3, 5, 7, 11, 13):
+        first.delete("etom", f"e{rows[k]['event_id']:06d}")
+    # NO flush — writes and tombstones live only in the WAL. Restart:
+    eng = Engine(spark, root)
+    eng.flush("etom")  # persist the replayed net state
+    _cache_put(spark, sf_dir, "etom", eng)
+    return eng
