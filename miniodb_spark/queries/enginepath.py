@@ -781,3 +781,51 @@ def engine_buffer_tombstone_replay(spark, sf_dir):
         "SELECT CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(v) AS BIGINT) AS sv, "
         "CAST(count(DISTINCT v) AS BIGINT) AS dv FROM etom")
+
+
+@register(
+    "engine_encryption_roundtrip",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+               FROM events ORDER BY event_id LIMIT 30)
+    SELECT 'e' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS id,
+           'tag' || CAST(event_id AS VARCHAR) AS tag, v,
+           true AS ciphertext_at_rest
+    FROM s ORDER BY id
+    """,
+    doc="Field-level encryption externally graded (SURVEY #53's "
+        "encryption component was tests-only evidence through r16): "
+        "30 fixture rows written through a FieldEncryptor on the "
+        "tag field; the engine's query path must transparently "
+        "decrypt (the decoded rows match the oracle's plaintext "
+        "re-derivation) while ciphertext_at_rest pins — from a "
+        "JVM-side scan of the raw parquet — that NO stored tag "
+        "value is plaintext ('enc:'-sealed nonce+keystream, "
+        "encryption.py). A wrong-key or skipped decrypt breaks the "
+        "hash; a plaintext leak to disk flips the flag. The 30-row "
+        "createDataFrame is the decrypted wire output",
+    tags=("engine-path", "encryption"),
+)
+def engine_encryption_roundtrip(spark, sf_dir):
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: N812
+    from pyspark.sql import types as T  # noqa: N812
+
+    from ..seeding import encryption_store
+
+    eng = encryption_store(spark, sf_dir)
+    rows = _json.loads(eng.query(
+        "SELECT id, tag, v FROM eenc ORDER BY id"))
+    plaintext_at_rest = (
+        eng.read_table("eenc")
+        .filter(~F.col("tag").startswith("enc:")).count())
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("ciphertext_at_rest", T.BooleanType()),
+    ])
+    return spark.createDataFrame(
+        [(r["id"], r["tag"], int(r["v"]), plaintext_at_rest == 0)
+         for r in rows], schema).orderBy("id")

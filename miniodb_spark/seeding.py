@@ -561,3 +561,37 @@ def tombstone_replay_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.flush("etom")  # persist the replayed net state
     _cache_put(spark, sf_dir, "etom", eng)
     return eng
+
+
+def encryption_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with field-level encryption on ``tag`` (table ``eenc``):
+    30 fixture rows whose tag is derived from event_id, written
+    through the encryptor and flushed — the fixture for
+    ``engine_encryption_roundtrip``. The stored parquet carries only
+    ``enc:`` ciphertext for the protected field; the engine's JSON
+    query path transparently decrypts."""
+    eng = _cache_get(spark, sf_dir, "eenc")
+    if eng is not None:
+        return eng
+    from .encryption import FieldEncryptor
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(30)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    eng = Engine(spark, _seed_dir("miniodb_seed_eenc_"),
+                 encryptor=FieldEncryptor("seed-key", {"tag"}))
+    eng.write_batch("eenc", [
+        {
+            "id": f"e{r['event_id']:06d}",
+            "timestamp_us": T0_US + i,
+            "payload": {"tag": f"tag{r['event_id']}", "v": r["v"]},
+        }
+        for i, r in enumerate(rows)
+    ])
+    eng.flush("eenc")
+    _cache_put(spark, sf_dir, "eenc", eng)
+    return eng
