@@ -829,3 +829,37 @@ def engine_encryption_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         [(r["id"], r["tag"], int(r["v"]), plaintext_at_rest == 0)
          for r in rows], schema).orderBy("id")
+
+
+@register(
+    "engine_ts_window_prune_sql",
+    """
+    WITH s AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v,
+                      row_number() OVER (ORDER BY event_id) - 1 AS rn
+               FROM events ORDER BY event_id LIMIT 30)
+    SELECT 'e' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS id, v
+    FROM s WHERE rn BETWEEN 10 AND 19 ORDER BY id
+    """,
+    doc="Timestamp-window file pruning externally graded (the ts half "
+        "of SURVEY #52 — typed TIMESTAMP literals through "
+        "gate.extract_conjunctive_range's typed-prefix grammar + the "
+        "time zone map — was tests-only evidence through r16, while "
+        "the numeric half has been graded since then): 30 fixture "
+        "rows across three day-partitioned flushes; the ANSI "
+        "``timestamp >= TIMESTAMP '..' AND < TIMESTAMP '..'`` "
+        "conjunction must open only the middle day's file and return "
+        "exactly its 10 rows (the oracle re-derives them by row "
+        "position). T0 = 2023-11-14T22:13:20Z, so the "
+        "[2023-11-15, 2023-11-16) window brackets day 1 alone. "
+        "Reference analog: file_pruning.go:349-594 time-partition "
+        "pruning",
+    tags=("engine-path", "sql-surface"),
+)
+def engine_ts_window_prune_sql(spark, sf_dir):
+    from ..seeding import ts_prune_store
+
+    eng = ts_prune_store(spark, sf_dir)
+    return eng.query_df(
+        "SELECT id, v FROM etsp "
+        "WHERE timestamp >= TIMESTAMP '2023-11-15 00:00:00' "
+        "AND timestamp < TIMESTAMP '2023-11-16 00:00:00' ORDER BY id")

@@ -595,3 +595,36 @@ def encryption_store(spark: SparkSession, sf_dir: str) -> Engine:
     eng.flush("eenc")
     _cache_put(spark, sf_dir, "eenc", eng)
     return eng
+
+
+def ts_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine with table ``etsp``: 30 fixture rows across THREE day
+    partitions (10 per day, one flush each — disjoint per-file
+    timestamp brackets), the fixture for
+    ``engine_ts_window_prune_sql``: a typed TIMESTAMP range conjunct
+    must prune to the middle day's file through the gate's typed
+    literal parser + the timestamp zone map."""
+    eng = _cache_get(spark, sf_dir, "etsp")
+    if eng is not None:
+        return eng
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(30)
+        .select("event_id", F.floor("value").cast("long").alias("v"))
+        .collect()
+    )
+    day_us = 86_400 * 1_000_000
+    eng = Engine(spark, _seed_dir("miniodb_seed_etsp_"))
+    for day in range(3):
+        eng.write_batch("etsp", [
+            {
+                "id": f"e{r['event_id']:06d}",
+                "timestamp_us": T0_US + day * day_us + i,
+                "payload": {"v": r["v"]},
+            }
+            for i, r in enumerate(rows[day * 10:(day + 1) * 10])
+        ])
+        eng.flush("etsp")
+    _cache_put(spark, sf_dir, "etsp", eng)
+    return eng
