@@ -863,3 +863,43 @@ def engine_ts_window_prune_sql(spark, sf_dir):
         "SELECT id, v FROM etsp "
         "WHERE timestamp >= TIMESTAMP '2023-11-15 00:00:00' "
         "AND timestamp < TIMESTAMP '2023-11-16 00:00:00' ORDER BY id")
+
+
+@register(
+    "engine_audit_log_trail",
+    """
+    SELECT 1 AS seq, 'write' AS action, 'eaud' AS tbl,
+           'a1' AS record_id, true AS success
+    UNION ALL SELECT 2, 'write', 'eaud', 'a2', true
+    UNION ALL SELECT 3, 'update', 'eaud', 'a1', true
+    UNION ALL SELECT 4, 'delete', 'eaud', 'a2', true
+    UNION ALL SELECT 5, 'write', 'bad-name', 'x', false
+    ORDER BY seq
+    """,
+    doc="Audit trail externally graded (SURVEY #53's audit component "
+        "was tests-only evidence through r16): a fixed RPC script — "
+        "two WriteData, one UpdateData, one DeleteData, and one "
+        "gate-REJECTED write to an invalid table name — drives the "
+        "service-level AuditLogger (reference audit.go LogWrite/"
+        "LogUpdate/LogDelete shape), and the log re-read through the "
+        "CRC-framed replay path must carry exactly these five "
+        "entries in order, including the FAILURE record for the "
+        "rejected write (audited() logs-and-reraises). Timestamps/"
+        "durations are wall-clock by design and excluded; the ≤5-row "
+        "createDataFrame is the audit protocol's own output",
+    tags=("engine-path", "audit"),
+)
+def engine_audit_log_trail(spark, sf_dir):
+    from pyspark.sql import types as T  # noqa: N812
+
+    from ..seeding import audit_store
+
+    _eng, rows = audit_store(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("tbl", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+    ])
+    return spark.createDataFrame(rows, schema).orderBy("seq")

@@ -8205,3 +8205,56 @@ def sequence_format_semantics_audit(spark, sf_dir):
         F.min("doy").alias("mn_doy"),
         F.max("doy").alias("mx_doy"),
     )
+
+
+@register(
+    "split_regex_limit_audit",
+    """
+    WITH s AS (SELECT p_brand,
+      length(replace(p_name, ' ', '.')) + 1 AS n_regex,
+      len(string_split(p_name, ' ')) AS n_lit,
+      CASE WHEN strpos(p_name, ' ') > 0
+           THEN substr(p_name, strpos(p_name, ' ') + 1)
+           ELSE p_name END AS rest
+      FROM part)
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_regex) AS BIGINT) AS sum_regex,
+           CAST(sum(n_lit) AS BIGINT) AS sum_lit,
+           min(rest) AS mn_rest, max(rest) AS mx_rest
+    FROM s GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="split() regex-vs-literal + limit-remainder audit (r17 probed "
+        "divergences): (1) Spark's split() delimiter is a REGEX — "
+        "split('a.b.c', '.') returns SIX EMPTY STRINGS (every char "
+        "matches) while DuckDB's string_split treats '.' literally "
+        "and returns ['a','b','c']; a tokenization pipeline ported "
+        "across engines silently shreds every dotted field. The "
+        "Spark side runs the real split over a dotted p_name "
+        "derivation; the oracle encodes the regex semantics as "
+        "length+1. The escaped form '[.]' (and any non-metachar "
+        "delimiter) agrees with the literal split — sum_lit pins "
+        "that. (2) split(s, d, limit) keeps the REMAINDER in the "
+        "last element ('a b c' -> ['a', 'b c']) where a naive "
+        "truncation drops it; the oracle re-derives the remainder "
+        "with strpos/substr. Map-side pass into ~25 brand groups",
+    tags=("sql-surface", "capability"),
+)
+def split_regex_limit_audit(spark, sf_dir):
+    pt = load(spark, sf_dir, "part")
+    s = pt.selectExpr(
+        "p_brand",
+        "size(split(replace(p_name, ' ', '.'), '.')) AS n_regex",
+        "size(split(p_name, ' ')) AS n_lit",
+        "split(p_name, ' ', 2)[1] AS rest",
+    )
+    return (
+        s.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_regex").cast("bigint").alias("sum_regex"),
+            F.sum("n_lit").cast("bigint").alias("sum_lit"),
+            F.min("rest").alias("mn_rest"),
+            F.max("rest").alias("mx_rest"),
+        )
+        .orderBy("p_brand")
+    )

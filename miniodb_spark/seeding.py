@@ -628,3 +628,45 @@ def ts_prune_store(spark: SparkSession, sf_dir: str) -> Engine:
         eng.flush("etsp")
     _cache_put(spark, sf_dir, "etsp", eng)
     return eng
+
+
+def audit_store(spark: SparkSession, sf_dir: str):
+    """(engine, audit_rows): a MiniODBService wired to a CRC-framed
+    AuditLogger, driven through a FIXED RPC script — two writes, an
+    update, a delete, and one gate-REJECTED write (invalid table
+    name) whose failure must still be audited (audit.py `audited`
+    logs-and-reraises). ``audit_rows`` is the log's deterministic
+    projection (seq, action, table, record_id, success) re-read
+    through the CRC replay path, for ``engine_audit_log_trail``.
+    Wall-clock timestamps/durations are excluded by design
+    (reference audit.go field shape)."""
+    cached = _cache_get(spark, sf_dir, "eaud")
+    if cached is not None:
+        return cached
+    import os
+
+    from .api import MiniODBService
+    from .audit import AuditLogger
+
+    root = _seed_dir("miniodb_seed_eaud_")
+    aud = AuditLogger(os.path.join(root, "audit.jsonl"), node_id="7")
+    eng = Engine(spark, root)
+    svc = MiniODBService(eng, audit=aud)
+    svc.write_data("eaud", {"id": "a1", "timestamp_us": T0_US,
+                            "payload": {"v": 1}})
+    svc.write_data("eaud", {"id": "a2", "timestamp_us": T0_US + 1,
+                            "payload": {"v": 2}})
+    eng.flush("eaud")
+    svc.update_data("eaud", "a1", {"v": 10})
+    svc.delete_data("eaud", "a2")
+    try:
+        svc.write_data("bad-name", {"id": "x", "payload": {"v": 0}})
+    except Exception:
+        pass  # the rejection itself must appear in the log
+    rows = [
+        (i, e["action"], e["table"], e["record_id"], bool(e["success"]))
+        for i, e in enumerate(aud.replay(), 1)
+    ]
+    out = (eng, rows)
+    _cache_put(spark, sf_dir, "eaud", out)
+    return out
