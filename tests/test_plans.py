@@ -2098,3 +2098,51 @@ def test_timestamp_diff_audit_single_pass(spark, sf_dir, registry):
     assert plans.num_shuffles(df) <= 2, plan[:3000]
     rows = df.collect()
     assert sum(r["n_gap"] for r in rows) > 0, rows
+
+
+def test_round17_audits_single_pass(spark, sf_dir, registry):
+    """r17 audit family plan gates: each is one map-side projection
+    into a single partial/final aggregate — no join, no window, and
+    every probe expression stays JVM-side (no Python eval node)."""
+    for name in ("cast_suffix_grammar_audit",
+                 "initcap_word_boundary_audit",
+                 "sequence_format_semantics_audit",
+                 "split_regex_limit_audit",
+                 "variant_typed_extract"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = plans.simple_plan(df)
+        assert "Join" not in plan, (name, plan[:2000])
+        assert "Window" not in plan, (name, plan[:2000])
+        assert "BatchEvalPython" not in plan, (name, plan[:2000])
+        assert "ArrowEvalPython" not in plan, (name, plan[:2000])
+        assert plans.num_shuffles(df) <= 2, (name, plan[:3000])
+
+
+def test_variant_extract_parses_once_per_access_chain(spark, sf_dir, registry):
+    """variant_typed_extract's scale argument: the plan carries
+    parse_json/variant_get expressions (the typed VARIANT path), not
+    get_json_object string re-parses, and the scan reads only the
+    two referenced columns."""
+    df = registry["variant_typed_extract"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "variant_get" in plan.lower(), plan[:2000]
+    assert "get_json_object" not in plan.lower(), plan[:2000]
+    cols = plans.scan_columns(df)
+    assert cols <= {"event_type", "props"}, cols
+
+
+def test_engine_ts_window_prune_skips_files(spark, sf_dir, registry):
+    """engine_ts_window_prune_sql really prunes: the typed TIMESTAMP
+    conjunction must skip 2 of the 3 day files (zone-map stats
+    pinned), and the graded result matches the full-scan filter."""
+    from miniodb_spark.seeding import ts_prune_store
+
+    eng = ts_prune_store(spark, sf_dir if isinstance(sf_dir, str)
+                         else str(sf_dir))
+    before = dict(eng.query_stats.get(
+        "zonemap", {"queries": 0, "files_skipped": 0}))
+    df = registry["engine_ts_window_prune_sql"].fn(
+        spark, sf_dir if isinstance(sf_dir, str) else str(sf_dir))
+    assert df.count() == 10
+    zs = eng.query_stats["zonemap"]
+    assert zs["files_skipped"] >= before.get("files_skipped", 0) + 2, zs
