@@ -81,6 +81,21 @@ def _literal_content_spans(sql: str) -> tuple[list[tuple[int, int]], bool]:
       same spoof family, one escape flavor over), so ``\\`` always
       consumes the following character.
 
+    RAW literals (r17): a quote immediately preceded by a standalone
+    ``r``/``R`` (not itself preceded by an identifier character) opens
+    a RAW string — Spark parses ``r'a\\'`` as the two-char literal
+    ``a\\`` terminated at the quote (probed), so backslash must NOT
+    be treated as an escape there: a lexer that escaped through it
+    would terminate one quote late and mis-map every later span.
+    (``xr'..'`` and friends are TYPED-literal syntax — Spark itself
+    rejects unknown types, and the supported ones (DATE/TIMESTAMP/X/
+    INTERVAL/TIME) lex their string token with normal escape rules,
+    so only a standalone r/R flips the mode.) Doubled quotes inside a
+    raw literal are two ADJACENT literals to Spark (implicit concat,
+    ``r'a''b'`` = ``ab``) — consuming through them keeps the exact
+    same closing position, so the single-span treatment stays
+    position-correct.
+
     The spans cover literal CONTENT only (delimiters excluded). When
     the final literal is unterminated, ``terminated_ok`` is False and
     the last span runs to end-of-input; position-mapped callers must
@@ -90,11 +105,16 @@ def _literal_content_spans(sql: str) -> tuple[list[tuple[int, int]], bool]:
     while i < n:
         c = sql[i]
         if c == "'" or c == '"':
+            raw = (
+                i >= 1 and sql[i - 1] in "rR"
+                and not (i >= 2 and (sql[i - 2].isalnum()
+                                     or sql[i - 2] == "_"))
+            )
             start = i + 1
             i += 1
             while i < n:
                 ch = sql[i]
-                if ch == "\\":  # escape: consume next char too
+                if ch == "\\" and not raw:  # escape: consume next too
                     i += 2
                     continue
                 if ch == c:

@@ -365,3 +365,40 @@ def test_backslash_escape_dialect_unit():
     assert extract_conjunctive_numeric_range(
         r"SELECT v FROM t WHERE v > 5 AND x = 'p\qr'", "v") == \
         (5, False, None, True)
+
+
+def test_raw_string_literal_dialect_unit():
+    """r17 follow-up: Spark's r/R raw-string literals disable
+    backslash escapes INSIDE the literal (probed: r'a\\' is the
+    two-char literal a\\ terminated at the quote; r'a''b' is two
+    adjacent literals = 'ab'). A lexer that escaped through the
+    backslash would close one quote late and mis-map every later
+    span — the same spoof family, one prefix over."""
+    from miniodb_spark.gate import (
+        _blank_string_literals, extract_conjunctive_eq,
+        extract_conjunctive_numeric_range,
+    )
+
+    assert _blank_string_literals(r"SELECT r'a\' AS x") == \
+        "SELECT r'  ' AS x"
+    # raw soup in the SELECT list never fabricates
+    assert extract_conjunctive_numeric_range(
+        r"SELECT r'a\', 'x WHERE v > 999 AND pad' FROM t", "v") is None
+    assert extract_conjunctive_numeric_range(
+        r"SELECT r'a\', 'x WHERE v > 999 AND pad', r'b\' FROM t",
+        "v") is None
+    # raw soup inside a real clause: sibling bound survives, soup inert
+    assert extract_conjunctive_numeric_range(
+        r"SELECT v FROM t WHERE x = r'p AND v > 999 AND q' AND v < 5",
+        "v") == (None, True, 5, False)
+    assert extract_conjunctive_eq(
+        r"SELECT v FROM t WHERE x = r'p AND id = u1 AND q'",
+        "id") is None
+    # identifier-adjacent r is NOT a raw prefix (typed-literal syntax,
+    # which Spark itself rejects for unknown types): escapes stay live
+    assert _blank_string_literals("SELECT xr'ab' AS x") == \
+        "SELECT xr'  ' AS x"
+    # doubled quotes inside raw: same closing position as Spark's
+    # adjacent-literal parse
+    assert _blank_string_literals("SELECT r'a''b' AS x") == \
+        "SELECT r'    ' AS x"

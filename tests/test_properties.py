@@ -354,3 +354,21 @@ def test_extract_tables_dq_literal_never_fabricates(a):
 
     sql = f'SELECT "{_dq("FROM ghost " + a)}" FROM real_t'
     assert extract_tables(sql) == ["real_t"], sql
+
+
+@given(_SOUPQ, _SOUPQ)
+@settings(max_examples=200, deadline=None)
+def test_raw_literal_soup_never_fabricates_a_bound(a, b):
+    """Raw-string flavor (r17): r'...' literals (no backslash escapes
+    — content is raw) carrying keyword soup must never fabricate a
+    constraint. Content keeps quotes out (a quote would terminate a
+    raw literal; there is no in-literal escape for it)."""
+    from miniodb_spark.gate import (
+        extract_conjunctive_eq, extract_conjunctive_numeric_range,
+    )
+
+    ra = a.replace("'", " ")
+    rb = b.replace("'", " ")
+    sql = f"SELECT r'{ra}', r'{rb}' FROM t"
+    assert extract_conjunctive_eq(sql, "id") is None, sql
+    assert extract_conjunctive_numeric_range(sql, "v") is None, sql
