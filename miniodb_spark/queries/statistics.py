@@ -8258,3 +8258,55 @@ def split_regex_limit_audit(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "left_right_negative_audit",
+    """
+    WITH s AS (SELECT o_orderstatus AS st, o_orderpriority,
+                      CAST(o_orderkey % 5 AS INTEGER) - 2 AS k
+               FROM orders),
+    t AS (SELECT st,
+                 CASE WHEN k < 0 THEN ''
+                      ELSE left(o_orderpriority, k) END AS l,
+                 CASE WHEN k < 0 THEN ''
+                      ELSE right(o_orderpriority, k) END AS r
+          FROM s)
+    SELECT st, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(l)) AS BIGINT) AS len_l,
+           CAST(sum(length(r)) AS BIGINT) AS len_r,
+           max(l) AS mx_l, max(r) AS mx_r
+    FROM t GROUP BY st ORDER BY st
+    """,
+    doc="left()/right() negative-length audit (r17 probed divergence): "
+        "Spark returns the EMPTY STRING for a negative length while "
+        "DuckDB interprets it as 'all but |n| from the other end' — "
+        "left('abc', -1) is '' vs 'ab', right('abc', -1) is '' vs "
+        "'bc'. A truncation helper whose length is computed (and can "
+        "go negative on short inputs) silently keeps most of the "
+        "string on one engine and drops it all on the other. The "
+        "Spark side runs the real left/right over o_orderpriority "
+        "with a key-derived length spanning -2..2; the oracle "
+        "encodes Spark's rule with an explicit CASE k < 0 guard "
+        "(k = 0 agrees: both return ''). Map-side pass into <=3 "
+        "status groups",
+    tags=("sql-surface", "capability"),
+)
+def left_right_negative_audit(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "o_orderstatus AS st",
+        "left(o_orderpriority, CAST(o_orderkey % 5 AS INT) - 2) AS l",
+        "right(o_orderpriority, CAST(o_orderkey % 5 AS INT) - 2) AS r",
+    )
+    return (
+        s.groupBy("st")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("l")).cast("bigint").alias("len_l"),
+            F.sum(F.length("r")).cast("bigint").alias("len_r"),
+            F.max("l").alias("mx_l"),
+            F.max("r").alias("mx_r"),
+        )
+        .orderBy("st")
+    )
