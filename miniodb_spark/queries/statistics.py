@@ -8310,3 +8310,74 @@ def left_right_negative_audit(spark, sf_dir):
         )
         .orderBy("st")
     )
+
+
+@register(
+    "array_null_semantics_audit",
+    """
+    WITH s AS (SELECT o_orderpriority AS pri,
+                      CAST(o_orderkey % 7 AS BIGINT) AS k1,
+                      CAST(o_orderkey % 11 AS BIGINT) AS k2,
+                      o_orderkey % 3 = 0 AS has_null
+               FROM orders),
+    t AS (SELECT pri,
+                 CASE WHEN has_null THEN NULL ELSE false END AS cmiss,
+                 CASE WHEN has_null THEN NULL
+                      ELSE CAST(2 AS INTEGER) END AS flat_sz,
+                 CAST(CASE WHEN k1 = k2 THEN 2 ELSE 3 END
+                      AS INTEGER) AS union_sz
+          FROM s)
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN cmiss IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unknown,
+           CAST(count(flat_sz) AS BIGINT) AS n_flat,
+           CAST(sum(flat_sz) AS BIGINT) AS sum_flat,
+           CAST(sum(union_sz) AS BIGINT) AS sum_union
+    FROM t GROUP BY pri ORDER BY pri
+    """,
+    doc="Array-NULL three-valued-logic audit (r17 probed divergences): "
+        "(1) array_contains(arr, v) with v ABSENT is NULL in Spark "
+        "when the array carries a NULL element ('maybe it was the "
+        "null') but FALSE in DuckDB — a membership flag column "
+        "silently flips unknown->false cross-engine; (2) flatten() "
+        "PROPAGATES a NULL inner array in Spark but skips it in "
+        "DuckDB; (3) array_union keeps NULL as a distinct member in "
+        "Spark while DuckDB's list_distinct drops it. The Spark side "
+        "builds key-derived arrays (a NULL element on every third "
+        "key) and runs the REAL functions; the oracle encodes "
+        "Spark's rules as explicit CASE guards (n_unknown pins the "
+        "unknown population, n_flat/sum_flat the propagated-NULL "
+        "flattens, sum_union the NULL-inclusive distinct size). "
+        "Map-side pass into <=5 priority groups",
+    tags=("sql-surface", "capability"),
+)
+def array_null_semantics_audit(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "o_orderpriority AS pri",
+        "array(CAST(o_orderkey % 7 AS BIGINT), "
+        " CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT) "
+        "      ELSE CAST(o_orderkey % 11 AS BIGINT) END) AS a",
+        "CAST(o_orderkey % 7 AS BIGINT) AS k1",
+        "CAST(o_orderkey % 11 AS BIGINT) AS k2",
+        "o_orderkey % 3 = 0 AS has_null",
+    ).selectExpr(
+        "pri",
+        "array_contains(a, CAST(100 AS BIGINT)) AS cmiss",
+        "size(flatten(array(array(k1), "
+        " CASE WHEN has_null THEN NULL ELSE array(k2) END))) AS flat_sz",
+        "size(array_union(array(k1, CAST(NULL AS BIGINT)), array(k2))) "
+        " AS union_sz",
+    )
+    return (
+        s.groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("cmiss").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_unknown"),
+            F.count("flat_sz").cast("bigint").alias("n_flat"),
+            F.sum("flat_sz").cast("bigint").alias("sum_flat"),
+            F.sum("union_sz").cast("bigint").alias("sum_union"),
+        )
+        .orderBy("pri")
+    )
