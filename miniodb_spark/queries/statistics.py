@@ -8381,3 +8381,75 @@ def array_null_semantics_audit(spark, sf_dir):
         )
         .orderBy("pri")
     )
+
+
+@register(
+    "months_between_eom_audit",
+    """
+    WITH s AS (SELECT o_orderpriority AS pri, o_orderdate AS d2,
+                      last_day(o_orderdate) AS d1a,
+                      o_orderdate + INTERVAL 1 MONTH AS d1b
+               FROM orders),
+    t AS (SELECT pri,
+      CASE WHEN day(d1a) = day(d2)
+                OR (d1a = last_day(d1a) AND d2 = last_day(d2))
+           THEN (date_part('year', d1a) - date_part('year', d2)) * 12
+                + (date_part('month', d1a) - date_part('month', d2))
+           ELSE (date_part('year', d1a) - date_part('year', d2)) * 12
+                + (date_part('month', d1a) - date_part('month', d2))
+                + (day(d1a) - day(d2)) / 31.0 END AS mb_a,
+      CASE WHEN day(d1b) = day(d2)
+                OR (d1b = last_day(d1b) AND d2 = last_day(d2))
+           THEN (date_part('year', d1b) - date_part('year', d2)) * 12
+                + (date_part('month', d1b) - date_part('month', d2))
+           ELSE (date_part('year', d1b) - date_part('year', d2)) * 12
+                + (date_part('month', d1b) - date_part('month', d2))
+                + (day(d1b) - day(d2)) / 31.0 END AS mb_b
+      FROM s)
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(mb_a * 31) AS BIGINT)) AS BIGINT)
+             AS s31_a,
+           CAST(sum(CAST(round(mb_b * 31) AS BIGINT)) AS BIGINT)
+             AS s31_b,
+           CAST(sum(CASE WHEN mb_b = round(mb_b) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_whole_b
+    FROM t GROUP BY pri ORDER BY pri
+    """,
+    doc="months_between end-of-month-rule audit (r17 probed "
+        "divergence): Spark's months_between(Mar 31, Feb 29) is "
+        "EXACTLY 1.0 — equal day-of-month OR both-last-day-of-month "
+        "count as whole months, anything else adds (day1-day2)/31 — "
+        "and DuckDB has no months_between at all, so ports reach for "
+        "date_diff('month') (boundary counting) or epoch ratios, "
+        "both of which drift on every tenure/retention computation "
+        "near month ends. The Spark side runs the real function on "
+        "two fixture-derived pairs (last_day(d) vs d — always a "
+        "fractional-or-whole mix; d + 1 MONTH vs d — whole via "
+        "day-equality except when add_months CLAMPS at month end, "
+        "where the both-last-day rule rescues exactness); the "
+        "oracle encodes the full Spark rule as CASE arithmetic. "
+        "Sums go through round(mb*31) — integral by construction "
+        "(whole*31 + daydiff) — so no float-summation-order hash "
+        "risk. Map-side pass into <=5 priority groups",
+    tags=("sql-surface", "capability"),
+)
+def months_between_eom_audit(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "o_orderpriority AS pri",
+        "months_between(last_day(o_orderdate), o_orderdate) AS mb_a",
+        "months_between(add_months(o_orderdate, 1), o_orderdate) AS mb_b",
+    )
+    return (
+        s.groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(F.col("mb_a") * 31).cast("bigint"))
+            .cast("bigint").alias("s31_a"),
+            F.sum(F.round(F.col("mb_b") * 31).cast("bigint"))
+            .cast("bigint").alias("s31_b"),
+            F.sum(F.when(F.col("mb_b") == F.round(F.col("mb_b")), 1)
+                  .otherwise(0)).cast("bigint").alias("n_whole_b"),
+        )
+        .orderBy("pri")
+    )
