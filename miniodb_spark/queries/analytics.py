@@ -3355,3 +3355,51 @@ def variant_typed_extract(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "next_day_navigation",
+    """
+    WITH s AS (SELECT o_orderpriority AS pri,
+      CAST(o_orderdate AS DATE) AS d,
+      CAST(o_orderdate AS DATE) + CAST(
+        CASE WHEN (1 - isodow(o_orderdate) + 7) % 7 = 0 THEN 7
+             ELSE (1 - isodow(o_orderdate) + 7) % 7 END
+        AS INTEGER) AS next_mon
+      FROM orders)
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(next_mon) AS VARCHAR) AS mn_mon,
+           CAST(max(next_mon) AS VARCHAR) AS mx_mon,
+           CAST(sum(date_diff('day', d, next_mon)) AS BIGINT)
+             AS sum_gap
+    FROM s GROUP BY pri ORDER BY pri
+    """,
+    doc="next_day() weekday navigation (SURVEY §2.9 date family): "
+        "Spark's next_day(d, 'MO') returns the first Monday STRICTLY "
+        "after d (a Monday input jumps a full week) — DuckDB has no "
+        "such function, so the oracle re-derives it from isodow "
+        "arithmetic with the strictly-after rule explicit "
+        "(((1 - isodow + 7) % 7) or 7). sum_gap pins the 1..7-day "
+        "distance distribution exactly; a lenient 'on-or-after' port "
+        "would shift every Monday row by 7. Map-side pass into <=5 "
+        "priority groups",
+    tags=("sql-surface", "capability"),
+)
+def next_day_navigation(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "o_orderpriority AS pri",
+        "o_orderdate AS d",
+        "next_day(o_orderdate, 'MO') AS next_mon",
+    )
+    return (
+        s.groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("next_mon").cast("string").alias("mn_mon"),
+            F.max("next_mon").cast("string").alias("mx_mon"),
+            F.sum(F.datediff("next_mon", "d")).cast("bigint")
+            .alias("sum_gap"),
+        )
+        .orderBy("pri")
+    )
