@@ -372,3 +372,46 @@ def test_raw_literal_soup_never_fabricates_a_bound(a, b):
     sql = f"SELECT r'{ra}', r'{rb}' FROM t"
     assert extract_conjunctive_eq(sql, "id") is None, sql
     assert extract_conjunctive_numeric_range(sql, "v") is None, sql
+
+
+@given(_SOUPQ)
+@settings(max_examples=300, deadline=None)
+def test_split_top_level_and_round_trips(clause):
+    """Structural invariant of the literal-aware splitter: when it
+    accepts a clause, joining the conjuncts back with ' AND ' must
+    reproduce the clause byte-identically modulo the split points —
+    i.e. the parts are a PARTITION of the raw text (the splitter
+    slices raw text by blanked positions; a lexer bug that slid a
+    span would drop or duplicate bytes here)."""
+    from miniodb_spark.gate import _split_top_level_and
+
+    parts = _split_top_level_and(clause)
+    if parts is None:
+        return
+    # re-join on the exact keyword: total length must match
+    # len(clause) because each split consumed exactly len('AND')
+    rebuilt_len = sum(len(p) for p in parts) + 3 * (len(parts) - 1)
+    assert rebuilt_len == len(clause), (clause, parts)
+
+
+@given(_SOUPQ)
+@settings(max_examples=300, deadline=None)
+def test_blanker_is_length_preserving_and_idempotent(s):
+    """_blank_string_literals: length-preserving (position-map
+    soundness), idempotent (blanking blanked text changes nothing),
+    and every non-literal byte survives unchanged (the stripper's
+    output is always a subsequence of the input)."""
+    from miniodb_spark.gate import (
+        _blank_string_literals, _strip_string_literals,
+    )
+
+    b = _blank_string_literals(s)
+    if b is None:
+        return
+    assert len(b) == len(s), (s, b)
+    b2 = _blank_string_literals(b)
+    assert b2 is not None and len(b2) == len(b)
+    # stripper output is a subsequence of the raw input
+    stripped = _strip_string_literals(s)
+    it = iter(s)
+    assert all(ch in it for ch in stripped), (s, stripped)
