@@ -8453,3 +8453,69 @@ def months_between_eom_audit(spark, sf_dir):
         )
         .orderBy("pri")
     )
+
+
+@register(
+    "try_overflow_boundary_audit",
+    """
+    WITH s AS (SELECT o_orderpriority AS pri,
+                      CAST(o_orderkey % 4 AS BIGINT) AS k4,
+                      CAST(o_orderkey % 8 AS BIGINT) AS k8,
+                      CAST(o_orderkey % 2 AS BIGINT) AS k2
+               FROM orders),
+    t AS (SELECT pri,
+                 CASE WHEN k8 > k4 THEN NULL
+                      ELSE 7 - k4 + k8 END AS ra,
+                 CASE WHEN k4 = 0 THEN 1 END AS mok,
+                 CASE WHEN k2 = 0
+                      THEN CAST(2432902008176640000 AS BIGINT) END AS f
+          FROM s)
+    SELECT pri, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(ra) AS BIGINT) AS n_ta,
+           CAST(sum(ra) AS BIGINT) AS sum_ra,
+           CAST(count(mok) AS BIGINT) AS n_tm,
+           CAST(count(f) AS BIGINT) AS n_fact,
+           CAST(min(f) AS BIGINT) AS mn_fact
+    FROM t GROUP BY pri ORDER BY pri
+    """,
+    doc="LONG-overflow boundary audit (r17 probed divergences, the "
+        "overflow sibling of try_arithmetic_safety's divide/cast "
+        "coverage): Spark's try_add/try_multiply return NULL at the "
+        "int64 boundary where ANSI (and DuckDB) RAISE — and DuckDB "
+        "has no TRY() expression guard at all, so a ported pipeline "
+        "either crashes on the first hot aggregate or silently "
+        "widens to HUGEINT; factorial(21) is a third behavior: "
+        "Spark returns NULL (a documented non-ANSI carve-out even "
+        "with ANSI on) while DuckDB widens to int128 and returns "
+        "51090942171709440000. The Spark side runs the REAL "
+        "functions against key-derived near-max operands "
+        "(max-(k%4) + (k%8) overflows iff k%8 > k%4; "
+        "(k%4+1)*2^62 iff k%4>0; factorial(20+k%2) iff k%2=1); the "
+        "oracle re-derives the overflow predicate exactly and the "
+        "surviving values through a small residual (ta-(max-7)) so "
+        "no near-max longs are ever summed. Map-side pass into <=5 "
+        "priority groups",
+    tags=("sql-surface", "capability"),
+)
+def try_overflow_boundary_audit(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    s = od.selectExpr(
+        "o_orderpriority AS pri",
+        "try_add(9223372036854775807L - (o_orderkey % 4), "
+        " o_orderkey % 8) - 9223372036854775800L AS ra",
+        "try_multiply((o_orderkey % 4) + 1, "
+        " 4611686018427387904L) AS tm",
+        "factorial(CAST(20 + o_orderkey % 2 AS INT)) AS f",
+    )
+    return (
+        s.groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("ra").cast("bigint").alias("n_ta"),
+            F.sum("ra").cast("bigint").alias("sum_ra"),
+            F.count("tm").cast("bigint").alias("n_tm"),
+            F.count("f").cast("bigint").alias("n_fact"),
+            F.min("f").cast("bigint").alias("mn_fact"),
+        )
+        .orderBy("pri")
+    )
