@@ -539,7 +539,14 @@ class Engine:
             # the single post-write LIST below computes the delta.
             before = self._known_gen_files(table, gen)
             (
-                df.repartition("dt")
+                # REBALANCE, not repartition("dt"): hash-partitioning on
+                # dt alone puts an entire day in ONE task (guide §2.5 —
+                # too few distinct key values), serializing the parquet
+                # encode and producing one giant file per day at scale.
+                # The AQE rebalance keeps rows clustered by dt but
+                # splits oversized days into advisory-sized chunks and
+                # merges slivers (guide §6's coalesce-on-write hint).
+                df.hint("rebalance", "dt")
                 .write.mode("append")
                 .option("compression", cfg.compression if cfg else "snappy")
                 .partitionBy("dt")
@@ -656,7 +663,10 @@ class Engine:
             )
             before = self._known_gen_files(table, gen)
             (
-                out.repartition("dt")
+                # REBALANCE for the same reason as the flush path: one
+                # task per distinct day otherwise (guide §2.5), and
+                # advisory-sized output files per day at scale (§6)
+                out.hint("rebalance", "dt")
                 .write.mode("append")
                 .option("compression", cfg.compression if cfg else "snappy")
                 .partitionBy("dt")

@@ -174,7 +174,9 @@ def delete_rows(
         #    duration; the reference lock exposes the same Extend,
         #    pkg/lock/lock.go)
         (
-            survivors.repartition("dt")
+            # REBALANCE vs repartition("dt"): see engine.ingest_dataframe
+            # — keeps days clustered but parallelizes big ones (§2.5/§6)
+            survivors.hint("rebalance", "dt")
             .write.mode("overwrite")
             .option("compression", cfg.compression if cfg else "snappy")
             .partitionBy("dt")
@@ -300,7 +302,8 @@ def collapse_generations(engine, table: str) -> int:
         gc_superseded(engine, table)
         new_gen = engine.catalog.next_generation_index(table)
         (
-            df.drop("gen").repartition("dt")
+            # REBALANCE vs repartition("dt"): see engine.ingest_dataframe
+            df.drop("gen").hint("rebalance", "dt")
             .write.mode("overwrite")
             .option("compression", cfg.compression if cfg else "snappy")
             .partitionBy("dt")

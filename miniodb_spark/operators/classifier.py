@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fixtures import fixture_df
+
 FEATURE_COLS = [
     "n_tokens", "ttr", "avg_token_len", "stopword_ratio", "punct_ratio",
 ]
@@ -94,7 +96,7 @@ def register_queries(register) -> None:
     def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         median = docs.agg(F.expr("percentile(n_chars, 0.5)")).first()[0]
         feat = quality_features(docs).withColumn(
             "label", (F.col("n_chars") > F.lit(float(median))).cast("double")

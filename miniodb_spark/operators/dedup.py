@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fixtures import fixture_df
+
 
 def shingles(col, n: int = 3):
     """Word n-gram shingles of lowercased text, as an array column.
@@ -973,7 +975,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return substring_dup_spans(docs).orderBy("doc_id")
 
     @register(
@@ -991,7 +993,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return exact_duplicates(docs).orderBy("keep_id")
 
     @register(
@@ -1017,7 +1019,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 200
         )
         return token_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
@@ -1045,7 +1047,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 200
         )
         return token_containment_pairs(docs, threshold=0.9).orderBy(
@@ -1078,7 +1080,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_token_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 200
         )
         return token_jaccard_pairs(docs, threshold=0.5, max_doc_freq=60).orderBy(
@@ -1112,7 +1114,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 150
         )
         return char_ngram_jaccard_pairs(docs, n=3, threshold=0.6).orderBy(
@@ -1150,7 +1152,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_char_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 150
         )
         return char_ngram_jaccard_pairs(
@@ -1168,7 +1170,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         # materialize the signatures once: the band self-join reads them
         # twice, and at scale the signature table is written out and
         # reused. localCheckpoint truncates lineage without pinning
@@ -1194,7 +1196,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         sigs = simhash(docs).localCheckpoint(eager=True)
         bucketed = simhash_near_pairs(sigs, max_bucket_size=None).select("id_a", "id_b")
         a, b = sigs.alias("a"), sigs.alias("b")
@@ -1222,7 +1224,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 200
         )
         pairs = token_jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
@@ -1264,7 +1266,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         cut = docs.agg(F.expr("max(doc_id) div 2")).first()[0]
         normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
         existing = docs.filter(F.col("doc_id") < cut).select(
@@ -1302,7 +1304,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         cut = docs.agg(F.expr("2 * max(doc_id) div 3")).first()[0]
         normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
         existing = docs.filter(F.col("doc_id") < cut).select(
@@ -1445,7 +1447,7 @@ def register_prefix_filter(register) -> None:
         tags=("llm",),
     )
     def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 60
         )
         return prefix_filter_jaccard_pairs(docs).orderBy("id_a", "id_b")

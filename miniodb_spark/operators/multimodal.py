@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..fixtures import fixture_df
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -794,7 +796,7 @@ def synthetic_media_df(spark, sf_dir: str) -> DataFrame:
     """Build a media table from the documents fixture: text bytes as the
     opaque payload (the container has no real images; the plumbing —
     binary column, metadata struct, Arrow batching — is identical)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -906,7 +908,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def audio_wav_metadata(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 50
         )
 
@@ -959,7 +961,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def image_png_metadata(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 40
         )
 
@@ -1024,7 +1026,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def image_pixel_stats(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 40
         )
 
@@ -1100,7 +1102,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def image_gif_pixel_stats(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 30
         )
 
@@ -1152,7 +1154,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def audio_pcm_features(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 20
         )
 
@@ -1218,7 +1220,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def image_jpeg_roundtrip(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 25
         )
 
@@ -1291,7 +1293,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def media_sniff_dispatch(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 60
         )
 
@@ -1392,7 +1394,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def image_phash_near_dup(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 60
         )
         w, h = 16, 12
@@ -1461,7 +1463,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def audio_dominant_freq(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 24
         )
 
@@ -1519,7 +1521,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def image_near_dup_hamming(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 30
         )
         w, h = 16, 12
@@ -1764,7 +1766,7 @@ def register_video_queries(register) -> None:
         tags=("llm", "capability", "multimodal"),
     )
     def video_mp4_metadata(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 40
         )
 
@@ -1823,7 +1825,7 @@ def register_video_queries(register) -> None:
     def video_frame_strides(spark, sf_dir):
         import hashlib
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 20
         )
         n_frames = 4

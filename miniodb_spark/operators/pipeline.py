@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..fixtures import fixture_df
+
 from .sampling import pack_sequences, stratified_split, temperature_sample
 from .text import clean_text, tokens_col
 
@@ -195,7 +197,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return prepare_training_corpus(docs).orderBy("doc_id")
 
 

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..fixtures import fixture_df
+
 
 def _md5_key(id_col: str):
     """Deterministic pseudo-random sort key: md5 of the stringified id.
@@ -256,7 +258,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return temperature_sample(docs, 200).orderBy("source", "rnk")
 
     @register(
@@ -293,7 +295,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             stratified_split(docs)
             .groupBy("split")
@@ -330,7 +332,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return pack_sequences(docs, capacity=512).orderBy("source", "doc_id")
 
     @register(
@@ -370,7 +372,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return epoch_shuffle(docs, seed=1, n_shards=8).orderBy(
             "shard_id", "pos_in_shard"
         )
@@ -419,7 +421,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return contrastive_pairs(docs, n_batches=16).orderBy("doc_id")
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fixtures import fixture_df
+
 # english stopwords for the quality stopword-ratio signal (a high ratio
 # is normal prose; near-zero suggests keyword spam / non-linguistic text)
 EN_STOPWORDS = [
@@ -553,7 +555,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             docs.groupBy("lang")
             .agg(
@@ -563,7 +565,11 @@ def register_queries(register) -> None:
                 F.min("n_chars").cast("bigint").alias("min_chars"),
                 F.max("n_chars").cast("bigint").alias("max_chars"),
             )
-            .orderBy("lang")
+            # lang is an ISO-code enum (≤ a few hundred values at any
+            # corpus size): single-partition output sort instead of a
+            # range exchange + its sampling job (queries.base.bounded_sort)
+            .repartition(1)
+            .sortWithinPartitions("lang")
         )
 
     @register(
@@ -579,7 +585,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 100
         )
         return docs.select(
@@ -603,7 +609,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 100
         )
         toks = F.split(F.lower("text"), r"[^a-z0-9]+")
@@ -623,7 +629,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 50
         )
         return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
@@ -644,7 +650,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 100
         )
         toks = F.split("text", " ")
@@ -675,7 +681,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def vocabulary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return vocabulary_stats(docs, min_doc_freq=50).orderBy("token")
 
     @register(
@@ -705,7 +711,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             tfidf_top_terms(docs, k=5)
             .filter(F.col("doc_id") < 50)
@@ -731,7 +737,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 100
         )
         return quality_signals(docs).select(
@@ -777,7 +783,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             language_id(docs)
             .groupBy("lang", "lang_pred")
@@ -804,7 +810,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 200
         )
         return pii_signals(docs).select(
@@ -835,7 +841,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             unigram_logprob(docs)
             .filter(F.col("doc_id") < 100)
@@ -868,7 +874,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return contamination_pairs(
             docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
         ).orderBy("doc_id")
@@ -894,7 +900,7 @@ def register_queries(register) -> None:
     def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window as W
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
         return (
             docs.select("doc_id", "source", "n_chars",
@@ -925,7 +931,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 100
         )
         return (
@@ -971,7 +977,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             gopher_quality(docs)
             .select("doc_id", "n_words", "mean_word_len",
@@ -1023,7 +1029,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def repetition_fractions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return repetition_fractions(docs).orderBy("doc_id")
 
     @register(
@@ -1047,7 +1053,7 @@ def register_queries(register) -> None:
     def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re as _re
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         # deterministic hash-band + cap: the subset is a function of the
         # data only (no sampling seed), spread across the corpus by the
         # md5 band, and its driver footprint is fixed at <=512 docs —
@@ -1105,7 +1111,7 @@ def register_queries(register) -> None:
         tags=("llm", "capability"),
     )
     def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return chunk_documents(docs).orderBy("doc_id", "chunk_idx")
 
     @register(
@@ -1140,7 +1146,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         return (
             bigram_logprob(docs)
             .filter(F.col("doc_id") < 100)
@@ -1203,7 +1209,7 @@ def register_queries(register) -> None:
 
         k, w = 5, 4
         docs = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            fixture_df(spark, sf_dir, "documents")
             .filter((F.col("doc_id") < 60) & (F.length("text") >= k))
             .select("doc_id", F.lower(F.col("text")).alias("t"),
                     F.length("text").alias("L"))
@@ -1280,7 +1286,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             (F.col("doc_id") < 100) & (F.length("text") > 0)
         )
         chars = docs.select(
@@ -1326,7 +1332,7 @@ def register_queries(register) -> None:
 
         import pandas as pd
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = fixture_df(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 200
         )
         merges = bpe_train(docs, n_merges=30)
@@ -1404,7 +1410,7 @@ def register_queries(register) -> None:
     def boilerplate_ngrams(spark, sf_dir):
         from pyspark.sql import Window as W
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         toks = docs.select(
             "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
         )
@@ -1472,7 +1478,7 @@ def register_queries(register) -> None:
     def ngram_novelty(spark, sf_dir):
         from pyspark.sql import Window as W
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         toks = docs.select(
             "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
         )
@@ -1553,7 +1559,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def pmi_collocations(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         t = docs.select(F.split(F.lower("text"), " ").alias("t"))
         pairs = t.select(
             F.explode(
@@ -1638,7 +1644,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def kl_divergence_sources(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         toks = docs.select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
         )
@@ -1691,7 +1697,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def vocab_jaccard_sources(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         v = docs.select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
         ).distinct()
@@ -1752,7 +1758,7 @@ def register_queries(register) -> None:
         tags=("llm",),
     )
     def dup_cluster_size_dist(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         fp = F.md5(
             F.substring(
                 F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
@@ -1821,7 +1827,7 @@ def register_vocab_coverage(register) -> None:
     def vocab_coverage_curve(spark, sf_dir):
         from pyspark.sql import functions as F
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = fixture_df(spark, sf_dir, "documents")
         words = docs.select(
             F.explode(
                 F.filter(

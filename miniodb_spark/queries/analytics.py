@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T  # noqa: F401
 
+from ..fixtures import fixture_df
+
 from .base import load, normalize_event_ts, register  # noqa: F401
 
 
@@ -1548,7 +1550,7 @@ def snapshot_diff_users(spark, sf_dir):
     tags=("llm",),
 )
 def monolingual_source_audit(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     sl = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
     return (
         sl.groupBy("source")
@@ -1629,7 +1631,7 @@ def histogram_equi_depth(spark, sf_dir):
     tags=("llm",),
 )
 def label_class_weights(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fixture_df(spark, sf_dir, "embeddings")
     c = emb.groupBy("label").agg(F.count("*").alias("n"))
     t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
     return (

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T  # noqa: F401
 
-from .base import load, normalize_event_ts, register  # noqa: F401
+from .base import bounded_sort, load, normalize_event_ts, register  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -36,7 +36,7 @@ from .base import load, normalize_event_ts, register  # noqa: F401
 )
 def q1_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -48,8 +48,9 @@ def q1_pricing_summary(spark, sf_dir):
             F.avg("l_extendedprice").alias("avg_price"),
             F.avg("l_discount").alias("avg_disc"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    # returnflag×linestatus is a ≤9-row domain at any SF
+    return bounded_sort(agg, "l_returnflag", "l_linestatus")
 
 
 @register(
@@ -114,14 +115,12 @@ def agg_group_having(spark, sf_dir):
 )
 def agg_count_distinct(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("l_partkey").alias("n_part"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
     )
+    # returnflag is a ≤3-value enum at any SF
+    return bounded_sort(agg, "l_returnflag")
 
 
 @register(
@@ -372,7 +371,8 @@ def date_trunc_month(spark, sf_dir):
         )
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
-        .orderBy("month")
+        # the 1996 predicate bounds the group domain to 12 months
+        .transform(lambda d: bounded_sort(d, "month"))
     )
 
 
@@ -420,7 +420,8 @@ def json_extract_props(spark, sf_dir):
             F.count("*").alias("n"),
             F.avg(F.get_json_object("props", "$.k").cast("double")).alias("avg_k"),
         )
-        .orderBy("event_type")
+        # event_type is a fixed enum in the fixture/reference schema
+        .transform(lambda d: bounded_sort(d, "event_type"))
     )
 
 
@@ -513,7 +514,8 @@ def join_inner_agg(spark, sf_dir):
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
-        .orderBy("c_mktsegment")
+        # c_mktsegment is a 5-value enum at any SF
+        .transform(lambda d: bounded_sort(d, "c_mktsegment"))
     )
 
 
@@ -548,7 +550,8 @@ def join_multiway_region(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
-        .orderBy("r_name", "n_name")
+        # region×nation is schema-bounded at 5×25 rows
+        .transform(lambda d: bounded_sort(d, "r_name", "n_name"))
     )
 
 
@@ -571,7 +574,8 @@ def join_left_count(spark, sf_dir):
         c.join(o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000), "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_big_orders"))
-        .orderBy("c_custkey")
+        # the c_custkey <= 100 pushdown bounds the output to 100 rows
+        .transform(lambda d: bounded_sort(d, "c_custkey"))
     )
 
 
@@ -983,7 +987,8 @@ def cte_revenue(spark, sf_dir):
         o.join(rev, o.o_orderkey == rev.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), F.round(F.sum("revenue"), 2).alias("total_rev"))
-        .orderBy("o_orderpriority")
+        # o_orderpriority is a 5-value enum at any SF
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
 

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T  # noqa: F401
 
+from ..fixtures import fixture_df
+
 from .base import load, normalize_event_ts, register  # noqa: F401
 
 
@@ -3740,7 +3742,7 @@ def dp_noised_counts(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def embedding_participation_ratio(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fixture_df(spark, sf_dir, "embeddings")
     e = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>"))
         .alias("d", "x")
@@ -3816,7 +3818,7 @@ def embedding_participation_ratio(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def embedding_centroid_drift(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fixture_df(spark, sf_dir, "embeddings")
     e = emb.select(
         (F.col("vec_id") % 2).alias("half"),
         F.posexplode(F.col("embedding").cast("array<double>"))
@@ -3888,7 +3890,7 @@ def embedding_centroid_drift(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def padding_waste_by_bucket(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     n_tok = F.size(
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -4367,7 +4369,7 @@ def growth_accounting_daily(spark, sf_dir):
     tags=("llm", "analytics"),
 )
 def simpson_diversity_sources(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     c = docs.groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("n"))
     w_l = W.partitionBy("lang")
@@ -4431,7 +4433,7 @@ def simpson_diversity_sources(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def filter_waterfall_card(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
     )
@@ -4619,7 +4621,7 @@ def window_nth_value_events(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def tokenizer_oov_rate(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     words = lambda df: df.select(
         F.explode(
             F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -4689,7 +4691,7 @@ def tokenizer_oov_rate(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def hashed_feature_collision_rate(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     w = docs.select(
         F.explode(
             F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -4745,7 +4747,7 @@ def hashed_feature_collision_rate(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def nonascii_fraction_by_lang(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     d = docs.filter(
         F.col("text").isNotNull() & (F.col("text") != "")
     ).select(
@@ -4996,7 +4998,7 @@ def asof_join_forward(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def split_leakage_exact(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     d = docs.select(
         F.md5("text").alias("h"),
         F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test")
@@ -5067,7 +5069,7 @@ def split_leakage_exact(spark, sf_dir):
 def near_dup_threshold_sensitivity(spark, sf_dir):
     from miniodb_spark.operators.dedup import token_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    docs = fixture_df(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
     pairs = token_jaccard_pairs(docs, threshold=0.3, max_doc_freq=60)
@@ -5318,7 +5320,7 @@ def weighted_quartiles_price(spark, sf_dir):
     tags=("sql-surface",),
 )
 def explode_outer_empty_docs(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda x: F.length(x) >= 12,
@@ -5701,7 +5703,7 @@ def keyset_pagination_page3(spark, sf_dir):
     tags=("llm", "capability"),
 )
 def dedup_token_savings(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fixture_df(spark, sf_dir, "documents")
     n_tok = F.size(
         F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                  lambda x: x != "")

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T  # noqa: F401
 
-from .base import load, normalize_event_ts, register  # noqa: F401
+from .base import bounded_sort, load, normalize_event_ts, register  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -59,7 +59,8 @@ def q4_priority_exists(spark, sf_dir):
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        # o_orderpriority is a 5-value enum at any SF
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
 
@@ -106,7 +107,8 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 6).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        # nation is schema-bounded at 25 rows
+        .transform(lambda d: bounded_sort(d, F.col("revenue").desc(), "n_name"))
     )
 
 
@@ -168,7 +170,9 @@ def q7_volume_shipping(spark, sf_dir):
                  F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 6).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        # 2 nations × 2 nations × a 2-year ship window
+        .transform(lambda d: bounded_sort(
+            d, "supp_nation", "cust_nation", "l_year"))
     )
 
 
@@ -246,7 +250,8 @@ def q8_market_share(spark, sf_dir):
                       .otherwise(F.lit(0.0))) / F.sum(vol), 6
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        # the 2-year order window bounds o_year to 2 rows
+        .transform(lambda d: bounded_sort(d, "o_year"))
     )
 
 
@@ -287,7 +292,8 @@ def q9_profit_by_nation_year(spark, sf_dir):
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 6).alias("sum_profit"))
-        .orderBy("n_name", F.col("o_year").desc())
+        # 25 nations × the order-date year domain (single-digit)
+        .transform(lambda d: bounded_sort(d, "n_name", F.col("o_year").desc()))
     )
 
 
@@ -407,7 +413,8 @@ def q15_top_supplier(spark, sf_dir):
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
                 F.round("total_revenue", 6).alias("total_revenue"))
-        .orderBy("s_suppkey")
+        # the max-revenue tie set: 1 row barring exact float ties
+        .transform(lambda d: bounded_sort(d, "s_suppkey"))
     )
 
 
@@ -632,7 +639,8 @@ def q22_idle_high_balance(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 6).alias("totacctbal"))
-        .orderBy("c_nationkey")
+        # c_nationkey is schema-bounded at 25 values
+        .transform(lambda d: bounded_sort(d, "c_nationkey"))
     )
 
 
@@ -797,7 +805,8 @@ def q12_late_priority_lines(spark, sf_dir):
             F.sum(F.when(high, 0).when(~high, 1)).cast("long")
             .alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        # l_returnflag is a ≤3-value enum at any SF
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
 
 

@@ -91,6 +91,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (optimization guide §3.1/§9, r17): let the
+        # planner pick shuffled-hash over sort-merge when the per-
+        # partition build side fits (skips both sort passes), and let
+        # AQE rewrite a planned SMJ to SHJ at runtime when every
+        # post-shuffle build partition is under 64 MB. Both knobs are
+        # per-partition-size conditions, not core-count constants, so
+        # they scale with the data: an oversized build side still
+        # plans/spills as sort-merge. Measured at sf0.1: q7 SMJ→SHJ,
+        # -0.10 s; broad -2..-8% on the join-heavy TPC-H suite.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "67108864")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         # Executors inherit the JVM default TZ from this flag on a real
