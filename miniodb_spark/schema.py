@@ -84,9 +84,20 @@ def coerce_value(value: Any, dtype: T.DataType) -> Any:
         return bool(value)
     if isinstance(dtype, T.LongType):
         try:
-            return int(value)
+            v = int(value)
         except (TypeError, ValueError):
             return None
+        # int64 range guard: the flush path hands these tuples to
+        # createDataFrame with verifySchema=False (the coercions here
+        # already guarantee the schema's types — r17), so the range
+        # check PySpark's row verifier used to do must happen here to
+        # keep the same contract: an unrepresentable long fails the
+        # flush loudly (rows requeued, WAL intact) instead of
+        # overflowing silently in the JVM.
+        if not (-(1 << 63) <= v < (1 << 63)):
+            raise ValueError(
+                f"object of LongType out of range: {value!r}")
+        return v
     if isinstance(dtype, T.DoubleType):
         try:
             return float(value)
@@ -142,7 +153,16 @@ def to_row_tuple(row: dict, schema: T.StructType, name_map: dict[str, str]) -> t
     ts = row["timestamp"]
     if isinstance(ts, int):
         ts = micros_to_datetime(ts)
+    elif ts is None:
+        # non-nullable system column; with verifySchema=False (see
+        # coerce_value) this guard replaces the row verifier's
+        # nullability error — same failure, same flush-requeue path
+        # (a caller CAN pass an explicit timestamp_us=None through
+        # the merge API's .get(..., default) lookups).
+        raise ValueError("timestamp must not be None")
     fields = row.get("fields") or {}
+    if row.get("table_name") is None:
+        raise ValueError("table_name must not be None")
     # reverse map: column name -> original key
     rev = {v: k for k, v in name_map.items()}
     out: list[Any] = []

@@ -1,5 +1,6 @@
 """Dynamic schema rules (reference concurrent_buffer.go:521-655)."""
 
+import pytest
 from pyspark.sql import types as T
 
 from miniodb_spark.schema import (
@@ -60,3 +61,38 @@ def test_all_null_column_is_string():
     rows = [{"id": "a", "timestamp": 1, "table_name": "t", "fields": {"v": None}}]
     schema, _ = infer_batch_schema(rows)
     assert isinstance(schema["v"].dataType, T.StringType)
+
+
+def test_coerce_long_out_of_range_raises():
+    # the flush path hands rows to createDataFrame with
+    # verifySchema=False (r17), so coerce_value itself must keep the
+    # verifier's contract: an unrepresentable int64 fails loudly
+    # instead of overflowing in the JVM
+    from miniodb_spark.schema import coerce_value
+
+    assert coerce_value((1 << 63) - 1, T.LongType()) == (1 << 63) - 1
+    assert coerce_value(-(1 << 63), T.LongType()) == -(1 << 63)
+    with pytest.raises(ValueError, match="out of range"):
+        coerce_value(1 << 63, T.LongType())
+    with pytest.raises(ValueError, match="out of range"):
+        coerce_value(-(1 << 63) - 1, T.LongType())
+
+
+def test_to_row_tuple_null_system_columns_raise():
+    # same contract: the row verifier used to reject NULL in the
+    # non-nullable system columns; with it disabled the guard lives in
+    # to_row_tuple (a merge-API caller can pass timestamp_us=None)
+    from miniodb_spark.schema import infer_batch_schema, to_row_tuple
+
+    rows = [{"id": "a", "timestamp": 1, "table_name": "t", "fields": {"v": 1}}]
+    schema, name_map = infer_batch_schema(rows)
+    with pytest.raises(ValueError, match="timestamp"):
+        to_row_tuple(
+            {"id": "a", "timestamp": None, "table_name": "t", "fields": {}},
+            schema, name_map,
+        )
+    with pytest.raises(ValueError, match="table_name"):
+        to_row_tuple(
+            {"id": "a", "timestamp": 1, "table_name": None, "fields": {}},
+            schema, name_map,
+        )

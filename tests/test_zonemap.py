@@ -1658,3 +1658,35 @@ def test_dq_literal_spoof_never_prunes_e2e(engine):
     out3 = _json.loads(engine.query(
         "SELECT count(*) AS n FROM evz WHERE v < 5"))
     assert out3[0]["n"] == 5  # sanity: genuine pruning still works
+
+
+def test_engine_written_files_index_via_footer_fast_path(engine):
+    """Engine parquet output must carry min/max footer statistics for
+    every zone-map column — including timestamp, which the legacy
+    INT96 output type silently lacked (no stats -> every build fell
+    back to a distributed aggregation job; r17 pins
+    spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS)."""
+    from miniodb_spark.zonemap import list_generation_files
+
+    _seed(engine, "zft", n=4, days=2)
+    gdir = engine._gen_dir("zft", 0)
+    listing = list_generation_files(engine.fs, gdir)
+    assert listing
+    stats = engine.zonemaps._footer_stats(
+        gdir, [rel for rel, _ in listing], ("id", "timestamp")
+    )
+    # every written file indexed metadata-only, no Spark job needed
+    assert set(stats) == {rel for rel, _ in listing}
+    for st in stats.values():
+        lo, hi = st["timestamp"]
+        assert lo <= hi
+        # canonical naive-UTC string form (see zonemap._jsonable) —
+        # what the pruner compares against Spark-collected bounds
+        assert "T" not in lo and "+" not in lo
+    # and the build itself agrees with the sidecar the flush produced:
+    # the flush-time build (which passed its own listing) must have
+    # indexed the same files with the same timestamp brackets
+    doc = engine.zonemaps.load("zft", 0)
+    assert doc is not None and set(doc["files"]) == set(stats)
+    for rel, st in stats.items():
+        assert doc["files"][rel]["timestamp"] == st["timestamp"]
