@@ -110,15 +110,18 @@ class WAL:
     def append_many(self, rec_type: str, payloads: list[dict]) -> int:
         """Batch append with ONE flush at the end — the reference's WAL
         supports sync-on-write or interval sync (wal.go:118-155); this is
-        the batched path StreamWrite-style ingestion uses."""
+        the batched path StreamWrite-style ingestion uses. Records are
+        framed identically to :meth:`append` (byte-for-byte), just
+        handed to the file object in one write."""
         with self._lock:
-            for payload in payloads:
-                self._write_record(rec_type, payload)
+            self._fh.write(
+                "".join(self._format_record(rec_type, p) for p in payloads)
+            )
             self._fh.flush()
             self._maybe_rotate()
             return self._seq
 
-    def _write_record(self, rec_type: str, payload: dict) -> None:
+    def _format_record(self, rec_type: str, payload: dict) -> str:
         self._seq += 1
         body = json.dumps(
             {"seq": self._seq, "type": rec_type, "payload": payload},
@@ -126,7 +129,10 @@ class WAL:
             default=str,
         )
         crc = zlib.crc32(body.encode("utf-8"))
-        self._fh.write(f"{body}\t{crc}\n")
+        return f"{body}\t{crc}\n"
+
+    def _write_record(self, rec_type: str, payload: dict) -> None:
+        self._fh.write(self._format_record(rec_type, payload))
 
     def truncate(self) -> None:
         with self._lock:
@@ -148,6 +154,20 @@ class WAL:
         lose acked-durable records appended after the drained sequence."""
         with self._lock:
             self._fh.close()
+            if seq >= self._seq:
+                # fast path (r17): sequences are monotonic and assigned
+                # under this lock, so seq >= the last assigned sequence
+                # proves EVERY record — sealed segments and active file,
+                # including any CRC-corrupt tail the slow path would
+                # also discard — is covered by the flush. Drop it all
+                # without re-parsing/re-CRCing 20k lines (~0.25 s per
+                # full drain, measured); same atomic tmp+replace
+                # contract for the active file.
+                for seg in WAL._segments(self.path):
+                    os.remove(seg)
+                self._atomic_rewrite(self.path, [])
+                self._fh = open(self.path, "a", encoding="utf-8")
+                return
             # sealed segments: fully-covered ones are dropped whole (O(1)
             # unlink, no rewrite); a partially-covered one is rewritten in
             # place with the same atomic tmp+replace dance

@@ -266,3 +266,30 @@ def test_filekv_keys_are_collision_free(tmp_path):
     kv.delete("sketch/hll/a_b/c")
     assert kv.get("sketch/hll/a_b/c") is None
     assert kv.get("sketch/hll/a/b_c") == b"two"
+
+
+def test_wal_truncate_upto_full_coverage_fast_path(tmp_path):
+    """truncate_upto(seq >= last assigned) takes the no-reparse fast
+    path (r17): segments and active file are dropped wholesale. Must
+    behave exactly like the slow path — everything gone, including a
+    CRC-corrupt tail, appends still work after, no temp file left."""
+    from miniodb_spark.buffer import WAL
+
+    wal = WAL(str(tmp_path / "w.log"), max_segment_bytes=500)
+    seqs = [wal.append("insert", {"id": f"r{i}", "timestamp": i,
+                                  "table_name": "t", "fields": {"v": i}})
+            for i in range(20)]
+    assert len(WAL._segments(wal.path)) >= 2
+    # simulate a torn tail write (crash mid-append): fast path must
+    # discard it just like the slow path's CRC check would
+    with open(wal.path, "a", encoding="utf-8") as fh:
+        fh.write('{"seq": 999, "type": "insert"\tBADCRC\n')
+    wal.truncate_upto(seqs[-1])
+    assert WAL.replay(wal.path) == []
+    assert WAL._segments(wal.path) == []
+    import os
+    assert not os.path.exists(wal.path + ".tmp")
+    s = wal.append("insert", {"id": "after", "timestamp": 0,
+                              "table_name": "t", "fields": {}})
+    assert s == seqs[-1] + 1  # sequence still monotonic after fast path
+    assert [r["payload"]["id"] for r in WAL.replay(wal.path)] == ["after"]
