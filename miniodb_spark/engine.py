@@ -524,14 +524,11 @@ class Engine:
     def _flush_rows(self, table: str, rows: list[BufferRow]) -> int:
         row_dicts = [r.to_dict() for r in rows]
         batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
-        tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map) for d in row_dicts]
-        # verifySchema=False (guide §4/§5, r17): to_row_tuple/coerce_value
-        # already emit exactly the schema's types, including the int64
-        # range and non-null guards the verifier enforced — re-walking
-        # every row in pure Python cost ~0.25 s per 20k-row flush,
-        # measured, for zero additional checking.
-        df = self.spark.createDataFrame(tuples, batch_schema,
-                                        verifySchema=False)
+        # one columnar Arrow hop to the JVM; to_row_tuple inside is the
+        # schema verifier (types, int64 range, non-null system columns)
+        # — see schema.batch_dataframe (guide §4, r17)
+        df = dyn_schema.batch_dataframe(
+            self.spark, row_dicts, batch_schema, name_map)
         df = df.withColumn("dt", F.date_format("timestamp", "yyyy-MM-dd"))
         n_gens_before = len(self.catalog.gen_schemas(table))
         gen = self.catalog.register_flush_schema(
@@ -1053,11 +1050,8 @@ class Engine:
             return None
         row_dicts = [r.to_dict() for r in rows]
         batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
-        tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map) for d in row_dicts]
-        # verifySchema=False: same contract as _flush_rows — the
-        # coercions in to_row_tuple are the verifier (r17).
-        df = self.spark.createDataFrame(tuples, batch_schema,
-                                        verifySchema=False)
+        df = dyn_schema.batch_dataframe(
+            self.spark, row_dicts, batch_schema, name_map)
         return df.withColumn("dt", F.date_format("timestamp", "yyyy-MM-dd"))
 
     def read_table(self, table: str) -> DataFrame | None:
@@ -1961,12 +1955,8 @@ class Engine:
                 "fields": payload,
             })
         batch_schema, name_map = dyn_schema.infer_batch_schema(row_dicts)
-        tuples = [dyn_schema.to_row_tuple(d, batch_schema, name_map)
-                  for d in row_dicts]
-        # verifySchema=False: same contract as _flush_rows — the
-        # coercions in to_row_tuple are the verifier (r17).
-        df = self.spark.createDataFrame(tuples, batch_schema,
-                                        verifySchema=False)
+        df = dyn_schema.batch_dataframe(
+            self.spark, row_dicts, batch_schema, name_map)
         return self.merge_upsert(table, df, key_col=key_col)
 
     def collapse_generations(self, table: str) -> int:

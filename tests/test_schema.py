@@ -96,3 +96,35 @@ def test_to_row_tuple_null_system_columns_raise():
             {"id": "a", "timestamp": 1, "table_name": None, "fields": {}},
             schema, name_map,
         )
+
+
+def test_batch_dataframe_arrow_and_fallback_agree(spark):
+    # the flush paths convert via one Arrow table (r17); rows, schema
+    # and nullability must be identical to the tuple path, and a value
+    # Arrow cannot encode (lone surrogate) must fall back silently
+    from miniodb_spark.schema import (
+        batch_dataframe, infer_batch_schema, to_row_tuple,
+    )
+
+    rows = [
+        {"id": "a", "timestamp": 1_700_000_000_000_000, "table_name": "t",
+         "fields": {"k": 1, "v": 1.5, "s": "x", "flag": True}},
+        {"id": "b", "timestamp": 1_700_000_000_000_001, "table_name": "t",
+         "fields": {"k": None, "v": None, "s": None, "flag": None}},
+    ]
+    schema, name_map = infer_batch_schema(rows)
+    tuples = [to_row_tuple(d, schema, name_map) for d in rows]
+    df_arrow = batch_dataframe(spark, rows, schema, name_map)
+    df_tuple = spark.createDataFrame(tuples, schema, verifySchema=False)
+    assert df_arrow.schema == df_tuple.schema  # incl. nullability
+    assert sorted(map(tuple, df_arrow.collect())) == sorted(
+        map(tuple, df_tuple.collect())
+    )
+
+    # lone-surrogate string: Arrow refuses, the helper must fall back
+    # to the tuple path and still produce a frame
+    bad = [{"id": "c", "timestamp": 1, "table_name": "t",
+            "fields": {"s": "bad\udcff"}}]
+    schema2, nm2 = infer_batch_schema(bad)
+    df_bad = batch_dataframe(spark, bad, schema2, nm2)
+    assert df_bad.count() == 1
