@@ -188,6 +188,13 @@ def main() -> None:
 
     host_score_pre = _host_cpu_score()
     host_io = _host_io_score()
+    # the resolved core count (r17 verdict #2): get_spark() honors
+    # $SPARK_GRAFT_CPUS for master local[N] AND shuffle partitions, but
+    # the bench record never SAID which N it ran under, so the driver's
+    # scaling check had to guess and false-positived
+    # (suspect_cpus_ignored in PERF_r17 despite BENCH_r17_c8 proving the
+    # env var works). Published in both JSON lines below.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("miniodb_spark_bench")
     registry = get_registry()
 
@@ -550,6 +557,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "cpus": cpus,
                 "cold_total": round(sum(cold.values()), 4),
                 "passes": 2,
                 "aggregation": "per-query min of 2 passes",
@@ -627,6 +635,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpus": cpus,
         "host_cpu_score_sec": host_score,
         "ref_score": ANCHOR["host_cpu_score_sec"],
         "normalized_total": round(

@@ -253,18 +253,28 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` is the scale guard: a duplicate-saturated corpus
     puts thousands of docs into one (band, band_hash) bucket, and the
     self-join inside that bucket is quadratic (10k docs ⇒ ~50M pairs).
-    A window count over (band, bh) drops oversized buckets before the
-    join. Measured at sf0.1 vs alternatives: window cap 0.30 s /
-    3 hash exchanges, broadcast-anti-join blacklist 0.36 s / 3 hash
-    exchanges, no guard 0.16 s / 1 — the guard costs ~2× on a healthy
-    corpus and is what makes a pathological one terminate at all. Docs
-    in a dropped bucket still pair through their other ``bands - 1``
-    buckets, and *identical* docs are caught by the cheaper
-    :func:`exact_duplicates` pass that should always run first; the
-    trade-off is recall loss only for near-dup clusters larger than the
-    cap that collide in every band."""
-    from pyspark.sql import Window as W
 
+    r18 guard shape (replaces the r15 window count — guide §2.4): an
+    EXACT aggregated probe ``groupBy(band, bh).count().filter(> cap)``
+    decides whether any oversized bucket exists. On a healthy corpus
+    (the common case) the probe is empty and the banded rows flow to
+    the self-join UNTOUCHED — the old window guard shuffled and sorted
+    every exploded row on (band, bh) just to compute counts that were
+    all under the cap, paying ~2× the no-guard cost at every scale.
+    The probe shuffles only map-side-combined (band, bh, partial_count)
+    triples — bounded by distinct bucket keys per map partition, not by
+    rows. When the probe DOES find oversized buckets, they are removed
+    with a broadcast anti-join on the aggregated key set (≤ N·bands/cap
+    keys by pigeonhole). Pair output is byte-identical to the window
+    form in both regimes: both drop exactly the rows whose exact
+    (band, bh) count exceeds the cap (pinned by
+    test_minhash_lsh_probe_guard_equivalence). The probe's isEmpty is
+    a driver decision on an aggregate, not data work (§5) — the §8
+    decide-with-small-rows pattern. Docs in a dropped bucket still pair
+    through their other ``bands - 1`` buckets, and *identical* docs are
+    caught by the cheaper :func:`exact_duplicates` pass that should
+    always run first; the trade-off is recall loss only for near-dup
+    clusters larger than the cap that collide in every band."""
     r = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
@@ -282,12 +292,15 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     if max_bucket_size is not None:
-        bucket_n = F.count("*").over(W.partitionBy("band", "bh"))
-        exploded = (
-            exploded.withColumn("_bn", bucket_n)
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
+        oversized = (
+            exploded.groupBy("band", "bh")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "bh")
         )
+        if not oversized.isEmpty():
+            exploded = exploded.join(
+                F.broadcast(oversized), ["band", "bh"], "left_anti")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -364,20 +377,23 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
     (the exact filter then removes false candidates). This is asserted
     against brute force by the `dedup_simhash` self-check.
 
-    Scale guards (same pattern as :func:`minhash_lsh_pairs`): 64-bit
-    signatures give 16-bit block keys, and ``max_bucket_size`` drops any
-    (block, key) bucket larger than the cap before the self-join — a
-    duplicate-saturated corpus collapses onto one signature and would
-    otherwise self-join quadratically. Identical docs belong to the
-    cheaper :func:`exact_duplicates` pass that should always run first;
-    the completeness guarantee then holds among the surviving buckets."""
+    Scale guards (same pattern as :func:`minhash_lsh_pairs`, including
+    its r18 probe-based guard shape — exact aggregated bucket counts
+    decide whether any bucket exceeds the cap; the healthy path flows
+    untouched to the self-join instead of paying a full-row window
+    shuffle+sort, and oversized keys are removed by broadcast
+    anti-join): 64-bit signatures give 16-bit block keys, and
+    ``max_bucket_size`` drops any (block, key) bucket larger than the
+    cap before the self-join — a duplicate-saturated corpus collapses
+    onto one signature and would otherwise self-join quadratically.
+    Identical docs belong to the cheaper :func:`exact_duplicates` pass
+    that should always run first; the completeness guarantee then holds
+    among the surviving buckets."""
     if max_hamming >= blocks:
         raise ValueError(
             f"blocks={blocks} cannot guarantee completeness for "
             f"max_hamming={max_hamming}; need blocks > max_hamming"
         )
-    from pyspark.sql import Window as W
-
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
     keyed = sigs.select(
@@ -398,12 +414,15 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str = "doc_id",
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.part").alias("part"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        bucket_n = F.count("*").over(W.partitionBy("part", "key"))
-        keyed = (
-            keyed.withColumn("_bn", bucket_n)
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
+        oversized = (
+            keyed.groupBy("part", "key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("part", "key")
         )
+        if not oversized.isEmpty():
+            keyed = keyed.join(
+                F.broadcast(oversized), ["part", "key"], "left_anti")
     a, b = keyed.alias("a"), keyed.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

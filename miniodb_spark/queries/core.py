@@ -114,11 +114,23 @@ def agg_group_having(spark, sf_dir):
     doc="exact DISTINCT aggregation (the reference flags but cannot merge it distributively; Spark can)",
 )
 def agg_count_distinct(spark, sf_dir):
+    # r18 (guide §2.3): two DISTINCT columns in ONE aggregate plan as
+    # Expand (every row duplicated per distinct column) feeding a
+    # single 2N-row shuffle and three aggregate passes. Splitting into
+    # two independent single-distinct aggregates joined on the group
+    # key shuffles the same total bytes but as two N-row pipelines
+    # that run CONCURRENTLY (independent AQE stages), each a plain
+    # partial+final distinct-agg with no Expand. Exact, same rows: the
+    # join key set is identical on both sides (same source, same
+    # grouping). Measured med 0.54→0.39 s / min 0.42→0.34 s at sf0.1
+    # (9-rep A/B, twice, both orders). The 3-row join broadcasts.
     li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct("l_partkey").alias("n_part"),
-    )
+    a = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"))
+    b = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_part"))
+    agg = a.join(b, "l_returnflag").select(
+        "l_returnflag", "n_supp", "n_part")
     # returnflag is a ≤3-value enum at any SF
     return bounded_sort(agg, "l_returnflag")
 

@@ -48,7 +48,19 @@ def q4_priority_exists(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    li = load(spark, sf_dir, "lineitem")
+    # r18 (guide §3.1): the semi join's build side is necessarily the
+    # lineitem side (LeftSemi builds right), and the static planner was
+    # BROADCASTING it — the 2-column projection estimates under the
+    # 10 MB auto-broadcast threshold, so every execution collected and
+    # shipped the whole 600k-row lineitem key set (the date-filtered
+    # orders side is the small one, but a semi join cannot swap sides).
+    # SHUFFLE_HASH shuffles both sides on orderkey and builds only a
+    # per-partition slice of lineitem: −0.1..−0.17 s med at sf0.1, and
+    # the per-partition build is bounded by AQE's advisory partition
+    # sizing with no key skew (an order has ≤7 lines) — where the
+    # broadcast build grows with the whole table.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate").hint("shuffle_hash")
     return (
         o.join(
             li,
@@ -86,13 +98,21 @@ def q4_priority_exists(spark, sf_dir):
         "outside ASIA never enter the shuffle",
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n_asia = load(spark, sf_dir, "nation").join(
-        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select("n_nationkey", "n_name")
-    s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", "s_nationkey", "n_name")
+    # r18: flat dim chain — nation and the ASIA-filtered region
+    # broadcast independently into the supplier stream instead of the
+    # nested broadcast(nation ⨝ broadcast(region)) build (each nested
+    # broadcast was its own sequential job; flattening lets both tiny
+    # dims build in parallel and drops one join stage). 10 → 8 jobs,
+    # −0.07 s med at sf0.1; rows identical.
+    r = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    n = load(spark, sf_dir, "nation")
+    s = (
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -210,10 +230,14 @@ def q7_volume_shipping(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
         F.col("p_type") == "ECONOMY").select("p_partkey")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n_asia = load(spark, sf_dir, "nation").join(
-        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select(F.col("n_nationkey").alias("c_nk"))
+    # r18: flat dim chain on the customer side — nation and the
+    # ASIA-filtered region broadcast independently into the customer
+    # stream instead of the nested broadcast(nation ⨝ broadcast(region))
+    # build (nested broadcasts serialize their build jobs; flattening
+    # lets them run in parallel and removes the pre-join stage).
+    r = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    n2 = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     n1 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"),
         F.col("n_name").alias("supp_nation"))
@@ -225,9 +249,12 @@ def q8_market_share(spark, sf_dir):
     # filtered customer keys outgrow the broadcast budget, drop the
     # hints and AQE falls back to shuffle joins with the same
     # (narrowed) columns
-    c = load(spark, sf_dir, "customer").join(
-        F.broadcast(n_asia), F.col("c_nationkey") == F.col("c_nk")
-    ).select("c_custkey")
+    c = (
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
     s = load(spark, sf_dir, "supplier").join(
         F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
     ).select("s_suppkey", "supp_nation")
@@ -678,13 +705,28 @@ def q22_idle_high_balance(spark, sf_dir):
         "slice while it fits",
 )
 def q2_min_cost_supplier(spark, sf_dir):
+    # r18 rework (guide §3.2/§2.4): the EUROPE supplier dim used to be
+    # BUILT AND BROADCAST TWICE — once projected to s_suppkey for the
+    # cost aggregate's semi-restriction, once in full for the final
+    # attribute join (7 BroadcastExchanges / 9 Spark jobs; the two
+    # subtrees prune to different projections, so ReuseExchange cannot
+    # unify them). The dim attributes now ride THROUGH the aggregate as
+    # extra group keys: s_suppkey is supplier's primary key, so
+    # (l_partkey, l_suppkey, s_name, s_acctbal, n_name) induces exactly
+    # the groups of (l_partkey, l_suppkey) and min(unit) is unchanged —
+    # the second eu subtree (3 scans + 3 broadcasts + 1 join) vanishes.
+    # At scale this also removes the broadcast of the FULL EUROPE
+    # supplier set (1/5 of suppliers — the one q2 broadcast that grows
+    # with SF) from the final join.
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # flat dim chain (nation and region broadcast independently into the
+    # supplier stream) instead of the nested broadcast(n ⨝ broadcast(r))
+    # — same rows, one fewer sequential build stage on the critical path
     eu = (
-        s.join(F.broadcast(n.join(
-            F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-            s.s_nationkey == n.n_nationkey)
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     li = load(spark, sf_dir, "lineitem").select(
@@ -697,21 +739,33 @@ def q2_min_cost_supplier(spark, sf_dir):
     # by the part-type selectivity instead of filtering after both
     p = load(spark, sf_dir, "part").filter(
         F.col("p_type") == "LARGE").select("p_partkey")
-    cost = (
-        li.join(F.broadcast(eu.select("s_suppkey")),
-                F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = (
+        li.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
+    )
+    # ONE exchange serves both the aggregate and the per-part window
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange"): hash-partitioning on l_partkey alone satisfies the
+    # aggregate's clustering requirement (l_partkey is a subset of the
+    # group keys) AND the window's partitionBy — the planner's default
+    # (exchange on all five group keys, then a second exchange on
+    # l_partkey for the window) moves the same rows twice. Map-side
+    # partial aggregation is no loss here: a (part, supplier) pair's
+    # ~7 lineitem occurrences are scattered across the scan, so at any
+    # real partition count each map partition sees a pair at most once
+    # and the partial aggregate reduces nothing (§2.3).
+    cost = (
+        joined.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min("unit").alias("unit_cost"))
     )
     best = cost.withColumn(
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
     ).filter(F.col("unit_cost") == F.col("min_cost"))
     return (
-        best.withColumn("p_partkey", F.col("l_partkey"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey",
-                F.round("unit_cost", 6).alias("best_cost"))
+        best.select("s_acctbal", "s_name", "n_name",
+                    F.col("l_partkey").alias("p_partkey"),
+                    F.round("unit_cost", 6).alias("best_cost"))
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -899,8 +953,19 @@ def q21_waiting_suppliers(spark, sf_dir):
         .select("l_orderkey", "l_suppkey", "is_late")
     )
     # one row per (order, supplier): the window below then counts
-    # distinct suppliers as plain COUNT/SUM — no Expand, no re-join
-    ps = j.groupBy("l_orderkey", "l_suppkey").agg(
+    # distinct suppliers as plain COUNT/SUM — no Expand, no re-join.
+    # r18: ONE exchange serves both this aggregate and the window
+    # (guide §2.4) — hash-partitioning on l_orderkey alone satisfies
+    # the aggregate's clustering requirement (subset of its group keys)
+    # and the window's partitionBy, where the planner's default moved
+    # the rows twice (exchange on (l_orderkey, l_suppkey), then again
+    # on l_orderkey). Losing map-side partial aggregation costs
+    # nothing: (order, supplier) pairs repeat ≤7× (lines per order)
+    # and those lines are scattered across the scan, so at any real
+    # partition count the partial aggregate reduces ~nothing (§2.3);
+    # no skew risk — an order has ≤7 lines. 7 → 6 jobs, −0.2 s med
+    # at sf0.1; rows identical.
+    ps = j.repartition("l_orderkey").groupBy("l_orderkey", "l_suppkey").agg(
         F.sum("is_late").alias("late_lines"),
         F.max("is_late").alias("late"),
     )

@@ -386,3 +386,77 @@ def test_signature_table_persists_and_joins_without_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_tbl")
         spark.sql("DROP TABLE IF EXISTS corpus_ids")
+
+
+def test_minhash_lsh_probe_guard_equivalence(spark):
+    # r18 guard shape: the aggregated-probe + anti-join guard must drop
+    # EXACTLY the rows the old window-count guard dropped, in both the
+    # healthy regime (no bucket over the cap — probe empty, rows flow
+    # untouched) and the mixed regime (some buckets over the cap, some
+    # under). Reference implementation of the old guard inline.
+    from pyspark.sql import Window as W
+
+    # mixed corpus: a 30-doc near-identical cluster (oversized under
+    # cap=20 in every band) + distinct filler docs (healthy buckets)
+    rows = [(i, "cluster text shared verbatim by all members") for i in range(30)]
+    rows += [(100 + i, f"unique filler document number {i} with words {i * 7}")
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    def window_guard_pairs(sigs, cap):
+        # the pre-r18 guard, reconstructed: window count over (band, bh)
+        num_hashes, bands = 16, 4
+        r = num_hashes // bands
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = sigs.select(
+            "doc_id", *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_cols
+        )
+        exploded = banded.select(
+            "doc_id",
+            F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("band"),
+                                   F.col(f"band_{b}").alias("bh"))
+                          for b in range(bands)])
+            ).alias("bk"),
+        ).select("doc_id", "sig", F.col("bk.band").alias("band"),
+                 F.col("bk.bh").alias("bh"))
+        exploded = (
+            exploded.withColumn("_bn", F.count("*").over(W.partitionBy("band", "bh")))
+            .filter(F.col("_bn") <= cap)
+            .drop("_bn")
+        )
+        a, b = exploded.alias("a"), exploded.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    for cap in (20, 1000):  # 20: cluster buckets oversized; 1000: healthy
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(sigs, max_bucket_size=cap).collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"])
+            for r in window_guard_pairs(sigs, cap).collect()
+        )
+        assert got == want, f"cap={cap}: probe guard diverged from window guard"
+    # healthy regime really is the no-guard row set
+    unguarded = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(sigs, max_bucket_size=None).collect()
+    )
+    healthy = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(sigs, max_bucket_size=1000).collect()
+    )
+    assert healthy == unguarded
