@@ -23,6 +23,27 @@ from typing import Any
 from . import fs as fsmod
 from .catalog import Catalog
 
+# object-copy fan-out (guide §2.6): enough threads to hide per-object
+# round-trip latency, few enough not to saturate an object store's
+# per-prefix rate limits. Copies go through the fs abstraction, so on
+# s3a these are server-side COPY requests — pure wait, ideal to overlap.
+_COPY_WORKERS = 16
+
+
+def _copy_all(fs, pairs: list[tuple[str, str]]) -> None:
+    """Copy ``(src, dst)`` pairs concurrently; re-raises the first
+    failure (executor.map surfaces it), so callers' write-manifest-last
+    / metadata-last commit ordering keeps its crash semantics."""
+    if not pairs:
+        return
+    if len(pairs) == 1:
+        fs.copy(*pairs[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(_COPY_WORKERS, len(pairs))) as ex:
+        list(ex.map(lambda p: fs.copy(*p), pairs))
+
 
 class BackupManager:
     def __init__(self, catalog: Catalog, node_id: int = 0,
@@ -142,11 +163,22 @@ class BackupManager:
         total = 0
         for t in tables:
             objs = self._table_objects(t)
-            entries = []
-            for path, rel, size in objs:
-                eng.fs.copy(path, fsmod.join(dest_root, t, rel))
-                entries.append({"rel": rel, "size": size})
-                total += size
+            # copies are independent objects — run them through a small
+            # thread pool instead of one driver thread (r18, guide §2.6
+            # overlap-independent-work; at 100 TB the sequential copy
+            # loop IS the backup wall: each fs.copy is an object-store
+            # round trip that spends its time waiting, not computing).
+            # The manifest is still written only after every copy
+            # returned — _copy_all re-raises the first failure, so a
+            # crashed backup stays manifest-less and invisible, exactly
+            # as before.
+            _copy_all(
+                eng.fs,
+                [(path, fsmod.join(dest_root, t, rel))
+                 for path, rel, _size in objs],
+            )
+            entries = [{"rel": rel, "size": size} for _p, rel, size in objs]
+            total += sum(size for _p, _r, size in objs)
             manifest["tables"][t] = entries
         # the manifest is written LAST: its presence marks a complete
         # backup (a crashed copy leaves no manifest and is invisible to
@@ -189,9 +221,13 @@ class BackupManager:
             entries = manifest["tables"].get(t)
             if entries is None:
                 raise ValueError(f"table {t!r} is not in backup {object_name!r}")
-            for e in entries:
-                eng.fs.copy(fsmod.join(src_root, t, e["rel"]),
-                            fsmod.join(eng.root, t, e["rel"]))
+            # same thread-pooled copy as create_data_backup; metadata
+            # still commits only after every object landed
+            _copy_all(
+                eng.fs,
+                [(fsmod.join(src_root, t, e["rel"]),
+                  fsmod.join(eng.root, t, e["rel"])) for e in entries],
+            )
             restored[t] = len(entries)
         # metadata last: once the catalog commits, readers resolve the
         # freshly-copied objects

@@ -151,6 +151,26 @@ def execute_plan(spark: SparkSession, plan: CompactionPlan, fs=None,
 
 def compact_table(spark: SparkSession, table_dir: str, fs=None,
                   zorder_by: list[str] | None = None) -> list[dict]:
+    """Execute every planned merge for the table.
+
+    Plans target DISJOINT partition/file sets (one plan per (partition,
+    tier), candidate files chosen within that partition), so they are
+    independent jobs — a couple run concurrently from a small driver
+    thread pool (r18, guide §2.6): each merge is a tiny read→write job
+    whose tail would otherwise leave the cluster idle between plans.
+    Spark's scheduler interleaves them FIFO; results keep plan order.
+    Output sizing audit (r18, guide §6): execute_plan targets
+    ``total_bytes // 128 MB`` files under ``maxRecordsPerFile`` — files
+    land in the advisory 128 MB–1 GB band, so the tier merge cannot
+    recreate the one-giant-file-per-day layout the flush path avoids."""
     fs = fs or LocalFS()
-    return [execute_plan(spark, p, fs=fs, zorder_by=zorder_by)
-            for p in plan_table(table_dir, fs=fs)]
+    plans = plan_table(table_dir, fs=fs)
+    if len(plans) <= 1:
+        return [execute_plan(spark, p, fs=fs, zorder_by=zorder_by)
+                for p in plans]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(plans))) as ex:
+        return list(ex.map(
+            lambda p: execute_plan(spark, p, fs=fs, zorder_by=zorder_by),
+            plans))

@@ -132,6 +132,26 @@ _TS_LIT_RE = __import__("re").compile(
     r"^\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d{1,6})?)?)?$")
 
 
+def _advisory_bytes(spark) -> int:
+    """AQE advisory partition size in bytes (the threshold under which
+    a rebalance would coalesce a flush batch to one task anyway — see
+    the write-shape decision in :meth:`Engine._flush_rows`). Accepts
+    the bare-int and size-suffixed (``64m``/``256MB``) conf spellings;
+    unparseable → the 64 MB Spark default."""
+    raw = str(spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864"))
+    s = raw.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[: -1], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 64 * 1024 * 1024
+
+
 def _parse_ts_literal(lit: str | None):
     """A quoted SQL literal as a tz-naive datetime, or None when typed
     timestamp semantics can't be guaranteed — the decline-on-doubt gate
@@ -535,6 +555,24 @@ class Engine:
             table, {f.name: _type_name(f.dataType) for f in batch_schema.fields}
         )
         cfg = self.catalog.get_table(table)
+        # write shape (r18, guide §2.4/§6): the batch's byte size is
+        # known DRIVER-side from the Arrow conversion, so pick the
+        # layout without a shuffle when possible. A batch under the AQE
+        # advisory partition size would be coalesced into ONE task by
+        # the rebalance anyway — coalesce(1) reaches the same file
+        # layout (one file per day, slivers merged) with no exchange
+        # (measured −0.1..−0.15 s per 20k-row flush, same 1-file-per-day
+        # output, content-identical). Larger batches (and the tuple
+        # fallback, where the size is unknown) keep the REBALANCE hint:
+        # hash-partitioning on dt alone would put an entire day in ONE
+        # task (guide §2.5 — too few distinct key values), while the
+        # AQE rebalance keeps rows clustered by dt but splits oversized
+        # days into advisory-sized chunks and merges slivers.
+        est_bytes = getattr(df, "_miniodb_est_bytes", None)
+        if est_bytes is not None and est_bytes <= _advisory_bytes(self.spark):
+            write_df = df.coalesce(1)
+        else:
+            write_df = df.hint("rebalance", "dt")
         try:
             # resolved INSIDE the try: a seed-listing failure after
             # register_flush_schema must roll back the new generation
@@ -542,14 +580,7 @@ class Engine:
             # the single post-write LIST below computes the delta.
             before = self._known_gen_files(table, gen)
             (
-                # REBALANCE, not repartition("dt"): hash-partitioning on
-                # dt alone puts an entire day in ONE task (guide §2.5 —
-                # too few distinct key values), serializing the parquet
-                # encode and producing one giant file per day at scale.
-                # The AQE rebalance keeps rows clustered by dt but
-                # splits oversized days into advisory-sized chunks and
-                # merges slivers (guide §6's coalesce-on-write hint).
-                df.hint("rebalance", "dt")
+                write_df
                 .write.mode("append")
                 .option("compression", cfg.compression if cfg else "snappy")
                 .partitionBy("dt")

@@ -28,15 +28,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+# keyed on (path, file mtime_ns): a harness that regenerates a fixture
+# at the same path inside one process (r17 ADVICE) invalidates the
+# entry naturally instead of silently reading with a stale schema. The
+# stat() is a single driver syscall (~µs) — noise next to the ~17 ms
+# schema-supplied open it protects.
+_SCHEMA_CACHE: dict[tuple[str, int], T.StructType] = {}
+
+
+def _fingerprint(path: str) -> int:
+    import os
+
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            # directory-shaped parquet: fingerprint the newest entry
+            # (regeneration rewrites part files)
+            newest = max(
+                (os.stat(os.path.join(path, f)).st_mtime_ns
+                 for f in os.listdir(path)), default=st.st_mtime_ns)
+            return max(st.st_mtime_ns, newest)
+        return st.st_mtime_ns
+    except OSError:
+        return -1  # let the Spark read raise the real error
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read ``{sf_dir}/{table}.parquet`` with the process-cached
     footer schema (first call infers and caches it)."""
     path = f"{sf_dir}/{table}.parquet"
-    sch = _SCHEMA_CACHE.get(path)
+    key = (path, _fingerprint(path))
+    sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = sch
+        _SCHEMA_CACHE[key] = sch
     return spark.read.schema(sch).parquet(path)

@@ -872,9 +872,14 @@ def register_queries(register) -> None:
         # a .first() driver roundtrip: one DAG instead of a blocking
         # collect + a 64-literal expression tree (guide §5 — keep the
         # driver out of the query path; measured -0.13 s at sf0.1)
+        # limit(1) pins the single-query-vector contract (r17 ADVICE):
+        # were the fixture ever to carry duplicate vec_id=0 rows, the
+        # cross join would otherwise fan every similarity row out per
+        # duplicate instead of scoring against one vector
         q = F.broadcast(
             emb.filter(F.col("vec_id") == 0)
             .select(_as_double("embedding").alias("_qv"))
+            .limit(1)
         )
         sim = cosine(_as_double("embedding"), F.col("_qv"))
         return (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import fixture_df
+from ..queries.base import bounded_sort
 
 # english stopwords for the quality stopword-ratio signal (a high ratio
 # is normal prose; near-zero suggests keyword spam / non-linguistic text)
@@ -567,9 +568,9 @@ def register_queries(register) -> None:
             )
             # lang is an ISO-code enum (≤ a few hundred values at any
             # corpus size): single-partition output sort instead of a
-            # range exchange + its sampling job (queries.base.bounded_sort)
-            .repartition(1)
-            .sortWithinPartitions("lang")
+            # range exchange + its sampling job — shared helper so the
+            # contract/rationale lives in one place (r17 ADVICE)
+            .transform(lambda d: bounded_sort(d, "lang"))
         )
 
     @register(

@@ -198,6 +198,18 @@ def _pa_type(dtype: T.DataType):
     raise TypeError(f"no arrow mapping for {dtype}")  # -> tuple fallback
 
 
+# Arrow-path fallback telemetry (r17 verdict watch-item 3 / r18): the
+# tuple fallback is ~2× slower per flush — correct but silently so. A
+# systematic Arrow failure (pyarrow upgrade, new column type) would
+# halve write throughput with no signal; these counters make it visible
+# to ops/BENCH_NOTES forensics, and the engine-e2e test pins that they
+# increment. Plain ints under the engine's per-table flush lock are
+# adequate (a racing concurrent flush can at worst undercount by one —
+# telemetry, not accounting).
+ARROW_FALLBACK_COUNT = 0
+ARROW_FALLBACK_LAST: str | None = None
+
+
 def batch_dataframe(spark, row_dicts: list[dict], schema: T.StructType,
                     name_map: dict[str, str]):
     """Flush batch → DataFrame: coerce rows with :func:`to_row_tuple`
@@ -210,11 +222,31 @@ def batch_dataframe(spark, row_dicts: list[dict], schema: T.StructType,
     oracle suites. Any value Arrow cannot represent (e.g. a
     lone-surrogate string, which the pickled path ferries through to
     the JVM's U+FFFD replacement) falls back to the tuple path, so the
-    Arrow conversion can only ever change speed, not results."""
+    Arrow conversion can only ever change speed, never results. The
+    fallback is scoped to CONVERSION errors (Arrow encode failures,
+    type mismatches, the unsupported-createDataFrame signature case) —
+    a genuine Spark/Py4J failure propagates instead of being masked by
+    a second, equally doomed conversion attempt (r17 ADVICE).
+
+    The returned DataFrame carries ``_miniodb_est_bytes`` (the Arrow
+    table's in-memory byte size) when the Arrow path was taken — the
+    flush path uses it to pick its write shape driver-side (guide §8:
+    decide with small metadata, move the rows once)."""
+    global ARROW_FALLBACK_COUNT, ARROW_FALLBACK_LAST
     tuples = [to_row_tuple(d, schema, name_map) for d in row_dicts]
     try:
         import pyarrow as pa
 
+        conversion_errors = (
+            pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+            pa.lib.ArrowNotImplementedError, TypeError, ValueError,
+            OverflowError,
+        )
+    except ImportError as exc:  # no pyarrow at all → tuple path
+        ARROW_FALLBACK_COUNT += 1
+        ARROW_FALLBACK_LAST = repr(exc)
+        return spark.createDataFrame(tuples, schema, verifySchema=False)
+    try:
         cols = list(zip(*tuples))
         arrays = [
             pa.array(col, type=_pa_type(f.dataType))
@@ -222,6 +254,15 @@ def batch_dataframe(spark, row_dicts: list[dict], schema: T.StructType,
         ]
         tbl = pa.Table.from_arrays(arrays,
                                    names=[f.name for f in schema.fields])
-        return spark.createDataFrame(tbl, schema=schema)
-    except Exception:
+        df = spark.createDataFrame(tbl, schema=schema)
+        df._miniodb_est_bytes = tbl.nbytes
+        return df
+    except conversion_errors as exc:
+        ARROW_FALLBACK_COUNT += 1
+        ARROW_FALLBACK_LAST = repr(exc)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "batch_dataframe: Arrow path fell back to pickled tuples "
+            "(%d so far this process): %r", ARROW_FALLBACK_COUNT, exc)
         return spark.createDataFrame(tuples, schema, verifySchema=False)

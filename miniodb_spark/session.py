@@ -97,9 +97,19 @@ def get_spark(
         # AQE rewrite a planned SMJ to SHJ at runtime when every
         # post-shuffle build partition is under 64 MB. Both knobs are
         # per-partition-size conditions, not core-count constants, so
-        # they scale with the data: an oversized build side still
-        # plans/spills as sort-merge. Measured at sf0.1: q7 SMJ→SHJ,
+        # they scale with the data. Measured at sf0.1: q7 SMJ→SHJ,
         # -0.10 s; broad -2..-8% on the join-heavy TPC-H suite.
+        # Known trade-off (r17 ADVICE): preferSortMergeJoin=false makes
+        # the STATIC planner pick SHJ from ESTIMATED stats, and an SHJ
+        # build side does not spill — a bad estimate (opaque UDF,
+        # post-filter misestimate) can OOM an executor where SMJ would
+        # have spilled. The AQE threshold below is the estimate-free
+        # half (it rewrites from ACTUAL runtime partition sizes).
+        # Deployments running stats-blind inputs should flip
+        # preferSortMergeJoin back to true via extra_conf and keep only
+        # the AQE rewrite; the repo's query paths are all over typed
+        # parquet scans with plain predicates, where size estimates are
+        # reliable, so the static half stays on here.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 "67108864")

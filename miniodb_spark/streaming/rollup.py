@@ -194,8 +194,18 @@ def apply_rollup_batch(
     if batch_df.isEmpty():
         engine.catalog.commit_stream_batch(stream_id, batch_id)
         return False
+    # MEMORY_AND_DISK, not the MEMORY_ONLY default (r18, guide §5 spill
+    # posture): the partials frame is bounded only by the micro-batch's
+    # (window × key) cardinality — a backlogged resume replays a huge
+    # batch, and a memory-only cache would silently recompute evicted
+    # partitions TWICE (merge_partials reads it for the merge join and
+    # the upsert). Disk spill keeps the reuse guarantee at any batch
+    # size.
+    from pyspark import StorageLevel
+
     part = batch_partials(batch_df, ts_col=ts_col, value_col=value_col,
-                          window=window, key_cols=key_cols).cache()
+                          window=window, key_cols=key_cols).persist(
+        StorageLevel.MEMORY_AND_DISK)
     try:
         merged = merge_partials(
             engine.read_persisted(rollup_table), part, key_cols,
