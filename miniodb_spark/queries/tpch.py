@@ -98,21 +98,30 @@ def q4_priority_exists(spark, sf_dir):
         "outside ASIA never enter the shuffle",
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    # r18: flat dim chain — nation and the ASIA-filtered region
-    # broadcast independently into the supplier stream instead of the
-    # nested broadcast(nation ⨝ broadcast(region)) build (each nested
-    # broadcast was its own sequential job; flattening lets both tiny
-    # dims build in parallel and drops one join stage). 10 → 8 jobs,
-    # −0.07 s med at sf0.1; rows identical.
+    # r18 (guide §2.4/§3.1): fully flat star — every build side of the
+    # fact chain is now a PLAIN FILTERED SCAN, so the static planner
+    # broadcasts all five joins and the fact is never shuffled before
+    # the aggregate. The previous shape pre-joined supplier with
+    # nation/region into an `s` dim; a JOINED subtree has no usable
+    # static size estimate, so the fact⨝s join planned as sort-merge —
+    # the whole li⨝o⨝c intermediate was exchanged AND sorted on
+    # (l_suppkey, c_nationkey) against a ~200-row build side (AQE
+    # converted it to broadcast at runtime, but both map-side shuffle
+    # writes and the extra stages still ran). Joining the raw supplier
+    # scan instead and attaching nation/region AFTER (the ASIA
+    # restriction lands at the region probe, two pipelined hash probes
+    # later — same stage, no materialization in between) removes
+    # 2 Exchanges + 2 Sorts + the SMJ. Scale posture unchanged: no new
+    # hints on SF-growing tables — supplier/customer/orders broadcast
+    # by the planner's own size check and fall back to shuffle joins
+    # when they outgrow it; only schema-bounded nation (25 rows) and
+    # region (≤5) carry hints. 10 → 8 jobs, med 0.542 → 0.446 s
+    # (interleaved 9-rep A/B, one session, sf0.1); rows identical
+    # (inner-join conjunction reorder).
     r = load(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA").select("r_regionkey")
     n = load(spark, sf_dir, "nation")
-    s = (
-        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -124,6 +133,8 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (li.l_suppkey == F.col("s_suppkey"))
               & (c.c_nationkey == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 6).alias("revenue"))
@@ -166,10 +177,24 @@ def q7_volume_shipping(spark, sf_dir):
                   F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"),
                   F.col("n_name").alias("cust_nation"))
-    s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-    c = load(spark, sf_dir, "customer").join(
-        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    # r18 (guide §2.4/§3.1, same rework as q5): join the fact to the
+    # RAW supplier/customer scans and attach the filtered-nation
+    # broadcasts AFTER, instead of pre-joining supplier⨝n1 /
+    # customer⨝n2 dims — a joined subtree has no usable static size
+    # estimate, so the customer-side dim planned as a shuffled-hash
+    # join that exchanged the whole li⨝s⨝o intermediate on o_custkey
+    # (and the supplier dim only broadcast because AQE rescued it).
+    # With plain scans as every build side the static planner
+    # broadcasts all five joins and the fact is never shuffled before
+    # the aggregate; the 2-row nation probes drop non-matching rows
+    # one pipelined join later (same stage, nothing materialized).
+    # Scale posture unchanged: no hints on SF-growing tables — they
+    # broadcast by the planner's own size check and degrade to shuffle
+    # joins when they outgrow it. 8 → 7 jobs, 4 → 2 Exchanges, med
+    # 0.598 → 0.569 / min 0.521 → 0.482 s (interleaved 9-rep A/B, one
+    # session, sf0.1); rows identical.
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01").cast("timestamp"),
@@ -178,8 +203,10 @@ def q7_volume_shipping(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return (
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             ((F.col("supp_nation") == "NATION_1")
              & (F.col("cust_nation") == "NATION_2"))
@@ -230,34 +257,32 @@ def q7_volume_shipping(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
         F.col("p_type") == "ECONOMY").select("p_partkey")
-    # r18: flat dim chain on the customer side — nation and the
-    # ASIA-filtered region broadcast independently into the customer
-    # stream instead of the nested broadcast(nation ⨝ broadcast(region))
-    # build (nested broadcasts serialize their build jobs; flattening
-    # lets them run in parallel and removes the pre-join stage).
+    # r18 (guide §2.4/§3.1, same rework as q5/q7): fully flat star —
+    # the fact chain joins the RAW supplier and customer scans and the
+    # nation/region probes attach right after each, instead of
+    # pre-joining hinted `s`/`c` dim subtrees. The hinted joined
+    # subtrees were the round-13 shape's documented scale risk (the
+    # hint FORCES a broadcast of the SF-growing supplier/customer key
+    # sets at any SF); plain scans broadcast by the planner's own size
+    # check and degrade to shuffle joins when they outgrow it, and the
+    # nested build-job chains (n2 → r → c; n1 → s) that serialized the
+    # broadcast critical path are gone — every build side is now a
+    # leaf scan, so all seven broadcasts build in parallel. Column
+    # narrowing is kept (§2.3). Local wall unchanged (interleaved
+    # 9-rep A/B, one session, sf0.1: med 0.892 → 0.891, min 0.766 →
+    # 0.774 — the broadcast chains were off the critical path at this
+    # size); the change is the scale posture + the removed forced
+    # broadcasts. Rows identical (inner-join conjunction reorder — the
+    # ASIA restriction lands at the region probe, pipelined in the
+    # same stage).
     r = load(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA").select("r_regionkey")
     n2 = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     n1 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"),
         F.col("n_name").alias("supp_nation"))
-    # narrow every dimension to the columns the query consumes and
-    # broadcast the pruned key sets (round-13 rework, ~10% faster);
-    # carrying whole customer rows through the orderkey shuffle was
-    # pure waste. Like the other TPC-H dims here, the hints are sized
-    # to the region-filtered key sets — at an extreme SF where even
-    # filtered customer keys outgrow the broadcast budget, drop the
-    # hints and AQE falls back to shuffle joins with the same
-    # (narrowed) columns
-    c = (
-        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey")
-    )
-    s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
-    ).select("s_suppkey", "supp_nation")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(
             F.lit("1996-01-01").cast("timestamp"),
@@ -267,9 +292,12 @@ def q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -621,9 +649,22 @@ def q20_promo_part_suppliers(spark, sf_dir):
         .filter(F.col("qty") > 400)
         .select("l_suppkey")
     )
-    s = load(spark, sf_dir, "supplier")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # r18 (guide §3.1): the semi join `s LEFT SEMI heavy` built against
+    # an AGGREGATED subtree — no usable static size estimate, so the
+    # planner exchanged BOTH sides and sort-merged (supplier is a 22 KB
+    # scan!). An inner join with the supplier SCAN as the build side is
+    # row-for-row equivalent — heavy's l_suppkey is unique (it is the
+    # groupBy key) and s_suppkey is the supplier primary key, so each
+    # supplier matches at most once and no duplicates can arise — and
+    # the plain-scan build side lets the static planner broadcast it
+    # (falls back to a shuffle join by its own size check at SFs where
+    # supplier outgrows the threshold). 2 Exchanges + 2 Sorts + SMJ →
+    # BHJ probe on the aggregate output. 7 → 6 jobs, med 0.332 →
+    # 0.311 / min 0.298 → 0.277 s (interleaved 9-rep A/B, one
+    # session, sf0.1).
     return (
-        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        heavy.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -718,17 +759,21 @@ def q2_min_cost_supplier(spark, sf_dir):
     # At scale this also removes the broadcast of the FULL EUROPE
     # supplier set (1/5 of suppliers — the one q2 broadcast that grows
     # with SF) from the final join.
-    s = load(spark, sf_dir, "supplier")
+    # r18 second step (same rework as q5/q7/q8): the fact chain joins
+    # the RAW supplier scan and attaches the nation/region probes right
+    # after, instead of hint-broadcasting the pre-joined `eu` subtree —
+    # the hint forced a broadcast of an SF-growing joined set (a joined
+    # subtree has no usable static estimate, so without the hint it
+    # would have sort-merged). A plain scan broadcasts by the planner's
+    # own size check and degrades to a shuffle join when it outgrows
+    # it; the EUROPE restriction lands at the region probe, pipelined
+    # in the same stage. med 0.734 → 0.681 s (interleaved 9-rep A/B,
+    # one session, sf0.1); rows identical.
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey")
     n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    # flat dim chain (nation and region broadcast independently into the
-    # supplier stream) instead of the nested broadcast(n ⨝ broadcast(r))
-    # — same rows, one fewer sequential build stage on the critical path
-    eu = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
+    r = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
@@ -740,7 +785,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
         F.col("p_type") == "LARGE").select("p_partkey")
     joined = (
-        li.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     )
     # ONE exchange serves both the aggregate and the per-part window
