@@ -92,10 +92,10 @@ def q4_priority_exists(spark, sf_dir):
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
-    doc="TPC-H Q5: 6-way star join. The region filter is applied to the "
-        "nation dimension BEFORE it reaches the fact joins (classic "
-        "star-schema build-side pruning), so supplier and customer rows "
-        "outside ASIA never enter the shuffle",
+    doc="TPC-H Q5: 6-way star join, fully flat — every build side is a "
+        "leaf scan so the planner broadcasts all five joins and the "
+        "fact is never shuffled before the aggregate; the ASIA "
+        "restriction lands at the pipelined region probe",
 )
 def q5_local_supplier_volume(spark, sf_dir):
     # r18 (guide §2.4/§3.1): fully flat star — every build side of the
@@ -167,8 +167,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     """,
     doc="TPC-H Q7: bidirectional nation-pair trade volume. Both nation "
         "dimensions are pre-filtered to the two nations of interest and "
-        "broadcast, so supplier/customer shrink before the fact join; "
-        "the pair predicate is a residual on the already-pruned rows",
+        "broadcast right after their parent scan joins the fact (flat "
+        "star, no pre-joined dims); the pair predicate is a residual on "
+        "the already-pruned rows",
 )
 def q7_volume_shipping(spark, sf_dir):
     n = load(spark, sf_dir, "nation").filter(
@@ -250,9 +251,9 @@ def q7_volume_shipping(spark, sf_dir):
     """,
     doc="TPC-H Q8 market share: the most selective filter (p_type, 1/6 "
         "of parts) prunes the fact rows first; the ASIA restriction "
-        "reaches customers through a pre-joined nation x region build "
-        "side; the share is one conditional-sum aggregate, not two "
-        "passes",
+        "reaches customers through pipelined nation/region probes on "
+        "the flat fact chain; the share is one conditional-sum "
+        "aggregate, not two passes",
 )
 def q8_market_share(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
@@ -632,8 +633,9 @@ def q19_disjunctive_brackets(spark, sf_dir):
     """,
     doc="TPC-H Q20 shape (shipped PROMO volume stands in for the absent "
         "partsupp availability): the HAVING aggregate produces a "
-        "supplier shortlist that LEFT SEMI joins supplier — the "
-        "subquery result is the broadcast side, supplier streams",
+        "unique-keyed supplier shortlist that inner-joins the supplier "
+        "scan (row-equivalent to the SQL's semi join; the scan is the "
+        "broadcast side)",
 )
 def q20_promo_part_suppliers(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
@@ -738,9 +740,10 @@ def q22_idle_high_balance(spark, sf_dir):
         "stands in for the absent partsupp supplycost): the correlated "
         "per-part MIN becomes a window min over the (part, supplier) "
         "cost aggregate — one shuffle on partkey serves both the "
-        "aggregate and the correlation, no self-join. The EUROPE "
-        "supplier dim (supplier⨝nation⨝region) is broadcast into the "
-        "lineitem scan; the double equality against the window min is "
+        "aggregate and the correlation, no self-join. The supplier "
+        "scan broadcasts into the lineitem stream with pipelined "
+        "nation/region probes applying the EUROPE restriction; the "
+        "double equality against the window min is "
         "exact because the min is an element of the compared set. The "
         "final part join is unhinted — AQE broadcasts the type-filtered "
         "slice while it fits",

@@ -274,6 +274,26 @@ def test_q5_star_join_all_broadcast_under_aqe(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan
 
 
+def test_flat_star_fact_never_pre_shuffled(spark, sf_dir, registry):
+    """r18 star-join flattening gate: q2/q7/q8/q20 join the fact to
+    LEAF SCANS only (no joined/aggregated subtree as a build side), so
+    the final plan must carry no sort-merge and no shuffled-hash join —
+    the fact reaches its aggregate through broadcast probes alone. A
+    regression to a pre-joined dim build side reintroduces a fact
+    exchange that only AQE can (partially) rescue."""
+    for name in ("q2_min_cost_supplier", "q7_volume_shipping",
+                 "q8_market_share", "q20_promo_part_suppliers"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = _final_plan(df)
+        # a selective filter can yield zero rows at test SF, letting AQE
+        # collapse the whole join tree to EmptyRelation — that trivially
+        # satisfies the no-fact-shuffle property
+        if "EmptyRelation" not in plan:
+            assert "BroadcastHashJoin" in plan, (name, plan[:2000])
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
+        assert "ShuffledHashJoin" not in plan, (name, plan[:2000])
+
+
 def test_q10_topk_is_take_ordered(spark, sf_dir, registry):
     """Top-20 by revenue must be TakeOrderedAndProject (per-partition
     heap + merge), never a global sort of the aggregate."""
